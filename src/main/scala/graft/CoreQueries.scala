@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational surface (`SURVEY.md §2.3` Q01–Q27): scans,
+  * filters, every join shape the reference uses (broadcast/semi/anti/
+  * residual — `LASERInputCheckMapper.java:239-251`,
+  * `TRACEInputCheckMapper.java:221-255`), aggregations, windows, set ops,
+  * scalar/date/math functions, and the batch forms of the streaming windows.
+  *
+  * All programs are declarative DataFrame plans: Catalyst pushes the filters
+  * and projections into the parquet scans and AQE handles runtime re-planning;
+  * no query materializes anything driver-side. Small dimensions carry an
+  * explicit `broadcast()` hint so the join strategy survives a 100× scale-up
+  * of the fact side.
+  */
+object CoreQueries {
+
+  private def t(name: String)(implicit sd: (SparkSession, String)): DataFrame =
+    Tables(sd._1, sd._2, name)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_scan_project")(
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_quantity")
+    },
+
+    QueryDef("q02_filter")(
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        | WHERE l_discount > 0.05 AND l_quantity < 10
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem")
+        .where(col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q03_join_inner")(
+      """SELECT o.o_orderkey, c.c_name FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | ORDER BY o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q04_join_broadcast")(
+      """SELECT n.n_name, r.r_name FROM nation n
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | ORDER BY n.n_nationkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("nation").join(broadcast(t("region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .orderBy("n_nationkey")
+        .select("n_name", "r_name")
+    },
+
+    QueryDef("q05_join_left")(
+      """SELECT c.c_custkey, o.o_orderkey FROM customer c
+        | LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer").join(t("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    },
+
+    // R15 analogue: membership via semi join (no duplicate inflation).
+    QueryDef("q06_join_semi")(
+      """SELECT c_custkey FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        | ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer").join(
+          t("orders").where(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // R14 analogue: seq individual not in groups file → anti join.
+    QueryDef("q07_join_anti")(
+      """SELECT c_custkey FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        | ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer").join(t("orders").where(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // R15 literal shape: composite equi key + case-insensitive residual
+    // predicate (compareToIgnoreCase, LASERInputCheckMapper.java:245).
+    QueryDef("q08_join_residual")(
+      """SELECT COUNT(*) AS shared FROM part p
+        | JOIN supplier s ON p.p_size = CAST(s.s_suppkey AS INT)
+        |   AND LOWER(p.p_brand) <> LOWER(s.s_name)""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("part").join(t("supplier"),
+          col("p_size") === col("s_suppkey").cast("int") &&
+            lower(col("p_brand")) =!= lower(col("s_name")))
+        .agg(count(lit(1)).as("shared"))
+    },
+
+    QueryDef("q09_agg_group")(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |   ROUND(SUM(l_quantity), 6) AS qty,
+        |   ROUND(AVG(l_extendedprice), 6) AS avg_price
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 6).as("qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // R16/R17: total + conditional count in one pass over one scan.
+    QueryDef("q10_agg_conditional")(
+      """SELECT COUNT(*) AS total,
+        |   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS shared
+        | FROM orders""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("shared"))
+    },
+
+    QueryDef("q11_agg_countdistinct")(
+      "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders"
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").agg(countDistinct("o_custkey").as("n"))
+    },
+
+    // R23 literal: "all per-group counts agree" ≙ countDistinct(count)==1
+    // (TRACEInputValidator.java:230-233 TreeSet-size check).
+    QueryDef("q12_agg_consistency")(
+      """SELECT COUNT(DISTINCT cnt) AS distinct_counts FROM
+        | (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus) t""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .agg(countDistinct("cnt").as("distinct_counts"))
+    },
+
+    QueryDef("q13_rollup")(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("cnt"))
+    },
+
+    // R19's chunk assignment as a window computation (chunkSize=100,
+    // LASERInputValidator.java:18). The global-order window is correct here
+    // because chunk identity IS a global property; the distributed writer in
+    // ChunkOps avoids the single-partition sort (see operators/ChunkOps).
+    QueryDef("q14_window_chunk")(
+      """SELECT o_orderkey,
+        |   CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 100) AS BIGINT) AS chunk
+        | FROM orders ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_orderkey"),
+          floor((row_number().over(Window.orderBy("o_orderkey")) - 1) / 100)
+            .cast("long").as("chunk"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q15_window_lag")(
+      """SELECT o_custkey, o_orderkey,
+        |   LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1)
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+            .as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    QueryDef("q16_window_frame")(
+      """SELECT o_orderkey,
+        |   ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS run3
+        | FROM orders ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_orderkey"),
+          round(sum("o_totalprice").over(
+            Window.orderBy("o_orderkey").rowsBetween(-2, Window.currentRow)), 6)
+            .as("run3"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q17_topk_group")(
+      """SELECT * FROM (
+        |   SELECT o_custkey, o_orderkey,
+        |     CAST(RANK() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |   FROM orders) t
+        | WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_custkey"), col("o_orderkey"),
+          rank().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("rk"))
+        .where(col("rk") <= 2)
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    },
+
+    QueryDef("q18_sort_limit")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k,
+      // no global sort — the shape that survives 100 TB.
+      t("orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    QueryDef("q19a_intersect")(
+      """SELECT c_nationkey AS k FROM customer
+        | INTERSECT SELECT n_nationkey FROM nation ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer").select(col("c_nationkey").as("k"))
+        .intersect(t("nation").select(col("n_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    QueryDef("q19b_except")(
+      """SELECT p_size AS k FROM part
+        | EXCEPT SELECT n_nationkey FROM nation ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("part").select(col("p_size").as("k"))
+        .except(t("nation").select(col("n_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    QueryDef("q19c_union")(
+      """SELECT r_regionkey AS k FROM region
+        | UNION SELECT n_regionkey FROM nation ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("region").select(col("r_regionkey").as("k"))
+        .union(t("nation").select(col("n_regionkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // The reference's scalar vocabulary: split/lower/concat/substr/startsWith
+    // (SURVEY.md §2.2 scalar row).
+    QueryDef("q20_string_funcs")(
+      """SELECT p_partkey, LOWER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
+        |   CONCAT(p_type, ':', CAST(p_size AS VARCHAR)) AS key
+        | FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("part").where(col("p_name").contains("a"))
+        .select(col("p_partkey"), lower(col("p_brand")).as("b"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          concat(col("p_type"), lit(":"), col("p_size").cast("string")).as("key"))
+        .orderBy("p_partkey")
+    },
+
+    QueryDef("q21_date_funcs")(
+      """SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m
+        | FROM orders ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q22_math_funcs")(
+      """SELECT l_orderkey, l_linenumber,
+        |   ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |   CAST(CEIL(l_quantity) AS BIGINT) AS q
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 6).as("charge"),
+          ceil(col("l_quantity")).as("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Array model of the seq-loci encoding (SURVEY.md §1.2.1): build, explode.
+    QueryDef("q23_explode")(
+      """SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS tok
+        | FROM part ORDER BY p_partkey, tok""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("part").select(col("p_partkey"),
+          explode(split(col("p_name"), " ")).as("tok"))
+        .orderBy("p_partkey", "tok")
+    },
+
+    // Q25: tumbling window, batch form (epoch-seconds bucketing).
+    QueryDef("q25_window_tumbling")(
+      """SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+        |   COUNT(*) AS cnt, ROUND(SUM(value), 6) AS v
+        | FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("events").groupBy(
+          floor(col("ts").cast("long") / 3600).cast("long").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("v"))
+        .orderBy("hour_bucket", "event_type")
+    },
+
+    QueryDef("q26_dedup_exact")(
+      """SELECT COUNT(*) AS n FROM
+        | (SELECT DISTINCT user_id, event_type FROM events) t""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("events").select("user_id", "event_type").distinct()
+        .agg(count(lit(1)).as("n"))
+    },
+
+    QueryDef("q27_text_agg")(
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("documents").groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    },
+  )
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (`TESTDATA.md`).
+  *
+  * All engine queries take a scale-factor directory and read the parquet
+  * tables lazily; Catalyst handles column pruning / predicate pushdown at the
+  * scan, so loaders never cache or materialize. At 100 TB the same code path
+  * works unchanged: `dir` becomes an object-store prefix and the parquet
+  * footer statistics drive partition pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read nanos as long and convert to a microsecond timestamp
+    // (the generated data is µs-granular, so this is lossless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+    else df
+  }
+
+  /** Register every table as a temp view (used by tests and SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
