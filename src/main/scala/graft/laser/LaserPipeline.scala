@@ -1,0 +1,115 @@
+package graft.laser
+
+import graft.domain.{Errors, ValidationError}
+import graft.operators.{ChunkSink, SharedLoci}
+import graft.sources._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LASER input-check workflow (`LASERInputValidator.run`,
+  * `LASERInputCheckMapper.java:272-301`): validate groups → seq → site
+  * against the reference panel, chunk the seq file, and report counters.
+  *
+  * The reference short-circuits file-at-a-time and row-at-a-time; the engine
+  * computes each file's validation set and reports the highest-precedence
+  * error (`Errors.firstError` — same driver-visible outcome,
+  * `LASERInputValidator.java:135-140`). Gates (R23): `individuals == 0` and
+  * `sharedLoci <= 100` (`:147-155`).
+  */
+object LaserPipeline {
+
+  final case class Result(
+      firstError: Option[Errors.Code],
+      errors: Seq[ValidationError],
+      individuals: Long,
+      totalLoci: Long,
+      sharedLoci: Long,
+      chunks: Long) {
+    /** Threshold gates (`LASERInputValidator.java:147-155`). */
+    def gateMessages: Seq[String] = {
+      val g1 = if (firstError.isEmpty && individuals == 0)
+        Seq("No individuals found in study sequence file!") else Nil
+      val g2 = if (firstError.isEmpty && sharedLoci <= 100)
+        Seq("Too few loci shared between study and reference panel! PCA will not be informative!")
+      else Nil
+      g1 ++ g2
+    }
+    def ok: Boolean = firstError.isEmpty && gateMessages.isEmpty
+  }
+
+  /** Pure-DataFrame core shared by the file pipeline and the inline-fixture
+    * query: all inputs already as line sets. `chunksOut = None` skips the
+    * side-effecting chunk write (validation-only runs). */
+  def run(
+      seqLines: DataFrame,
+      siteLines: DataFrame,
+      panelLines: DataFrame,
+      groupsLines: Option[DataFrame],
+      chunksOut: Option[String] = None,
+      chunkSize: Int = 100,
+      preErrors: Seq[ValidationError] = Nil): Result = {
+
+    val spark = seqLines.sparkSession
+
+    val groupsDf = groupsLines.map(GroupsReader.parse)
+    val groupErrs = groupsLines.toSeq.flatMap(g => GroupsReader.validate(g).collect().toSeq)
+    val seqErrs = SeqReader.validate(seqLines, groupsDf).collect().toSeq
+    val siteErrs = SiteReader.validate(siteLines).collect().toSeq
+
+    val seqParsed = SeqReader.parse(seqLines)
+    // One aggregate pass: individuals (distinct) + locus-count consensus
+    // (TreeSet-min semantics, `LASERInputCheckMapper.java:254-258` uses
+    // `.first()` = the minimum).
+    val seqAgg = seqParsed.agg(
+      countDistinct(col("indiv_id")).as("individuals"),
+      min(col("n_loci")).as("min_loci")).collect()(0)
+    val individuals = seqAgg.getLong(0)
+    val minLoci = if (seqAgg.isNullAt(1)) 0L else seqAgg.getLong(1)
+
+    val site = SiteReader.parse(siteLines)
+    val panel = PanelReader.parse(panelLines)
+    val countsRow = SharedLoci.counts(site.select("chr", "pos", "ref", "alt"), panel).collect()(0)
+    val (totalLoci, sharedLoci) = (countsRow.getLong(0), countsRow.getLong(1))
+
+    // R20: site row count must equal the seq locus count.
+    val crossErrs =
+      if (siteErrs.isEmpty && totalLoci != minLoci)
+        Seq(ValidationError("SITE_FILE_LOCI_NOT_IN_SEQ",
+          detail = s"site rows $totalLoci != seq loci $minLoci"))
+      else Nil
+
+    val all = preErrors ++ groupErrs ++ seqErrs ++ siteErrs ++ crossErrs
+    val counts = all.groupBy(_.code).map { case (c, es) => c -> es.size.toLong }
+
+    val chunks = chunksOut match {
+      case Some(dir) if Errors.firstError(counts).isEmpty =>
+        ChunkSink.write(seqLines, dir, chunkSize)
+      case _ =>
+        // chunk count is still well-defined without the write
+        val n = seqLines.count()
+        (n + chunkSize - 1) / chunkSize
+    }
+
+    Result(Errors.firstError(counts), all, individuals, totalLoci, sharedLoci, chunks)
+  }
+
+  /** File-backed entry point mirroring `LASERInputValidator.run`: gzip
+    * sniffs (R1) happen before any scan, exactly as the reference raises
+    * `*_IS_NOT_GZIP` pre-parse (`LASERInputCheckMapper.java:108-111,191-195`). */
+  def runFiles(spark: SparkSession, seqPath: String, sitePath: String,
+      panelPath: String, groupsPath: Option[String], chunksOut: Option[String],
+      chunkSize: Int = 100): Result = {
+    val pre = Seq(
+      (!Lines.isGzip(spark, seqPath), "SEQ_FILE_IS_NOT_GZIP"),
+      (!Lines.isGzip(spark, sitePath), "SITE_FILE_IS_NOT_GZIP"),
+    ).collect { case (true, code) => ValidationError(code) }
+    if (pre.nonEmpty)
+      Result(Errors.firstError(pre.map(_.code -> 1L).toMap), pre, 0, 0, 0, 0)
+    else run(
+      Lines.read(spark, seqPath),
+      Lines.read(spark, sitePath),
+      Lines.read(spark, panelPath),
+      groupsPath.filter(_.nonEmpty).map(Lines.read(spark, _)),
+      chunksOut, chunkSize)
+  }
+}
