@@ -1,0 +1,295 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star extension queries (`BASELINE.json:6`): dedup, similarity
+  * search, text analysis, multimodal — over the driver's `documents` /
+  * `embeddings` tables.
+  *
+  * The synthetic corpus contains no natural duplicates (checked: 0 exact
+  * dup groups, max cross-pair cosine ≈ 0.51 at sf0.01), so dedup queries
+  * *plant* deterministic duplicates inside the query — the identical
+  * planting appears in the oracle SQL, keeping the checked result
+  * non-degenerate while exercising the real operator.
+  */
+object NorthStarQueries {
+
+  /** documents ∪ exact copies of doc_id < 20 (shifted ids). */
+  private def plantedExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+  private val plantedExactSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** documents ∪ near-copies (one appended token) of doc_id < 20. */
+  private def plantedNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+  }
+  private val plantedNearSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** Shared DuckDB CTE chain: shingles → minhash → bands → candidate pairs
+    * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
+    * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens). */
+  private val lshPairsSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2),
+      | mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+      |        FROM sh CROSS JOIN range(0, 8) s(seed) GROUP BY 1, 2),
+      | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h, '|' ORDER BY seed) AS sig
+      |           FROM mh GROUP BY 1, 2),
+      | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |           FROM bands a JOIN bands b
+      |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared DuckDB simhash CTE (mirrors `Dedup.simhash` over `corpus`). */
+  private val simhashSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+      | votes AS (SELECT doc_id, j.j,
+      |             sum(CASE WHEN substr(md5(tok), CAST(j.j AS INT) + 1, 1)
+      |                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+      |           FROM tok CROSS JOIN range(0, 16) j(j) GROUP BY 1, 2),
+      | sig AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+      |         FROM votes GROUP BY doc_id)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- dedup -----------------------------------------------------------
+    QueryDef("dd_exact")(
+      s"""WITH $plantedExactSql
+         | SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |        CAST(count(*) AS BIGINT) AS n_copies
+         | FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.exact(plantedExact(s, dir))
+        .where(col("n_copies") > 1).orderBy(col("keep_id"))
+    },
+
+    QueryDef("dd_minhash_lsh")(
+      s"""WITH $plantedNearSql,
+         | $lshPairsSql
+         | SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.lshCandidatePairs(plantedNear(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    QueryDef("dd_ngram_jaccard")(
+      s"""WITH $plantedNearSql,
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+         | SELECT p.doc_a, p.doc_b,
+         |   round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+         | FROM pairs p
+         | LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         | JOIN sizes na ON na.doc_id = p.doc_a
+         | JOIN sizes nb ON nb.doc_id = p.doc_b
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedNear(s, dir)
+      Dedup.ngramJaccard(corpus, Dedup.lshCandidatePairs(corpus))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    QueryDef("dd_simhash")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         | $simhashSql
+         | SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.simhash(Tables(s, dir, "documents").where(col("doc_id") < 50))
+        .orderBy(col("doc_id"))
+    },
+
+    // Oracle is brute-force Hamming ≤ 3 over all pairs — equivalent to the
+    // engine's quarter-blocked join by the pigeonhole completeness argument
+    // on `Dedup.simhashPairs`.
+    QueryDef("dd_simhash_pairs")(
+      s"""WITH $plantedExactSql,
+         | $simhashSql,
+         | ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           sum(CASE WHEN substr(a.sig, CAST(k.k AS INT), 1)
+         |                      <> substr(b.sig, CAST(k.k AS INT), 1) THEN 1 ELSE 0 END) AS h
+         |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |         CROSS JOIN range(1, 17) k(k) GROUP BY 1, 2)
+         | SELECT doc_a, doc_b, CAST(h AS BIGINT) AS hamming
+         | FROM ham WHERE h <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(plantedExact(s, dir)))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    QueryDef("dd_embed_neardup")(
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+         | d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus)
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        round(${cosSql("a.v", "b.v")}, 6) AS sim
+         | FROM d a JOIN d b ON a.vec_id < b.vec_id
+         | WHERE ${cosSql("a.v", "b.v")} >= 0.9
+         | ORDER BY vec_a, vec_b""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(planted, 0.9).orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- similarity search ----------------------------------------------
+    // q28 (SURVEY §2.3): brute-force cosine top-k — the exact baseline.
+    QueryDef("sim_topk_brute")(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         | SELECT vec_id, round(${cosSql("v", "qe")}, 6) AS sim
+         | FROM e CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      Similarity.bruteForceTopK(e, q, 10)
+    },
+
+    QueryDef("sim_lsh_buckets")(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim FROM embeddings),
+        | x AS (SELECT vec_id, p.p,
+        |         sum(v[CAST(j.j AS INT)] * (((p.p * 31 + (j.j - 1) * 17) % 7) - 3)) AS s
+        |       FROM e CROSS JOIN range(0, 8) p(p) JOIN range(1, 10000) j(j) ON j.j <= dim
+        |       GROUP BY 1, 2),
+        | b AS (SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |       FROM x GROUP BY 1)
+        | SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        | FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      Similarity.lshBuckets(Tables(s, dir, "embeddings"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+    },
+
+    QueryDef("sim_ivf_topk")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |          FROM e CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qe")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4)
+         | SELECT e.vec_id, round(${cosSql("e.v", "qe")}, 6) AS sim
+         | FROM e JOIN asg USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      Similarity.ivfTopK(e, q, 10)
+    },
+
+    // ---- text analysis ---------------------------------------------------
+    QueryDef("txt_langid")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sc AS (
+        |   SELECT doc_id, 'de' AS code, len(list_filter(ws, t -> t IN ('table','join','merge','group'))) AS score FROM w
+        |   UNION ALL SELECT doc_id, 'en', len(list_filter(ws, t -> t IN ('the','a','fast','slow'))) FROM w
+        |   UNION ALL SELECT doc_id, 'es', len(list_filter(ws, t -> t IN ('data','row','stream','big'))) FROM w
+        |   UNION ALL SELECT doc_id, 'fr', len(list_filter(ws, t -> t IN ('window','query','agg','line'))) FROM w),
+        | p AS (SELECT doc_id, code FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code DESC) AS rn
+        |          FROM sc) WHERE rn = 1)
+        | SELECT code AS pred_lang, CAST(count(*) AS BIGINT) AS n
+        | FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.langId(Tables(s, dir, "documents"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n")).orderBy(col("pred_lang"))
+    },
+
+    QueryDef("txt_quality")(
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   round((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS mean_tok_len,
+        |   round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |         / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |   round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+        |       + least(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |               / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5, 6) AS quality_score
+        | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.quality(Tables(s, dir, "documents").where(col("doc_id") < 100))
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef("txt_tokens")(
+      """SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |   CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sub_tokens
+        | FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      TextAnalysis.tokenCounts(d)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("ws_tokens")).as("ws_tokens"), sum(col("sub_tokens")).as("sub_tokens"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef("txt_fingerprint")(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+3], ' ') AS shingle
+        |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 3)
+        | SELECT doc_id, min(md5(shingle)) AS fingerprint
+        | FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables(s, dir, "documents").where(col("doc_id") < 100))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal ------------------------------------------------------
+    QueryDef("mm_decode")(
+      """SELECT doc_id, 'application/x-fake-' || source AS mime,
+        |   CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS digest,
+        |   CAST(length(text) % 640 AS INT) AS width,
+        |   CAST(length(text) % 480 AS INT) AS height,
+        |   CAST(length(text) % 24 + 1 AS INT) AS n_frames
+        | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.decodeStub(Multimodal.mediaTable(
+        Tables(s, dir, "documents").where(col("doc_id") < 100)))
+        .toDF().orderBy(col("doc_id"))
+    },
+
+    QueryDef("mm_frames")(
+      """WITH d AS (SELECT doc_id, text, CAST(ceil(length(text) / 32.0) AS INT) AS nf
+        |           FROM documents WHERE doc_id < 10)
+        | SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+        |        md5(substr(text, CAST(i.i AS INT) * 32 + 1, 32)) AS frame_md5
+        | FROM d JOIN range(0, 10000) i(i) ON i.i < nf AND i.i % 4 = 0
+        | ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(
+        Tables(s, dir, "documents").where(col("doc_id") < 10)))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+  )
+}

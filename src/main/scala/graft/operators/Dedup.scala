@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id BIGINT, text STRING)`
+  * corpus — the LLM-training-pipeline surface mandated by the north star
+  * (`BASELINE.json:6`), built Spark-first (no reference precedent; the
+  * reference's only dedup is the panel's last-wins key overwrite,
+  * `LASERInputCheckMapper.java:66-69`).
+  *
+  * Cross-engine determinism: every hash is `md5` of a UTF-8 string compared
+  * lexicographically on the hex form, so the DuckDB oracle reproduces the
+  * exact same signatures — no engine-private hash (Spark's murmur3 `hash()`
+  * or xxhash64) appears in any correctness-checked result.
+  *
+  * 100 TB notes per operator are on each method.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `doc_id` per distinct text.
+    *
+    * Hash-groupBy on `md5(text)` rather than on the text itself so the
+    * shuffle carries 32-byte keys, not document bodies; at 100 TB this is
+    * one map-side-combined shuffle of (hash, id) pairs.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle) pairs: word `n`-grams over whitespace tokens.
+    * Documents shorter than `n` tokens contribute their whole text as the
+    * single shingle (so they still get a signature). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) < n, array(col("w")(0)))
+          .otherwise(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+          .as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: for seed s in [0, numHashes), the signature element
+    * is `min(md5(s || ':' || shingle))` — lexicographic min over hex, a
+    * valid min-wise hash family that both engines compute identically.
+    *
+    * Plan: shingle explode → per-(doc, seed) partial min (map-side combine)
+    * → one shuffle keyed (doc_id, seed). At 100 TB the shuffle volume is
+    * O(docs × numHashes × 32B), independent of corpus text size.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame =
+    shingles(docs, n)
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("h"))
+
+  /** LSH banding: group signature elements into bands of `bandSize` seeds,
+    * bucket docs on (band, concatenated band signature), and emit candidate
+    * pairs (doc_a < doc_b) that share ≥ 1 bucket.
+    *
+    * Scale: the pair join is per-bucket; a pathological bucket of k docs
+    * emits k² pairs, so buckets above `maxBucket` are dropped (at 100 TB a
+    * giant bucket means near-identical boilerplate — cap + route to a
+    * dedicated clustering pass rather than exploding the join).
+    */
+  def lshCandidatePairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      n: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val buckets = minhashSignatures(docs, numHashes, n)
+      .withColumn("band", floor(col("seed") / bandSize))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("h")))
+        .getField("h"))).as("sig"))
+    val capped = buckets
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+      .where(col("bucket_n") <= maxBucket)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (`pairs(doc_a, doc_b)`): |A ∩ B| / |A ∪ B| over distinct shingle sets.
+    *
+    * Scale: only candidate pairs (from LSH) are scored — the full O(n²)
+    * similarity matrix never materializes. The two joins are on doc_id
+    * (broadcast-able when the candidate set is small) and shingle.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** SimHash (16-bit variant): for bit j, each token votes +1 if the high
+    * bit of hex digit j of `md5(token)` is set, else −1; bit j of the
+    * signature is 1 iff the integer vote sum is positive. Integer votes →
+    * bit-exact across engines regardless of aggregation order.
+    *
+    * Scale: one token explode + one (doc, bit) grouped integer sum —
+    * map-side combinable, shuffle O(docs × 16).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("j"),
+        when(expr("substring(h, j + 1, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1).as("vote"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(j, s))), x -> CASE WHEN x.s > 0 THEN '1' ELSE '0' END)"))
+        .as("sig"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming over the 16-bit
+    * signatures.
+    *
+    * Scale: the self-join is blocked on 4-bit signature quarters — by
+    * pigeonhole, any pair with < 4 mismatching bits agrees exactly on at
+    * least one of the 4 quarters, so the join key prunes the O(n²) space
+    * the same way LSH bands do, with zero recall loss for maxHamming ≤ 3.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-block pigeonhole is only complete for maxHamming < 4")
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("half"), substring(col("sig"), q * 4 + 1, 4).as("blk"))): _*)).as("k"))
+      .select(col("doc_id"), col("sig"), col("k.half"), col("k.blk"))
+    val hamming = expr(
+      """aggregate(sequence(1, 16),
+        | 0, (acc, i) -> acc + CASE WHEN substring(a_sig, i, 1) <> substring(b_sig, i, 1)
+        |                      THEN 1 ELSE 0 END)""".stripMargin)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.half") === col("b.half") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
+    * Brute-force O(n²) pair scoring — correct baseline; the scale path is
+    * `Similarity.lshBuckets` (hyperplane blocking) feeding the same scorer.
+    */
+  def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame = {
+    val e = embs.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+}

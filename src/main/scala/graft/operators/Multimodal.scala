@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media row: opaque bytes + typed metadata (north-star multimodal
+  * column model, `BASELINE.json:6`). Image/audio decode libraries are not
+  * in this environment, so the decode kernel is a clearly-marked
+  * deterministic STUB — the Spark-side plumbing (binary schema, typed
+  * Dataset, partition-batched kernel invocation, output shape) is real. */
+final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+
+/** Stub "decoded features" for one media item. */
+final case class MediaFeatures(
+    doc_id: Long,
+    mime: String,
+    byte_len: Long,
+    digest: String,       // sha256 hex of the payload
+    width: Int,           // STUB: derived, a real decoder would parse the header
+    height: Int,          // STUB
+    n_frames: Int)        // STUB: frame count for video-ish payloads
+
+object Multimodal {
+
+  /** Build a media table from `documents` by treating the UTF-8 text bytes
+    * as an opaque payload. In production this column comes straight from
+    * parquet BINARY; the rest of the pipeline is payload-agnostic. */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      concat(lit("application/x-fake-"), col("source")).as("mime"),
+      col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode kernel: one *batch* (partition iterator) in, features out.
+    * A real image/audio decoder slots in here unchanged — the signature is
+    * the partition-batched shape a native-library bridge needs (amortized
+    * per-partition init, streaming iterator, no driver collect).
+    * The fake is deterministic: sizes/digests of the payload. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init of a (stub) decoder context happens HERE once
+      val digestAlg = () => java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val d = digestAlg()
+        val hex = d.digest(r.content).map("%02x".format(_)).mkString
+        val len = r.content.length.toLong
+        // ??? real decode goes here; deterministic fake dimensions:
+        MediaFeatures(r.doc_id, r.mime, len, hex,
+          width = (len % 640).toInt, height = (len % 480).toInt,
+          n_frames = (len % 24).toInt + 1)
+      }
+    }
+  }
+
+  /** Frame sampling stub: split the payload into fixed-size "frames" and
+    * fingerprint every `stride`-th one. Pure column ops (codegen'd) — the
+    * binary slicing is exactly what a real frame sampler would do before
+    * handing each slice to a decoder. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    media.toDF()
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""filter(transform(sequence(0, CAST(ceil(length(content) / $frameBytes) AS INT) - 1),
+             |  i -> named_struct('fi', i, 'b', substring(content, i * $frameBytes + 1, $frameBytes))),
+             |  x -> x.fi % $stride = 0)""".stripMargin)).as(Seq("pos", "f")))
+      .select(col("doc_id"), col("f.fi").as("frame_idx"), md5(col("f.b")).as("frame_md5"))
+}

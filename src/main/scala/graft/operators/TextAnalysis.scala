@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents(doc_id, text, ...)` — language
+  * ID, quality scoring, token counting, fingerprinting (north-star surface,
+  * `BASELINE.json:6`). All scoring is integer/ratio arithmetic over string
+  * ops, so every result is bit-reproducible in the DuckDB oracle.
+  *
+  * Everything here is a narrow per-row projection (no shuffle) except the
+  * final aggregations — exactly the shape that scales linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Deterministic keyword profiles for the heuristic language classifier.
+    * (Real-world n-gram profiles plug into the same argmax; the synthetic
+    * corpus shares one vocabulary, so profiles are drawn from it.) */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "join", "merge", "group"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "stream", "big"),
+    "fr" -> Seq("window", "query", "agg", "line"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Count of tokens of `text` that appear in `words`. */
+  private def profileScore(words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Per-document predicted language: argmax profile score, ties broken by
+    * language code order (deterministic). */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.map { case (code, words) =>
+      struct(profileScore(words).as("score"), lit(code).as("code"))
+    }
+    // array_max on (score, code) structs picks highest score; for equal
+    // scores the LEXICOGRAPHICALLY LARGEST code wins — mirrored in the
+    // oracle's max_by ordering.
+    docs.select(col("doc_id"),
+      array_max(array(scored: _*)).getField("code").as("pred_lang"))
+  }
+
+  /** Quality metrics: char/token counts, mean token length, stopword and
+    * non-alphanumeric ratios, plus a composite [0,1] score that rewards
+    * mid-length documents with a healthy stopword rate. */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*)))
+    val nChars = length(col("text"))
+    val meanTokLen = (nChars - (nTok - 1)) / nTok // chars minus separators
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(meanTokLen.cast("double"), 6).as("mean_tok_len"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(
+        least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5
+          + least(nStop.cast("double") / nTok * 10.0, lit(1.0)) * 0.5,
+        6).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish sub-token count
+    * (alphanumeric runs + single non-alphanumeric, non-space marks). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("sub_tokens"))
+
+  /** Document fingerprint: lexicographic min of `md5(word 4-gram)` — a
+    * winnowing-style content fingerprint, stable under both engines. Docs
+    * shorter than 4 tokens hash their full text. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs, 4)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fingerprint"))
+}
