@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All declared queries, from every catalog module. */
   def catalog: Seq[QueryDef] =
-    CoreQueries.all ++ domain.DomainQueries.all ++ NorthStarQueries.all
+    CoreQueries.all ++ domain.DomainQueries.all ++ NorthStarQueries.all ++
+      streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -29,7 +29,8 @@ object ChunkSink {
     * partial chunk, `LASERInputCheckMapper.java:156-168`). */
   def write(lines: DataFrame, outDir: String, chunkSize: Int = 100): Long = {
     val assigned = assign(lines, chunkSize)
-    val n = assigned
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    assigned
       .repartition(col("chunk"))
       .sortWithinPartitions("chunk", "idx")
       .select("chunk", "line")
@@ -55,7 +56,9 @@ object ChunkSink {
         close()
         Iterator.single(written)
       }(org.apache.spark.sql.Encoders.scalaLong)
-      .reduce(_ + _)
-    n
+      // agg, not reduce: an empty input (zero partitions after AQE) must
+      // yield 0 chunks, not an empty-collection error
+      .agg(coalesce(sum(col("value")), lit(0L)))
+      .collect()(0).getLong(0)
   }
 }

@@ -27,17 +27,26 @@ object SeqReader {
     * locus i = tokens[2+3i .. 4+3i].
     */
   def parse(lines: DataFrame): DataFrame =
+    // Arity-broken rows parse to NULL loci / n_loci instead of throwing
+    // (ANSI element_at): validate() is the reporting channel for them, and
+    // parse-derived aggregates must stay computable on mixed input.
     lines.select(
       col("idx"),
-      expr("element_at(split(line, '[\\t ]'), 1)").as("pop"),
-      expr("element_at(split(line, '[\\t ]'), 2)").as("indiv_id"),
-      expr("CAST((size(split(line, '[\\t ]')) - 2) / 3 AS BIGINT)").as("n_loci"),
+      expr("try_element_at(split(line, '[\\t ]'), 1)").as("pop"),
+      expr("try_element_at(split(line, '[\\t ]'), 2)").as("indiv_id"),
       expr(
-        """transform(sequence(0, CAST((size(split(line, '[\t ]')) - 2) / 3 AS INT) - 1),
-          |  i -> named_struct(
-          |    'a', CAST(element_at(split(line, '[\t ]'), 3 + i * 3) AS DOUBLE),
-          |    'b', CAST(element_at(split(line, '[\t ]'), 4 + i * 3) AS DOUBLE),
-          |    'c', CAST(element_at(split(line, '[\t ]'), 5 + i * 3) AS DOUBLE)))""".stripMargin)
+        """CASE WHEN size(split(line, '[\t ]')) >= 5
+          |       AND (size(split(line, '[\t ]')) - 2) % 3 = 0
+          |  THEN CAST((size(split(line, '[\t ]')) - 2) / 3 AS BIGINT) END""".stripMargin)
+        .as("n_loci"),
+      expr(
+        """CASE WHEN size(split(line, '[\t ]')) >= 5
+          |       AND (size(split(line, '[\t ]')) - 2) % 3 = 0
+          |  THEN transform(sequence(0, CAST((size(split(line, '[\t ]')) - 2) / 3 AS INT) - 1),
+          |    i -> named_struct(
+          |      'a', CAST(element_at(split(line, '[\t ]'), 3 + i * 3) AS DOUBLE),
+          |      'b', CAST(element_at(split(line, '[\t ]'), 4 + i * 3) AS DOUBLE),
+          |      'c', CAST(element_at(split(line, '[\t ]'), 5 + i * 3) AS DOUBLE))) END""".stripMargin)
         .as("loci"))
 
   /** All seq-file rules (R12, R13, R14) over one scan + one small anti-join.

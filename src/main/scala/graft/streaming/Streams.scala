@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Keyed state for `Streams.runningUserTotals` — top-level because the
+  * state encoder's generated code needs a publicly constructible class. */
+final case class RunningState(n: Long, total: Double)
+
+/** Structured Streaming surface over the `events` table shape
+  * (`TESTDATA.md`): watermarked tumbling/sliding/session windows, stateful
+  * dedup, and a custom `mapGroupsWithState` sessionizer. The reference is
+  * batch-only MapReduce (SURVEY §2.2 "Streaming: none"), so this whole
+  * module is engine extension surface.
+  *
+  * Each windowed aggregation has a *batch twin* in `StreamQueries` that the
+  * DuckDB oracle checks; the streaming plans themselves are exercised
+  * end-to-end (file source → availableNow trigger → memory sink) by
+  * `StreamingSpec`, asserting stream results equal the batch twin — the
+  * t1-smoke strategy from SURVEY §5.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long (see Tables: TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory/glob of events parquet. */
+  def eventsStream(spark: SparkSession, pathGlob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(pathGlob)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling 1-hour counts with a 10-minute watermark: late events beyond
+    * the watermark are dropped, finalized windows are emitted exactly once
+    * (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("v"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("v"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup on event_id within the watermark horizon —
+    * state is bounded by the watermark, so memory is O(events per horizon),
+    * not O(stream length). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
+
+  final case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event count
+    * and value sum (the KeyValueGroupedDataset custom-state API surface). */
+  def runningUserTotals(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          rows.foreach { r => n += 1; tot += r._2 }
+          state.update(RunningState(n, tot))
+          UserAgg(uid, n, tot)
+      }
+  }
+
+  /** Run any of the above to completion over the existing files and return
+    * the final result as a batch DataFrame (availableNow trigger → memory
+    * sink). Used by tests and the batch-twin comparisons. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest doc_id per distinct text") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 9L -> "a b c")
+    val got = Dedup.exact(d).orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("shingles: word n-grams; short docs fall back to first token") {
+    val got = Dedup.shingles(docs(1L -> "a b c d", 2L -> "xy"), n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "xy")))
+  }
+
+  test("identical docs share full minhash signature; disjoint docs don't") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
+    val sigs = Dedup.minhashSignatures(d, numHashes = 4)
+      .groupBy("doc_id").agg(sort_array(collect_list(struct($"seed", $"h"))).as("sig"))
+      .as[(Long, Seq[(Int, String)])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("LSH candidates include identical pair, not disjoint pair") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
+    val pairs = Dedup.lshCandidatePairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical = 1.0, known overlap computed exactly") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "b c d e")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(d, pairs).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    // shingles(1)={abc,bcd}, shingles(3)={bcd,cde}: |∩|=1, |∪|=3
+    assert(j((1L, 3L)) == 0.333333)
+  }
+
+  test("simhash: 16-bit signature, identical docs at hamming 0") {
+    val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "q r s t u v w x")
+    val sigs = Dedup.simhash(d).as[(Long, String)].collect().toMap
+    assert(sigs.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(d), maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("quarter-block simhash pairs == brute force at hamming <= 3 (pigeonhole)") {
+    // 40 docs of varied text → blocked join must find exactly the brute pairs
+    val d = (0L until 40L).map(i => i -> s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} alpha beta gamma delta").toDF("doc_id", "text")
+    val sigs = Dedup.simhash(d)
+    val blocked = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val local = sigs.as[(Long, String)].collect()
+    val brute = (for {
+      a <- local; b <- local if a._1 < b._1
+      h = a._2.zip(b._2).count { case (x, y) => x != y } if h <= 3
+    } yield (a._1, b._1)).toSet
+    assert(blocked == brute)
+  }
+
+  test("embedding near-dup finds identical vectors only, at threshold 0.9") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (4L, Array(2.0f, 0.0f, 0.0f))    // same direction as 1, scaled
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.domain.Fixtures
+import graft.laser.LaserPipeline
+import graft.sources.Lines
+import graft.trace.TracePipeline
+
+/** End-to-end workflow parity (SURVEY §3): error precedence, threshold
+  * gates, counters, chunk side effects, format dispatch. */
+class PipelinesSpec extends TestBase {
+
+  private def lines(s: Seq[String]) = Lines.of(spark, s)
+
+  test("laser: clean run reports counters, no error; gate fires on low shared loci") {
+    val r = LaserPipeline.run(
+      lines(Fixtures.seqLines), lines(Fixtures.siteLines),
+      lines(Fixtures.slPanelLines), Some(lines(Fixtures.groupsLines)))
+    assert(r.firstError.isEmpty)
+    assert(r.individuals == 3 && r.totalLoci == 3 && r.chunks == 1)
+    // 3 shared loci <= 100 → informative-PCA gate fires (R23)
+    assert(r.gateMessages.exists(_.contains("Too few loci")))
+    assert(!r.ok)
+  }
+
+  test("laser: error precedence — groups error outranks seq and site errors (R22)") {
+    val r = LaserPipeline.run(
+      lines(Fixtures.badSeqLines :+ "POP1"), lines(Fixtures.badSiteLines),
+      lines(Fixtures.slPanelLines), Some(lines(Fixtures.badGroupsLines)))
+    assert(r.firstError.map(_.name).contains("GROUPS_FILE_TOO_MANY_COLUMNS"))
+    assert(r.firstError.map(_.message)
+      .contains("Study groups file has line(s) with more than two columns!"))
+  }
+
+  test("laser: cross-file count check SITE_FILE_LOCI_NOT_IN_SEQ (R20)") {
+    val shortSite = Seq("CHR\tPOS\tID\tREF\tALT", "1\t100\tr1\tG\tA")
+    val r = LaserPipeline.run(
+      lines(Fixtures.seqLines), lines(shortSite),
+      lines(Fixtures.slPanelLines), None)
+    assert(r.firstError.map(_.name).contains("SITE_FILE_LOCI_NOT_IN_SEQ"))
+  }
+
+  test("laser file run: gzip sniff precedes parsing (R1) and chunks are written (R19)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-laser").toFile
+    def gzWrite(name: String, content: Seq[String]): String = {
+      val f = new java.io.File(tmp, name)
+      val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(f)))
+      content.foreach(out.println); out.close()
+      f.getAbsolutePath
+    }
+    val seqGz = gzWrite("study.seq.gz", Fixtures.seqLines)
+    val siteGz = gzWrite("study.site.gz", Fixtures.siteLines)
+    val panelGz = gzWrite("panel.site.gz", Fixtures.slPanelLines)
+    val notGz = new java.io.File(tmp, "plain.seq.gz")
+    java.nio.file.Files.writeString(notGz.toPath, "POP1 ind_001 1 1 0.5")
+
+    val bad = LaserPipeline.runFiles(spark, notGz.getAbsolutePath, siteGz, panelGz, None, None)
+    assert(bad.firstError.map(_.name).contains("SEQ_FILE_IS_NOT_GZIP"))
+
+    val chunksDir = new java.io.File(tmp, "chunks").getAbsolutePath
+    val ok = LaserPipeline.runFiles(spark, seqGz, siteGz, panelGz, None,
+      Some(chunksDir), chunkSize = 2)
+    assert(ok.firstError.isEmpty)
+    assert(ok.chunks == 2) // 3 rows, chunkSize 2 → full + partial
+    assert(new java.io.File(chunksDir, "0.chunk.seq.gz").exists())
+    assert(new java.io.File(chunksDir, "1.chunk.seq.gz").exists())
+  }
+
+  test("trace: per-file stats, cross-file individual agreement gate (R23)") {
+    val vcf2 = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tonly_one",
+      "1\t100\trs1\tG\tA\t90\tPASS\t.\tGT\t0/1")
+    val r = TracePipeline.run(
+      Seq("f1.vcf.gz" -> lines(Fixtures.vcfLines), "f2.vcf.gz" -> lines(vcf2)),
+      lines(Fixtures.slPanelLines), None)
+    assert(r.firstError.isEmpty)
+    assert(r.perFile.map(_.individuals) == Seq(2L, 1L))
+    assert(r.gateMessages.exists(_.contains("different number of individuals")))
+  }
+
+  test("trace: format dispatch — stubs accepted, unknown rejected (R7)") {
+    val ok = TracePipeline.run(Seq("a" -> lines(Fixtures.vcfLines)),
+      lines(Fixtures.slPanelLines), None, format = "23andMe")
+    assert(ok.firstError.isEmpty) // honest stub: accepted without validation
+    val bad = TracePipeline.run(Seq("a" -> lines(Fixtures.vcfLines)),
+      lines(Fixtures.slPanelLines), None, format = "plink")
+    assert(bad.firstError.map(_.name).contains("FILE_FORMAT_NOT_SUPPORTED"))
+  }
+
+  test("trace: VCF header validation precedence (R11)") {
+    val noSamples = Seq("##x", "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT")
+    val r = TracePipeline.run(Seq("f" -> lines(noSamples)),
+      lines(Fixtures.slPanelLines), None)
+    assert(r.firstError.map(_.name).contains("VCF_HEADER_NO_SAMPLES"))
+    val noHeader = Seq("##only meta")
+    val r2 = TracePipeline.run(Seq("f" -> lines(noHeader)),
+      lines(Fixtures.slPanelLines), None)
+    assert(r2.firstError.map(_.name).contains("VCF_NO_HEADER"))
+  }
+
+  test("trace job generation: batch descriptor pairs (R25)") {
+    val jobs = TracePipeline.generateJobs(spark, nIndividuals = 250, batchSize = 100,
+      "HGDP", "HGDP.pc", "study.vcf.gz", "study.geno", 4, 20)
+    val rows = jobs.orderBy("key").collect()
+    assert(rows.length == 3) // 3 batches, each carrying a vcf2geno + study-PCA pair
+    val last = rows.last
+    assert(last.getAs[String]("vcf2geno_json").contains("\"start\":201"))
+    assert(last.getAs[String]("study_pca_json").contains("\"end\":250"))
+    assert(last.getAs[String]("study_pca_json").contains("\"batch\":\"00002\""))
+  }
+}

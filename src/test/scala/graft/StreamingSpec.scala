@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** t1 smoke for the Structured Streaming surface (SURVEY §5.1): every
+  * streaming plan runs end-to-end (file source → availableNow → memory
+  * sink) and matches its batch twin over the same bounded input. */
+class StreamingSpec extends TestBase {
+
+  // The file-stream source requires a *directory* (its production shape);
+  // stage the single test parquet into one.
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+  private lazy val batchEvents = Tables(spark, sf(), "events")
+
+  /** Final watermark with slack: append-mode streams only emit windows the
+    * watermark has closed, so the batch side is filtered to windows whose
+    * end is safely behind `max(ts) - delay` (30s slack absorbs the
+    * millisecond truncation of event-time stats). */
+  private lazy val safeWatermark: java.sql.Timestamp = {
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    new java.sql.Timestamp(maxTs.getTime - (10 * 60 + 30) * 1000L)
+  }
+
+  /** streamed rows are all correct, and every surely-finalized batch window
+    * was emitted. */
+  private def assertStreamMatchesFinalized(streamed: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, endCol: String): Unit = {
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a row batch doesn't have")
+    val finalized = batch.where(col(endCol) <= lit(safeWatermark))
+    assert(finalized.exceptAll(streamed).isEmpty, "stream missed a finalized window")
+  }
+
+  test("tumbling window stream == batch twin (finalized windows)") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.tumblingCounts(Streams.eventsStream(spark, eventsPath)),
+      "t_tumbling")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("v"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("v"))
+    assertStreamMatchesFinalized(streamed, batch, "win_end")
+  }
+
+  test("sliding window stream == batch twin (finalized windows)") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.slidingCounts(Streams.eventsStream(spark, eventsPath)),
+      "t_sliding")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"))
+    assertStreamMatchesFinalized(streamed, batch, "win_end")
+  }
+
+  test("session window stream == batch twin (finalized sessions)") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.sessionCounts(Streams.eventsStream(spark, eventsPath)),
+      "t_sessions")
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+    assertStreamMatchesFinalized(streamed, batch, "sess_end")
+  }
+
+  test("stateful dedup keeps all distinct event ids") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.dedupStream(Streams.eventsStream(spark, eventsPath)),
+      "t_dedup")
+    assert(streamed.count() == batchEvents.dropDuplicates("event_id", "ts").count())
+  }
+
+  test("mapGroupsWithState running totals converge to the batch aggregate") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.runningUserTotals(Streams.eventsStream(spark, eventsPath)).toDF(),
+      "t_state", OutputMode.Update())
+    // final state per user (last update) must equal the batch group-by
+    val finalState = streamed.groupBy("user_id")
+      .agg(max(col("n")).as("n"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalState.exceptAll(batch).isEmpty && batch.exceptAll(finalState).isEmpty)
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM per `sbt test` fork). */
+trait TestBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = TestBase.session
+
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}
+
+object TestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("langId: argmax over keyword profiles, deterministic tie-break") {
+    val d = docs(
+      1L -> "the a fast table",          // en 3, de 1 → en
+      2L -> "table join merge data row", // de 3, es 2 → de
+      3L -> "zzz yyy xxx")               // all 0 → tie → largest code = fr
+    val got = TextAnalysis.langId(d).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("quality: exact metric arithmetic") {
+    val d = docs(1L -> "the cat sat")
+    val r = TextAnalysis.quality(d).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 11)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Double]("mean_tok_len") == 3.0)   // (11 - 2) / 3
+    assert(r.getAs[Double]("stopword_ratio") == 0.333333)
+    // score = min(3/50,1)*0.5 + min(1/3*10,1)*0.5 = 0.03 + 0.5
+    assert(r.getAs[Double]("quality_score") == 0.53)
+  }
+
+  test("tokenCounts: whitespace vs sub-token counts") {
+    val d = docs(1L -> "ab-cd ef12 g,h")
+    val r = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // [ab][-][cd] [ef12] [g][,][h] → 7
+    assert(r.getAs[Long]("sub_tokens") == 7L)
+  }
+
+  test("fingerprint: identical docs share fingerprints, distinct docs differ") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
+    val fp = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp.values.forall(_.length == 32))
+  }
+
+  test("multimodal: decode stub is deterministic and partition-batched") {
+    val media = Multimodal.mediaTable(
+      Seq((1L, "hello world", "en", "srcA", 11L), (2L, "abc", "en", "srcB", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.decodeStub(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len == 11L && feats(2L).byte_len == 3L)
+    assert(feats(1L).mime == "application/x-fake-srcA")
+    assert(feats(1L).digest ==
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9") // sha256("hello world")
+    assert(feats(1L).width == 11 && feats(1L).n_frames == 12)
+  }
+
+  test("multimodal: frame sampling slices binary payloads on stride") {
+    val media = Multimodal.mediaTable(
+      Seq((1L, "x" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 100 bytes → 4 frames (0..3), stride 2 keeps 0 and 2
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+  }
+}
