@@ -72,11 +72,21 @@ object Dedup {
       bandSize: Int = 2,
       n: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val buckets = minhashSignatures(docs, numHashes, n)
-      .withColumn("band", floor(col("seed") / bandSize))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("h")))
-        .getField("h"))).as("sig"))
+    // One aggregation pass with numHashes parallel min-aggs (map-side
+    // combined) instead of exploding every shingle numHashes× — the shuffle
+    // carries one row per doc, not numHashes rows per shingle.
+    val minCols = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"h$s"))
+    val sigs = shingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws("|", (0 until bandSize).map(i => col(s"h${b * bandSize + i}")): _*).as("sig"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+      .select(col("doc_id"), col("k.band"), col("k.sig"))
     val capped = buckets
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
@@ -148,35 +158,31 @@ object Dedup {
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "quarter-block pigeonhole is only complete for maxHamming < 4")
-    val keyed = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(q =>
-        struct(lit(q).as("half"), substring(col("sig"), q * 4 + 1, 4).as("blk"))): _*)).as("k"))
-      .select(col("doc_id"), col("sig"), col("k.half"), col("k.blk"))
-    val hamming = expr(
-      """aggregate(sequence(1, 16),
-        | 0, (acc, i) -> acc + CASE WHEN substring(a_sig, i, 1) <> substring(b_sig, i, 1)
-        |                      THEN 1 ELSE 0 END)""".stripMargin)
+    // Bit-string → integer once per doc, so the per-pair Hamming distance is
+    // one codegen'd `bit_count(xor)` instead of a 16-step interpreted
+    // aggregate; filter BEFORE distinct so only surviving pairs shuffle.
+    val keyed = sigs
+      .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("sigint"))
+      .select(col("doc_id"), col("sigint"), explode(expr(
+        "transform(sequence(0, 3), q -> named_struct('q', q, 'blk', shiftright(sigint, (3 - q) * 4) % 16))")).as("k"))
+      .select(col("doc_id"), col("sigint"), col("k.q"), col("k.blk"))
     keyed.as("a")
       .join(keyed.as("b"),
-        col("a.half") === col("b.half") && col("a.blk") === col("b.blk") &&
+        col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
-    * Brute-force O(n²) pair scoring — correct baseline; the scale path is
-    * `Similarity.lshBuckets` (hyperplane blocking) feeding the same scorer.
+    * Exact all-pairs scoring — delegates to the primitive-loop kernel in
+    * `Similarity.pairwiseCosine` (broadcast build side, tight JVM dots).
+    * Exact n² is the correct baseline at dim-table scale; at 100 TB the
+    * scale path is `Similarity.lshBuckets` / IVF cells as a blocking
+    * prefilter feeding this same scorer per block.
     */
-  def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame = {
-    val e = embs.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
-      .where(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
-  }
+  def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame =
+    Similarity.pairwiseCosine(embs, threshold)
 }

@@ -41,6 +41,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs cosine scoring at/above `threshold`.
+    *
+    * The vector table is collected and broadcast — the same data movement
+    * as a broadcast hash join's build side (embeddings tables at the dim
+    * scale this targets are MBs) — and each task scores a stripe of rows
+    * against the broadcast matrix with primitive-array loops. This is the
+    * documented `mapPartitions` escape hatch: a per-partition numeric
+    * kernel that Catalyst HOFs interpret ~100× slower.
+    *
+    * Numeric contract: dots accumulate left-to-right in double, norms are
+    * `sqrt(self-dot)` — the identical IEEE sequence as the DuckDB oracle's
+    * `list_dot_product`-based cosine, so results hash-match.
+    *
+    * At 100 TB: all-pairs is inherently quadratic; block first (lshBuckets
+    * or IVF cells) and run this scorer within blocks.
+    */
+  def pairwiseCosine(embs: DataFrame, threshold: Double): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2.map(_.toDouble))
+    val bc = spark.sparkContext.broadcast((ids, vecs))
+    val n = ids.length
+    val scored = spark.range(n).as[Long].mapPartitions { stripe =>
+      val (ids, vecs) = bc.value
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var k = 0
+        while (k < a.length) { s += a(k) * b(k); k += 1 }
+        s
+      }
+      val norms = vecs.map(v => math.sqrt(dot(v, v)))
+      stripe.flatMap { i0 =>
+        val i = i0.toInt
+        Iterator.range(i + 1, n).flatMap { j =>
+          val s = dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
+          if (s >= threshold) Some((ids(i), ids(j), s)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "sim")
+    scored.select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Signed random-hyperplane LSH bucket per vector: bit p of the bucket id
     * is the sign of `v · h_p` where hyperplane component `h_p[j] =
     * ((p * 31 + j * 17) mod 7) - 3` — small-integer hyperplanes chosen so
