@@ -17,6 +17,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Engine functions ride along with table access so every query sees
+    // them regardless of how the session was built.
+    graft.functions.GraftFunctions.ensure(spark)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     // rejects; read nanos as long and convert to a microsecond timestamp
     // (the generated data is µs-granular, so this is lossless).

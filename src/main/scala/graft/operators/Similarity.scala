@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two ARRAY<DOUBLE> columns. */
+  /** Left-to-right double dot product of two ARRAY<DOUBLE> columns — the
+    * codegen'd `graft.functions.DotProduct` expression (identical IEEE
+    * sequence as the `aggregate(zip_with(...))` fold it replaced). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns. */
   def cosine(a: Column, b: Column): Column =

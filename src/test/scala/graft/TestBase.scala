@@ -22,6 +22,7 @@ object TestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensure(s)
     s
   }
 }
