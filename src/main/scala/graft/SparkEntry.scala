@@ -10,10 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** All declared queries, from every catalog module. */
-  def catalog: Seq[QueryDef] =
-    CoreQueries.all ++ domain.DomainQueries.all ++ NorthStarQueries.all ++
+  /** All declared queries, from every catalog module. SURVEY §2.3's Q24 and
+    * Q28 are implemented by domain/north-star operators; aliases keep the
+    * declared numbering resolvable 1:1 from `queries`. */
+  def catalog: Seq[QueryDef] = {
+    val base = CoreQueries.all ++ domain.DomainQueries.all ++ NorthStarQueries.all ++
       streaming.StreamQueries.all
+    val byName = base.map(q => q.name -> q).toMap
+    base ++ Seq(
+      byName("laser_shared_loci").copy(name = "q24_shared_loci"),
+      byName("sim_topk_brute").copy(name = "q28_topk"))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

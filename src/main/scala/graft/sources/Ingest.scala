@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest boundary (R8, R9, and the gzip-mitigation runbook step from
+  * SURVEY §4.2).
+  *
+  * The reference pulls `*.vcf.gz` over SFTP to HDFS before processing
+  * (`TRACEInputValidator.java:86-160`, glob at `:118`) and then lists the
+  * staging dir (`:168-172`). Real SFTP is out of scope (zero egress, no
+  * credentialed I/O — SURVEY non-goals); the transport is a trait with a
+  * local-filesystem implementation, which exercises every other part of the
+  * path: URL parse, glob vs single-file selection, copy-to-staging, empty
+  * result detection.
+  */
+object Ingest {
+
+  /** `sftp://host/path;user;pass` → (host, path, user, pass) (R31,
+    * `TRACEInputValidator.java:86-95`). */
+  def parseSftpUrl(url: String): Option[(String, String, String, String)] = {
+    val parts = url.split(";", -1)
+    if (parts.length != 3 || !parts(0).startsWith("sftp://")) None
+    else {
+      val hostPath = parts(0).stripPrefix("sftp://")
+      val slash = hostPath.indexOf('/')
+      if (slash < 0) None
+      else Some((hostPath.take(slash), hostPath.drop(slash), parts(1), parts(2)))
+    }
+  }
+
+  /** Transport abstraction: list a remote glob and copy one file. */
+  trait Transport {
+    def list(pattern: String): Seq[String]
+    def copyTo(src: String, dst: java.nio.file.Path): Unit
+  }
+
+  /** Local-fs transport (the only in-scope implementation). */
+  final class LocalFs extends Transport {
+    def list(pattern: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(pattern)
+      if (java.nio.file.Files.isRegularFile(p)) Seq(pattern)
+      else {
+        val dir = p.getParent
+        val glob = p.getFileName.toString
+        if (dir == null || !java.nio.file.Files.isDirectory(dir)) Nil
+        else {
+          val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+          val s = java.nio.file.Files.list(dir)
+          try s.iterator().asScala().filter(f => m.matches(f.getFileName))
+            .map(_.toString).toSeq.sorted
+          finally s.close()
+        }
+      }
+    }
+    def copyTo(src: String, dst: java.nio.file.Path): Unit =
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    private implicit class IterOps[A](it: java.util.Iterator[A]) {
+      def asScala(): Iterator[A] = new Iterator[A] {
+        def hasNext = it.hasNext; def next() = it.next()
+      }
+    }
+  }
+
+  /** Stage files matching `pattern` (a single file or a glob, mirroring
+    * `vcfSftpDir` vs `vcfSftpFile`) into `stagingDir`; error on empty match
+    * exactly like the reference's glob check (`TRACEInputValidator.java:168-172`). */
+  def stage(transport: Transport, pattern: String, stagingDir: String): Either[String, Seq[String]] = {
+    val found = transport.list(pattern)
+    if (found.isEmpty) Left(s"No input files found for '$pattern'!")
+    else {
+      val dir = java.nio.file.Paths.get(stagingDir)
+      java.nio.file.Files.createDirectories(dir)
+      Right(found.map { src =>
+        val dst = dir.resolve(java.nio.file.Paths.get(src).getFileName)
+        transport.copyTo(src, dst)
+        dst.toString
+      })
+    }
+  }
+
+  /** The 100 TB runbook step: unsplittable gzip text → parquet, capturing
+    * the per-file line index once (`Lines.read`) so downstream order-aware
+    * operators (chunking) never re-derive it. After this hop every scan is
+    * splittable, columnar, and statistics-bearing. */
+  def gzipToParquet(spark: SparkSession, inputs: Seq[String], outDir: String): DataFrame = {
+    inputs.zipWithIndex.foreach { case (path, i) =>
+      Lines.read(spark, path)
+        .withColumn("src", lit(path))
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(outDir)
+    }
+    spark.read.parquet(outDir)
+  }
+}

@@ -75,6 +75,35 @@ class StreamingSpec extends TestBase {
     assertStreamMatchesFinalized(streamed, batch, "sess_end")
   }
 
+  test("late data beyond the watermark is dropped") {
+    // One running query, two file drops: the first advances the watermark
+    // to max(ts) - 10min; the second is one event 70min behind it — that
+    // event must NOT appear in any finalized window.
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"), dir.resolve("b1.parquet"))
+    val q = Streams.tumblingCounts(Streams.eventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("t_late").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_late").count()
+
+      val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val lateTs = new java.sql.Timestamp(maxTs.getTime - 70 * 60 * 1000L)
+      import spark.implicits._
+      Seq((999999L, lateTs.getTime * 1000000L, 1L, "late_evt", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(dir.resolve("b2.parquet").toString)
+      q.processAllAvailable()
+
+      val emitted = spark.table("t_late")
+      assert(emitted.where(col("event_type") === "late_evt").isEmpty,
+        "an event behind the watermark must be discarded")
+      assert(emitted.count() >= afterB1)
+    } finally q.stop()
+  }
+
   test("stateful dedup keeps all distinct event ids") {
     val streamed = Streams.runToCompletion(spark,
       Streams.dedupStream(Streams.eventsStream(spark, eventsPath)),
