@@ -175,6 +175,31 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first, col("cnt"))
     },
 
+    QueryDef("q13b_cube")(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("cnt"))
+    },
+
+    QueryDef("q13c_grouping_sets")(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+          | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin)
+    },
+
     // R19's chunk assignment as a window computation (chunkSize=100,
     // LASERInputValidator.java:18). The global-order window is correct here
     // because chunk identity IS a global property; the distributed writer in

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** The engine's SQL face: registered views + `spark.sql` produce the same
+  * results as the DataFrame programs, and the skew/approx utilities behave. */
+class SqlSurfaceSpec extends TestBase {
+
+  private lazy val dir = sf()
+
+  test("spark.sql over registered views matches the DataFrame catalog") {
+    Tables.registerAll(spark, dir)
+    val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
+    // Queries whose oracle SQL is dialect-portable enough to run verbatim
+    // on Spark SQL too (the engine's user-facing SQL surface).
+    val portable = Seq("q01_scan_project", "q02_filter", "q03_join_inner",
+      "q09_agg_group", "q11_agg_countdistinct", "q18_sort_limit", "q19a_intersect")
+    portable.foreach { name =>
+      val q = byName(name)
+      val viaSql = spark.sql(q.oracle.get)
+      val viaDf = q.build(spark, dir)
+      assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty,
+        s"$name: SQL surface diverged from DataFrame program")
+    }
+  }
+
+  test("salted join result == plain join result (salt is partitioning-only)") {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = SkewJoin.saltedEquiJoin(orders, customer, "o_custkey", nSalts = 4)
+      .select("o_orderkey", "c_name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("approx_count_distinct within rsd of exact (§2.2 agg surface)") {
+    val orders = Tables(spark, dir, "orders")
+    val exact = orders.agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val approx = orders.agg(approx_count_distinct(col("o_custkey"), rsd = 0.05))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+}
