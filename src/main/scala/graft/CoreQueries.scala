@@ -387,5 +387,50 @@ object CoreQueries {
         .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
         .orderBy("lang")
     },
+
+    // Extension: as-of join (operators/AsOfJoin — one union+window shuffle;
+    // the DuckDB oracle uses its native ASOF LEFT JOIN, same inclusive
+    // most-recent-prior semantics).
+    QueryDef("q29_asof_join")(
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |      r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        | SELECT l.event_id, r.value AS asof_value
+        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        | ORDER BY l.event_id""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val events = t("events")
+      val clicks = events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = events.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "value")
+        .select("event_id", "asof_value").orderBy("event_id")
+    },
+
+    // Extension: exact top-k per group via the typed TopK Aggregator
+    // (functions/TopK — O(groups × k) shuffle). Same total-order semantics
+    // as q17's window rank, so the window SQL is the oracle.
+    QueryDef("q30_topk_agg")(
+      """SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM
+        | (SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        | WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      import s.implicits._
+      t("orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopK(2).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_custkey"), col("e._1").as("o_orderkey"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("o_custkey", "rk")
+    },
   )
 }

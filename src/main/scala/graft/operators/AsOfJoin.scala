@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — extension surface beyond the reference
+  * (SURVEY §2.2 lists range/as-of joins as engine extensions with no
+  * reference precedent).
+  *
+  * `asOf(left, right, key, ts, value)` attaches to every left row the
+  * `value` of the latest right row with the same `key` and `right.ts <=
+  * left.ts` (inclusive, like DuckDB/QuestDB ASOF).
+  *
+  * Spark-first plan: instead of the naive join + per-pair filter + rank
+  * (which explodes to O(|L|·|R|) per key before pruning), tag and UNION the
+  * two sides, then take a running `last(value) ignore nulls` over one
+  * (key)-partitioned window ordered by (ts, right-first). ONE shuffle total,
+  * linear in |L| + |R| — the shape that survives 100 TB. Ties: a right row
+  * at exactly left.ts wins (ordered before the left row); multiple right
+  * rows at the same (key, ts) are resolved arbitrarily (callers needing
+  * stronger guarantees should pre-dedup the right side).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      value: String, as: String = "asof_value"): DataFrame = {
+    val vType = right.schema(value).dataType
+    val lTagged = left
+      .withColumn("__isr", lit(0))
+      .withColumn("__v", lit(null).cast(vType))
+    val rTagged = right.select(
+      col(key), col(ts), lit(1).as("__isr"), col(value).as("__v"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__isr") === 0)
+      .drop("__isr", "__v")
+  }
+}

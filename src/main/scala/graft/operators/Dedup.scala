@@ -107,7 +107,11 @@ object Dedup {
     * (broadcast-able when the candidate set is small) and shingle.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    // The shingle set feeds three consumers (both join sides + sizes);
+    // persist so one scan serves all (ContextCleaner reclaims the blocks
+    // once the plan is unreferenced).
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
