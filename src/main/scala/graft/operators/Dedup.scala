@@ -112,14 +112,15 @@ object Dedup {
     // once the plan is unreferenced).
     val sh = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
+    val inter = p
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    pairs
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")), col("doc_a") === col("doc_id"))
@@ -170,8 +171,13 @@ object Dedup {
       .select(col("doc_id"), col("sigint"), explode(expr(
         "transform(sequence(0, 3), q -> named_struct('q', q, 'blk', shiftright(sigint, (3 - q) * 4) % 16))")).as("k"))
       .select(col("doc_id"), col("sigint"), col("k.q"), col("k.blk"))
+    // Broadcast the build side: the blocking key space is only 4×16, so a
+    // shuffle join degenerates to a handful of giant sort-merge groups; a
+    // broadcast hash join streams the probe side with full parallelism.
+    // (Signatures are 12 bytes/doc — broadcastable far beyond the corpus
+    // sizes a 16-bit signature is useful for; see scale note above.)
     keyed.as("a")
-      .join(keyed.as("b"),
+      .join(broadcast(keyed.as("b")),
         col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
