@@ -25,7 +25,10 @@ object Tables {
     // (the generated data is µs-granular, so this is lossless).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // Only rewrite when the file actually carries nanos-as-long — an events
+    // table with a real TIMESTAMP column passes through untouched.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
     else df
   }
