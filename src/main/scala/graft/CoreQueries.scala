@@ -388,6 +388,125 @@ object CoreQueries {
         .orderBy("lang")
     },
 
+    // Exact per-group lower median via row_number — portable across both
+    // engines (interpolating percentile implementations differ numerically).
+    QueryDef("q31_median")(
+      """SELECT o_orderstatus, max(CASE WHEN rn * 2 <= cnt + 1 THEN o_totalprice END) AS median
+        | FROM (SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |       FROM orders) t
+        | GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      t("orders")
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(when(col("rn") * 2 <= col("cnt") + 1, col("o_totalprice"))).as("median"))
+        .orderBy("o_orderstatus")
+    },
+
+    QueryDef("q32_stats_agg")(
+      """SELECT o_orderstatus,
+        |   round(stddev_samp(o_totalprice), 6) AS sd,
+        |   round(var_samp(o_totalprice), 2) AS vr,
+        |   round(corr(o_totalprice, o_custkey), 6) AS cr,
+        |   round(covar_samp(o_totalprice, o_custkey), 2) AS cv
+        | FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      // variance/covariance magnitudes are ~1e10 here, so ULP noise between
+      // the engines' accumulation orders lands in the 1e-6 digit — round to
+      // 2 decimals (still 12 significant digits of agreement).
+      t("orders").groupBy(col("o_orderstatus"))
+        .agg(round(stddev_samp(col("o_totalprice")), 6).as("sd"),
+          round(var_samp(col("o_totalprice")), 2).as("vr"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 6).as("cr"),
+          round(covar_samp(col("o_totalprice"), col("o_custkey")), 2).as("cv"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Pivot: event_type values to columns (Spark groupBy().pivot(); oracle
+    // is the portable CASE-WHEN formulation of the same contract).
+    QueryDef("q33_pivot")(
+      """SELECT user_id,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        | FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // Multiset (ALL) set-op semantics: intersectAll keeps min multiplicity
+    // per key, exceptAll subtracts multiplicities.
+    QueryDef("q19d_setops_all")(
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |   SELECT c_nationkey AS k FROM customer
+        |   INTERSECT ALL SELECT s_nationkey FROM supplier
+        | ) t GROUP BY k
+        | UNION ALL
+        | SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |   SELECT c_nationkey AS k FROM customer WHERE c_custkey < 100
+        |   EXCEPT ALL SELECT s_nationkey FROM supplier
+        | ) t GROUP BY k
+        | ORDER BY n, k""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val inter = t("customer").select(col("c_nationkey").as("k"))
+        .intersectAll(t("supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val exc = t("customer").where(col("c_custkey") < 100)
+        .select(col("c_nationkey").as("k"))
+        .exceptAll(t("supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      inter.unionAll(exc).orderBy("n", "k")
+    },
+
+    QueryDef("q34_scalar_subquery")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        | ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          | WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+          | ORDER BY o_orderkey""".stripMargin)
+    },
+
+    QueryDef("q35_string_funcs2")(
+      """SELECT p_partkey,
+        |   levenshtein(p_brand, 'Brand#32') AS lev,
+        |   translate(p_type, 'ae', 'AE') AS tr,
+        |   regexp_replace(p_name, '[aeiou]', '_', 'g') AS rr,
+        |   date_trunc('month', o.o_orderdate) AS mon
+        | FROM part p JOIN orders o ON p.p_partkey = o.o_orderkey
+        | WHERE p.p_partkey < 500 ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("part").as("p")
+        .join(t("orders").as("o"), col("p_partkey") === col("o_orderkey"))
+        .where(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#32")).as("lev"),
+          translate(col("p_type"), "ae", "AE").as("tr"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("rr"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .orderBy("p_partkey")
+    },
+
     // Extension: as-of join (operators/AsOfJoin — one union+window shuffle;
     // the DuckDB oracle uses its native ASOF LEFT JOIN, same inclusive
     // most-recent-prior semantics).

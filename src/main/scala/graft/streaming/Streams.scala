@@ -73,6 +73,24 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: each click joined to purchases by the
+    * same user within the preceding hour. Both sides carry watermarks so
+    * the join state is bounded — Spark evicts buffered rows once the
+    * interval condition can no longer match under the watermark. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_ts"), col("value"))
+  }
+
   final case class UserAgg(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event count

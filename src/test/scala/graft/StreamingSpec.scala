@@ -104,6 +104,25 @@ class StreamingSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.clickPurchaseJoin(Streams.eventsStream(spark, eventsPath)),
+      "t_ssjoin")
+    val clicks = batchEvents.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = batchEvents.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_ts"), col("value"))
+    assert(streamed.count() > 0)
+    // inner stream-stream join emits matches as both sides arrive; over a
+    // bounded input every batch match must be emitted exactly once
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful dedup keeps all distinct event ids") {
     val streamed = Streams.runToCompletion(spark,
       Streams.dedupStream(Streams.eventsStream(spark, eventsPath)),
