@@ -388,6 +388,34 @@ object CoreQueries {
         .orderBy("lang")
     },
 
+    // RANGE frame (value-based, vs q16's ROWS): all orders within 1000.0 of
+    // the current price contribute to the windowed count.
+    QueryDef("q16b_range_frame")(
+      """SELECT o_orderkey, CAST(count(*) OVER (
+        |     ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+        |   ) AS BIGINT) AS near_cnt
+        | FROM orders ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_orderkey"),
+          count(lit(1)).over(Window.orderBy(col("o_totalprice"))
+            .rangeBetween(-1000L, Window.currentRow)).as("near_cnt"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q17b_dense_ntile")(
+      """SELECT o_orderkey,
+        |   DENSE_RANK() OVER (ORDER BY o_orderstatus) AS dr,
+        |   NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        | FROM orders ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").select(col("o_orderkey"),
+          dense_rank().over(Window.orderBy(col("o_orderstatus"))).as("dr"),
+          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
     // Exact per-group lower median via row_number — portable across both
     // engines (interpolating percentile implementations differ numerically).
     QueryDef("q31_median")(
