@@ -94,11 +94,12 @@ object CoreQueries {
     // R14 analogue: seq individual not in groups file → anti join.
     QueryDef("q07_join_anti")(
       """SELECT c_custkey FROM customer
-        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice < 200000)
         | ORDER BY c_custkey""".stripMargin
     ) { (s, d) =>
       implicit val sd = (s, d)
-      t("customer").join(t("orders").where(col("o_totalprice") > 150000),
+      // threshold chosen so the anti side is non-empty at sf0.001/0.01/0.1
+      t("customer").join(t("orders").where(col("o_totalprice") < 200000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
