@@ -22,15 +22,19 @@ object Bench {
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
     val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      // -1 sentinel: a failed query must not pass off its near-zero elapsed
+      // time as a perf win in the archived JSON
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,8 +48,11 @@ object NorthStarQueries {
       |        FROM sh CROSS JOIN range(0, 8) s(seed) GROUP BY 1, 2),
       | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h, '|' ORDER BY seed) AS sig
       |           FROM mh GROUP BY 1, 2),
+      | capped AS (SELECT doc_id, band, sig FROM
+      |              (SELECT b.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM bands b)
+      |            WHERE bn <= 1000),
       | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |           FROM bands a JOIN bands b
+      |           FROM capped a JOIN capped b
       |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared DuckDB simhash CTE (mirrors `Dedup.simhash` over `corpus`). */

@@ -27,9 +27,12 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Only rewrite when the file actually carries nanos-as-long — an events
     // table with a real TIMESTAMP column passes through untouched.
+    // INTEGER division: epoch-ns values (~1.7e18) exceed double's exact
+    // integer range, so `/ 1000.0` rounds ~12% of timestamps up 1µs vs the
+    // truncation DuckDB applies reading the same parquet.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

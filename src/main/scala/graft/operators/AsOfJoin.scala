@@ -34,8 +34,13 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__isr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Track the last right ROW, not the last non-null VALUE: wrapping the
+    // value in a struct makes a matched row with a NULL value still count
+    // as the match (ASOF semantics), instead of falling back to an older
+    // row's value.
+    val marker = when(col("__isr") === 1, struct(col("__v")))
     lTagged.unionByName(rTagged, allowMissingColumns = true)
-      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn(as, last(marker, ignoreNulls = true).over(w).getField("__v"))
       .where(col("__isr") === 0)
       .drop("__isr", "__v")
   }

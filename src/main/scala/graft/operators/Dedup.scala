@@ -37,7 +37,7 @@ object Dedup {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        explode(when(size(col("w")) < n, array(col("w")(0)))
+        explode(when(size(col("w")) < n, array(concat_ws(" ", col("w"))))
           .otherwise(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
           .as("shingle"))
       .distinct()

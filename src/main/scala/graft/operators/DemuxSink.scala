@@ -30,8 +30,15 @@ object DemuxSink {
         val conf = kv.sparkSession.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
         val written = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))
-        if (written.nonEmpty)
-          fs.rename(written.head.getPath, new org.apache.hadoop.fs.Path(outDir, name))
+        if (written.nonEmpty) {
+          // HDFS rename does NOT overwrite: remove any stale destination
+          // first and fail loudly if the move itself fails, otherwise a
+          // re-run would silently keep old data and delete the new.
+          val dst = new org.apache.hadoop.fs.Path(outDir, name)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(written.head.getPath, dst))
+            throw new java.io.IOException(s"demux rename failed: ${written.head.getPath} -> $dst")
+        }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
     } finally routed.unpersist()

@@ -64,6 +64,9 @@ object Multimodal {
     * handing each slice to a decoder. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32, stride: Int = 4): DataFrame =
     media.toDF()
+      // empty payloads produce NO frames: an unguarded sequence(0, -1)
+      // yields the DESCENDING [0, -1] and a spurious frame 0
+      .where(length(col("content")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           s"""filter(transform(sequence(0, CAST(ceil(length(content) / $frameBytes) AS INT) - 1),

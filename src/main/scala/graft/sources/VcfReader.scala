@@ -35,7 +35,8 @@ object VcfReader {
   def validateHeader(lines: DataFrame, groups: Option[DataFrame]): Dataset[ValidationError] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val errs: Seq[ValidationError] = headerLine(lines) match {
+    val header = headerLine(lines) // one scan, reused below
+    val errs: Seq[ValidationError] = header match {
       case None => Seq(ValidationError("VCF_NO_HEADER"))
       case Some(h) if !h.startsWith("#CHROM") => Seq(ValidationError("VCF_NO_HEADER"))
       case Some(h) =>
@@ -50,7 +51,7 @@ object VcfReader {
     val headerErrs = spark.createDataset(errs)
     // Sample-membership check (`:169-178`): every sample column must appear
     // in the groups file when one is supplied.
-    val memberErrs = (headerLine(lines), groups) match {
+    val memberErrs = (header, groups) match {
       case (Some(h), Some(g)) if h.startsWith("#CHROM") =>
         val samples = h.split("\t", -1).drop(9)
         spark.createDataset(samples).toDF("s")
@@ -74,10 +75,12 @@ object VcfReader {
       .where(!col("line").startsWith("#"))
       .select(
         col("idx"),
-        t.getItem(0).as("chrom"), t.getItem(1).as("pos"), t.getItem(2).as("id"),
-        t.getItem(3).as("ref"), t.getItem(4).as("alt"), t.getItem(5).as("qual"),
-        t.getItem(6).as("filter"), t.getItem(7).as("info"), t.getItem(8).as("format"),
-        slice(t, lit(10), size(t) - 9).as("genotypes"))
+        // get() not getItem(): truncated body rows parse to NULL fields and
+        // an empty genotype array instead of ANSI array-index crashes
+        t.getItem(0).as("chrom"), get(t, lit(1)).as("pos"), get(t, lit(2)).as("id"),
+        get(t, lit(3)).as("ref"), get(t, lit(4)).as("alt"), get(t, lit(5)).as("qual"),
+        get(t, lit(6)).as("filter"), get(t, lit(7)).as("info"), get(t, lit(8)).as("format"),
+        slice(t, lit(10), greatest(size(t) - 9, lit(0))).as("genotypes"))
     Parsed(samples, body)
   }
 

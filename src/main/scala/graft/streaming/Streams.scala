@@ -35,7 +35,7 @@ object Streams {
   def eventsStream(spark: SparkSession, pathGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema).parquet(pathGlob)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
   }
 
   /** Tumbling 1-hour counts with a 10-minute watermark: late events beyond

@@ -21,6 +21,15 @@ class AsOfTopKSpec extends TestBase {
     assert(got("l4").isEmpty)         // key 2 has no right rows at all
   }
 
+  test("asOf: a matched right row with NULL value yields NULL, not an older value") {
+    val left = Seq((1L, 25L, "l1")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 20L, None))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "v")
+      .select("tag", "asof_value").as[(String, Option[Double])].collect().toMap
+    assert(got("l1").isEmpty, "latest matched row has NULL value → NULL (ASOF semantics)")
+  }
+
   test("asOf matches naive join+rank formulation on real events") {
     val events = Tables(spark, sf(), "events")
     val clicks = events.where($"event_type" === "click").select("event_id", "user_id", "ts")

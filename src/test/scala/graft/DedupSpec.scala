@@ -16,10 +16,14 @@ class DedupSpec extends TestBase {
     assert(got == Seq((1L, 3L), (3L, 1L)))
   }
 
-  test("shingles: word n-grams; short docs fall back to first token") {
-    val got = Dedup.shingles(docs(1L -> "a b c d", 2L -> "xy"), n = 3)
+  test("shingles: word n-grams; short docs fall back to their WHOLE text") {
+    val got = Dedup.shingles(docs(1L -> "a b c d", 2L -> "xy", 3L -> "p q"), n = 3)
       .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "xy")))
+    assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "xy"), (3L, "p q")))
+    // two distinct short docs must NOT collapse to the same shingle set
+    val short = Dedup.shingles(docs(1L -> "foo bar", 2L -> "foo qux"), n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(short == Set((1L, "foo bar"), (2L, "foo qux")))
   }
 
   test("identical docs share full minhash signature; disjoint docs don't") {

@@ -87,6 +87,12 @@ class LaserSourcesSpec extends TestBase {
     val body = parsed.body.orderBy("chrom").collect()
     assert(body.length == 2) // '##' meta and '#stray' comment skipped
     assert(body(0).getSeq[String](body(0).fieldIndex("genotypes")) == Seq("0/1", "0/0"))
+    // truncated body row: empty genotype array, not a negative-slice crash
+    val truncated = VcfReader.parse(Lines.of(spark, Seq(
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+      "1\t10583\trs1\tG\tA")))
+    val row = truncated.body.collect()(0)
+    assert(row.getSeq[String](row.fieldIndex("genotypes")).isEmpty)
   }
 
   test("lines reader preserves file order and gzip sniff works (R1)") {

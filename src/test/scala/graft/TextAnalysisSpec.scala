@@ -63,5 +63,9 @@ class TextAnalysisSpec extends TestBase {
       .orderBy("frame_idx").collect()
     // 100 bytes → 4 frames (0..3), stride 2 keeps 0 and 2
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    // empty payload → zero frames (not a spurious descending-sequence frame)
+    val empty = Multimodal.sampleFrames(Multimodal.mediaTable(
+      Seq((2L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    assert(empty.isEmpty)
   }
 }
