@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.2 scans/sources/sinks claims: parquet + csv/tsv(+gzip) + json + text
+  * writers/readers round-trip with schema fidelity. */
+class SourcesRoundTripSpec extends TestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-rt").toString
+
+  private lazy val nation = Tables(spark, sf(), "nation")
+
+  test("csv (tsv + gzip) round-trip with explicit schema") {
+    val out = s"${tmp()}/nation_tsv"
+    nation.write.option("sep", "\t").option("header", "true")
+      .option("compression", "gzip").csv(out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), s"expected gzip parts, got ${files.toSeq}")
+    val back = spark.read.option("sep", "\t").option("header", "true")
+      .schema(nation.schema).csv(out)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
+  test("json round-trip with explicit schema") {
+    val out = s"${tmp()}/nation_json"
+    nation.write.json(out)
+    val back = spark.read.schema(nation.schema).json(out)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
+  test("single-column text round-trip preserves lines") {
+    val out = s"${tmp()}/lines_text"
+    nation.select(concat_ws("|", col("n_nationkey"), col("n_name")).as("value"))
+      .write.text(out)
+    assert(spark.read.text(out).count() == nation.count())
+  }
+
+  test("parquet round-trip preserves nested array types (embeddings)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val out = s"${tmp()}/emb_pq"
+    e.write.parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    assert(back.count() == e.count())
+  }
+
+  test("approximate sketches land within tolerance of exact (percentile, HLL)") {
+    val orders = Tables(spark, sf(), "orders")
+    val approxMedian = orders
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)))
+      .collect()(0).getDouble(0)
+    val exactMedian = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.0)(0)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05,
+      s"approx=$approxMedian exact=$exactMedian")
+  }
+}
