@@ -176,14 +176,23 @@ object Dedup {
     // broadcast hash join streams the probe side with full parallelism.
     // (Signatures are 12 bytes/doc — broadcastable far beyond the corpus
     // sizes a 16-bit signature is useful for; see scale note above.)
+    // Dedup WITHOUT a distinct shuffle: a pair matching in several blocks
+    // would be emitted once per block, but both signatures are in the join
+    // row, so each row can recompute which block is the FIRST match and
+    // emit only there — pure codegen'd arithmetic replacing a multi-million
+    // row exchange.
+    val xor = col("a.sigint").bitwiseXOR(col("b.sigint"))
+    val firstMatch = (0 until 4).foldRight(lit(99): org.apache.spark.sql.Column) {
+      (q, rest) => when(shiftright(xor, (3 - q) * 4) % 16 === 0, lit(q)).otherwise(rest)
+    }
     keyed.as("a")
       .join(broadcast(keyed.as("b")),
         col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.q") === firstMatch)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).as("hamming"))
+        bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
