@@ -174,6 +174,39 @@ object DomainQueries {
         "HGDP", "HGDP.pc", 4, 20).orderBy("key")
     },
 
+    // §3.1 end-to-end: the full LASER workflow over the clean fixtures,
+    // reported as one golden row (counters + gate outcome). Shared loci = 0
+    // against this panel, so the informative-PCA gate fires (R23).
+    QueryDef("laser_pipeline_e2e")(
+      """SELECT '' AS first_error, CAST(3 AS BIGINT) AS individuals,
+        |  CAST(3 AS BIGINT) AS total_loci, CAST(0 AS BIGINT) AS shared_loci,
+        |  CAST(1 AS BIGINT) AS chunks, false AS ok""".stripMargin
+    ) { (s, _) =>
+      import s.implicits._
+      val r = graft.laser.LaserPipeline.run(
+        Lines.of(s, Fixtures.seqLines), Lines.of(s, Fixtures.siteLines),
+        Lines.of(s, Fixtures.slPanelLines), Some(Lines.of(s, Fixtures.groupsLines)))
+      Seq((r.firstError.map(_.name).getOrElse(""), r.individuals, r.totalLoci,
+        r.sharedLoci, r.chunks, r.ok))
+        .toDF("first_error", "individuals", "total_loci", "shared_loci", "chunks", "ok")
+    },
+
+    // §3.2 end-to-end: the TRACE workflow over the VCF fixture.
+    QueryDef("trace_pipeline_e2e")(
+      """SELECT '' AS first_error, CAST(2 AS BIGINT) AS individuals,
+        |  CAST(2 AS BIGINT) AS total_loci, CAST(0 AS BIGINT) AS shared_loci,
+        |  '{"Individuals":2,"Total loci":2,"Shared loci":0,"Format":"vcf"}' AS meta,
+        |  false AS ok""".stripMargin
+    ) { (s, _) =>
+      import s.implicits._
+      val r = graft.trace.TracePipeline.run(
+        Seq("f1.vcf.gz" -> Lines.of(s, Fixtures.vcfLines)),
+        Lines.of(s, Fixtures.slPanelLines), Some(Lines.of(s, Fixtures.groupsLines)))
+      Seq((r.firstError.map(_.name).getOrElse(""), r.individuals, r.totalLoci,
+        r.sharedLoci, r.metaJson("vcf"), r.ok))
+        .toDF("first_error", "individuals", "total_loci", "shared_loci", "meta", "ok")
+    },
+
     // R30: study meta JSON framing.
     QueryDef("trace_meta_json")(
       """SELECT '{"Individuals":2,"Total loci":2,"Shared loci":1,"Format":"vcf"}' AS meta"""
