@@ -94,7 +94,8 @@ object CoreQueries {
     // R14 analogue: seq individual not in groups file → anti join.
     QueryDef("q07_join_anti")(
       """SELECT c_custkey FROM customer
-        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice < 200000)
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c_custkey AND o.o_totalprice < 200000)
         | ORDER BY c_custkey""".stripMargin
     ) { (s, d) =>
       implicit val sd = (s, d)
@@ -308,7 +309,7 @@ object CoreQueries {
     // (SURVEY.md §2.2 scalar row).
     QueryDef("q20_string_funcs")(
       """SELECT p_partkey, LOWER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
-        |   CONCAT(p_type, ':', CAST(p_size AS VARCHAR)) AS key
+        |   p_type || ':' || CAST(p_size AS VARCHAR) AS key
         | FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
     ) { (s, d) =>
       implicit val sd = (s, d)
@@ -422,13 +423,16 @@ object CoreQueries {
     QueryDef("q31_median")(
       """SELECT o_orderstatus, max(CASE WHEN rn * 2 <= cnt + 1 THEN o_totalprice END) AS median
         | FROM (SELECT o_orderstatus, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS LAST) AS rn,
         |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
         |       FROM orders) t
         | GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
     ) { (s, d) =>
       implicit val sd = (s, d)
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      // explicit NULLS LAST: Spark's ASC default is NULLS FIRST, DuckDB's is
+      // NULLS LAST — an implicit order would change the median itself
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc_nulls_last)
       t("orders")
         .select(col("o_orderstatus"), col("o_totalprice"),
           row_number().over(w).as("rn"),

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * *plant* deterministic duplicates inside the query — the identical
   * planting appears in the oracle SQL, keeping the checked result
   * non-degenerate while exercising the real operator.
+  *
+  * Documented corpus assumptions the oracles rely on (all verified against
+  * the generator's output): document text is ASCII (mm_* oracles count
+  * characters where the engine counts payload bytes — equal only for
+  * ASCII); vec_ids are dense from 0 (sim_ivf centroids/query selection);
+  * events have no duplicate (user_id, ts) pairs (q29 tie resolution).
   */
 object NorthStarQueries {
 
@@ -43,7 +49,9 @@ object NorthStarQueries {
   private val lshPairsSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
       | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
-      |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2),
+      |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
+      |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
+      |        FROM toks WHERE len(w) < 3),
       | mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
       |        FROM sh CROSS JOIN range(0, 8) s(seed) GROUP BY 1, 2),
       | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h, '|' ORDER BY seed) AS sig
@@ -142,7 +150,8 @@ object NorthStarQueries {
     QueryDef("dd_embed_neardup")(
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
-         | d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus)
+         | d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus
+         |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |        round(${cosSql("a.v", "b.v")}, 6) AS sim
          | FROM d a JOIN d b ON a.vec_id < b.vec_id
@@ -260,7 +269,9 @@ object NorthStarQueries {
     QueryDef("txt_fingerprint")(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
         | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+3], ' ') AS shingle
-        |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 3)
+        |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 3
+        |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
+        |        FROM toks WHERE len(w) < 4)
         | SELECT doc_id, min(md5(shingle)) AS fingerprint
         | FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>

@@ -78,9 +78,15 @@ object Similarity {
       val norms = vecs.map(v => math.sqrt(dot(v, v)))
       stripe.flatMap { i0 =>
         val i = i0.toInt
-        Iterator.range(i + 1, n).flatMap { j =>
-          val s = dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
-          if (s >= threshold) Some((ids(i), ids(j), s)) else None
+        // zero-norm vectors have no direction: skip (their cosine is NaN,
+        // which different engines compare against the threshold differently)
+        if (norms(i) == 0.0) Iterator.empty
+        else Iterator.range(i + 1, n).flatMap { j =>
+          if (norms(j) == 0.0) None
+          else {
+            val s = dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
+            if (s >= threshold) Some((ids(i), ids(j), s)) else None
+          }
         }
       }
     }.toDF("vec_a", "vec_b", "sim")
