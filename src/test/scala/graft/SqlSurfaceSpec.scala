@@ -37,6 +37,18 @@ class SqlSurfaceSpec extends TestBase {
     assert(salted.count() == plain.count())
   }
 
+  test("events.props parses to MapType via from_json (§1.3 surface)") {
+    val events = Tables(spark, dir, "events")
+    val parsed = events.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType)).as("m"))
+    val r = parsed.select(col("m").getItem("k").as("k")).agg(
+      count(col("k")).as("nonnull"), sum(col("k")).as("total")).collect()(0)
+    assert(r.getLong(0) == events.count(), "every props row carries key k")
+    assert(r.getLong(1) > 0)
+  }
+
   test("approx_count_distinct within rsd of exact (§2.2 agg surface)") {
     val orders = Tables(spark, dir, "orders")
     val exact = orders.agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)

@@ -130,6 +130,19 @@ class StreamingSpec extends TestBase {
     assert(streamed.count() == batchEvents.dropDuplicates("event_id", "ts").count())
   }
 
+  test("streaming writes to a parquet file sink with checkpointing") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fsink")
+    val q = Streams.dedupStream(Streams.eventsStream(spark, eventsPath))
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("data").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(outDir.resolve("data").toString)
+    assert(back.count() == batchEvents.dropDuplicates("event_id", "ts").count())
+  }
+
   test("mapGroupsWithState running totals converge to the batch aggregate") {
     val streamed = Streams.runToCompletion(spark,
       Streams.runningUserTotals(Streams.eventsStream(spark, eventsPath)).toDF(),
