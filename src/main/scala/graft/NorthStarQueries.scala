@@ -63,6 +63,21 @@ object NorthStarQueries {
       |           FROM capped a JOIN capped b
       |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared DuckDB 64-bit simhash CTE (mirrors `Dedup.simhash64` over
+    * `corpus`, as a 64-char bit string with bit 0 = engine sigint's MSB —
+    * positional hamming over the string equals `bit_count(xor)` over the
+    * BIGINT). */
+  private val simhash64Sql =
+    """tok64 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+      | votes64 AS (SELECT doc_id, j.j,
+      |     sum(CASE WHEN (((strpos('0123456789abcdef',
+      |                             substr(md5(tok), CAST(j.j // 4 AS INT) + 1, 1)) - 1)
+      |                     >> (3 - CAST(j.j % 4 AS INT))) & 1) = 1
+      |         THEN 1 ELSE -1 END) AS s
+      |   FROM tok64 CROSS JOIN range(0, 64) j(j) GROUP BY 1, 2),
+      | sig64 AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+      |           FROM votes64 GROUP BY doc_id)""".stripMargin
+
   /** Shared DuckDB simhash CTE (mirrors `Dedup.simhash` over `corpus`). */
   private val simhashSql =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
@@ -115,7 +130,11 @@ object NorthStarQueries {
          | ORDER BY p.doc_a, p.doc_b""".stripMargin
     ) { (s, dir) =>
       val corpus = plantedNear(s, dir)
-      Dedup.ngramJaccard(corpus, Dedup.lshCandidatePairs(corpus))
+      // ONE persisted shingle set feeds both the LSH blocking pass and the
+      // Jaccard scorer — the shingle explode (the dominant cost) runs once.
+      val sh = Dedup.shingles(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.ngramJaccardFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -128,21 +147,22 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Oracle is brute-force Hamming ≤ 3 over all pairs — equivalent to the
-    // engine's quarter-blocked join by the pigeonhole completeness argument
-    // on `Dedup.simhashPairs`.
+    // Oracle is brute-force Hamming ≤ 3 over all pairs of 64-bit signatures
+    // — blocking-agnostic, so it stays equivalent to the engine's
+    // 16-bit-band shuffle join by the pigeonhole completeness argument on
+    // `Dedup.simhashPairs`.
     QueryDef("dd_simhash_pairs")(
       s"""WITH $plantedExactSql,
-         | $simhashSql,
+         | $simhash64Sql,
          | ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |           sum(CASE WHEN substr(a.sig, CAST(k.k AS INT), 1)
          |                      <> substr(b.sig, CAST(k.k AS INT), 1) THEN 1 ELSE 0 END) AS h
-         |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |         CROSS JOIN range(1, 17) k(k) GROUP BY 1, 2)
+         |         FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id
+         |         CROSS JOIN range(1, 65) k(k) GROUP BY 1, 2)
          | SELECT doc_a, doc_b, CAST(h AS BIGINT) AS hamming
          | FROM ham WHERE h <= 3 ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(plantedExact(s, dir)))
+      Dedup.simhashPairs(Dedup.simhash64(plantedExact(s, dir)))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))
     },

@@ -50,13 +50,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: several vec_dot instances can land in
+      // ONE codegen scope (e.g. the 16-centroid IVF argmax projection);
+      // fixed names are a "Redefinition of local variable" CompileException
+      // → silent whole-stage fallback to interpreted eval.
+      val n = ctx.freshName("vdN")
+      val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("vdI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

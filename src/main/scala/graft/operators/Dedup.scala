@@ -71,13 +71,22 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       n: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsFromShingles(shingles(docs, n), numHashes, bandSize, maxBucket)
+
+  /** `lshCandidatePairs` over a pre-computed (ideally persisted) shingle
+    * set — lets one shingle scan feed both LSH and the Jaccard scorer. */
+  def lshCandidatePairsFromShingles(
+      sh: DataFrame,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     // One aggregation pass with numHashes parallel min-aggs (map-side
     // combined) instead of exploding every shingle numHashes× — the shuffle
     // carries one row per doc, not numHashes rows per shingle.
     val minCols = (0 until numHashes).map(s =>
       min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"h$s"))
-    val sigs = shingles(docs, n)
+    val sigs = sh
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until numHashes / bandSize).map { b =>
@@ -112,6 +121,11 @@ object Dedup {
     // once the plan is unreferenced).
     val sh = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardFromShingles(sh, pairs)
+  }
+
+  /** `ngramJaccard` over a pre-computed (ideally persisted) shingle set. */
+  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = p
@@ -153,40 +167,70 @@ object Dedup {
         "transform(array_sort(collect_list(struct(j, s))), x -> CASE WHEN x.s > 0 THEN '1' ELSE '0' END)"))
         .as("sig"))
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming over the 16-bit
-    * signatures.
+  /** SimHash 64-bit signature as one BIGINT: bit j (j = 0 is the most
+    * significant) takes hex digit `j/4` of `md5(token)`, bit `3 - j%4` of
+    * that digit's value, as a ±1 vote per token occurrence; bit j of the
+    * signature is 1 iff the integer vote sum is positive. Integer votes →
+    * bit-exact across engines regardless of aggregation order.
     *
-    * Scale: the self-join is blocked on 4-bit signature quarters — by
-    * pigeonhole, any pair with < 4 mismatching bits agrees exactly on at
-    * least one of the 4 quarters, so the join key prunes the O(n²) space
-    * the same way LSH bands do, with zero recall loss for maxHamming ≤ 3.
+    * 64 bits (vs a 16-bit toy signature) is what makes Hamming-band
+    * blocking sub-quadratic: the 4×16-bit band key space is 4×65536, so
+    * blocking groups stay small instead of collapsing into ~n/16 buckets.
+    *
+    * Scale: one token explode → ONE groupBy(doc_id) carrying 64 parallel
+    * integer vote sums (map-side combined; no ×64 row blowup, no
+    * intermediate (doc, bit) stage) → one 64-term OR projection per doc;
+    * shuffle O(docs × 64) ints, independent of corpus text size.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { j =>
+      sum(when(expr(
+        s"shiftright(CAST(conv(substring(h, ${j / 4 + 1}, 1), 16, 10) AS INT), ${3 - j % 4}) % 2 = 1"), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sigint = (0 until 64)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sigint.as("sigint"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming over 64-bit
+    * signatures (`simhash64` output: `(doc_id, sigint)`).
+    *
+    * Scale: the self-join is blocked on the 4 16-bit bands of the
+    * signature — by pigeonhole, any pair with < 4 mismatching bits agrees
+    * exactly on at least one band, so the join key prunes the O(n²) space
+    * with zero recall loss for maxHamming ≤ 3. The band key space is
+    * 4×65536 (vs 4×16 for a 16-bit signature), so bucket sizes track true
+    * near-dup density instead of forcing ~n²/16 candidates. The join is a
+    * plain shuffle equi-join on (band, block) — no corpus broadcast; AQE
+    * splits any residual hot bucket.
+    *
+    * Dedup WITHOUT a distinct shuffle: a pair matching in several bands
+    * would be emitted once per band, but both signatures are in the join
+    * row, so each row recomputes which band is the FIRST match and emits
+    * only there — pure codegen'd arithmetic replacing a pair-set exchange.
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "quarter-block pigeonhole is only complete for maxHamming < 4")
-    // Bit-string → integer once per doc, so the per-pair Hamming distance is
-    // one codegen'd `bit_count(xor)` instead of a 16-step interpreted
-    // aggregate; filter BEFORE distinct so only surviving pairs shuffle.
+    require(maxHamming <= 3, "16-bit-band pigeonhole is only complete for maxHamming < 4")
+    // Persist: both self-join sides read the SAME signature computation —
+    // without it the whole corpus-scan + vote aggregation runs twice.
     val keyed = sigs
-      .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("sigint"))
       .select(col("doc_id"), col("sigint"), explode(expr(
-        "transform(sequence(0, 3), q -> named_struct('q', q, 'blk', shiftright(sigint, (3 - q) * 4) % 16))")).as("k"))
+        "transform(sequence(0, 3), q -> named_struct('q', q, 'blk', shiftright(sigint, (3 - q) * 16) & 65535))")).as("k"))
       .select(col("doc_id"), col("sigint"), col("k.q"), col("k.blk"))
-    // Broadcast the build side: the blocking key space is only 4×16, so a
-    // shuffle join degenerates to a handful of giant sort-merge groups; a
-    // broadcast hash join streams the probe side with full parallelism.
-    // (Signatures are 12 bytes/doc — broadcastable far beyond the corpus
-    // sizes a 16-bit signature is useful for; see scale note above.)
-    // Dedup WITHOUT a distinct shuffle: a pair matching in several blocks
-    // would be emitted once per block, but both signatures are in the join
-    // row, so each row can recompute which block is the FIRST match and
-    // emit only there — pure codegen'd arithmetic replacing a multi-million
-    // row exchange.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val xor = col("a.sigint").bitwiseXOR(col("b.sigint"))
     val firstMatch = (0 until 4).foldRight(lit(99): org.apache.spark.sql.Column) {
-      (q, rest) => when(shiftright(xor, (3 - q) * 4) % 16 === 0, lit(q)).otherwise(rest)
+      (q, rest) => when(shiftright(xor, (3 - q) * 16).bitwiseAND(lit(65535L)) === 0, lit(q)).otherwise(rest)
     }
     keyed.as("a")
-      .join(broadcast(keyed.as("b")),
+      .join(keyed.as("b"),
         col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .where(col("a.q") === firstMatch)
@@ -196,12 +240,12 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
-    * Exact all-pairs scoring — delegates to the primitive-loop kernel in
-    * `Similarity.pairwiseCosine` (broadcast build side, tight JVM dots).
-    * Exact n² is the correct baseline at dim-table scale; at 100 TB the
-    * scale path is `Similarity.lshBuckets` / IVF cells as a blocking
-    * prefilter feeding this same scorer per block.
+    * Delegates to `Similarity.bucketedNearDup` — hyperplane-LSH blocking
+    * (home bucket + Hamming-1 neighbor probes) then exact per-pair scoring,
+    * fully distributed: no driver collect, no all-pairs join. The exact
+    * O(n²) kernel survives as the explicit small-N utility
+    * `Similarity.pairwiseCosine`.
     */
   def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame =
-    Similarity.pairwiseCosine(embs, threshold)
+    Similarity.bucketedNearDup(embs, threshold)
 }

@@ -59,9 +59,16 @@ object Similarity {
     * At 100 TB: all-pairs is inherently quadratic; block first (lshBuckets
     * or IVF cells) and run this scorer within blocks.
     */
-  def pairwiseCosine(embs: DataFrame, threshold: Double): DataFrame = {
+  def pairwiseCosine(embs: DataFrame, threshold: Double,
+      maxRows: Long = 1000000L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // Fail fast instead of OOMing the driver: this is the explicit small-N
+    // exact kernel; the distributed path is `bucketedNearDup`.
+    val n0 = embs.count()
+    require(n0 <= maxRows,
+      s"pairwiseCosine collects the vector table to the driver ($n0 rows > cap $maxRows); " +
+        "use Similarity.bucketedNearDup for the distributed blocked path")
     val rows = embs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val ids = rows.map(_._1)
@@ -103,15 +110,68 @@ object Similarity {
     * Hamming-1 neighbor buckets for higher recall).
     */
   def lshBuckets(embs: DataFrame, numPlanes: Int = 8): DataFrame = {
+    // The hyperplane family is a pure function of (p, j): materialize each
+    // plane once as a literal double array and take the codegen'd `vec_dot`
+    // instead of an interpreted per-row zip_with/aggregate lambda (the
+    // ~100× HOF penalty — this projection is the near-dup hot path).
+    // `vec_dot` folds over min(dim, planeLen), so sizing the literal to the
+    // first row's dim is exact for uniform-dim tables and a safe truncation
+    // otherwise; an empty table needs no planes at all.
+    val dim = embs.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val bits = (0 until numPlanes).map { p =>
-      val planeDot = aggregate(
-        zip_with(asDouble(col("embedding")),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, j) => x * ((lit(p) * 31 + j * 17) % 7 - 3).cast("double")),
-        lit(0.0d), (acc, x) => acc + x)
-      when(planeDot > 0, lit("1")).otherwise(lit("0"))
+      val plane = Array.tabulate(dim)(j => ((p * 31 + j * 17) % 7 - 3).toDouble)
+      when(dot(asDouble(col("embedding")), lit(plane)) > 0, lit("1")).otherwise(lit("0"))
     }
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
+  }
+
+  /** Distributed near-dup: hyperplane-LSH blocking + exact per-pair scoring.
+    *
+    * Candidate generation: each vector probes its home bucket AND every
+    * Hamming-1 neighbor bucket; a pair (a < b) is a candidate iff one of
+    * a's probes hits b's home bucket — covering all pairs whose bucket ids
+    * differ in ≤ 1 bit. Exact duplicates always share a bucket (the bucket
+    * is sign-invariant under positive scaling), so recall on true copies is
+    * 1; near-misses get the Hamming-1 net.
+    *
+    * Scale: candidates are a shuffle equi-join on the bucket string —
+    * O(n × (numPlanes+1)) probe rows, never all-pairs; scoring is the
+    * codegen'd `vec_dot` over only the surviving pairs; no driver
+    * materialization anywhere (contrast `pairwiseCosine`).
+    *
+    * Numeric contract (oracle parity): dots accumulate left-to-right in
+    * double with the smaller vec_id as the left operand; norms are
+    * `sqrt(self-dot)`; zero-norm vectors are excluded (their cosine is
+    * NaN, which engines compare against the threshold differently).
+    */
+  def bucketedNearDup(embs: DataFrame, threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val e = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("selfdot", dot(col("v"), col("v")))
+      .where(col("selfdot") > 0)
+    val bucketed = lshBuckets(embs)
+    val flips = (0 until numPlanes).map { p =>
+      concat(
+        substring(col("bucket"), 1, p),
+        when(substring(col("bucket"), p + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), p + 2, numPlanes - p - 1))
+    }
+    val probes = bucketed.select(col("vec_id"),
+      explode(array(col("bucket") +: flips: _*)).as("pb"))
+    val cand = probes.as("pa")
+      .join(bucketed.as("hb"),
+        col("pa.pb") === col("hb.bucket") && col("pa.vec_id") < col("hb.vec_id"))
+      .select(col("pa.vec_id").as("vec_a"), col("hb.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("selfdot").as("da")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("selfdot").as("db")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (sqrt(col("da")) * sqrt(col("db")))).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`
@@ -127,25 +187,55 @@ object Similarity {
   def ivfTopK(embs: DataFrame, query: Seq[Double], k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = embs.sparkSession
-    val cents = embs.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
-    val assigned = embs
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(asDouble(col("embedding")), col("cv")).as("csim"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cell"))))
-      .where(col("rk") === 1)
-      .drop("rk", "csim")
-    val q = lit(query.toArray)
-    val probeCells = cents
-      .select(col("cell"), cosine(col("cv"), q).as("qsim"))
-      .orderBy(col("qsim").desc, col("cell"))
-      .limit(nProbe)
-    assigned
-      .join(broadcast(probeCells.select(col("cell"))), Seq("cell"), "left_semi")
-      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), q), 6).as("sim"))
+    import spark.implicits._
+    // Centroids are metadata-scale (nCells rows): collect once and embed
+    // them as plan literals — the expression-level equivalent of a
+    // broadcast, but with ZERO joins/shuffles on the big side. (The
+    // previous shape — cross-join × nCells + row_number window — shuffled
+    // a 16×-inflated table to pick a per-row max.)
+    val cents: Array[(Long, Array[Double])] = embs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])].collect()
+    if (cents.isEmpty)
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qArr = query.toArray
+    val qNorm = math.sqrt(sdot(qArr, qArr))
+    // Probe-cell selection is nCells scalar cosines — driver-side, the
+    // identical left-to-right IEEE sequence as the distributed kernel.
+    // qsim DESC with NaN greatest (java.lang.Double.compare — the same
+    // total order both SQL engines use), ties by cell ASC.
+    val probeOrd: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val probeCells: Seq[Long] = cents
+      .map { case (cell, cv) => (cell, sdot(cv, qArr) / (math.sqrt(sdot(cv, cv)) * qNorm)) }
+      .sorted(probeOrd)
+      .take(nProbe).map(_._1).toSeq
+    // Per-row nearest-centroid assignment as ONE codegen'd expression:
+    // array_max over (csim, -cell) structs = max cosine, ties to the
+    // smallest cell — same order as `row_number() OVER (ORDER BY csim
+    // DESC, cell)` picking rank 1, with no join, no window, no shuffle.
+    val selfNorm = sqrt(dot(col("v"), col("v")))
+    val centStructs = cents.map { case (cell, cv) =>
+      struct(
+        (dot(col("v"), lit(cv)) / (selfNorm * lit(math.sqrt(sdot(cv, cv))))).as("csim"),
+        lit(-cell).as("negcell"))
+    }
+    val q = lit(qArr)
+    embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", -array_max(array(centStructs.toIndexedSeq: _*)).getField("negcell"))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), round(cosine(col("v"), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -52,27 +52,40 @@ class DedupSpec extends TestBase {
     assert(j((1L, 3L)) == 0.333333)
   }
 
-  test("simhash: 16-bit signature, identical docs at hamming 0") {
+  test("simhash: 16-bit signature, identical docs equal") {
     val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "q r s t u v w x")
     val sigs = Dedup.simhash(d).as[(Long, String)].collect().toMap
     assert(sigs.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
     assert(sigs(1L) == sigs(2L))
-    val pairs = Dedup.simhashPairs(Dedup.simhash(d), maxHamming = 0)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))
   }
 
-  test("quarter-block simhash pairs == brute force at hamming <= 3 (pigeonhole)") {
-    // 40 docs of varied text → blocked join must find exactly the brute pairs
-    val d = (0L until 40L).map(i => i -> s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} alpha beta gamma delta").toDF("doc_id", "text")
-    val sigs = Dedup.simhash(d)
+  test("simhash64: identical docs at hamming 0, pairs found via band join") {
+    val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "q r s t u v w x")
+    val sigs = Dedup.simhash64(d).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashPairs(Dedup.simhash64(d), maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("band-blocked simhash64 pairs == brute force at hamming <= 3 (pigeonhole)") {
+    // varied docs + exact twins (hamming 0) + one-token-off twins (small
+    // hamming) → the blocked join must find exactly the brute-force pairs
+    val base = (0L until 30L).map(i =>
+      i -> s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13} alpha beta gamma delta")
+    val twins = (0L until 10L).map(i => (i + 100L) -> base(i.toInt)._2)
+    val near = (10L until 20L).map(i => (i + 200L) -> (base(i.toInt)._2 + " zz"))
+    val d = (base ++ twins ++ near).toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(d)
     val blocked = Dedup.simhashPairs(sigs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val local = sigs.as[(Long, String)].collect()
+    val local = sigs.as[(Long, Long)].collect()
     val brute = (for {
       a <- local; b <- local if a._1 < b._1
-      h = a._2.zip(b._2).count { case (x, y) => x != y } if h <= 3
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= 3
     } yield (a._1, b._1)).toSet
+    assert(brute.nonEmpty, "fixture must produce at least the exact-twin pairs")
     assert(blocked == brute)
   }
 

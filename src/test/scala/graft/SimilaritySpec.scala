@@ -33,6 +33,29 @@ class SimilaritySpec extends TestBase {
     assert(ivf.map(_._2) == ivf.map(_._2).sorted.reverse)
   }
 
+  test("bucketed near-dup matches the exact kernel on vectors that share buckets") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(2.0f, 0.0f, 0.0f)),
+      (5L, Array(0.98f, 0.02f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.pairwiseCosine(e, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.bucketedNearDup(e, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact)
+  }
+
+  test("pairwiseCosine refuses tables above the driver-collect cap") {
+    val e = Seq((1L, Array(1.0f)), (2L, Array(1.0f)), (3L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pairwiseCosine(e, 0.9, maxRows = 2L)
+    }
+    assert(ex.getMessage.contains("bucketedNearDup"))
+  }
+
   test("LSH buckets: deterministic, identical vectors share a bucket") {
     val e = Seq(
       (1L, Array(0.5f, -0.2f, 0.8f)), (2L, Array(0.5f, -0.2f, 0.8f)),
