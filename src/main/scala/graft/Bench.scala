@@ -32,10 +32,13 @@ object Bench {
       // time as a perf win in the archived JSON
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale — a comma-decimal locale would emit invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

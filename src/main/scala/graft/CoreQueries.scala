@@ -77,6 +77,40 @@ object CoreQueries {
         .orderBy("c_custkey", "o_orderkey")
     },
 
+    // Full outer: unmatched rows surface from BOTH sides (filtered customers
+    // drop some order custkeys → left-null; rich customers without expensive
+    // orders → right-null). Sort keys are never null (coalesced key; within
+    // a custkey group o_orderkey is either all non-null or a single null
+    // row), so row order is engine-independent.
+    QueryDef("q05b_join_full")(
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, o.o_orderkey
+        | FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        | FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |   ON c.c_custkey = o.o_custkey
+        | ORDER BY custkey, o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer").where(col("c_acctbal") > 5000)
+        .join(t("orders").where(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("o_orderkey"))
+        .orderBy("custkey", "o_orderkey")
+    },
+
+    QueryDef("q05c_join_right")(
+      """SELECT c.c_custkey, o.o_orderkey
+        | FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+        | RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        | ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").where(col("o_totalprice") > 250000)
+        .join(t("customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    },
+
     // R15 analogue: membership via semi join (no duplicate inflation).
     QueryDef("q06_join_semi")(
       """SELECT c_custkey FROM customer
@@ -228,6 +262,20 @@ object CoreQueries {
           lag("o_totalprice", 1)
             .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
             .as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    QueryDef("q15b_window_lead")(
+      """SELECT o_custkey, o_orderkey,
+        |   LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price,
+        |   FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS first_key
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t("orders").select(col("o_custkey"), col("o_orderkey"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_orderkey").over(w).as("first_key"))
         .orderBy("o_custkey", "o_orderkey")
     },
 

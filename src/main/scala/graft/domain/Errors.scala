@@ -74,3 +74,61 @@ object ValidationError {
       detail: String = ""): ValidationError =
     ValidationError(code, Errors.ordinal(code), file, line, detail)
 }
+
+/** Bounded reporting of a validation-error set: per-code counts (all the
+  * reference's reporting rule ever consumes — it only keeps Hadoop counters,
+  * `LASERInputValidator.java:135-140`) plus ≤ `sampleK` example rows per
+  * code for debuggability.
+  *
+  * Scale: the error channel is exactly where pathological inputs live — a
+  * seq file where EVERY row is arity-broken must not collect billions of
+  * findings to the driver. `of` reduces the error set distributedly to
+  * O(#codes × sampleK) rows before anything reaches the driver.
+  */
+final case class ErrorSummary(
+    counts: Map[String, Long],
+    samples: Seq[ValidationError]) {
+  def isEmpty: Boolean = counts.isEmpty
+  def total: Long = counts.values.sum
+  def firstError: Option[Errors.Code] = Errors.firstError(counts)
+  def ++(other: ErrorSummary): ErrorSummary = ErrorSummary(
+    (counts.keySet ++ other.counts.keySet).iterator
+      .map(c => c -> (counts.getOrElse(c, 0L) + other.counts.getOrElse(c, 0L))).toMap,
+    samples ++ other.samples)
+  /** Re-tag samples with the originating file id (TRACE per-file runs). */
+  def inFile(fileId: String): ErrorSummary =
+    copy(samples = samples.map(_.copy(file = fileId)))
+}
+
+object ErrorSummary {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  val empty: ErrorSummary = ErrorSummary(Map.empty, Nil)
+
+  /** For driver-side error seqs (pre-scan gzip sniffs, cross-checks). */
+  def ofSeq(errs: Seq[ValidationError]): ErrorSummary =
+    ErrorSummary(errs.groupBy(_.code).map { case (c, es) => c -> es.size.toLong }, errs)
+
+  /** Distributed reduction: one window + one same-key aggregate (a single
+    * shuffle on `code`); `count` sees every row, `collect_list` only the
+    * ≤ sampleK row-number survivors per code. */
+  def of(errs: Dataset[ValidationError], sampleK: Int = 10): ErrorSummary = {
+    val rows = errs.toDF()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("code").orderBy("line", "file", "detail")))
+      .groupBy("code", "ordinal")
+      .agg(count(lit(1)).as("cnt"),
+        collect_list(when(col("rn") <= sampleK,
+          struct(col("file"), col("line"), col("detail")))).as("ex"))
+      .collect()
+    val counts = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val samples = rows.flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](3).map(e =>
+        ValidationError(r.getString(0), r.getInt(1),
+          e.getString(0), e.getLong(1), e.getString(2)))
+    }.toSeq
+    ErrorSummary(counts, samples)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.laser
 
-import graft.domain.{Errors, ValidationError}
+import graft.domain.{ErrorSummary, Errors, ValidationError}
 import graft.operators.{ChunkSink, SharedLoci}
 import graft.sources._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object LaserPipeline {
 
+  /** `errorCounts` is the complete per-code tally (the reference's counter
+    * contract); `errors` carries ≤ sampleK examples per code — the full
+    * finding set is never materialized on the driver (R22 at 100 TB). */
   final case class Result(
       firstError: Option[Errors.Code],
       errors: Seq[ValidationError],
+      errorCounts: Map[String, Long],
       individuals: Long,
       totalLoci: Long,
       sharedLoci: Long,
@@ -52,9 +56,13 @@ object LaserPipeline {
     val spark = seqLines.sparkSession
 
     val groupsDf = groupsLines.map(GroupsReader.parse)
-    val groupErrs = groupsLines.toSeq.flatMap(g => GroupsReader.validate(g).collect().toSeq)
-    val seqErrs = SeqReader.validate(seqLines, groupsDf).collect().toSeq
-    val siteErrs = SiteReader.validate(siteLines).collect().toSeq
+    // Bounded error channel: each validator reduces to per-code counts +
+    // capped samples BEFORE the driver sees anything (ErrorSummary.of) —
+    // an input where every row is broken stays O(#codes × k) here.
+    val groupSum = groupsLines.map(g => ErrorSummary.of(GroupsReader.validate(g)))
+      .getOrElse(ErrorSummary.empty)
+    val seqSum = ErrorSummary.of(SeqReader.validate(seqLines, groupsDf))
+    val siteSum = ErrorSummary.of(SiteReader.validate(siteLines))
 
     val seqParsed = SeqReader.parse(seqLines)
     // One aggregate pass: individuals (distinct) + locus-count consensus
@@ -72,17 +80,16 @@ object LaserPipeline {
     val (totalLoci, sharedLoci) = (countsRow.getLong(0), countsRow.getLong(1))
 
     // R20: site row count must equal the seq locus count.
-    val crossErrs =
-      if (siteErrs.isEmpty && totalLoci != minLoci)
-        Seq(ValidationError("SITE_FILE_LOCI_NOT_IN_SEQ",
-          detail = s"site rows $totalLoci != seq loci $minLoci"))
-      else Nil
+    val crossSum =
+      if (siteSum.isEmpty && totalLoci != minLoci)
+        ErrorSummary.ofSeq(Seq(ValidationError("SITE_FILE_LOCI_NOT_IN_SEQ",
+          detail = s"site rows $totalLoci != seq loci $minLoci")))
+      else ErrorSummary.empty
 
-    val all = preErrors ++ groupErrs ++ seqErrs ++ siteErrs ++ crossErrs
-    val counts = all.groupBy(_.code).map { case (c, es) => c -> es.size.toLong }
+    val all = ErrorSummary.ofSeq(preErrors) ++ groupSum ++ seqSum ++ siteSum ++ crossSum
 
     val chunks = chunksOut match {
-      case Some(dir) if Errors.firstError(counts).isEmpty =>
+      case Some(dir) if all.firstError.isEmpty =>
         ChunkSink.write(seqLines, dir, chunkSize)
       case _ =>
         // chunk count is still well-defined without the write
@@ -90,7 +97,8 @@ object LaserPipeline {
         (n + chunkSize - 1) / chunkSize
     }
 
-    Result(Errors.firstError(counts), all, individuals, totalLoci, sharedLoci, chunks)
+    Result(all.firstError, all.samples, all.counts,
+      individuals, totalLoci, sharedLoci, chunks)
   }
 
   /** File-backed entry point mirroring `LASERInputValidator.run`: gzip
@@ -98,18 +106,30 @@ object LaserPipeline {
     * `*_IS_NOT_GZIP` pre-parse (`LASERInputCheckMapper.java:108-111,191-195`). */
   def runFiles(spark: SparkSession, seqPath: String, sitePath: String,
       panelPath: String, groupsPath: Option[String], chunksOut: Option[String],
-      chunkSize: Int = 100): Result = {
+      chunkSize: Int = 100, deleteSeqAfterChunks: Boolean = false): Result = {
     val pre = Seq(
       (!Lines.isGzip(spark, seqPath), "SEQ_FILE_IS_NOT_GZIP"),
       (!Lines.isGzip(spark, sitePath), "SITE_FILE_IS_NOT_GZIP"),
     ).collect { case (true, code) => ValidationError(code) }
     if (pre.nonEmpty)
-      Result(Errors.firstError(pre.map(_.code -> 1L).toMap), pre, 0, 0, 0, 0)
-    else run(
-      Lines.read(spark, seqPath),
-      Lines.read(spark, sitePath),
-      Lines.read(spark, panelPath),
-      groupsPath.filter(_.nonEmpty).map(Lines.read(spark, _)),
-      chunksOut, chunkSize)
+      Result(Errors.firstError(pre.map(_.code -> 1L).toMap), pre,
+        pre.map(_.code -> 1L).toMap, 0, 0, 0, 0)
+    else {
+      val r = run(
+        Lines.read(spark, seqPath),
+        Lines.read(spark, sitePath),
+        Lines.read(spark, panelPath),
+        groupsPath.filter(_.nonEmpty).map(Lines.read(spark, _)),
+        chunksOut, chunkSize)
+      // R29: the reference deletes the original seq file strictly after
+      // job success, error scan, AND both threshold gates
+      // (`LASERInputValidator.java:186` sits below the gate returns at
+      // `:147-155`) — so gate on `r.ok`, not just firstError.
+      if (deleteSeqAfterChunks && r.ok && chunksOut.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(seqPath)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+      }
+      r
+    }
   }
 }

@@ -25,23 +25,33 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       value: String, as: String = "asof_value"): DataFrame = {
+    // Internal tag/value columns must not collide with caller columns —
+    // a left frame already holding "__isr"/"__v" would silently corrupt
+    // results; derive fresh names from the input schemas instead.
+    require(!left.columns.contains(as),
+      s"asOf: output column '$as' already exists in the left frame")
+    val taken = (left.columns ++ right.columns).toSet + as
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val isr = fresh("__isr")
+    val v = fresh("__v")
     val vType = right.schema(value).dataType
     val lTagged = left
-      .withColumn("__isr", lit(0))
-      .withColumn("__v", lit(null).cast(vType))
+      .withColumn(isr, lit(0))
+      .withColumn(v, lit(null).cast(vType))
     val rTagged = right.select(
-      col(key), col(ts), lit(1).as("__isr"), col(value).as("__v"))
+      col(key), col(ts), lit(1).as(isr), col(value).as(v))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__isr").desc)
+      .orderBy(col(ts).asc, col(isr).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Track the last right ROW, not the last non-null VALUE: wrapping the
     // value in a struct makes a matched row with a NULL value still count
     // as the match (ASOF semantics), instead of falling back to an older
     // row's value.
-    val marker = when(col("__isr") === 1, struct(col("__v")))
+    val marker = when(col(isr) === 1, struct(col(v).as(v)))
     lTagged.unionByName(rTagged, allowMissingColumns = true)
-      .withColumn(as, last(marker, ignoreNulls = true).over(w).getField("__v"))
-      .where(col("__isr") === 0)
-      .drop("__isr", "__v")
+      .withColumn(as, last(marker, ignoreNulls = true).over(w).getField(v))
+      .where(col(isr) === 0)
+      .drop(isr, v)
   }
 }

@@ -61,4 +61,17 @@ object ChunkSink {
       .agg(coalesce(sum(col("value")), lit(0L)))
       .collect()(0).getLong(0)
   }
+
+  /** R29: chunk, then delete the ORIGINAL seq file — but only after the
+    * chunk write completed (`LASERInputValidator.java:186`: `hdfs.delete(
+    * seqFile, false)` runs strictly after job success; a failed write must
+    * leave the original in place, or a re-run has nothing to process).
+    * Non-recursive delete, exactly like the reference. */
+  def writeAndDeleteSource(lines: DataFrame, seqPath: String, outDir: String,
+      chunkSize: Int = 100): Long = {
+    val n = write(lines, outDir, chunkSize)
+    val p = new org.apache.hadoop.fs.Path(seqPath)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+    n
+  }
 }

@@ -24,6 +24,12 @@ object SkewJoin {
   def saltedEquiJoin(big: DataFrame, other: DataFrame, key: String,
       nSalts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    // Salting is only result-invariant when the REPLICATED side's unmatched
+    // rows can't surface: right/full/semi/anti would emit them nSalts× (or
+    // dedup wrongly). Fail loudly rather than silently inflating results.
+    require(Set("inner", "left", "leftouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left joins only, got '$joinType'")
     // Salt from a stable row fingerprint rather than rand(): deterministic
     // plans re-execute identically (task retries, AQE re-optimization).
     val salted = big.withColumn("__salt",

@@ -85,11 +85,15 @@ object Ingest {
     * operators (chunking) never re-derive it. After this hop every scan is
     * splittable, columnar, and statistics-bearing. */
   def gzipToParquet(spark: SparkSession, inputs: Seq[String], outDir: String): DataFrame = {
-    inputs.zipWithIndex.foreach { case (path, i) =>
-      Lines.read(spark, path)
-        .withColumn("src", lit(path))
-        .write.mode(if (i == 0) "overwrite" else "append").parquet(outDir)
-    }
+    // Empty input must error here, not as a path-not-found on the read-back;
+    // and ONE union + ONE write (Spark's commit protocol) instead of a
+    // sequential overwrite/append loop that a mid-loop failure would leave
+    // half-written.
+    require(inputs.nonEmpty, s"gzipToParquet: no input files for '$outDir'")
+    inputs
+      .map(path => Lines.read(spark, path).withColumn("src", lit(path)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
   }
 }

@@ -1,6 +1,6 @@
 package graft.trace
 
-import graft.domain.{Descriptors, Errors, ValidationError}
+import graft.domain.{Descriptors, ErrorSummary, Errors, ValidationError}
 import graft.operators.{RangeBatch, SharedLoci}
 import graft.sources._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,9 +17,12 @@ object TracePipeline {
   final case class FileStats(fileId: String, individuals: Long,
       totalLoci: Long, sharedLoci: Long)
 
+  /** `errorCounts` = complete per-code tally; `errors` = ≤ k samples per
+    * code (bounded error channel, see `ErrorSummary`). */
   final case class Result(
       firstError: Option[Errors.Code],
       errors: Seq[ValidationError],
+      errorCounts: Map[String, Long],
       perFile: Seq[FileStats],
       gateMessages: Seq[String]) {
     def individuals: Long = perFile.headOption.map(_.individuals).getOrElse(0L)
@@ -32,15 +35,15 @@ object TracePipeline {
 
   /** Validate + count one VCF (already as lines) against the panel. */
   def runOne(fileId: String, vcfLines: DataFrame, panel: DataFrame,
-      groups: Option[DataFrame]): (Seq[ValidationError], FileStats) = {
-    val errs = VcfReader.validateHeader(vcfLines, groups).collect().toSeq
-    if (errs.nonEmpty) (errs.map(_.copy(file = fileId)), FileStats(fileId, 0, 0, 0))
+      groups: Option[DataFrame]): (ErrorSummary, FileStats) = {
+    val errs = ErrorSummary.of(VcfReader.validateHeader(vcfLines, groups))
+    if (!errs.isEmpty) (errs.inFile(fileId), FileStats(fileId, 0, 0, 0))
     else {
       val parsed = VcfReader.parse(vcfLines)
       val counts = SharedLoci.counts(
         parsed.body.select(col("chrom").as("chr"), col("pos"), col("ref"), col("alt")),
         panel).collect()(0)
-      (Nil, FileStats(fileId, parsed.samples.distinct.size,
+      (ErrorSummary.empty, FileStats(fileId, parsed.samples.distinct.size,
         counts.getLong(0), counts.getLong(1)))
     }
   }
@@ -52,23 +55,25 @@ object TracePipeline {
       groupsLines: Option[DataFrame], format: String = "vcf"): Result = {
 
     VcfReader.dispatch(format) match {
-      case Left(err) => return Result(Some(Errors(err.code)), Seq(err), Nil, Nil)
+      case Left(err) =>
+        return Result(Some(Errors(err.code)), Seq(err), Map(err.code -> 1L), Nil, Nil)
       case Right(f) if f.endsWith("-stub") =>
         // 23andMe / AncestryDNA are honest stubs in the reference
         // (`TRACEInputCheckMapper.java:275-293`): accepted, no validation.
-        return Result(None, Nil, files.map { case (id, _) => FileStats(id, 0, 0, 0) }, Nil)
+        return Result(None, Nil, Map.empty,
+          files.map { case (id, _) => FileStats(id, 0, 0, 0) }, Nil)
       case Right(_) =>
     }
 
     val panel = PanelReader.parse(panelLines)
     val groups = groupsLines.map(GroupsReader.parse)
-    val groupErrs = groupsLines.toSeq.flatMap(g => GroupsReader.validate(g).collect().toSeq)
+    val groupSum = groupsLines.map(g => ErrorSummary.of(GroupsReader.validate(g)))
+      .getOrElse(ErrorSummary.empty)
 
     val results = files.map { case (id, lines) => runOne(id, lines, panel, groups) }
-    val errs = groupErrs ++ results.flatMap(_._1)
+    val errs = results.map(_._1).foldLeft(groupSum)(_ ++ _)
     val stats = results.map(_._2)
-    val counts = errs.groupBy(_.code).map { case (c, es) => c -> es.size.toLong }
-    val firstErr = Errors.firstError(counts)
+    val firstErr = errs.firstError
 
     val gates = if (firstErr.isEmpty) {
       val distinctIndiv = stats.map(_.individuals).distinct
@@ -80,7 +85,7 @@ object TracePipeline {
       g1 ++ g2
     } else Nil
 
-    Result(firstErr, errs, stats, gates)
+    Result(firstErr, errs.samples, errs.counts, stats, gates)
   }
 
   /** R25 + R24: the TRACEJobGenerator step — emit vcf2geno + study-PCA

@@ -66,6 +66,26 @@ class PipelinesSpec extends TestBase {
     assert(new java.io.File(chunksDir, "1.chunk.seq.gz").exists())
   }
 
+  test("laser: pathological input — counts complete, samples bounded (no full collect)") {
+    // 10k broken seq rows (1 column each) + 5k group-membership misses: the
+    // driver-side Result must carry the COMPLETE per-code tally but only a
+    // capped sample list — the 100 TB contract for the error channel.
+    val badSeq = (0 until 10000).map(i => s"only_one_col_$i") ++
+      (0 until 5000).map(i => s"POP1\tghost_$i\t1\t1\t0.5")
+    val groups = Seq("ind_001\tPOP1")
+    val r = LaserPipeline.run(
+      lines(badSeq), lines(Fixtures.siteLines),
+      lines(Fixtures.slPanelLines), Some(lines(groups)))
+    assert(r.errorCounts("SEQ_FILE_TOO_FEW_COLUMNS") == 10000L)
+    assert(r.errorCounts("SEQ_SAMPLE_NOT_IN_GROUP") == 5000L)
+    assert(r.firstError.map(_.name).contains("SEQ_FILE_TOO_FEW_COLUMNS"))
+    // bounded: ≤ 10 samples per code, not 15k findings
+    assert(r.errors.size <= 10 * r.errorCounts.size,
+      s"expected bounded samples, got ${r.errors.size}")
+    assert(r.errors.count(_.code == "SEQ_FILE_TOO_FEW_COLUMNS") == 10)
+    assert(r.errors.count(_.code == "SEQ_SAMPLE_NOT_IN_GROUP") == 10)
+  }
+
   test("trace: per-file stats, cross-file individual agreement gate (R23)") {
     val vcf2 = Seq(
       "##fileformat=VCFv4.2",
