@@ -184,58 +184,110 @@ object Similarity {
     * At 100 TB: partition (bucket) the stored table BY cell id so probing
     * prunes file reads, not just rows.
     */
-  def ivfTopK(embs: DataFrame, query: Seq[Double], k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  private def sdot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic centroid seed: the first `nCells` vectors by vec_id —
+    * metadata-scale, collected once to become plan literals. */
+  private def centroidsOf(embs: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    // Centroids are metadata-scale (nCells rows): collect once and embed
-    // them as plan literals — the expression-level equivalent of a
-    // broadcast, but with ZERO joins/shuffles on the big side. (The
-    // previous shape — cross-join × nCells + row_number window — shuffled
-    // a 16×-inflated table to pick a per-row max.)
-    val cents: Array[(Long, Array[Double])] = embs.orderBy(col("vec_id")).limit(nCells)
+    embs.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .as[(Long, Array[Double])].collect()
-    if (cents.isEmpty)
-      return embs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
-    def sdot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val qArr = query.toArray
+  }
+
+  /** Probe-cell selection: nCells scalar cosines, driver-side, the
+    * identical left-to-right IEEE sequence as the distributed kernel; qsim
+    * DESC with NaN greatest (java.lang.Double.compare — the same total
+    * order both SQL engines use), ties by cell ASC. */
+  private def probeCellsFor(cents: Array[(Long, Array[Double])],
+      qArr: Array[Double], nProbe: Int): Seq[Long] = {
     val qNorm = math.sqrt(sdot(qArr, qArr))
-    // Probe-cell selection is nCells scalar cosines — driver-side, the
-    // identical left-to-right IEEE sequence as the distributed kernel.
-    // qsim DESC with NaN greatest (java.lang.Double.compare — the same
-    // total order both SQL engines use), ties by cell ASC.
     val probeOrd: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
       def compare(a: (Long, Double), b: (Long, Double)): Int = {
         val c = java.lang.Double.compare(b._2, a._2)
         if (c != 0) c else java.lang.Long.compare(a._1, b._1)
       }
     }
-    val probeCells: Seq[Long] = cents
+    cents
       .map { case (cell, cv) => (cell, sdot(cv, qArr) / (math.sqrt(sdot(cv, cv)) * qNorm)) }
       .sorted(probeOrd)
       .take(nProbe).map(_._1).toSeq
-    // Per-row nearest-centroid assignment as ONE codegen'd expression:
-    // array_max over (csim, -cell) structs = max cosine, ties to the
-    // smallest cell — same order as `row_number() OVER (ORDER BY csim
-    // DESC, cell)` picking rank 1, with no join, no window, no shuffle.
+  }
+
+  /** Per-row nearest-centroid assignment over a `v ARRAY<DOUBLE>` column as
+    * ONE codegen'd expression: array_max over (csim, -cell) structs = max
+    * cosine, ties to the smallest cell — same order as `row_number() OVER
+    * (ORDER BY csim DESC, cell)` picking rank 1, with no join, no window,
+    * no shuffle. */
+  private def cellAssignExpr(cents: Array[(Long, Array[Double])]): Column = {
     val selfNorm = sqrt(dot(col("v"), col("v")))
     val centStructs = cents.map { case (cell, cv) =>
       struct(
         (dot(col("v"), lit(cv)) / (selfNorm * lit(math.sqrt(sdot(cv, cv))))).as("csim"),
         lit(-cell).as("negcell"))
     }
-    val q = lit(qArr)
+    -array_max(array(centStructs.toIndexedSeq: _*)).getField("negcell")
+  }
+
+  def ivfTopK(embs: DataFrame, query: Seq[Double], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Centroids are metadata-scale (nCells rows): collect once and embed
+    // them as plan literals — the expression-level equivalent of a
+    // broadcast, but with ZERO joins/shuffles on the big side. (The
+    // previous shape — cross-join × nCells + row_number window — shuffled
+    // a 16×-inflated table to pick a per-row max.)
+    val cents = centroidsOf(embs, nCells)
+    if (cents.isEmpty)
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
+    val qArr = query.toArray
+    val probeCells = probeCellsFor(cents, qArr, nProbe)
     embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", -array_max(array(centStructs.toIndexedSeq: _*)).getField("negcell"))
+      .withColumn("cell", cellAssignExpr(cents))
       .where(col("cell").isin(probeCells: _*))
-      .select(col("vec_id"), round(cosine(col("v"), q), 6).as("sim"))
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The 100 TB storage layout for IVF: materialize the table PARTITIONED
+    * BY cell id (plus the centroid metadata alongside), so a probe prunes
+    * FILE READS — `nProbe/nCells` of the bytes ever touch an executor,
+    * enforced by partition pruning at the scan, not by a post-scan filter.
+    */
+  def buildIvfIndex(embs: DataFrame, indexDir: String, nCells: Int = 16): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = centroidsOf(embs, nCells)
+    embs
+      .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellAssignExpr(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/data")
+    cents.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a `buildIvfIndex` layout: the `cell IN (...)` predicate lands in
+    * the scan's PartitionFilters (directory-level pruning — unprobed cells'
+    * files are never opened), then exact scoring + TakeOrderedAndProject. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      query: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val qArr = query.toArray
+    val probeCells = probeCellsFor(cents, qArr, nProbe)
+    spark.read.parquet(s"$indexDir/data")
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), lit(qArr)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

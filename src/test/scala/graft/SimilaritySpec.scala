@@ -56,6 +56,31 @@ class SimilaritySpec extends TestBase {
     assert(ex.getMessage.contains("bucketedNearDup"))
   }
 
+  test("IVF index: partition-pruned probe matches the inline path") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(e, dir, nCells = 16)
+    // data laid out as one directory per cell
+    val cellDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, q, 10)
+    val inline = Similarity.ivfTopK(e, q, 10).as[(Long, Double)].collect().toSeq
+    assert(indexed.as[(Long, Double)].collect().toSeq == inline)
+
+    // the probe predicate must prune at the PARTITION level (directory
+    // pruning — unprobed cells' files never open), not as a row filter
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "cell IN (...) must appear as a partition filter:\n" + plan.take(2000))
+  }
+
   test("LSH buckets: deterministic, identical vectors share a bucket") {
     val e = Seq(
       (1L, Array(0.5f, -0.2f, 0.8f)), (2L, Array(0.5f, -0.2f, 0.8f)),
