@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: write an N× copy of a testdata dir by
+  * unioning key-shifted copies of the FACT tables (orders/lineitem keep a
+  * consistent o_orderkey↔l_orderkey shift; events shift event_id/user_id).
+  * Dimension tables and the dedup/similarity corpora copy through 1× —
+  * dims because that's what dims do at scale, documents/embeddings because
+  * their brute-force DuckDB oracles are O(n²) and the probe must stay
+  * checkable. `tools/check.py` understands the resulting dataset dirs.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keyOff = 10000000L // far above any source key space
+    def copies(table: String, shift: Map[String, Long => org.apache.spark.sql.Column]) = {
+      val base = Tables(spark, srcDir, table)
+      (0 until factor).map { i =>
+        shift.foldLeft(base) { case (df, (c, f)) => df.withColumn(c, f(i.toLong)) }
+      }.reduce(_ unionByName _)
+    }
+
+    def write(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      println(s"[scalegen] $table -> ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
+    }
+
+    write("orders", copies("orders",
+      Map("o_orderkey" -> (i => col("o_orderkey") + lit(i * keyOff)))))
+    write("lineitem", copies("lineitem",
+      Map("l_orderkey" -> (i => col("l_orderkey") + lit(i * keyOff)))))
+    write("events", copies("events", Map(
+      "event_id" -> (i => col("event_id") + lit(i * keyOff)),
+      "user_id" -> (i => col("user_id") + lit(i * keyOff)))))
+    Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings").foreach { t =>
+      write(t, Tables(spark, srcDir, t))
+    }
+    spark.stop()
+  }
+}

@@ -150,22 +150,25 @@ object Dedup {
     * signature is 1 iff the integer vote sum is positive. Integer votes →
     * bit-exact across engines regardless of aggregation order.
     *
-    * Scale: one token explode + one (doc, bit) grouped integer sum —
-    * map-side combinable, shuffle O(docs × 16).
+    * Scale: one token explode → ONE groupBy(doc_id) with 16 parallel
+    * integer vote sums (map-side combined; no ×16 row blowup) → one
+    * 16-term concat projection. Shuffle O(docs × 16) ints.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    val votes = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sig = concat((0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"), md5(col("tok")).as("h"))
-      .select(col("doc_id"), col("j"),
-        when(expr("substring(h, j + 1, 1)").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1).as("vote"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("s"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(concat_ws("", expr(
-        "transform(array_sort(collect_list(struct(j, s))), x -> CASE WHEN x.s > 0 THEN '1' ELSE '0' END)"))
-        .as("sig"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
 
   /** SimHash 64-bit signature as one BIGINT: bit j (j = 0 is the most
     * significant) takes hex digit `j/4` of `md5(token)`, bit `3 - j%4` of
