@@ -632,5 +632,29 @@ object CoreQueries {
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("o_custkey", "rk")
     },
+
+    // Extension: point-in-interval range join (operators/RangeJoin) — each
+    // user's first-hour activity window vs ALL events, bucketized to an
+    // equi-join (no BroadcastNestedLoopJoin). The oracle is the naive
+    // BETWEEN join, blocking-agnostic.
+    QueryDef("q36_range_join")(
+      """WITH iv AS (SELECT user_id AS iv_user, min(ts) AS start_ts,
+        |              min(ts) + INTERVAL 1 HOUR AS end_ts
+        |            FROM events GROUP BY 1)
+        | SELECT iv.iv_user, CAST(count(*) AS BIGINT) AS n_events
+        | FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        | GROUP BY 1 ORDER BY iv_user""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val ev = t("events")
+      val iv = ev.groupBy("user_id").agg(min(col("ts")).as("start_ts"))
+        .select(col("user_id").as("iv_user"), col("start_ts"),
+          (col("start_ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("ts")), iv, "ts", "start_ts", "end_ts", bucketWidth = 3600L)
+        .groupBy(col("iv_user"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("iv_user")
+    },
   )
 }

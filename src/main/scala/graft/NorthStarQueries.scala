@@ -299,6 +299,87 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end corpus-curation pipeline: quality gate → exact dedup →
+    // per-language counts. The canonical composition of the operators above
+    // — every stage is the declared operator, not a reimplementation.
+    QueryDef("txt_pipeline")(
+      s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
+         |   UNION ALL SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 20),
+         | q AS (SELECT doc_id,
+         |         round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+         |             + least(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+         |                     / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5, 6) AS score
+         |       FROM corpus),
+         | kept AS (SELECT c.doc_id, c.text, c.lang FROM corpus c
+         |          JOIN q ON c.doc_id = q.doc_id WHERE q.score >= 0.5),
+         | keeps AS (SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+         |           FROM kept GROUP BY md5(text)),
+         | fin AS (SELECT k.lang FROM kept k JOIN keeps d ON k.doc_id = d.keep_id)
+         | SELECT lang, CAST(count(*) AS BIGINT) AS n
+         | FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val corpus = d.unionAll(d.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      val kept = corpus.join(
+        TextAnalysis.quality(corpus).where(col("quality_score") >= 0.5).select("doc_id"),
+        Seq("doc_id"))
+      val keeps = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+      kept.join(keeps, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // Text scrub/normalize (PII-style masking + whitespace collapse) — a
+    // per-row codegen'd projection, the standard pre-tokenization cleanup.
+    QueryDef("txt_scrub")(
+      """SELECT doc_id,
+        |   regexp_replace(regexp_replace(lower(text), '[0-9]', '#', 'g'), ' +', ' ', 'g') AS scrubbed
+        | FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(lower(col("text")), "[0-9]", "#"), " +", " ")
+            .as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic sampling -----------------------------------------
+    // Hash-mod sampling (operators/Sampling): reproducible across engines,
+    // runs and cluster sizes — df.sample() is seed×partitioning dependent,
+    // a hash bucket is a pure row property.
+    QueryDef("smp_hash")(
+      """SELECT doc_id,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        | FROM documents
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      graft.operators.Sampling.hashSample(d, col("doc_id"), 10)
+        .select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified: downsample the dominant language, keep the tail — the
+    // canonical corpus-rebalancing step. Strata outside the map drop.
+    QueryDef("smp_stratified")(
+      """WITH s AS (SELECT lang,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |           FROM documents)
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s
+        | WHERE (lang = 'en' AND b < 10) OR (lang = 'de' AND b < 50)
+        |    OR (lang = 'zh' AND b < 100)
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      graft.operators.Sampling.stratifiedSample(d, col("lang"), col("doc_id"),
+          Map("en" -> 10, "de" -> 50, "zh" -> 100))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
     // ---- multimodal ------------------------------------------------------
     QueryDef("mm_decode")(
       """SELECT doc_id, 'application/x-fake-' || source AS mime,

@@ -1,12 +1,32 @@
 package graft
 
 import graft.functions.TopK
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.functions._
 
 class AsOfTopKSpec extends TestBase {
 
   import spark.implicits._
+
+  test("rangeJoin: bucketed == brute force, inclusive bounds, multi-bucket intervals") {
+    // intervals of varied length: shorter, equal, and 3× the bucket width
+    val iv = Seq((1L, 0L, 5L), (2L, 8L, 18L), (3L, 20L, 50L), (4L, 90L, 91L))
+      .toDF("iv_id", "lo", "hi")
+    val pts = (0L until 100L).map(p => p -> s"p$p").toDF("pt", "tag")
+    val got = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", bucketWidth = 10L)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (id, lo, hi) <- Seq((1L, 0L, 5L), (2L, 8L, 18L), (3L, 20L, 50L), (4L, 90L, 91L))
+      p <- 0L until 100L if p >= lo && p <= hi
+    } yield (id, p)).toSet
+    assert(got == brute)
+    // inclusive at both ends
+    assert(got.contains((1L, 0L)) && got.contains((1L, 5L)))
+    // each pair appears exactly once (no per-bucket duplicates)
+    val all = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 10L)
+      .select("iv_id", "pt").as[(Long, Long)].collect()
+    assert(all.length == all.toSet.size)
+  }
 
   test("asOf: most recent prior value, inclusive tie, null before first") {
     val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (1L, 20L, "l3"), (2L, 7L, "l4"))
