@@ -633,6 +633,28 @@ object CoreQueries {
         .orderBy("o_custkey", "rk")
     },
 
+    // Extension: sketch aggregates. The approximate values are
+    // engine-specific (HLL++ / GK), so the CHECKED claim is a golden
+    // tolerance contract: the sketch estimates land within the stated
+    // error of the exact answers computed in the same plan. Deterministic
+    // for a fixed input — a real oracle row, not a rows-only waiver.
+    QueryDef("q37_sketches")(
+      "SELECT true AS cd_within_3pct, true AS p50_within_5pct"
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      // rsd 0.01 → 3σ bound 3%; the default 5% rsd misses a 2% contract.
+      t("lineitem").agg(
+          countDistinct(col("l_orderkey")).as("cd_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("cd_approx"),
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_approx"))
+        .select(
+          (abs(col("cd_approx") - col("cd_exact")) / col("cd_exact") < 0.03)
+            .as("cd_within_3pct"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.05)
+            .as("p50_within_5pct"))
+    },
+
     // Extension: point-in-interval range join (operators/RangeJoin) — each
     // user's first-hour activity window vs ALL events, bucketized to an
     // equi-join (no BroadcastNestedLoopJoin). The oracle is the naive

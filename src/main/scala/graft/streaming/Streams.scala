@@ -91,6 +91,15 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static join: enrich the stream with a batch dimension table —
+    * no streaming state at all (the static side is re-planned per
+    * micro-batch, so slowly-changing dims refresh for free); broadcast
+    * keeps the big stream shuffle-free, the same join discipline as the
+    * batch side. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class UserAgg(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event count
@@ -107,6 +116,29 @@ object Streams {
           rows.foreach { r => n += 1; tot += r._2 }
           state.update(RunningState(n, tot))
           UserAgg(uid, n, tot)
+      }
+  }
+
+  /** Per-micro-batch running-total DELTAS via flatMapGroupsWithState —
+    * the zero-or-more-rows-per-group custom-state API (vs
+    * `mapGroupsWithState`'s exactly-one): only users touched in the batch
+    * emit, unchanged users stay silent. Append-compatible. */
+  def userTotalDeltas(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          var touched = false
+          rows.foreach { r => n += 1; tot += r._2; touched = true }
+          if (!touched) Iterator.empty
+          else {
+            state.update(RunningState(n, tot))
+            Iterator.single(UserAgg(uid, n, tot))
+          }
       }
   }
 

@@ -153,4 +153,27 @@ class StreamingSpec extends TestBase {
     val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
     assert(finalState.exceptAll(batch).isEmpty && batch.exceptAll(finalState).isEmpty)
   }
+
+  test("stream-static join enriches every event, matches the batch join") {
+    // static dim derived from the batch side: user → cohort
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(4))))
+    val streamed = Streams.runToCompletion(spark,
+      Streams.enrichWithStatic(Streams.eventsStream(spark, eventsPath), dim)
+        .select("event_id", "user_id", "cohort"),
+      "t_static_join")
+    val batch = batchEvents.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "cohort")
+    assert(streamed.count() == batchEvents.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("flatMapGroupsWithState deltas converge to the batch aggregate") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.userTotalDeltas(Streams.eventsStream(spark, eventsPath)).toDF(),
+      "t_deltas", OutputMode.Append())
+    val finalState = streamed.groupBy("user_id").agg(max(col("n")).as("n"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalState.exceptAll(batch).isEmpty && batch.exceptAll(finalState).isEmpty)
+  }
 }
