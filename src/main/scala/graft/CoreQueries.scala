@@ -643,11 +643,18 @@ object CoreQueries {
     ) { (s, d) =>
       implicit val sd = (s, d)
       // rsd 0.01 → 3σ bound 3%; the default 5% rsd misses a 2% contract.
-      t("lineitem").agg(
-          countDistinct(col("l_orderkey")).as("cd_exact"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("cd_approx"),
-          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
-          expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_approx"))
+      // The exact distinct count runs as its OWN aggregation: mixing a
+      // distinct agg (Expand plan) with object-buffer sketch aggregates in
+      // one agg() forces every sketch through the expanded row stream —
+      // measured 31 s vs 1 s at sf0.1 for the two-pass + cross-join shape.
+      val li = t("lineitem")
+      val exact = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("cd_exact"))
+      val sketches = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("cd_approx"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_approx"))
+      exact.crossJoin(sketches)
         .select(
           (abs(col("cd_approx") - col("cd_exact")) / col("cd_exact") < 0.03)
             .as("cd_within_3pct"),
