@@ -279,6 +279,25 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Ranking-analytic completeness: percent_rank / cume_dist / nth_value
+    // (o_orderkey is unique per partition, so RANGE vs ROWS defaults for
+    // nth_value coincide across engines).
+    QueryDef("q15c_window_rank_stats")(
+      """SELECT o_custkey, o_orderkey,
+        |   round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS pct_rank,
+        |   round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS cume,
+        |   nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nth2
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t("orders").select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(w).as("nth2"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     QueryDef("q16_window_frame")(
       """SELECT o_orderkey,
         |   ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey
@@ -631,6 +650,49 @@ object CoreQueries {
         .select(col("o_custkey"), col("e._1").as("o_orderkey"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("o_custkey", "rk")
+    },
+
+    // Array construction + manipulation: ordered collect, slice, membership
+    // (string-rendered — cross-engine array cell rendering differs, strings
+    // hash identically).
+    QueryDef("q38_array_funcs")(
+      """WITH a AS (SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS ks
+        |           FROM orders GROUP BY 1)
+        | SELECT o_custkey, CAST(len(ks) AS INT) AS n,
+        |   CAST(ks[1] AS BIGINT) AS first_k,
+        |   coalesce(array_to_string(ks[2:3], ','), '') AS mid,
+        |   list_contains(ks, o_custkey) AS has_self
+        | FROM a ORDER BY o_custkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"), size(col("ks")).as("n"),
+          element_at(col("ks"), 1).as("first_k"),
+          concat_ws(",", slice(col("ks"), 2, 2)).as("mid"),
+          array_contains(col("ks"), col("o_custkey")).as("has_self"))
+        .orderBy("o_custkey")
+    },
+
+    // NULL semantics: nullif-manufactured nulls, null-ignoring count,
+    // null-safe equality (<=> / IS NOT DISTINCT FROM).
+    QueryDef("q39_null_semantics")(
+      """SELECT CAST(count(*) AS BIGINT) AS total,
+        |   CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_nonnull,
+        |   CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+        |   coalesce(min(nullif(o_orderstatus, 'O')), 'none') AS min_nonnull
+        | FROM orders""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").agg(
+        count(lit(1)).as("total"),
+        count(nullif(col("o_orderstatus"), lit("O"))).as("n_nonnull"),
+        sum(when(nullif(col("o_orderstatus"), lit("O")) <=> lit(null), 1)
+          .otherwise(0)).as("n_nullsafe_null"),
+        coalesce(min(nullif(col("o_orderstatus"), lit("O"))), lit("none"))
+          .as("min_nonnull"))
     },
 
     // Extension: sketch aggregates. The approximate values are

@@ -96,10 +96,16 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
       .select(col("doc_id"), col("k.band"), col("k.sig"))
-    val capped = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
-      .where(col("bucket_n") <= maxBucket)
+    // Cap via a broadcast anti-join against the OVERSIZED bucket list: the
+    // count aggregate is map-side combined and the blocklist is tiny (only
+    // pathological boilerplate buckets exceed the cap), so the bucket rows
+    // themselves never shuffle — vs a Window.partitionBy(band, sig) count,
+    // which sort-shuffles every row.
+    val tooBig = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val capped = buckets.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
