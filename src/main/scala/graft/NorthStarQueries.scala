@@ -394,6 +394,34 @@ object NorthStarQueries {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // REAL byte-level feature extraction (primitive loop over the payload);
+    // oracle counts the same classes via regexp on the ASCII text (see the
+    // documented corpus assumption above: payload bytes == characters).
+    QueryDef("mm_features")(
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |   CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+        |   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |   CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+        |   CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9 ]')) AS BIGINT) AS n_other
+        | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(
+        Tables(s, dir, "documents").where(col("doc_id") < 100)))
+        .toDF().orderBy("doc_id")
+    },
+
+    // Resize stub: fixed-size normalized payload + fingerprint (truncate /
+    // '.'-pad — deterministic in both engines via rpad on the ASCII twin).
+    QueryDef("mm_resize")(
+      """SELECT doc_id, CAST(16 AS BIGINT) AS out_len,
+        |   md5(rpad(substr(text, 1, 16), 16, '.')) AS resized_md5
+        | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.resizeStub(Multimodal.mediaTable(
+        Tables(s, dir, "documents").where(col("doc_id") < 100)))
+        .orderBy("doc_id")
+    },
+
     QueryDef("mm_frames")(
       """WITH d AS (SELECT doc_id, text, CAST(ceil(length(text) / 32.0) AS INT) AS nf
         |           FROM documents WHERE doc_id < 10)

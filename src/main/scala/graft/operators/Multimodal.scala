@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * Dataset, partition-batched kernel invocation, output shape) is real. */
 final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
 
+/** REAL byte-level features for one media item (no stub — pure payload
+  * statistics a curation pipeline filters on before any decode). */
+final case class ByteFeatures(
+    doc_id: Long,
+    byte_len: Long,
+    n_alpha: Long,
+    n_digit: Long,
+    n_space: Long,
+    n_other: Long)
+
 /** Stub "decoded features" for one media item. */
 final case class MediaFeatures(
     doc_id: Long,
@@ -56,6 +66,49 @@ object Multimodal {
           n_frames = (len % 24).toInt + 1)
       }
     }
+  }
+
+  /** Byte-level feature extraction — REAL, not a stub: a tight primitive
+    * loop over the raw payload per row (the shape a SIMD/native kernel
+    * drops into), classifying every byte. The curation use: filter media
+    * rows on cheap byte statistics BEFORE paying for any decode. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[ByteFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var a = 0L; var d = 0L; var sp = 0L; var o = 0L
+        var i = 0
+        while (i < r.content.length) {
+          val b = r.content(i)
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) a += 1
+          else if (b >= '0' && b <= '9') d += 1
+          else if (b == ' ') sp += 1
+          else o += 1
+          i += 1
+        }
+        ByteFeatures(r.doc_id, r.content.length.toLong, a, d, sp, o)
+      }
+    }
+  }
+
+  /** Resize stub: normalize every payload to exactly `targetBytes`
+    * (truncate long, pad short with '.') — the deterministic stand-in for
+    * an image resample, with the REAL plumbing: per-row binary in, fixed-
+    * size binary out, fingerprint for downstream exact-dedup of the
+    * resized artifacts. A real resampler replaces only the byte loop. */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte](targetBytes)
+        java.util.Arrays.fill(out, '.'.toByte)
+        System.arraycopy(r.content, 0, out, 0, math.min(targetBytes, r.content.length))
+        (r.doc_id, out.length.toLong, out)
+      }
+    }.toDF("doc_id", "out_len", "resized")
+      .select(col("doc_id"), col("out_len"), md5(col("resized")).as("resized_md5"))
   }
 
   /** Frame sampling stub: split the payload into fixed-size "frames" and
