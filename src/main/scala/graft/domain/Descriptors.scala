@@ -60,15 +60,21 @@ object Descriptors {
     s"""{"Individuals":$individuals,"Total loci":$totalLoci,""" +
       s""""Shared loci":$sharedLoci,"Format":"$format"}"""
 
-  /** Write each descriptor row as its own file with `"%d\t%s\n"` framing. */
-  def writeKeyed(df: DataFrame, outDir: String, jsonCol: String = "json"): Unit = {
-    val spark = df.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
-    df.select(col("key"), col(jsonCol), col("file")).collect().foreach { r =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(outDir, r.getString(2)), true)
-      try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
-      finally out.close()
-    }
-  }
+  /** Write each descriptor row as its own exactly-named file with
+    * `"%d\t%s\n"` framing. Distributed: each task writes its partition's
+    * files (same discipline as `ChunkSink`) — the reference's driver loop
+    * (`LASERInputValidator.java:168-182`) serializes 1 file per chunk
+    * through one process, which stops scaling at the 10⁶–10⁷ chunk counts
+    * the chunking design note targets. */
+  def writeKeyed(df: DataFrame, outDir: String, jsonCol: String = "json"): Unit =
+    df.select(col("key"), col(jsonCol), col("file"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+        rows.foreach { r =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, r.getString(2)), true)
+          try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
 }

@@ -60,6 +60,19 @@ class WorkflowConfigSpec extends TestBase {
     assert(seq2.exists(), "a failed chunk write must leave the original in place")
   }
 
+  test("R24: distributed descriptor write — exact names, key-TSV-JSON framing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-desc").toString
+    graft.domain.Descriptors.writeKeyed(
+      graft.domain.Descriptors.laserStudyPca(spark, chunks = 3, "/chunks",
+        "study.site.gz", "HGDP", "HGDP.pc", 4, 20), dir)
+    val f1 = java.nio.file.Paths.get(dir, "1.batch")
+    assert(java.nio.file.Files.exists(f1), "each descriptor writes its exact file name")
+    val content = java.nio.file.Files.readString(f1)
+    assert(content == "1\t" + """{"reference":"HGDP","reference_pc":"HGDP.pc","seq":"/chunks/1.chunk.seq.gz","site":"study.site.gz","dim":4,"dim_high":20}""" + "\n")
+    assert((0 until 3).forall(i =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$i.batch"))))
+  }
+
   test("R29: runFiles deletes the seq file only when every gate passes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-r29-e2e").toFile
     def gzWrite(name: String, content: Seq[String]): String = {
