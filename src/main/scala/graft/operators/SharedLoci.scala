@@ -30,6 +30,19 @@ object SharedLoci {
       .agg(count(lit(1)).as("total"), count(col("p_chr")).as("shared"))
   }
 
+  /** Per-group counts (e.g. per input file, `groupCol`) in the SAME single
+    * broadcast-join pass — the multi-VCF TRACE shape: one job for any
+    * number of files, mirroring the reference's per-file counter groups
+    * (`TRACEInputCheckMapper.java:267-269`) inside one MapReduce job. */
+  def countsBy(study: DataFrame, panel: DataFrame, groupCol: String): DataFrame = {
+    val p = broadcast(panel.select(
+      col("chr").as("p_chr"), col("pos").as("p_pos"), col("alleles")))
+    study
+      .join(p, col("chr") === col("p_chr") && col("pos") === col("p_pos") && alleleMatch, "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total"), count(col("p_chr")).as("shared"))
+  }
+
   /** The matching loci themselves (semi-join form) — the rows the planned
     * VCF chunking would have written (`TRACEInputCheckMapper.java:186-266`,
     * commented out in the reference). */

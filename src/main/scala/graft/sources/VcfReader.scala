@@ -28,27 +28,36 @@ object VcfReader {
       .orderBy("idx").limit(1).select("line").as[String].collect().headOption
   }
 
-  /** Header rules (R11), in the reference's evaluation order: presence of a
-    * `#CHROM`-prefixed header (`:179-183`), then sample count (`:127-131` —
-    * checked BEFORE the column names), then positional name equality
-    * (`:133-167`). */
+  /** Pure header-string rules (R11), in the reference's evaluation order:
+    * presence of a `#CHROM`-prefixed header (`:179-183`), then sample count
+    * (`:127-131` — checked BEFORE the column names), then positional name
+    * equality (`:133-167`). Shared by the single-file and the unioned
+    * multi-file (one-job) paths. */
+  def validateHeaderString(header: Option[String]): Seq[ValidationError] = header match {
+    case None => Seq(ValidationError("VCF_NO_HEADER"))
+    case Some(h) if !h.startsWith("#CHROM") => Seq(ValidationError("VCF_NO_HEADER"))
+    case Some(h) =>
+      val fields = h.split("\t", -1)
+      if (fields.length <= 9) Seq(ValidationError("VCF_HEADER_NO_SAMPLES"))
+      else fixedHeader.zipWithIndex.collectFirst {
+        case (want, i) if fields(i) != want =>
+          val tag = if (i == 0) "CHROM" else want
+          ValidationError(s"VCF_HEADER_NO_$tag", detail = s"found '${fields(i)}'")
+      }.toSeq
+  }
+
+  /** Sample column names of a header line (empty when header is absent or
+    * malformed). */
+  def samplesOf(header: Option[String]): Seq[String] = header match {
+    case Some(h) if h.startsWith("#CHROM") => h.split("\t", -1).drop(9).toSeq
+    case _ => Seq.empty
+  }
+
   def validateHeader(lines: DataFrame, groups: Option[DataFrame]): Dataset[ValidationError] = {
     val spark = lines.sparkSession
     import spark.implicits._
     val header = headerLine(lines) // one scan, reused below
-    val errs: Seq[ValidationError] = header match {
-      case None => Seq(ValidationError("VCF_NO_HEADER"))
-      case Some(h) if !h.startsWith("#CHROM") => Seq(ValidationError("VCF_NO_HEADER"))
-      case Some(h) =>
-        val fields = h.split("\t", -1)
-        if (fields.length <= 9) Seq(ValidationError("VCF_HEADER_NO_SAMPLES"))
-        else fixedHeader.zipWithIndex.collectFirst {
-          case (want, i) if fields(i) != want =>
-            val tag = if (i == 0) "CHROM" else want
-            ValidationError(s"VCF_HEADER_NO_$tag", detail = s"found '${fields(i)}'")
-        }.toSeq
-    }
-    val headerErrs = spark.createDataset(errs)
+    val headerErrs = spark.createDataset(validateHeaderString(header))
     // Sample-membership check (`:169-178`): every sample column must appear
     // in the groups file when one is supplied.
     val memberErrs = (header, groups) match {

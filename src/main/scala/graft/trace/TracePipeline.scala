@@ -33,24 +33,19 @@ object TracePipeline {
       Descriptors.studyMetaJson(individuals, totalLoci, sharedLoci, format)
   }
 
-  /** Validate + count one VCF (already as lines) against the panel. */
-  def runOne(fileId: String, vcfLines: DataFrame, panel: DataFrame,
-      groups: Option[DataFrame]): (ErrorSummary, FileStats) = {
-    val errs = ErrorSummary.of(VcfReader.validateHeader(vcfLines, groups))
-    if (!errs.isEmpty) (errs.inFile(fileId), FileStats(fileId, 0, 0, 0))
-    else {
-      val parsed = VcfReader.parse(vcfLines)
-      val counts = SharedLoci.counts(
-        parsed.body.select(col("chrom").as("chr"), col("pos"), col("ref"), col("alt")),
-        panel).collect()(0)
-      (ErrorSummary.empty, FileStats(fileId, parsed.samples.distinct.size,
-        counts.getLong(0), counts.getLong(1)))
-    }
-  }
-
   /** Multi-file run: format dispatch (R7), per-file stats, cross-file
     * individual-count agreement (TreeSet-size check,
-    * `TRACEInputValidator.java:230-233`), `sharedLoci <= 100` gate (`:235-238`). */
+    * `TRACEInputValidator.java:230-233`), `sharedLoci <= 100` gate (`:235-238`).
+    *
+    * ONE distributed pass for any number of files — the reference validates
+    * every VCF inside a single MapReduce job with per-file counter groups
+    * (`TRACEInputCheckMapper.java:267-269`); a file-at-a-time loop would run
+    * O(#files) Spark jobs. Shape: union all line sets with a `file` tag,
+    * then (1) one `min_by` aggregate extracts every header line (#files
+    * rows of driver metadata), (2) header rules run driver-side on those
+    * strings, (3) one anti-join checks every file's samples against the
+    * groups table, (4) one grouped broadcast-join pass counts total/shared
+    * loci for all clean files (`SharedLoci.countsBy`). */
   def run(files: Seq[(String, DataFrame)], panelLines: DataFrame,
       groupsLines: Option[DataFrame], format: String = "vcf"): Result = {
 
@@ -65,14 +60,73 @@ object TracePipeline {
       case Right(_) =>
     }
 
+    val spark = panelLines.sparkSession
+    import spark.implicits._
     val panel = PanelReader.parse(panelLines)
     val groups = groupsLines.map(GroupsReader.parse)
     val groupSum = groupsLines.map(g => ErrorSummary.of(GroupsReader.validate(g)))
       .getOrElse(ErrorSummary.empty)
 
-    val results = files.map { case (id, lines) => runOne(id, lines, panel, groups) }
-    val errs = results.map(_._1).foldLeft(groupSum)(_ ++ _)
-    val stats = results.map(_._2)
+    val unioned = files.map { case (id, df) => df.withColumn("file", lit(id)) }
+      .reduce(_ unionByName _)
+
+    // (1) per-file header line (first non-## line) — bounded metadata.
+    val headerRows = unioned.where(!col("line").startsWith("##"))
+      .groupBy(col("file"))
+      .agg(min_by(col("line"), col("idx")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val headers: Seq[(String, Option[String])] =
+      files.map { case (id, _) => id -> headerRows.get(id) }
+
+    // (2) header-string rules, driver-side on #files strings.
+    val headerErrsByFile: Map[String, Seq[ValidationError]] =
+      headers.map { case (id, h) =>
+        id -> VcfReader.validateHeaderString(h).map(_.copy(file = id))
+      }.toMap
+    val headerSum = ErrorSummary.ofSeq(files.flatMap(f => headerErrsByFile(f._1)))
+
+    // (3) sample membership for every clean-header file in one anti-join.
+    val samplePairs = headers.flatMap { case (id, h) =>
+      VcfReader.samplesOf(h).map(s => (id, s))
+    }
+    val (memberSum, memberErrFiles) = groups match {
+      case Some(g) if samplePairs.nonEmpty =>
+        val missing = samplePairs.toDF("file", "s")
+          .join(broadcast(g.select(col("sample"))), col("s") === col("sample"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sum = ErrorSummary.of(missing.as[(String, String)]
+          .map { case (f, s) => ValidationError("VCF_SAMPLE_NOT_IN_GROUP", file = f, detail = s) })
+        val errFiles = missing.select("file").distinct().as[String].collect().toSet
+        (sum, errFiles)
+      case _ => (ErrorSummary.empty, Set.empty[String])
+    }
+
+    // (4) total/shared loci for all clean files in one grouped pass; a
+    // clean file with zero body rows simply has no group row → (0, 0).
+    val erroredFiles = headerErrsByFile.filter(_._2.nonEmpty).keySet ++ memberErrFiles
+    val cleanIds = files.map(_._1).filterNot(erroredFiles)
+    val statsByFile: Map[String, (Long, Long)] =
+      if (cleanIds.isEmpty) Map.empty
+      else {
+        val t = split(col("line"), "\t")
+        val body = unioned
+          .where(col("file").isin(cleanIds: _*))
+          .where(!col("line").startsWith("#"))
+          .select(col("file"), t.getItem(0).as("chr"), get(t, lit(1)).as("pos"),
+            get(t, lit(3)).as("ref"), get(t, lit(4)).as("alt"))
+        SharedLoci.countsBy(body, panel, "file").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+
+    val samplesByFile = headers.toMap
+    val stats = files.map { case (id, _) =>
+      if (erroredFiles.contains(id)) FileStats(id, 0, 0, 0)
+      else {
+        val (total, shared) = statsByFile.getOrElse(id, (0L, 0L))
+        FileStats(id, VcfReader.samplesOf(samplesByFile(id)).distinct.size, total, shared)
+      }
+    }
+    val errs = groupSum ++ headerSum ++ memberSum
     val firstErr = errs.firstError
 
     val gates = if (firstErr.isEmpty) {
