@@ -99,6 +99,28 @@ class PipelinesSpec extends TestBase {
     assert(r.gateMessages.exists(_.contains("different number of individuals")))
   }
 
+  test("trace: one-pass multi-file — errored, clean, and empty-body files coexist") {
+    val clean = Fixtures.vcfLines
+    val emptyBody = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tind_001\tind_002")
+    val badHeader = Seq("##meta only, no header at all")
+    val r = TracePipeline.run(
+      Seq("ok.vcf.gz" -> lines(clean), "empty.vcf.gz" -> lines(emptyBody),
+        "bad.vcf.gz" -> lines(badHeader)),
+      lines(Fixtures.slPanelLines), None)
+    assert(r.firstError.map(_.name).contains("VCF_NO_HEADER"))
+    assert(r.errors.exists(e => e.code == "VCF_NO_HEADER" && e.file == "bad.vcf.gz"))
+    val byId = r.perFile.map(s => s.fileId -> s).toMap
+    // clean file: counted; empty-body file: header-derived individuals,
+    // zero loci; errored file: all zero
+    assert(byId("ok.vcf.gz").individuals == 2 && byId("ok.vcf.gz").totalLoci == 2)
+    assert(byId("empty.vcf.gz").individuals == 2 && byId("empty.vcf.gz").totalLoci == 0)
+    assert(byId("bad.vcf.gz") == TracePipeline.FileStats("bad.vcf.gz", 0, 0, 0))
+    // order preserved from the input file list
+    assert(r.perFile.map(_.fileId) == Seq("ok.vcf.gz", "empty.vcf.gz", "bad.vcf.gz"))
+  }
+
   test("trace: format dispatch — stubs accepted, unknown rejected (R7)") {
     val ok = TracePipeline.run(Seq("a" -> lines(Fixtures.vcfLines)),
       lines(Fixtures.slPanelLines), None, format = "23andMe")
