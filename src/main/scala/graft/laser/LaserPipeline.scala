@@ -56,13 +56,17 @@ object LaserPipeline {
     val spark = seqLines.sparkSession
 
     val groupsDf = groupsLines.map(GroupsReader.parse)
-    // Bounded error channel: each validator reduces to per-code counts +
-    // capped samples BEFORE the driver sees anything (ErrorSummary.of) —
-    // an input where every row is broken stays O(#codes × k) here.
-    val groupSum = groupsLines.map(g => ErrorSummary.of(GroupsReader.validate(g)))
-      .getOrElse(ErrorSummary.empty)
-    val seqSum = ErrorSummary.of(SeqReader.validate(seqLines, groupsDf))
-    val siteSum = ErrorSummary.of(SiteReader.validate(siteLines))
+    // Bounded error channel: the three validators UNION into one dataset
+    // and reduce to per-code counts + capped samples in a single job
+    // (ErrorSummary.of) — an input where every row is broken stays
+    // O(#codes × k) on the driver, and the happy path pays one validation
+    // job, not three.
+    val fileSum = ErrorSummary.of(
+      groupsLines.map(GroupsReader.validate)
+        .getOrElse(seqLines.sparkSession.emptyDataset[ValidationError](
+          org.apache.spark.sql.Encoders.product[ValidationError]))
+        .union(SeqReader.validate(seqLines, groupsDf))
+        .union(SiteReader.validate(siteLines)))
 
     val seqParsed = SeqReader.parse(seqLines)
     // One aggregate pass: individuals (distinct) + locus-count consensus
@@ -79,14 +83,17 @@ object LaserPipeline {
     val countsRow = SharedLoci.counts(site.select("chr", "pos", "ref", "alt"), panel).collect()(0)
     val (totalLoci, sharedLoci) = (countsRow.getLong(0), countsRow.getLong(1))
 
-    // R20: site row count must equal the seq locus count.
+    // R20: site row count must equal the seq locus count — only when the
+    // site file itself validated (the reference aborts the site scan on a
+    // header error before ever counting, `LASERInputCheckMapper.java:203-235`).
+    val siteFailed = fileSum.counts.keys.exists(SiteReader.codes)
     val crossSum =
-      if (siteSum.isEmpty && totalLoci != minLoci)
+      if (!siteFailed && totalLoci != minLoci)
         ErrorSummary.ofSeq(Seq(ValidationError("SITE_FILE_LOCI_NOT_IN_SEQ",
           detail = s"site rows $totalLoci != seq loci $minLoci")))
       else ErrorSummary.empty
 
-    val all = ErrorSummary.ofSeq(preErrors) ++ groupSum ++ seqSum ++ siteSum ++ crossSum
+    val all = ErrorSummary.ofSeq(preErrors) ++ fileSum ++ crossSum
 
     val chunks = chunksOut match {
       case Some(dir) if all.firstError.isEmpty =>

@@ -109,6 +109,11 @@ object SiteReader {
 
   val header: Seq[String] = Seq("CHR", "POS", "ID", "REF", "ALT")
 
+  /** Every code `validate` can emit — lets a merged multi-validator
+    * summary answer "did the SITE file fail" without a separate job. */
+  val codes: Set[String] =
+    Set("SITE_FILE_TOO_FEW_COLUMNS") ++ header.map(h => s"SITE_FILE_HEADER_NO_$h")
+
   /** lines → (chr, pos, id, ref, alt); header row (idx 0) dropped; `pos`
     * stays STRING (the reference only ever string-concats `chr:pos`, `:243`). */
   def parse(lines: DataFrame): DataFrame = {
