@@ -133,10 +133,18 @@ object Dedup {
   /** `ngramJaccard` over a pre-computed (ideally persisted) shingle set. */
   def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Prune the shingle table to CANDIDATE docs before anything heavy: the
+    // candidate set is ≪ corpus (that's the whole point of LSH), so the
+    // semi-join cuts both intersection-join inputs and the size aggregate
+    // from O(corpus shingles) to O(candidate shingles).
+    val candDocs = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = p
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shc.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
