@@ -167,6 +167,14 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Oracle is exact all-pairs cosine; the engine is LSH-blocked. The
+    // equivalence rests on a VERIFIED corpus property: the only pairs at
+    // cosine ≥ 0.9 are the planted EXACT copies (max natural cross-pair
+    // cosine ≈ 0.51 across all SFs), and exact copies always share a
+    // bucket (hyperplane signs are scale-invariant) — so blocking loses
+    // nothing here. On a corpus with organic near-misses, the hash gate
+    // would legitimately flag recall < 1; that is the documented LSH
+    // trade-off, not an engine bug.
     QueryDef("dd_embed_neardup")(
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),

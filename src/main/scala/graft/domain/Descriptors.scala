@@ -66,15 +66,17 @@ object Descriptors {
     * (`LASERInputValidator.java:168-182`) serializes 1 file per chunk
     * through one process, which stops scaling at the 10⁶–10⁷ chunk counts
     * the chunking design note targets. */
-  def writeKeyed(df: DataFrame, outDir: String, jsonCol: String = "json"): Unit =
+  def writeKeyed(df: DataFrame, outDir: String, jsonCol: String = "json"): Unit = {
+    // session Hadoop conf, not executor-default (see HadoopConf)
+    val hconf = graft.sources.HadoopConf.of(df)
     df.select(col("key"), col(jsonCol), col("file"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+        val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf.value)
         rows.foreach { r =>
           val out = fs.create(new org.apache.hadoop.fs.Path(outDir, r.getString(2)), true)
           try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
           finally out.close()
         }
       }
+  }
 }

@@ -124,11 +124,13 @@ object ErrorSummary {
           struct(col("file"), col("line"), col("detail")))).as("ex"))
       .collect()
     val counts = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // collect_list gathers in partition-arrival order — sort for a
+    // deterministic Result.errors sequence (bit-reproducibility contract).
     val samples = rows.flatMap { r =>
       r.getSeq[org.apache.spark.sql.Row](3).map(e =>
         ValidationError(r.getString(0), r.getInt(1),
           e.getString(0), e.getLong(1), e.getString(2)))
-    }.toSeq
+    }.sortBy(e => (e.ordinal, e.file, e.line, e.detail)).toSeq
     ErrorSummary(counts, samples)
   }
 }

@@ -134,7 +134,7 @@ object LaserPipeline {
       // `:147-155`) — so gate on `r.ok`, not just firstError.
       if (deleteSeqAfterChunks && r.ok && chunksOut.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(seqPath)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
       }
       r
     }

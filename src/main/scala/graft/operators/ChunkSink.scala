@@ -30,12 +30,14 @@ object ChunkSink {
   def write(lines: DataFrame, outDir: String, chunkSize: Int = 100): Long = {
     val assigned = assign(lines, chunkSize)
     import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    // session Hadoop conf, not executor-default (see HadoopConf)
+    val hconf = graft.sources.HadoopConf.of(lines)
     assigned
       .repartition(col("chunk"))
       .sortWithinPartitions("chunk", "idx")
       .select("chunk", "line")
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value
         var current = -1L
         var writer: BufferedWriter = null
         var written = 0L
@@ -71,7 +73,8 @@ object ChunkSink {
       chunkSize: Int = 100): Long = {
     val n = write(lines, outDir, chunkSize)
     val p = new org.apache.hadoop.fs.Path(seqPath)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+    p.getFileSystem(lines.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, false)
     n
   }
 }

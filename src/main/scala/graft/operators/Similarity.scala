@@ -64,13 +64,16 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     // Fail fast instead of OOMing the driver: this is the explicit small-N
-    // exact kernel; the distributed path is `bucketedNearDup`.
-    val n0 = embs.count()
-    require(n0 <= maxRows,
-      s"pairwiseCosine collects the vector table to the driver ($n0 rows > cap $maxRows); " +
+    // exact kernel; the distributed path is `bucketedNearDup`. limit(cap+1)
+    // both enforces the cap and IS the full collect when under it — no
+    // separate count() job, one scan total.
+    val rows0 = embs.select(col("vec_id"), col("embedding"))
+      .limit(if (maxRows >= Int.MaxValue) Int.MaxValue else maxRows.toInt + 1)
+      .as[(Long, Array[Float])].collect()
+    require(rows0.length <= maxRows,
+      s"pairwiseCosine collects the vector table to the driver (> cap $maxRows rows); " +
         "use Similarity.bucketedNearDup for the distributed blocked path")
-    val rows = embs.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val rows = rows0.sortBy(_._1)
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2.map(_.toDouble))
     val bc = spark.sparkContext.broadcast((ids, vecs))
@@ -151,7 +154,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("selfdot", dot(col("v"), col("v")))
       .where(col("selfdot") > 0)
-    val bucketed = lshBuckets(embs)
+    val bucketed = lshBuckets(embs, numPlanes)
     val flips = (0 until numPlanes).map { p =>
       concat(
         substring(col("bucket"), 1, p),

@@ -60,6 +60,13 @@ object TracePipeline {
       case Right(_) =>
     }
 
+    // Empty input list (e.g. a glob that matched nothing): a well-formed
+    // Result, with the shared-loci gate firing exactly as a zero-stat run
+    // would (sum 0 <= 100) — the union/reduce below would otherwise throw.
+    if (files.isEmpty)
+      return Result(None, Nil, Map.empty, Nil,
+        Seq("Too few loci shared between study and reference panel! PCA will not be informative!"))
+
     val spark = panelLines.sparkSession
     import spark.implicits._
     val panel = PanelReader.parse(panelLines)

@@ -121,6 +121,13 @@ class PipelinesSpec extends TestBase {
     assert(r.perFile.map(_.fileId) == Seq("ok.vcf.gz", "empty.vcf.gz", "bad.vcf.gz"))
   }
 
+  test("trace: empty file list yields a clean gated Result, not a crash") {
+    val r = TracePipeline.run(Seq.empty, lines(Fixtures.slPanelLines), None)
+    assert(r.firstError.isEmpty && r.perFile.isEmpty)
+    assert(r.gateMessages.exists(_.contains("Too few loci")))
+    assert(!r.ok)
+  }
+
   test("trace: format dispatch — stubs accepted, unknown rejected (R7)") {
     val ok = TracePipeline.run(Seq("a" -> lines(Fixtures.vcfLines)),
       lines(Fixtures.slPanelLines), None, format = "23andMe")

@@ -47,6 +47,18 @@ class SimilaritySpec extends TestBase {
     assert(blocked == exact)
   }
 
+  test("bucketedNearDup honors non-default numPlanes (flips cover every plane)") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    for (planes <- Seq(4, 8, 12)) {
+      val got = Similarity.bucketedNearDup(e, 0.9, numPlanes = planes)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"numPlanes=$planes")
+    }
+  }
+
   test("pairwiseCosine refuses tables above the driver-collect cap") {
     val e = Seq((1L, Array(1.0f)), (2L, Array(1.0f)), (3L, Array(1.0f)))
       .toDF("vec_id", "embedding")
