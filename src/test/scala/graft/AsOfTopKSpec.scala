@@ -26,6 +26,12 @@ class AsOfTopKSpec extends TestBase {
     val all = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 10L)
       .select("iv_id", "pt").as[(Long, Long)].collect()
     assert(all.length == all.toSet.size)
+    // result is bucket-width invariant (width is purely a physical knob)
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", w)
+        .select("iv_id", "pt").as[(Long, Long)].collect()
+      assert(got.toSet == brute && got.length == brute.size, s"width=$w")
+    }
   }
 
   test("asOf: most recent prior value, inclusive tie, null before first") {

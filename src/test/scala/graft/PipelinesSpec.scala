@@ -84,6 +84,10 @@ class PipelinesSpec extends TestBase {
       s"expected bounded samples, got ${r.errors.size}")
     assert(r.errors.count(_.code == "SEQ_FILE_TOO_FEW_COLUMNS") == 10)
     assert(r.errors.count(_.code == "SEQ_SAMPLE_NOT_IN_GROUP") == 10)
+    // sample list is deterministically ordered (collect_list arrival order
+    // is not) — the bit-reproducibility contract extends to Result.errors
+    val key = (e: graft.domain.ValidationError) => (e.ordinal, e.file, e.line, e.detail)
+    assert(r.errors.map(key) == r.errors.map(key).sorted)
   }
 
   test("trace: per-file stats, cross-file individual agreement gate (R23)") {
