@@ -25,7 +25,15 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val keyOff = 10000000L // far above any source key space
+    val keyOff = 10000000L
+    // Fail loudly if the source key space reaches the shift (e.g. re-scaling
+    // an already-shifted outDir): colliding keys would silently change join
+    // fan-out in the probe instead of erroring.
+    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+        "events" -> "event_id", "events" -> "user_id").foreach { case (t, k) =>
+      val mx = Tables(spark, srcDir, t).agg(max(col(k))).collect()(0).getLong(0)
+      require(mx < keyOff, s"$t.$k max $mx >= key shift $keyOff — refusing to generate colliding copies")
+    }
     def copies(table: String, shift: Map[String, Long => org.apache.spark.sql.Column]) = {
       val base = Tables(spark, srcDir, table)
       (0 until factor).map { i =>

@@ -88,22 +88,16 @@ object ValidationError {
 final case class ErrorSummary(
     counts: Map[String, Long],
     samples: Seq[ValidationError]) {
-  def isEmpty: Boolean = counts.isEmpty
-  def total: Long = counts.values.sum
   def firstError: Option[Errors.Code] = Errors.firstError(counts)
   def ++(other: ErrorSummary): ErrorSummary = ErrorSummary(
     (counts.keySet ++ other.counts.keySet).iterator
       .map(c => c -> (counts.getOrElse(c, 0L) + other.counts.getOrElse(c, 0L))).toMap,
     samples ++ other.samples)
-  /** Re-tag samples with the originating file id (TRACE per-file runs). */
-  def inFile(fileId: String): ErrorSummary =
-    copy(samples = samples.map(_.copy(file = fileId)))
 }
 
 object ErrorSummary {
-  import org.apache.spark.sql.Dataset
-  import org.apache.spark.sql.expressions.Window
-  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
 
   val empty: ErrorSummary = ErrorSummary(Map.empty, Nil)
 
@@ -111,26 +105,42 @@ object ErrorSummary {
   def ofSeq(errs: Seq[ValidationError]): ErrorSummary =
     ErrorSummary(errs.groupBy(_.code).map { case (c, es) => c -> es.size.toLong }, errs)
 
-  /** Distributed reduction: one window + one same-key aggregate (a single
-    * shuffle on `code`); `count` sees every row, `collect_list` only the
-    * ≤ sampleK row-number survivors per code. */
+  /** Bounded per-code state: complete count + the ≤ k smallest samples by
+    * (line, file, detail). */
+  final case class Bounded(cnt: Long, samples: Seq[ValidationError])
+
+  /** Typed aggregator whose BUFFER is bounded at k samples — partial
+    * aggregation (map-side combine) keeps every task's state at O(k), so a
+    * hot code (every row broken the same way) never funnels its full row
+    * set through one task. (A `Window.partitionBy(code)` + row_number
+    * formulation would: one partition per code = single-task sort of the
+    * entire pathological input.) Sample selection — k smallest by
+    * (line, file, detail) — is order-insensitive, hence deterministic. */
+  private final class BoundedAgg(k: Int)
+      extends Aggregator[ValidationError, Bounded, Bounded] {
+    private def key(e: ValidationError) = (e.line, e.file, e.detail)
+    def zero: Bounded = Bounded(0L, Vector.empty)
+    def reduce(b: Bounded, e: ValidationError): Bounded =
+      Bounded(b.cnt + 1, (b.samples :+ e).sortBy(key).take(k))
+    def merge(a: Bounded, b: Bounded): Bounded =
+      Bounded(a.cnt + b.cnt, (a.samples ++ b.samples).sortBy(key).take(k))
+    def finish(r: Bounded): Bounded = r
+    def bufferEncoder: Encoder[Bounded] = Encoders.product[Bounded]
+    def outputEncoder: Encoder[Bounded] = Encoders.product[Bounded]
+  }
+
+  /** Distributed reduction in ONE job: groupByKey(code) with the bounded
+    * aggregator — shuffle volume O(partitions × codes × k), driver result
+    * O(codes × k), complete counts regardless. */
   def of(errs: Dataset[ValidationError], sampleK: Int = 10): ErrorSummary = {
-    val rows = errs.toDF()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("code").orderBy("line", "file", "detail")))
-      .groupBy("code", "ordinal")
-      .agg(count(lit(1)).as("cnt"),
-        collect_list(when(col("rn") <= sampleK,
-          struct(col("file"), col("line"), col("detail")))).as("ex"))
+    val spark = errs.sparkSession
+    import spark.implicits._
+    val rows = errs.groupByKey(_.code)
+      .agg(new BoundedAgg(sampleK).toColumn.name("b"))
       .collect()
-    val counts = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
-    // collect_list gathers in partition-arrival order — sort for a
-    // deterministic Result.errors sequence (bit-reproducibility contract).
-    val samples = rows.flatMap { r =>
-      r.getSeq[org.apache.spark.sql.Row](3).map(e =>
-        ValidationError(r.getString(0), r.getInt(1),
-          e.getString(0), e.getLong(1), e.getString(2)))
-    }.sortBy(e => (e.ordinal, e.file, e.line, e.detail)).toSeq
+    val counts = rows.map { case (code, b) => code -> b.cnt }.toMap
+    val samples = rows.flatMap(_._2.samples)
+      .sortBy(e => (e.ordinal, e.file, e.line, e.detail)).toSeq
     ErrorSummary(counts, samples)
   }
 }

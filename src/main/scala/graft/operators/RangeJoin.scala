@@ -32,8 +32,12 @@ object RangeJoin {
     val b = Iterator.iterate("__bucket")(_ + "_").dropWhile(taken.contains).next()
     def bucketOf(c: Column): Column = floor(c.cast("long") / bucketWidth).cast("long")
     val pb = points.withColumn(b, bucketOf(col(pt)))
-    val ib = intervals.withColumn(b,
-      explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
+    // Inverted (start > end) intervals match nothing under BETWEEN
+    // semantics — drop them BEFORE the explode, where sequence(a, b) with
+    // a > b would otherwise auto-step DOWNWARD into a huge bucket array.
+    val ib = intervals
+      .where(col(start) <= col(end))
+      .withColumn(b, explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
     pb.join(ib, Seq(b))
       .where(col(pt) >= col(start) && col(pt) <= col(end))
       .drop(b)

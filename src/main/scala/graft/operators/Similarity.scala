@@ -112,18 +112,22 @@ object Similarity {
     * or ANN search then only compares vectors within a bucket (or within
     * Hamming-1 neighbor buckets for higher recall).
     */
+  /** Hyperplane literals cover any row dim up to this bound — `vec_dot`
+    * folds over min(row dim, plane length), so a generous fixed width makes
+    * the bucket a pure per-row function (no data-dependent sizing job, no
+    * first-row nondeterminism on mixed-dim tables). */
+  val MaxLshDim = 4096
+
   def lshBuckets(embs: DataFrame, numPlanes: Int = 8): DataFrame = {
     // The hyperplane family is a pure function of (p, j): materialize each
     // plane once as a literal double array and take the codegen'd `vec_dot`
     // instead of an interpreted per-row zip_with/aggregate lambda (the
     // ~100× HOF penalty — this projection is the near-dup hot path).
-    // `vec_dot` folds over min(dim, planeLen), so sizing the literal to the
-    // first row's dim is exact for uniform-dim tables and a safe truncation
-    // otherwise; an empty table needs no planes at all.
-    val dim = embs.select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // Planes are sized MaxLshDim: every row folds over its OWN length,
+    // exactly like the oracle's per-row sum (rows beyond MaxLshDim would
+    // truncate — assert-free by contract, documented on MaxLshDim).
     val bits = (0 until numPlanes).map { p =>
-      val plane = Array.tabulate(dim)(j => ((p * 31 + j * 17) % 7 - 3).toDouble)
+      val plane = Array.tabulate(MaxLshDim)(j => ((p * 31 + j * 17) % 7 - 3).toDouble)
       when(dot(asDouble(col("embedding")), lit(plane)) > 0, lit("1")).otherwise(lit("0"))
     }
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
@@ -154,7 +158,13 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("selfdot", dot(col("v"), col("v")))
       .where(col("selfdot") > 0)
+    // Persist: the bucket projection (numPlanes dots per row) feeds BOTH
+    // self-join sides with different keys, so ReuseExchange can't dedupe
+    // it — same rationale as the simhashPairs persist. (`e` is left to
+    // recompute: one dot per row straight off the columnar scan is cheaper
+    // than caching every vector.)
     val bucketed = lshBuckets(embs, numPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flips = (0 until numPlanes).map { p =>
       concat(
         substring(col("bucket"), 1, p),

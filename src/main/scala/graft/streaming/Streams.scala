@@ -130,15 +130,14 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningState]) =>
+          // With NoTimeout the function only fires for keys present in the
+          // batch, so `rows` is never empty — untouched users stay silent
+          // by framework contract, no emit-suppression needed here.
           val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
           var n = prev.n; var tot = prev.total
-          var touched = false
-          rows.foreach { r => n += 1; tot += r._2; touched = true }
-          if (!touched) Iterator.empty
-          else {
-            state.update(RunningState(n, tot))
-            Iterator.single(UserAgg(uid, n, tot))
-          }
+          rows.foreach { r => n += 1; tot += r._2 }
+          state.update(RunningState(n, tot))
+          Iterator.single(UserAgg(uid, n, tot))
       }
   }
 

@@ -32,6 +32,10 @@ class AsOfTopKSpec extends TestBase {
         .select("iv_id", "pt").as[(Long, Long)].collect()
       assert(got.toSet == brute && got.length == brute.size, s"width=$w")
     }
+    // inverted interval (start > end) matches nothing — and must not
+    // explode a descending bucket sequence
+    val inverted = Seq((9L, 90L, 10L)).toDF("iv_id", "lo", "hi")
+    assert(RangeJoin.pointInInterval(pts, inverted, "pt", "lo", "hi", 10L).count() == 0)
   }
 
   test("asOf: most recent prior value, inclusive tie, null before first") {
