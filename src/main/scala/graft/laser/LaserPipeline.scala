@@ -108,6 +108,27 @@ object LaserPipeline {
       individuals, totalLoci, sharedLoci, chunks)
   }
 
+  /** Post-gate descriptor emission (`LASERInputValidator.java:157-183`):
+    * ONE reference-PCA descriptor plus one study-PCA descriptor per chunk,
+    * written only for a fully successful run — the same position in the
+    * workflow as the reference (after the gates, before the seq delete).
+    * Distributed via `Descriptors.writeKeyed` (exact names). */
+  def emitJobs(spark: SparkSession, result: Result, chunksDir: String,
+      siteFile: String, reference: String, referencePc: String,
+      dim: Int, dimHigh: Int, referenceJobDir: String, studyJobDir: String): Boolean = {
+    if (!result.ok) false
+    else {
+      graft.domain.Descriptors.writeKeyed(
+        graft.domain.Descriptors.referencePca(spark, reference, referencePc, dim),
+        referenceJobDir)
+      graft.domain.Descriptors.writeKeyed(
+        graft.domain.Descriptors.laserStudyPca(spark, result.chunks, chunksDir,
+          siteFile, reference, referencePc, dim, dimHigh),
+        studyJobDir)
+      true
+    }
+  }
+
   /** File-backed entry point mirroring `LASERInputValidator.run`: gzip
     * sniffs (R1) happen before any scan, exactly as the reference raises
     * `*_IS_NOT_GZIP` pre-parse (`LASERInputCheckMapper.java:108-111,191-195`). */

@@ -98,6 +98,20 @@ class WorkflowConfigSpec extends TestBase {
     assert(!new java.io.File(seqGz).exists(),
       "seq file must be deleted after a fully successful run")
 
+    // post-gate descriptor emission (reference-PCA + one study-PCA per chunk)
+    val refJobs = new java.io.File(tmp, "refjobs").getAbsolutePath
+    val studyJobs = new java.io.File(tmp, "studyjobs").getAbsolutePath
+    assert(LaserPipeline.emitJobs(spark, r, chunks, siteGz, "HGDP", "HGDP.pc",
+      4, 20, refJobs, studyJobs))
+    assert(new java.io.File(refJobs, "reference_pca_job.batch").exists())
+    assert((0L until r.chunks).forall(i =>
+      new java.io.File(studyJobs, s"$i.batch").exists()))
+    // gated: a not-ok result writes nothing
+    val gatedDir = new java.io.File(tmp, "gated").getAbsolutePath
+    assert(!LaserPipeline.emitJobs(spark, r.copy(sharedLoci = 0), chunks, siteGz,
+      "HGDP", "HGDP.pc", 4, 20, gatedDir, gatedDir))
+    assert(!new java.io.File(gatedDir).exists())
+
     // gated run (shared loci <= 100 on the small fixtures) → seq kept
     val seqGz2 = gzWrite("study2.seq.gz", Fixtures.seqLines)
     val siteGz2 = gzWrite("study2.site.gz", Fixtures.siteLines)
