@@ -32,15 +32,21 @@ object Dedup {
 
   /** (doc_id, shingle) pairs: word `n`-grams over whitespace tokens.
     * Documents shorter than `n` tokens contribute their whole text as the
-    * single shingle (so they still get a signature). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    * single shingle (so they still get a signature).
+    *
+    * `dedup = true` (a full shuffle) is required only by SET consumers
+    * (Jaccard sizes/intersections); MIN-based consumers (minhash) are
+    * idempotent over duplicates and should pass `dedup = false` to skip
+    * that shuffle entirely. */
+  def shingles(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
+    val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(when(size(col("w")) < n, array(concat_ws(" ", col("w"))))
           .otherwise(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
           .as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
+  }
 
   /** MinHash signatures: for seed s in [0, numHashes), the signature element
     * is `min(md5(s || ':' || shingle))` — lexicographic min over hex, a
@@ -51,7 +57,7 @@ object Dedup {
     * O(docs × numHashes × 32B), independent of corpus text size.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame =
-    shingles(docs, n)
+    shingles(docs, n, dedup = false) // min is duplicate-insensitive
       .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
         col("shingle"))
       .groupBy(col("doc_id"), col("seed"))
@@ -72,7 +78,10 @@ object Dedup {
       bandSize: Int = 2,
       n: Int = 3,
       maxBucket: Int = 1000): DataFrame =
-    lshCandidatePairsFromShingles(shingles(docs, n), numHashes, bandSize, maxBucket)
+    // dedup = false: the signature mins are duplicate-insensitive, so the
+    // standalone LSH path skips the distinct shuffle entirely.
+    lshCandidatePairsFromShingles(shingles(docs, n, dedup = false),
+      numHashes, bandSize, maxBucket)
 
   /** `lshCandidatePairs` over a pre-computed (ideally persisted) shingle
     * set — lets one shingle scan feed both LSH and the Jaccard scorer. */
