@@ -269,6 +269,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd refinement step: assign every vector to its nearest current
+    * centroid (the codegen'd argmax, no shuffle), then element-wise mean
+    * per cell via posexplode → (cell, j) grouped avg — a map-side-combined
+    * aggregate whose result is nCells×dim driver metadata. Cells that lost
+    * all members keep their previous centroid. Iterating this turns the
+    * deterministic seed centroids into trained IVF centroids; means are
+    * float-sum order-dependent, so refined search is a quality tool, not
+    * an oracle-checked path. */
+  def refineCentroids(embs: DataFrame,
+      cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    if (cents.isEmpty) return cents
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val means = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellAssignExpr(cents))
+      .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg(avg(col("x")).as("m"))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+      .map { case (cell, xs) =>
+        cell -> xs.sortBy(_._2).map(_._3)
+      }
+    cents.map { case (cell, cv) =>
+      cell -> means.get(cell).map(_.toArray).getOrElse(cv)
+    }
+  }
+
+  /** IVF top-k with `iters` Lloyd refinements of the seed centroids —
+    * better-balanced cells → better recall at the same nProbe. */
+  def ivfTopKTrained(embs: DataFrame, query: Seq[Double], k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    var cents = centroidsOf(embs, nCells)
+    if (cents.isEmpty)
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
+    (0 until iters).foreach(_ => cents = refineCentroids(embs, cents))
+    val qArr = query.toArray
+    val probeCells = probeCellsFor(cents, qArr, nProbe)
+    embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellAssignExpr(cents))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The 100 TB storage layout for IVF: materialize the table PARTITIONED
     * BY cell id (plus the centroid metadata alongside), so a probe prunes
     * FILE READS — `nProbe/nCells` of the bytes ever touch an executor,

@@ -68,6 +68,27 @@ class SimilaritySpec extends TestBase {
     assert(ex.getMessage.contains("bucketedNearDup"))
   }
 
+  test("Lloyd-refined IVF: trained centroids keep (or beat) seed-centroid recall") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val bruteIds = Similarity.bruteForceTopK(e, q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.as[(Long, Double)].collect().count(h => bruteIds.contains(h._1))
+    val seed = recall(Similarity.ivfTopK(e, q, 10))
+    val trained = recall(Similarity.ivfTopKTrained(e, q, 10, iters = 2))
+    assert(trained >= 7, s"trained recall $trained too low (seed was $seed)")
+    // refinement is a real fixpoint move: centroids change from the seed
+    val cents0 = e.orderBy(col("vec_id")).limit(16)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val refined = Similarity.refineCentroids(e,
+      cents0.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    assert(refined.exists { case (i, v) => !v.sameElements(cents0(i.toInt)) })
+  }
+
   test("IVF index: partition-pruned probe matches the inline path") {
     val e = Tables(spark, sf(), "embeddings")
     val q = e.where(col("vec_id") === 7)
