@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * their brute-force DuckDB oracles are O(n²) and the probe must stay
   * checkable. `tools/check.py` understands the resulting dataset dirs.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor> [scale-docs]
+  *
+  * `scale-docs` additionally key-shifts documents/embeddings — a
+  * BENCH-ONLY corpus (the brute-force dedup oracles are O(n²), so the
+  * driver's correctness gate must not run against it).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val scaleDocs = args.length > 3 && args(3) == "scale-docs"
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -53,8 +58,16 @@ object ScaleGen {
     write("events", copies("events", Map(
       "event_id" -> (i => col("event_id") + lit(i * keyOff)),
       "user_id" -> (i => col("user_id") + lit(i * keyOff)))))
-    Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings").foreach { t =>
+    if (scaleDocs) {
+      write("documents", copies("documents",
+        Map("doc_id" -> (i => col("doc_id") + lit(i * keyOff)))))
+      write("embeddings", copies("embeddings",
+        Map("vec_id" -> (i => col("vec_id") + lit(i * keyOff)))))
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(t, Tables(spark, srcDir, t))
+    }
+    if (!scaleDocs) Seq("documents", "embeddings").foreach { t =>
       write(t, Tables(spark, srcDir, t))
     }
     spark.stop()
