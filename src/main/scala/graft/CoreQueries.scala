@@ -695,6 +695,42 @@ object CoreQueries {
           .as("min_nonnull"))
     },
 
+    // Batch sessionization: gap-based session ids via lag + running sum of
+    // boundary flags — one keyed window, linear, the batch twin of the
+    // streaming session_window (q25/evt_sessions family).
+    QueryDef("q40_sessionize")(
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id))
+        |              > 1800000000 OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        | s AS (SELECT user_id, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        | SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |   CAST(count(*) AS BIGINT) AS n_events
+        | FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      // gap compared in exact MICROSECONDS on both engines (the events ts
+      // carries sub-second parts; whole-second truncation would misplace
+      // boundaries within the truncation window)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t("events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L
+            || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0).as("new_sess"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("sess_id"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    },
+
     // Extension: sketch aggregates. The approximate values are
     // engine-specific (HLL++ / GK), so the CHECKED claim is a golden
     // tolerance contract: the sketch estimates land within the stated

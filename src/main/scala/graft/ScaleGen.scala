@@ -34,8 +34,10 @@ object ScaleGen {
     // Fail loudly if the source key space reaches the shift (e.g. re-scaling
     // an already-shifted outDir): colliding keys would silently change join
     // fan-out in the probe instead of erroring.
-    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
-        "events" -> "event_id", "events" -> "user_id").foreach { case (t, k) =>
+    val shiftedKeys = Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+      "events" -> "event_id", "events" -> "user_id") ++
+      (if (scaleDocs) Seq("documents" -> "doc_id", "embeddings" -> "vec_id") else Nil)
+    shiftedKeys.foreach { case (t, k) =>
       val mx = Tables(spark, srcDir, t).agg(max(col(k))).collect()(0).getLong(0)
       require(mx < keyOff, s"$t.$k max $mx >= key shift $keyOff — refusing to generate colliding copies")
     }

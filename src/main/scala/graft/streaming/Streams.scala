@@ -91,6 +91,16 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("purchase_ts"), col("value"))
   }
 
+  /** Watermark-bounded dedup WITHOUT the event time in the key
+    * (`dropDuplicatesWithinWatermark`): re-deliveries whose timestamps
+    * JITTER within the watermark delay still collapse — the
+    * at-least-once-ingestion dedup pattern `dropDuplicates(id, ts)` can't
+    * express (it keys on the exact timestamp). State bounded by the
+    * watermark horizon. */
+  def dedupJittered(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static join: enrich the stream with a batch dimension table —
     * no streaming state at all (the static side is re-planned per
     * micro-batch, so slowly-changing dims refresh for free); broadcast

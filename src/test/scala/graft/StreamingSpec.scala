@@ -154,6 +154,29 @@ class StreamingSpec extends TestBase {
     assert(finalState.exceptAll(batch).isEmpty && batch.exceptAll(finalState).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark collapses re-deliveries with jittered timestamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jitter")
+    val base = 1700000000L * 1000000000L // epoch nanos
+    val m = 60L * 1000000000L
+    Seq(
+      (1L, base, 10L, "click", 1.0, "{}"),
+      (1L, base + m, 10L, "click", 1.0, "{}"),      // re-delivery, ts jitter +1min
+      (2L, base + 2 * m, 11L, "view", 2.0, "{}"),
+      (2L, base + 2 * m, 11L, "view", 2.0, "{}"),   // exact re-delivery
+      (3L, base + 3 * m, 12L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val got = Streams.runToCompletion(spark,
+      Streams.dedupJittered(Streams.eventsStream(spark,
+        dir.resolve("events.parquet").toString)),
+      "t_jitter")
+    // 5 inputs, 3 distinct event_ids — the jittered duplicate collapses
+    // even though dropDuplicates("event_id", "ts") would keep it
+    assert(got.select("event_id").distinct().count() == 3)
+    assert(got.count() == 3)
+  }
+
   test("stream-static join enriches every event, matches the batch join") {
     // static dim derived from the batch side: user → cohort
     val dim = batchEvents.select(col("user_id")).distinct()
