@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
+    require(args.length == 3 || (args.length == 4 && args(3) == "scale-docs"),
+      s"usage: ScaleGen <srcDir> <outDir> <factor> [scale-docs]; got ${args.mkString(" ")}")
     val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
-    val scaleDocs = args.length > 3 && args(3) == "scale-docs"
+    val scaleDocs = args.length == 4
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -65,6 +67,11 @@ object ScaleGen {
         Map("doc_id" -> (i => col("doc_id") + lit(i * keyOff)))))
       write("embeddings", copies("embeddings",
         Map("vec_id" -> (i => col("vec_id") + lit(i * keyOff)))))
+      // machine-readable bench-only marker — tools/check.py refuses this
+      // dir, enforcing (not just documenting) the no-n²-oracle contract
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "BENCH_ONLY"),
+        "scale-docs corpus: brute-force dedup oracles are O(n^2); bench only\n")
     }
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       write(t, Tables(spark, srcDir, t))

@@ -251,18 +251,14 @@ object Similarity {
     -array_max(array(centStructs.toIndexedSeq: _*)).getField("negcell")
   }
 
-  def ivfTopK(embs: DataFrame, query: Seq[Double], k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Centroids are metadata-scale (nCells rows): collect once and embed
-    // them as plan literals — the expression-level equivalent of a
-    // broadcast, but with ZERO joins/shuffles on the big side. (The
-    // previous shape — cross-join × nCells + row_number window — shuffled
-    // a 16×-inflated table to pick a per-row max.)
-    val cents = centroidsOf(embs, nCells)
+  /** Shared IVF probe tail: assign (no-shuffle argmax), prune to probe
+    * cells, exact-score, top-k — one definition for every centroid source
+    * (seed, trained) so the scoring/tie-break contract can't fork. */
+  private def searchWithCents(embs: DataFrame, cents: Array[(Long, Array[Double])],
+      qArr: Array[Double], k: Int, nProbe: Int): DataFrame = {
     if (cents.isEmpty)
       return embs.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
-    val qArr = query.toArray
     val probeCells = probeCellsFor(cents, qArr, nProbe)
     embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -272,6 +268,15 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  def ivfTopK(embs: DataFrame, query: Seq[Double], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    // Centroids are metadata-scale (nCells rows): collect once and embed
+    // them as plan literals — the expression-level equivalent of a
+    // broadcast, but with ZERO joins/shuffles on the big side. (The
+    // previous shape — cross-join × nCells + row_number window — shuffled
+    // a 16×-inflated table to pick a per-row max.)
+    searchWithCents(embs, centroidsOf(embs, nCells), query.toArray, k, nProbe)
 
   /** One Lloyd refinement step: assign every vector to its nearest current
     * centroid (the codegen'd argmax, no shuffle), then element-wise mean
@@ -307,19 +312,9 @@ object Similarity {
   def ivfTopKTrained(embs: DataFrame, query: Seq[Double], k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     var cents = centroidsOf(embs, nCells)
-    if (cents.isEmpty)
-      return embs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("vec_id"), lit(0.0d).as("sim")).limit(0)
-    (0 until iters).foreach(_ => cents = refineCentroids(embs, cents))
-    val qArr = query.toArray
-    val probeCells = probeCellsFor(cents, qArr, nProbe)
-    embs
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", cellAssignExpr(cents))
-      .where(col("cell").isin(probeCells: _*))
-      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
+    if (cents.nonEmpty)
+      (0 until iters).foreach(_ => cents = refineCentroids(embs, cents))
+    searchWithCents(embs, cents, query.toArray, k, nProbe)
   }
 
   /** The 100 TB storage layout for IVF: materialize the table PARTITIONED

@@ -34,6 +34,10 @@ def canon(df: pd.DataFrame) -> str:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    if os.path.exists(f"{sf_dir}/BENCH_ONLY"):
+        print(f"REFUSED: {sf_dir} is a bench-only corpus "
+              "(scale-docs: brute-force oracles are O(n^2) there)")
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
