@@ -695,6 +695,44 @@ object CoreQueries {
           .as("min_nonnull"))
     },
 
+    // Correlated EXISTS / NOT EXISTS — planned as one semi + one anti join
+    // against the same filtered build sides.
+    QueryDef("q41_exists_subquery")(
+      """SELECT c.c_custkey FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |   AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                   WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        | ORDER BY c.c_custkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("customer")
+        .join(t("orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(t("orders").where(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("f_custkey")),
+          col("c_custkey") === col("f_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a recursively generated month
+    // spine LEFT-joined to orders — months with no orders still appear.
+    QueryDef("q42_recursive_cte")(
+      """WITH RECURSIVE m(mth) AS (SELECT 1 UNION ALL SELECT mth + 1 FROM m WHERE mth < 12)
+        | SELECT m.mth, CAST(count(o.o_orderkey) AS BIGINT) AS n
+        | FROM m LEFT JOIN orders o ON month(o.o_orderdate) = m.mth
+        | GROUP BY m.mth ORDER BY m.mth""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE m(mth) AS (SELECT 1 UNION ALL SELECT mth + 1 FROM m WHERE mth < 12)
+          | SELECT m.mth, CAST(count(o.o_orderkey) AS BIGINT) AS n
+          | FROM m LEFT JOIN orders o ON month(o.o_orderdate) = m.mth
+          | GROUP BY m.mth ORDER BY m.mth""".stripMargin)
+    },
+
     // Batch sessionization: gap-based session ids via lag + running sum of
     // boundary flags — one keyed window, linear, the batch twin of the
     // streaming session_window (q25/evt_sessions family).
