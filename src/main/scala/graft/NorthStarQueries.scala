@@ -63,6 +63,22 @@ object NorthStarQueries {
       |           FROM capped a JOIN capped b
       |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** documents ∪ two generations of near-copies of doc_id < 20 — a CHAIN
+    * per base doc (base ≈ gen1 ≈ gen2), so cluster formation has to do real
+    * transitive work rather than collapsing isolated pairs. */
+  private def plantedChain(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val g = d.where(col("doc_id") < 20)
+    d.unionAll(g.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+      .unionAll(g.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extra extra")).as("text")))
+  }
+  private val plantedChainSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20)""".stripMargin
+
   /** Shared DuckDB 64-bit simhash CTE (mirrors `Dedup.simhash64` over
     * `corpus`, as a 64-char bit string with bit 0 = engine sigint's MSB —
     * positional hamming over the string equals `bit_count(xor)` over the
@@ -165,6 +181,46 @@ object NorthStarQueries {
       Dedup.simhashPairs(Dedup.simhash64(plantedExact(s, dir)))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Character-level complement to shingle Jaccard: Levenshtein over the
+    // SAME LSH candidate set (never all-pairs — per-pair cost is
+    // quadratic in text length by contract).
+    QueryDef("dd_edit")(
+      s"""WITH $plantedNearSql,
+         | $lshPairsSql
+         | SELECT p.doc_a, p.doc_b,
+         |   CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |   round(1.0 - levenshtein(a.text, b.text) / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+         | FROM pairs p
+         | JOIN corpus a ON a.doc_id = p.doc_a
+         | JOIN corpus b ON b.doc_id = p.doc_b
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedNear(s, dir)
+      Dedup.editSimilarity(corpus, Dedup.lshCandidatePairs(corpus))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Cluster formation: LSH candidate pairs → connected components →
+    // (doc_id, cluster_id = component min). The engine runs alternating
+    // large-star/small-star rounds (O(log² n), chain-safe); the oracle is a
+    // blocking-agnostic recursive-CTE label propagation over the SAME pair
+    // set — any correct CC algorithm agrees, so the check pins transitive
+    // closure semantics without pinning the iteration strategy.
+    QueryDef("dd_cluster")(
+      s"""WITH RECURSIVE $plantedChainSql,
+         | $lshPairsSql,
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |         UNION SELECT doc_b, doc_a FROM pairs),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.connectedComponents(Dedup.lshCandidatePairs(plantedChain(s, dir)))
+        .orderBy(col("doc_id"))
     },
 
     // Oracle is exact all-pairs cosine; the engine is LSH-blocked. The
@@ -305,6 +361,25 @@ object NorthStarQueries {
     ) { (s, dir) =>
       TextAnalysis.fingerprint(Tables(s, dir, "documents").where(col("doc_id") < 100))
         .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF term weighting: df/N computed over the FULL corpus, output
+    // pruned to doc_id < 20 (the filter applies after the global stats —
+    // pruning before would change every idf).
+    QueryDef("txt_tfidf")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        | SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+        |   round((t.tf / dl.dl) * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        | FROM tf t JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        | WHERE t.doc_id < 20 ORDER BY doc_id, term""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.tfidf(Tables(s, dir, "documents"))
+        .where(col("doc_id") < 20)
+        .orderBy(col("doc_id"), col("term"))
     },
 
     // End-to-end corpus-curation pipeline: quality gate → exact dedup →

@@ -265,6 +265,93 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance scoring of candidate pairs (`pairs(doc_a, doc_b)`):
+    * Levenshtein distance plus the normalized similarity
+    * `1 - lev / max(len_a, len_b)` — the character-level complement to
+    * shingle Jaccard (catches heavy in-place edits that shred n-grams).
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR, so this only ever runs on
+    * the LSH candidate set, never all-pairs; the two text joins are plain
+    * doc_id equi-joins (broadcast-able when the candidate set is small).
+    * For book-length docs, score a bounded prefix or token-level distance
+    * instead — per-pair quadratic cost is the operator's contract.
+    */
+  def editSimilarity(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lev = levenshtein(col("ta"), col("tb")).cast("long")
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lev.as("edit_dist"),
+        round(lit(1.0) - lev.cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+  }
+
+  /** Connected components over an undirected near-dup pair graph
+    * (`pairs(doc_a, doc_b)`): assigns every document appearing in ≥ 1 pair
+    * its component's minimum doc_id as `cluster_id` — the step that turns
+    * pairwise near-dup evidence into keep/purge lists (keep = the doc whose
+    * id IS its cluster_id; purge = the rest).
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two map-side-combinable aggregations + joins, and the edge set
+    * converges to per-component stars rooted at the minimum id in
+    * O(log² n) rounds. Unlike naive min-label propagation (O(diameter)
+    * rounds — a 1M-doc chain needs 1M rounds), this survives pathological
+    * chain/path graphs, which is exactly what transitive near-dup evidence
+    * produces (v1 ≈ v2 ≈ v3 … with v1 !≈ v3).
+    *
+    * Scale: per round the shuffle is O(edges); no driver materialization —
+    * the driver sees only the per-round convergence probe (`isEmpty` on the
+    * changed-edge set). `localCheckpoint` truncates lineage each round so
+    * plan depth stays constant across iterations.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Oriented canonical edges (u > v), self-loops dropped.
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // Large-star: for every node u, attach each STRICTLY LARGER neighbor
+      // to m = min(N(u) ∪ {u}). Both directions of every edge participate.
+      val nbr = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = nbr.join(mn, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+      // Small-star: for every node u, attach its smaller neighbors AND u
+      // itself to m = min of the smaller neighborhood. (ls edges are
+      // already oriented u > v.)
+      val smn = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ss = ls.join(smn, "u")
+        .select(explode(array(
+          struct(col("u").as("x"), col("mn").as("p")),
+          struct(col("v").as("x"), col("mn").as("p")))).as("s"))
+        .select(col("s.x").as("u"), col("s.p").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Exact fixpoint probe (both directions: sizes can differ either way).
+      converged = ss.unionAll(e).except(ss.intersect(e)).isEmpty
+      e = ss
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Converged edges are (member, root) stars; roots label themselves.
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
     * Delegates to `Similarity.bucketedNearDup` — hyperplane-LSH blocking
     * (home bucket + Hamming-1 neighbor probes) then exact per-pair scoring,

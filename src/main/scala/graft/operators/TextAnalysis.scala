@@ -78,4 +78,37 @@ object TextAnalysis {
     Dedup.shingles(docs, 4)
       .groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("fingerprint"))
+
+  /** TF-IDF term weights: `(tf / doc_len) * ln((N + 1) / (df + 1))` per
+    * (doc, term) — the standard retrieval/curation weighting with add-one
+    * smoothed idf (never divides by zero, never negative for df ≤ N).
+    *
+    * Plan shape for 100 TB: one token explode feeds BOTH the per-(doc,term)
+    * tf count and (via per-doc-distinct re-aggregation) the df count; doc
+    * lengths are a map-side-combined per-doc count. The (term → df) table
+    * is VOCABULARY-sized — orders of magnitude under the corpus — so
+    * Catalyst auto-broadcasts it onto the tf stream when it fits, else it's
+    * a term-keyed shuffle join; the corpus-total N is a 1-row cross join
+    * (broadcast). Nothing driver-side.
+    *
+    * Cross-engine float parity: tf/len and the idf log are both ≤ ~15 in
+    * magnitude, so `round(..., 6)` absorbs any ULP gap between
+    * `java.lang.Math.log` and libm `ln` (memory: round(x,6) is safe to
+    * ~1e5).
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf
+      .join(docLen, "doc_id")
+      .join(df, "term")
+      .crossJoin(total)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round((col("tf").cast("double") / col("dl")) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
+  }
 }

@@ -100,4 +100,53 @@ class DedupSpec extends TestBase {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("edit similarity: classic kitten/sitting distance, exact dup = 1.0") {
+    val d = docs(1L -> "kitten", 2L -> "sitting", 3L -> "kitten")
+    val got = Dedup.editSimilarity(d, Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 2L)) == ((3L, 0.571429))) // 1 - 3/7
+    assert(got((1L, 3L)) == ((0L, 1.0)))
+  }
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: path graph collapses to min (transitive chain)") {
+    // 0-1-2-…-9: the worst case for per-round label propagation; every node
+    // must still land on cluster 0 within the round budget.
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    assert(cc(chain: _*) == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: cycles, multi-component graphs, reversed pairs") {
+    val got = cc((5L, 3L), (3L, 7L), (7L, 5L), // cycle {3,5,7}
+      (10L, 11L),                              // isolated pair
+      (20L, 21L), (22L, 21L), (22L, 23L))      // zigzag component
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components: empty pair set yields empty labeling") {
+    assert(cc() == Map.empty[Long, Long])
+  }
+
+  test("connected components match a union-find reference on a dense random graph") {
+    // Deterministic pseudo-random graph: 60 nodes, ~90 edges.
+    val edges = (0 until 90).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * 53 + 29) % 60
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(cc(edges: _*) == expected)
+  }
 }

@@ -68,4 +68,16 @@ class TextAnalysisSpec extends TestBase {
       Seq((2L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")))
     assert(empty.isEmpty)
   }
+
+  test("tfidf: hand-computed weights; corpus-wide terms get idf 0") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(d)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // N=2; df(a)=2 → idf=ln(3/3)=0; df(b)=df(c)=1 → idf=ln(3/2)
+    assert(got((1L, "a")) == ((2L, 0.0)))
+    assert(got((2L, "a")) == ((1L, 0.0)))
+    assert(got((1L, "b")) == ((1L, 0.135155))) // (1/3)·ln(1.5)
+    assert(got((2L, "c")) == ((1L, 0.202733))) // (1/2)·ln(1.5)
+  }
 }
