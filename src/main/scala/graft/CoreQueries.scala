@@ -821,5 +821,49 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("iv_user")
     },
+
+    // Wide→long reshape via the native unpivot operator (Expand node: one
+    // scan, no join/shuffle — the rows multiply ×K in the projection). The
+    // oracle states the semantics as the blocking-agnostic UNION ALL form.
+    QueryDef("q43_unpivot")(
+      """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val
+        |   FROM lineitem WHERE l_orderkey < 50
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity
+        |   FROM lineitem WHERE l_orderkey < 50
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |   FROM lineitem WHERE l_orderkey < 50
+        | ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("lineitem").where(col("l_orderkey") < 50)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_quantity"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // Gap fill / forward fill: carry the last PURCHASE value forward over
+    // each user's event stream — one keyed window (running frame), linear;
+    // rows before a user's first purchase stay NULL on both engines.
+    QueryDef("q44_gapfill")(
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        | FROM events WHERE user_id < 50
+        | ORDER BY user_id, ts_us, event_id""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t("events").where(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w).as("last_purchase"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
   )
 }
