@@ -79,6 +79,21 @@ object NorthStarQueries {
       |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
       |  UNION ALL SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20)""".stripMargin
 
+  /** `plantedChain` carrying the language column through (dd_pipeline needs
+    * it for the final per-language report). */
+  private def plantedChainLang(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val g = d.where(col("doc_id") < 20)
+    d.unionAll(g.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"), col("lang")))
+      .unionAll(g.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extra extra")).as("text"), col("lang")))
+  }
+  private val plantedChainLangSql =
+    """corpus AS (SELECT doc_id, text, lang FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text || ' extra', lang FROM documents WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 200000, text || ' extra extra', lang FROM documents WHERE doc_id < 20)""".stripMargin
+
   /** Shared DuckDB 64-bit simhash CTE (mirrors `Dedup.simhash64` over
     * `corpus`, as a 64-char bit string with bit 0 = engine sigint's MSB —
     * positional hamming over the string equals `bit_count(xor)` over the
@@ -247,6 +262,51 @@ object NorthStarQueries {
         e.where(col("vec_id") < 10)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDup(planted, 0.9).orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // THE end-to-end near-dedup pipeline (the MinHash-dedup flow of
+    // production training-data curation): one persisted shingle scan →
+    // LSH candidates → exact Jaccard gate (≥ 0.8) → connected components →
+    // purge everything but each cluster's representative → per-language
+    // survivor counts. Every stage is the declared operator; the oracle
+    // replays the identical chain with a recursive-CTE CC.
+    QueryDef("dd_pipeline")(
+      s"""WITH RECURSIVE $plantedChainLangSql,
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | dup AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |         JOIN sizes na ON na.doc_id = p.doc_a
+         |         JOIN sizes nb ON nb.doc_id = p.doc_b
+         |         WHERE round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.8),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM dup
+         |         UNION SELECT doc_b, doc_a FROM dup),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | purge AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY 1 HAVING min(lbl) <> node)
+         | SELECT lang, CAST(count(*) AS BIGINT) AS n
+         | FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM purge)
+         | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedChainLang(s, dir)
+      val sh = Dedup.shingles(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = Dedup.ngramJaccardFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+        .where(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val purge = Dedup.connectedComponents(dup)
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      corpus.join(purge, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
     },
 
     // ---- similarity search ----------------------------------------------
