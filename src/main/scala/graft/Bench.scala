@@ -20,7 +20,12 @@ object Bench {
     // Warmup: prime codegen/JIT and the page cache so the first timed query
     // doesn't absorb session startup.
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
-    val results = SparkEntry.catalog.map { q =>
+    // Optional args: bench only the named queries (local iteration; the
+    // driver always runs the full catalog).
+    val only = args.toSet
+    val results = SparkEntry.catalog
+      .filter(q => only.isEmpty || only(q.name))
+      .map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.build(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -340,8 +340,13 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      // Exact fixpoint probe (both directions: sizes can differ either way).
-      converged = ss.unionAll(e).except(ss.intersect(e)).isEmpty
+      // Exact fixpoint probe, count-gated: counts off the checkpointed
+      // blocks are near-free, and while the graph is still contracting they
+      // almost always differ — the full set-equality `except` (a shuffle)
+      // runs only on the rare equal-count rounds (usually just the final
+      // one). Both sides are distinct sets, so equal counts + empty
+      // one-direction except ⇒ set equality.
+      converged = e.count() == ss.count() && ss.except(e).isEmpty
       e = ss
       it += 1
     }

@@ -46,6 +46,27 @@ class SourcesRoundTripSpec extends TestBase {
     assert(back.count() == e.count())
   }
 
+  test("date-partitioned time-series layout: ts predicate prunes partitions at the scan") {
+    // The standard 100 TB event-log layout: write partitioned by event date
+    // so time-bounded queries read only their days' directories — pruning
+    // happens at file listing (PartitionFilters), not post-scan.
+    import org.apache.spark.sql.execution.ExplainMode
+    val out = s"${tmp()}/events_by_day"
+    Tables(spark, sf(), "events")
+      .withColumn("dt", to_date(col("ts")))
+      .write.partitionBy("dt").parquet(out)
+    val days = new java.io.File(out).listFiles().count(_.getName.startsWith("dt="))
+    assert(days > 1, s"fixture must span multiple days, got $days")
+    val probe = spark.read.parquet(out)
+      .where(col("dt") === (Tables(spark, sf(), "events")
+        .select(to_date(min(col("ts")))).head().getDate(0)))
+    val plan = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(plan).isDefined, plan.take(2000))
+    // pruned scan reads strictly fewer rows than the full table
+    assert(probe.count() > 0 &&
+      probe.count() < Tables(spark, sf(), "events").count())
+  }
+
   test("approximate sketches land within tolerance of exact (percentile, HLL)") {
     val orders = Tables(spark, sf(), "orders")
     val approxMedian = orders
