@@ -160,12 +160,10 @@ object NorthStarQueries {
          | JOIN sizes nb ON nb.doc_id = p.doc_b
          | ORDER BY p.doc_a, p.doc_b""".stripMargin
     ) { (s, dir) =>
-      val corpus = plantedNear(s, dir)
-      // ONE persisted shingle set feeds both the LSH blocking pass and the
-      // Jaccard scorer — the shingle explode (the dominant cost) runs once.
-      val sh = Dedup.shingles(corpus)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.ngramJaccardFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+      // Dedup-first: the whole shingle → LSH → Jaccard chain runs at
+      // distinct-text scale and expands back to doc pairs (equal-text
+      // pairs are identity-scored 1.0, no band/shingle work).
+      Dedup.nearDupScores(plantedNear(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -213,7 +211,7 @@ object NorthStarQueries {
          | ORDER BY p.doc_a, p.doc_b""".stripMargin
     ) { (s, dir) =>
       val corpus = plantedNear(s, dir)
-      Dedup.editSimilarity(corpus, Dedup.lshCandidatePairs(corpus))
+      Dedup.editSimilarity(corpus, Dedup.lshCandidatePairsDedup(corpus))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -234,7 +232,7 @@ object NorthStarQueries {
          | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Dedup.connectedComponents(Dedup.lshCandidatePairs(plantedChain(s, dir)))
+      Dedup.connectedComponents(Dedup.lshCandidatePairsDedup(plantedChain(s, dir)))
         .orderBy(col("doc_id"))
     },
 
@@ -296,9 +294,7 @@ object NorthStarQueries {
          | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val corpus = plantedChainLang(s, dir)
-      val sh = Dedup.shingles(corpus)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dup = Dedup.ngramJaccardFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+      val dup = Dedup.nearDupScores(corpus)
         .where(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
       val purge = Dedup.connectedComponents(dup)

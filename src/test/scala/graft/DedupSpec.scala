@@ -101,6 +101,23 @@ class DedupSpec extends TestBase {
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("dedup-first near-dup scores == doc-level chain on a dup-dense corpus") {
+    // 3 distinct texts, one with 3 copies and one with 2: candidacy and
+    // scores must match the doc-level shingle→LSH→Jaccard chain exactly.
+    val d = docs(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 7L -> "a b c d e f",
+      3L -> "a b c d e g", 5L -> "a b c d e g",
+      9L -> "q r s t u v")
+    val fast = Dedup.nearDupScores(d)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = Dedup.shingles(d)
+    val slow = Dedup.ngramJaccardFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == slow)
+    assert(fast.contains((1L, 2L, 1.0)) && fast.contains((1L, 7L, 1.0)))
+    assert(!fast.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
   test("edit similarity: classic kitten/sitting distance, exact dup = 1.0") {
     val d = docs(1L -> "kitten", 2L -> "sitting", 3L -> "kitten")
     val got = Dedup.editSimilarity(d, Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b"))
