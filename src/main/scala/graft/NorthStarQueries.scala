@@ -359,6 +359,39 @@ object NorthStarQueries {
       Similarity.ivfTopK(e, q, 10)
     },
 
+    // ANN quality evaluation as a first-class query: recall@10 of the IVF
+    // path against the exact brute-force baseline — the metric that gates
+    // any ANN rollout. Both arms are the declared operators; the oracle
+    // replays both SQL chains and intersects.
+    QueryDef("sim_recall")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |          FROM e CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qe")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4),
+         | ivf AS (SELECT e.vec_id
+         |         FROM e JOIN asg USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
+         |         ORDER BY round(${cosSql("e.v", "qe")}, 6) DESC, vec_id LIMIT 10),
+         | brute AS (SELECT vec_id FROM e CROSS JOIN q
+         |           ORDER BY round(${cosSql("e.v", "qe")}, 6) DESC, vec_id LIMIT 10)
+         | SELECT round(count(*) / 10.0, 6) AS recall_at_10
+         | FROM ivf JOIN brute USING (vec_id)""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      Similarity.bruteForceTopK(e, q, 10).select(col("vec_id"))
+        .join(Similarity.ivfTopK(e, q, 10).select(col("vec_id")), "vec_id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("txt_langid")(
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -219,20 +219,29 @@ object Dedup {
     val repPairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
     val repOut = if (score) ngramJaccardFromShingles(sh, repPairs) else repPairs
     val carry = if (score) Seq(col("jaccard")) else Nil
+    // Pathological-boilerplate guard, mirrored from the banded chain's
+    // bucket cap: text groups above `maxBucket` copies emit NO pairs — not
+    // within their group (a 1M-copy text must not emit 10¹² pairs) and not
+    // via expansion (each cross pair would multiply k×). `exact` already
+    // reports such a group as one (keep_id, n_copies) row; pair-wise
+    // treatment of mega-groups belongs to a dedicated clustering pass.
+    val bigGroups = keyed.groupBy(col("th")).agg(count(lit(1)).as("k"))
+      .where(col("k") > maxBucket).select(col("th"))
+    val capped = keyed.join(broadcast(bigGroups), Seq("th"), "left_anti")
     // Cross-text candidates: map rep ids back to text hashes, expand each
     // text pair to every member doc pair (order re-canonicalized — member
     // ids need not sort the same way as rep ids).
     val cross = repOut
       .join(rep.select(col("rep").as("doc_a"), col("th").as("tha")), "doc_a")
       .join(rep.select(col("rep").as("doc_b"), col("th").as("thb")), "doc_b")
-      .join(keyed.select(col("th").as("tha"), col("doc_id").as("ia")), "tha")
-      .join(keyed.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
+      .join(capped.select(col("th").as("tha"), col("doc_id").as("ia")), "tha")
+      .join(capped.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
       .select(least(col("ia"), col("ib")).as("doc_a") +:
         greatest(col("ia"), col("ib")).as("doc_b") +: carry: _*)
     // Equal-text candidates: all within-group pairs (at jaccard 1.0 when
     // scoring — identity, not measurement).
-    val within = keyed.as("x")
-      .join(keyed.as("y"),
+    val within = capped.as("x")
+      .join(capped.as("y"),
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
         (if (score) Seq(lit(1.0).as("jaccard")) else Nil): _*)

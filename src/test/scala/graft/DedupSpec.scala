@@ -118,6 +118,17 @@ class DedupSpec extends TestBase {
     assert(!fast.exists(p => p._1 == 9L || p._2 == 9L))
   }
 
+  test("dedup-first cap: mega-groups emit no pairs, small groups unaffected") {
+    val d = docs(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "a b c d e f", 4L -> "a b c d e f",
+      8L -> "q r s t u v", 9L -> "q r s t u v")
+    val got = Dedup.nearDupScores(d, maxBucket = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the 4-copy group exceeds the cap (no pairs, within or expanded);
+    // the 2-copy group still pairs
+    assert(got == Set((8L, 9L)))
+  }
+
   test("edit similarity: classic kitten/sitting distance, exact dup = 1.0") {
     val d = docs(1L -> "kitten", 2L -> "sitting", 3L -> "kitten")
     val got = Dedup.editSimilarity(d, Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b"))
