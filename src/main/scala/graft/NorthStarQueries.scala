@@ -167,6 +167,34 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Asymmetric containment: n_inter/n_a ≈ 1 flags doc_a as (near-)subset
+    // of doc_b — quote inclusion / boilerplate subsumption that symmetric
+    // Jaccard under-scores. Same candidate-only cost model; one shared
+    // overlap-stats pass serves both directions.
+    QueryDef("dd_containment")(
+      s"""WITH $plantedNearSql,
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+         | SELECT p.doc_a, p.doc_b,
+         |   round(coalesce(i.n_inter, 0) / na.n_sh, 6) AS cont_a,
+         |   round(coalesce(i.n_inter, 0) / nb.n_sh, 6) AS cont_b
+         | FROM pairs p
+         | LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         | JOIN sizes na ON na.doc_id = p.doc_a
+         | JOIN sizes nb ON nb.doc_id = p.doc_b
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin
+    ) { (s, dir) =>
+      val sh = Dedup.shingles(plantedNear(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.containmentFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     QueryDef("dd_simhash")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
          | $simhashSql

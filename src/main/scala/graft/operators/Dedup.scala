@@ -140,7 +140,29 @@ object Dedup {
   }
 
   /** `ngramJaccard` over a pre-computed (ideally persisted) shingle set. */
-  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairOverlapStats(sh, pairs)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+
+  /** Asymmetric containment over a shingle set: `n_inter / n_a` ≈ 1 means
+    * doc_a's shingles are (almost) a subset of doc_b's — the signal for
+    * quote inclusion / boilerplate subsumption that symmetric Jaccard
+    * misses (a short doc fully contained in a long one scores low Jaccard
+    * but containment 1.0). Same candidate-only cost model as the Jaccard
+    * scorer — one shared stats pass (`pairOverlapStats`). */
+  def containmentFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairOverlapStats(sh, pairs)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / col("n_a"), 6).as("cont_a"),
+        round(col("n_inter") / col("n_b"), 6).as("cont_b"))
+
+  /** Shared per-candidate-pair overlap statistics: distinct-shingle
+    * intersection size and both set sizes — the one expensive pass behind
+    * Jaccard and containment. Prunes the shingle table to candidate docs
+    * before the intersection join (O(candidate shingles), not O(corpus)).
+    */
+  def pairOverlapStats(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prune the shingle table to CANDIDATE docs before anything heavy: the
     // candidate set is ≪ corpus (that's the whole point of LSH), so the
@@ -164,8 +186,7 @@ object Dedup {
       .drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")), col("doc_b") === col("doc_id"))
       .drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
   /** Dedup-FIRST near-dup scoring — the production composition: exact-dedup

@@ -118,6 +118,15 @@ class DedupSpec extends TestBase {
     assert(!fast.exists(p => p._1 == 9L || p._2 == 9L))
   }
 
+  test("containment: subset doc scores cont_a 1.0, superset direction lower") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c d e")
+    val sh = Dedup.shingles(d)
+    val got = Dedup.containmentFromShingles(sh, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Double, Double)].collect().head
+    // sh(1)={abc,bcd} ⊂ sh(2)={abc,bcd,cde}
+    assert(got == ((1L, 2L, 1.0, 0.666667)))
+  }
+
   test("dedup-first cap: mega-groups emit no pairs, small groups unaffected") {
     val d = docs(
       1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "a b c d e f", 4L -> "a b c d e f",
