@@ -135,6 +135,27 @@ object NorthStarQueries {
         .where(col("n_copies") > 1).orderBy(col("keep_id"))
     },
 
+    // Operational incremental dedup: even docs are the existing keep-set;
+    // the arriving batch = odd docs ∪ re-deliveries of keep-set texts ∪
+    // in-batch duplicates. Only genuinely-new texts extend the keep-set.
+    QueryDef("dd_incremental")(
+      """WITH keeps AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |   UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40),
+        | newkeep AS (SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |             FROM batch GROUP BY 1)
+        | SELECT n.h, n.keep_id FROM newkeep n
+        | WHERE n.h NOT IN (SELECT h FROM keeps)
+        | ORDER BY keep_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keeps = d.where(col("doc_id") % 2 === 0).select(md5(col("text")).as("h")).distinct()
+      val batch = d.where(col("doc_id") % 2 === 1)
+        .unionAll(d.where(col("doc_id") < 40)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exactIncrement(keeps, batch).orderBy(col("keep_id"))
+    },
+
     QueryDef("dd_minhash_lsh")(
       s"""WITH $plantedNearSql,
          | $lshPairsSql
@@ -385,6 +406,40 @@ object NorthStarQueries {
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .head().getSeq[Double](0)
       Similarity.ivfTopK(e, q, 10)
+    },
+
+    // Cross-domain similarity: per-user behavior profiles (event-type count
+    // vectors) ranked by cosine against user 0 — the similarity kernel
+    // (`vec_dot`) composing over DERIVED vectors, not just the embeddings
+    // table. Profile build is one map-side-combined aggregate; the query
+    // vector is a plan literal (sim_topk_brute shape).
+    QueryDef("sim_user_topk")(
+      """WITH prof AS (SELECT user_id, [
+        |     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE,
+        |     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE,
+        |     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE,
+        |     sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::DOUBLE,
+        |     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::DOUBLE] AS v
+        |   FROM events GROUP BY 1),
+        | q AS (SELECT v AS qv FROM prof WHERE user_id = 0)
+        | SELECT user_id,
+        |   round(list_dot_product(v, qv) /
+        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        | FROM prof CROSS JOIN q
+        | ORDER BY sim DESC, user_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cnts = types.map(tp =>
+        sum(when(col("event_type") === tp, 1).otherwise(0)).cast("double").as(tp))
+      val prof = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(cnts.head, cnts.tail: _*)
+        .select(col("user_id"), array(types.map(col): _*).as("v"))
+      val q = prof.where(col("user_id") === 0).select(col("v"))
+        .head().getSeq[Double](0)
+      prof.select(col("user_id"),
+          round(Similarity.cosine(col("v"), lit(q.toArray)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("user_id"))
+        .limit(10)
     },
 
     // ANN quality evaluation as a first-class query: recall@10 of the IVF

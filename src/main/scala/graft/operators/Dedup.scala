@@ -30,6 +30,24 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the operational mode of a continuously
+    * ingested corpus: dedup a NEW batch internally (min doc_id per distinct
+    * text) and against the existing keep-set, emitting only the rows that
+    * extend it. `keeps` is hash-only (`h` = md5): 32 bytes/row however wide
+    * the corpus grows.
+    *
+    * Scale: one map-side-combined aggregate over the batch + one anti-join
+    * against the keep-set — broadcast when the keep-set fits, else a
+    * hash-keyed shuffle; store BOTH sides bucketed by `h` and the anti-join
+    * plans with zero exchanges (BucketedJoinSpec pattern).
+    */
+  def exactIncrement(keeps: DataFrame, batch: DataFrame): DataFrame =
+    batch
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .join(keeps.select(col("h")), Seq("h"), "left_anti")
+
   /** (doc_id, shingle) pairs: word `n`-grams over whitespace tokens.
     * Documents shorter than `n` tokens contribute their whole text as the
     * single shingle (so they still get a signature).

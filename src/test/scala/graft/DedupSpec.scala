@@ -118,6 +118,14 @@ class DedupSpec extends TestBase {
     assert(!fast.exists(p => p._1 == 9L || p._2 == 9L))
   }
 
+  test("incremental exact dedup: batch dedups internally and against keeps") {
+    val keeps = Seq("old text").toDF("text").select(md5($"text").as("h"))
+    val batch = docs(5L -> "old text", 7L -> "new text", 9L -> "new text", 3L -> "other")
+    val got = Dedup.exactIncrement(keeps, batch)
+      .select("keep_id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L)) // re-delivery of "old text" dropped; 9 loses to 7
+  }
+
   test("containment: subset doc scores cont_a 1.0, superset direction lower") {
     val d = docs(1L -> "a b c d", 2L -> "a b c d e")
     val sh = Dedup.shingles(d)
