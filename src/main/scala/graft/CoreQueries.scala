@@ -822,6 +822,26 @@ object CoreQueries {
         .orderBy("iv_user")
     },
 
+    // Skew-salted shuffle join: the big side carries a deterministic salt,
+    // the medium side replicates nSalts x, hot keys fan across tasks. The
+    // oracle is the UNSALTED join — salting must be result-invariant.
+    QueryDef("q45_salted_join")(
+      """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS price_floor_sum
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      graft.operators.SkewJoin.saltedEquiJoin(
+          t("orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+          t("customer").select(col("c_custkey"), col("c_nationkey")),
+          "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice")).cast("long")).as("price_floor_sum"))
+        .orderBy("c_nationkey")
+    },
+
     // Wide→long reshape via the native unpivot operator (Expand node: one
     // scan, no join/shuffle — the rows multiply ×K in the projection). The
     // oracle states the semantics as the blocking-agnostic UNION ALL form.
