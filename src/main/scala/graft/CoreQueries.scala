@@ -885,5 +885,28 @@ object CoreQueries {
             .over(w).as("last_purchase"))
         .orderBy("user_id", "ts_us", "event_id")
     },
+
+    // Bloom-filter semi-join reduction: the probe (lineitem) is pre-filtered
+    // by a compact filter built from the selective orders subset, so at
+    // scale only ~selectivity of the fact table reaches the join shuffle.
+    // False positives are discarded by the exact join — result is identical
+    // to the plain join, which is exactly what the oracle states.
+    QueryDef("q46_bloom_join")(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(SUM(l_extendedprice), 2) AS rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderpriority = '1-URGENT'
+        | GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val urgent = t("orders").where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      graft.operators.BloomJoin.bloomPrunedJoin(
+          t("lineitem").select("l_orderkey", "l_extendedprice"), urgent,
+          "l_orderkey", "o_orderkey", expectedItems = 1L << 22)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    },
   )
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join reduction (SURVEY scale notes; no reference
+  * precedent — the reference's only join is a distributed-cache broadcast).
+  *
+  * The classic 100 TB join problem: probe side (fact) is huge, build side is
+  * selective but too large to broadcast as rows. Shuffling the whole probe
+  * side to discover that 95% of it has no partner wastes the bulk of the
+  * job's I/O. Fix: aggregate the build side's join keys into a compact Bloom
+  * filter (a distributed aggregate — only the ~MB bit array reaches the
+  * driver), broadcast the BITS, and pre-filter the probe side BEFORE its
+  * shuffle. False positives pass the pre-filter and are discarded by the
+  * exact join that follows, so the result is identical to the plain join —
+  * only the shuffle volume changes (by the join selectivity, e.g. 20× for a
+  * 5%-selective build side).
+  *
+  * This is the explicit form of what AQE's runtime row-level filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects when
+  * statistics justify it; the explicit operator documents the plan shape and
+  * works when stats are absent or the build side is an arbitrary subquery.
+  */
+object BloomJoin {
+
+  /** Inner equi-join of `probe` with `build`, probe side pre-filtered by a
+    * Bloom filter over `build`'s keys.
+    *
+    * `expectedItems` sizes the filter (overestimating costs bits, not
+    * correctness: ~1.2 MB per million items at fpp=0.01). At unknown build
+    * cardinality, pass an upper bound or `build.count()` first.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    // Distributed build: BloomFilterAggregate partials merge on the driver;
+    // rows never leave the executors.
+    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bits = probe.sparkSession.sparkContext.broadcast(bloom)
+    // Nullable key: null never joins in an equi-join, so the pre-filter may
+    // drop it outright (boxed Long keeps the UDF null-safe under ANSI mode).
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bits.value.mightContainLong(k))
+    probe.filter(mightContain(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.SkewJoin
+import graft.operators.{BloomJoin, SkewJoin}
 import org.apache.spark.sql.functions._
 
 /** The engine's SQL face: registered views + `spark.sql` produce the same
@@ -35,6 +35,32 @@ class SqlSurfaceSpec extends TestBase {
       .select("o_orderkey", "c_name")
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assert(salted.count() == plain.count())
+  }
+
+  test("bloom-pruned join == plain join (pre-filter is lossless)") {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("b_key"), col("o_orderstatus"))
+    val lineitem = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plain = lineitem.join(urgent, col("l_orderkey") === col("b_key"))
+    val pruned = BloomJoin.bloomPrunedJoin(lineitem, urgent,
+      "l_orderkey", "b_key", expectedItems = 10000)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+
+    // Null probe keys must be dropped by the pre-filter, not crash the UDF.
+    val probeWithNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (null, "b")).toDF("l_orderkey", "tag")
+    val r = BloomJoin.bloomPrunedJoin(probeWithNulls, urgent,
+      "l_orderkey", "b_key", expectedItems = 100)
+    assert(r.where(col("tag") === "b").count() == 0)
+
+    // The filter genuinely prunes: keys far outside the build set are
+    // rejected at ~the configured fpp, not passed through.
+    val bloom = urgent.stat.bloomFilter("b_key", 10000, 0.01)
+    val misses = (1000000L to 1001000L).count(k => !bloom.mightContainLong(k))
+    assert(misses > 950, s"bloom rejected only ${misses}/1001 disjoint keys")
   }
 
   test("events.props parses to MapType via from_json (§1.3 surface)") {
