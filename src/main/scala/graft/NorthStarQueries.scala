@@ -475,6 +475,31 @@ object NorthStarQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     },
 
+    // Batch k-NN retrieval (k-NN JOIN): top-k corpus neighbors for EVERY
+    // query vector in one pass — one corpus scan × broadcast query batch,
+    // per-query top-k via the TopK Aggregator (shuffle O(queries × k)).
+    // The oracle is the blocking-agnostic window form over the full cross
+    // score — any exact k-NN join agrees.
+    QueryDef("sim_knn_join")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         | scored AS (SELECT query_id, e.vec_id,
+         |              round(${cosSql("e.v", "qv")}, 6) AS sim
+         |            FROM e CROSS JOIN q),
+         | ranked AS (SELECT *, row_number() OVER
+         |              (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |            FROM scored)
+         | SELECT query_id, vec_id, sim, CAST(rk AS BIGINT) AS rk
+         | FROM ranked WHERE rk <= 5
+         | ORDER BY query_id, rk""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.knnJoin(qs, e, 5).orderBy("query_id", "rk")
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("txt_langid")(
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -317,6 +317,47 @@ object Similarity {
     searchWithCents(embs, cents, query.toArray, k, nProbe)
   }
 
+  /** Batch k-NN retrieval (k-NN join): for EVERY row of `queries(query_id,
+    * embedding)`, the exact top-k rows of `corpus(vec_id, embedding)` by
+    * cosine — the production retrieval workload (nearest-neighbor mining,
+    * cross-dataset contamination checks, retrieval-pair generation).
+    *
+    * Shape: ONE corpus scan × a broadcast of the query batch (queries are
+    * the small side by contract), cosine scored by the codegen'd `vec_dot`,
+    * then per-query top-k through the `TopK` Aggregator — partial top-k
+    * heaps are map-side combined, so the shuffle is O(queries × k), never
+    * O(corpus). At 100 TB the corpus is scanned once regardless of the
+    * query-batch size; for query batches too big to broadcast, block BOTH
+    * sides (`lshBuckets` / IVF cells) and run this kernel per block.
+    *
+    * Zero-norm vectors (no direction ⇒ cosine NaN) are excluded on both
+    * sides; ordering is on the ROUNDED sim, ties by vec_id — stable across
+    * engines (`bruteForceTopK` contract, per query).
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries
+      .select(col("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qd", dot(col("qv"), col("qv")))
+      .where(col("qd") > 0)
+    val c = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vd", dot(col("v"), col("v")))
+      .where(col("vd") > 0)
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (sqrt(col("vd")) * sqrt(col("qd"))), 6).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopK(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._1").as("vec_id"), col("e._2").as("sim"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** The 100 TB storage layout for IVF: materialize the table PARTITIONED
     * BY cell id (plus the centroid metadata alongside), so a probe prunes
     * FILE READS — `nProbe/nCells` of the bytes ever touch an executor,

@@ -19,6 +19,31 @@ class SimilaritySpec extends TestBase {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
 
+  test("knnJoin: every query's rank-1 neighbor is itself; results match per-query brute force") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.3f)),
+      (4L, Array(0.0f, 0.0f)) // zero-norm: excluded from both sides
+    ).toDF("vec_id", "embedding")
+    val qs = e.where(col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    val got = Similarity.knnJoin(qs, e, 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    // rank 1 per query = the query itself at sim 1.0
+    assert(got.filter(_._4 == 1L).map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 0L, 1.0), (1L, 1L, 1.0)))
+    // zero-norm vector never appears
+    assert(!got.exists(_._2 == 4L))
+    // per-query results equal the single-query brute-force baseline
+    for (q <- Seq(0L, 1L)) {
+      // widen float32 exactly as knnJoin does (0.9f != 0.9d)
+      val qv = Seq(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.9f, 0.1f)).toMap
+        .apply(q).map(_.toDouble)
+      val brute = Similarity.bruteForceTopK(e.where(col("vec_id") =!= 4L), qv, 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(got.filter(_._1 == q).map(r => (r._2, r._3)) == brute)
+    }
+  }
+
   test("IVF top-k achieves full recall vs brute force on the test embeddings") {
     val e = Tables(spark, sf(), "embeddings")
     val q = e.where(col("vec_id") === 7)
