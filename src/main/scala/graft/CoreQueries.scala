@@ -908,5 +908,54 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
         .orderBy("o_orderstatus")
     },
+
+    // Funnel analysis: users progressing view → click (at/after their first
+    // view) → purchase (at/after that click). Each stage is one min-ts
+    // aggregate + an equi-join on user_id — same shuffle key throughout, so
+    // the stages reuse one partitioning; counts collapse to a single row.
+    QueryDef("q47_funnel")(
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |       JOIN v ON v.user_id = e.user_id AND e.ts >= v.vt
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        | p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |       JOIN c ON c.user_id = e.user_id AND e.ts >= c.ct
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      val ev = t("events").select("user_id", "event_type", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts") >= col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+
+    // Order-independent table fingerprint: sum of a 32-bit slice of each
+    // row's md5 + the row count — ONE map-side-combined aggregate, no
+    // shuffle beyond the 1-row merge. The 100 TB use: verify a copy /
+    // migration / export byte-for-byte cheaply, without sorting anything.
+    QueryDef("q48_fingerprint")(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(sum(('0x' || substring(md5(doc_id || ':' || text), 1, 8))::BIGINT) AS BIGINT)
+        |     AS content_sum
+        | FROM documents""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
+          16, 10).cast("long")).as("content_sum"))
+    },
   )
 }
