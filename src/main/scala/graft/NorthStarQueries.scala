@@ -156,6 +156,33 @@ object NorthStarQueries {
       Dedup.exactIncrement(keeps, batch).orderBy(col("keep_id"))
     },
 
+    // Benchmark decontamination: corpus docs (doc_id >= 5) sharing any word
+    // 3-gram with the eval set (doc_id < 5), with distinct-shingle hit
+    // counts. The eval shingle set is benchmark-scale → broadcast semi-join;
+    // the corpus never shuffles.
+    QueryDef("dd_decontaminate")(
+      """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents WHERE doc_id >= 5),
+        | toke AS (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents WHERE doc_id < 5),
+        | shc AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+        |         FROM tokc JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
+        |         UNION ALL SELECT doc_id, array_to_string(w, ' ')
+        |         FROM tokc WHERE len(w) < 3),
+        | she AS (SELECT DISTINCT shingle FROM (
+        |           SELECT array_to_string(w[i.i:i.i+2], ' ') AS shingle
+        |           FROM toke JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
+        |           UNION ALL SELECT array_to_string(w, ' ')
+        |           FROM toke WHERE len(w) < 3))
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        | FROM shc JOIN she USING (shingle)
+        | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.contaminationHits(d.where(col("doc_id") >= 5), d.where(col("doc_id") < 5))
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef("dd_minhash_lsh")(
       s"""WITH $plantedNearSql,
          | $lshPairsSql

@@ -287,6 +287,23 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** Benchmark decontamination: corpus docs sharing ≥ 1 word n-gram with an
+    * eval/benchmark set, with the count of distinct shared shingles — the
+    * standard training-data hygiene pass (eval questions leaking into the
+    * training corpus inflate benchmark scores).
+    *
+    * Scale: the eval side is benchmark-scale (thousands of docs), so its
+    * distinct shingle set broadcasts; the corpus shingle stream is
+    * semi-joined against it with NO shuffle of corpus data, and the per-doc
+    * hit count is map-side combined. One corpus scan total; corpus size
+    * never multiplies anything.
+    */
+  def contaminationHits(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame =
+    shingles(corpus, n) // distinct (doc_id, shingle)
+      .join(shingles(evalSet, n).select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** SimHash (16-bit variant): for bit j, each token votes +1 if the high
     * bit of hex digit j of `md5(token)` is set, else −1; bit j of the
     * signature is 1 iff the integer vote sum is positive. Integer votes →

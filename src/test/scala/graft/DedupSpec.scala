@@ -26,6 +26,18 @@ class DedupSpec extends TestBase {
     assert(short == Set((1L, "foo bar"), (2L, "foo qux")))
   }
 
+  test("contamination hits: n-gram overlap with the eval set, distinct counts") {
+    val corpus = docs(
+      10L -> "the quick brown fox jumps", // shares "the quick brown"+"quick brown fox" with eval
+      11L -> "totally different words here",
+      12L -> "quick brown fox jumps far", // shares "quick brown fox"
+      13L -> "quick brown fox quick brown fox x") // repeated shingle counts ONCE
+    val evalSet = docs(1L -> "the quick brown fox")
+    val got = Dedup.contaminationHits(corpus, evalSet)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L)) // 11 is clean: absent
+  }
+
   test("identical docs share full minhash signature; disjoint docs don't") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
     val sigs = Dedup.minhashSignatures(d, numHashes = 4)
