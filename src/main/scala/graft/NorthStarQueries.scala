@@ -574,6 +574,34 @@ object NorthStarQueries {
         .orderBy(col("source"))
     },
 
+    // Token-budget sequence packing: assign docs (in id order, per lang) to
+    // consecutive fixed-budget training bins — the batch-construction step
+    // of a training pipeline (the weighted cousin of the LASER 100-row
+    // chunker, `LASERInputValidator.java:137-165`). One keyed running
+    // window + one aggregate; langs pack in parallel.
+    QueryDef("txt_pack")(
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        | c AS (SELECT lang, doc_id, tok,
+        |         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM t)
+        | SELECT lang, CAST((cum - tok) // 2000 AS BIGINT) AS bin,
+        |   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS toks
+        | FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("lang"), floor((col("cum") - col("tok")) / lit(2000)).as("bin"), col("tok"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     QueryDef("txt_fingerprint")(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
         | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+3], ' ') AS shingle
