@@ -941,6 +941,32 @@ object CoreQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     },
 
+    // Data profiling (the ANALYZE-style pass a pipeline runs before
+    // training): row count, per-column min/max/avg/null-count and ONE exact
+    // distinct count, all in a single scan. Kept to one DISTINCT aggregate:
+    // each additional one multiplies the row stream through an Expand plan
+    // (the q37_sketches lesson) — profile more columns with
+    // approx_count_distinct or separate two-phase passes.
+    QueryDef("q49_profile")(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |   CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |   CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |   round(avg(o_totalprice), 4) AS avg_price,
+        |   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS null_prios
+        | FROM orders""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      t("orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long").as("null_prios"))
+    },
+
     // Order-independent table fingerprint: sum of a 32-bit slice of each
     // row's md5 + the row count — ONE map-side-combined aggregate, no
     // shuffle beyond the 1-row merge. The 100 TB use: verify a copy /
