@@ -35,15 +35,34 @@ object BloomJoin {
       probeKey: String, buildKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    // The probe UDF hashes via mightContainLong: integral keys only. Fail
+    // at plan time with a clear message, not at runtime inside a task.
+    val keyType = probe.schema(probeKey).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(keyType),
+      s"bloomPrunedJoin needs an integral probe key, got $probeKey: $keyType")
     // Distributed build: BloomFilterAggregate partials merge on the driver;
-    // rows never leave the executors.
-    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
-    val bits = probe.sparkSession.sparkContext.broadcast(bloom)
-    // Nullable key: null never joins in an equi-join, so the pre-filter may
-    // drop it outright (boxed Long keeps the UDF null-safe under ANSI mode).
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bits.value.mightContainLong(k))
-    probe.filter(mightContain(col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+    // rows never leave the executors. An EMPTY build side NPEs inside
+    // Spark's stat.bloomFilter (null aggregate buffer) — an empty build
+    // means an empty join, so short-circuit to the (schema-preserving)
+    // empty plan instead of scanning the probe side at all.
+    val bloomOpt =
+      try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
+      catch { case _: NullPointerException => None }
+    bloomOpt match {
+      case None =>
+        probe.join(build, col(probeKey) === col(buildKey)).limit(0)
+      case Some(bloom) =>
+        val bits = probe.sparkSession.sparkContext.broadcast(bloom)
+        // Nullable key: null never joins in an equi-join, so the pre-filter
+        // may drop it outright (boxed Long keeps the UDF null-safe under
+        // ANSI mode).
+        val mightContain = udf((k: java.lang.Long) =>
+          k != null && bits.value.mightContainLong(k))
+        probe.filter(mightContain(col(probeKey)))
+          .join(build, col(probeKey) === col(buildKey))
+    }
   }
 }

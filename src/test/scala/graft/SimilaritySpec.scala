@@ -33,6 +33,10 @@ class SimilaritySpec extends TestBase {
       Seq((0L, 0L, 1.0), (1L, 1L, 1.0)))
     // zero-norm vector never appears
     assert(!got.exists(_._2 == 4L))
+    // k larger than the (non-zero-norm) corpus: every survivor ranked, no pad
+    val all = Similarity.knnJoin(qs, e, 100)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(all.count(_._1 == 0L) == 4 && all.count(_._1 == 1L) == 4)
     // per-query results equal the single-query brute-force baseline
     for (q <- Seq(0L, 1L)) {
       // widen float32 exactly as knnJoin does (0.9f != 0.9d)

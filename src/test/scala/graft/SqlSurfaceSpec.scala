@@ -61,6 +61,19 @@ class SqlSurfaceSpec extends TestBase {
     val bloom = urgent.stat.bloomFilter("b_key", 10000, 0.01)
     val misses = (1000000L to 1001000L).count(k => !bloom.mightContainLong(k))
     assert(misses > 950, s"bloom rejected only ${misses}/1001 disjoint keys")
+
+    // Empty build side → empty result (no crash, no spurious rows).
+    val emptyBuild = urgent.where(lit(false))
+    assert(BloomJoin.bloomPrunedJoin(lineitem, emptyBuild,
+      "l_orderkey", "b_key", expectedItems = 10).count() == 0)
+
+    // Non-integral probe key fails at plan time with a clear message.
+    val err = intercept[IllegalArgumentException] {
+      BloomJoin.bloomPrunedJoin(
+        probeWithNulls.withColumn("l_orderkey", col("l_orderkey").cast("string")),
+        urgent, "l_orderkey", "b_key", expectedItems = 10)
+    }
+    assert(err.getMessage.contains("integral probe key"))
   }
 
   test("events.props parses to MapType via from_json (§1.3 surface)") {
