@@ -9,6 +9,23 @@ class DedupSpec extends TestBase {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("every dedup operator is well-defined on EMPTY inputs (no NPE class)") {
+    val empty = docs()
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.exactIncrement(Dedup.exact(d).select("h"), empty).count() == 0)
+    assert(Dedup.shingles(empty).count() == 0)
+    assert(Dedup.lshCandidatePairs(empty).count() == 0)
+    assert(Dedup.nearDupScores(empty).count() == 0)
+    assert(Dedup.simhash64(empty).count() == 0)
+    assert(Dedup.simhashPairs(Dedup.simhash64(empty)).count() == 0)
+    assert(Dedup.contaminationHits(d, empty).count() == 0)
+    assert(Dedup.contaminationHits(empty, d).count() == 0)
+    val noPairs = docs().select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    assert(Dedup.editSimilarity(d, noPairs).count() == 0)
+    assert(Dedup.ngramJaccard(d, noPairs).count() == 0)
+  }
+
   test("exact dedup keeps lowest doc_id per distinct text") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 9L -> "a b c")
     val got = Dedup.exact(d).orderBy("keep_id")

@@ -19,6 +19,20 @@ class SimilaritySpec extends TestBase {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
 
+  test("similarity operators are well-defined on EMPTY inputs") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(empty, Seq(1.0, 0.0), 3).count() == 0)
+    assert(Similarity.bucketedNearDup(empty, 0.9).count() == 0)
+    assert(Similarity.lshBuckets(empty).count() == 0)
+    assert(Similarity.ivfTopK(empty, Seq(1.0, 0.0), 3).count() == 0)
+    assert(Similarity.knnJoin(
+      empty.withColumnRenamed("vec_id", "query_id"), e, 3).count() == 0)
+    assert(Similarity.knnJoin(
+      e.withColumnRenamed("vec_id", "query_id"), empty, 3).count() == 0)
+  }
+
   test("knnJoin: every query's rank-1 neighbor is itself; results match per-query brute force") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
