@@ -35,14 +35,19 @@ object BloomJoin {
       probeKey: String, buildKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
-    // The probe UDF hashes via mightContainLong: integral keys only. Fail
-    // at plan time with a clear message, not at runtime inside a task.
-    val keyType = probe.schema(probeKey).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(keyType),
-      s"bloomPrunedJoin needs an integral probe key, got $probeKey: $keyType")
+    // Both key sides must be integral: the filter is BUILT by putLong and
+    // PROBED by mightContainLong — a string build key would insert UTF-8
+    // bytes into a different hash space and silently drop every true match.
+    // Fail at plan time with a clear message, not at runtime inside a task.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val probeType = probe.schema(probeKey).dataType
+    require(integral.contains(probeType),
+      s"bloomPrunedJoin needs an integral probe key, got $probeKey: $probeType")
+    val buildType = build.schema(buildKey).dataType
+    require(integral.contains(buildType),
+      s"bloomPrunedJoin needs an integral build key, got $buildKey: $buildType")
     // Distributed build: BloomFilterAggregate partials merge on the driver;
     // rows never leave the executors. An EMPTY build side NPEs inside
     // Spark's stat.bloomFilter (null aggregate buffer) — an empty build
@@ -50,7 +55,14 @@ object BloomJoin {
     // empty plan instead of scanning the probe side at all.
     val bloomOpt =
       try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
-      catch { case _: NullPointerException => None }
+      catch {
+        case npe: NullPointerException =>
+          // Confirm the NPE really is the empty-build case before treating
+          // it as one — any OTHER driver-side NPE must surface, not become
+          // a silently empty join. (The isEmpty probe only runs on this
+          // already-failed path, never in the common case.)
+          if (build.select(buildKey).isEmpty) None else throw npe
+      }
     bloomOpt match {
       case None =>
         probe.join(build, col(probeKey) === col(buildKey)).limit(0)

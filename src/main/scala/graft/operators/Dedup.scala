@@ -300,7 +300,11 @@ object Dedup {
     */
   def contaminationHits(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame =
     shingles(corpus, n) // distinct (doc_id, shingle)
-      .join(shingles(evalSet, n).select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
+      // eval side: dedup = false — the only consumer is the shingle-level
+      // distinct below, so the per-(doc, shingle) distinct shuffle that
+      // shingles(dedup = true) would add first is pure waste.
+      .join(shingles(evalSet, n, dedup = false).select(col("shingle")).distinct(),
+        Seq("shingle"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 

@@ -67,13 +67,21 @@ class SqlSurfaceSpec extends TestBase {
     assert(BloomJoin.bloomPrunedJoin(lineitem, emptyBuild,
       "l_orderkey", "b_key", expectedItems = 10).count() == 0)
 
-    // Non-integral probe key fails at plan time with a clear message.
+    // Non-integral keys fail at plan time with a clear message — on EITHER
+    // side (a string build key would populate the filter in a different
+    // hash space than mightContainLong probes, silently dropping matches).
     val err = intercept[IllegalArgumentException] {
       BloomJoin.bloomPrunedJoin(
         probeWithNulls.withColumn("l_orderkey", col("l_orderkey").cast("string")),
         urgent, "l_orderkey", "b_key", expectedItems = 10)
     }
     assert(err.getMessage.contains("integral probe key"))
+    val err2 = intercept[IllegalArgumentException] {
+      BloomJoin.bloomPrunedJoin(probeWithNulls,
+        urgent.withColumn("b_key", col("b_key").cast("string")),
+        "l_orderkey", "b_key", expectedItems = 10)
+    }
+    assert(err2.getMessage.contains("integral build key"))
   }
 
   test("events.props parses to MapType via from_json (§1.3 surface)") {
