@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regression locks on the SCALE-CRITICAL physical-plan shapes — the
+  * properties EXPLAIN.md documents as the reason each operator survives a
+  * 100 TB scale-up. A refactor that silently reintroduces a window argmin,
+  * a driver collect, or an unpushed filter should fail HERE, not in a
+  * production profile.
+  */
+class PlanShapeSpec extends TestBase {
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.catalog.find(_.name == name).get
+    q.build(spark, sf("sf0.001")).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter + projection reach the parquet scan") {
+    val p = planOf("q02_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"),
+      "filter must push into the scan")
+    assert(!p.contains("l_comment"), "projection must prune unused columns")
+  }
+
+  test("q04: bounded dimension join is broadcast, not shuffled") {
+    val p = planOf("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q46: bloom pre-filter sits on the probe side BEFORE the join") {
+    val p = planOf("q46_bloom_join")
+    // The UDF filter must be a CHILD of the join (pre-join, on the probe
+    // scan) — that ordering IS the shuffle reduction. Formatted plans
+    // render root-first, so a child Filter prints AFTER the join line; a
+    // post-join Filter would print before it.
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("Filter")
+    assert(joinAt > 0 && filterAt > joinAt,
+      "bloom pre-filter must execute below the join, not above it")
+    assert(p.contains("HashAggregate"), "aggregate must be partial+final")
+  }
+
+  test("sim_topk_brute: top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = planOf("sim_topk_brute")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("sim_ivf_topk: cell assignment is expression-only — no window, no extra join") {
+    val p = planOf("sim_ivf_topk")
+    assert(!p.contains("Window"), "argmin must not plan as a window")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("dd_simhash_pairs: band-blocked self-join with NO corpus broadcast") {
+    val p = planOf("dd_simhash_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      // toy scale may legitimately size-broadcast; the guard is that we
+      // never HINT a broadcast of the signature table (plan carries no
+      // explicit broadcast hint node)
+      !p.contains("ResolvedHint"))
+  }
+
+  test("dd_decontaminate: eval shingles broadcast as a LeftSemi build side") {
+    val p = planOf("dd_decontaminate")
+    assert(p.contains("LeftSemi"), "contamination check must be a semi join")
+  }
+
+  test("q30: TopK aggregator plans partial + final (ObjectHashAggregate)") {
+    val p = planOf("q30_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+}
