@@ -237,9 +237,12 @@ object NorthStarQueries {
          | JOIN sizes nb ON nb.doc_id = p.doc_b
          | ORDER BY p.doc_a, p.doc_b""".stripMargin
     ) { (s, dir) =>
-      val sh = Dedup.shingles(plantedNear(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.containmentFromShingles(sh, Dedup.lshCandidatePairsFromShingles(sh))
+      // Dedup-first with orientation-aware expansion: the asymmetric
+      // (cont_a, cont_b) swap with the member-pair re-canonicalization.
+      // Same pair set + scores as the doc-level chain (oracle is doc-level),
+      // at distinct-text cost — the dup-dense 10×-docs probe measured the
+      // doc-level wiring at 15.3 s vs 2.9 s dedup-first.
+      Dedup.containmentDedup(plantedNear(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -572,6 +575,30 @@ object NorthStarQueries {
         .groupBy(col("source"))
         .agg(sum(col("ws_tokens")).as("ws_tokens"), sum(col("sub_tokens")).as("sub_tokens"))
         .orderBy(col("source"))
+    },
+
+    // Percentile-gated outlier filtering (quality-floor curation): drop docs
+    // whose char length sits below the corpus p10. The threshold is ONE
+    // distributed exact-percentile aggregate (object buffer — kept clear of
+    // any DISTINCT agg per the q37 Expand lesson) cross-joined as a 1-row
+    // scalar; the survivor count is a second plain aggregate. Both engines
+    // interpolate percentiles with the same type-7 rule (position
+    // 1 + p·(n−1)), so the threshold itself hash-matches.
+    QueryDef("txt_outliers")(
+      """WITH thr AS (SELECT quantile_cont(length(text), 0.1) AS p10 FROM documents)
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |   round(any_value(p10), 6) AS p10
+        | FROM documents CROSS JOIN thr
+        | WHERE length(text) >= p10
+        | GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val thr = d.agg(expr("percentile(length(text), 0.1)").as("p10"))
+      d.crossJoin(thr)
+        .where(length(col("text")) >= col("p10"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), round(any_value(col("p10")), 6).as("p10"))
+        .orderBy(col("lang"))
     },
 
     // Token-budget sequence packing: assign docs (in id order, per lang) to

@@ -232,7 +232,7 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       maxBucket: Int = 1000): DataFrame =
-    dedupFirst(docs, n, numHashes, bandSize, maxBucket, score = true)
+    dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "jaccard")
 
   /** Candidate pairs only, dedup-first: the pair set of `lshCandidatePairs`
     * at distinct-text cost (same equivalence argument as `nearDupScores`,
@@ -244,10 +244,25 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       maxBucket: Int = 1000): DataFrame =
-    dedupFirst(docs, n, numHashes, bandSize, maxBucket, score = false)
+    dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "none")
+
+  /** Containment scoring at dedup-first cost. Containment is ASYMMETRIC
+    * (cont_a = n_inter/n_a), so the expansion back to doc pairs must track
+    * orientation: a rep-level score (ra, rb) expands to member pair
+    * (ia, ib) re-canonicalized as (least, greatest) — when the member order
+    * flips relative to the rep order, (cont_a, cont_b) swap with it.
+    * Within-group pairs are identity: equal texts ⇒ n_inter = n_a = n_b ⇒
+    * containment exactly (1.0, 1.0), no shingle work. */
+  def containmentDedup(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): DataFrame =
+    dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "containment")
 
   private def dedupFirst(docs: DataFrame, n: Int, numHashes: Int,
-      bandSize: Int, maxBucket: Int, score: Boolean): DataFrame = {
+      bandSize: Int, maxBucket: Int, mode: String): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (doc_id, th): feeds rep selection, both expansion joins, and the
     // within-group self-join — one corpus scan.
@@ -256,8 +271,23 @@ object Dedup {
     val repDocs = docs.join(rep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val sh = shingles(repDocs, n).persist(sl)
     val repPairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
-    val repOut = if (score) ngramJaccardFromShingles(sh, repPairs) else repPairs
-    val carry = if (score) Seq(col("jaccard")) else Nil
+    val repOut = mode match {
+      case "jaccard"     => ngramJaccardFromShingles(sh, repPairs)
+      case "containment" => containmentFromShingles(sh, repPairs)
+      case "none"        => repPairs
+      case other         => throw new IllegalArgumentException(s"dedupFirst mode: $other")
+    }
+    // Expansion re-canonicalizes member pairs as (least, greatest); when the
+    // member order flips relative to the rep order the ASYMMETRIC carries
+    // must swap orientation with it (jaccard is symmetric — no swap).
+    val flipped = col("ia") > col("ib")
+    val carry = mode match {
+      case "jaccard" => Seq(col("jaccard"))
+      case "containment" => Seq(
+        when(flipped, col("cont_b")).otherwise(col("cont_a")).as("cont_a"),
+        when(flipped, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
+      case _ => Nil
+    }
     // Pathological-boilerplate guard, mirrored from the banded chain's
     // bucket cap: text groups above `maxBucket` copies emit NO pairs — not
     // within their group (a 1M-copy text must not emit 10¹² pairs) and not
@@ -277,13 +307,19 @@ object Dedup {
       .join(capped.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
       .select(least(col("ia"), col("ib")).as("doc_a") +:
         greatest(col("ia"), col("ib")).as("doc_b") +: carry: _*)
-    // Equal-text candidates: all within-group pairs (at jaccard 1.0 when
-    // scoring — identity, not measurement).
+    // Equal-text candidates: all within-group pairs score as identity, not
+    // measurement (equal texts ⇒ equal shingle sets ⇒ jaccard 1.0,
+    // containment (1.0, 1.0)).
+    val withinCarry = mode match {
+      case "jaccard"     => Seq(lit(1.0).as("jaccard"))
+      case "containment" => Seq(lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
+      case _             => Nil
+    }
     val within = capped.as("x")
       .join(capped.as("y"),
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
-        (if (score) Seq(lit(1.0).as("jaccard")) else Nil): _*)
+        withinCarry: _*)
     cross.unionAll(within)
   }
 

@@ -55,6 +55,32 @@ class DedupSpec extends TestBase {
     assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L)) // 11 is clean: absent
   }
 
+  test("containmentDedup: asymmetric scores keep orientation through expansion") {
+    // Short text S is a near-subset of long text L; each has two copies with
+    // member ids interleaved so the (least, greatest) re-canonicalization
+    // FLIPS some member pairs relative to the rep pair — exercising the
+    // orientation swap. (L = S + one token ⇒ the texts share most shingles,
+    // so LSH banding puts them in the same bucket deterministically.)
+    val d = docs(
+      1L -> "a b c d e f g h", 6L -> "a b c d e f g h", // L, rep = 1
+      2L -> "a b c d e f g", 5L -> "a b c d e f g")     // S, rep = 2
+    val got = Dedup.containmentDedup(d)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val shortIds = Set(2L, 5L)
+    val cross = got.filter(r => shortIds(r._1) != shortIds(r._2))
+    assert(cross.nonEmpty, "S×L candidate pairs must surface via shared bands")
+    assert(cross.exists(r => shortIds(r._1)) && cross.exists(r => shortIds(r._2)),
+      "both orientations must occur or the flip path is untested")
+    cross.foreach { r =>
+      val (contShort, contLong) = if (shortIds(r._1)) (r._3, r._4) else (r._4, r._3)
+      assert(contShort > contLong,
+        s"containment must stay attached to the SHORT side after expansion: $r")
+    }
+    // within-group pairs are identity-scored
+    got.filter(r => shortIds(r._1) == shortIds(r._2))
+      .foreach(r => assert(r._3 == 1.0 && r._4 == 1.0))
+  }
+
   test("identical docs share full minhash signature; disjoint docs don't") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
     val sigs = Dedup.minhashSignatures(d, numHashes = 4)
