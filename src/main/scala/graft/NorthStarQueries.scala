@@ -311,7 +311,10 @@ object NorthStarQueries {
          | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Dedup.connectedComponents(Dedup.lshCandidatePairsDedup(plantedChain(s, dir)))
+      // Rep-level CC + member label inheritance: identical labels to CC
+      // over the expanded pair graph, with the edge set at distinct-text
+      // scale instead of Σk² duplicate cliques.
+      Dedup.clusterDedupFirst(plantedChain(s, dir))
         .orderBy(col("doc_id"))
     },
 
@@ -373,10 +376,10 @@ object NorthStarQueries {
          | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val corpus = plantedChainLang(s, dir)
-      val dup = Dedup.nearDupScores(corpus)
-        .where(col("jaccard") >= 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      val purge = Dedup.connectedComponents(dup)
+      // Gate + cluster at rep level (scores are text-level, so the rep
+      // gate equals the doc gate); members inherit labels — the expanded
+      // score set never materializes.
+      val purge = Dedup.clusterDedupFirst(corpus, minJaccard = Some(0.8))
         .where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       corpus.join(purge, Seq("doc_id"), "left_anti")

@@ -261,8 +261,14 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "containment")
 
-  private def dedupFirst(docs: DataFrame, n: Int, numHashes: Int,
-      bandSize: Int, maxBucket: Int, mode: String): DataFrame = {
+  /** Shared dedup-first prelude: text-hash keying, representative
+    * selection, mega-group cap, representative shingles and LSH candidate
+    * pairs — one corpus scan feeding every dedup-first consumer. */
+  private final case class DedupCtx(keyed: DataFrame, rep: DataFrame,
+      capped: DataFrame, sh: DataFrame, repPairs: DataFrame)
+
+  private def dedupPrelude(docs: DataFrame, n: Int, numHashes: Int,
+      bandSize: Int, maxBucket: Int): DedupCtx = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (doc_id, th): feeds rep selection, both expansion joins, and the
     // within-group self-join — one corpus scan.
@@ -271,6 +277,22 @@ object Dedup {
     val repDocs = docs.join(rep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val sh = shingles(repDocs, n).persist(sl)
     val repPairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
+    // Pathological-boilerplate guard, mirrored from the banded chain's
+    // bucket cap: text groups above `maxBucket` copies emit NO pairs — not
+    // within their group (a 1M-copy text must not emit 10¹² pairs) and not
+    // via expansion (each cross pair would multiply k×). `exact` already
+    // reports such a group as one (keep_id, n_copies) row; pair-wise
+    // treatment of mega-groups belongs to a dedicated clustering pass.
+    val bigGroups = keyed.groupBy(col("th")).agg(count(lit(1)).as("k"))
+      .where(col("k") > maxBucket).select(col("th"))
+    val capped = keyed.join(broadcast(bigGroups), Seq("th"), "left_anti")
+    DedupCtx(keyed, rep, capped, sh, repPairs)
+  }
+
+  private def dedupFirst(docs: DataFrame, n: Int, numHashes: Int,
+      bandSize: Int, maxBucket: Int, mode: String): DataFrame = {
+    val ctx = dedupPrelude(docs, n, numHashes, bandSize, maxBucket)
+    val (rep, capped, sh, repPairs) = (ctx.rep, ctx.capped, ctx.sh, ctx.repPairs)
     val repOut = mode match {
       case "jaccard"     => ngramJaccardFromShingles(sh, repPairs)
       case "containment" => containmentFromShingles(sh, repPairs)
@@ -288,15 +310,6 @@ object Dedup {
         when(flipped, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
       case _ => Nil
     }
-    // Pathological-boilerplate guard, mirrored from the banded chain's
-    // bucket cap: text groups above `maxBucket` copies emit NO pairs — not
-    // within their group (a 1M-copy text must not emit 10¹² pairs) and not
-    // via expansion (each cross pair would multiply k×). `exact` already
-    // reports such a group as one (keep_id, n_copies) row; pair-wise
-    // treatment of mega-groups belongs to a dedicated clustering pass.
-    val bigGroups = keyed.groupBy(col("th")).agg(count(lit(1)).as("k"))
-      .where(col("k") > maxBucket).select(col("th"))
-    val capped = keyed.join(broadcast(bigGroups), Seq("th"), "left_anti")
     // Cross-text candidates: map rep ids back to text hashes, expand each
     // text pair to every member doc pair (order re-canonicalized — member
     // ids need not sort the same way as rep ids).
@@ -549,6 +562,57 @@ object Dedup {
     e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
+  }
+
+  /** Cluster formation at dedup-first cost: the labeling of
+    * `connectedComponents(doc-level pairs)` computed WITHOUT ever
+    * materializing the k²-expanded pair graph. CC runs on REP-level
+    * candidate pairs only (optionally Jaccard-gated there — scores are
+    * text-level, so a rep-level gate equals a doc-level gate, and
+    * within-group pairs score 1.0 ≥ any gate ≤ 1); members then inherit
+    * their representative's label through the (doc_id, th, rep) star the
+    * prelude already holds.
+    *
+    * Label equivalence: reps are group MINIMA, so a component's min doc id
+    * IS its min rep id — member labels equal doc-level CC labels exactly.
+    * Multi-member groups whose rep touches no cross pair still cluster
+    * (their within-group clique connects them in the doc-level graph):
+    * they self-label under their rep. Singleton docs with no pairs are
+    * absent, matching doc-level CC output.
+    *
+    * Scale: CC edge count drops from Σk² (duplicate-inflated cliques) to
+    * the rep-level candidate count; the member expansion is one join,
+    * linear in output size. Dup-dense 10×-docs probe: `dd_cluster`
+    * 7.8 s → (measured below), identical labels.
+    */
+  def clusterDedupFirst(
+      docs: DataFrame,
+      minJaccard: Option[Double] = None,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val ctx = dedupPrelude(docs, n, numHashes, bandSize, maxBucket)
+    val gated = minJaccard match {
+      case Some(t) => ngramJaccardFromShingles(ctx.sh, ctx.repPairs)
+        .where(col("jaccard") >= t).select(col("doc_a"), col("doc_b"))
+      case None => ctx.repPairs
+    }
+    val ccRep = connectedComponents(gated)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    // Multi-member groups self-label at their rep (the within-group clique
+    // of the doc-level graph); min-merge with the CC labels so a rep that
+    // is BOTH in a cross component and a multi-group takes the smaller.
+    val multi = ctx.capped.groupBy(col("th")).agg(count(lit(1)).as("k"))
+      .where(col("k") > 1).select(col("th"))
+      .join(ctx.rep, "th")
+      .select(col("rep"), col("rep").as("cluster_id"))
+    val repLabel = ccRep.unionAll(multi)
+      .groupBy(col("rep")).agg(min(col("cluster_id")).as("cluster_id"))
+    ctx.capped
+      .join(ctx.rep, "th")
+      .join(repLabel, "rep")
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.

@@ -55,6 +55,26 @@ class DedupSpec extends TestBase {
     assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L)) // 11 is clean: absent
   }
 
+  test("clusterDedupFirst == CC over the expanded pair graph (dup-dense fixture)") {
+    // Duplicate-dense corpus: near-identical texts with multiple copies
+    // each, interleaved ids — rep-level CC + label inheritance must produce
+    // EXACTLY the labeling of doc-level CC over the expanded pairs.
+    val base = Seq(
+      "a b c d e f g", "a b c d e f h", // near-dup pair of texts
+      "p q r s t u v",                  // unrelated text
+      "x y z w k m n")
+    val d = docs((for {
+      (t, i) <- base.zipWithIndex
+      copy <- 0 until 3
+    } yield (copy * 100L + i, t)): _*)
+    val viaReps = Dedup.clusterDedupFirst(d)
+      .as[(Long, Long)].collect().toSet
+    val viaExpanded = Dedup.connectedComponents(Dedup.lshCandidatePairsDedup(d))
+      .as[(Long, Long)].collect().toSet
+    assert(viaReps == viaExpanded)
+    assert(viaReps.nonEmpty)
+  }
+
   test("containmentDedup: asymmetric scores keep orientation through expansion") {
     // Short text S is a near-subset of long text L; each has two copies with
     // member ids interleaved so the (least, greatest) re-canonicalization
