@@ -207,13 +207,18 @@ object Similarity {
     s
   }
 
-  /** Deterministic centroid seed: the first `nCells` vectors by vec_id —
-    * metadata-scale, collected once to become plan literals. */
+  /** Deterministic centroid seed: the first `nCells` NON-ZERO-NORM vectors
+    * by vec_id — metadata-scale, collected once to become plan literals.
+    * A zero-norm seed would make every row's csim against it NaN and
+    * capture the whole corpus in the argmax (knnJoin's zero-norm contract,
+    * applied to the centroid side). */
   private def centroidsOf(embs: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    embs.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    embs
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .where(dot(col("v"), col("v")) > 0)
+      .orderBy(col("vec_id")).limit(nCells)
       .as[(Long, Array[Double])].collect()
   }
 
@@ -262,6 +267,10 @@ object Similarity {
     val probeCells = probeCellsFor(cents, qArr, nProbe)
     embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // zero-norm rows have NaN csim against EVERY centroid (garbage cell)
+      // and NaN final sim, which descending sort ranks above real scores —
+      // exclude them, matching the knnJoin/bucketedNearDup contract.
+      .where(dot(col("v"), col("v")) > 0)
       .withColumn("cell", cellAssignExpr(cents))
       .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
@@ -293,6 +302,9 @@ object Similarity {
     import spark.implicits._
     val means = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // a zero-norm row's NaN csim would both garbage its assignment and
+      // poison the cell mean — exclude, as in searchWithCents
+      .where(dot(col("v"), col("v")) > 0)
       .withColumn("cell", cellAssignExpr(cents))
       .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
       .groupBy(col("cell"), col("j"))
@@ -369,6 +381,10 @@ object Similarity {
     val cents = centroidsOf(embs, nCells)
     embs
       .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v"))
+      // zero-norm rows would land in a NaN-garbage cell; keep the index to
+      // rows that can ever appear in a cosine top-k (searchWithCents
+      // contract, applied at write time so probes never scan them).
+      .where(dot(col("v"), col("v")) > 0)
       .withColumn("cell", cellAssignExpr(cents))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/data")
@@ -388,8 +404,11 @@ object Similarity {
     val probeCells = probeCellsFor(cents, qArr, nProbe)
     spark.read.parquet(s"$indexDir/data")
       .where(col("cell").isin(probeCells: _*))
-      .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), lit(qArr)), 6).as("sim"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // indexes written by buildIvfIndex exclude zero-norm rows already;
+      // re-assert here so hand-built layouts can't leak NaN sims into top-k
+      .where(dot(col("v"), col("v")) > 0)
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
