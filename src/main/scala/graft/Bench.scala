@@ -4,9 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every declared query at the given scale factor,
   * fully evaluated through the `noop` sink (a bare `count()` would let
-  * Spark prune projections and undercount scan/compute cost). Prints ONE
-  * JSON line; the driver archives it as `BENCH_r{N}.json`. */
+  * Spark prune projections and undercount scan/compute cost).
+  *
+  * Isolation: `spark.catalog.clearCache()` runs between queries so no
+  * query's persisted blocks bleed into the next measurement — without it a
+  * 110-query session accumulates storage blocks until eviction/recompute
+  * cascades make later queries' numbers order-dependent (the r4 bench
+  * reported 2–6× on byte-identical code for exactly this reason; the
+  * operators now release their own caches, this is defense in depth).
+  *
+  * Output: stdout carries ONE compact JSON line — total seconds plus the
+  * headline per-query map — sized well under the driver's 2000-char tail
+  * window so it archives as parseable JSON (the full 110-query map is
+  * ~3 KB and was getting head-truncated in r2–r4). The complete per-query
+  * map is written to `BENCH_DETAIL.json` in the working directory.
+  */
 object Bench {
+
+  /** The headline subset for the stdout JSON line: the dedup/similarity
+    * chain (the cost centers), both domain pipelines, and one
+    * representative per relational family. Full numbers: BENCH_DETAIL.json. */
+  private val headline: Set[String] = Set(
+    "dd_exact", "dd_incremental", "dd_decontaminate", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_containment", "dd_simhash", "dd_simhash_pairs",
+    "dd_edit", "dd_cluster", "dd_embed_neardup", "dd_pipeline",
+    "sim_topk_brute", "sim_ivf_topk", "sim_knn_join",
+    "laser_pipeline_e2e", "trace_pipeline_e2e",
+    "q09_agg_group", "q14_window_chunk", "q37_sketches", "q42_recursive_cte",
+    "q46_bloom_join", "txt_tfidf", "txt_pipeline", "evt_sliding")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,17 +59,26 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query isolation: drop anything a query left registered in the
+      // cache manager before the next measurement starts.
+      spark.catalog.clearCache()
       // -1 sentinel: a failed query must not pass off its near-zero elapsed
       // time as a perf win in the archived JSON
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      q.name -> (if (ok) sec else -1.0)
     }
     // Locale.ROOT formatting: the f-interpolator uses the JVM default
     // locale — a comma-decimal locale would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    val head = results.filter(r => headline(r._1))
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

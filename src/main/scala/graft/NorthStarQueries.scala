@@ -197,7 +197,7 @@ object NorthStarQueries {
          | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
          |           FROM pairs p
          |           JOIN sh sa ON sa.doc_id = p.doc_a
-         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
          |           GROUP BY 1, 2),
          | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
          | SELECT p.doc_a, p.doc_b,
@@ -225,7 +225,7 @@ object NorthStarQueries {
          | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
          |           FROM pairs p
          |           JOIN sh sa ON sa.doc_id = p.doc_a
-         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
          |           GROUP BY 1, 2),
          | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
          | SELECT p.doc_a, p.doc_b,
@@ -356,7 +356,7 @@ object NorthStarQueries {
          | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
          |           FROM pairs p
          |           JOIN sh sa ON sa.doc_id = p.doc_a
-         |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
          |           GROUP BY 1, 2),
          | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          | dup AS (SELECT p.doc_a, p.doc_b FROM pairs p

@@ -72,10 +72,30 @@ object Descriptors {
     df.select(col("key"), col(jsonCol), col("file"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf.value)
+        // Attempt-unique temp + rename (ChunkSink's commit discipline):
+        // speculative/retried attempts of the same task must never race a
+        // direct create(overwrite) on the exact name — a reader could see a
+        // partially-written descriptor. Every attempt writes its OWN temp
+        // file; the rename is atomic per attempt, and since all attempts of
+        // a task produce identical bytes, whichever rename lands last leaves
+        // the same content.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         rows.foreach { r =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, r.getString(2)), true)
+          val target = new org.apache.hadoop.fs.Path(outDir, r.getString(2))
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            s".${r.getString(2)}.$attempt.tmp")
+          val out = fs.create(tmp, true)
           try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
           finally out.close()
+          // rename refuses an existing destination on some filesystems:
+          // delete the stale target (a COMPLETE file from a prior attempt)
+          // and retry once before giving up.
+          if (!fs.rename(tmp, target)) {
+            fs.delete(target, false)
+            if (!fs.rename(tmp, target))
+              throw new java.io.IOException(s"writeKeyed: rename $tmp -> $target failed")
+          }
         }
       }
   }

@@ -57,11 +57,16 @@ object BloomJoin {
       try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
       catch {
         case npe: NullPointerException =>
-          // Confirm the NPE really is the empty-build case before treating
-          // it as one — any OTHER driver-side NPE must surface, not become
-          // a silently empty join. (The isEmpty probe only runs on this
-          // already-failed path, never in the common case.)
-          if (build.select(buildKey).isEmpty) None else throw npe
+          // Confirm the NPE really is the no-insertable-keys case before
+          // treating it as one — any OTHER driver-side NPE must surface, not
+          // become a silently empty join. The probe must ignore null keys: a
+          // NON-empty build side whose keys are ALL null hits the same
+          // null-buffer NPE (nulls never reach putLong), and null never
+          // matches an equi-join — so both the empty and the all-null build
+          // side correctly short-circuit to the empty join. (The probe only
+          // runs on this already-failed path, never in the common case.)
+          if (build.select(buildKey).where(col(buildKey).isNotNull).isEmpty) None
+          else throw npe
       }
     bloomOpt match {
       case None =>

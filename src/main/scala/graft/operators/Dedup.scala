@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Eagerly materialize `result` into local-checkpoint blocks, then release
+    * the persisted intermediates that fed it.
+    *
+    * This is the ownership contract for every operator here that persists an
+    * intermediate: persisted blocks live in the session's cache manager until
+    * explicitly unpersisted (the ContextCleaner never reclaims them while the
+    * plan is registered), so a long-running driver that calls dedup operators
+    * repeatedly — or a bench session running 110 queries back to back —
+    * accumulates MEMORY_AND_DISK blocks until storage memory is contended and
+    * every later query pays eviction/recompute cascades. Checkpoint blocks,
+    * by contrast, are plain RDD blocks reclaimed by GC once the returned
+    * DataFrame is dropped. Results here are output-scale (pairs, scores,
+    * labels), orders of magnitude below the shingle/signature intermediates
+    * being released.
+    */
+  private def materializeThenRelease(result: DataFrame, release: DataFrame*): DataFrame =
+    try result.localCheckpoint(true)
+    finally release.foreach(_.unpersist(false))
+
   /** Exact dedup: keep the lowest `doc_id` per distinct text.
     *
     * Hash-groupBy on `md5(text)` rather than on the text itself so the
@@ -150,11 +169,10 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
     // The shingle set feeds three consumers (both join sides + sizes);
-    // persist so one scan serves all (ContextCleaner reclaims the blocks
-    // once the plan is unreferenced).
+    // persist so one scan serves all, release once the stats materialize.
     val sh = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ngramJaccardFromShingles(sh, pairs)
+    materializeThenRelease(ngramJaccardFromShingles(sh, pairs), sh)
   }
 
   /** `ngramJaccard` over a pre-computed (ideally persisted) shingle set. */
@@ -179,9 +197,19 @@ object Dedup {
     * intersection size and both set sizes — the one expensive pass behind
     * Jaccard and containment. Prunes the shingle table to candidate docs
     * before the intersection join (O(candidate shingles), not O(corpus)).
+    *
+    * The intersection join is keyed on a 60-bit shingle hash
+    * (`conv(substring(md5(shingle), 1, 15), 16, 10)` as BIGINT), not the raw
+    * n-gram string: the (doc, shingle) rows are the largest exchange in the
+    * whole dedup chain, and an 8-byte key shuffles several-fold fewer bytes
+    * than 20–40-char shingle text. Deterministic and engine-neutral — the
+    * DuckDB oracles join on the identical hash
+    * (`('0x' || substr(md5(shingle), 1, 15))::BIGINT`), so even a hash
+    * collision (p ≈ n²/2⁶¹) produces the same counts in both engines.
     */
   def pairOverlapStats(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.persist(sl)
     // Prune the shingle table to CANDIDATE docs before anything heavy: the
     // candidate set is ≪ corpus (that's the whole point of LSH), so the
     // semi-join cuts both intersection-join inputs and the size aggregate
@@ -189,15 +217,17 @@ object Dedup {
     val candDocs = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sk"))
+      .persist(sl)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
+        col("sa.sk") === col("sb.sk"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    p
+    val stats = p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")), col("doc_a") === col("doc_id"))
@@ -205,6 +235,7 @@ object Dedup {
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")), col("doc_b") === col("doc_id"))
       .drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+    materializeThenRelease(stats, p, shc)
   }
 
   /** Dedup-FIRST near-dup scoring — the production composition: exact-dedup
@@ -273,10 +304,6 @@ object Dedup {
     // (doc_id, th): feeds rep selection, both expansion joins, and the
     // within-group self-join — one corpus scan.
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("th")).persist(sl)
-    val rep = keyed.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
-    val repDocs = docs.join(rep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val sh = shingles(repDocs, n).persist(sl)
-    val repPairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
     // Pathological-boilerplate guard, mirrored from the banded chain's
     // bucket cap: text groups above `maxBucket` copies emit NO pairs — not
     // within their group (a 1M-copy text must not emit 10¹² pairs) and not
@@ -286,6 +313,17 @@ object Dedup {
     val bigGroups = keyed.groupBy(col("th")).agg(count(lit(1)).as("k"))
       .where(col("k") > maxBucket).select(col("th"))
     val capped = keyed.join(broadcast(bigGroups), Seq("th"), "left_anti")
+    // Representatives come from CAPPED groups only. A mega-group's rep must
+    // not enter the LSH graph at all: every one of its member docs
+    // (the rep included) is excluded from `capped`, so any pair or CC edge
+    // it touched would score/bridge/label docs that never appear in the
+    // output — a mega-group rep winning a component's min would mint a
+    // `cluster_id` that is not a `doc_id` of any emitted row, breaking the
+    // keep = (doc_id == cluster_id) convention.
+    val rep = capped.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = docs.join(rep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = shingles(repDocs, n).persist(sl)
+    val repPairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
     DedupCtx(keyed, rep, capped, sh, repPairs)
   }
 
@@ -333,7 +371,7 @@ object Dedup {
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
         withinCarry: _*)
-    cross.unionAll(within)
+    materializeThenRelease(cross.unionAll(within), ctx.keyed, ctx.sh)
   }
 
   /** Benchmark decontamination: corpus docs sharing ≥ 1 word n-gram with an
@@ -444,7 +482,7 @@ object Dedup {
     val firstMatch = (0 until 4).foldRight(lit(99): org.apache.spark.sql.Column) {
       (q, rest) => when(shiftright(xor, (3 - q) * 16).bitwiseAND(lit(65535L)) === 0, lit(q)).otherwise(rest)
     }
-    keyed.as("a")
+    val out = keyed.as("a")
       .join(keyed.as("b"),
         col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -452,6 +490,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
+    materializeThenRelease(out, keyed)
   }
 
   /** Edit-distance scoring of candidate pairs (`pairs(doc_a, doc_b)`):
@@ -609,10 +648,11 @@ object Dedup {
       .select(col("rep"), col("rep").as("cluster_id"))
     val repLabel = ccRep.unionAll(multi)
       .groupBy(col("rep")).agg(min(col("cluster_id")).as("cluster_id"))
-    ctx.capped
+    val labeled = ctx.capped
       .join(ctx.rep, "th")
       .join(repLabel, "rep")
       .select(col("doc_id"), col("cluster_id"))
+    materializeThenRelease(labeled, ctx.keyed, ctx.sh)
   }
 
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.

@@ -164,7 +164,9 @@ object Similarity {
       .where(col("selfdot") > 0)
     // Persist: the bucket projection (numPlanes dots per row) feeds BOTH
     // self-join sides with different keys, so ReuseExchange can't dedupe
-    // it — same rationale as the simhashPairs persist. (`e` is left to
+    // it — same rationale as the simhashPairs persist; released after the
+    // scored pairs materialize (see the try/finally below — cached blocks
+    // are never left registered past the operator). (`e` is left to
     // recompute: one dot per row straight off the columnar scan is cheaper
     // than caching every vector.)
     val bucketed = lshBuckets(embs, numPlanes)
@@ -182,13 +184,19 @@ object Similarity {
         col("pa.pb") === col("hb.bucket") && col("pa.vec_id") < col("hb.vec_id"))
       .select(col("pa.vec_id").as("vec_a"), col("hb.vec_id").as("vec_b"))
       .distinct()
-    cand
+    val scored = cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("selfdot").as("da")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("selfdot").as("db")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (sqrt(col("da")) * sqrt(col("db")))).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+    // Eagerly materialize the (output-scale) scored pairs into GC-reclaimable
+    // checkpoint blocks, then drop the bucket cache — leaving it registered
+    // would accumulate storage blocks for the life of the session (one leak
+    // per call in an incremental-dedup driver loop).
+    try scored.localCheckpoint(true)
+    finally bucketed.unpersist(false)
   }
 
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`

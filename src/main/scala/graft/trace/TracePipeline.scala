@@ -98,13 +98,18 @@ object TracePipeline {
     }
     val (memberSum, memberErrFiles) = groups match {
       case Some(g) if samplePairs.nonEmpty =>
+        // persist: two consuming actions (summary aggregate + errored-file
+        // collect) over one anti-join; released as soon as both complete so
+        // repeated pipeline runs in one session don't accumulate blocks.
         val missing = samplePairs.toDF("file", "s")
           .join(broadcast(g.select(col("sample"))), col("s") === col("sample"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sum = ErrorSummary.of(missing.as[(String, String)]
-          .map { case (f, s) => ValidationError("VCF_SAMPLE_NOT_IN_GROUP", file = f, detail = s) })
-        val errFiles = missing.select("file").distinct().as[String].collect().toSet
-        (sum, errFiles)
+        try {
+          val sum = ErrorSummary.of(missing.as[(String, String)]
+            .map { case (f, s) => ValidationError("VCF_SAMPLE_NOT_IN_GROUP", file = f, detail = s) })
+          val errFiles = missing.select("file").distinct().as[String].collect().toSet
+          (sum, errFiles)
+        } finally missing.unpersist(false)
       case _ => (ErrorSummary.empty, Set.empty[String])
     }
 

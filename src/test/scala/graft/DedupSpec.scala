@@ -75,6 +75,25 @@ class DedupSpec extends TestBase {
     assert(viaReps.nonEmpty)
   }
 
+  test("clusterDedupFirst: over-maxBucket groups neither emit nor influence labels") {
+    // Text X has 5 copies (> maxBucket = 3) — a mega-group; Y ≈ Z is a
+    // near-dup pair of X variants whose docs ARE emitted. Before the r5 fix,
+    // X's rep (id 1) joined the LSH graph, could win the component min, and
+    // minted a cluster_id that never appeared as any output row's doc_id —
+    // a phantom label breaking keep = (doc_id == cluster_id).
+    val base = "a b c d e f g h i j"
+    val d = docs(((1L to 5L).map(i => i -> base) ++ Seq(
+      10L -> (base + " extra"),
+      11L -> (base + " extra extra"))): _*)
+    val got = Dedup.clusterDedupFirst(d, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    val emitted = got.map(_._1)
+    assert(emitted.intersect((1L to 5L).toSet).isEmpty,
+      s"mega-group docs must not be emitted: $got")
+    assert(got.map(_._2).subsetOf(emitted), s"phantom cluster ids in $got")
+    assert(got == Set(10L -> 10L, 11L -> 10L), s"got $got")
+  }
+
   test("containmentDedup: asymmetric scores keep orientation through expansion") {
     // Short text S is a near-subset of long text L; each has two copies with
     // member ids interleaved so the (least, greatest) re-canonicalization

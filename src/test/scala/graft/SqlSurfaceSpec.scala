@@ -67,6 +67,14 @@ class SqlSurfaceSpec extends TestBase {
     assert(BloomJoin.bloomPrunedJoin(lineitem, emptyBuild,
       "l_orderkey", "b_key", expectedItems = 10).count() == 0)
 
+    // NON-empty build side whose keys are ALL null hits the same null-buffer
+    // NPE inside stat.bloomFilter — it must short-circuit to the correct
+    // empty join (null never matches an equi-join), not rethrow.
+    val allNullBuild = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+      .toDF("b_key", "o_orderstatus")
+    assert(BloomJoin.bloomPrunedJoin(lineitem, allNullBuild,
+      "l_orderkey", "b_key", expectedItems = 10).count() == 0)
+
     // Non-integral keys fail at plan time with a clear message — on EITHER
     // side (a string build key would populate the filter in a different
     // hash space than mightContainLong probes, silently dropping matches).

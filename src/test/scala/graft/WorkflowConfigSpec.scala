@@ -73,6 +73,23 @@ class WorkflowConfigSpec extends TestBase {
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$i.batch"))))
   }
 
+  test("writeKeyed commits via temp+rename: no temp residue, re-run overwrites") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-desc-commit").toString
+    val df = graft.domain.Descriptors.laserStudyPca(spark, chunks = 2, "/chunks",
+      "s.site.gz", "REF", "REF.pc", 4, 20)
+    graft.domain.Descriptors.writeKeyed(df, dir)
+    // second run renames onto EXISTING exact names — the retried/speculative
+    // attempt path; must replace, not fail, and must leave no .tmp behind
+    graft.domain.Descriptors.writeKeyed(df, dir)
+    // ignore Hadoop LocalFileSystem's .crc checksum sidecars (present with
+    // the pre-fix direct-create writer too); what matters is that the exact
+    // names exist and no .tmp intermediate survives the commit
+    val names = new java.io.File(dir).list().toSet.filterNot(_.endsWith(".crc"))
+    assert(names == Set("0.batch", "1.batch"), s"unexpected files: $names")
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "0.batch"))
+    assert(content.startsWith("0\t") && content.endsWith("\n"))
+  }
+
   test("R29: runFiles deletes the seq file only when every gate passes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-r29-e2e").toFile
     def gzWrite(name: String, content: Seq[String]): String = {
