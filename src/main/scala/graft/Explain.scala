@@ -16,6 +16,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Keep operator plans LAZY for inspection: with the default eager
+    // release, dedup/similarity operators checkpoint their results and the
+    // dump would show only a checkpoint-RDD scan instead of the real chain.
+    spark.conf.set("graft.eagerRelease", "false")
     SparkEntry.catalog
       .filter(q => names.isEmpty || names.contains(q.name))
       .foreach { q =>

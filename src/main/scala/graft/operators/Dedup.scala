@@ -32,10 +32,18 @@ object Dedup {
     * DataFrame is dropped. Results here are output-scale (pairs, scores,
     * labels), orders of magnitude below the shingle/signature intermediates
     * being released.
+    *
+    * Session conf `graft.eagerRelease=false` opts out: the full LAZY plan is
+    * returned and the intermediates stay persisted — ownership transfers to
+    * the caller (used by `graft.Explain`, where an eager checkpoint would
+    * reduce every plan dump to a checkpoint-RDD scan).
     */
-  private def materializeThenRelease(result: DataFrame, release: DataFrame*): DataFrame =
-    try result.localCheckpoint(true)
-    finally release.foreach(_.unpersist(false))
+  private[operators] def materializeThenRelease(
+      result: DataFrame, release: DataFrame*): DataFrame =
+    if (!result.sparkSession.conf.get("graft.eagerRelease", "true").toBoolean) result
+    else
+      try result.localCheckpoint(true)
+      finally release.foreach(_.unpersist(false))
 
   /** Exact dedup: keep the lowest `doc_id` per distinct text.
     *

@@ -194,9 +194,9 @@ object Similarity {
     // Eagerly materialize the (output-scale) scored pairs into GC-reclaimable
     // checkpoint blocks, then drop the bucket cache — leaving it registered
     // would accumulate storage blocks for the life of the session (one leak
-    // per call in an incremental-dedup driver loop).
-    try scored.localCheckpoint(true)
-    finally bucketed.unpersist(false)
+    // per call in an incremental-dedup driver loop). `graft.eagerRelease=
+    // false` opts out for plan inspection (see Dedup.materializeThenRelease).
+    Dedup.materializeThenRelease(scored, bucketed)
   }
 
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`
