@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one lazy SparkSession (TestBase) and already serialize
+// on its scheduler; running them sequentially makes session-global
+// assertions (e.g. the cache-manager leak regression in DedupSpec) sound.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked process's stdout through verbatim: the sbt logger's
 // "[info] " prefix would make Bench's single JSON output line unparseable

@@ -94,6 +94,30 @@ class DedupSpec extends TestBase {
     assert(got == Set(10L -> 10L, 11L -> 10L), s"got $got")
   }
 
+  test("operators release every cache they register (r4 leak regression)") {
+    // BENCH_r04 showed 2-6x slowdowns on unchanged code because dedup/
+    // similarity operators persisted intermediates and never released them.
+    // The ownership contract now: materialize the output-scale result into
+    // checkpoint blocks, unpersist everything else — so after ANY of these
+    // operators completes, the session cache manager must hold nothing.
+    // (Suites run sequentially — build.sbt — so the global check is sound.)
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cm.clearCache()
+    val d = docs((1L to 30L).map(i => (i, s"t$i a b c d e f g h i")): _*)
+    Dedup.nearDupScores(d).count()
+    Dedup.containmentDedup(d).count()
+    Dedup.clusterDedupFirst(d).count()
+    Dedup.simhashPairs(Dedup.simhash64(d)).count()
+    Dedup.ngramJaccard(d, Dedup.lshCandidatePairsDedup(d)).count()
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.bucketedNearDup(embs, 0.9).count()
+    assert(cm.isEmpty,
+      "an operator left persisted intermediates registered in the cache manager")
+  }
+
   test("containmentDedup: asymmetric scores keep orientation through expansion") {
     // Short text S is a near-subset of long text L; each has two copies with
     // member ids interleaved so the (least, greatest) re-canonicalization
