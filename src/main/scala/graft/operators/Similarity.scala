@@ -158,6 +158,12 @@ object Similarity {
     // self-join — stays ~flat as the corpus grows (8 planes = 256 buckets
     // went quadratic by 20k vectors: 27.5 s vs 1.5 s at 2k in the 10×-docs
     // probe). Exact duplicates share a bucket at ANY plane count.
+    // `numPlanes` is the scale knob: residual random-collision candidates
+    // grow as n²/2^numPlanes, so hold planes ≈ log2(n) + 4 as the corpus
+    // grows (every +1 halves collision pairs; cost is one more dot per row
+    // and one more Hamming-1 probe). Exact-copy recall is plane-count
+    // invariant (sign buckets are scale-invariant); the Hamming-1 net for
+    // near-misses is the documented LSH trade-off either way.
     val e = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("selfdot", dot(col("v"), col("v")))
