@@ -61,8 +61,15 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       // Per-query isolation: drop anything a query left registered in the
-      // cache manager before the next measurement starts.
+      // cache manager before the next measurement starts. clearCache only
+      // covers cache-manager entries — localCheckpoint RDD blocks and
+      // broadcast variables are reclaimed by ContextCleaner ONLY once GC
+      // collects their references, so without the explicit GC a 110-query
+      // session accumulates storage blocks and broadcasts between GC
+      // cycles and later queries inflate nondeterministically (r5 measured
+      // the dd chain 2.5x its isolated cost in-session).
       spark.catalog.clearCache()
+      System.gc()
       // -1 sentinel: a failed query must not pass off its near-zero elapsed
       // time as a perf win in the archived JSON
       q.name -> (if (ok) sec else -1.0)

@@ -85,16 +85,27 @@ object Descriptors {
           val target = new org.apache.hadoop.fs.Path(outDir, r.getString(2))
           val tmp = new org.apache.hadoop.fs.Path(outDir,
             s".${r.getString(2)}.$attempt.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
-          finally out.close()
-          // rename refuses an existing destination on some filesystems:
-          // delete the stale target (a COMPLETE file from a prior attempt)
-          // and retry once before giving up.
-          if (!fs.rename(tmp, target)) {
-            fs.delete(target, false)
-            if (!fs.rename(tmp, target))
-              throw new java.io.IOException(s"writeKeyed: rename $tmp -> $target failed")
+          try {
+            val out = fs.create(tmp, true)
+            try out.write(s"${r.getLong(0)}\t${r.getString(1)}\n".getBytes("UTF-8"))
+            finally out.close()
+            // rename refuses an existing destination on some filesystems.
+            // All attempts of a row write identical bytes, so an existing
+            // target IS the committed result — drop the tmp and move on
+            // rather than delete-then-rename, which would open a window
+            // where a concurrent reader sees the target missing (and a
+            // crash between the delete and the rename would un-commit a
+            // previously complete descriptor).
+            if (!fs.rename(tmp, target)) {
+              if (fs.exists(target)) fs.delete(tmp, false)
+              else throw new java.io.IOException(
+                s"writeKeyed: rename $tmp -> $target failed with no committed target")
+            }
+          } catch {
+            case e: Throwable =>
+              // no half-written .tmp residue on failed attempts
+              try fs.delete(tmp, false) catch { case _: Throwable => () }
+              throw e
           }
         }
       }

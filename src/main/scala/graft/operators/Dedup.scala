@@ -37,6 +37,16 @@ object Dedup {
     * returned and the intermediates stay persisted — ownership transfers to
     * the caller (used by `graft.Explain`, where an eager checkpoint would
     * reduce every plan dump to a checkpoint-RDD scan).
+    *
+    * 100 TB fault-tolerance trade-off: `localCheckpoint` truncates lineage
+    * into NON-replicated executor-local blocks, so on a real cluster losing
+    * an executor after the operator returns makes the result partitions on
+    * that executor unrecoverable (a lazy plan would just recompute). A
+    * long-lived cluster driver that needs recoverability should either opt
+    * out (`graft.eagerRelease=false`, taking cache ownership itself) or
+    * write results to a reliable store and re-read — the checkpointed
+    * results here are output-scale, so that write is cheap relative to the
+    * chain that produced it.
     */
   private[operators] def materializeThenRelease(
       result: DataFrame, release: DataFrame*): DataFrame =
@@ -217,7 +227,12 @@ object Dedup {
     */
   def pairOverlapStats(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = pairs.persist(sl)
+    // Cache ownership: persist the pair set only if the CALLER hasn't — a
+    // caller that persisted `pairs` to score one candidate set with several
+    // scorers keeps its cache (we must not unpersist it out from under the
+    // second scorer).
+    val callerOwned = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerOwned) pairs else pairs.persist(sl)
     // Prune the shingle table to CANDIDATE docs before anything heavy: the
     // candidate set is ≪ corpus (that's the whole point of LSH), so the
     // semi-join cuts both intersection-join inputs and the size aggregate
@@ -243,7 +258,8 @@ object Dedup {
       .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")), col("doc_b") === col("doc_id"))
       .drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
-    materializeThenRelease(stats, p, shc)
+    if (callerOwned) materializeThenRelease(stats, shc)
+    else materializeThenRelease(stats, p, shc)
   }
 
   /** Dedup-FIRST near-dup scoring — the production composition: exact-dedup

@@ -118,6 +118,24 @@ class DedupSpec extends TestBase {
       "an operator left persisted intermediates registered in the cache manager")
   }
 
+  test("pairOverlapStats leaves a caller-persisted pair set cached") {
+    // Cache ownership: a caller that persists one candidate set to score it
+    // with BOTH scorers must keep its cache across the first call — the
+    // operator takes ownership only of pair sets it persisted itself.
+    val d = docs((1L to 10L).map(i => (i, s"t$i a b c d e f g h i")): _*)
+    val sh = Dedup.shingles(d)
+    val pairs = Dedup.lshCandidatePairs(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.ngramJaccardFromShingles(sh, pairs).count()
+      assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "operator unpersisted the caller's pair cache")
+      Dedup.containmentFromShingles(sh, pairs).count()
+      assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "operator unpersisted the caller's pair cache on the second scorer")
+    } finally pairs.unpersist(true)
+  }
+
   test("containmentDedup: asymmetric scores keep orientation through expansion") {
     // Short text S is a near-subset of long text L; each has two copies with
     // member ids interleaved so the (least, greatest) re-canonicalization
