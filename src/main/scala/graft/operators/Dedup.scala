@@ -18,8 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Eagerly materialize `result` into local-checkpoint blocks, then release
-    * the persisted intermediates that fed it.
+  /** Eagerly materialize `df` into checkpoint blocks.
+    *
+    * Default: `localCheckpoint` — executor-local, non-replicated blocks,
+    * GC-reclaimable, no storage round-trip. Session conf
+    * `graft.checkpointDir=<path>` switches every operator materialization
+    * (and each connected-components round) to a RELIABLE checkpoint in that
+    * directory: on a real cluster the blocks survive executor loss, which a
+    * long-lived driver (incremental-dedup loops, multi-day sessions) needs —
+    * the local mode loses the result partitions of a dead executor with no
+    * lineage left to recompute them. Costs one write+read of the
+    * (output-scale) result per materialization. Reliable checkpoint files
+    * are reclaimed by the ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; set it in
+    * long-lived drivers or clean the directory between jobs.
+    */
+  private[graft] def checkpointed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.checkpointDir", "") match {
+      case "" => df.localCheckpoint(true)
+      case dir =>
+        // setCheckpointDir creates a session-unique subdir; set once and
+        // reuse — re-setting per call would spray one subdir per operator.
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+    }
+  }
+
+  /** Eagerly materialize `result` into checkpoint blocks (`checkpointed`
+    * above — local by default, reliable under `graft.checkpointDir`), then
+    * release the persisted intermediates that fed it.
     *
     * This is the ownership contract for every operator here that persists an
     * intermediate: persisted blocks live in the session's cache manager until
@@ -38,21 +67,21 @@ object Dedup {
     * the caller (used by `graft.Explain`, where an eager checkpoint would
     * reduce every plan dump to a checkpoint-RDD scan).
     *
-    * 100 TB fault-tolerance trade-off: `localCheckpoint` truncates lineage
-    * into NON-replicated executor-local blocks, so on a real cluster losing
-    * an executor after the operator returns makes the result partitions on
-    * that executor unrecoverable (a lazy plan would just recompute). A
-    * long-lived cluster driver that needs recoverability should either opt
-    * out (`graft.eagerRelease=false`, taking cache ownership itself) or
-    * write results to a reliable store and re-read — the checkpointed
-    * results here are output-scale, so that write is cheap relative to the
-    * chain that produced it.
+    * 100 TB fault-tolerance trade-off: the default `localCheckpoint`
+    * truncates lineage into NON-replicated executor-local blocks, so on a
+    * real cluster losing an executor after the operator returns makes the
+    * result partitions on that executor unrecoverable (a lazy plan would
+    * just recompute). A long-lived cluster driver that needs recoverability
+    * has two outs: `graft.checkpointDir=<reliable path>` (results survive
+    * executor loss; one output-scale write+read per operator — cheap
+    * relative to the chain that produced it) or `graft.eagerRelease=false`
+    * (lazy plan, caller owns the caches).
     */
   private[operators] def materializeThenRelease(
       result: DataFrame, release: DataFrame*): DataFrame =
     if (!result.sparkSession.conf.get("graft.eagerRelease", "true").toBoolean) result
     else
-      try result.localCheckpoint(true)
+      try checkpointed(result)
       finally release.foreach(_.unpersist(false))
 
   /** Exact dedup: keep the lowest `doc_id` per distinct text.
@@ -575,17 +604,22 @@ object Dedup {
     *
     * Scale: per round the shuffle is O(edges); no driver materialization —
     * the driver sees only the per-round convergence probe (`isEmpty` on the
-    * changed-edge set). `localCheckpoint` truncates lineage each round so
-    * plan depth stays constant across iterations.
+    * changed-edge set). Each round checkpoints (`checkpointed` — local by
+    * default, reliable under `graft.checkpointDir`) so lineage is truncated
+    * and plan depth stays constant across iterations.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Oriented canonical edges (u > v), self-loops dropped.
-    var e = pairs
+    var e = checkpointed(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    // One count job per round, not two: `e` is the previous round's `ss`,
+    // whose count that round already paid for — carry it instead of
+    // recounting checkpointed blocks (each count is a full scheduler
+    // round-trip; at toy scale the fixed cost dominates these queries).
+    var eCount = e.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -602,22 +636,22 @@ object Dedup {
       // itself to m = min of the smaller neighborhood. (ls edges are
       // already oriented u > v.)
       val smn = ls.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val ss = ls.join(smn, "u")
+      val ss = checkpointed(ls.join(smn, "u")
         .select(explode(array(
           struct(col("u").as("x"), col("mn").as("p")),
           struct(col("v").as("x"), col("mn").as("p")))).as("s"))
         .select(col("s.x").as("u"), col("s.p").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      // Exact fixpoint probe, count-gated: counts off the checkpointed
-      // blocks are near-free, and while the graph is still contracting they
-      // almost always differ — the full set-equality `except` (a shuffle)
-      // runs only on the rare equal-count rounds (usually just the final
-      // one). Both sides are distinct sets, so equal counts + empty
-      // one-direction except ⇒ set equality.
-      converged = e.count() == ss.count() && ss.except(e).isEmpty
+        .distinct())
+      // Exact fixpoint probe, count-gated: while the graph is still
+      // contracting the counts almost always differ — the full set-equality
+      // `except` (a shuffle) runs only on the rare equal-count rounds
+      // (usually just the final one). Both sides are distinct sets, so
+      // equal counts + empty one-direction except ⇒ set equality.
+      val ssCount = ss.count()
+      converged = eCount == ssCount && ss.except(e).isEmpty
       e = ss
+      eCount = ssCount
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

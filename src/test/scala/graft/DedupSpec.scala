@@ -118,6 +118,26 @@ class DedupSpec extends TestBase {
       "an operator left persisted intermediates registered in the cache manager")
   }
 
+  test("graft.checkpointDir routes materialization to a RELIABLE checkpoint") {
+    // Fault-tolerance mode for long-lived cluster drivers: with the conf
+    // set, operator results (and each CC round) checkpoint to the reliable
+    // directory — surviving executor loss — instead of executor-local
+    // blocks. Results must be identical either way.
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x"), (4L, "q r s t u v w z"))
+    val local = Dedup.clusterDedupFirst(d).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val reliable = Dedup.clusterDedupFirst(d)
+      assert(reliable.collect().toSet === local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no reliable checkpoint files written under $dir")
+    } finally spark.conf.unset("graft.checkpointDir")
+  }
+
   test("pairOverlapStats leaves a caller-persisted pair set cached") {
     // Cache ownership: a caller that persists one candidate set to score it
     // with BOTH scorers must keep its cache across the first call — the

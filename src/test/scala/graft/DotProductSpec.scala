@@ -29,6 +29,29 @@ class DotProductSpec extends TestBase {
     assert(viaExpr == interp.toSeq)
   }
 
+  test("GraftExtensions: the public spark.sql.extensions route registers vec_dot") {
+    // A user wiring `spark.sql.extensions=graft.GraftExtensions` gets the
+    // engine's functions with no imperative call. Simulated here by building
+    // a second session over the SAME SparkContext with the extensions
+    // applied at construction (the exact code path `spark.sql.extensions`
+    // drives); the shared-suite session is restored afterwards.
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("vec_dot matches the HOF fold it replaced, bit-for-bit") {
     val e = Tables(spark, sf(), "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
