@@ -607,8 +607,24 @@ object Dedup {
     * changed-edge set). Each round checkpoints (`checkpointed` — local by
     * default, reliable under `graft.checkpointDir`) so lineage is truncated
     * and plan depth stays constant across iterations.
+    *
+    * Hybrid local finish: each distributed round costs a fixed scheduler +
+    * checkpoint round-trip, so once the (contracting) edge set fits one
+    * task — `count ≤ graft.ccLocalEdges`, default 1M — the remaining
+    * rounds are replaced by a single-task union-find over the edges
+    * (union-by-min + path compression: the component root is the min id
+    * regardless of edge order, so the labels are deterministic and
+    * identical to the distributed fixpoint). A 100 TB pair graph starts
+    * far above the threshold and runs distributed rounds; the moment star
+    * contraction brings it under, the driver stops paying per-round
+    * latency. `graft.ccLocalEdges=0` forces pure distributed (exercised by
+    * DedupSpec both ways). Memory bound: one task holds ≤ 2×threshold
+    * parent-map entries (~100 MB at the default) — size the threshold to
+    * the executor, not the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val localMax =
+      pairs.sparkSession.conf.get("graft.ccLocalEdges", "1000000").toLong
     // Oriented canonical edges (u > v), self-loops dropped.
     var e = checkpointed(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -622,7 +638,7 @@ object Dedup {
     var eCount = e.count()
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && eCount > localMax && it < maxIter) {
       // Large-star: for every node u, attach each STRICTLY LARGER neighbor
       // to m = min(N(u) ∪ {u}). Both directions of every edge participate.
       val nbr = e.select(col("u"), col("v"))
@@ -654,11 +670,50 @@ object Dedup {
       eCount = ssCount
       it += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // Converged edges are (member, root) stars; roots label themselves.
-    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .unionAll(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
-      .distinct()
+    if (converged)
+      // Converged edges are (member, root) stars; roots label themselves.
+      e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+        .unionAll(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+        .distinct()
+    else if (eCount <= localMax) localUnionFind(e)
+    else throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+  }
+
+  /** Single-task union-find finish for a small (≤ `graft.ccLocalEdges`)
+    * edge set — see `connectedComponents`. Union-by-min: the larger root is
+    * always attached under the smaller, so every component's final root is
+    * its minimum id independent of edge order (deterministic); path
+    * compression keeps finds amortized near-constant. `coalesce(1)` (not
+    * repartition) because the input is checkpointed — one task reads the
+    * blocks with no shuffle write. Emits (doc_id, cluster_id) for every
+    * node, roots labeling themselves — identical shape to the distributed
+    * star output. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          if (!parent.contains(u)) parent(u) = u
+          if (!parent.contains(v)) parent(v) = v
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+        // Materialize keys before the final find pass: path compression
+        // mutates the map, and LongMap iteration is not mutation-safe.
+        parent.keys.toArray.iterator.map(x => (x, find(x)))
+      }
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Cluster formation at dedup-first cost: the labeling of

@@ -94,6 +94,42 @@ class DedupSpec extends TestBase {
     assert(got == Set(10L -> 10L, 11L -> 10L), s"got $got")
   }
 
+  test("connectedComponents: local union-find finish == pure distributed rounds") {
+    // Chain (worst case for naive propagation), clique, isolated pair, plus
+    // duplicate and reversed edges — labels must be the component MIN in
+    // both execution modes.
+    val p = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 21L -> 20L, 2L -> 1L)
+      .toDF("doc_a", "doc_b")
+    val expected = Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+    def run() = Dedup.connectedComponents(p).as[(Long, Long)].collect().toSet
+    assert(run() == expected) // default threshold ≫ edges → single-task finish
+    val old = spark.conf.getOption("graft.ccLocalEdges")
+    try {
+      spark.conf.set("graft.ccLocalEdges", "0") // force pure distributed
+      assert(run() == expected)
+    } finally old.fold(spark.conf.unset("graft.ccLocalEdges"))(
+      spark.conf.set("graft.ccLocalEdges", _))
+  }
+
+  test("connectedComponents: mid-loop handoff from distributed rounds to local finish") {
+    // 12-clique: 66 canonical edges (> threshold 20) force ≥ 1 distributed
+    // round; star contraction then drops the set to 11 edges (≤ 20), so the
+    // local union-find finishes a PARTIALLY contracted graph.
+    val nodes = 100L to 111L
+    val p = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val old = spark.conf.getOption("graft.ccLocalEdges")
+    try {
+      spark.conf.set("graft.ccLocalEdges", "20")
+      val got = Dedup.connectedComponents(p).as[(Long, Long)].collect().toSet
+      assert(got == nodes.map(x => (x, 100L)).toSet)
+    } finally old.fold(spark.conf.unset("graft.ccLocalEdges"))(
+      spark.conf.set("graft.ccLocalEdges", _))
+  }
+
   test("operators release every cache they register (r4 leak regression)") {
     // BENCH_r04 showed 2-6x slowdowns on unchanged code because dedup/
     // similarity operators persisted intermediates and never released them.
