@@ -45,16 +45,26 @@ object NorthStarQueries {
 
   /** Shared DuckDB CTE chain: shingles → minhash → bands → candidate pairs
     * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
-    * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens). */
-  private val lshPairsSql =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens).
+    * The min-wise family is `Dedup.MinhashP`'s — one md5 per shingle
+    * reduced to 28 bits, per-seed universal hashes by integer arithmetic;
+    * the constants interpolate from the SAME Scala definitions the engine
+    * uses, so the two sides cannot drift. */
+  private val lshPairsSql = {
+    import graft.operators.Dedup.{MinhashP, minhashA, minhashB}
+    // (seed, a, b) literals interpolate from the engine's own constants —
+    // the two sides cannot drift.
+    val seedTable = (0 until 8)
+      .map(s => s"($s, ${minhashA(s)}, ${minhashB(s)})").mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
       | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
       |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
       |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
       |        FROM toks WHERE len(w) < 3),
-      | mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
-      |        FROM sh CROSS JOIN range(0, 8) s(seed) GROUP BY 1, 2),
-      | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h, '|' ORDER BY seed) AS sig
+      | mh AS (SELECT doc_id, s.seed,
+      |          min((('0x' || substr(md5(shingle), 1, 7))::BIGINT * s.a + s.b) % $MinhashP) AS h
+      |        FROM sh CROSS JOIN (VALUES $seedTable) s(seed, a, b) GROUP BY 1, 2),
+      | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h::VARCHAR, '|' ORDER BY seed) AS sig
       |           FROM mh GROUP BY 1, 2),
       | capped AS (SELECT doc_id, band, sig FROM
       |              (SELECT b.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM bands b)
@@ -62,6 +72,7 @@ object NorthStarQueries {
       | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |           FROM capped a JOIN capped b
       |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** documents ∪ two generations of near-copies of doc_id < 20 — a CHAIN
     * per base doc (base ≈ gen1 ≈ gen2), so cluster formation has to do real

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-job wall-time profile of a declared query:
+  * `sbt "runMain graft.Profile <sfDir> <query>"`.
+  *
+  * Runs the query once warm (codegen/JIT/page cache), clears caches, then
+  * times a second run with a listener attributing wall time to each Spark
+  * job. The gap between the job-time SUM and the wall TOTAL is driver-side
+  * planning + scheduling idle — on a many-short-stage operator chain that
+  * gap IS the optimization target (collapse stages, not kernels).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Profile <sfDir> <query> [cpus]")
+    val (dir, name) = (args(0), args(1))
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val starts = mutable.Map[Int, Long]()
+    val done = mutable.ArrayBuffer[(Int, Double)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = System.nanoTime()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach(t0 =>
+          done.synchronized { done += ((j.jobId, (System.nanoTime() - t0) / 1e9)) })
+    })
+    Tables.names.foreach(t => Tables(spark, dir, t).count())
+    val q = SparkEntry.queries(name)
+    q(spark, dir).write.format("noop").mode("overwrite").save() // warm
+    spark.catalog.clearCache(); System.gc()
+    Thread.sleep(200) // let listener events drain before clearing
+    done.synchronized(done.clear())
+    val t0 = System.nanoTime()
+    q(spark, dir).write.format("noop").mode("overwrite").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // listener events are async; let the bus drain
+    val jobs = done.synchronized(done.toVector)
+    println(f"[profile] $name TOTAL $total%.2f s over ${jobs.size} jobs; " +
+      f"SUM(jobs) ${jobs.map(_._2).sum}%.2f s (gap = driver planning/idle)")
+    jobs.sortBy(-_._2).take(30).foreach { case (id, s) =>
+      println(f"[profile]   job $id%3d  $s%6.2f s")
+    }
+    spark.stop()
+  }
+}

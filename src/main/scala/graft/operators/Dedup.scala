@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * reference's only dedup is the panel's last-wins key overwrite,
   * `LASERInputCheckMapper.java:66-69`).
   *
-  * Cross-engine determinism: every hash is `md5` of a UTF-8 string compared
-  * lexicographically on the hex form, so the DuckDB oracle reproduces the
+  * Cross-engine determinism: every hash derives from `md5` of a UTF-8
+  * string (either the hex form directly, or integer arithmetic on a fixed
+  * prefix of it — see `MinhashP`), so the DuckDB oracle reproduces the
   * exact same signatures — no engine-private hash (Spark's murmur3 `hash()`
   * or xxhash64) appears in any correctness-checked result.
   *
@@ -132,20 +133,60 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
-  /** MinHash signatures: for seed s in [0, numHashes), the signature element
-    * is `min(md5(s || ':' || shingle))` — lexicographic min over hex, a
-    * valid min-wise hash family that both engines compute identically.
+  /** The min-wise hash family shared verbatim with the DuckDB oracles:
+    * ONE md5 per shingle reduced to 28 bits (`h = first 7 hex chars` as
+    * BIGINT), then per-seed universal hashes `(a_s·h + b_s) mod p` over the
+    * Mersenne prime p = 2³¹−1 — the construction Spark MLlib's MinHashLSH
+    * ships (one base hash, k affine maps). The (a_s, b_s) constants are
+    * md5-derived per seed (`minhashAB` below). Bounds make the arithmetic
+    * exact in BOTH engines with no 64-bit overflow: h < 2²⁸ and a_s ≤ 2²⁸
+    * keep every product under 2⁵⁷ (DuckDB BIGINT overflow would ERROR,
+    * not wrap).
     *
-    * Plan: shingle explode → per-(doc, seed) partial min (map-side combine)
-    * → one shuffle keyed (doc_id, seed). At 100 TB the shuffle volume is
-    * O(docs × numHashes × 32B), independent of corpus text size.
+    * Why not md5-per-seed: the signature aggregation reads every
+    * (doc, shingle) row and is the dominant CPU kernel of the minhash
+    * chain at corpus scale — one digest plus numHashes integer ops per row
+    * beats numHashes digests per row ~numHashes-fold, and integer mins
+    * beat lexicographic hex-string mins besides. */
+  private[graft] val MinhashP = 2147483647L
+  /** Per-seed (a, b), derived once from md5 of the seed so consecutive
+    * seeds share NO arithmetic structure. Structured multipliers are not a
+    * theoretical nicety: a first cut used a_s = K·(s+1) mod p, making seed
+    * 1's permutation exactly "double seed 0's value mod p" — which
+    * preserves enough order that a band's two mins were usually attained
+    * by the same shingle, and the band key degenerated toward ONE
+    * permutation (measured: 109 candidate pairs vs 49 under independent
+    * seeds on the sf0.01 planted corpus — 2.2× false positives). */
+  private[graft] val minhashAB: IndexedSeq[(Long, Long)] = (0 until 64).map { s =>
+    def h7(tag: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:$tag".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7), 16)
+    (h7("a") + 1L, h7("b")) // a ∈ [1, 2²⁸], b ∈ [0, 2²⁸)
+  }
+  private[graft] def minhashA(s: Int): Long = minhashAB(s)._1
+  private[graft] def minhashB(s: Int): Long = minhashAB(s)._2
+  private[graft] def shingleH28: org.apache.spark.sql.Column =
+    conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signatures: for seed s in [0, numHashes), the signature element
+    * is `min((a_s·h28(shingle) + b_s) mod p)` — the universal family above,
+    * computed identically by both engines on integers.
+    *
+    * Plan: shingle explode → one md5 per shingle row → per-(doc, seed)
+    * partial min (map-side combine) → one shuffle keyed (doc_id, seed). At
+    * 100 TB the shuffle volume is O(docs × numHashes × 8B), independent of
+    * corpus text size.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame =
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame = {
+    val seeds = array((0 until numHashes).map(s => struct(
+      lit(s).as("seed"), lit(minhashA(s)).as("a"), lit(minhashB(s)).as("b"))): _*)
     shingles(docs, n, dedup = false) // min is duplicate-insensitive
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("h"))
+      .select(col("doc_id"), shingleH28.as("h28"))
+      .select(col("doc_id"), col("h28"), explode(seeds).as("s"))
+      .groupBy(col("doc_id"), col("s.seed").as("seed"))
+      .agg(min((col("h28") * col("s.a") + col("s.b")) % MinhashP).as("h"))
+  }
 
   /** LSH banding: group signature elements into bands of `bandSize` seeds,
     * bucket docs on (band, concatenated band signature), and emit candidate
@@ -176,10 +217,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     // One aggregation pass with numHashes parallel min-aggs (map-side
     // combined) instead of exploding every shingle numHashes× — the shuffle
-    // carries one row per doc, not numHashes rows per shingle.
+    // carries one row per doc, not numHashes rows per shingle. One md5 per
+    // ROW (not per row × seed): the seed hashes derive from the 28-bit
+    // digest prefix by integer arithmetic (family doc above `MinhashP`).
     val minCols = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"h$s"))
+      min((col("h28") * minhashA(s) + minhashB(s)) % MinhashP).as(s"h$s"))
     val sigs = sh
+      .select(col("doc_id"), shingleH28.as("h28"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until numHashes / bandSize).map { b =>

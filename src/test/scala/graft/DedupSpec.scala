@@ -222,7 +222,7 @@ class DedupSpec extends TestBase {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
     val sigs = Dedup.minhashSignatures(d, numHashes = 4)
       .groupBy("doc_id").agg(sort_array(collect_list(struct($"seed", $"h"))).as("sig"))
-      .as[(Long, Seq[(Int, String)])].collect().toMap
+      .as[(Long, Seq[(Int, Long)])].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
