@@ -103,16 +103,18 @@ object Bench {
       // time as a perf win in the archived JSON
       if (ok) sec else -1.0
     }
-    val results = SparkEntry.catalog
+    // (name, archived sec, Some(first) when the query was retried) — the
+    // first-run time is archived alongside the min so cross-round
+    // comparisons can separate operator gains from retry-policy effects.
+    val results: Seq[(String, Double, Option[Double])] = SparkEntry.catalog
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
         val first = once(q)
-        val sec =
-          if (first > retrySec) {
-            val second = once(q)
-            if (second < 0) first else math.min(first, second)
-          } else first
-        q.name -> sec
+        if (first > retrySec) {
+          val second = once(q)
+          val sec = if (second < 0) first else math.min(first, second)
+          (q.name, sec, Some(first))
+        } else (q.name, first, None)
       }
     val probeEnd = noiseProbe()
     // Locale.ROOT formatting: the f-interpolator uses the JVM default
@@ -120,16 +122,20 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val timings = results.map(r => (r._1, r._2))
+    val total = timings.map(_._2).filter(_ >= 0).sum
     // probe_sec: the host-noise burn at run start/end (see noiseProbe) —
     // quiet ≈ 0.2 s on this guest; readings ≥ 0.5 s mean the run raced
     // invisible host contention and its numbers read high.
     val probes = s""""probe_sec":[${num(probeStart)},${num(probeEnd)}]"""
+    // first_sec: the pre-retry first-run time of every retried query, so
+    // the retry policy's effect is visible per query in the archive.
+    val firsts = qmap(results.collect { case (n, _, Some(f)) => n -> f })
     val detail =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(results)},$probes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
-    val head = results.filter(r => headline(r._1))
+    val head = timings.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

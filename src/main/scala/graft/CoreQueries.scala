@@ -239,7 +239,8 @@ object CoreQueries {
     // R19's chunk assignment as a window computation (chunkSize=100,
     // LASERInputValidator.java:18). The global-order window is correct here
     // because chunk identity IS a global property; the distributed writer in
-    // ChunkOps avoids the single-partition sort (see operators/ChunkOps).
+    // operators/ChunkSink.scala (`ChunkSink.write`) avoids the
+    // single-partition sort by repartitioning on the chunk id.
     QueryDef("q14_window_chunk")(
       """SELECT o_orderkey,
         |   CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 100) AS BIGINT) AS chunk

@@ -47,9 +47,10 @@ object NorthStarQueries {
     * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
     * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens).
     * The min-wise family is `Dedup.MinhashP`'s — one md5 per shingle
-    * reduced to 28 bits, per-seed universal hashes by integer arithmetic;
-    * the constants interpolate from the SAME Scala definitions the engine
-    * uses, so the two sides cannot drift. */
+    * reduced to a ~2³¹ universe (15 hex chars mod p, `Dedup.shingleBaseHash`),
+    * per-seed universal hashes by integer arithmetic; the constants
+    * interpolate from the SAME Scala definitions the engine uses, so the
+    * two sides cannot drift. */
   private val lshPairsSql = {
     import graft.operators.Dedup.{MinhashP, minhashA, minhashB}
     // (seed, a, b) literals interpolate from the engine's own constants —
@@ -62,7 +63,7 @@ object NorthStarQueries {
       |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
       |        FROM toks WHERE len(w) < 3),
       | mh AS (SELECT doc_id, s.seed,
-      |          min((('0x' || substr(md5(shingle), 1, 7))::BIGINT * s.a + s.b) % $MinhashP) AS h
+      |          min(((('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP) * s.a + s.b) % $MinhashP) AS h
       |        FROM sh CROSS JOIN (VALUES $seedTable) s(seed, a, b) GROUP BY 1, 2),
       | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h::VARCHAR, '|' ORDER BY seed) AS sig
       |           FROM mh GROUP BY 1, 2),

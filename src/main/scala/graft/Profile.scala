@@ -39,7 +39,10 @@ object Profile {
     q(spark, dir).write.format("noop").mode("overwrite").save() // warm
     spark.catalog.clearCache(); System.gc()
     Thread.sleep(200) // let listener events drain before clearing
-    done.synchronized(done.clear())
+    // Clear in-flight starts too: a warm-run job whose end event lands
+    // after the drain window would otherwise be attributed to the measured
+    // profile with its warm-run duration included.
+    done.synchronized { done.clear(); starts.clear() }
     val t0 = System.nanoTime()
     q(spark, dir).write.format("noop").mode("overwrite").save()
     val total = (System.nanoTime() - t0) / 1e9

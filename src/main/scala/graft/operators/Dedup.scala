@@ -134,14 +134,19 @@ object Dedup {
   }
 
   /** The min-wise hash family shared verbatim with the DuckDB oracles:
-    * ONE md5 per shingle reduced to 28 bits (`h = first 7 hex chars` as
-    * BIGINT), then per-seed universal hashes `(a_s·h + b_s) mod p` over the
-    * Mersenne prime p = 2³¹−1 — the construction Spark MLlib's MinHashLSH
-    * ships (one base hash, k affine maps). The (a_s, b_s) constants are
-    * md5-derived per seed (`minhashAB` below). Bounds make the arithmetic
-    * exact in BOTH engines with no 64-bit overflow: h < 2²⁸ and a_s ≤ 2²⁸
-    * keep every product under 2⁵⁷ (DuckDB BIGINT overflow would ERROR,
-    * not wrap).
+    * ONE md5 per shingle reduced to a ~2³¹ universe (`h = first 15 hex
+    * chars` as BIGINT, mod p), then per-seed universal hashes
+    * `(a_s·h + b_s) mod p` over the Mersenne prime p = 2³¹−1 — the
+    * construction Spark MLlib's MinHashLSH ships (one base hash, k affine
+    * maps). The (a_s, b_s) constants are md5-derived per seed (`minhashAB`
+    * below). Bounds make the arithmetic exact in BOTH engines with no
+    * 64-bit overflow: the 15-hex-char prefix is < 2⁶⁰ (BIGINT-safe to
+    * parse), the reduced h is < p < 2³¹, and a_s ≤ 2²⁸ keeps every product
+    * under 2⁵⁹ (DuckDB BIGINT overflow would ERROR, not wrap). The wide
+    * base matters at corpus scale: an earlier 28-bit base (7 hex chars,
+    * no reduction) meant billions of distinct shingles over a 2²⁸ universe
+    * — base-hash collisions survive EVERY affine permutation, biasing
+    * Jaccard-by-minhash upward and inflating LSH candidate sets.
     *
     * Why not md5-per-seed: the signature aggregation reads every
     * (doc, shingle) row and is the dominant CPU kernel of the minhash
@@ -166,11 +171,14 @@ object Dedup {
   }
   private[graft] def minhashA(s: Int): Long = minhashAB(s)._1
   private[graft] def minhashB(s: Int): Long = minhashAB(s)._2
-  private[graft] def shingleH28: org.apache.spark.sql.Column =
-    conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long")
+  /** Base hash of the min-wise family (doc above `MinhashP`): 15-hex-char
+    * md5 prefix reduced mod p — a ~2³¹ effective universe. The DuckDB twin
+    * is `('0x' || substr(md5(shingle), 1, 15))::BIGINT % p`. */
+  private[graft] def shingleBaseHash: org.apache.spark.sql.Column =
+    conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
 
   /** MinHash signatures: for seed s in [0, numHashes), the signature element
-    * is `min((a_s·h28(shingle) + b_s) mod p)` — the universal family above,
+    * is `min((a_s·baseHash(shingle) + b_s) mod p)` — the universal family above,
     * computed identically by both engines on integers.
     *
     * Plan: shingle explode → one md5 per shingle row → per-(doc, seed)
@@ -179,13 +187,14 @@ object Dedup {
     * corpus text size.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame = {
+    require(numHashes <= 64, s"numHashes $numHashes > 64: minhashAB precomputes 64 seed constants")
     val seeds = array((0 until numHashes).map(s => struct(
       lit(s).as("seed"), lit(minhashA(s)).as("a"), lit(minhashB(s)).as("b"))): _*)
     shingles(docs, n, dedup = false) // min is duplicate-insensitive
-      .select(col("doc_id"), shingleH28.as("h28"))
-      .select(col("doc_id"), col("h28"), explode(seeds).as("s"))
+      .select(col("doc_id"), shingleBaseHash.as("h"))
+      .select(col("doc_id"), col("h").as("bh"), explode(seeds).as("s"))
       .groupBy(col("doc_id"), col("s.seed").as("seed"))
-      .agg(min((col("h28") * col("s.a") + col("s.b")) % MinhashP).as("h"))
+      .agg(min((col("bh") * col("s.a") + col("s.b")) % MinhashP).as("h"))
   }
 
   /** LSH banding: group signature elements into bands of `bandSize` seeds,
@@ -215,15 +224,16 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
+    require(numHashes <= 64, s"numHashes $numHashes > 64: minhashAB precomputes 64 seed constants")
     // One aggregation pass with numHashes parallel min-aggs (map-side
     // combined) instead of exploding every shingle numHashes× — the shuffle
     // carries one row per doc, not numHashes rows per shingle. One md5 per
-    // ROW (not per row × seed): the seed hashes derive from the 28-bit
+    // ROW (not per row × seed): the seed hashes derive from the reduced
     // digest prefix by integer arithmetic (family doc above `MinhashP`).
     val minCols = (0 until numHashes).map(s =>
-      min((col("h28") * minhashA(s) + minhashB(s)) % MinhashP).as(s"h$s"))
+      min((col("bh") * minhashA(s) + minhashB(s)) % MinhashP).as(s"h$s"))
     val sigs = sh
-      .select(col("doc_id"), shingleH28.as("h28"))
+      .select(col("doc_id"), shingleBaseHash.as("bh"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until numHashes / bandSize).map { b =>
@@ -613,22 +623,46 @@ object Dedup {
     *      equality compare before the O(len²) DP.
     */
   def editSimilarity(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val withTexts = pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        md5(col("ta")).as("ha"), md5(col("tb")).as("hb"), col("ta"), col("tb"))
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Same cache-ownership contract as `pairOverlapStats`: persist the pair
+    // set only if the caller hasn't.
+    val callerOwned = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerOwned) pairs else pairs.persist(sl)
+    // Prune the corpus to candidate docs BEFORE anything carries text: the
+    // candidate set is ≪ corpus, and the semi-join is broadcast-able.
+    val candDocs = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val cand = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("h"), col("text"))
+      .persist(sl)
+    // Text bodies appear in exactly ONE exchange: the per-distinct-text
+    // (hash, text) side table — O(distinct candidate texts) rows. The pair
+    // skeleton, its distinct, and the score-back join all carry 32-byte
+    // hashes only (in a dup-dense corpus the pair set is k²-inflated, so a
+    // distinct carrying both bodies per pair was the chain's heaviest
+    // exchange — same family as the hashed-shingle fix in
+    // `pairOverlapStats`).
+    val texts = cand.select(col("h"), col("text")).dropDuplicates("h")
+    val idHash = cand.select(col("doc_id"), col("h"))
+    val keyed = p
+      .join(idHash.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(idHash.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .persist(sl)
     val lev = when(col("ta") === col("tb"), lit(0L))
       .otherwise(levenshtein(col("ta"), col("tb")).cast("long"))
-    val scored = withTexts.select(col("ha"), col("hb"), col("ta"), col("tb"))
-      .distinct()
+    val scored = keyed.select(col("ha"), col("hb")).distinct()
+      .join(texts.select(col("h").as("ha"), col("text").as("ta")), "ha")
+      .join(texts.select(col("h").as("hb"), col("text").as("tb")), "hb")
       .select(col("ha"), col("hb"),
         lev.as("edit_dist"),
         round(lit(1.0) - lev.cast("double") /
           greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
-    withTexts.select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+    val out = keyed
       .join(scored, Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
+    if (callerOwned) materializeThenRelease(out, cand, keyed)
+    else materializeThenRelease(out, p, cand, keyed)
   }
 
   /** Connected components over an undirected near-dup pair graph
