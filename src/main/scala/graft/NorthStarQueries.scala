@@ -758,6 +758,10 @@ object NorthStarQueries {
     },
 
     // ---- multimodal ------------------------------------------------------
+    // The production decode kernel over NON-image payloads: every row
+    // sniffs as raw and takes the documented deterministic fallback branch
+    // (the REAL-image branch of the same kernel is oracle-checked
+    // pixel-exactly by mm_decode_real below).
     QueryDef("mm_decode")(
       """SELECT doc_id, 'application/x-fake-' || source AS mime,
         |   CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS digest,
@@ -766,9 +770,57 @@ object NorthStarQueries {
         |   CAST(length(text) % 24 + 1 AS INT) AS n_frames
         | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Multimodal.decodeStub(Multimodal.mediaTable(
+      Multimodal.decode(Multimodal.mediaTable(
         Tables(s, dir, "documents").where(col("doc_id") < 100)))
-        .toDF().orderBy(col("doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("byte_len"), col("digest"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL codec round-trip: deterministic-pixel RGB fixtures are encoded
+    // through javax.imageio (PNG for even ids, BMP for odd — both
+    // lossless), then decoded by the production kernel; the oracle
+    // recomputes dims AND the full pixel checksum by formula, so a
+    // header-only or faked decode cannot pass.
+    QueryDef("mm_decode_real")(
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
+        |           FROM documents WHERE doc_id < 24),
+        | px AS (SELECT d.doc_id, (p.i // 3) % d.w AS x, p.i // (d.w * 3) AS y, p.i % 3 AS c
+        |        FROM d JOIN range(0, 400) p(i) ON p.i < d.w * d.h * 3),
+        | s AS (SELECT doc_id, sum((doc_id * 31 + x * 7 + y * 13 + c * 5) % 256) AS px_sum
+        |       FROM px GROUP BY 1)
+        | SELECT d.doc_id,
+        |   CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+        |   CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |   CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |   CAST(3 AS INT) AS channels, CAST(s.px_sum AS BIGINT) AS px_sum
+        | FROM d JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.decode(Multimodal.syntheticImages(
+        Tables(s, dir, "documents").where(col("doc_id") < 24)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("format"),
+          col("width"), col("height"), col("channels"), col("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL resize: decode → nearest-neighbor resample to 4×4 → re-encode
+    // PNG → re-decode → pixel checksum; the oracle computes the same NN
+    // source-pixel mapping ((x·w)//4, (y·h)//4) by formula.
+    QueryDef("mm_resize_real")(
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
+        |           FROM documents WHERE doc_id < 24),
+        | px AS (SELECT d.doc_id, (p.i // 3) % 4 AS x, p.i // 12 AS y, p.i % 3 AS c, d.w, d.h
+        |        FROM d JOIN range(0, 48) p(i) ON p.i < 48)
+        | SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+        |   CAST(sum((doc_id * 31 + ((x * w) // 4) * 7 + ((y * h) // 4) * 13 + c * 5) % 256) AS BIGINT) AS px_sum
+        | FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.resizeImages(Multimodal.syntheticImages(
+        Tables(s, dir, "documents").where(col("doc_id") < 24)), 4, 4)
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("px_sum"))
+        .orderBy(col("doc_id"))
     },
 
     // REAL byte-level feature extraction (primitive loop over the payload);

@@ -39,10 +39,19 @@ object Dedup {
     spark.conf.get("graft.checkpointDir", "") match {
       case "" => df.localCheckpoint(true)
       case dir =>
-        // setCheckpointDir creates a session-unique subdir; set once and
-        // reuse — re-setting per call would spray one subdir per operator.
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        // setCheckpointDir creates a session-unique subdir; set once per
+        // configured dir and reuse — re-setting per call would spray one
+        // subdir per operator. Re-set only when the CONF changed (a driver
+        // repointing graft.checkpointDir mid-session must not keep writing
+        // to the old location).
+        val sc = spark.sparkContext
+        // getCheckpointDir is fully qualified (scheme + session subdir);
+        // qualify the configured dir the same way before comparing.
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(p).toString
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified + "/")))
+          sc.setCheckpointDir(dir)
         df.checkpoint(true)
     }
   }

@@ -4,11 +4,26 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One media row: opaque bytes + typed metadata (north-star multimodal
-  * column model, `BASELINE.json:6`). Image/audio decode libraries are not
-  * in this environment, so the decode kernel is a clearly-marked
-  * deterministic STUB — the Spark-side plumbing (binary schema, typed
-  * Dataset, partition-batched kernel invocation, output shape) is real. */
+  * column model, `BASELINE.json:6`). The decode kernel (`decode`) is REAL
+  * for still images — magic-byte sniff + `javax.imageio` (PNG/BMP/GIF/
+  * JPEG, the JDK's standard plugins); payloads that are not images fall
+  * back to a clearly-marked deterministic stub (audio/video codecs are
+  * not in this environment) through the same partition-batched kernel. */
 final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+
+/** Decoded features for one media item — real fields when the payload is
+  * a decodable image, documented stub fallbacks otherwise. */
+final case class DecodedMedia(
+    doc_id: Long,
+    mime: String,
+    byte_len: Long,
+    digest: String,       // sha256 hex of the payload
+    format: String,       // sniffed: "png" | "bmp" | "gif" | "jpeg" | "raw"
+    width: Int,           // real decoded width; raw fallback: byte_len % 640
+    height: Int,          // real decoded height; raw fallback: byte_len % 480
+    channels: Int,        // real raster band count; raw fallback: 0
+    n_frames: Int,        // 1 for still images; raw fallback: byte_len % 24 + 1
+    px_sum: Long)         // sum of decoded 8-bit RGB values; raw fallback: -1
 
 /** REAL byte-level features for one media item (no stub — pure payload
   * statistics a curation pipeline filters on before any decode). */
@@ -19,16 +34,6 @@ final case class ByteFeatures(
     n_digit: Long,
     n_space: Long,
     n_other: Long)
-
-/** Stub "decoded features" for one media item. */
-final case class MediaFeatures(
-    doc_id: Long,
-    mime: String,
-    byte_len: Long,
-    digest: String,       // sha256 hex of the payload
-    width: Int,           // STUB: derived, a real decoder would parse the header
-    height: Int,          // STUB
-    n_frames: Int)        // STUB: frame count for video-ish payloads
 
 object Multimodal {
 
@@ -45,27 +50,149 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode kernel: one *batch* (partition iterator) in, features out.
-    * A real image/audio decoder slots in here unchanged — the signature is
+  /** Magic-byte image-format sniff (same dispatch idea as the reference's
+    * gzip sniff, `LASERInputCheckMapper.java:33-51`, applied to image
+    * containers): PNG `89 50 4E 47`, BMP `42 4D`, GIF `47 49 46 38`,
+    * JPEG `FF D8 FF`. Returns None for anything else. */
+  private[graft] def sniffImageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("gif")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  /** Sum of all decoded 8-bit channel values (R+G+B per pixel) — the
+    * pixel-exact evidence that a REAL decode happened (lossless codecs
+    * round-trip this bit-for-bit; a header-only "decode" cannot fake it). */
+  private def pixelSum(img: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Decode kernel: one *batch* (partition iterator) in, features out —
     * the partition-batched shape a native-library bridge needs (amortized
     * per-partition init, streaming iterator, no driver collect).
-    * The fake is deterministic: sizes/digests of the payload. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    *
+    * REAL for still images: payloads sniffing as PNG/BMP/GIF/JPEG decode
+    * through `javax.imageio.ImageIO` (pure JDK — no external dependency)
+    * to true width/height/band-count plus a pixel checksum. Non-image
+    * payloads (this environment has no audio/video codecs) take the
+    * documented deterministic stub branch: dimensions derived from the
+    * byte length, channels 0, px_sum −1.
+    *
+    * Scale: per-row work is O(pixels); the kernel is a narrow map over
+    * whatever partitioning the media table already has — decode never
+    * shuffles, and a heavier native codec slots into the same iterator. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init of a (stub) decoder context happens HERE once
+      // per-partition init of decoder context happens HERE once
       val digestAlg = () => java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val d = digestAlg()
-        val hex = d.digest(r.content).map("%02x".format(_)).mkString
+        val hex = digestAlg().digest(r.content).map("%02x".format(_)).mkString
         val len = r.content.length.toLong
-        // ??? real decode goes here; deterministic fake dimensions:
-        MediaFeatures(r.doc_id, r.mime, len, hex,
+        def raw = DecodedMedia(r.doc_id, r.mime, len, hex, "raw",
           width = (len % 640).toInt, height = (len % 480).toInt,
-          n_frames = (len % 24).toInt + 1)
+          channels = 0, n_frames = (len % 24).toInt + 1, px_sum = -1L)
+        sniffImageFormat(r.content) match {
+          case Some(fmt) =>
+            // ImageIO returns null (not an exception) on a truncated or
+            // unsupported container — fall back like any non-image payload.
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+              .fold(raw) { img =>
+                DecodedMedia(r.doc_id, r.mime, len, hex, fmt,
+                  img.getWidth, img.getHeight, img.getRaster.getNumBands,
+                  n_frames = 1, px_sum = pixelSum(img))
+              }
+          case None => raw
+        }
       }
     }
+  }
+
+  /** Deterministic image fixtures encoded through the REAL codec: for each
+    * doc id, an RGB image whose dims and pixels derive from the id alone
+    * (w = id%13+3, h = id%7+2, px(x,y,c) = (id·31 + x·7 + y·13 + c·5) mod
+    * 256), written via `ImageIO.write` as PNG (even ids) or BMP (odd ids).
+    * Both are lossless, so a DuckDB oracle can compute the expected
+    * decoded pixels by formula while the bytes genuinely round-trip
+    * through the codec — `decode`/`resizeImages` results are then
+    * pixel-exactly checkable with no image library on the oracle side. */
+  def syntheticImages(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 13 + 3).toInt
+        val h = (id % 7 + 2).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def v(c: Int): Int = ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+            img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+            x += 1
+          }
+          y += 1
+        }
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        MediaRow(id, s"image/$fmt", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image resize: decode (ImageIO), nearest-neighbor resample to
+    * `outW`×`outH` (source pixel (x·w/outW, y·h/outH), integer floor —
+    * deterministic, no interpolation-kernel variance), re-encode as PNG,
+    * then RE-decode the result and checksum its pixels — the full
+    * decode→resample→encode→decode chain, all inside the partition-batched
+    * kernel. Non-image payloads are dropped (flatMap), mirroring a real
+    * media pipeline's decode-failure routing. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int = 4, outH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          .map { img =>
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                out.setRGB(x, y,
+                  img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            (r.doc_id, dec.getWidth, dec.getHeight, pixelSum(dec))
+          }.iterator
+      }
+    }.toDF("doc_id", "out_w", "out_h", "px_sum")
   }
 
   /** Byte-level feature extraction — REAL, not a stub: a tight primitive

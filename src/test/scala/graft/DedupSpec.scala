@@ -174,6 +174,36 @@ class DedupSpec extends TestBase {
     } finally spark.conf.unset("graft.checkpointDir")
   }
 
+  test("reliable checkpointing covers the distributed CC rounds end-to-end") {
+    // The :157 test exercises `materializeThenRelease`'s reliable branch but
+    // its tiny graphs finish in the single-task union-find — the PER-ROUND
+    // checkpoint inside the large-star/small-star loop never runs. Force
+    // pure distributed rounds (ccLocalEdges=0) under graft.checkpointDir on
+    // a path graph (needs several contraction rounds) and require BOTH:
+    // labels identical to default local-checkpoint mode, and new reliable
+    // checkpoint files on disk.
+    val p = (1L to 40L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val expected = Dedup.connectedComponents(p).as[(Long, Long)].collect().toSet
+    assert(expected == (1L to 40L).map(x => (x, 1L)).toSet)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    val oldLocal = spark.conf.getOption("graft.ccLocalEdges")
+    spark.conf.set("graft.checkpointDir", dir)
+    spark.conf.set("graft.ccLocalEdges", "0")
+    try {
+      val got = Dedup.connectedComponents(p).as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(pp => java.nio.file.Files.isRegularFile(pp)).count()
+      // ≥ 1 file per checkpointed round; a 39-edge path needs several rounds
+      assert(wrote >= 2, s"expected per-round reliable checkpoints under $dir, found $wrote files")
+    } finally {
+      spark.conf.unset("graft.checkpointDir")
+      oldLocal.fold(spark.conf.unset("graft.ccLocalEdges"))(
+        spark.conf.set("graft.ccLocalEdges", _))
+    }
+  }
+
   test("pairOverlapStats leaves a caller-persisted pair set cached") {
     // Cache ownership: a caller that persists one candidate set to score it
     // with BOTH scorers must keep its cache across the first call — the

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{MediaRow, Multimodal}
+
+/** Real-codec coverage for the multimodal kernels: an independently-encoded
+  * committed PNG fixture (hand-built encoder, not ImageIO — so the test
+  * proves interop, not a self-round-trip), the deterministic synthetic
+  * fixtures, and the nearest-neighbor resize chain. */
+class MultimodalSpec extends TestBase {
+  import spark.implicits._
+
+  /** Expected pixel checksum of a synthetic image (`Multimodal
+    * .syntheticImages` formula): sum over (x, y, c) of
+    * (id·31 + x·7 + y·13 + c·5) mod 256. */
+  private def expectedSum(id: Long): Long = {
+    val w = (id % 13 + 3).toInt
+    val h = (id % 7 + 2).toInt
+    (for { y <- 0 until h; x <- 0 until w; c <- 0 until 3 }
+      yield (id * 31 + x * 7 + y * 13 + c * 5) % 256).sum
+  }
+
+  test("decode reads a committed PNG fixture from a foreign encoder") {
+    val in = getClass.getResourceAsStream("/fixture_3x2.png")
+    assert(in != null, "missing committed fixture_3x2.png")
+    val bytes = in.readAllBytes()
+    in.close()
+    val media = Seq(MediaRow(7L, "image/png", bytes)).toDS()
+    val d = Multimodal.decode(media).collect().head
+    assert(d.format == "png")
+    assert(d.width == 3 && d.height == 2 && d.channels == 3)
+    // row 0: (255,0,0),(0,255,0),(0,0,255); row 1: (10..90 by 10)
+    assert(d.px_sum == 1215L)
+    assert(d.n_frames == 1)
+  }
+
+  test("synthetic fixtures round-trip the real codec pixel-exactly (PNG and BMP)") {
+    val ids = Seq(0L, 1L, 12L, 13L).toDF("doc_id")
+    val got = Multimodal.decode(Multimodal.syntheticImages(ids))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 1L, 12L, 13L)) {
+      val d = got(id)
+      assert(d.format == (if (id % 2 == 0) "png" else "bmp"))
+      assert(d.width == (id % 13 + 3).toInt && d.height == (id % 7 + 2).toInt)
+      assert(d.channels == 3)
+      assert(d.px_sum == expectedSum(id), s"px_sum mismatch for id $id")
+    }
+  }
+
+  test("resize: nearest-neighbor source mapping, re-encoded output re-decodes") {
+    // id 0: 3×2 source → 4×4 output; NN source pixel = (x·3/4, y·2/4).
+    val out = Multimodal.resizeImages(
+      Multimodal.syntheticImages(Seq(0L).toDF("doc_id")), 4, 4)
+      .collect().head
+    assert(out.getAs[Int]("out_w") == 4 && out.getAs[Int]("out_h") == 4)
+    val expected = (for { y <- 0 until 4; x <- 0 until 4; c <- 0 until 3 }
+      yield ((x * 3 / 4) * 7 + (y * 2 / 4) * 13 + c * 5) % 256).sum.toLong
+    assert(out.getAs[Long]("px_sum") == expected)
+  }
+
+  test("sniff dispatches on magic bytes only") {
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
+      Array.fill[Byte](8)(0)
+    assert(Multimodal.sniffImageFormat(png).contains("png"))
+    // 'PNG' without the 0x89 lead byte is NOT a PNG
+    assert(Multimodal.sniffImageFormat("PNGxxxxx".getBytes).isEmpty)
+    assert(Multimodal.sniffImageFormat("BMxx".getBytes).contains("bmp"))
+    assert(Multimodal.sniffImageFormat("GIF89a".getBytes).contains("gif"))
+    assert(Multimodal.sniffImageFormat(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)).contains("jpeg"))
+    assert(Multimodal.sniffImageFormat("plain text".getBytes).isEmpty)
+    assert(Multimodal.sniffImageFormat(Array.emptyByteArray).isEmpty)
+  }
+}

@@ -44,15 +44,16 @@ class TextAnalysisSpec extends TestBase {
     assert(fp.values.forall(_.length == 32))
   }
 
-  test("multimodal: decode stub is deterministic and partition-batched") {
+  test("multimodal: non-image payloads take the deterministic raw branch") {
     val media = Multimodal.mediaTable(
       Seq((1L, "hello world", "en", "srcA", 11L), (2L, "abc", "en", "srcB", 3L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val feats = Multimodal.decodeStub(media).collect().map(f => f.doc_id -> f).toMap
+    val feats = Multimodal.decode(media).collect().map(f => f.doc_id -> f).toMap
     assert(feats(1L).byte_len == 11L && feats(2L).byte_len == 3L)
     assert(feats(1L).mime == "application/x-fake-srcA")
     assert(feats(1L).digest ==
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9") // sha256("hello world")
+    assert(feats(1L).format == "raw" && feats(1L).channels == 0 && feats(1L).px_sum == -1L)
     assert(feats(1L).width == 11 && feats(1L).n_frames == 12)
   }
 
