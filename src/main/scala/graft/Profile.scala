@@ -25,14 +25,19 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val starts = mutable.Map[Int, Long]()
-    val done = mutable.ArrayBuffer[(Int, Double)]()
+    val starts = mutable.Map[Int, (Long, String)]()
+    val done = mutable.ArrayBuffer[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts(j.jobId) = System.nanoTime()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // The result stage's name (callSite short form) + stage count — the
+        // most identifying label available without the SQL UI.
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        starts(j.jobId) = (System.nanoTime(), s"${j.stageInfos.size} stages; $site")
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach(t0 =>
-          done.synchronized { done += ((j.jobId, (System.nanoTime() - t0) / 1e9)) })
+        starts.remove(j.jobId).foreach { case (t0, site) =>
+          done.synchronized { done += ((j.jobId, (System.nanoTime() - t0) / 1e9, site)) }
+        }
     })
     Tables.names.foreach(t => Tables(spark, dir, t).count())
     val q = SparkEntry.queries(name)
@@ -49,9 +54,10 @@ object Profile {
     Thread.sleep(300) // listener events are async; let the bus drain
     val jobs = done.synchronized(done.toVector)
     println(f"[profile] $name TOTAL $total%.2f s over ${jobs.size} jobs; " +
-      f"SUM(jobs) ${jobs.map(_._2).sum}%.2f s (gap = driver planning/idle)")
-    jobs.sortBy(-_._2).take(30).foreach { case (id, s) =>
-      println(f"[profile]   job $id%3d  $s%6.2f s")
+      f"SUM(jobs) ${jobs.map(_._2).sum}%.2f s " +
+      "(SUM < TOTAL: driver planning/idle gap; SUM > TOTAL: concurrent jobs)")
+    jobs.sortBy(-_._2).take(30).foreach { case (id, s, site) =>
+      println(f"[profile]   job $id%3d  $s%6.2f s  $site")
     }
     spark.stop()
   }

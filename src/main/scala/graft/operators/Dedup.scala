@@ -632,32 +632,37 @@ object Dedup {
     *      equality compare before the O(len²) DP.
     */
   def editSimilarity(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Same cache-ownership contract as `pairOverlapStats`: persist the pair
-    // set only if the caller hasn't.
-    val callerOwned = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val p = if (callerOwned) pairs else pairs.persist(sl)
     // Prune the corpus to candidate docs BEFORE anything carries text: the
     // candidate set is ≪ corpus, and the semi-join is broadcast-able.
-    val candDocs = p.select(col("doc_a").as("doc_id"))
-      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val cand = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("h"), col("text"))
-      .persist(sl)
     // Text bodies appear in exactly ONE exchange: the per-distinct-text
     // (hash, text) side table — O(distinct candidate texts) rows. The pair
     // skeleton, its distinct, and the score-back join all carry 32-byte
     // hashes only (in a dup-dense corpus the pair set is k²-inflated, so a
     // distinct carrying both bodies per pair was the chain's heaviest
     // exchange — same family as the hashed-shingle fix in
-    // `pairOverlapStats`).
+    // `pairOverlapStats`). The plan stays LAZY — `keyed` feeds both the
+    // distinct and the score-back join through Spark's exchange reuse, so
+    // no persist/checkpoint barrier serializes the tail (a persisted cut
+    // measured 12.3 s vs this version's 11.0 s on the dup-dense 10×
+    // probe). Honest A/B at that probe's scale (50k docs, ~300 B texts):
+    // the PRE-fix shape — bodies carried through the per-pair distinct —
+    // measured 9.0 s, because 300 B bodies are barely larger than the
+    // 2×32 B hash keys and this shape pays three extra small joins. The
+    // hash-keyed shape is kept anyway: its text-exchange volume is
+    // O(distinct candidate texts × body) vs O(candidate pairs × 2 bodies),
+    // and real corpora sit on the far side of the crossover (bodies in the
+    // KBs, pair sets k²-inflated by duplicates) where per-pair body
+    // shipping is the blowup, not a rounding error.
     val texts = cand.select(col("h"), col("text")).dropDuplicates("h")
     val idHash = cand.select(col("doc_id"), col("h"))
-    val keyed = p
+    val keyed = pairs
       .join(idHash.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
       .join(idHash.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
-      .persist(sl)
     val lev = when(col("ta") === col("tb"), lit(0L))
       .otherwise(levenshtein(col("ta"), col("tb")).cast("long"))
     val scored = keyed.select(col("ha"), col("hb")).distinct()
@@ -667,11 +672,9 @@ object Dedup {
         lev.as("edit_dist"),
         round(lit(1.0) - lev.cast("double") /
           greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
-    val out = keyed
+    keyed
       .join(scored, Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
-    if (callerOwned) materializeThenRelease(out, cand, keyed)
-    else materializeThenRelease(out, p, cand, keyed)
   }
 
   /** Connected components over an undirected near-dup pair graph
