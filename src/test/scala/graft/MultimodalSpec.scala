@@ -57,6 +57,30 @@ class MultimodalSpec extends TestBase {
     assert(out.getAs[Long]("px_sum") == expected)
   }
 
+  test("decode handles GIF (palette round-trip) and JPEG (lossy: dims only)") {
+    def encoded(fmt: String): Array[Byte] = {
+      // 4×2, two flat colors — within GIF's 256-color palette, so the GIF
+      // round-trip is pixel-exact; JPEG is lossy by design (dims asserted).
+      val img = new java.awt.image.BufferedImage(
+        4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for { y <- 0 until 2; x <- 0 until 4 }
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xff0000 else 0x0000ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "image/gif", encoded("gif")),
+      MediaRow(2L, "image/jpeg", encoded("jpg"))).toDS()
+    val got = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).format == "gif" && got(2L).format == "jpeg")
+    assert(got(1L).width == 4 && got(1L).height == 2)
+    assert(got(2L).width == 4 && got(2L).height == 2)
+    // 8 pixels, alternating pure red / pure blue → 8 × 255
+    assert(got(1L).px_sum == 8 * 255L)
+    assert(got(2L).px_sum > 0L) // JPEG decodes; exact pixels are codec-defined
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)

@@ -70,4 +70,30 @@ class PlanShapeSpec extends TestBase {
     val p = planOf("q30_topk_agg")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("editSimilarity: text bodies stay OUT of the per-pair distinct") {
+    // The r7 re-keying contract: the distinct that memoizes the DP runs on
+    // (ha, hb) hash keys only — a regression that groups on the text
+    // columns again would ship every candidate pair's two bodies through
+    // the heaviest exchange of the chain (k²-inflated in dup-dense
+    // corpora).
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val plan = graft.operators.Dedup.editSimilarity(docs, pairs)
+      .queryExecution.optimizedPlan.toString
+    // Every Aggregate in the plan (the pair-distinct, the candidate-doc
+    // distinct, the text-table dedup) must group on ids/hashes, never on a
+    // raw text column.
+    val aggKeyLists = "Aggregate \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(aggKeyLists.nonEmpty, s"expected Aggregate nodes in:\n$plan")
+    aggKeyLists.foreach { keys =>
+      assert(!keys.contains("text#") && !keys.contains("ta#") && !keys.contains("tb#"),
+        s"distinct groups on a text body column: [$keys]")
+    }
+    // levenshtein must still be computed (the DP survives the re-keying)
+    assert(plan.contains("levenshtein"))
+  }
 }
