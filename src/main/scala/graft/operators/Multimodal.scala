@@ -137,6 +137,9 @@ object Multimodal {
     import spark.implicits._
     ids.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
+        // negative ids would make the % dims non-positive — fail clearly,
+        // not inside the image constructor
+        require(id >= 0, s"syntheticImages requires non-negative ids, got $id")
         val w = (id % 13 + 3).toInt
         val h = (id % 7 + 2).toInt
         val img = new java.awt.image.BufferedImage(

@@ -204,6 +204,30 @@ class DedupSpec extends TestBase {
     }
   }
 
+  test("graft.eagerRelease=false returns the lazy plan and transfers cache ownership") {
+    // The opt-out `graft.Explain` depends on: no checkpoint truncation (a
+    // plan dump must show the operator chain, not a checkpoint-RDD scan)
+    // and intermediates left cached for the caller to release.
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cm.clearCache()
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val d = docs((1L to 10L).map(i => (i, s"t$i a b c d e f g h i")): _*)
+      val out = Dedup.nearDupScores(d)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LogicalRDD"),
+        "lazy mode must not checkpoint-truncate the plan")
+      assert(plan.contains("Generate"),
+        "plan dump must still show the shingle explode chain")
+      out.count()
+      assert(!cm.isEmpty, "caller-owned caches must remain registered")
+    } finally {
+      spark.conf.unset("graft.eagerRelease")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pairOverlapStats leaves a caller-persisted pair set cached") {
     // Cache ownership: a caller that persists one candidate set to score it
     // with BOTH scorers must keep its cache across the first call — the
