@@ -644,6 +644,32 @@ object NorthStarQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // Intra-doc repetition filter (duplicate word-3-gram fraction + hottest
+    // n-gram count) — the natural corpus has near-zero repetition, so one
+    // degenerate boilerplate doc is planted (both engines build it with
+    // repeat()) to keep the checked result non-degenerate.
+    QueryDef("txt_repetition")(
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |   UNION ALL SELECT 100000, trim(repeat('spam ham eggs ', 40))),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+        |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
+        |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
+        |        FROM toks WHERE len(w) < 3),
+        | cnt AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |   CAST(count(*) AS BIGINT) AS n_distinct,
+        |   round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+        |   CAST(max(c) AS BIGINT) AS top_ngram_count
+        | FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).where(col("doc_id") < 100)
+        .unionAll(s.range(1).select(lit(100000L).as("doc_id"),
+          expr("trim(repeat('spam ham eggs ', 40))").as("text")))
+      TextAnalysis.repetition(d).orderBy(col("doc_id"))
+    },
+
     QueryDef("txt_fingerprint")(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
         | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+3], ' ') AS shingle

@@ -71,6 +71,29 @@ object TextAnalysis {
       size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
         .cast("long").as("sub_tokens"))
 
+  /** Intra-document repetition metrics — the standard training-corpus
+    * quality signal for boilerplate/degenerate text (published corpus
+    * filters gate on duplicate n-gram fractions): per doc, the total and
+    * distinct word-n-gram counts, the duplicate fraction
+    * `1 − distinct/total` (→ 1 for a doc that repeats one phrase), and the
+    * hottest n-gram's occurrence count.
+    *
+    * Scale: one shingle explode → one (doc, shingle)-keyed count aggregate
+    * (map-side combined) → one per-doc roll-up. Shuffle O(docs × distinct
+    * shingles); a single corpus scan, nothing driver-side. */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    Dedup.shingles(docs, n, dedup = false)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_ngram_count"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
+          .as("dup_frac"),
+        col("top_ngram_count"))
+
   /** Document fingerprint: lexicographic min of `md5(word 4-gram)` — a
     * winnowing-style content fingerprint, stable under both engines. Docs
     * shorter than 4 tokens hash their full text. */

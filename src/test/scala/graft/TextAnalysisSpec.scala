@@ -36,6 +36,18 @@ class TextAnalysisSpec extends TestBase {
     assert(r.getAs[Long]("sub_tokens") == 7L)
   }
 
+  test("repetition: hand-computed duplicate-3-gram fraction") {
+    // "a b c a b c a b c": 7 shingles — (a b c)×3, (b c a)×2, (c a b)×2
+    // → n=7, distinct=3, dup_frac = 1 − 3/7, top = 3. A no-repeat doc
+    // scores 0; a short doc falls back to its whole text (1 shingle).
+    val d = docs(1L -> "a b c a b c a b c", 2L -> "p q r s", 3L -> "x y")
+    val got = TextAnalysis.repetition(d)
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 7L, 3L, 0.571429, 3L)))
+    assert(got(2L) == ((2L, 2L, 2L, 0.0, 1L)))
+    assert(got(3L) == ((3L, 1L, 1L, 0.0, 1L)))
+  }
+
   test("fingerprint: identical docs share fingerprints, distinct docs differ") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val fp = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toMap
