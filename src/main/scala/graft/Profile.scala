@@ -25,6 +25,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Both maps are mutated from the listener-bus thread AND cleared from
+    // the main thread between runs — every access holds the same `done`
+    // monitor (mutable.Map is not safe under concurrent structural change,
+    // and a listener-thread exception would be swallowed by the bus,
+    // silently losing timings).
     val starts = mutable.Map[Int, (Long, String)]()
     val done = mutable.ArrayBuffer[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -32,11 +37,15 @@ object Profile {
         // The result stage's name (callSite short form) + stage count — the
         // most identifying label available without the SQL UI.
         val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
-        starts(j.jobId) = (System.nanoTime(), s"${j.stageInfos.size} stages; $site")
+        done.synchronized {
+          starts(j.jobId) = (System.nanoTime(), s"${j.stageInfos.size} stages; $site")
+        }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach { case (t0, site) =>
-          done.synchronized { done += ((j.jobId, (System.nanoTime() - t0) / 1e9, site)) }
+        done.synchronized {
+          starts.remove(j.jobId).foreach { case (t0, site) =>
+            done += ((j.jobId, (System.nanoTime() - t0) / 1e9, site))
+          }
         }
     })
     Tables.names.foreach(t => Tables(spark, dir, t).count())

@@ -33,8 +33,16 @@ object SkewProbe {
 
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val nDocs = base.count()
+    // Guard the probe's corpus assumptions LOUDLY — a missing doc 0 would
+    // make the mega group empty (the must-be-0 control passing vacuously),
+    // and base ids reaching the planted ranges would alias planted docs.
+    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    require(maxId < 10000000L,
+      s"documents max doc_id $maxId reaches the planted id ranges (10M/20M)")
     // One text at `copies` exact copies (ids 20M+), disjoint from real ids.
     val megaText = base.where(col("doc_id") === 0).select(col("text"))
+    require(megaText.count() == 1,
+      "probe needs exactly one doc with doc_id 0 to replicate")
     val mega = spark.range(copies).crossJoin(megaText)
       .select((col("id") + 20000000L).as("doc_id"), col("text"))
     // Near-dup background: every 5th doc gets an appended-token twin.
@@ -46,20 +54,29 @@ object SkewProbe {
     println(s"[skewprobe] corpus: ${corpus.count()} docs " +
       s"($nDocs base + ${near.count()} near-dups + $copies mega-copies)")
 
-    def timed(name: String)(f: => Long): Unit = {
+    // No clearCache between measurements: the corpus persist above must
+    // survive both operators (clearing would silently fold a corpus
+    // rebuild into the second measurement).
+    def timed[A](name: String)(f: => (A, Long)): A = {
       val t0 = System.nanoTime()
-      val n = f
+      val (a, n) = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[skewprobe] $name: $n%d rows in $sec%.1f s")
-      spark.catalog.clearCache()
-      System.gc()
+      a
     }
     // The composition whose super-linear stages the cap protects
     // (dd_pipeline's core), then cluster formation over the same graph.
-    timed("nearDupScores")(Dedup.nearDupScores(corpus).count())
-    timed("clusterDedupFirst")(Dedup.clusterDedupFirst(corpus).count())
+    // The operator is CONSTRUCTED inside the timer (it materializes its
+    // result eagerly); the returned checkpoint-backed frame is reused for
+    // the control below instead of running the whole chain again.
+    val scores = timed("nearDupScores") {
+      val s = Dedup.nearDupScores(corpus); (s, s.count())
+    }
+    timed("clusterDedupFirst") {
+      val c = Dedup.clusterDedupFirst(corpus); (c, c.count())
+    }
     // Control: the mega-group must be absent from pair output entirely.
-    val megaPairs = Dedup.nearDupScores(corpus)
+    val megaPairs = scores
       .where(col("doc_a") >= 20000000L || col("doc_b") >= 20000000L).count()
     println(s"[skewprobe] mega-group pairs in output: $megaPairs (must be 0)")
     spark.stop()

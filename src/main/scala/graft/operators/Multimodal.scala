@@ -22,7 +22,8 @@ final case class DecodedMedia(
     width: Int,           // real decoded width; raw fallback: byte_len % 640
     height: Int,          // real decoded height; raw fallback: byte_len % 480
     channels: Int,        // real raster band count; raw fallback: 0
-    n_frames: Int,        // 1 for still images; raw fallback: byte_len % 24 + 1
+    n_frames: Int,        // real container frame count (animated GIF > 1);
+                          // raw fallback: byte_len % 24 + 1
     px_sum: Long)         // sum of decoded 8-bit RGB values; raw fallback: -1
 
 /** REAL byte-level features for one media item (no stub — pure payload
@@ -63,6 +64,35 @@ object Multimodal {
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff) Some("jpeg")
     else None
+
+  /** Decode an image payload defensively. `ImageIO.read` returns null for
+    * an unclaimed stream, but a reader that CLAIMS the stream on magic
+    * bytes alone still THROWS on a malformed body — the JDK BMP reader
+    * claims any stream starting "BM" (e.g. a text document beginning
+    * "BMW …") and then errors parsing the fake header. Either outcome must
+    * route to the caller's fallback, never crash the task: arbitrary
+    * binary payloads are this kernel's contract. */
+  private def tryDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame count of an image container (animated GIFs > 1); falls back to
+    * 1 when the reader can't enumerate. Uses the ImageReader API because
+    * `ImageIO.read` silently decodes only the FIRST frame. */
+  private def frameCount(bytes: Array[Byte]): Int =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) 1
+        else {
+          val rd = readers.next()
+          try { rd.setInput(iis); math.max(1, rd.getNumImages(true)) }
+          finally rd.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => 1 }
 
   /** Sum of all decoded 8-bit channel values (R+G+B per pixel) — the
     * pixel-exact evidence that a REAL decode happened (lossless codecs
@@ -110,14 +140,13 @@ object Multimodal {
           channels = 0, n_frames = (len % 24).toInt + 1, px_sum = -1L)
         sniffImageFormat(r.content) match {
           case Some(fmt) =>
-            // ImageIO returns null (not an exception) on a truncated or
-            // unsupported container — fall back like any non-image payload.
-            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
-              .fold(raw) { img =>
-                DecodedMedia(r.doc_id, r.mime, len, hex, fmt,
-                  img.getWidth, img.getHeight, img.getRaster.getNumBands,
-                  n_frames = 1, px_sum = pixelSum(img))
-              }
+            // A truncated/malformed container (null OR reader throw — see
+            // tryDecode) falls back like any non-image payload.
+            tryDecode(r.content).fold(raw) { img =>
+              DecodedMedia(r.doc_id, r.mime, len, hex, fmt,
+                img.getWidth, img.getHeight, img.getRaster.getNumBands,
+                n_frames = frameCount(r.content), px_sum = pixelSum(img))
+            }
           case None => raw
         }
       }
@@ -174,26 +203,28 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
-          .map { img =>
-            val out = new java.awt.image.BufferedImage(
-              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < outH) {
-              var x = 0
-              while (x < outW) {
-                out.setRGB(x, y,
-                  img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
-                x += 1
-              }
-              y += 1
+        // tryDecode: malformed claimed-image bytes DROP (not crash) — see
+        // the decode kernel's contract note.
+        tryDecode(r.content).flatMap { img =>
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              out.setRGB(x, y,
+                img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
+              x += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            val bytes = bos.toByteArray
-            val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            (r.doc_id, dec.getWidth, dec.getHeight, pixelSum(dec))
-          }.iterator
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          // Guard the re-decode of our own PNG too: a null/throw here is a
+          // codec fault, and a dropped row beats an executor NPE.
+          tryDecode(bos.toByteArray)
+            .map(dec => (r.doc_id, dec.getWidth, dec.getHeight, pixelSum(dec)))
+        }.iterator
       }
     }.toDF("doc_id", "out_w", "out_h", "px_sum")
   }

@@ -81,6 +81,37 @@ class MultimodalSpec extends TestBase {
     assert(got(2L).px_sum > 0L) // JPEG decodes; exact pixels are codec-defined
   }
 
+  test("malformed claimed-image bytes fall back to raw instead of crashing") {
+    // The JDK BMP reader claims any stream starting "BM" and then throws
+    // parsing the fake header — a text document beginning "BMW" must take
+    // the raw branch, and resize must drop it, not kill the task.
+    val bogus = "BMW makes cars not bitmaps, definitely not bitmaps".getBytes("UTF-8")
+    val media = Seq(MediaRow(9L, "text/plain", bogus)).toDS()
+    val d = Multimodal.decode(media).collect().head
+    assert(d.format == "raw" && d.channels == 0 && d.px_sum == -1L)
+    assert(Multimodal.resizeImages(media).isEmpty)
+  }
+
+  test("animated GIF reports its real container frame count") {
+    val frame = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val d = Multimodal.decode(
+      Seq(MediaRow(5L, "image/gif", bos.toByteArray)).toDS()).collect().head
+    assert(d.format == "gif" && d.n_frames == 3)
+    assert(d.width == 2 && d.height == 2)
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)
