@@ -40,7 +40,8 @@ object Bench {
     "sim_topk_brute", "sim_ivf_topk", "sim_knn_join",
     "laser_pipeline_e2e", "trace_pipeline_e2e",
     "q09_agg_group", "q14_window_chunk", "q37_sketches", "q42_recursive_cte",
-    "q46_bloom_join", "txt_tfidf", "txt_pipeline", "evt_sliding")
+    "q46_bloom_join", "txt_tfidf", "txt_pipeline", "txt_repetition",
+    "mm_decode_real", "evt_sliding")
 
   /** Deterministic single-thread arithmetic burn, timed — a host-CPU-noise
     * probe. This guest's vCPUs contend with invisible host neighbors
