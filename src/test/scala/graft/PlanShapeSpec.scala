@@ -71,6 +71,14 @@ class PlanShapeSpec extends TestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("sim_sq_topk: quantized rank + exact rescore is two top-k passes, no shuffle") {
+    val p = planOf("sim_sq_topk")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both the candidate stage and the rescore must plan as top-k")
+    assert(!p.contains("Exchange"),
+      "scalar-quantized ANN must not shuffle — scan + expressions + top-k merges only")
+  }
+
   test("editSimilarity: text bodies stay OUT of the per-pair distinct") {
     // The r7 re-keying contract: the distinct that memoizes the DP runs on
     // (ha, hb) hash keys only — a regression that groups on the text

@@ -182,4 +182,30 @@ class SimilaritySpec extends TestBase {
     assert(b1(1L) != b1(3L), "negated vector flips every non-zero plane sign")
     assert(b1.values.forall(_.length == 8))
   }
+
+  test("scalar-quantized top-k: self first at sim 1.0, quantized dot is floor-exact") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),      // the query: quantizes to [64, 0]
+      (2L, Array(0.9f, 0.1f)),      // near: floor(.9*64)=57, floor(.1*64)=6
+      (3L, Array(-1.0f, 0.0f)),     // opposite
+      (4L, Array(0.0f, 1.0f))       // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(e, Seq(1.0, 0.0), k = 3, rescoreK = 4)
+      .as[(Long, Double, Long)].collect()
+    assert(got.head == ((1L, 1.0, 64L * 64)), "self must rank first at sim 1.0")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 == 57L * 64, "quantized dot must be the exact floor arithmetic")
+    assert(!byId.contains(3L), "opposite vector must not reach top-3")
+  }
+
+  test("scalar-quantized top-k: rescoreK below k still returns rescoreK rows, ordered") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.2f)), (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(e, Seq(1.0, 0.0), k = 3, rescoreK = 2)
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 2, "candidate stage bounds the output")
+    assert(got.map(_._2).sorted.reverse.sameElements(got.map(_._2)),
+      "final order is by exact similarity desc")
+  }
 }
