@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * motivated by network-shuffle byte volume, not local wall time. */
 object EditProbe {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: EditProbe <sfDir> [inflate]")
     val dir = args(0)
     val inflate = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

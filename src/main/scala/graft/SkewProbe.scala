@@ -36,6 +36,8 @@ object SkewProbe {
     // Guard the probe's corpus assumptions LOUDLY — a missing doc 0 would
     // make the mega group empty (the must-be-0 control passing vacuously),
     // and base ids reaching the planted ranges would alias planted docs.
+    // (nDocs first: max over an empty table is a null, not a message.)
+    require(nDocs > 0, s"documents table at $dir is empty")
     val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
     require(maxId < 10000000L,
       s"documents max doc_id $maxId reaches the planted id ranges (10M/20M)")

@@ -24,7 +24,8 @@ final case class DecodedMedia(
     channels: Int,        // real raster band count; raw fallback: 0
     n_frames: Int,        // real container frame count (animated GIF > 1);
                           // raw fallback: byte_len % 24 + 1
-    px_sum: Long)         // sum of decoded 8-bit RGB values; raw fallback: -1
+    px_sum: Long)         // sum of decoded 8-bit RGB values — FIRST frame
+                          // only for multi-frame containers; raw fallback: -1
 
 /** REAL byte-level features for one media item (no stub — pure payload
   * statistics a curation pipeline filters on before any decode). */
@@ -65,34 +66,38 @@ object Multimodal {
       (b(2) & 0xff) == 0xff) Some("jpeg")
     else None
 
-  /** Decode an image payload defensively. `ImageIO.read` returns null for
-    * an unclaimed stream, but a reader that CLAIMS the stream on magic
-    * bytes alone still THROWS on a malformed body — the JDK BMP reader
-    * claims any stream starting "BM" (e.g. a text document beginning
-    * "BMW …") and then errors parsing the fake header. Either outcome must
-    * route to the caller's fallback, never crash the task: arbitrary
-    * binary payloads are this kernel's contract. */
-  private def tryDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case scala.util.control.NonFatal(_) => None }
-
-  /** Frame count of an image container (animated GIFs > 1); falls back to
-    * 1 when the reader can't enumerate. Uses the ImageReader API because
-    * `ImageIO.read` silently decodes only the FIRST frame. */
-  private def frameCount(bytes: Array[Byte]): Int =
+  /** Decode an image payload defensively, in ONE pass: `ImageIO.read`
+    * returns null for an unclaimed stream, but a reader that CLAIMS the
+    * stream on magic bytes alone still THROWS on a malformed body — the
+    * JDK BMP reader claims any stream starting "BM" (e.g. a text document
+    * beginning "BMW …") and then errors parsing the fake header. Either
+    * outcome must route to the caller's fallback, never crash the task:
+    * arbitrary binary payloads are this kernel's contract.
+    *
+    * Returns (first frame, container frame count). One ImageReader does
+    * both — a separate `ImageIO.read` + frame-count pass would parse every
+    * payload twice (and an animated GIF's full frame chain twice). */
+  private def tryDecode(
+      bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, Int)] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) 1
+        if (!readers.hasNext) None
         else {
           val rd = readers.next()
-          try { rd.setInput(iis); math.max(1, rd.getNumImages(true)) }
-          finally rd.dispose()
+          try {
+            rd.setInput(iis)
+            val img = rd.read(0)
+            val n =
+              try math.max(1, rd.getNumImages(true))
+              catch { case scala.util.control.NonFatal(_) => 1 }
+            Option(img).map((_, n))
+          } finally rd.dispose()
         }
       } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => 1 }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Sum of all decoded 8-bit channel values (R+G+B per pixel) — the
     * pixel-exact evidence that a REAL decode happened (lossless codecs
@@ -142,10 +147,10 @@ object Multimodal {
           case Some(fmt) =>
             // A truncated/malformed container (null OR reader throw — see
             // tryDecode) falls back like any non-image payload.
-            tryDecode(r.content).fold(raw) { img =>
+            tryDecode(r.content).fold(raw) { case (img, nFrames) =>
               DecodedMedia(r.doc_id, r.mime, len, hex, fmt,
                 img.getWidth, img.getHeight, img.getRaster.getNumBands,
-                n_frames = frameCount(r.content), px_sum = pixelSum(img))
+                n_frames = nFrames, px_sum = pixelSum(img))
             }
           case None => raw
         }
@@ -205,7 +210,7 @@ object Multimodal {
       rows.flatMap { r =>
         // tryDecode: malformed claimed-image bytes DROP (not crash) — see
         // the decode kernel's contract note.
-        tryDecode(r.content).flatMap { img =>
+        tryDecode(r.content).flatMap { case (img, _) =>
           val out = new java.awt.image.BufferedImage(
             outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -223,7 +228,9 @@ object Multimodal {
           // Guard the re-decode of our own PNG too: a null/throw here is a
           // codec fault, and a dropped row beats an executor NPE.
           tryDecode(bos.toByteArray)
-            .map(dec => (r.doc_id, dec.getWidth, dec.getHeight, pixelSum(dec)))
+            .map { case (dec, _) =>
+              (r.doc_id, dec.getWidth, dec.getHeight, pixelSum(dec))
+            }
         }.iterator
       }
     }.toDF("doc_id", "out_w", "out_h", "px_sum")
