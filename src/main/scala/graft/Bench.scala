@@ -27,6 +27,21 @@ import org.apache.spark.sql.SparkSession
   * JSON carries `probe_sec`, a deterministic CPU burn timed at run
   * start/end, so archived numbers are read with environment quality
   * attached (quiet ≈ 0.2 s; ≥ 0.5 s = contended run, numbers read high).
+  *
+  * Noise attribution (round 8): endpoint probes proved too coarse — the r7
+  * driver run (145.3 s) and a committed same-code archive (121.1 s)
+  * disagreed by 24 s while all four endpoint probes read quiet, because
+  * contention windows open and close MID-run. Two fixes:
+  *   1. a half-length burn now runs AFTER EVERY QUERY and is archived per
+  *      query (`probe_by_query` in BENCH_DETAIL.json; quiet ≈ 0.08 s,
+  *      ≥ 0.2 s = that query's window was contended and its number reads
+  *      high). The stdout line carries the max and the contended count.
+  *   2. retried queries whose first two runs disagree by more than
+  *      `SPARK_GRAFT_SPREAD` (default 1.5×) run a THIRD time and archive
+  *      the min-of-3 — two runs that disagree 1.5× mean at least one raced
+  *      contention, and a tie-breaker resolves which.
+  * Probe burns are timed outside query timing, so they add wall clock but
+  * never inflate the archived per-query or total numbers.
   */
 object Bench {
 
@@ -49,14 +64,21 @@ object Bench {
     * 3× apart within minutes while an equivalent burn swung ~2.5× in step.
     * Emitting the probe alongside the numbers lets any archived run be
     * read with its environment quality attached. */
-  private def noiseProbe(): Double = {
+  private def noiseProbe(iters: Long = 300000000L): Double = {
     val t0 = System.nanoTime()
     var s = 0L
     var i = 0L
-    while (i < 300000000L) { s += i * i; i += 1 }
+    while (i < iters) { s += i * i; i += 1 }
     if (s == 42L) System.err.println("") // keep the loop live (stdout stays one JSON line)
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Per-query probe: half the endpoint burn so 114 back-to-back probes
+    * cost ~10 s wall on a quiet host instead of ~20. Quiet ≈ 0.08 s;
+    * readings at or above this threshold mean the query that just finished
+    * raced host contention and its archived time reads high. */
+  private val perQueryProbeIters = 150000000L
+  private val probeContendedSec = 0.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +89,10 @@ object Bench {
     // (the bulk of the catalog) stay single-shot so the full run's wall
     // time grows only by the handful of heavy queries.
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "3.0").toDouble
+    // First two runs of a retried query disagreeing by more than this ratio
+    // trigger a third run (archived value = min of all runs): a 1.5× spread
+    // on identical code means at least one run raced host contention.
+    val spreadRatio = sys.env.getOrElse("SPARK_GRAFT_SPREAD", "1.5").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -104,18 +130,30 @@ object Bench {
       // time as a perf win in the archived JSON
       if (ok) sec else -1.0
     }
-    // (name, archived sec, Some(first) when the query was retried) — the
-    // first-run time is archived alongside the min so cross-round
-    // comparisons can separate operator gains from retry-policy effects.
-    val results: Seq[(String, Double, Option[Double])] = SparkEntry.catalog
+    // (name, archived sec, all runs when retried, post-query probe) — the
+    // full run list is archived alongside the min so cross-round
+    // comparisons can separate operator gains from retry-policy effects,
+    // and the probe attaches environment quality to each measurement.
+    case class QueryResult(name: String, sec: Double, runs: Seq[Double], probe: Double)
+    val results: Seq[QueryResult] = SparkEntry.catalog
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
         val first = once(q)
-        if (first > retrySec) {
-          val second = once(q)
-          val sec = if (second < 0) first else math.min(first, second)
-          (q.name, sec, Some(first))
-        } else (q.name, first, None)
+        val runs: Seq[Double] =
+          if (first > retrySec) {
+            val second = once(q)
+            val both = Seq(first, second)
+            val valid = both.filter(_ >= 0)
+            // Third run only when the first two VALID runs disagree by more
+            // than the spread ratio — agreement means either number is
+            // trustworthy and a tie-breaker would be wasted wall clock.
+            if (valid.size == 2 && valid.max / math.max(valid.min, 1e-9) > spreadRatio)
+              both :+ once(q)
+            else both
+          } else Seq(first)
+        val valid = runs.filter(_ >= 0)
+        val sec = if (valid.isEmpty) -1.0 else valid.min
+        QueryResult(q.name, sec, runs, noiseProbe(perQueryProbeIters))
       }
     val probeEnd = noiseProbe()
     // Locale.ROOT formatting: the f-interpolator uses the JVM default
@@ -123,7 +161,7 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val timings = results.map(r => (r._1, r._2))
+    val timings = results.map(r => (r.name, r.sec))
     val total = timings.map(_._2).filter(_ >= 0).sum
     // probe_sec: the host-noise burn at run start/end (see noiseProbe) —
     // quiet ≈ 0.2 s on this guest; readings ≥ 0.5 s mean the run raced
@@ -131,13 +169,29 @@ object Bench {
     val probes = s""""probe_sec":[${num(probeStart)},${num(probeEnd)}]"""
     // first_sec: the pre-retry first-run time of every retried query, so
     // the retry policy's effect is visible per query in the archive.
-    val firsts = qmap(results.collect { case (n, _, Some(f)) => n -> f })
+    val firsts = qmap(results.collect { case r if r.runs.size > 1 => r.name -> r.runs.head })
+    // runs_sec: the complete run list of every retried query (2 or 3
+    // entries; -1 marks a failed run) — min-of-3 decisions stay auditable.
+    def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
+    val runsJson = results.collect { case r if r.runs.size > 1 => "\"" + r.name + "\":" + arr(r.runs) }
+      .mkString("{", ",", "}")
+    // probe_by_query: the half-burn reading taken immediately after each
+    // query's runs (quiet ≈ 0.08 s; ≥ 0.2 s = contended window, that
+    // query's number reads high). This is what the endpoint probes missed:
+    // contention opening and closing mid-run.
+    val probeByQuery = qmap(results.map(r => (r.name, r.probe)))
+    val contended = results.filter(_.probe >= probeContendedSec).map(_.name)
+    val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeMax = if (results.isEmpty) 0.0 else results.map(_.probe).max
     val detail =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,$probes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"probe_by_query":$probeByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     val head = timings.filter(r => headline(r._1))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // Stdout stays one compact line: endpoint probes plus a two-number
+    // summary of the per-query probes (max + contended-count) — the full
+    // per-query probe map lives in BENCH_DETAIL.json.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"probe_q_max":${num(probeMax)},"probe_q_contended":${contended.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
