@@ -21,7 +21,11 @@ final case class DecodedMedia(
     format: String,       // sniffed: "png" | "bmp" | "gif" | "jpeg" | "raw"
     width: Int,           // real decoded width; raw fallback: byte_len % 640
     height: Int,          // real decoded height; raw fallback: byte_len % 480
-    channels: Int,        // real raster band count; raw fallback: 0
+    channels: Int,        // pixel component count from the ColorModel
+                          // (gray 1, gray+alpha 2, RGB 3, RGBA 4) — NOT the
+                          // raster band count, which reads 1 for
+                          // palette/indexed GIFs whose pixels are full RGB;
+                          // raw fallback: 0
     n_frames: Int,        // real container frame count (animated GIF > 1);
                           // raw fallback: byte_len % 24 + 1
     px_sum: Long)         // sum of decoded 8-bit RGB values — FIRST frame
@@ -135,10 +139,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init of decoder context happens HERE once
-      val digestAlg = () => java.security.MessageDigest.getInstance("SHA-256")
+      // per-partition init of decoder context happens HERE once — one
+      // MessageDigest per partition; digest() resets the instance after
+      // each computation, so reuse across rows is safe.
+      val sha256 = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val hex = digestAlg().digest(r.content).map("%02x".format(_)).mkString
+        val hex = sha256.digest(r.content).map("%02x".format(_)).mkString
         val len = r.content.length.toLong
         def raw = DecodedMedia(r.doc_id, r.mime, len, hex, "raw",
           width = (len % 640).toInt, height = (len % 480).toInt,
@@ -148,8 +154,12 @@ object Multimodal {
             // A truncated/malformed container (null OR reader throw — see
             // tryDecode) falls back like any non-image payload.
             tryDecode(r.content).fold(raw) { case (img, nFrames) =>
+              // ColorModel component count, not getRaster.getNumBands: an
+              // indexed GIF's raster has ONE band (palette indices) even
+              // though its pixels are full RGB — a consumer filtering on
+              // channels==3 would wrongly drop every palette image.
               DecodedMedia(r.doc_id, r.mime, len, hex, fmt,
-                img.getWidth, img.getHeight, img.getRaster.getNumBands,
+                img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
                 n_frames = nFrames, px_sum = pixelSum(img))
             }
           case None => raw

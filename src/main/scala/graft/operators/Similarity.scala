@@ -60,14 +60,28 @@ object Similarity {
     * Determinism: quantization is floor-based, the integer dot is exact in
     * both engines (|dot| ≤ 64²·dim ≪ 2⁵³, so DuckDB's double
     * `list_dot_product` is exact too), and both top-k boundaries tie-break
-    * on vec_id. */
+    * on vec_id.
+    *
+    * Dimension contract: `zip_with` null-pads mismatched lengths, which
+    * would silently rank a wrong-dim row last (qdot null) while DuckDB's
+    * `list_dot_product` ERRORS on the same input — asymmetric failure
+    * modes. The per-row guard below makes a mismatch fail fast with the
+    * same observable outcome (job error) in both engines; it costs one
+    * codegen'd `size()` compare per row. */
   def sqTopK(embs: DataFrame, query: Seq[Double], k: Int, rescoreK: Int = 40): DataFrame = {
+    require(query.nonEmpty, "sqTopK: query vector must be non-empty")
     val qq = query.map(x =>
       math.floor(math.max(-1.0, math.min(1.0, x)) * 64).toLong).toArray
     val quant = expr(
       "transform(embedding, x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0D), -1.0D) * 64) AS BIGINT))")
-    val qdot = aggregate(
+    val qdot0 = aggregate(
       zip_with(quant, lit(qq), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val qdot = when(size(col("embedding")) =!= lit(query.length),
+      raise_error(concat(
+        lit(s"sqTopK: query dim ${query.length} != embedding dim "),
+        size(col("embedding")).cast("string"),
+        lit(" at vec_id "), col("vec_id").cast("string"))))
+      .otherwise(qdot0)
     embs
       .select(col("vec_id"), col("embedding"), qdot.as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))

@@ -168,8 +168,9 @@ class DedupSpec extends TestBase {
     try {
       val reliable = Dedup.clusterDedupFirst(d)
       assert(reliable.collect().toSet === local)
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val wrote = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => java.nio.file.Files.isRegularFile(p)).count())
       assert(wrote > 0, s"no reliable checkpoint files written under $dir")
     } finally spark.conf.unset("graft.checkpointDir")
   }
@@ -193,8 +194,9 @@ class DedupSpec extends TestBase {
     try {
       val got = Dedup.connectedComponents(p).as[(Long, Long)].collect().toSet
       assert(got == expected)
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(pp => java.nio.file.Files.isRegularFile(pp)).count()
+      val wrote = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(pp => java.nio.file.Files.isRegularFile(pp)).count())
       // ≥ 1 file per checkpointed round; a 39-edge path needs several rounds
       assert(wrote >= 2, s"expected per-round reliable checkpoints under $dir, found $wrote files")
     } finally {

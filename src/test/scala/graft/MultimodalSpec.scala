@@ -76,6 +76,12 @@ class MultimodalSpec extends TestBase {
     assert(got(1L).format == "gif" && got(2L).format == "jpeg")
     assert(got(1L).width == 4 && got(1L).height == 2)
     assert(got(2L).width == 4 && got(2L).height == 2)
+    // Palette GIF: the raster has ONE band (palette indices) but the pixels
+    // are full RGB — channels must report the ColorModel's component count,
+    // not the band count, or channels==3 filters drop every GIF.
+    assert(got(1L).channels == 3,
+      s"indexed GIF must report 3 RGB channels, got ${got(1L).channels}")
+    assert(got(2L).channels == 3)
     // 8 pixels, alternating pure red / pure blue → 8 × 255
     assert(got(1L).px_sum == 8 * 255L)
     assert(got(2L).px_sum > 0L) // JPEG decodes; exact pixels are codec-defined

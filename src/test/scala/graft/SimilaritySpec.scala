@@ -208,4 +208,21 @@ class SimilaritySpec extends TestBase {
     assert(got.map(_._2).sorted.reverse.sameElements(got.map(_._2)),
       "final order is by exact similarity desc")
   }
+
+  test("scalar-quantized top-k: dimension mismatch fails fast, not nulls-last") {
+    // zip_with null-pads mismatched lengths, so without the guard a 3-dim
+    // query over 2-dim embeddings silently mis-ranks (qdot null) while the
+    // DuckDB oracle's list_dot_product ERRORS — the engines must fail the
+    // same way. Empty queries are rejected before any job runs.
+    val e = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.sqTopK(e, Seq(1.0, 0.0, 0.0), k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(ex).exists(_.contains("query dim 3 != embedding dim 2")))
+    intercept[IllegalArgumentException] {
+      Similarity.sqTopK(e, Seq.empty, k = 1)
+    }
+  }
 }
