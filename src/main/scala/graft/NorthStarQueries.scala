@@ -876,6 +876,35 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio codec round-trip: deterministic 16-bit PCM fixtures are
+    // encoded through javax.sound.sampled as WAV (lossless), then decoded
+    // by the production audio kernel; the oracle recomputes the header
+    // fields AND the full sample sum by formula (sample j of id's stream =
+    // ((id·31 + (j//ch)·7 + (j%ch)·13) mod 65536) − 32768), so a
+    // header-only or faked parse cannot pass — syntheticImages' trick
+    // applied to the audio modality.
+    QueryDef("mm_audio")(
+      """WITH d AS (SELECT doc_id, 8000 * (doc_id % 3 + 1) AS rate,
+        |             doc_id % 2 + 1 AS ch, doc_id % 50 + 10 AS n
+        |           FROM documents WHERE doc_id < 24),
+        | s AS (SELECT d.doc_id,
+        |         sum((d.doc_id * 31 + (p.i // d.ch) * 7 + (p.i % d.ch) * 13) % 65536 - 32768) AS sample_sum
+        |       FROM d JOIN range(0, 256) p(i) ON p.i < d.n * d.ch
+        |       GROUP BY 1)
+        | SELECT d.doc_id, 'audio/wav' AS mime, 'wav' AS format,
+        |   CAST(d.rate AS INT) AS sample_rate, CAST(d.ch AS INT) AS channels,
+        |   CAST(16 AS INT) AS bits, CAST(d.n AS BIGINT) AS n_samples,
+        |   CAST(s.sample_sum AS BIGINT) AS sample_sum
+        | FROM d JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.decodeAudio(Multimodal.syntheticAudio(
+        Tables(s, dir, "documents").where(col("doc_id") < 24)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("format"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"), col("sample_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL byte-level feature extraction (primitive loop over the payload);
     // oracle counts the same classes via regexp on the ASCII text (see the
     // documented corpus assumption above: payload bytes == characters).

@@ -31,6 +31,23 @@ final case class DecodedMedia(
     px_sum: Long)         // sum of decoded 8-bit RGB values — FIRST frame
                           // only for multi-frame containers; raw fallback: -1
 
+/** Decoded features for one audio item — real fields when the payload is
+  * a parseable 16-bit PCM WAV (pure-JDK `javax.sound.sampled`), documented
+  * stub fallbacks otherwise (this environment has no compressed-audio
+  * codecs; MP3/OGG payloads take the raw branch like any opaque binary). */
+final case class DecodedAudio(
+    doc_id: Long,
+    mime: String,
+    byte_len: Long,
+    format: String,       // "wav" | "raw"
+    sample_rate: Int,     // real frames/sec; raw fallback: 0
+    channels: Int,        // real channel count; raw fallback: 0
+    bits: Int,            // sample size in bits; raw fallback: 0
+    n_samples: Long,      // frames per channel; raw fallback: byte_len % 48000
+    sample_sum: Long)     // sum of all decoded 16-bit signed samples across
+                          // channels — sample-exact evidence of a REAL
+                          // parse (PCM is lossless); raw fallback: -1
+
 /** REAL byte-level features for one media item (no stub — pure payload
   * statistics a curation pipeline filters on before any decode). */
 final case class ByteFeatures(
@@ -202,6 +219,107 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, fmt, bos)
         MediaRow(id, s"image/$fmt", bos.toByteArray)
+      }
+    }
+  }
+
+  /** WAV container sniff: RIFF chunk id at 0, WAVE form type at 8 — the
+    * same magic-byte dispatch as `sniffImageFormat`. */
+  private[graft] def sniffWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Deterministic audio fixtures encoded through the REAL codec: for each
+    * doc id, 16-bit signed PCM whose rate/channels/length/samples derive
+    * from the id alone (rate = 8000·(id%3+1), ch = id%2+1, frames =
+    * id%50+10, sample(i,c) = ((id·31 + i·7 + c·13) mod 65536) − 32768),
+    * written via `javax.sound.sampled.AudioSystem` as a WAV container.
+    * PCM is lossless, so a DuckDB oracle recomputes the expected header
+    * fields AND the full sample sum by formula while the bytes genuinely
+    * round-trip through the codec — the `syntheticImages` trick applied to
+    * the audio modality. */
+  def syntheticAudio(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"syntheticAudio requires non-negative ids, got $id")
+        val rate = (8000 * (id % 3 + 1)).toInt
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 50 + 10).toInt
+        val data = new Array[Byte](frames * ch * 2)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          while (c < ch) {
+            val v = (((id * 31 + i * 7 + c * 13) % 65536) - 32768).toInt
+            val off = (i * ch + c) * 2
+            data(off) = (v & 0xff).toByte        // WAV PCM is little-endian
+            data(off + 1) = ((v >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, ch, /*signed=*/ true, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio/wav", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Audio decode kernel — REAL for 16-bit signed PCM WAV through
+    * `javax.sound.sampled.AudioSystem` (pure JDK): true sample rate /
+    * channel count / bit depth / frame count plus a sample-sum checksum
+    * (both byte orders handled; PCM is lossless so the sum is exact).
+    * Anything else — non-audio payloads, compressed codecs this
+    * environment lacks, malformed RIFF headers (AudioSystem throws on a
+    * claimed-but-truncated container, same contract note as `tryDecode`) —
+    * takes the documented deterministic raw branch. Same partition-batched
+    * shape as `decode`: narrow map, no shuffle, streaming iterator. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.content.length.toLong
+        def raw = DecodedAudio(r.doc_id, r.mime, len, "raw",
+          sample_rate = 0, channels = 0, bits = 0,
+          n_samples = len % 48000, sample_sum = -1L)
+        if (!sniffWav(r.content)) raw
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val f = ais.getFormat
+            val pcm16 =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16
+            if (!pcm16) raw
+            else {
+              val bytes = ais.readAllBytes()
+              var s = 0L
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val v =
+                  if (f.isBigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                  else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+                s += v.toShort
+                i += 2
+              }
+              DecodedAudio(r.doc_id, r.mime, len, "wav",
+                sample_rate = f.getSampleRate.toInt,
+                channels = f.getChannels,
+                bits = f.getSampleSizeInBits,
+                n_samples = bytes.length.toLong / (2L * f.getChannels),
+                sample_sum = s)
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => raw }
       }
     }
   }
