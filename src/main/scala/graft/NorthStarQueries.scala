@@ -547,6 +547,58 @@ object NorthStarQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     },
 
+    // Trained-IVF quality gate: Lloyd-refined centroids are float-sum
+    // order-dependent, so the trained path can't be hash-checked row-wise —
+    // instead the ORACLE enforces a recall floor. The Spark side computes
+    // seed recall (deterministic, replayed by the oracle's SQL chain) and
+    // the boolean "trained recall@10 >= 0.8"; the oracle claims TRUE, so a
+    // training regression below the floor hash-mismatches and goes red.
+    //
+    // Why a FIXED floor and not "trained >= seed": measured (RecallProbe,
+    // both SFs) — training is not monotone in recall at fixed nProbe. At
+    // sf0.01 the seed centroids already give recall 1.0 and one Lloyd step
+    // drops it to 0.9 (rebalancing moves a true neighbor's cell out of the
+    // probe set — a known IVF property); at sf0.001 training raises 0.7 →
+    // 0.8 (nProbe=2) and 0.9 → 1.0 (nProbe=6). A seed-relative gate would
+    // red on the sf where the seed is unbeatable; the 0.8 floor holds with
+    // one-neighbor margin at every measured (sf, nProbe, iters).
+    QueryDef("sim_recall_trained")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |          FROM e CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qe")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4),
+         | ivf AS (SELECT e.vec_id
+         |         FROM e JOIN asg USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
+         |         ORDER BY round(${cosSql("e.v", "qe")}, 6) DESC, vec_id LIMIT 10),
+         | brute AS (SELECT vec_id FROM e CROSS JOIN q
+         |           ORDER BY round(${cosSql("e.v", "qe")}, 6) DESC, vec_id LIMIT 10)
+         | SELECT round(count(*) / 10.0, 6) AS seed_recall,
+         |   CAST(1 AS BOOLEAN) AS trained_ge_floor
+         | FROM ivf JOIN brute USING (vec_id)""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val brute = Similarity.bruteForceTopK(e, q, 10).select(col("vec_id"))
+      // Driver-side counts are metadata-scale (k row ids each): this is a
+      // quality-evaluation query, not a data-path operator.
+      val seedR = brute.join(
+        Similarity.ivfTopK(e, q, 10).select(col("vec_id")), "vec_id").count() / 10.0
+      val trainedR = brute.join(
+        Similarity.ivfTopKTrained(e, q, 10).select(col("vec_id")), "vec_id").count() / 10.0
+      Tables(s, dir, "embeddings").limit(1)
+        .select(round(lit(seedR), 6).as("seed_recall"),
+          lit(trainedR >= 0.8).as("trained_ge_floor"))
+    },
+
     // Batch k-NN retrieval (k-NN JOIN): top-k corpus neighbors for EVERY
     // query vector in one pass — one corpus scan × broadcast query batch,
     // per-query top-k via the TopK Aggregator (shuffle O(queries × k)).
