@@ -184,7 +184,14 @@ object Dedup {
     * md5 prefix reduced mod p — a ~2³¹ effective universe. The DuckDB twin
     * is `('0x' || substr(md5(shingle), 1, 15))::BIGINT % p`. */
   private[graft] def shingleBaseHash: org.apache.spark.sql.Column =
-    conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
+    shingleBaseHash(15)
+
+  /** Width-parameterized base hash — the 7-hex width is the pre-r7 variant
+    * (universe 2²⁸, base-collision Jaccard bias at corpus scale) kept ONLY
+    * for `MinhashProbe`'s same-session cost A/B; production always takes
+    * the 15-hex default above. */
+  private[graft] def shingleBaseHash(hexChars: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(col("shingle")), 1, hexChars), 16, 10).cast("long") % MinhashP
 
   /** MinHash signatures: for seed s in [0, numHashes), the signature element
     * is `min((a_s·baseHash(shingle) + b_s) mod p)` — the universal family above,
@@ -232,7 +239,17 @@ object Dedup {
       sh: DataFrame,
       numHashes: Int = 8,
       bandSize: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket, baseHexWidth = 15)
+
+  /** Width-parameterized variant — `MinhashProbe` only (see
+    * `shingleBaseHash(hexChars)`); production uses the 15-hex overload. */
+  private[graft] def lshCandidatePairsFromShingles(
+      sh: DataFrame,
+      numHashes: Int,
+      bandSize: Int,
+      maxBucket: Int,
+      baseHexWidth: Int): DataFrame = {
     require(numHashes <= 64, s"numHashes $numHashes > 64: minhashAB precomputes 64 seed constants")
     // One aggregation pass with numHashes parallel min-aggs (map-side
     // combined) instead of exploding every shingle numHashes× — the shuffle
@@ -242,7 +259,7 @@ object Dedup {
     val minCols = (0 until numHashes).map(s =>
       min((col("bh") * minhashA(s) + minhashB(s)) % MinhashP).as(s"h$s"))
     val sigs = sh
-      .select(col("doc_id"), shingleBaseHash.as("bh"))
+      .select(col("doc_id"), shingleBaseHash(baseHexWidth).as("bh"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until numHashes / bandSize).map { b =>
