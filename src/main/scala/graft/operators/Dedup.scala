@@ -118,8 +118,19 @@ object Dedup {
     * plans with zero exchanges (BucketedJoinSpec pattern).
     */
   def exactIncrement(keeps: DataFrame, batch: DataFrame): DataFrame =
-    batch
-      .select(md5(col("text")).as("h"), col("doc_id"))
+    exactIncrementHashed(keeps,
+      batch.select(md5(col("text")).as("h"), col("doc_id")))
+
+  /** `exactIncrement` over a PRE-HASHED batch (`h`, `doc_id`) — the
+    * storage-layout wiring for the zero-exchange claim above: when the
+    * ingest job writes batches as (md5, doc_id) bucketed by `h` and the
+    * keep-set is stored bucketed by `h` with the same bucket count, BOTH
+    * the batch aggregate and the anti-join are satisfied by the bucketed
+    * scans and the whole increment plans with ZERO exchanges
+    * (BucketedJoinSpec locks the shape; `graft.IncrementProbe` demonstrates
+    * it at 10× and times it against the shuffled form). */
+  def exactIncrementHashed(keeps: DataFrame, batchHashed: DataFrame): DataFrame =
+    batchHashed
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .join(keeps.select(col("h")), Seq("h"), "left_anti")

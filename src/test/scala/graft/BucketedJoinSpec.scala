@@ -45,4 +45,39 @@ class BucketedJoinSpec extends TestBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("incremental dedup over bucketed keep-set and batch plans with zero exchanges") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // keep-set holds texts A,B; batch re-sends B (dup: must drop) and
+    // introduces C twice (must aggregate to one keep row, min doc_id)
+    val existing = Seq((1L, "text A"), (2L, "text B")).toDF("doc_id", "text")
+    val batch = Seq((10L, "text B"), (11L, "text C"), (12L, "text C"))
+      .toDF("doc_id", "text")
+    Dedup.exact(existing).select(col("h"), col("keep_id"))
+      .write.mode("overwrite").bucketBy(8, "h").sortBy("h").saveAsTable("keeps_b")
+    batch.select(md5(col("text")).as("h"), col("doc_id"))
+      .write.mode("overwrite").bucketBy(8, "h").sortBy("h").saveAsTable("batch_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = Dedup.exactIncrementHashed(
+        spark.table("keeps_b"), spark.table("batch_b"))
+      val got = inc.select(col("keep_id")).as[Long].collect().toSet
+      assert(got == Set(11L), "only text C's min doc_id extends the keep-set")
+      // both the batch min-aggregate and the anti-join must be satisfied
+      // by the bucketed scans — the whole increment shuffles NOTHING
+      val plan = inc.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"),
+        "bucketed incremental dedup must not shuffle:\n" + plan.take(3000))
+      // and it agrees with the shuffled (unbucketed) production form
+      val shuffled = Dedup.exactIncrement(Dedup.exact(existing), batch)
+        .select(col("keep_id")).as[Long].collect().toSet
+      assert(got == shuffled)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS keeps_b")
+      spark.sql("DROP TABLE IF EXISTS batch_b")
+    }
+  }
 }
