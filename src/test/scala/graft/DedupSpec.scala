@@ -403,6 +403,23 @@ class DedupSpec extends TestBase {
     assert(got((1L, 3L)) == ((0L, 1.0)))
   }
 
+  test("edit similarity: body-carrying single-node shape is result-identical") {
+    // graft.editShuffleBodies=true routes to the pre-r7 body-carrying plan
+    // (faster on one JVM with small bodies); both regimes must agree
+    // row-for-row — the flag changes exchange shape, never results.
+    val d = docs(1L -> "kitten", 2L -> "sitting", 3L -> "kitten",
+      4L -> "a completely different text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val hashKeyed = Dedup.editSimilarity(d, pairs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    spark.conf.set("graft.editShuffleBodies", "true")
+    try {
+      val bodies = Dedup.editSimilarity(d, pairs)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(bodies == hashKeyed)
+    } finally spark.conf.unset("graft.editShuffleBodies")
+  }
+
   private def cc(pairs: (Long, Long)*): Map[Long, Long] =
     Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
