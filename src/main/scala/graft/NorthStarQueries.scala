@@ -985,6 +985,28 @@ object NorthStarQueries {
         .orderBy("doc_id")
     },
 
+    // REAL multi-frame sampling: deterministic animated GIFs (id%5+2 full
+    // 4x3 frames, <=12 colors each — inside the GIF palette, lossless)
+    // encoded through the real codec, every 2nd stored frame decoded back
+    // through ONE reader pass; the oracle recomputes each sampled frame's
+    // pixel checksum by formula, so a frame-count-only parse cannot pass.
+    QueryDef("mm_frames_real")(
+      """WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS nf
+        |           FROM documents WHERE doc_id < 16),
+        | fr AS (SELECT d.doc_id, f.f AS frame_idx FROM d
+        |        JOIN range(0, 8) f(f) ON f.f < d.nf AND f.f % 2 = 0),
+        | px AS (SELECT doc_id, frame_idx, (p.i // 3) % 4 AS x, p.i // 12 AS y, p.i % 3 AS c
+        |        FROM fr JOIN range(0, 36) p(i) ON true)
+        | SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |   CAST(4 AS INT) AS frame_w, CAST(3 AS INT) AS frame_h,
+        |   CAST(sum((doc_id * 31 + frame_idx * 17 + x * 7 + y * 13 + c * 5) % 256) AS BIGINT) AS px_sum
+        | FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.sampleFramesReal(Multimodal.syntheticAnimatedGifs(
+        Tables(s, dir, "documents").where(col("doc_id") < 16)), 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     QueryDef("mm_frames")(
       """WITH d AS (SELECT doc_id, text, CAST(ceil(length(text) / 32.0) AS INT) AS nf
         |           FROM documents WHERE doc_id < 10)

@@ -364,6 +364,112 @@ object Multimodal {
     }.toDF("doc_id", "out_w", "out_h", "px_sum")
   }
 
+  /** Deterministic ANIMATED fixtures through the real codec: for each doc
+    * id, an animated GIF of `id % 5 + 2` full frames, 4×3, with pixels
+    * derived from (id, frame, x, y, channel) alone — px(f,x,y,c) =
+    * (id·31 + f·17 + x·7 + y·13 + c·5) mod 256. Each frame holds ≤ 12
+    * distinct colors, comfortably inside GIF's 256-color palette, so the
+    * indexed encoding round-trips pixel-exactly and a DuckDB oracle can
+    * recompute every sampled frame's checksum by formula — the
+    * `syntheticImages` trick extended to the multi-frame/video-like case. */
+  def syntheticAnimatedGifs(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"syntheticAnimatedGifs requires non-negative ids, got $id")
+        val nf = (id % 5 + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        // JDK QUIRK (measured, this environment): the GIF writer defaults
+        // to INTERLACED output and its interlaced write path corrupts
+        // images with height < 5 (rows misordered/replicated; height >= 5
+        // round-trips clean). MODE_DISABLED writes sequential rows and is
+        // pixel-exact at every height.
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            // Each frame gets its OWN IndexColorModel holding exactly its
+            // colors: the JDK GIF writer derives the global color table
+            // from the FIRST frame and quantizes later RGB frames against
+            // it (measured: frame 2 px_sum off by ~15%), but an indexed
+            // frame's palette is written as a per-frame local color table
+            // and round-trips exactly.
+            val rgbs = Array.tabulate(12) { p =>
+              val x = p % 4; val y = p / 4
+              def v(c: Int): Int =
+                ((id * 31 + f * 17 + x * 7 + y * 13 + c * 5) % 256).toInt
+              (v(0) << 16) | (v(1) << 8) | v(2)
+            }
+            val palette = rgbs.distinct
+            val cm = new java.awt.image.IndexColorModel(
+              8, palette.length,
+              palette.map(c => ((c >> 16) & 0xff).toByte),
+              palette.map(c => ((c >> 8) & 0xff).toByte),
+              palette.map(c => (c & 0xff).toByte))
+            val img = new java.awt.image.BufferedImage(
+              4, 3, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            var p = 0
+            while (p < 12) {
+              img.setRGB(p % 4, p / 4, rgbs(p))
+              p += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        MediaRow(id, "image/gif", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL frame sampling: open ONE `ImageReader` per payload, decode every
+    * `stride`-th stored frame, and emit its true dims + pixel checksum —
+    * the production shape for video-style frame extraction (the codec call
+    * inside the loop is where an MP4/AVI decoder would slot; GIF is the
+    * multi-frame container this environment has a real codec for).
+    * Non-image and malformed payloads DROP (flatMap), mirroring
+    * `resizeImages`' decode-failure routing; the whole kernel is a narrow
+    * partition-batched map — no shuffle, frames stream out of one reader
+    * pass per payload. */
+  def sampleFramesReal(media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (sniffImageFormat(r.content).isEmpty) Iterator.empty
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                val n = math.max(1, rd.getNumImages(true))
+                // materialize inside the reader's lifetime: the iterator
+                // must not escape rd.dispose()
+                (0 until n by stride).flatMap { f =>
+                  Option(rd.read(f)).map(img =>
+                    (r.doc_id, f, img.getWidth, img.getHeight, pixelSum(img)))
+                }.iterator
+              } finally rd.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_w", "frame_h", "px_sum")
+  }
+
   /** Byte-level feature extraction — REAL, not a stub: a tight primitive
     * loop over the raw payload per row (the shape a SIMD/native kernel
     * drops into), classifying every byte. The curation use: filter media
