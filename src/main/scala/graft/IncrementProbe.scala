@@ -33,10 +33,18 @@ object IncrementProbe {
     // incoming batch (dup-dense corpora make the anti-join actually drop).
     val existing = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)
-    Dedup.exact(existing).select(col("h"), col("keep_id"))
-      .write.mode("overwrite").bucketBy(32, "h").sortBy("h").saveAsTable("keeps_b")
-    batch.select(md5(col("text")).as("h"), col("doc_id"))
-      .write.mode("overwrite").bucketBy(32, "h").sortBy("h").saveAsTable("batch_b")
+    // BOTH arms read the same pre-materialized (h, ...) tables — the only
+    // difference is the storage layout (bucketed vs plain), so the timed
+    // delta isolates the exchange cost. An earlier cut timed
+    // `exactIncrement(Dedup.exact(existing), batch)` as the shuffled arm,
+    // which charged the whole O(corpus) keep-set construction to it —
+    // a review caught the asymmetry.
+    val keeps = Dedup.exact(existing).select(col("h"), col("keep_id"))
+    val hashedBatch = batch.select(md5(col("text")).as("h"), col("doc_id"))
+    keeps.write.mode("overwrite").bucketBy(32, "h").sortBy("h").saveAsTable("keeps_b")
+    hashedBatch.write.mode("overwrite").bucketBy(32, "h").sortBy("h").saveAsTable("batch_b")
+    keeps.write.mode("overwrite").saveAsTable("keeps_p")
+    hashedBatch.write.mode("overwrite").saveAsTable("batch_p")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val inc = Dedup.exactIncrementHashed(
@@ -47,16 +55,22 @@ object IncrementProbe {
       val plan = inc.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!plan.contains("Exchange"),
         "bucketed increment must plan with zero exchanges:\n" + plan.take(3000))
-      // same answer and cost comparison vs the shuffled (unbucketed) form
+      // identical computation over the PLAIN layout: exchanges re-appear
+      val shuffled = Dedup.exactIncrementHashed(
+        spark.table("keeps_p"), spark.table("batch_p"))
       val t1 = System.nanoTime()
-      val m = Dedup.exactIncrement(Dedup.exact(existing), batch).count()
+      val m = shuffled.count()
       val shuffledSec = (System.nanoTime() - t1) / 1e9
+      val shuffledPlan = shuffled.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(shuffledPlan.contains("Exchange"),
+        "plain-layout arm should shuffle; A/B is meaningless otherwise")
       assert(n == m, s"bucketed ($n) and shuffled ($m) increments disagree")
       println(f"[incrementprobe] batch=${batch.count()}%d extends=$n%d " +
         f"bucketed=$bucketedSec%.2f s (zero exchanges) shuffled=$shuffledSec%.2f s")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS keeps_b")
-      spark.sql("DROP TABLE IF EXISTS batch_b")
+      Seq("keeps_b", "batch_b", "keeps_p", "batch_p")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       spark.stop()
     }
   }

@@ -445,7 +445,8 @@ object NorthStarQueries {
     QueryDef("sim_lsh_buckets")(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim FROM embeddings),
         | x AS (SELECT vec_id, p.p,
-        |         sum(v[CAST(j.j AS INT)] * (((p.p * 31 + (j.j - 1) * 17) % 7) - 3)) AS s
+        |         sum(v[CAST(j.j AS INT)] *
+        |             ((('0x' || substr(md5(p.p::VARCHAR || ':' || (j.j - 1)::VARCHAR), 1, 2))::INT % 7) - 3)) AS s
         |       FROM e CROSS JOIN range(0, 8) p(p) JOIN range(1, 10000) j(j) ON j.j <= dim
         |       GROUP BY 1, 2),
         | b AS (SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket

@@ -155,8 +155,18 @@ object Similarity {
 
   /** Signed random-hyperplane LSH bucket per vector: bit p of the bucket id
     * is the sign of `v · h_p` where hyperplane component `h_p[j] =
-    * ((p * 31 + j * 17) mod 7) - 3` — small-integer hyperplanes chosen so
-    * every product is exact in double and the sign is engine-independent.
+    * (firstByte(md5("p:j")) mod 7) - 3` — small-integer components so every
+    * product is exact in double and the sign is engine-independent (the
+    * DuckDB twin computes the identical md5 arithmetic).
+    *
+    * Why md5-derived and not an affine formula: a first cut used
+    * `((p·31 + j·17) mod 7) - 3`, and p·31 mod 7 has period 7 in p — only
+    * SEVEN distinct hyperplanes exist, so the bucket space caps at ~2⁷
+    * regardless of numPlanes. Invisible at 2k–20k vectors; at 200k vectors
+    * the whole corpus piled into 119 buckets (max 8.3k) and the within-
+    * bucket candidate join went quadratic at 3.7×10⁸ pairs
+    * (`BucketProbe`, 100× corpus). Same failure family — and same fix —
+    * as the minhash seed constants (`Dedup.minhashAB`).
     *
     * Scale path: bucketing is one narrow projection (no shuffle); near-dup
     * or ANN search then only compares vectors within a bucket (or within
@@ -168,7 +178,22 @@ object Similarity {
     * first-row nondeterminism on mixed-dim tables). */
   val MaxLshDim = 4096
 
+  /** Up to 64 decorrelated hyperplanes × MaxLshDim dims, md5-derived once
+    * per JVM (262k digests ≈ sub-second, amortized across every
+    * lshBuckets plan build). */
+  private lazy val lshPlaneTable: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(64) { p =>
+      Array.tabulate(MaxLshDim) { j =>
+        val b = md.digest(s"$p:$j".getBytes("UTF-8"))
+        ((b(0) & 0xff) % 7 - 3).toDouble
+      }
+    }
+  }
+
   def lshBuckets(embs: DataFrame, numPlanes: Int = 8): DataFrame = {
+    require(numPlanes <= 64,
+      s"numPlanes $numPlanes > 64: lshPlaneTable precomputes 64 planes")
     // The hyperplane family is a pure function of (p, j): materialize each
     // plane once as a literal double array and take the codegen'd `vec_dot`
     // instead of an interpreted per-row zip_with/aggregate lambda (the
@@ -177,8 +202,8 @@ object Similarity {
     // exactly like the oracle's per-row sum (rows beyond MaxLshDim would
     // truncate — assert-free by contract, documented on MaxLshDim).
     val bits = (0 until numPlanes).map { p =>
-      val plane = Array.tabulate(MaxLshDim)(j => ((p * 31 + j * 17) % 7 - 3).toDouble)
-      when(dot(asDouble(col("embedding")), lit(plane)) > 0, lit("1")).otherwise(lit("0"))
+      when(dot(asDouble(col("embedding")), lit(lshPlaneTable(p))) > 0,
+        lit("1")).otherwise(lit("0"))
     }
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }

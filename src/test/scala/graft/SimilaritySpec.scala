@@ -84,11 +84,12 @@ class SimilaritySpec extends TestBase {
     ).toDF("vec_id", "embedding")
     val exact = Similarity.pairwiseCosine(e, 0.9)
       .as[(Long, Long, Double)].collect().toSet
-    // 8 planes: this fixture's near-miss (cos≈0.9998) lands within
-    // hamming-1 of its neighbors, so the blocked result IS the exact one.
-    // (At higher plane counts the near-miss legitimately drops — the
-    // granularity/recall LSH trade-off.)
-    val blocked = Similarity.bucketedNearDup(e, 0.9, numPlanes = 8)
+    // 4 planes: this fixture's near-miss (cos≈0.9998) lands within
+    // hamming-1 of its neighbors under the md5-derived plane family, so
+    // the blocked result IS the exact one. (At 8+ planes the near-miss is
+    // hamming-2+ and legitimately drops — the granularity/recall LSH
+    // trade-off; exact COPIES are plane-count-invariant, asserted below.)
+    val blocked = Similarity.bucketedNearDup(e, 0.9, numPlanes = 4)
       .as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty)
     assert(blocked == exact)
