@@ -43,6 +43,12 @@ object IvfProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val scans = df.queryExecution.executedPlan.collectLeaves()
         .collect { case s: FileSourceScanExec => s }
+      // fail loudly, never report files=0/bytes=0 as "perfect pruning": a
+      // plan whose scans hide behind an AQE wrapper or exchange would
+      // otherwise silently corrupt the probe's headline evidence
+      assert(scans.nonEmpty,
+        "no FileSourceScanExec leaf found — plan shape changed, metrics invalid:\n" +
+          df.queryExecution.executedPlan.toString.take(2000))
       val files = scans.map(s => s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
       val bytes = scans.map(s => s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
       (sec, files, bytes)

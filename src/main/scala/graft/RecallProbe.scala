@@ -31,10 +31,18 @@ object RecallProbe {
     brute.count()
     def recall(df: org.apache.spark.sql.DataFrame): Double =
       brute.join(df.select(col("vec_id")), "vec_id").count() / 10.0
+    // Train ONCE, incrementally: Lloyd refinement is independent of nProbe
+    // and iteration k's centroids extend iteration k−1's — so maxIters
+    // refine passes total, searched at every (iters, nProbe) combination.
+    // (A first cut called ivfTopKTrained per combination: 3×(1+2+3) = 18
+    // full-corpus refine aggregates where 3 suffice — a review caught it.)
+    val qArr = q.toArray
+    val centsByIter = Iterator.iterate(Similarity.centroidsOf(e, 16))(
+      Similarity.refineCentroids(e, _)).take(maxIters + 1).toVector
     for (nProbe <- Seq(2, 4, 6)) {
-      val seed = recall(Similarity.ivfTopK(e, q, 10, nProbe = nProbe))
+      val seed = recall(Similarity.searchWithCents(e, centsByIter(0), qArr, 10, nProbe))
       val trained = (1 to maxIters).map(it =>
-        recall(Similarity.ivfTopKTrained(e, q, 10, nProbe = nProbe, iters = it)))
+        recall(Similarity.searchWithCents(e, centsByIter(it), qArr, 10, nProbe)))
       println(s"[recallprobe] nProbe=$nProbe seed=$seed trained=${trained.mkString(",")}")
     }
     e.unpersist(); brute.unpersist()

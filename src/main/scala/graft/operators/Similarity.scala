@@ -301,7 +301,7 @@ object Similarity {
     * A zero-norm seed would make every row's csim against it NaN and
     * capture the whole corpus in the argmax (knnJoin's zero-norm contract,
     * applied to the centroid side). */
-  private def centroidsOf(embs: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
+  private[graft] def centroidsOf(embs: DataFrame, nCells: Int): Array[(Long, Array[Double])] = {
     val spark = embs.sparkSession
     import spark.implicits._
     embs
@@ -348,7 +348,7 @@ object Similarity {
   /** Shared IVF probe tail: assign (no-shuffle argmax), prune to probe
     * cells, exact-score, top-k — one definition for every centroid source
     * (seed, trained) so the scoring/tie-break contract can't fork. */
-  private def searchWithCents(embs: DataFrame, cents: Array[(Long, Array[Double])],
+  private[graft] def searchWithCents(embs: DataFrame, cents: Array[(Long, Array[Double])],
       qArr: Array[Double], k: Int, nProbe: Int): DataFrame = {
     if (cents.isEmpty)
       return embs.sparkSession.emptyDataFrame
