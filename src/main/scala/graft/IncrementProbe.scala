@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   * must plan with ZERO Exchange nodes (hard assert, so running the probe
   * IS the check), producing the same keep-extension as the shuffled form.
   *
-  * Usage: runMain graft.IncrementProbe <sfDir>
+  * Timing discipline: both arms are warmed once (codegen/JIT/page cache),
+  * then timed INTERLEAVED over `rounds` rounds — the same shape as
+  * `MinhashProbe`, and for the same reason: a fixed bucketed-then-plain
+  * order hands the second arm a warmed cache, and sub-second deltas on
+  * this host flip direction run-to-run (the repo's own noise discipline
+  * refuses <2 s attributions from one-shot numbers).
+  *
+  * Usage: runMain graft.IncrementProbe <sfDir> [rounds]
   * (point sfDir at a ScaleGen scale-docs output for the 10× corpus)
   */
 object IncrementProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: IncrementProbe <sfDir>")
+    require(args.nonEmpty, "usage: IncrementProbe <sfDir> [rounds]")
     val dir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,25 +57,32 @@ object IncrementProbe {
     try {
       val inc = Dedup.exactIncrementHashed(
         spark.table("keeps_b"), spark.table("batch_b"))
-      val t0 = System.nanoTime()
-      val n = inc.count()
-      val bucketedSec = (System.nanoTime() - t0) / 1e9
       val plan = inc.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!plan.contains("Exchange"),
         "bucketed increment must plan with zero exchanges:\n" + plan.take(3000))
       // identical computation over the PLAIN layout: exchanges re-appear
       val shuffled = Dedup.exactIncrementHashed(
         spark.table("keeps_p"), spark.table("batch_p"))
-      val t1 = System.nanoTime()
-      val m = shuffled.count()
-      val shuffledSec = (System.nanoTime() - t1) / 1e9
       val shuffledPlan = shuffled.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       assert(shuffledPlan.contains("Exchange"),
         "plain-layout arm should shuffle; A/B is meaningless otherwise")
+      def time(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm both arms once, then interleave timed rounds
+      val (_, n) = time(inc)
+      val (_, m) = time(shuffled)
       assert(n == m, s"bucketed ($n) and shuffled ($m) increments disagree")
-      println(f"[incrementprobe] batch=${batch.count()}%d extends=$n%d " +
-        f"bucketed=$bucketedSec%.2f s (zero exchanges) shuffled=$shuffledSec%.2f s")
+      println(s"[incrementprobe] batch=${batch.count()} extends=$n " +
+        "(bucketed arm plans zero exchanges; plain arm shuffles)")
+      for (r <- 1 to rounds) {
+        val (tb, _) = time(inc)
+        val (tp, _) = time(shuffled)
+        println(f"[incrementprobe] round $r: bucketed $tb%.2f s  plain $tp%.2f s")
+      }
     } finally {
       Seq("keeps_b", "batch_b", "keeps_p", "batch_p")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
