@@ -51,28 +51,37 @@ object NorthStarQueries {
     * per-seed universal hashes by integer arithmetic; the constants
     * interpolate from the SAME Scala definitions the engine uses, so the
     * two sides cannot drift. */
-  private val lshPairsSql = {
-    import graft.operators.Dedup.{MinhashP, minhashA, minhashB}
-    // (seed, a, b) literals interpolate from the engine's own constants —
-    // the two sides cannot drift.
-    val seedTable = (0 until 8)
-      .map(s => s"($s, ${minhashA(s)}, ${minhashB(s)})").mkString(", ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-      | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
-      |        FROM toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
-      |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
-      |        FROM toks WHERE len(w) < 3),
-      | mh AS (SELECT doc_id, s.seed,
-      |          min(((('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP) * s.a + s.b) % $MinhashP) AS h
-      |        FROM sh CROSS JOIN (VALUES $seedTable) s(seed, a, b) GROUP BY 1, 2),
-      | bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h::VARCHAR, '|' ORDER BY seed) AS sig
-      |           FROM mh GROUP BY 1, 2),
-      | capped AS (SELECT doc_id, band, sig FROM
-      |              (SELECT b.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM bands b)
-      |            WHERE bn <= 1000),
+  private val lshPairsSql =
+    // One source of SQL truth for the chain: the empty prefix yields the
+    // historical CTE names (toks/sh/mh/bands/capped), so the self-pair and
+    // cross-corpus oracles cannot drift from each other.
+    s"""${lshCappedBandsSql("corpus", "")},
       | pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |           FROM capped a JOIN capped b
       |             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Prefixed variant of the `lshPairsSql` chain up through CAPPED band
+    * buckets (no pair join) — reads from CTE `$src`, emits
+    * `${p}toks/${p}sh/${p}bands/${p}capped` — so two independent corpora
+    * can carry the chain side by side in one query (`dd_cross_neardup`).
+    * Same engine-interpolated minhash constants as `lshPairsSql`. */
+  private def lshCappedBandsSql(src: String, p: String): String = {
+    import graft.operators.Dedup.{MinhashP, minhashA, minhashB}
+    val seedTable = (0 until 8)
+      .map(s => s"($s, ${minhashA(s)}, ${minhashB(s)})").mkString(", ")
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+      | ${p}sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      |        FROM ${p}toks JOIN range(1, 100000) i(i) ON i.i <= len(w) - 2
+      |        UNION ALL SELECT doc_id, array_to_string(w, ' ')
+      |        FROM ${p}toks WHERE len(w) < 3),
+      | ${p}mh AS (SELECT doc_id, s.seed,
+      |          min(((('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP) * s.a + s.b) % $MinhashP) AS h
+      |        FROM ${p}sh CROSS JOIN (VALUES $seedTable) s(seed, a, b) GROUP BY 1, 2),
+      | ${p}bands AS (SELECT doc_id, seed // 2 AS band, string_agg(h::VARCHAR, '|' ORDER BY seed) AS sig
+      |           FROM ${p}mh GROUP BY 1, 2),
+      | ${p}capped AS (SELECT doc_id, band, sig FROM
+      |              (SELECT b.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM ${p}bands b)
+      |            WHERE bn <= 1000)""".stripMargin
   }
 
   /** documents ∪ two generations of near-copies of doc_id < 20 — a CHAIN
@@ -193,6 +202,53 @@ object NorthStarQueries {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.contaminationHits(d.where(col("doc_id") >= 5), d.where(col("doc_id") < 5))
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-corpus near-dedup: dedupe an arriving batch against the
+    // standing corpus — near-copies (appended token), exact re-deliveries,
+    // and genuinely-new texts (upper-cased: disjoint shingles) — emitting
+    // candidate cross pairs with Jaccard ≥ 0.5. Sides never self-pair.
+    QueryDef("dd_cross_neardup")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         | batch AS (SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |             FROM documents WHERE doc_id < 30
+         |           UNION ALL SELECT doc_id + 300000, text
+         |             FROM documents WHERE doc_id >= 30 AND doc_id < 40
+         |           UNION ALL SELECT doc_id + 400000, upper(text)
+         |             FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+         | ${lshCappedBandsSql("corpus", "c")},
+         | ${lshCappedBandsSql("batch", "b")},
+         | cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |          FROM bcapped b JOIN ccapped c
+         |            ON b.band = c.band AND b.sig = c.sig),
+         | inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) AS n_inter
+         |           FROM cand cd
+         |           JOIN bsh sb ON sb.doc_id = cd.batch_id
+         |           JOIN csh sc ON sc.doc_id = cd.corpus_id
+         |             AND ('0x' || substr(md5(sc.shingle), 1, 15))::BIGINT
+         |               = ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | nb AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY 1),
+         | nc AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY 1)
+         | SELECT * FROM (
+         |   SELECT i.batch_id, i.corpus_id,
+         |     round(i.n_inter / (b.n_b + c.n_c - i.n_inter), 6) AS jaccard
+         |   FROM inter i
+         |   JOIN nb b ON b.doc_id = i.batch_id
+         |   JOIN nc c ON c.doc_id = i.corpus_id)
+         | WHERE jaccard >= 0.5
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.where(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 30 && col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") >= 40 && col("doc_id") < 60)
+          .select((col("doc_id") + 400000).as("doc_id"), upper(col("text")).as("text")))
+      Dedup.crossNearDup(d, batch, threshold = 0.5)
+        .orderBy(col("batch_id"), col("corpus_id"))
     },
 
     QueryDef("dd_minhash_lsh")(

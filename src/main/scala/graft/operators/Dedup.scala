@@ -261,12 +261,37 @@ object Dedup {
       bandSize: Int,
       maxBucket: Int,
       baseHexWidth: Int): DataFrame = {
+    val capped = cappedBandBuckets(sh, numHashes, bandSize, maxBucket, baseHexWidth)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Banded minhash bucket rows (doc_id, band, sig) with oversized buckets
+    * dropped — the blocking key shared by the self-join candidate generator
+    * above and the cross-corpus generator (`crossNearDup`).
+    *
+    * One aggregation pass with numHashes parallel min-aggs (map-side
+    * combined) instead of exploding every shingle numHashes× — the shuffle
+    * carries one row per doc, not numHashes rows per shingle. One md5 per
+    * ROW (not per row × seed): the seed hashes derive from the reduced
+    * digest prefix by integer arithmetic (family doc above `MinhashP`).
+    *
+    * The cap runs via a broadcast anti-join against the OVERSIZED bucket
+    * list: the count aggregate is map-side combined and the blocklist is
+    * tiny (only pathological boilerplate buckets exceed the cap), so the
+    * bucket rows themselves never shuffle — vs a Window.partitionBy(band,
+    * sig) count, which sort-shuffles every row. */
+  private def cappedBandBuckets(
+      sh: DataFrame,
+      numHashes: Int,
+      bandSize: Int,
+      maxBucket: Int,
+      baseHexWidth: Int = 15): DataFrame = {
     require(numHashes <= 64, s"numHashes $numHashes > 64: minhashAB precomputes 64 seed constants")
-    // One aggregation pass with numHashes parallel min-aggs (map-side
-    // combined) instead of exploding every shingle numHashes× — the shuffle
-    // carries one row per doc, not numHashes rows per shingle. One md5 per
-    // ROW (not per row × seed): the seed hashes derive from the reduced
-    // digest prefix by integer arithmetic (family doc above `MinhashP`).
     val minCols = (0 until numHashes).map(s =>
       min((col("bh") * minhashA(s) + minhashB(s)) % MinhashP).as(s"h$s"))
     val sigs = sh
@@ -280,23 +305,96 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
       .select(col("doc_id"), col("k.band"), col("k.sig"))
-    // Cap via a broadcast anti-join against the OVERSIZED bucket list: the
-    // count aggregate is map-side combined and the blocklist is tiny (only
-    // pathological boilerplate buckets exceed the cap), so the bucket rows
-    // themselves never shuffle — vs a Window.partitionBy(band, sig) count,
-    // which sort-shuffles every row.
     val tooBig = buckets.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
       .select(col("band"), col("sig"))
-    val capped = buckets.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    buckets.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
   }
+
+  /** Cross-corpus near-dedup — "dedupe today's batch against the standing
+    * corpus", the operational counterpart of `nearDupScores` the same way
+    * `exactIncrement` is the operational counterpart of `exact` (and the
+    * Jaccard-threshold analogue of `contaminationHits`, which matches on
+    * ANY shared n-gram rather than overall similarity). Emits
+    * (batch_id, corpus_id, jaccard) for every LSH-candidate cross pair
+    * scoring ≥ `threshold`; the caller drops or routes the matched batch
+    * docs. Doc-id spaces of the two sides are independent — sides never
+    * mix, so no disjointness requirement.
+    *
+    * Scale: both sides reduce to banded minhash buckets (one narrow
+    * aggregate each — map-side combined, O(docs × numHashes × 8B) shuffle
+    * independent of text size); candidates come from ONE equi-join on
+    * (band, sig), batch-side broadcast when the batch is small (AQE
+    * decides from runtime sizes). Within-side pairs are never generated —
+    * vs running `nearDupScores` over corpus ∪ batch, which would re-pair
+    * the standing corpus against itself every increment. Both sides'
+    * oversized buckets are dropped (boilerplate cap, same argument as
+    * `lshCandidatePairs`: a giant bucket means near-identical boilerplate —
+    * cap + route to a dedicated pass rather than exploding the join).
+    * Scoring joins run on hashed-shingle keys (8-byte `sk`, not shingle
+    * text) over candidate-pruned shingle sets — the `pairOverlapStats`
+    * cost model with a side-tagged twist. */
+  def crossNearDup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.5,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // One shingle scan per side feeds both its bucket aggregate and its
+    // scoring joins (persist-and-release, the operator-owned-cache
+    // contract).
+    val shC = shingles(corpus.select(col("doc_id"), col("text")), n).persist(sl)
+    val shB = shingles(batch.select(col("doc_id"), col("text")), n).persist(sl)
+    // The candidate set feeds three consumers (both prunes + the pair
+    // spine) — persist so the two-sided band chain runs once, not thrice.
+    val cand = lshBandBucketsCross(shC, shB, numHashes, bandSize, maxBucket)
+      .persist(sl)
+    // Candidate-prune each side's shingles before the intersection join
+    // (candidates ≪ corpus — the point of LSH), then join on the 8-byte
+    // hashed-shingle key.
+    def pruned(sh: DataFrame, ids: DataFrame): DataFrame =
+      sh.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sk"))
+    val skB = pruned(shB, cand.select(col("batch_id").as("doc_id")).distinct()).persist(sl)
+    val skC = pruned(shC, cand.select(col("corpus_id").as("doc_id")).distinct()).persist(sl)
+    val inter = cand
+      .join(skB.as("sb"), col("batch_id") === col("sb.doc_id"))
+      .join(skC.as("sc"), col("corpus_id") === col("sc.doc_id") &&
+        col("sb.sk") === col("sc.sk"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizesB = skB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val sizesC = skC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_c"))
+    // Left join back to the candidate spine (pairOverlapStats convention):
+    // a band collision with zero true shingle overlap scores 0.0, so the
+    // "every candidate pair scoring >= threshold" contract holds at
+    // threshold 0.0 too.
+    val scored = cand
+      .join(inter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizesB.select(col("doc_id").as("batch_id"), col("n_b")), Seq("batch_id"))
+      .join(sizesC.select(col("doc_id").as("corpus_id"), col("n_c")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("n_inter") / (col("n_b") + col("n_c") - col("n_inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    materializeThenRelease(scored, shC, shB, skB, skC, cand)
+  }
+
+  /** Cross-side candidate pairs: each side's capped band buckets joined on
+    * (band, sig) — never within a side. */
+  private def lshBandBucketsCross(
+      shC: DataFrame, shB: DataFrame,
+      numHashes: Int, bandSize: Int, maxBucket: Int): DataFrame =
+    cappedBandBuckets(shB, numHashes, bandSize, maxBucket).as("b")
+      .join(cappedBandBuckets(shC, numHashes, bandSize, maxBucket).as("c"),
+        col("b.band") === col("c.band") && col("b.sig") === col("c.sig"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (`pairs(doc_a, doc_b)`): |A ∩ B| / |A ∪ B| over distinct shingle sets.

@@ -366,6 +366,34 @@ class DedupSpec extends TestBase {
     assert(!fast.exists(p => p._1 == 9L || p._2 == 9L))
   }
 
+  test("crossNearDup: cross pairs only, thresholded; id spaces may overlap") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog", // in-corpus dup: must NOT pair
+      3L -> "completely unrelated corpus text body here now")
+    val batch = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // same id AND text as corpus 1: exact cross match
+      7L -> "the quick brown fox jumps over the lazy dog extra", // near-dup
+      8L -> "nothing like anything in the standing corpus at all")
+    val got = Dedup.crossNearDup(corpus, batch, threshold = 0.5)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 1 and 7 match corpus 1 AND its duplicate 2; batch 8 matches
+    // nothing; corpus-internal pair (1,2) and batch-internal pairs never
+    // appear. Exact matches score 1.0; the near-dup holds all 7 corpus
+    // shingles among its 8 (inter=7, union=8 → 7/8).
+    assert(got.map { case (b, c, _) => (b, c) } ==
+      Set((1L, 1L), (1L, 2L), (7L, 1L), (7L, 2L)))
+    assert(got.filter(_._1 == 1L).forall(_._3 == 1.0))
+    assert(got.filter(_._1 == 7L).forall(_._3 == 0.875))
+  }
+
+  test("crossNearDup: empty batch and empty corpus are both well-defined") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d f")
+    assert(Dedup.crossNearDup(d, docs()).count() == 0)
+    assert(Dedup.crossNearDup(docs(), d).count() == 0)
+  }
+
   test("incremental exact dedup: batch dedups internally and against keeps") {
     val keeps = Seq("old text").toDF("text").select(md5($"text").as("h"))
     val batch = docs(5L -> "old text", 7L -> "new text", 9L -> "new text", 3L -> "other")
