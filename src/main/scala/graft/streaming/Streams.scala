@@ -151,6 +151,78 @@ object Streams {
       }
   }
 
+  /** Document-stream schema (`TESTDATA.md` `documents`). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory/glob of documents parquet —
+    * the arriving-corpus side of the streaming dedup operators. */
+  def documentsStream(spark: SparkSession, pathGlob: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(documentSchema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r).parquet(pathGlob)
+  }
+
+  /** Streaming near-dedup against a standing corpus — the operational
+    * streaming form of `Dedup.crossNearDup`: each arriving micro-batch of
+    * documents is LSH-scored against the static `corpus`, appending cross
+    * matches `(batch_id, corpus_id, jaccard, micro_batch)` to `matchDir`
+    * and the surviving (match-free) batch docs to `keepDir`.
+    *
+    * Why `foreachBatch` and not a declarative streaming plan: the LSH
+    * chain runs two aggregation passes (minhash signatures, bucket-cap
+    * counts) plus joins over its own derived sets — beyond append-mode's
+    * single-stateful-aggregation budget — so the full BATCH operator runs
+    * per micro-batch. Because `crossNearDup` scores each batch doc against
+    * the corpus independently (never batch-vs-batch), the union of
+    * per-micro-batch results EQUALS the one-shot batch result over the
+    * same docs — micro-batch boundaries cannot change the answer
+    * (`StreamingSpec` asserts this equivalence).
+    *
+    * Delivery: parquet `append` inside `foreachBatch` is at-least-once —
+    * a replayed micro-batch after crash re-appends. Both outputs carry
+    * the `micro_batch` id column so downstream reads collapse replays
+    * idempotently (max-one-file-set per id), the standard batchId-keyed
+    * sink discipline. No stream state at all: recovery is checkpoint
+    * offset replay, memory is O(micro-batch).
+    *
+    * Scale: per-batch cost is `crossNearDup`'s — the corpus side's band
+    * buckets are recomputed per micro-batch here; a high-frequency
+    * production stream would materialize the corpus bucket table once and
+    * join each batch against THAT (same plan, corpus side loaded not
+    * computed). */
+  def nearDupAgainstCorpus(
+      docs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      matchDir: String,
+      keepDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // crossNearDup returns a materialized (checkpointed) frame — safe
+          // to consume twice without recomputing the LSH chain.
+          val matches = graft.operators.Dedup
+            .crossNearDup(corpus, b.select(col("doc_id"), col("text")), threshold)
+          matches.withColumn("micro_batch", lit(batchId))
+            .write.mode("append").parquet(matchDir)
+          b.join(matches.select(col("batch_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .withColumn("micro_batch", lit(batchId))
+            .write.mode("append").parquet(keepDir)
+        } finally { b.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run any of the above to completion over the existing files and return
     * the final result as a batch DataFrame (availableNow trigger → memory
     * sink). Used by tests and the batch-twin comparisons. */

@@ -79,6 +79,20 @@ class PlanShapeSpec extends TestBase {
       "scalar-quantized ANN must not shuffle — scan + expressions + top-k merges only")
   }
 
+  test("dd_cross_neardup: no cartesian, capped via broadcast anti, pruned via semi") {
+    // eagerRelease=false: inspect the LAZY plan — the operator's default
+    // eager checkpoint would collapse the explain to an RDD scan.
+    spark.conf.set("graft.eagerRelease", "false")
+    val p = try planOf("dd_cross_neardup")
+    finally spark.conf.unset("graft.eagerRelease")
+    assert(!p.contains("CartesianProduct"),
+      "cross-corpus candidates must come from the (band, sig) equi-join")
+    assert(p.contains("LeftAnti"),
+      "bucket cap must plan as an anti-join against the oversized-bucket list")
+    assert(p.contains("LeftSemi"),
+      "shingle sets must be candidate-pruned before the intersection join")
+  }
+
   test("editSimilarity: text bodies stay OUT of the per-pair distinct") {
     // The r7 re-keying contract: the distinct that memoizes the DP runs on
     // (ha, hb) hash keys only — a regression that groups on the text
