@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a `documents(doc_id BIGINT, text STRING)`
@@ -351,17 +351,42 @@ object Dedup {
     val shB = shingles(batch.select(col("doc_id"), col("text")), n).persist(sl)
     // The candidate set feeds three consumers (both prunes + the pair
     // spine) — persist so the two-sided band chain runs once, not thrice.
-    val cand = lshBandBucketsCross(shC, shB, numHashes, bandSize, maxBucket)
-      .persist(sl)
+    val cand = crossCandidates(
+      cappedBandBuckets(shB, numHashes, bandSize, maxBucket),
+      cappedBandBuckets(shC, numHashes, bandSize, maxBucket)).persist(sl)
     // Candidate-prune each side's shingles before the intersection join
     // (candidates ≪ corpus — the point of LSH), then join on the 8-byte
     // hashed-shingle key.
     def pruned(sh: DataFrame, ids: DataFrame): DataFrame =
       sh.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sk"))
+        .select(col("doc_id"), hashedShingleKey.as("sk"))
     val skB = pruned(shB, cand.select(col("batch_id").as("doc_id")).distinct()).persist(sl)
     val skC = pruned(shC, cand.select(col("corpus_id").as("doc_id")).distinct()).persist(sl)
+    val scored = scoreCrossCandidates(cand, skB, skC, threshold)
+    materializeThenRelease(scored, shC, shB, skB, skC, cand)
+  }
+
+  /** The 8-byte hashed-shingle scoring key (15-hex md5 prefix as BIGINT) —
+    * shared by the in-memory and persisted-index cross-dedup forms. */
+  private def hashedShingleKey: org.apache.spark.sql.Column =
+    conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+
+  /** Cross-side candidate pairs: the two sides' capped band buckets joined
+    * on (band, sig) — never within a side. */
+  private def crossCandidates(bucketsB: DataFrame, bucketsC: DataFrame): DataFrame =
+    bucketsB.as("b")
+      .join(bucketsC.as("c"),
+        col("b.band") === col("c.band") && col("b.sig") === col("c.sig"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+
+  /** Shared scoring tail of the cross-dedup forms: exact Jaccard over
+    * hashed-shingle keys for every candidate cross pair, thresholded.
+    * `skB`/`skC` must carry the FULL shingle-key set of every candidate
+    * doc (sizes are per-doc totals, so overlap-pruned inputs would inflate
+    * the scores). */
+  private def scoreCrossCandidates(
+      cand: DataFrame, skB: DataFrame, skC: DataFrame, threshold: Double): DataFrame = {
     val inter = cand
       .join(skB.as("sb"), col("batch_id") === col("sb.doc_id"))
       .join(skC.as("sc"), col("corpus_id") === col("sc.doc_id") &&
@@ -374,7 +399,7 @@ object Dedup {
     // a band collision with zero true shingle overlap scores 0.0, so the
     // "every candidate pair scoring >= threshold" contract holds at
     // threshold 0.0 too.
-    val scored = cand
+    cand
       .join(inter, Seq("batch_id", "corpus_id"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(sizesB.select(col("doc_id").as("batch_id"), col("n_b")), Seq("batch_id"))
@@ -382,19 +407,79 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         round(col("n_inter") / (col("n_b") + col("n_c") - col("n_inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    materializeThenRelease(scored, shC, shB, skB, skC, cand)
   }
 
-  /** Cross-side candidate pairs: each side's capped band buckets joined on
-    * (band, sig) — never within a side. */
-  private def lshBandBucketsCross(
-      shC: DataFrame, shB: DataFrame,
-      numHashes: Int, bandSize: Int, maxBucket: Int): DataFrame =
-    cappedBandBuckets(shB, numHashes, bandSize, maxBucket).as("b")
-      .join(cappedBandBuckets(shC, numHashes, bandSize, maxBucket).as("c"),
-        col("b.band") === col("c.band") && col("b.sig") === col("c.sig"))
-      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
-      .distinct()
+  /** Build the PERSISTED form of the standing-corpus side of `crossNearDup`
+    * — the "index once, probe per batch" layout a production ingest stream
+    * needs (recomputing the corpus LSH chain per arriving batch, as
+    * `crossNearDup` does, re-reads every corpus byte every increment).
+    * Writes three datasets under `dir`:
+    *   - `buckets`      (doc_id, band, sig) — CAPPED banded minhash buckets
+    *   - `shingle_keys` (doc_id, sk)        — hashed distinct shingles
+    *   - `manifest`     one JSON row pinning the LSH family (n, hashes,
+    *                    band size, cap); probes READ the family from it, so
+    *                    a probe can never run with a drifted family.
+    * Rebuild = overwrite. An append-only corpus can instead append new
+    * docs' rows to both datasets under the same manifest — band buckets
+    * and shingle keys are per-doc, so incremental growth is a union. */
+  def buildCrossNearDupIndex(
+      corpus: DataFrame,
+      dir: String,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingles(
+      corpus.select(col("doc_id").cast("long").as("doc_id"), col("text")), n)
+      .persist(sl)
+    try {
+      cappedBandBuckets(sh, numHashes, bandSize, maxBucket)
+        .write.mode("overwrite").parquet(s"$dir/buckets")
+      sh.select(col("doc_id"), hashedShingleKey.as("sk"))
+        .write.mode("overwrite").parquet(s"$dir/shingle_keys")
+      Seq((n, numHashes, bandSize, maxBucket))
+        .toDF("n", "num_hashes", "band_size", "max_bucket")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+    } finally { sh.unpersist(false); () }
+  }
+
+  /** `crossNearDup` against a prebuilt index (`buildCrossNearDupIndex`):
+    * identical result contract, but the corpus side is LOADED, not
+    * recomputed — per-batch cost is the batch's own LSH chain plus joins
+    * that touch only candidate corpus docs' rows. The LSH family comes
+    * from the index manifest, so the batch side is always banded with the
+    * family the index was built with. Explicit read schemas keep empty
+    * index datasets (corpus with no docs) well-defined. */
+  def crossNearDupIndexed(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val m = spark.read.json(s"$dir/manifest").collect()(0)
+    val (n, numHashes, bandSize, maxBucket) =
+      (m.getAs[Long]("n").toInt, m.getAs[Long]("num_hashes").toInt,
+        m.getAs[Long]("band_size").toInt, m.getAs[Long]("max_bucket").toInt)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bucketsC = spark.read.schema("doc_id LONG, band LONG, sig STRING")
+      .parquet(s"$dir/buckets")
+    val shB = shingles(batch.select(col("doc_id"), col("text")), n).persist(sl)
+    val cand = crossCandidates(
+      cappedBandBuckets(shB, numHashes, bandSize, maxBucket), bucketsC)
+      .persist(sl)
+    val skB = shB
+      .join(cand.select(col("batch_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), hashedShingleKey.as("sk")).persist(sl)
+    // Candidate-prune the index's shingle keys the same way the in-memory
+    // form prunes the corpus scan — only candidate corpus docs' keys load.
+    val skC = spark.read.schema("doc_id LONG, sk LONG").parquet(s"$dir/shingle_keys")
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .persist(sl)
+    val scored = scoreCrossCandidates(cand, skB, skC, threshold)
+    materializeThenRelease(scored, shB, skB, skC, cand)
+  }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (`pairs(doc_a, doc_b)`): |A ∩ B| / |A ∪ B| over distinct shingle sets.

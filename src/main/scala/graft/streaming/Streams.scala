@@ -203,14 +203,37 @@ object Streams {
       matchDir: String,
       keepDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
+      b => graft.operators.Dedup.crossNearDup(corpus, b, threshold))
+
+  /** `nearDupAgainstCorpus` probing a PREBUILT corpus index
+    * (`Dedup.buildCrossNearDupIndex`) — the high-frequency production
+    * shape: per micro-batch, only the batch's own LSH chain runs and only
+    * candidate corpus docs' index rows load; the standing corpus is never
+    * re-scanned. */
+  def nearDupAgainstIndex(
+      docs: DataFrame,
+      indexDir: String,
+      threshold: Double,
+      matchDir: String,
+      keepDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
+      b => graft.operators.Dedup.crossNearDupIndexed(b.sparkSession, indexDir, b, threshold))
+
+  private def nearDupForeachBatch(
+      docs: DataFrame,
+      matchDir: String,
+      keepDir: String,
+      checkpointDir: String,
+      score: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // crossNearDup returns a materialized (checkpointed) frame — safe
+          // the scorer returns a materialized (checkpointed) frame — safe
           // to consume twice without recomputing the LSH chain.
-          val matches = graft.operators.Dedup
-            .crossNearDup(corpus, b.select(col("doc_id"), col("text")), threshold)
+          val matches = score(b.select(col("doc_id"), col("text")))
           matches.withColumn("micro_batch", lit(batchId))
             .write.mode("append").parquet(matchDir)
           b.join(matches.select(col("batch_id").as("doc_id")).distinct(),

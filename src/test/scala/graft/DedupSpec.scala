@@ -394,6 +394,37 @@ class DedupSpec extends TestBase {
     assert(Dedup.crossNearDup(docs(), d).count() == 0)
   }
 
+  test("crossNearDupIndexed: prebuilt index probe == in-memory operator; family from manifest") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely unrelated corpus text body here now")
+    val batch = docs(
+      7L -> "the quick brown fox jumps over the lazy dog extra",
+      8L -> "nothing like anything in the standing corpus at all")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xindex").toString
+    Dedup.buildCrossNearDupIndex(corpus, dir)
+    val direct = Dedup.crossNearDup(corpus, batch, threshold = 0.5)
+    val indexed = Dedup.crossNearDupIndexed(spark, dir, batch, threshold = 0.5)
+    assert(indexed.count() > 0)
+    assert(indexed.exceptAll(direct).isEmpty && direct.exceptAll(indexed).isEmpty)
+    // The probe reads the LSH family from the manifest, not from arguments:
+    // an index built with a DIFFERENT family (2-shingles) must reproduce
+    // the in-memory operator at that family with no hint at probe time.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-xindex2").toString
+    Dedup.buildCrossNearDupIndex(corpus, dir2, n = 2)
+    val direct2 = Dedup.crossNearDup(corpus, batch, threshold = 0.5, n = 2)
+    val indexed2 = Dedup.crossNearDupIndexed(spark, dir2, batch, threshold = 0.5)
+    assert(indexed2.exceptAll(direct2).isEmpty && direct2.exceptAll(indexed2).isEmpty)
+  }
+
+  test("crossNearDupIndexed: empty corpus index round-trips and matches nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xindex-empty").toString
+    Dedup.buildCrossNearDupIndex(docs(), dir)
+    assert(Dedup.crossNearDupIndexed(spark, dir,
+      docs(1L -> "a b c d e")).count() == 0)
+  }
+
   test("incremental exact dedup: batch dedups internally and against keeps") {
     val keeps = Seq("old text").toDF("text").select(md5($"text").as("h"))
     val batch = docs(5L -> "old text", 7L -> "new text", 9L -> "new text", 3L -> "other")

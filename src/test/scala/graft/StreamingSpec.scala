@@ -260,5 +260,23 @@ class StreamingSpec extends TestBase {
     val allIds = (0L until 10L).map(_ + 1000).toSet ++ (10L until 20L).map(_ + 2000)
     assert((matchedIds & keptIds).isEmpty && (matchedIds | keptIds) == allIds)
     assert((10L until 20L).map(_ + 2000).toSet.subsetOf(keptIds))
+
+    // The index-probing variant over the same drops must emit the same
+    // matches — the corpus side loaded from a prebuilt index instead of
+    // recomputed per micro-batch.
+    val idxDir = out.resolve("index").toString
+    graft.operators.Dedup.buildCrossNearDupIndex(corpus, idxDir)
+    val matchDir2 = out.resolve("matches2").toString
+    val stream2 = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val q2 = Streams.nearDupAgainstIndex(stream2, idxDir, threshold = 0.5,
+      matchDir2, out.resolve("keeps2").toString, out.resolve("ckpt2").toString)
+    q2.awaitTermination()
+    val viaIndex = spark.read.parquet(matchDir2).select("batch_id", "corpus_id", "jaccard")
+    assert(viaIndex.exceptAll(streamedPairs).isEmpty &&
+      streamedPairs.exceptAll(viaIndex).isEmpty,
+      "index-probing stream must equal the corpus-recompute stream")
   }
 }
