@@ -431,18 +431,48 @@ object Dedup {
       maxBucket: Int = 1000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    writeIndexSide(corpus, dir, n, numHashes, bandSize, maxBucket, overwrite = true)
+    Seq((n, numHashes, bandSize, maxBucket))
+      .toDF("n", "num_hashes", "band_size", "max_bucket")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+  }
+
+  /** Grow an existing index with NEW docs' rows — no global rebuild: band
+    * buckets and shingle keys are per-doc, so corpus growth is an append
+    * of the new docs' rows under the index's own manifest (the family is
+    * read from it, never passed). The bucket cap stays exact across
+    * increments because probes RE-CAP over the union at read time (see
+    * `crossNearDupIndexed`); the only boundary effect is a bucket so
+    * boilerplate-heavy it exceeded the cap WITHIN a single increment —
+    * its rows were dropped at write and stay dropped, exactly as a full
+    * rebuild would drop them. */
+  def appendToCrossNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
+    val m = readIndexManifest(newDocs.sparkSession, dir)
+    writeIndexSide(newDocs, dir, m.n, m.numHashes, m.bandSize, m.maxBucket,
+      overwrite = false)
+  }
+
+  private final case class IndexManifest(
+      n: Int, numHashes: Int, bandSize: Int, maxBucket: Int)
+
+  private def readIndexManifest(spark: SparkSession, dir: String): IndexManifest = {
+    val m = spark.read.json(s"$dir/manifest").collect()(0)
+    IndexManifest(m.getAs[Long]("n").toInt, m.getAs[Long]("num_hashes").toInt,
+      m.getAs[Long]("band_size").toInt, m.getAs[Long]("max_bucket").toInt)
+  }
+
+  private def writeIndexSide(docs: DataFrame, dir: String, n: Int,
+      numHashes: Int, bandSize: Int, maxBucket: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingles(
-      corpus.select(col("doc_id").cast("long").as("doc_id"), col("text")), n)
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text")), n)
       .persist(sl)
     try {
       cappedBandBuckets(sh, numHashes, bandSize, maxBucket)
-        .write.mode("overwrite").parquet(s"$dir/buckets")
+        .write.mode(mode).parquet(s"$dir/buckets")
       sh.select(col("doc_id"), hashedShingleKey.as("sk"))
-        .write.mode("overwrite").parquet(s"$dir/shingle_keys")
-      Seq((n, numHashes, bandSize, maxBucket))
-        .toDF("n", "num_hashes", "band_size", "max_bucket")
-        .coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+        .write.mode(mode).parquet(s"$dir/shingle_keys")
     } finally { sh.unpersist(false); () }
   }
 
@@ -458,16 +488,23 @@ object Dedup {
       dir: String,
       batch: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val m = spark.read.json(s"$dir/manifest").collect()(0)
-    val (n, numHashes, bandSize, maxBucket) =
-      (m.getAs[Long]("n").toInt, m.getAs[Long]("num_hashes").toInt,
-        m.getAs[Long]("band_size").toInt, m.getAs[Long]("max_bucket").toInt)
+    val m = readIndexManifest(spark, dir)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bucketsC = spark.read.schema("doc_id LONG, band LONG, sig STRING")
+    val stored = spark.read.schema("doc_id LONG, band LONG, sig STRING")
       .parquet(s"$dir/buckets")
-    val shB = shingles(batch.select(col("doc_id"), col("text")), n).persist(sl)
+    // Re-cap over the UNION at read time: appends cap each increment
+    // individually, so a bucket can creep past maxBucket across
+    // increments — recounting here restores exactly the cap a full
+    // rebuild would apply. One narrow map-side-combined aggregate over a
+    // 3-column table the candidate join scans anyway.
+    val tooBig = stored.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > m.maxBucket)
+      .select(col("band"), col("sig"))
+    val bucketsC = stored.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
+    val shB = shingles(batch.select(col("doc_id"), col("text")), m.n).persist(sl)
     val cand = crossCandidates(
-      cappedBandBuckets(shB, numHashes, bandSize, maxBucket), bucketsC)
+      cappedBandBuckets(shB, m.numHashes, m.bandSize, m.maxBucket), bucketsC)
       .persist(sl)
     val skB = shB
       .join(cand.select(col("batch_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")

@@ -418,6 +418,49 @@ class DedupSpec extends TestBase {
     assert(indexed2.exceptAll(direct2).isEmpty && direct2.exceptAll(indexed2).isEmpty)
   }
 
+  test("appendToCrossNearDupIndex: grown index == rebuild == in-memory over the union") {
+    val gen1 = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated corpus text body here now")
+    val gen2 = docs(
+      3L -> "the quick brown fox jumps over the lazy dog indeed",
+      4L -> "another standing corpus document arriving later on")
+    val batch = docs(
+      7L -> "the quick brown fox jumps over the lazy dog extra",
+      8L -> "another standing corpus document arriving later on too")
+    val grown = java.nio.file.Files.createTempDirectory("graft-xindex-grow").toString
+    Dedup.buildCrossNearDupIndex(gen1, grown)
+    Dedup.appendToCrossNearDupIndex(gen2, grown)
+    val viaGrown = Dedup.crossNearDupIndexed(spark, grown, batch, threshold = 0.3)
+    // batch 7 must hit docs from gen1 AND batch 8 docs from gen2 — the
+    // append genuinely extends the probe-able corpus.
+    assert(viaGrown.where(col("corpus_id") === 1L).count() > 0)
+    assert(viaGrown.where(col("corpus_id") === 4L).count() > 0)
+    val direct = Dedup.crossNearDup(gen1.unionAll(gen2), batch, threshold = 0.3)
+    assert(viaGrown.exceptAll(direct).isEmpty && direct.exceptAll(viaGrown).isEmpty)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-xindex-rebuild").toString
+    Dedup.buildCrossNearDupIndex(gen1.unionAll(gen2), rebuilt)
+    val viaRebuilt = Dedup.crossNearDupIndexed(spark, rebuilt, batch, threshold = 0.3)
+    assert(viaGrown.exceptAll(viaRebuilt).isEmpty && viaRebuilt.exceptAll(viaGrown).isEmpty)
+  }
+
+  test("indexed probe re-caps buckets over the union of increments") {
+    // 3 identical docs per increment, cap = 4: each increment is under the
+    // cap, the union (6) is over it — the probe must drop the bucket, as a
+    // full rebuild over the union would.
+    val mk = (ids: Seq[Long]) => docs(ids.map(_ -> "same boilerplate text body"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-xindex-recap").toString
+    Dedup.buildCrossNearDupIndex(mk(1L to 3L), dir, maxBucket = 4)
+    Dedup.appendToCrossNearDupIndex(mk(4L to 6L), dir)
+    val got = Dedup.crossNearDupIndexed(spark, dir,
+      docs(9L -> "same boilerplate text body"), threshold = 0.5)
+    assert(got.count() == 0,
+      "a bucket oversized across increments must be dropped at probe time")
+    // and the in-memory form agrees on the unioned corpus
+    assert(Dedup.crossNearDup(mk(1L to 6L),
+      docs(9L -> "same boilerplate text body"), threshold = 0.5, maxBucket = 4).count() == 0)
+  }
+
   test("crossNearDupIndexed: empty corpus index round-trips and matches nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xindex-empty").toString
     Dedup.buildCrossNearDupIndex(docs(), dir)
