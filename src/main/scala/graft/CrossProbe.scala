@@ -37,8 +37,11 @@ object CrossProbe {
       val corpus = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
       // Arriving batch: batchPct% of the corpus as near-copies (appended
       // token, shifted ids) — dup-dense against the standing side, the
-      // operational worst case for the scoring joins.
-      val batch = corpus.where(col("doc_id") % lit(100 / batchPct) === 0)
+      // operational worst case for the scoring joins. `% 100 < pct` keeps
+      // the fraction exact for any pct in [1, 100] (an integer-division
+      // modulus like 100/pct drifts for non-divisors and breaks above 100).
+      require(batchPct >= 1 && batchPct <= 100, s"batchPct $batchPct not in [1, 100]")
+      val batch = corpus.where(col("doc_id") % 100 < batchPct)
         .select((col("doc_id") + 50000000L).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text"))
       println(s"[crossprobe] corpus=${corpus.count()} batch=${batch.count()} docs")

@@ -290,6 +290,17 @@ object Dedup {
       numHashes: Int,
       bandSize: Int,
       maxBucket: Int,
+      baseHexWidth: Int = 15): DataFrame =
+    capBuckets(bandBuckets(sh, numHashes, bandSize, baseHexWidth), maxBucket)
+
+  /** UNCAPPED banded minhash bucket rows — one row per (doc, band). The
+    * persisted index stores these raw (cap applied at probe time over the
+    * whole stored union — see `crossNearDupIndexed`), so row volume is
+    * exactly docs × bands regardless of boilerplate density. */
+  private def bandBuckets(
+      sh: DataFrame,
+      numHashes: Int,
+      bandSize: Int,
       baseHexWidth: Int = 15): DataFrame = {
     require(numHashes <= 64, s"numHashes $numHashes > 64: minhashAB precomputes 64 seed constants")
     val minCols = (0 until numHashes).map(s =>
@@ -302,11 +313,20 @@ object Dedup {
       struct(lit(b.toLong).as("band"),
         concat_ws("|", (0 until bandSize).map(i => col(s"h${b * bandSize + i}")): _*).as("sig"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
       .select(col("doc_id"), col("k.band"), col("k.sig"))
+  }
+
+  /** Drop oversized buckets via a broadcast anti-join against the tiny
+    * OVERSIZED list (the count aggregate is map-side combined; only
+    * pathological boilerplate buckets exceed the cap), so the bucket rows
+    * themselves never shuffle — vs a Window.partitionBy(band, sig) count,
+    * which sort-shuffles every row. Counts DISTINCT docs per bucket so the
+    * cap is idempotent under duplicate rows (a replayed index append). */
+  private def capBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val tooBig = buckets.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bucket_n"))
+      .agg(countDistinct(col("doc_id")).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
       .select(col("band"), col("sig"))
     buckets.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
@@ -414,14 +434,15 @@ object Dedup {
     * needs (recomputing the corpus LSH chain per arriving batch, as
     * `crossNearDup` does, re-reads every corpus byte every increment).
     * Writes three datasets under `dir`:
-    *   - `buckets`      (doc_id, band, sig) — CAPPED banded minhash buckets
     *   - `shingle_keys` (doc_id, sk)        — hashed distinct shingles
+    *   - `buckets`      (doc_id, band, sig) — UNCAPPED banded minhash
+    *                    buckets (exactly docs × bands rows; the cap is a
+    *                    probe-time decision over the stored union, so no
+    *                    increment-local cap is ever baked into the layout)
     *   - `manifest`     one JSON row pinning the LSH family (n, hashes,
     *                    band size, cap); probes READ the family from it, so
     *                    a probe can never run with a drifted family.
-    * Rebuild = overwrite. An append-only corpus can instead append new
-    * docs' rows to both datasets under the same manifest — band buckets
-    * and shingle keys are per-doc, so incremental growth is a union. */
+    * Rebuild = overwrite; see `appendToCrossNearDupIndex` for growth. */
   def buildCrossNearDupIndex(
       corpus: DataFrame,
       dir: String,
@@ -431,7 +452,7 @@ object Dedup {
       maxBucket: Int = 1000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    writeIndexSide(corpus, dir, n, numHashes, bandSize, maxBucket, overwrite = true)
+    writeIndexSide(corpus, dir, n, numHashes, bandSize, overwrite = true)
     Seq((n, numHashes, bandSize, maxBucket))
       .toDF("n", "num_hashes", "band_size", "max_bucket")
       .coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
@@ -440,16 +461,18 @@ object Dedup {
   /** Grow an existing index with NEW docs' rows — no global rebuild: band
     * buckets and shingle keys are per-doc, so corpus growth is an append
     * of the new docs' rows under the index's own manifest (the family is
-    * read from it, never passed). The bucket cap stays exact across
-    * increments because probes RE-CAP over the union at read time (see
-    * `crossNearDupIndexed`); the only boundary effect is a bucket so
-    * boilerplate-heavy it exceeded the cap WITHIN a single increment —
-    * its rows were dropped at write and stay dropped, exactly as a full
-    * rebuild would drop them. */
+    * read from it, never passed). The bucket cap stays exact however the
+    * index was grown, because buckets are stored uncapped and probes cap
+    * over the stored union at read time (`crossNearDupIndexed`) — grown,
+    * rebuilt, and in-memory forms agree in every case, including buckets
+    * that creep past the cap across increments and increments that are
+    * individually oversized. The two dataset writes are separate jobs
+    * (plain parquet has no cross-dataset transaction); the write order
+    * and probe-side row dedup make a failure harmless and a retry
+    * convergent — see `writeIndexSide`. */
   def appendToCrossNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
     val m = readIndexManifest(newDocs.sparkSession, dir)
-    writeIndexSide(newDocs, dir, m.n, m.numHashes, m.bandSize, m.maxBucket,
-      overwrite = false)
+    writeIndexSide(newDocs, dir, m.n, m.numHashes, m.bandSize, overwrite = false)
   }
 
   private final case class IndexManifest(
@@ -462,17 +485,27 @@ object Dedup {
   }
 
   private def writeIndexSide(docs: DataFrame, dir: String, n: Int,
-      numHashes: Int, bandSize: Int, maxBucket: Int, overwrite: Boolean): Unit = {
+      numHashes: Int, bandSize: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingles(
       docs.select(col("doc_id").cast("long").as("doc_id"), col("text")), n)
       .persist(sl)
     try {
-      cappedBandBuckets(sh, numHashes, bandSize, maxBucket)
-        .write.mode(mode).parquet(s"$dir/buckets")
+      // Buckets are stored UNCAPPED (probes cap over the stored union, so
+      // the cap is exact however the index was grown — no increment-local
+      // cap decision is ever baked in). Write order is crash-shaped:
+      // shingle_keys first, buckets second. A failure between the two
+      // jobs leaves docs with keys but no buckets — invisible to probes
+      // (they can never become candidates) — never the reverse, where
+      // bucket rows without keys would silently drop real matches at the
+      // scoring join. A retried append re-writes both; probes dedup rows
+      // (distinct keys, distinct-doc bucket counts, distinct candidate
+      // pairs), so the replay converges instead of corrupting scores.
       sh.select(col("doc_id"), hashedShingleKey.as("sk"))
         .write.mode(mode).parquet(s"$dir/shingle_keys")
+      bandBuckets(sh, numHashes, bandSize)
+        .write.mode(mode).parquet(s"$dir/buckets")
     } finally { sh.unpersist(false); () }
   }
 
@@ -490,18 +523,14 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val m = readIndexManifest(spark, dir)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val stored = spark.read.schema("doc_id LONG, band LONG, sig STRING")
-      .parquet(s"$dir/buckets")
-    // Re-cap over the UNION at read time: appends cap each increment
-    // individually, so a bucket can creep past maxBucket across
-    // increments — recounting here restores exactly the cap a full
-    // rebuild would apply. One narrow map-side-combined aggregate over a
-    // 3-column table the candidate join scans anyway.
-    val tooBig = stored.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > m.maxBucket)
-      .select(col("band"), col("sig"))
-    val bucketsC = stored.join(broadcast(tooBig), Seq("band", "sig"), "left_anti")
+    // Cap over the stored UNION at read time (buckets are stored
+    // uncapped): exactly the cap a full rebuild over the grown corpus
+    // would apply, whatever increments produced the rows. One narrow
+    // map-side-combined aggregate over a 3-column table the candidate
+    // join scans anyway.
+    val bucketsC = capBuckets(
+      spark.read.schema("doc_id LONG, band LONG, sig STRING")
+        .parquet(s"$dir/buckets"), m.maxBucket)
     val shB = shingles(batch.select(col("doc_id"), col("text")), m.n).persist(sl)
     val cand = crossCandidates(
       cappedBandBuckets(shB, m.numHashes, m.bandSize, m.maxBucket), bucketsC)
@@ -511,8 +540,11 @@ object Dedup {
       .select(col("doc_id"), hashedShingleKey.as("sk")).persist(sl)
     // Candidate-prune the index's shingle keys the same way the in-memory
     // form prunes the corpus scan — only candidate corpus docs' keys load.
+    // distinct AFTER the prune: collapses duplicate rows from a replayed
+    // append (and is cheap — candidate docs only).
     val skC = spark.read.schema("doc_id LONG, sk LONG").parquet(s"$dir/shingle_keys")
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .distinct()
       .persist(sl)
     val scored = scoreCrossCandidates(cand, skB, skC, threshold)
     materializeThenRelease(scored, shB, skB, skC, cand)

@@ -231,9 +231,22 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // the scorer returns a materialized (checkpointed) frame — safe
-          // to consume twice without recomputing the LSH chain.
-          val matches = score(b.select(col("doc_id"), col("text")))
+          // Force eager materialize-and-release for the scorer call: the
+          // wrapper consumes the result twice and owns no handle on the
+          // operator's internal caches, so the lazy plan-inspection mode
+          // (graft.eagerRelease=false, set e.g. by graft.Explain) must not
+          // leak into per-micro-batch execution — it would recompute the
+          // LSH chain per consumer and strand five cached intermediates
+          // every micro-batch.
+          val spark = batch.sparkSession
+          val prevEager = spark.conf.getOption("graft.eagerRelease")
+          spark.conf.set("graft.eagerRelease", "true")
+          val matches =
+            try score(b.select(col("doc_id"), col("text")))
+            finally prevEager match {
+              case Some(v) => spark.conf.set("graft.eagerRelease", v)
+              case None => spark.conf.unset("graft.eagerRelease")
+            }
           matches.withColumn("micro_batch", lit(batchId))
             .write.mode("append").parquet(matchDir)
           b.join(matches.select(col("batch_id").as("doc_id")).distinct(),

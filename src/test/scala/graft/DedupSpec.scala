@@ -449,16 +449,43 @@ class DedupSpec extends TestBase {
     // cap, the union (6) is over it — the probe must drop the bucket, as a
     // full rebuild over the union would.
     val mk = (ids: Seq[Long]) => docs(ids.map(_ -> "same boilerplate text body"): _*)
+    val probe = docs(9L -> "same boilerplate text body")
     val dir = java.nio.file.Files.createTempDirectory("graft-xindex-recap").toString
     Dedup.buildCrossNearDupIndex(mk(1L to 3L), dir, maxBucket = 4)
     Dedup.appendToCrossNearDupIndex(mk(4L to 6L), dir)
-    val got = Dedup.crossNearDupIndexed(spark, dir,
-      docs(9L -> "same boilerplate text body"), threshold = 0.5)
-    assert(got.count() == 0,
+    assert(Dedup.crossNearDupIndexed(spark, dir, probe, threshold = 0.5).count() == 0,
       "a bucket oversized across increments must be dropped at probe time")
     // and the in-memory form agrees on the unioned corpus
-    assert(Dedup.crossNearDup(mk(1L to 6L),
-      docs(9L -> "same boilerplate text body"), threshold = 0.5, maxBucket = 4).count() == 0)
+    assert(Dedup.crossNearDup(mk(1L to 6L), probe,
+      threshold = 0.5, maxBucket = 4).count() == 0)
+    // An increment that is ITSELF oversized: buckets store uncapped, so
+    // the probe's union count keeps the bucket dropped after a later small
+    // append too — a build-time cap would have discarded the first five
+    // docs' rows and then KEPT the bucket on the strength of the sixth.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-xindex-recap2").toString
+    Dedup.buildCrossNearDupIndex(mk(11L to 15L), dir2, maxBucket = 4)
+    assert(Dedup.crossNearDupIndexed(spark, dir2, probe, threshold = 0.5).count() == 0)
+    Dedup.appendToCrossNearDupIndex(mk(16L to 16L), dir2)
+    assert(Dedup.crossNearDupIndexed(spark, dir2, probe, threshold = 0.5).count() == 0,
+      "an oversized increment must stay dropped after later appends")
+    assert(Dedup.crossNearDup(mk(11L to 16L), probe,
+      threshold = 0.5, maxBucket = 4).count() == 0)
+  }
+
+  test("indexed probe converges under a replayed (duplicate) append") {
+    // A retried half-failed append re-writes an increment's rows. Probes
+    // must collapse the duplicates: scores stay exact (not doubled), and
+    // the distinct-doc bucket count keeps the cap decision unchanged.
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated corpus text body here now")
+    val batch = docs(7L -> "the quick brown fox jumps over the lazy dog extra")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xindex-replay").toString
+    Dedup.buildCrossNearDupIndex(corpus, dir)
+    val once = Dedup.crossNearDupIndexed(spark, dir, batch, threshold = 0.3)
+    Dedup.appendToCrossNearDupIndex(corpus, dir) // replay of the same docs
+    val replayed = Dedup.crossNearDupIndexed(spark, dir, batch, threshold = 0.3)
+    assert(replayed.exceptAll(once).isEmpty && once.exceptAll(replayed).isEmpty)
   }
 
   test("crossNearDupIndexed: empty corpus index round-trips and matches nothing") {

@@ -228,12 +228,10 @@ class StreamingSpec extends TestBase {
     val (matchDir, keepDir) =
       (out.resolve("matches").toString, out.resolve("keeps").toString)
 
-    // The stream carries only the columns the test wrote; reuse the library
-    // reader's trigger-batching knob via an explicit readStream here.
-    val stream = spark.readStream
-      .schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir.toString)
+    // The staged files carry only (doc_id, text); the library reader's
+    // wider document schema null-pads the absent columns, which the
+    // dedup path never touches.
+    val stream = Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1)
     val q = Streams.nearDupAgainstCorpus(stream, corpus, threshold = 0.5,
       matchDir, keepDir, out.resolve("ckpt").toString)
     q.awaitTermination()
@@ -267,10 +265,7 @@ class StreamingSpec extends TestBase {
     val idxDir = out.resolve("index").toString
     graft.operators.Dedup.buildCrossNearDupIndex(corpus, idxDir)
     val matchDir2 = out.resolve("matches2").toString
-    val stream2 = spark.readStream
-      .schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir.toString)
+    val stream2 = Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1)
     val q2 = Streams.nearDupAgainstIndex(stream2, idxDir, threshold = 0.5,
       matchDir2, out.resolve("keeps2").toString, out.resolve("ckpt2").toString)
     q2.awaitTermination()
