@@ -412,6 +412,39 @@ object NorthStarQueries {
       Dedup.embeddingNearDup(planted, 0.9).orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // Cross-corpus embedding near-dup: an arriving batch of vectors —
+    // exact re-uploads of corpus vectors (shifted ids) plus negated
+    // vectors (cosine −1 to their source: match nothing) — deduped
+    // against the standing corpus. Oracle is the brute-force cross
+    // cosine join; engine recall is exact because true matches are
+    // exact copies (shared LSH bucket at any plane count).
+    QueryDef("dd_embed_cross")(
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         | batch AS (SELECT vec_id + 100000 AS vec_id, embedding
+         |             FROM embeddings WHERE vec_id < 10
+         |           UNION ALL SELECT vec_id + 200000,
+         |             list_transform(embedding, x -> -x)
+         |             FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+         | c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus
+         |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM batch
+         |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+         | SELECT b.vec_id AS batch_vec, c.vec_id AS corpus_vec,
+         |        round(${cosSql("c.v", "b.v")}, 6) AS sim
+         | FROM b JOIN c ON ${cosSql("c.v", "b.v")} >= 0.9
+         | ORDER BY batch_vec, corpus_vec""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      val batch = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            expr("transform(embedding, x -> -x)").as("embedding")))
+      Dedup.crossEmbedNearDup(corpus, batch, 0.9)
+        .orderBy(col("batch_vec"), col("corpus_vec"))
+    },
+
     // THE end-to-end near-dedup pipeline (the MinHash-dedup flow of
     // production training-data curation): one persisted shingle scan →
     // LSH candidates → exact Jaccard gate (≥ 0.8) → connected components →

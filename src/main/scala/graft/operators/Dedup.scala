@@ -1180,4 +1180,13 @@ object Dedup {
     */
   def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame =
     Similarity.bucketedNearDup(embs, threshold)
+
+  /** Cross-corpus embedding near-dup: (batch, corpus) vector pairs with
+    * cosine ≥ threshold — the vector analogue of `crossNearDup`, same
+    * operational role (dedupe an arriving batch of embeddings against the
+    * standing corpus without re-pairing the corpus). Delegates to
+    * `Similarity.crossNearDup`. */
+  def crossEmbedNearDup(corpus: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame =
+    Similarity.crossNearDup(corpus, batch, threshold)
 }

@@ -252,14 +252,7 @@ object Similarity {
     // than caching every vector.)
     val bucketed = lshBuckets(embs, numPlanes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val flips = (0 until numPlanes).map { p =>
-      concat(
-        substring(col("bucket"), 1, p),
-        when(substring(col("bucket"), p + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring(col("bucket"), p + 2, numPlanes - p - 1))
-    }
-    val probes = bucketed.select(col("vec_id"),
-      explode(array(col("bucket") +: flips: _*)).as("pb"))
+    val probes = hammingProbes(bucketed, numPlanes)
     val cand = probes.as("pa")
       .join(bucketed.as("hb"),
         col("pa.pb") === col("hb.bucket") && col("pa.vec_id") < col("hb.vec_id"))
@@ -278,6 +271,57 @@ object Similarity {
     // per call in an incremental-dedup driver loop). `graft.eagerRelease=
     // false` opts out for plan inspection (see Dedup.materializeThenRelease).
     Dedup.materializeThenRelease(scored, bucketed)
+  }
+
+  /** Home bucket + every Hamming-1 flip per row — the probe set of the
+    * near-dup candidate generators (self and cross). */
+  private def hammingProbes(bucketed: DataFrame, numPlanes: Int): DataFrame = {
+    val flips = (0 until numPlanes).map { p =>
+      concat(
+        substring(col("bucket"), 1, p),
+        when(substring(col("bucket"), p + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), p + 2, numPlanes - p - 1))
+    }
+    bucketed.select(col("vec_id"),
+      explode(array(col("bucket") +: flips: _*)).as("pb"))
+  }
+
+  /** Cross-corpus embedding near-dup — the vector analogue of
+    * `Dedup.crossNearDup`: every (batch, corpus) vector pair with cosine ≥
+    * `threshold`, sides never self-pair (id spaces independent). The BATCH
+    * side probes home + Hamming-1 buckets against the corpus's home
+    * buckets only — ONE cross equi-join on the bucket string, batch side
+    * broadcast-able when small (AQE sizes it); within-side pairs are never
+    * generated, vs re-running `bucketedNearDup` over corpus ∪ batch, which
+    * would re-pair the standing corpus against itself every increment.
+    * Exact scoring on survivors only; same numeric contract as
+    * `bucketedNearDup` (left-to-right double accumulation, zero-norm rows
+    * excluded on both sides). Exact-copy recall is 1 (identical vectors
+    * share a bucket at any plane count); near-misses get the Hamming-1
+    * net — the documented LSH trade-off. */
+  def crossNearDup(corpus: DataFrame, batch: DataFrame, threshold: Double,
+      numPlanes: Int = 16): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("selfdot", dot(col("v"), col("v")))
+      .where(col("selfdot") > 0)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bC = lshBuckets(corpus, numPlanes).persist(sl)
+    val bB = lshBuckets(batch, numPlanes).persist(sl)
+    val cand = hammingProbes(bB, numPlanes).as("pb")
+      .join(bC.as("hc"), col("pb.pb") === col("hc.bucket"))
+      .select(col("pb.vec_id").as("batch_vec"), col("hc.vec_id").as("corpus_vec"))
+      .distinct()
+    val scored = cand
+      .join(prep(batch).select(col("vec_id").as("batch_vec"),
+        col("v").as("vb"), col("selfdot").as("db")), "batch_vec")
+      .join(prep(corpus).select(col("vec_id").as("corpus_vec"),
+        col("v").as("vc"), col("selfdot").as("dc")), "corpus_vec")
+      .select(col("batch_vec"), col("corpus_vec"),
+        (dot(col("vc"), col("vb")) / (sqrt(col("dc")) * sqrt(col("db")))).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("batch_vec"), col("corpus_vec"), round(col("sim"), 6).as("sim"))
+    Dedup.materializeThenRelease(scored, bC, bB)
   }
 
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`

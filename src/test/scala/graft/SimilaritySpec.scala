@@ -112,6 +112,27 @@ class SimilaritySpec extends TestBase {
     }
   }
 
+  test("crossNearDup (vectors): cross pairs only, zero-norm excluded, copies at 1.0") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)), // in-corpus dup
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),  // scaled copy, id collides with corpus: fine
+      (7L, Array(0.0f, 0.0f, 0.0f)),  // zero-norm: excluded
+      (8L, Array(0.0f, -1.0f, 0.0f))  // anti-parallel to 3: cos −1, no match
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.crossNearDup(corpus, batch, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 1 hits corpus 1 AND 2 at exactly 1.0; the corpus-internal pair
+    // (1,2) and batch-internal pairs never appear; 7 and 8 match nothing.
+    assert(got == Set((1L, 1L, 1.0), (1L, 2L, 1.0)))
+    // empty sides are well-defined
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.crossNearDup(corpus, empty, 0.9).count() == 0)
+    assert(Similarity.crossNearDup(empty, batch, 0.9).count() == 0)
+  }
+
   test("pairwiseCosine refuses tables above the driver-collect cap") {
     val e = Seq((1L, Array(1.0f)), (2L, Array(1.0f)), (3L, Array(1.0f)))
       .toDF("vec_id", "embedding")
