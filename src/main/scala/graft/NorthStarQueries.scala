@@ -386,6 +386,47 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental cluster maintenance: a batch of near-copies arrives, its
+    // cross candidates against the standing corpus become new edges, and
+    // the existing dd_cluster labeling is UPDATED in place of a full
+    // re-cluster. The engine takes the incremental path (touched
+    // components re-solved from star edges + new pairs, untouched labels
+    // passed through); the ORACLE recomputes connected components from
+    // scratch over the unioned edge sets — a hash match IS the
+    // incremental-equals-full theorem on this fixture.
+    QueryDef("dd_cluster_increment")(
+      s"""WITH RECURSIVE $plantedChainSql,
+         | $lshPairsSql,
+         | batch AS (SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+         |           FROM documents WHERE doc_id < 10),
+         | ${lshCappedBandsSql("batch", "b")},
+         | cross_cand AS (SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+         |                FROM bcapped b JOIN capped c
+         |                  ON b.band = c.band AND b.sig = c.sig),
+         | all_e AS (SELECT doc_a, doc_b FROM pairs
+         |           UNION SELECT doc_a, doc_b FROM cross_cand),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM all_e
+         |         UNION SELECT doc_b, doc_a FROM all_e),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedChain(s, dir)
+      val batch = Tables(s, dir, "documents")
+        .where(col("doc_id") < 10)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val labels0 = Dedup.clusterDedupFirst(corpus)
+      // threshold 0.0 emits every LSH candidate cross pair (left-join
+      // convention) — the same ungated edge semantics dd_cluster uses.
+      val newEdges = Dedup.crossNearDup(corpus, batch, threshold = 0.0)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      Dedup.incrementalClusters(labels0, newEdges)
+        .orderBy(col("doc_id"), col("cluster_id"))
+    },
+
     // Oracle is exact all-pairs cosine; the engine is LSH-blocked. The
     // equivalence rests on a VERIFIED corpus property: the only pairs at
     // cosine ≥ 0.9 are the planted EXACT copies (max natural cross-pair

@@ -1181,6 +1181,50 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame =
     Similarity.bucketedNearDup(embs, threshold)
 
+  /** Incremental cluster maintenance — fold a batch's NEW near-dup pairs
+    * into an existing labeling without re-clustering untouched components:
+    * the operational counterpart of `connectedComponents` the same way
+    * `exactIncrement` is of `exact` and `crossNearDup` is of
+    * `nearDupScores`. `labels(doc_id, cluster_id)` is a prior
+    * `connectedComponents` (or this operator's own) output; `newPairs
+    * (doc_a, doc_b)` is the increment's edge batch — e.g. `crossNearDup`
+    * matches with batch/corpus ids as the endpoints.
+    *
+    * Exactness: the result equals a full `connectedComponents` over
+    * (original pairs ∪ newPairs). Touched components are re-solved from
+    * their (member, label) STAR edges — connectivity-equivalent to the
+    * component's original edge set and sharing its min id — and any
+    * component that merges must contain a new pair's endpoint, so
+    * untouched labels pass through unchanged. Oracle-asserted: the
+    * `dd_cluster_increment` oracle recomputes from scratch over the
+    * unioned edge sets in SQL.
+    *
+    * Scale: a full recompute pays O(all edges) × CC rounds every
+    * increment; this pays the new pairs plus star edges of TOUCHED
+    * components only — O(touched members), and most components are cold
+    * in a steady-state ingest. The labels table is never shuffled whole:
+    * two semi/anti joins on cluster_id against the (small) affected-label
+    * list and one on doc_id against the batch's endpoint set. */
+  def incrementalClusters(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val l = labels.select(col("doc_id"), col("cluster_id")).persist(sl)
+    val p = newPairs.select(col("doc_a"), col("doc_b")).persist(sl)
+    val touched = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id"))).distinct()
+    val affected = l.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    // Star edges of the affected components; a touched SINGLETON's star is
+    // a self-loop (CC drops it), but the node re-enters through its own
+    // new pair, so no member is lost.
+    val touchedStars = l.join(affected, Seq("cluster_id"), "left_semi")
+    val solved = connectedComponents(
+      touchedStars.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .unionAll(p))
+    val untouched = l.join(affected, Seq("cluster_id"), "left_anti")
+    materializeThenRelease(
+      solved.unionAll(untouched.select(col("doc_id"), col("cluster_id"))), l, p)
+  }
+
   /** Cross-corpus embedding near-dup: (batch, corpus) vector pairs with
     * cosine ≥ threshold — the vector analogue of `crossNearDup`, same
     * operational role (dedupe an arriving batch of embeddings against the

@@ -495,6 +495,54 @@ class DedupSpec extends TestBase {
       docs(1L -> "a b c d e")).count() == 0)
   }
 
+  test("incrementalClusters == full recompute; untouched labels pass through") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    // initial graph: components {1,2,3}, {10,11}, {20,21} (labels = min)
+    val e1 = pairs(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L)
+    val labels0 = Dedup.connectedComponents(e1)
+    // increment: merge {1,2,3} with {10,11} through a new node 99, and
+    // add a brand-new two-node component {50,51}; {20,21} is untouched
+    val e2 = pairs(3L -> 99L, 99L -> 10L, 50L -> 51L)
+    val got = Dedup.incrementalClusters(labels0, e2)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(e1.unionAll(e2))
+      .as[(Long, Long)].collect().toSet
+    assert(got == full)
+    assert(got.contains(10L -> 1L) && got.contains(99L -> 1L),
+      "merged component must relabel to the global min")
+    assert(got.contains(21L -> 20L), "untouched component keeps its label")
+    assert(got.contains(51L -> 50L), "new nodes form their own cluster")
+    // chaining: the operator's own output is a valid labels input
+    val got2 = Dedup.incrementalClusters(got.toSeq.toDF("doc_id", "cluster_id"),
+      pairs(21L -> 51L)).as[(Long, Long)].collect().toSet
+    val full2 = Dedup.connectedComponents(
+      e1.unionAll(e2).unionAll(pairs(21L -> 51L))).as[(Long, Long)].collect().toSet
+    assert(got2 == full2)
+    // empty increment returns the labels unchanged; empty labels = plain CC
+    assert(Dedup.incrementalClusters(labels0, pairs())
+      .as[(Long, Long)].collect().toSet ==
+      labels0.as[(Long, Long)].collect().toSet)
+    assert(Dedup.incrementalClusters(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+      e1).as[(Long, Long)].collect().toSet ==
+      labels0.as[(Long, Long)].collect().toSet)
+  }
+
+  test("incrementalClusters matches full recompute on a dense random graph") {
+    // the union-find reference pattern: random edges split into two
+    // generations, incremental(CC(gen1), gen2) must equal CC(gen1 ∪ gen2)
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val (g1, g2) = all.splitAt(all.size / 2)
+    val e1 = g1.toDF("doc_a", "doc_b")
+    val e2 = g2.toDF("doc_a", "doc_b")
+    val inc = Dedup.incrementalClusters(Dedup.connectedComponents(e1), e2)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(e1.unionAll(e2))
+      .as[(Long, Long)].collect().toSet
+    assert(inc == full)
+  }
+
   test("incremental exact dedup: batch dedups internally and against keeps") {
     val keeps = Seq("old text").toDF("text").select(md5($"text").as("h"))
     val batch = docs(5L -> "old text", 7L -> "new text", 9L -> "new text", 3L -> "other")
