@@ -529,6 +529,74 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // THE operational increment, end to end: a batch arrives against the
+    // dd_pipeline standing corpus; its cross matches (≥ 0.8) and
+    // within-batch dups become new edges; the standing labeling updates
+    // INCREMENTALLY; survivors re-count per language. The engine never
+    // re-pairs or re-clusters the standing corpus — the oracle recomputes
+    // the whole dd_pipeline chain from scratch over corpus ∪ batch, so the
+    // hash match proves the incremental composition equals the batch
+    // pipeline. (Bucket caps are per-side in the engine's composed
+    // generators vs union-wide in the oracle — equal while caps don't
+    // bind, which this fixture's ≤ 5-copy groups guarantee.)
+    QueryDef("dd_pipeline_increment")(
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' extra', lang FROM documents WHERE doc_id < 20
+         |  UNION ALL SELECT doc_id + 200000, text || ' extra extra', lang FROM documents WHERE doc_id < 20
+         |  UNION ALL SELECT doc_id + 300000, text || ' extra', lang FROM documents WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id + 400000, text || ' extra', lang FROM documents WHERE doc_id < 5
+         |  UNION ALL SELECT doc_id + 500000, upper(text), lang FROM documents WHERE doc_id >= 30 AND doc_id < 40),
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | dup AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |         JOIN sizes na ON na.doc_id = p.doc_a
+         |         JOIN sizes nb ON nb.doc_id = p.doc_b
+         |         WHERE round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.8),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM dup
+         |         UNION SELECT doc_b, doc_a FROM dup),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | purge AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY 1 HAVING min(lbl) <> node)
+         | SELECT lang, CAST(count(*) AS BIGINT) AS n
+         | FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM purge)
+         | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedChainLang(s, dir)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val batch = d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"), col("lang"))
+        .unionAll(d.where(col("doc_id") < 5)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text"), col("lang")))
+        .unionAll(d.where(col("doc_id") >= 30 && col("doc_id") < 40)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            upper(col("text")).as("text"), col("lang")))
+      // standing state: the dd_pipeline labeling of the corpus alone
+      val labels0 = Dedup.clusterDedupFirst(corpus, minJaccard = Some(0.8))
+      // increment edges: gated cross matches + gated within-batch dups —
+      // the standing corpus is never re-paired
+      val cross = Dedup.crossNearDup(corpus.select(col("doc_id"), col("text")),
+          batch.select(col("doc_id"), col("text")), threshold = 0.8)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      val within = Dedup.nearDupScores(batch.select(col("doc_id"), col("text")))
+        .where(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+      val labels1 = Dedup.incrementalClusters(labels0, cross.unionAll(within))
+      val purge = labels1.where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      corpus.unionAll(batch).join(purge, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    },
+
     // ---- similarity search ----------------------------------------------
     // q28 (SURVEY §2.3): brute-force cosine top-k — the exact baseline.
     QueryDef("sim_topk_brute")(
