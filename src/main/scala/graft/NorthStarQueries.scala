@@ -458,7 +458,11 @@ object NorthStarQueries {
     // vectors (cosine −1 to their source: match nothing) — deduped
     // against the standing corpus. Oracle is the brute-force cross
     // cosine join; engine recall is exact because true matches are
-    // exact copies (shared LSH bucket at any plane count).
+    // exact copies (shared LSH bucket at any plane count). VERIFIED
+    // corpus property, BOTH signs: natural pairwise cosine spans only
+    // [−0.549, +0.513] across sf0.001/sf0.01 (measured brute-force), so
+    // neither a natural pair nor a negated vector can reach ±0.9 — the
+    // oracle can only ever emit the planted exact copies.
     QueryDef("dd_embed_cross")(
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          | batch AS (SELECT vec_id + 100000 AS vec_id, embedding

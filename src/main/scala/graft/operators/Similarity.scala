@@ -239,10 +239,7 @@ object Similarity {
     // and one more Hamming-1 probe). Exact-copy recall is plane-count
     // invariant (sign buckets are scale-invariant); the Hamming-1 net for
     // near-misses is the documented LSH trade-off either way.
-    val e = embs
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("selfdot", dot(col("v"), col("v")))
-      .where(col("selfdot") > 0)
+    val e = nonZeroVecs(embs)
     // Persist: the bucket projection (numPlanes dots per row) feeds BOTH
     // self-join sides with different keys, so ReuseExchange can't dedupe
     // it — same rationale as the simhashPairs persist; released after the
@@ -273,6 +270,16 @@ object Similarity {
     Dedup.materializeThenRelease(scored, bucketed)
   }
 
+  /** The shared scoring projection: doubled vectors with their self-dot,
+    * zero-norm rows EXCLUDED (their cosine is NaN, which engines compare
+    * against the threshold differently) — one definition so the self and
+    * cross operators' numeric contracts cannot diverge. */
+  private def nonZeroVecs(embs: DataFrame): DataFrame =
+    embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("selfdot", dot(col("v"), col("v")))
+      .where(col("selfdot") > 0)
+
   /** Home bucket + every Hamming-1 flip per row — the probe set of the
     * near-dup candidate generators (self and cross). */
   private def hammingProbes(bucketed: DataFrame, numPlanes: Int): DataFrame = {
@@ -301,27 +308,24 @@ object Similarity {
     * net — the documented LSH trade-off. */
   def crossNearDup(corpus: DataFrame, batch: DataFrame, threshold: Double,
       numPlanes: Int = 16): DataFrame = {
-    def prep(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("selfdot", dot(col("v"), col("v")))
-      .where(col("selfdot") > 0)
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bC = lshBuckets(corpus, numPlanes).persist(sl)
-    val bB = lshBuckets(batch, numPlanes).persist(sl)
-    val cand = hammingProbes(bB, numPlanes).as("pb")
-      .join(bC.as("hc"), col("pb.pb") === col("hc.bucket"))
+    // No persists here: unlike the self-join (where one bucket table feeds
+    // both join sides with different keys), each side's bucket projection
+    // has exactly ONE consumer — caching would be pure churn in a
+    // per-batch ingest loop.
+    val cand = hammingProbes(lshBuckets(batch, numPlanes), numPlanes).as("pb")
+      .join(lshBuckets(corpus, numPlanes).as("hc"), col("pb.pb") === col("hc.bucket"))
       .select(col("pb.vec_id").as("batch_vec"), col("hc.vec_id").as("corpus_vec"))
       .distinct()
     val scored = cand
-      .join(prep(batch).select(col("vec_id").as("batch_vec"),
+      .join(nonZeroVecs(batch).select(col("vec_id").as("batch_vec"),
         col("v").as("vb"), col("selfdot").as("db")), "batch_vec")
-      .join(prep(corpus).select(col("vec_id").as("corpus_vec"),
+      .join(nonZeroVecs(corpus).select(col("vec_id").as("corpus_vec"),
         col("v").as("vc"), col("selfdot").as("dc")), "corpus_vec")
       .select(col("batch_vec"), col("corpus_vec"),
         (dot(col("vc"), col("vb")) / (sqrt(col("dc")) * sqrt(col("db")))).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("batch_vec"), col("corpus_vec"), round(col("sim"), 6).as("sim"))
-    Dedup.materializeThenRelease(scored, bC, bB)
+    Dedup.materializeThenRelease(scored)
   }
 
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`
