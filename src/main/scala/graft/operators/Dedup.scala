@@ -1204,7 +1204,11 @@ object Dedup {
     * components only — O(touched members), and most components are cold
     * in a steady-state ingest. The labels table is never shuffled whole:
     * two semi/anti joins on cluster_id against the (small) affected-label
-    * list and one on doc_id against the batch's endpoint set. */
+    * list and one on doc_id against the batch's endpoint set. Measured
+    * (`ClusterProbe`, EXPLAIN.md): 2.8× over full CC at 32M standing
+    * pairs, flat in standing-pair count — but BELOW `graft.ccLocalEdges`
+    * the full recompute is one local union-find task and wins; use this
+    * operator in the large-graph regime it targets. */
   def incrementalClusters(labels: DataFrame, newPairs: DataFrame): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val l = labels.select(col("doc_id"), col("cluster_id")).persist(sl)
