@@ -221,6 +221,97 @@ object Streams {
     nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
       b => graft.operators.Dedup.crossNearDupIndexed(b.sparkSession, indexDir, b, threshold))
 
+  /** Seed the standing state for `curationLoop`: the corpus's near-dup
+    * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
+    * (`Dedup.clusterDedupFirst` at the same gate), written as labels
+    * version v-1 — the snapshot the first micro-batch reads. */
+  def seedCurationState(corpus: DataFrame, indexDir: String,
+      labelsDir: String, threshold: Double): Unit = {
+    graft.operators.Dedup.buildCrossNearDupIndex(corpus, indexDir)
+    graft.operators.Dedup.clusterDedupFirst(corpus, minJaccard = Some(threshold))
+      .write.mode("overwrite").parquet(s"$labelsDir/v-1")
+  }
+
+  /** THE streaming curation loop — the production composition every
+    * increment operator in this engine exists for. Per micro-batch of
+    * arriving documents:
+    *   1. score the batch against the STANDING corpus via the prebuilt
+    *      index (`crossNearDupIndexed` ≥ threshold) and against itself
+    *      (`nearDupScores` ≥ threshold) — the standing corpus is never
+    *      re-paired;
+    *   2. fold the new edges into the standing labeling
+    *      (`incrementalClusters`) — untouched components never move;
+    *   3. write the labeling as snapshot `labelsDir/v<batchId>` and ONLY
+    *      THEN append the batch to the index — a batch never matches
+    *      itself.
+    * Labels follow `clusterDedupFirst`'s convention: only docs with dup
+    * evidence appear; an absent doc is unique so far (and can still be
+    * labeled by a LATER batch's edge — the spec's cross-batch dups
+    * exercise exactly that).
+    * After N batches, `labelsDir/v<N-1>` equals `clusterDedupFirst` over
+    * corpus ∪ all batches (StreamingSpec asserts this end to end): the
+    * cross/within decomposition is complete because earlier batches are
+    * in the index when later ones arrive.
+    *
+    * Crash discipline: snapshots are versioned BY BATCH ID, and the
+    * reader takes the newest _SUCCESS-committed version, so a mid-write
+    * crash falls back to the previous snapshot and the replayed batch
+    * recomputes it — convergent, because `incrementalClusters` over
+    * already-folded edges is a fixpoint and index appends dedup at probe
+    * time (`writeIndexSide`). */
+  def curationLoop(
+      docs: DataFrame,
+      indexDir: String,
+      labelsDir: String,
+      threshold: Double,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prevEager = spark.conf.getOption("graft.eagerRelease")
+        spark.conf.set("graft.eagerRelease", "true")
+        try {
+          val labels = readLatestLabels(spark, labelsDir)
+          val cross = graft.operators.Dedup
+            .crossNearDupIndexed(spark, indexDir, b, threshold)
+            .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+          val within = graft.operators.Dedup.nearDupScores(b)
+            .where(col("jaccard") >= threshold)
+            .select(col("doc_a"), col("doc_b"))
+          graft.operators.Dedup
+            .incrementalClusters(labels, cross.unionAll(within))
+            .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
+          graft.operators.Dedup.appendToCrossNearDupIndex(b, indexDir)
+        } finally {
+          prevEager match {
+            case Some(v) => spark.conf.set("graft.eagerRelease", v)
+            case None => spark.conf.unset("graft.eagerRelease")
+          }
+          b.unpersist(false); ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Newest _SUCCESS-committed labels snapshot under `labelsDir` — the
+    * Hadoop FS API, so the loop's state discipline is filesystem-portable. */
+  private[streaming] def readLatestLabels(spark: SparkSession, labelsDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .sortBy(_.getName.drop(1).toLong)
+    require(versions.nonEmpty,
+      s"no committed labels snapshot under $labelsDir — run seedCurationState first")
+    spark.read.schema("doc_id LONG, cluster_id LONG").parquet(versions.last.toString)
+  }
+
   private def nearDupForeachBatch(
       docs: DataFrame,
       matchDir: String,

@@ -200,6 +200,17 @@ class StreamingSpec extends TestBase {
     assert(finalState.exceptAll(batch).isEmpty && batch.exceptAll(finalState).isEmpty)
   }
 
+  /** Stage a dataframe as one flat parquet file in `dir` (the file-stream
+    * source lists files, not Spark output directories). */
+  private def dropAsFile(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drop")
+    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("d"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.copy(part, dir.resolve(name))
+  }
+
   test("foreachBatch near-dedup stream: micro-batch union == one-shot batch operator") {
     // Cross-only semantics make micro-batch boundaries invisible: each
     // arriving doc is scored against the standing corpus independently, so
@@ -215,15 +226,8 @@ class StreamingSpec extends TestBase {
     // The file source lists FILES, not Spark output directories — stage
     // each drop as a single flat parquet file (the eventsPath pattern).
     val inDir = java.nio.file.Files.createTempDirectory("graft-neardup-in")
-    def dropAsFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-drop")
-      df.coalesce(1).write.parquet(tmp.resolve("d").toString)
-      val part = java.nio.file.Files.list(tmp.resolve("d"))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
-      java.nio.file.Files.copy(part, inDir.resolve(name))
-    }
-    dropAsFile(arriving1, "b1.parquet")
-    dropAsFile(arriving2, "b2.parquet")
+    dropAsFile(arriving1, inDir, "b1.parquet")
+    dropAsFile(arriving2, inDir, "b2.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-neardup-out")
     val (matchDir, keepDir) =
       (out.resolve("matches").toString, out.resolve("keeps").toString)
@@ -273,5 +277,52 @@ class StreamingSpec extends TestBase {
     assert(viaIndex.exceptAll(streamedPairs).isEmpty &&
       streamedPairs.exceptAll(viaIndex).isEmpty,
       "index-probing stream must equal the corpus-recompute stream")
+  }
+
+  test("curation loop: streamed increments converge to the batch-pipeline labeling") {
+    import graft.operators.Dedup
+    val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    // two drops: near-copies of docs < 10; then exact re-copies of the
+    // first five of THOSE (cross-batch dups) plus fresh upper-cased docs
+    val b1 = corpus.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val b2 = corpus.where(col("doc_id") < 5)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      .unionAll(corpus.where(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 3000).as("doc_id"), upper(col("text")).as("text")))
+    val st = java.nio.file.Files.createTempDirectory("graft-curation")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-curation-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    val q = Streams.curationLoop(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, threshold = 0.8, st.resolve("ckpt").toString)
+    q.awaitTermination()
+    // one snapshot per batch beyond the seed
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v-1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v1")))
+    // the final snapshot equals the from-scratch batch pipeline over the
+    // whole accumulated corpus — regardless of micro-batch order, because
+    // earlier batches are in the index when later ones arrive
+    val got = spark.read.parquet(s"$lblDir/v1")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    val expected = Dedup.clusterDedupFirst(
+        corpus.unionAll(b1).unionAll(b2), minJaccard = Some(0.8))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    assert(got == expected,
+      "streamed curation state must equal the batch-mode labeling")
+    // the index absorbed both batches (scored-then-appended, never self)
+    val indexed = spark.read.parquet(s"$idxDir/shingle_keys")
+      .select("doc_id").distinct().count()
+    assert(indexed == corpus.count() + b1.count() + b2.count())
   }
 }
