@@ -1,7 +1,6 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** A/Bs incremental cluster maintenance against the full recompute it
@@ -25,21 +24,12 @@ object ClusterProbe {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 3
     val batchPct = if (args.length > 2) args(2).toInt else 2
-    require(batchPct >= 1 && batchPct <= 100, s"batchPct $batchPct not in [1, 100]")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeHarness.session()
+    import ProbeHarness.time
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     try {
       val corpus = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-      val batch = corpus.where(col("doc_id") % 100 < batchPct)
-        .select((col("doc_id") + 50000000L).as("doc_id"),
-          concat(col("text"), lit(" extra")).as("text"))
+      val batch = ProbeHarness.syntheticBatch(corpus, batchPct)
       // Standing state, shared by both arms, built once outside timing:
       // the corpus candidate-pair set and its labeling.
       val pairs0 = Dedup.lshCandidatePairsDedup(corpus)
@@ -52,11 +42,6 @@ object ClusterProbe {
         s"pairs0=${pairs0.count()}, labels0=${labels0.count()}, " +
         s"newPairs=${newPairs.count()}")
 
-      def time[A](f: => A): (Double, A) = {
-        val t0 = System.nanoTime()
-        val r = f
-        ((System.nanoTime() - t0) / 1e9, r)
-      }
       def incremental() = Dedup.incrementalClusters(labels0, newPairs)
       def full() = Dedup.connectedComponents(pairs0.unionAll(newPairs))
       val a = incremental(); val b = full()

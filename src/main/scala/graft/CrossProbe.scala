@@ -1,7 +1,6 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** A/Bs the two forms of cross-corpus near-dedup on one corpus in one
@@ -25,33 +24,14 @@ object CrossProbe {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 3
     val batchPct = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeHarness.session()
+    import ProbeHarness.time
     try {
       val corpus = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-      // Arriving batch: batchPct% of the corpus as near-copies (appended
-      // token, shifted ids) — dup-dense against the standing side, the
-      // operational worst case for the scoring joins. `% 100 < pct` keeps
-      // the fraction exact for any pct in [1, 100] (an integer-division
-      // modulus like 100/pct drifts for non-divisors and breaks above 100).
-      require(batchPct >= 1 && batchPct <= 100, s"batchPct $batchPct not in [1, 100]")
-      val batch = corpus.where(col("doc_id") % 100 < batchPct)
-        .select((col("doc_id") + 50000000L).as("doc_id"),
-          concat(col("text"), lit(" extra")).as("text"))
+      val batch = ProbeHarness.syntheticBatch(corpus, batchPct)
       println(s"[crossprobe] corpus=${corpus.count()} batch=${batch.count()} docs")
 
       val idxDir = java.nio.file.Files.createTempDirectory("graft-crossprobe-idx").toString
-      def time[A](f: => A): (Double, A) = {
-        val t0 = System.nanoTime()
-        val r = f
-        ((System.nanoTime() - t0) / 1e9, r)
-      }
       val (tBuild, _) = time(Dedup.buildCrossNearDupIndex(corpus, idxDir))
       println(f"[crossprobe] index build: $tBuild%.2f s (one-time, amortizes over batches)")
 

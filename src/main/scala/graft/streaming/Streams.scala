@@ -248,6 +248,22 @@ object Streams {
     * evidence appear; an absent doc is unique so far (and can still be
     * labeled by a LATER batch's edge — the spec's cross-batch dups
     * exercise exactly that).
+    *
+    * Preconditions and bounds, stated plainly:
+    *   - doc_ids must be GLOBALLY unique across corpus and every batch.
+    *     The cross SCORERS tolerate overlapping id spaces, but this loop
+    *     feeds their output into one shared label/index graph, where a
+    *     collision silently merges unrelated documents — so each batch is
+    *     guarded by a cheap semi-join against the index and the stream
+    *     fails fast on collision instead.
+    *   - the batch-equality claim holds while bucket caps don't bind:
+    *     each increment caps its own buckets, so a boilerplate text
+    *     accumulating past `maxBucket` ACROSS increments diverges from
+    *     the union-wide cap a from-scratch run applies (EXPLAIN.md
+    *     §Dedup-first documents the same boundary for the operators).
+    *   - snapshots are pruned to the newest committed version plus its
+    *     predecessor (all crash recovery ever needs), so state is
+    *     O(labeling), not O(batches × labeling).
     * After N batches, `labelsDir/v<N-1>` equals `clusterDedupFirst` over
     * corpus ∪ all batches (StreamingSpec asserts this end to end): the
     * cross/within decomposition is complete because earlier batches are
@@ -273,7 +289,23 @@ object Streams {
         val prevEager = spark.conf.getOption("graft.eagerRelease")
         spark.conf.set("graft.eagerRelease", "true")
         try {
+          // Fail fast on id collision: one narrow semi-join against the
+          // index's id column — a collision would silently merge
+          // unrelated docs in the shared label/index graph.
+          val collisions = b.select(col("doc_id"))
+            .join(spark.read.schema("doc_id LONG, sk LONG")
+              .parquet(s"$indexDir/shingle_keys").select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi")
+            .limit(1).collect()
+          require(collisions.isEmpty,
+            s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
+              "curationLoop requires globally unique doc_ids")
           val labels = readLatestLabels(spark, labelsDir)
+          // The batch is shingled once per consumer below (index probe,
+          // within-batch dedup-first at REP level, index append) — three
+          // O(batch) passes by design: the granularities differ (doc-level
+          // vs rep-level shingles) and the loop's scale contract is about
+          // corpus-side work, which stays O(candidates) throughout.
           val cross = graft.operators.Dedup
             .crossNearDupIndexed(spark, indexDir, b, threshold)
             .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
@@ -284,6 +316,7 @@ object Streams {
             .incrementalClusters(labels, cross.unionAll(within))
             .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
           graft.operators.Dedup.appendToCrossNearDupIndex(b, indexDir)
+          pruneLabelSnapshots(spark, labelsDir)
         } finally {
           prevEager match {
             case Some(v) => spark.conf.set("graft.eagerRelease", v)
@@ -296,20 +329,38 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Newest _SUCCESS-committed labels snapshot under `labelsDir` — the
-    * Hadoop FS API, so the loop's state discipline is filesystem-portable. */
-  private[streaming] def readLatestLabels(spark: SparkSession, labelsDir: String): DataFrame = {
+  /** _SUCCESS-committed labels snapshots under `labelsDir`, oldest first —
+    * the Hadoop FS API, so the loop's state discipline is
+    * filesystem-portable. */
+  private def committedSnapshots(spark: SparkSession,
+      labelsDir: String): (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.Path]) = {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"no labels state at $labelsDir — run seedCurationState first")
     val versions = fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => p.getName.startsWith("v") &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .sortBy(_.getName.drop(1).toLong)
+    (fs, versions)
+  }
+
+  /** Newest committed labels snapshot under `labelsDir`. */
+  private[streaming] def readLatestLabels(spark: SparkSession, labelsDir: String): DataFrame = {
+    val (_, versions) = committedSnapshots(spark, labelsDir)
     require(versions.nonEmpty,
       s"no committed labels snapshot under $labelsDir — run seedCurationState first")
     spark.read.schema("doc_id LONG, cluster_id LONG").parquet(versions.last.toString)
+  }
+
+  /** Keep the newest committed snapshot plus its predecessor (all crash
+    * recovery can ever need), delete the rest — state stays O(labeling),
+    * not O(batches × labeling). */
+  private def pruneLabelSnapshots(spark: SparkSession, labelsDir: String): Unit = {
+    val (fs, versions) = committedSnapshots(spark, labelsDir)
+    versions.dropRight(2).foreach(p => fs.delete(p, true))
   }
 
   private def nearDupForeachBatch(

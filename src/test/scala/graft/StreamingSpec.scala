@@ -303,8 +303,10 @@ class StreamingSpec extends TestBase {
       Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
       idxDir, lblDir, threshold = 0.8, st.resolve("ckpt").toString)
     q.awaitTermination()
-    // one snapshot per batch beyond the seed
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v-1")))
+    // retention: newest snapshot + its predecessor survive, the seed is
+    // pruned once two newer committed versions exist
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v-1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v0")))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v1")))
     // the final snapshot equals the from-scratch batch pipeline over the
     // whole accumulated corpus — regardless of micro-batch order, because
