@@ -529,6 +529,29 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Grow a `buildIvfIndex` layout with NEW vectors — the ANN analogue of
+    * the dedup index's append path: assignment uses the INDEX's own stored
+    * centroids (never recomputed), so probes see one consistent cell
+    * geometry across increments and growth is a file append inside
+    * existing cell partitions. An index grown this way is IDENTICAL to one
+    * rebuilt from scratch with the same centroids (spec-asserted).
+    * Operating discipline: cell balance degrades only as the data
+    * distribution drifts from the build-time centroids — monitor recall on
+    * a held-out probe set (the `sim_recall` gate pattern) and rebuild on
+    * drift, the standard IVF trade. */
+  def appendToIvfIndex(embs: DataFrame, indexDir: String): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    embs
+      .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v"))
+      .where(dot(col("v"), col("v")) > 0)
+      .withColumn("cell", cellAssignExpr(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/data")
+  }
+
   /** Probe a `buildIvfIndex` layout: the `cell IN (...)` predicate lands in
     * the scan's PartitionFilters (directory-level pruning — unprobed cells'
     * files are never opened), then exact scoring + TakeOrderedAndProject. */

@@ -192,6 +192,29 @@ class SimilaritySpec extends TestBase {
       "cell IN (...) must appear as a partition filter:\n" + plan.take(2000))
   }
 
+  test("appendToIvfIndex: grown index == index rebuilt with the same centroids") {
+    val e = Tables(spark, sf(), "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // split by id so both builds seed IDENTICAL centroids (centroidsOf
+    // takes the first nCells non-zero vectors by vec_id, all in the first
+    // half) — then grown and rebuilt layouts must agree exactly
+    val (half, rest) = (e.where(col("vec_id") < n / 2), e.where(col("vec_id") >= n / 2))
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString
+    Similarity.buildIvfIndex(half, grown, nCells = 8)
+    Similarity.appendToIvfIndex(rest, grown)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.buildIvfIndex(e, rebuilt, nCells = 8)
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val a = Similarity.ivfTopKIndexed(spark, grown, q, 10).as[(Long, Double)].collect().toSeq
+    val b = Similarity.ivfTopKIndexed(spark, rebuilt, q, 10).as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // the appended rows include second-half ids — growth actually landed
+    assert(spark.read.parquet(s"$grown/data")
+      .where(col("vec_id") >= n / 2).count() > 0)
+  }
+
   test("LSH buckets: deterministic, identical vectors share a bucket") {
     val e = Seq(
       (1L, Array(0.5f, -0.2f, 0.8f)), (2L, Array(0.5f, -0.2f, 0.8f)),
