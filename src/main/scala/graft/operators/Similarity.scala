@@ -534,7 +534,11 @@ object Similarity {
     * centroids (never recomputed), so probes see one consistent cell
     * geometry across increments and growth is a file append inside
     * existing cell partitions. An index grown this way is IDENTICAL to one
-    * rebuilt from scratch with the same centroids (spec-asserted).
+    * rebuilt from scratch with the same centroids (spec-asserted at the
+    * LAYOUT level — per-vector cell assignments compared, not just one
+    * probe), and a retried append converges: probes collapse duplicate
+    * rows, so a replayed increment cannot seat one vec_id in two top-k
+    * slots (also spec-asserted).
     * Operating discipline: cell balance degrades only as the data
     * distribution drifts from the build-time centroids — monitor recall on
     * a held-out probe set (the `sim_recall` gate pattern) and rebuild on
@@ -568,6 +572,10 @@ object Similarity {
       // indexes written by buildIvfIndex exclude zero-norm rows already;
       // re-assert here so hand-built layouts can't leak NaN sims into top-k
       .where(dot(col("v"), col("v")) > 0)
+      // collapse duplicate rows from a replayed append (the dedup index's
+      // probe-side discipline) — a duplicated vec_id must not occupy two
+      // top-k slots. Aggregate cost is bounded by the PROBED fraction.
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

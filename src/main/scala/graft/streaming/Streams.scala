@@ -253,9 +253,12 @@ object Streams {
     *   - doc_ids must be GLOBALLY unique across corpus and every batch.
     *     The cross SCORERS tolerate overlapping id spaces, but this loop
     *     feeds their output into one shared label/index graph, where a
-    *     collision silently merges unrelated documents — so each batch is
-    *     guarded by a cheap semi-join against the index and the stream
-    *     fails fast on collision instead.
+    *     collision silently merges unrelated documents — so each batch
+    *     fails fast on within-batch duplicate ids, and a batch's FIRST
+    *     delivery is additionally checked against the index (a shuffle-
+    *     free broadcast semi-join over the index's id column). Replays —
+    *     detected by their own committed snapshot — skip the index check,
+    *     since they legitimately collide with their prior append.
     *   - the batch-equality claim holds while bucket caps don't bind:
     *     each increment caps its own buckets, so a boilerplate text
     *     accumulating past `maxBucket` ACROSS increments diverges from
@@ -289,17 +292,30 @@ object Streams {
         val prevEager = spark.conf.getOption("graft.eagerRelease")
         spark.conf.set("graft.eagerRelease", "true")
         try {
-          // Fail fast on id collision: one narrow semi-join against the
-          // index's id column — a collision would silently merge
-          // unrelated docs in the shared label/index graph.
-          val collisions = b.select(col("doc_id"))
-            .join(spark.read.schema("doc_id LONG, sk LONG")
-              .parquet(s"$indexDir/shingle_keys").select(col("doc_id")).distinct(),
-              Seq("doc_id"), "left_semi")
-            .limit(1).collect()
-          require(collisions.isEmpty,
-            s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
-              "curationLoop requires globally unique doc_ids")
+          // Duplicate ids WITHIN a batch always mean corrupt input (two
+          // different docs would silently merge under one id).
+          val dupInBatch = b.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+            .where(col("k") > 1).limit(1).collect()
+          require(dupInBatch.isEmpty,
+            s"batch $batchId carries duplicate doc_id ${dupInBatch.head.getLong(0)}")
+          // Batch-vs-index collision guard — but ONLY for a batch's FIRST
+          // delivery: a committed v<batchId> snapshot marks a replay, and
+          // a replayed batch legitimately collides with its own prior
+          // index append (foreachBatch is at-least-once); replays rely on
+          // probe-side dedup instead. The guard streams the index's id
+          // column against a BROADCAST of the batch's ids — no shuffle,
+          // no aggregate, one column scan.
+          val replay = committedSnapshots(spark, labelsDir)._2
+            .exists(_.getName == s"v$batchId")
+          if (!replay) {
+            val collisions = spark.read.schema("doc_id LONG, sk LONG")
+              .parquet(s"$indexDir/shingle_keys").select(col("doc_id"))
+              .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+              .limit(1).collect()
+            require(collisions.isEmpty,
+              s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
+                "curationLoop requires globally unique doc_ids")
+          }
           val labels = readLatestLabels(spark, labelsDir)
           // The batch is shingled once per consumer below (index probe,
           // within-batch dedup-first at REP level, index append) — three

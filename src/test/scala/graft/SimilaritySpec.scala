@@ -210,9 +210,19 @@ class SimilaritySpec extends TestBase {
     val a = Similarity.ivfTopKIndexed(spark, grown, q, 10).as[(Long, Double)].collect().toSeq
     val b = Similarity.ivfTopKIndexed(spark, rebuilt, q, 10).as[(Long, Double)].collect().toSeq
     assert(a.nonEmpty && a == b)
-    // the appended rows include second-half ids — growth actually landed
-    assert(spark.read.parquet(s"$grown/data")
-      .where(col("vec_id") >= n / 2).count() > 0)
+    // layout-level identity, not just one probe: every vector sits in the
+    // SAME cell in the grown and rebuilt indexes
+    val cellsOf = (d: String) => spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(cellsOf(grown) == cellsOf(rebuilt))
+    assert(cellsOf(grown).exists(_._1 >= n / 2), "growth actually landed")
+    // a replayed (duplicate) append must not seat one vec_id in two top-k
+    // slots — probes collapse duplicates
+    Similarity.appendToIvfIndex(rest, grown)
+    val replayed = Similarity.ivfTopKIndexed(spark, grown, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(replayed == a)
+    assert(replayed.map(_._1).distinct.size == replayed.size)
   }
 
   test("LSH buckets: deterministic, identical vectors share a bucket") {
