@@ -326,5 +326,22 @@ class StreamingSpec extends TestBase {
     val indexed = spark.read.parquet(s"$idxDir/shingle_keys")
       .select("doc_id").distinct().count()
     assert(indexed == corpus.count() + b1.count() + b2.count())
+
+    // At-least-once replay, end to end: re-run the WHOLE stream with a
+    // fresh checkpoint against the existing state — every batch is now a
+    // replay (its snapshot exists, its ids are indexed). The loop must
+    // not trip its own collision guard, must converge to the same
+    // labeling, and the double-appended index must still probe clean.
+    val q2 = Streams.curationLoop(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, threshold = 0.8, st.resolve("ckpt-replay").toString)
+    q2.awaitTermination()
+    val replayed = spark.read.parquet(s"$lblDir/v1")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    assert(replayed == expected, "replaying every batch must be a fixpoint")
+    assert(spark.read.parquet(s"$idxDir/shingle_keys")
+      .select("doc_id").distinct().count() == indexed)
   }
 }
