@@ -984,5 +984,37 @@ object CoreQueries {
         sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
           16, 10).cast("long")).as("content_sum"))
     },
+
+    // CDC snapshot diff: latest-state-per-user at 60% of the log's span vs
+    // at the end, every user classified insert/update/unchanged (delete
+    // needs a tombstone type — spec-covered; impossible in this append-only
+    // log). The oracle materializes both snapshots with windowed sorts and
+    // a full outer join — the ENGINE computes the identical result in ONE
+    // key-partitioned aggregate (conditional max_by per bound, map-side
+    // combined): one shuffle instead of two sorts + a join.
+    QueryDef("evt_cdc")(
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        | t AS (SELECT mn + CAST((mx - mn) * 6 / 10 AS BIGINT) AS t0, mx + 1 AS t1 FROM b),
+        | s0 AS (SELECT user_id, event_type, value FROM (
+        |     SELECT e.user_id, e.event_type, e.value,
+        |       row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |     FROM events e CROSS JOIN t WHERE epoch_us(e.ts) < t0) WHERE rn = 1),
+        | s1 AS (SELECT user_id, event_type, value FROM (
+        |     SELECT e.user_id, e.event_type, e.value,
+        |       row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |     FROM events e CROSS JOIN t WHERE epoch_us(e.ts) < t1) WHERE rn = 1)
+        | SELECT coalesce(s1.user_id, s0.user_id) AS key,
+        |   CASE WHEN s0.user_id IS NULL THEN 'insert'
+        |        WHEN s1.user_id IS NULL THEN 'delete'
+        |        WHEN s0.event_type <> s1.event_type OR s0.value <> s1.value THEN 'update'
+        |        ELSE 'unchanged' END AS change,
+        |   s0.event_type AS old_type, s1.event_type AS new_type
+        | FROM s0 FULL JOIN s1 ON s0.user_id = s1.user_id
+        | ORDER BY key""".stripMargin
+    ) { (s, d) =>
+      implicit val sd = (s, d)
+      graft.operators.SnapshotDiff.diffAuto(t("events"), col("user_id"))
+        .orderBy(col("key"))
+    },
   )
 }

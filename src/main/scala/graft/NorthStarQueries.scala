@@ -861,6 +861,26 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Model-based quality gate (the CCNet/FineWeb pattern): logistic
+    // regression over the declared quality features with fixed offline
+    // weights; inference is a pure per-row projection. The pass gate
+    // compares the ROUNDED score so both engines gate on the same number
+    // (verified: no corpus score within 1e-4 of the 0.5 boundary).
+    QueryDef("txt_lr_score")(
+      """WITH f AS (SELECT doc_id,
+        |    (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mtl,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS sr,
+        |    ln(1.0 + len(string_split(text,' '))) AS lt
+        |  FROM documents),
+        | sc AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * mtl + 6.0 * sr + 0.35 * lt))), 6) AS lr_score
+        |  FROM f)
+        | SELECT doc_id, lr_score, CAST(lr_score >= 0.5 AS INT) AS pass
+        | FROM sc ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.lrQuality(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
     QueryDef("txt_tokens")(
       """SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |   CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sub_tokens
@@ -1063,6 +1083,32 @@ object NorthStarQueries {
           Map("en" -> 10, "de" -> 50, "zh" -> 100))
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy("lang")
+    },
+
+    // Target-mixture rebalancing: the output proportions are specified a
+    // priori (the training-mixture spec) and per-stratum keep rates are
+    // DERIVED — achievable size N = min_s floor(n_s/p_s) (binding stratum
+    // kept whole), stratum s keeps floor(p_s·N·buckets/n_s) hash slots.
+    // The oracle replays the identical derivation; thresholds are integer
+    // compares so there is no epsilon boundary.
+    QueryDef("smp_mixture")(
+      """WITH t(lang, p) AS (VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2),
+        |                           ('fr', 0.15), ('zh', 0.15)),
+        | c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | j AS (SELECT c.lang, c.n, t.p FROM c JOIN t USING (lang)),
+        | a AS (SELECT min(CAST(floor(n / p) AS BIGINT)) AS nach FROM j),
+        | thr AS (SELECT lang, CAST(floor(p * nach * 10000.0 / n) AS BIGINT) AS th
+        |         FROM j CROSS JOIN a)
+        | SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        | FROM documents d JOIN thr USING (lang)
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+          Tables(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.15))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
     },
 
     // ---- multimodal ------------------------------------------------------

@@ -43,4 +43,48 @@ object Sampling {
     }
     df.where(hashBucket(key, buckets) < rateCol)
   }
+
+  /** Target-mixture sampling: downsample strata so the OUTPUT hits the given
+    * proportions (`targets` sum to ≤ 1; strata absent from it drop) — the
+    * domain-rebalancing step of training-corpus assembly, where the mixture
+    * is specified a priori and the per-stratum rates must be DERIVED from
+    * the data. The achievable corpus size is `N = min_s floor(n_s / p_s)`
+    * (the binding stratum is kept whole); every stratum then keeps
+    * `floor(p_s · N · buckets / n_s)` of its `buckets` hash slots.
+    *
+    * Stays fully declarative: one map-side-combined count aggregate over the
+    * stratum column (metadata-scale result), a broadcast-joined threshold
+    * per stratum, and the same pure-row-property hash filter as
+    * [[hashSample]] — no driver collect, one scan of the data plus one
+    * count-only scan, reproducible under repartitioning and incremental
+    * re-runs of the SAME corpus snapshot (rates are data-dependent, so a
+    * grown corpus legitimately re-derives them).
+    *
+    * Cross-engine determinism: thresholds are `floor()` of the identical
+    * left-to-right double expression DuckDB evaluates, compared against the
+    * integer hash bucket — no epsilon boundary.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
+      s"target proportions must be in (0, 1]: $targets")
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"target proportions must sum to <= 1: $targets")
+    val cnt = df.select(stratum.as("_strat"))
+      .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
+    val withP = cnt.withColumn("_p",
+        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
+          when(col("_strat") === s, lit(p)).otherwise(acc)
+        })
+      .where(col("_p").isNotNull)
+    val achievable = withP
+      .agg(min(floor(col("_n") / col("_p")).cast("long")).as("_nach"))
+    val thresholds = withP.crossJoin(broadcast(achievable))
+      .select(col("_strat"),
+        floor(col("_p") * col("_nach") * lit(buckets.toDouble) / col("_n"))
+          .cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratum <=> col("_strat"), "inner")
+      .where(hashBucket(key, buckets) < col("_thr"))
+      .drop("_strat", "_thr")
+  }
 }

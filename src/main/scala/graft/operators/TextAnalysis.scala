@@ -62,6 +62,37 @@ object TextAnalysis {
         6).as("quality_score"))
   }
 
+  /** Model-based quality scoring: logistic regression over the declared
+    * quality features with FIXED weights — the published curation pattern
+    * (CCNet's fastText gate, FineWeb's edu classifier): the model trains
+    * offline, and corpus-side inference is a pure per-row projection. The
+    * heuristic [[quality]] score is a hand-tuned AND of gates; this is its
+    * learned-model successor with a calibrated [0,1] output.
+    *
+    * `score = σ(w0 + w_mtl·mean_tok_len + w_stop·stopword_ratio
+    *            + w_ltok·ln(1 + n_tokens))`, `pass = round(score,6) ≥ 0.5`.
+    *
+    * Determinism: features are the identical ratio expressions the
+    * [[quality]] oracle replays; the single exp/ln pair stays ≤ ~e¹⁵ so
+    * `round(…, 6)` absorbs JVM-vs-libm ULP gaps (tfidf precedent), and the
+    * pass gate compares the ROUNDED score so both engines gate on the same
+    * number. Per-row only — no shuffle, codegen end-to-end. */
+  def lrQuality(docs: DataFrame,
+      w0: Double = -3.0, wMeanTokLen: Double = 0.4,
+      wStop: Double = 6.0, wLogTok: Double = 0.35): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*)))
+    val mtl = (length(col("text")) - (nTok - 1)) / nTok
+    val sr = nStop / nTok
+    val z = lit(w0) + lit(wMeanTokLen) * mtl + lit(wStop) * sr +
+      lit(wLogTok) * log(lit(1.0) + nTok)
+    docs.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr_score"))
+      .withColumn("pass", (col("lr_score") >= 0.5).cast("int"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish sub-token count
     * (alphanumeric runs + single non-alphanumeric, non-space marks). */
   def tokenCounts(docs: DataFrame): DataFrame =

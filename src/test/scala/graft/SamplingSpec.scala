@@ -35,4 +35,37 @@ class SamplingSpec extends TestBase {
       Sampling.stratifiedSample(d, col("grp"), col("id"), Map("s0" -> 101))
     }
   }
+
+  test("mixtureSample: output approximates target proportions; binding stratum whole") {
+    // 6000 a / 2000 b / 400 c; targets a .4 / b .4 / c .2 → caps 15000 /
+    // 5000 / 2000 → N = 2000 (c binding, kept whole): a→800, b→800, c→400.
+    val d = ((0L until 6000L).map(i => (i, "a")) ++
+        (6000L until 8000L).map(i => (i, "b")) ++
+        (8000L until 8400L).map(i => (i, "c")))
+      .toDF("id", "grp")
+    val got = Sampling.mixtureSample(d, col("grp"), col("id"),
+        Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 400L, s"binding stratum must be kept whole: $got")
+    // hash sampling: expect within ±20% of the derived 800
+    assert(got("a") > 640 && got("a") < 960, s"a out of band: $got")
+    assert(got("b") > 640 && got("b") < 960, s"b out of band: $got")
+    // membership is a pure row property (stable under repartitioning)
+    val a1 = Sampling.mixtureSample(d, col("grp"), col("id"),
+        Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2)).select("id").as[Long].collect().toSet
+    val a2 = Sampling.mixtureSample(d.repartition(7), col("grp"), col("id"),
+        Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2)).select("id").as[Long].collect().toSet
+    assert(a1 == a2)
+    // strata absent from the target mixture drop
+    val e = Sampling.mixtureSample(d, col("grp"), col("id"), Map("a" -> 1.0))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(e.keySet == Set("a"))
+    // invalid targets fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(d, col("grp"), col("id"), Map("a" -> 0.7, "b" -> 0.7))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(d, col("grp"), col("id"), Map("a" -> 0.0))
+    }
+  }
 }

@@ -82,6 +82,21 @@ class TextAnalysisSpec extends TestBase {
     assert(empty.isEmpty)
   }
 
+  test("lrQuality: hand-computed sigmoid; pass gates on the rounded score") {
+    // "the cat sat of mats": 5 tokens, 19 chars, 2 stopwords (the, of).
+    // mtl = (19-4)/5 = 3.0; sr = 0.4; lt = ln(6).
+    // z = -3 + 0.4·3.0 + 6·0.4 + 0.35·ln(6) = 1.227137…; σ(z) = 0.773313
+    val d = Seq((1L, "the cat sat of mats"), (2L, "zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.lrQuality(d)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val z = -3.0 + 0.4 * 3.0 + 6.0 * 0.4 + 0.35 * math.log(6.0)
+    assert(got(1L)._1 == BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L)._2 == 1)
+    // "zz": 1 token, no stopwords: z = -3 + 0.4·2 + 0.35·ln(2) < 0 → fail
+    assert(got(2L)._1 < 0.5 && got(2L)._2 == 0)
+  }
+
   test("tfidf: hand-computed weights; corpus-wide terms get idf 0") {
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfidf(d)
