@@ -453,6 +453,39 @@ object NorthStarQueries {
       Dedup.embeddingNearDup(planted, 0.9).orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // SemDeDup-style semantic dedup: IVF-cell clustering (the sim_ivf
+    // assignment chain verbatim) then greedy keep-first within cells at
+    // cosine ≥ 0.9 over the corpus ∪ 10 planted exact copies. Natural
+    // pairwise cosine tops out ≈ 0.51 (verified corpus property, see
+    // dd_embed_cross), so exactly the planted copies drop — but only if
+    // copies land in their original's cell AND the within-cell scorer
+    // fires; the oracle replays assignment + greedy drop in full.
+    QueryDef("dd_semantic")(
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+         | d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus
+         |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 16),
+         | asgr AS (SELECT d.vec_id, d.v, c.cell, ${cosSql("d.v", "c.cv")} AS cs
+         |          FROM d CROSS JOIN c),
+         | asg AS (SELECT vec_id, v, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | drp AS (SELECT DISTINCT b.vec_id
+         |         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |         WHERE ${cosSql("a.v", "b.v")} >= 0.9)
+         | SELECT g.vec_id, g.cell,
+         |   CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         | FROM asg g LEFT JOIN drp ON g.vec_id = drp.vec_id
+         | ORDER BY g.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(planted, 0.9).orderBy(col("vec_id"))
+    },
+
     // Cross-corpus embedding near-dup: an arriving batch of vectors —
     // exact re-uploads of corpus vectors (shifted ids) plus negated
     // vectors (cosine −1 to their source: match nothing) — deduped

@@ -1181,6 +1181,14 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame =
     Similarity.bucketedNearDup(embs, threshold)
 
+  /** Semantic (embedding-space cluster) dedup — delegates to
+    * `Similarity.semanticDedup`: IVF-cell clustering, then greedy
+    * keep-first within cells at cosine ≥ threshold (the SemDeDup pattern;
+    * see that method for the n²/nCells scale contract). */
+  def semanticDedup(embs: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame =
+    Similarity.semanticDedup(embs, threshold, nCells)
+
   /** Incremental cluster maintenance — fold a batch's NEW near-dup pairs
     * into an existing labeling without re-clustering untouched components:
     * the operational counterpart of `connectedComponents` the same way

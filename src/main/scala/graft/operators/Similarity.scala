@@ -328,6 +328,44 @@ object Similarity {
     Dedup.materializeThenRelease(scored)
   }
 
+  /** SemDeDup-style semantic deduplication (the published embedding-space
+    * curation pattern: cluster, then drop near-identical vectors WITHIN
+    * clusters — Abbas et al. 2023, arXiv:2303.09540): every non-zero-norm
+    * vector is assigned to its nearest of `nCells` deterministic seed
+    * centroids (the IVF cell argmax — no shuffle), and within each cell a
+    * vector is DROPPED when a smaller-id cell-mate sits at cosine ≥
+    * `threshold` (greedy keep-first: deterministic, order-free, and equal
+    * to keep-one-per-duplicate-group on exact copies). Returns
+    * `(vec_id, cell, kept 0/1)` for every assignable vector.
+    *
+    * Scale contract vs [[bucketedNearDup]]: LSH blocking finds PAIRS at
+    * any similarity; SemDeDup's point is the cluster structure — the
+    * quadratic kernel is confined within cells, total pair work
+    * ≈ Σ|cell|² ≈ n²/nCells, so nCells grows with the corpus (the paper
+    * runs ~10⁵ cells at 10⁹ docs) and each cell's self-join stays bounded.
+    * Plan: one cell-keyed shuffle of (id, vector) for the self-join, the
+    * assignment itself is a codegen'd argmax over broadcast-literal
+    * centroids. The assigned projection feeds three consumers (two join
+    * sides + the labeling), so it persists for the job and releases after
+    * materialization. */
+  def semanticDedup(embs: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val assigned = nonZeroVecs(embs)
+      .withColumn("cell", cellAssignExpr(centroidsOf(embs, nCells)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+          dot(col("a.v"), col("b.v")) /
+            (sqrt(col("a.selfdot")) * sqrt(col("b.selfdot"))) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val labeled = assigned
+      .join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+    Dedup.materializeThenRelease(labeled, assigned)
+  }
+
   /** IVF-style ANN top-k: assign every vector to its nearest of `nCells`
     * centroids (deterministically seeded as the first `nCells` vectors by
     * vec_id), search only the `nProbe` cells nearest the query.

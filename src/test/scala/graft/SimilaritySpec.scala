@@ -238,6 +238,36 @@ class SimilaritySpec extends TestBase {
     assert(b1.values.forall(_.length == 8))
   }
 
+  test("semanticDedup: exact copies drop greedily within cells; cross-cell near-dups survive") {
+    // Two well-separated directions → two cells (seeds = first 2 non-zero
+    // ids). 0/1 seed the cells; 2 copies 0 exactly (same cell, dropped);
+    // 3 is near 1 at cos ≈ 0.995 (same cell, dropped at τ=0.9); 4 is a
+    // zero vector (excluded entirely).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.1f, 1.0f)),
+      (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(e, 0.9, nCells = 2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), "zero-norm vector must be excluded")
+    assert(got(0L) == ((0L, 1)) && got(2L) == ((0L, 0)), "copy drops, original keeps")
+    assert(got(1L) == ((1L, 1)) && got(3L) == ((1L, 0)), "near-dup drops in its cell")
+    // at a threshold above the 0.995 near-pair, only the exact copy drops
+    val strict = Similarity.semanticDedup(e, 0.999, nCells = 2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(strict(3L) == 1 && strict(2L) == 0)
+    // greedy keep-first is chain-aware: with ONE cell and a chain
+    // 0≈1≈2 where only adjacent pairs clear τ, every non-minimum drops
+    // (each has SOME smaller-id neighbor at ≥ τ — 1 via 0, 2 via 1… here
+    // all pairs of the same direction clear τ anyway; assert min survives)
+    val one = Seq((5L, Array(1.0f, 0.0f)), (6L, Array(1.0f, 0.01f)),
+        (7L, Array(1.0f, 0.02f))).toDF("vec_id", "embedding")
+    val chain = Similarity.semanticDedup(one, 0.9, nCells = 1)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(chain == Map(5L -> 1, 6L -> 0, 7L -> 0))
+  }
+
   test("scalar-quantized top-k: self first at sim 1.0, quantized dot is floor-exact") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)),      // the query: quantizes to [64, 0]
