@@ -677,6 +677,47 @@ object NorthStarQueries {
       Similarity.sqTopK(e, q, 10, rescoreK = 40)
     },
 
+    // Product-quantized ANN (Jégou et al. 2011): per-subspace nearest-
+    // codebook encoding, ADC lookup-table candidate ranking, exact rescore
+    // of the top-40 — the byte-compressed scale path next to sim_sq_topk.
+    // The oracle replays encoding, LUT, the fixed-order 4-term ADC sum,
+    // and both top-k boundaries in full.
+    QueryDef("sim_pq_topk")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | cs AS (SELECT s.sub, c.cid, list_slice(c.cv, s.sub*16+1, s.sub*16+16) AS csub
+         |        FROM c CROSS JOIN range(0, 4) s(sub)),
+         | scored AS (SELECT e.vec_id, cs.sub, cs.cid,
+         |     list_dot_product(cs.csub, cs.csub)
+         |       - 2 * list_dot_product(list_slice(e.v, cs.sub*16+1, cs.sub*16+16), cs.csub) AS s2
+         |   FROM e CROSS JOIN cs),
+         | code AS (SELECT vec_id, sub, cid FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY s2, cid) AS rn
+         |            FROM scored) WHERE rn = 1),
+         | lut AS (SELECT cs.sub, cs.cid,
+         |     list_dot_product(list_slice(q.qv, cs.sub*16+1, cs.sub*16+16), cs.csub) AS lv
+         |   FROM cs CROSS JOIN q),
+         | adc AS (SELECT code.vec_id,
+         |       max(CASE WHEN code.sub = 0 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 1 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 2 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 3 THEN lut.lv END) AS approx
+         |   FROM code JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+         |   GROUP BY code.vec_id),
+         | cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40)
+         | SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         | FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      Similarity.pqTopK(e, q, 10)
+    },
+
     QueryDef("sim_lsh_buckets")(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim FROM embeddings),
         | x AS (SELECT vec_id, p.p,

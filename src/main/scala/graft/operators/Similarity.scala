@@ -93,6 +93,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantized ANN top-k (the OTHER classic compressed-domain ANN
+    * path next to [[sqTopK]]'s scalar quantization — Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the vector space
+    * splits into `numSubs` subspaces; each subvector encodes as the id of
+    * its nearest codebook entry (argmin squared-L2, deterministically
+    * seeded codebook = the subvectors of the first `numCents` non-zero
+    * vectors — the IVF seed trick applied per subspace); candidates rank
+    * by the ADC (asymmetric-distance) score — the SUM of per-subspace
+    * `query·centroid` lookup-table entries — and only the top `rescoreK`
+    * survivors are rescored with the exact double cosine.
+    *
+    * 100 TB story: a 64-dim float corpus compresses to `numSubs` BYTES per
+    * vector (16× under float32, 64× under double) once codes are
+    * materialized; the candidate scan then reads codes + a broadcast LUT,
+    * and the exact kernel touches rescoreK rows. Here codes are computed
+    * inline (one codegen'd argmin per subspace over broadcast-literal
+    * codebooks — zero exchanges, the sqTopK plan shape with two
+    * TakeOrderedAndProject passes); `write codes once, scan forever` is
+    * the buildIvfIndex pattern applied to this encoder.
+    *
+    * Determinism (oracle-replayable end to end): the argmin compares
+    * `c·c − 2·v_sub·c` (equivalent to squared-L2 up to the per-row
+    * constant ‖v_sub‖², which cannot reorder candidates), ties break to
+    * the smallest codebook position — the row_number(s2, cid) order; all
+    * dot products are the same left-to-right IEEE sequence on both
+    * engines; the 4-term ADC sum is a fixed-order a+b+c+d; both top-k
+    * boundaries tie-break on vec_id. Zero-norm rows are excluded (cosine
+    * undefined), matching the IVF contract. */
+  def pqTopK(embs: DataFrame, query: Seq[Double], k: Int,
+      numSubs: Int = 4, numCents: Int = 16, rescoreK: Int = 40): DataFrame = {
+    require(query.nonEmpty, "pqTopK: query vector must be non-empty")
+    val dim = query.length
+    require(dim % numSubs == 0, s"pqTopK: dim $dim not divisible into $numSubs subspaces")
+    val subLen = dim / numSubs
+    val qArr = query.toArray
+    val cents = centroidsOf(embs, numCents)
+    require(cents.forall(_._2.length == dim),
+      s"pqTopK: codebook seed vectors must have query dim $dim")
+    val base = nonZeroVecs(embs)
+      // fail fast on a dim mismatch (sqTopK contract: identical observable
+      // outcome in both engines instead of silent null-padding)
+      .withColumn("v", when(size(col("v")) =!= lit(dim),
+          raise_error(concat(lit(s"pqTopK: query dim $dim != embedding dim "),
+            size(col("v")).cast("string"), lit(" at vec_id "),
+            col("vec_id").cast("string"))))
+        .otherwise(col("v")))
+    val adcTerms = (0 until numSubs).map { j =>
+      val cbs = cents.zipWithIndex.map { case ((_, cv), pos) =>
+        (pos.toLong, cv.slice(j * subLen, (j + 1) * subLen))
+      }
+      val subv = slice(col("v"), j * subLen + 1, subLen)
+      val codeStructs = cbs.map { case (pos, c) =>
+        struct(
+          (-(lit(sdot(c, c)) - lit(2.0) * dot(subv, lit(c)))).as("negs"),
+          lit(-pos).as("negp"))
+      }
+      val code = -array_max(array(codeStructs.toIndexedSeq: _*)).getField("negp")
+      val lut = cbs.map { case (_, c) => sdot(qArr.slice(j * subLen, (j + 1) * subLen), c) }
+      element_at(lit(lut.toArray), code.cast("int") + 1)
+    }
+    base
+      .select(col("vec_id"), col("v"), adcTerms.reduceLeft(_ + _).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreK)
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine scoring at/above `threshold`.
     *
     * The vector table is collected and broadcast — the same data movement

@@ -79,6 +79,31 @@ class PlanShapeSpec extends TestBase {
       "scalar-quantized ANN must not shuffle — scan + expressions + top-k merges only")
   }
 
+  test("sim_pq_topk: PQ encode + ADC rank is expression-only — two top-k passes, no shuffle") {
+    val p = planOf("sim_pq_topk")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both the ADC candidate stage and the rescore must plan as top-k")
+    assert(!p.contains("Exchange"),
+      "PQ ANN must not shuffle — codebooks are plan literals, codes are expressions")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "per-subspace argmin must be the struct-max expression, not a window or join")
+  }
+
+  test("dd_semantic: cell self-join shuffles on cell only; assignment is expression-only") {
+    val p = planOf("dd_semantic")
+    assert(!p.contains("CartesianProduct"), "within-cell pairing must be an equi-join")
+    assert(!p.contains("Window"), "cell assignment must not window-sort")
+  }
+
+  test("evt_cdc: snapshot states come from ONE aggregate — no window, no state join") {
+    val p = planOf("evt_cdc")
+    assert(!p.contains("Window"), "snapshot states must come from max_by, not windows")
+    // the only join is the 1-row broadcast of the derived bounds — the two
+    // as-of states must NOT meet through a shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "snapshot diff must not join the two states")
+  }
+
   test("dd_cross_neardup: no cartesian, capped via broadcast anti, pruned via semi") {
     // eagerRelease=false: inspect the LAZY plan — the operator's default
     // eager checkpoint would collapse the explain to an RDD scan.

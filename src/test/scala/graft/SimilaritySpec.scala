@@ -268,6 +268,37 @@ class SimilaritySpec extends TestBase {
     assert(chain == Map(5L -> 1, 6L -> 0, 7L -> 0))
   }
 
+  test("pqTopK: self ranks first at sim 1.0; rescore tail is exact; recall vs brute") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val pq = Similarity.pqTopK(e, q, 10).as[(Long, Double)].collect().toSeq
+    assert(pq.head._1 == 0L && pq.head._2 == 1.0, s"self must rank first: $pq")
+    assert(pq.map(_._2) == pq.map(_._2).sorted.reverse)
+    // rescored scores are the EXACT cosines (same kernel as brute force)
+    val brute = Similarity.bruteForceTopK(e, q, 10).as[(Long, Double)].collect().toMap
+    pq.foreach { case (id, sim) =>
+      brute.get(id).foreach(b => assert(b == sim, s"rescore must be exact at $id")) }
+    // seed-codebook PQ on 500 vecs: expect at least half the true top-10
+    val recall = pq.map(_._1).count(brute.contains)
+    assert(recall >= 5, s"PQ recall collapsed: $recall/10")
+  }
+
+  test("pqTopK: guards — dim mismatch fails fast, non-divisible dim refused") {
+    val e = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(e, Seq(1.0, 0.0, 0.0), 2, numSubs = 2) // 3 % 2 != 0
+    }
+    val mixed = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(mixed, Seq(1.0, 0.0), 2, numSubs = 2, numCents = 1).collect()
+    }
+    assert(ex.getMessage.contains("pqTopK") || ex.getCause != null)
+  }
+
   test("scalar-quantized top-k: self first at sim 1.0, quantized dot is floor-exact") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)),      // the query: quantizes to [64, 0]
