@@ -140,23 +140,107 @@ object Similarity {
             col("vec_id").cast("string"))))
         .otherwise(col("v")))
     val adcTerms = (0 until numSubs).map { j =>
-      val cbs = cents.zipWithIndex.map { case ((_, cv), pos) =>
-        (pos.toLong, cv.slice(j * subLen, (j + 1) * subLen))
-      }
-      val subv = slice(col("v"), j * subLen + 1, subLen)
-      val codeStructs = cbs.map { case (pos, c) =>
-        struct(
-          (-(lit(sdot(c, c)) - lit(2.0) * dot(subv, lit(c)))).as("negs"),
-          lit(-pos).as("negp"))
-      }
-      val code = -array_max(array(codeStructs.toIndexedSeq: _*)).getField("negp")
-      val lut = cbs.map { case (_, c) => sdot(qArr.slice(j * subLen, (j + 1) * subLen), c) }
-      element_at(lit(lut.toArray), code.cast("int") + 1)
+      val cbs = pqSubCodebook(cents, j, subLen)
+      val code = pqCodeExpr(cbs, j, subLen)
+      element_at(lit(pqLut(cbs, qArr, j, subLen)), code.cast("int") + 1)
     }
     base
       .select(col("vec_id"), col("v"), adcTerms.reduceLeft(_ + _).as("approx"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(rescoreK)
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Codebook of subspace `j`: (position, centroid subvector) pairs. */
+  private def pqSubCodebook(cents: Array[(Long, Array[Double])], j: Int,
+      subLen: Int): Array[(Long, Array[Double])] =
+    cents.zipWithIndex.map { case ((_, cv), pos) =>
+      (pos.toLong, cv.slice(j * subLen, (j + 1) * subLen))
+    }
+
+  /** Nearest-codebook-entry id for subspace `j` of `v` — the codegen'd
+    * argmin of `c·c − 2·v_sub·c` (squared-L2 minus the per-row constant),
+    * ties to the smallest position. */
+  private def pqCodeExpr(cbs: Array[(Long, Array[Double])], j: Int,
+      subLen: Int): Column = {
+    val subv = slice(col("v"), j * subLen + 1, subLen)
+    val codeStructs = cbs.map { case (pos, c) =>
+      struct(
+        (-(lit(sdot(c, c)) - lit(2.0) * dot(subv, lit(c)))).as("negs"),
+        lit(-pos).as("negp"))
+    }
+    -array_max(array(codeStructs.toIndexedSeq: _*)).getField("negp")
+  }
+
+  /** ADC lookup table of subspace `j`: `query_sub · centroid` per entry. */
+  private def pqLut(cbs: Array[(Long, Array[Double])], qArr: Array[Double],
+      j: Int, subLen: Int): Array[Double] =
+    cbs.map { case (_, c) => sdot(qArr.slice(j * subLen, (j + 1) * subLen), c) }
+
+  /** Materialize the PQ compression: `(vec_id, codes ARRAY<INT>)` — one
+    * code per subspace, i.e. ~`numSubs` BYTES of payload per vector — plus
+    * the codebook, under `indexDir`. This is where [[pqTopK]]'s compression
+    * claim becomes real bytes: a probe scans the codes table (plus
+    * lookup-table metadata) instead of the float corpus, and only the
+    * rescore touches `rescoreK` full vectors by id. The `buildIvfIndex`
+    * pattern applied to the encoder: codebook stored alongside so probes
+    * and growth always use the BUILD-time geometry. */
+  def buildPqIndex(embs: DataFrame, indexDir: String,
+      numSubs: Int = 4, numCents: Int = 16): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = centroidsOf(embs, numCents)
+    require(cents.nonEmpty, "buildPqIndex: no non-zero-norm vectors to seed the codebook")
+    val dim = cents.head._2.length
+    require(dim % numSubs == 0, s"buildPqIndex: dim $dim not divisible into $numSubs subspaces")
+    val subLen = dim / numSubs
+    val codeCols = (0 until numSubs).map(j =>
+      pqCodeExpr(pqSubCodebook(cents, j, subLen), j, subLen).cast("int"))
+    nonZeroVecs(embs)
+      .where(size(col("v")) === lit(dim))
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    cents.zipWithIndex
+      .map { case ((_, cv), pos) => (pos.toLong, cv) }.toSeq
+      .toDF("pos", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** ANN top-k over a [[buildPqIndex]] layout: rank candidates from the
+    * CODES table (ADC over the stored byte codes — the corpus floats never
+    * load), then join the top `rescoreK` ids back to `embs` for the exact
+    * rescore. Result-identical to inline [[pqTopK]] with the same
+    * parameters (spec-asserted): codes are the same argmin the inline
+    * expression computes, and ADC scores are the same fixed-order LUT sum. */
+  def pqTopKIndexed(embs: DataFrame, indexDir: String, query: Seq[Double],
+      k: Int, rescoreK: Int = 40): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("pos"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(cents.nonEmpty, s"pqTopKIndexed: empty codebook at $indexDir")
+    val dim = cents.head._2.length
+    require(dim == query.length,
+      s"pqTopKIndexed: query dim ${query.length} != index dim $dim")
+    val qArr = query.toArray
+    // numSubs is recorded by the codes themselves (array length); read one
+    // footer-only row to recover it without scanning.
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val numSubs = codes.select(size(col("codes"))).head().getInt(0)
+    val subLen = dim / numSubs
+    val adcTerms = (0 until numSubs).map { j =>
+      val lut = pqLut(pqSubCodebook(cents, j, subLen), qArr, j, subLen)
+      element_at(lit(lut), element_at(col("codes"), j + 1) + 1)
+    }
+    val cand = codes
+      .select(col("vec_id"), adcTerms.reduceLeft(_ + _).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreK)
+    nonZeroVecs(embs)
+      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
       .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -419,19 +503,44 @@ object Similarity {
     * materialization. */
   def semanticDedup(embs: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
+    // Dedup-first prelude (the text chain's mega-group cap, in vector
+    // space): EXACT-duplicate vectors always drop for any τ ≤ 1 (cosine
+    // exactly 1.0 against a smaller-id copy), so group them by content
+    // hash and run the quadratic kernel over distinct REPRESENTATIVES
+    // only. Semantics-preserving, provably: a vector r has a smaller-id
+    // neighbor at ≥ τ iff some duplicate-group g with cos(g, r) ≥ τ has
+    // min_id(g) < r — and min_id(g) is its representative's id. Without
+    // this, a 100k-times-repeated vector (the SkewProbe scenario) would
+    // put 5×10⁹ pairs through its cell's self-join; with it, the copies
+    // cost one map-side-combined groupBy and the self-join sees each
+    // distinct vector once. The content hash is md5 of the canonical
+    // string form — 128-bit, the same collision posture as the text
+    // chain's md5 keys (xxhash64's 64 bits would make merged-group wrong
+    // drops plausible at 10⁹ vectors).
     val assigned = nonZeroVecs(embs)
       .withColumn("cell", cellAssignExpr(centroidsOf(embs, nCells)))
+      .withColumn("vh", md5(col("v").cast("string")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = assigned.as("a")
-      .join(assigned.as("b"),
+    val reps = assigned
+      .groupBy(col("vh")).agg(min(col("vec_id")).as("rep_id"))
+    val repRows = assigned
+      .join(reps, Seq("vh"))
+      .where(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"), col("selfdot"), col("cell"))
+    val droppedReps = repRows.as("a")
+      .join(repRows.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
           dot(col("a.v"), col("b.v")) /
             (sqrt(col("a.selfdot")) * sqrt(col("b.selfdot"))) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     val labeled = assigned
-      .join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      // non-representative copies: kept = 0 by construction
+      .join(reps, Seq("vh"))
+      .join(droppedReps.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
-        when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        when(col("vec_id") =!= col("rep_id"), lit(0))
+          .when(col("_drop").isNotNull, lit(0))
+          .otherwise(lit(1)).as("kept"))
     Dedup.materializeThenRelease(labeled, assigned)
   }
 

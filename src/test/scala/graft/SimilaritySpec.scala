@@ -268,6 +268,28 @@ class SimilaritySpec extends TestBase {
     assert(chain == Map(5L -> 1, 6L -> 0, 7L -> 0))
   }
 
+  test("semanticDedup: dedup-first prelude — a mega-copy group never reaches the pair join") {
+    // 3000 exact copies of one vector + 3 distinct vectors. Naively the
+    // copies alone are ~4.5M within-cell pairs; the rep prelude reduces
+    // the self-join input to 4 distinct vectors.
+    val copies = (100L until 3100L).map(i => (i, Array(1.0f, 0.0f)))
+    val distinct = Seq(
+      (0L, Array(0.0f, 1.0f)), (1L, Array(0.05f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+    val e = (copies ++ distinct).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val got = Similarity.semanticDedup(e, 0.9, nCells = 2)
+      .as[(Long, Long, Int)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val kept = got.filter(_._3 == 1).map(_._1).toSet
+    // cells seed from ids 0 and 1: vec 0 sits alone in cell 0; cell 1
+    // holds vec 1 (its own seed), vec 2 (cos ≤ 0.75 to everything) and
+    // the 3000 copies — of which ONLY the min id (100) survives; 1 has no
+    // SMALLER-id cell-mate at ≥ 0.9, so greedy keep-first retains it
+    assert(kept == Set(0L, 1L, 2L, 100L), s"kept: $kept")
+    assert(got.length == 3003)
+    assert(secs < 60, s"mega-copy group must not reach the pair join (took $secs s)")
+  }
+
   test("pqTopK: self ranks first at sim 1.0; rescore tail is exact; recall vs brute") {
     val e = Tables(spark, sf(), "embeddings")
     val q = e.where(col("vec_id") === 0)
@@ -283,6 +305,23 @@ class SimilaritySpec extends TestBase {
     // seed-codebook PQ on 500 vecs: expect at least half the true top-10
     val recall = pq.map(_._1).count(brute.contains)
     assert(recall >= 5, s"PQ recall collapsed: $recall/10")
+  }
+
+  test("pqTopKIndexed: probe over materialized codes == inline pqTopK") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    Similarity.buildPqIndex(e, dir)
+    val indexed = Similarity.pqTopKIndexed(e, dir, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val inline = Similarity.pqTopK(e, q, 10).as[(Long, Double)].collect().toSeq
+    assert(indexed == inline, s"indexed probe must equal the inline path:\n$indexed\n$inline")
+    // the codes table really is the compressed form: one INT array per vec
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq == Seq("vec_id", "codes"))
+    assert(codes.select(max(size(col("codes")))).head().getInt(0) == 4)
   }
 
   test("pqTopK: guards — dim mismatch fails fast, non-divisible dim refused") {
