@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** PQ-index compression probe at scale (the claim's spec lock is
+  * SimilaritySpec's indexed==inline assertion on toy data): inflates the
+  * embeddings table N× with deterministically-perturbed shifted copies,
+  * builds the codes layout, and reports the on-disk bytes each ranking
+  * path scans (corpus parquet vs codes parquet), wall times (warmed), and
+  * recall@10 vs the exact brute-force baseline — the bytes ratio is the
+  * 100 TB argument (codes ≈ numSubs small ints/vector vs dim floats) made
+  * observable.
+  *
+  * Usage: runMain graft.PqProbe <sfDir> [inflate]
+  */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PqProbe <sfDir> [inflate]")
+    val dir = args(0)
+    val inflate = if (args.length > 1) args(1).toInt else 40
+    val spark = ProbeHarness.session()
+
+    val base = Tables(spark, dir, "embeddings")
+    val n = base.count()
+    // shifted copies with per-coordinate deterministic perturbation (no
+    // rand(): hash of (id, coordinate) — reproducible across runs)
+    val copies = (1 until inflate).map { r =>
+      base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + CAST(pmod(hash(vec_id + i * 7), 997) AS FLOAT) / 9970.0)")
+          .as("embedding"))
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-pq-corpus").toString
+    copies.foldLeft(base.select(col("vec_id"), col("embedding")))(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+    val q = base.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    val (buildSec, _) = ProbeHarness.time(Similarity.buildPqIndex(e, idx))
+
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    // warm both paths (JIT + page cache), then measure
+    Similarity.bruteForceTopK(e, q, 10).collect()
+    Similarity.pqTopKIndexed(e, idx, q, 10).collect()
+    val (bSec, bRows) = ProbeHarness.time(Similarity.bruteForceTopK(e, q, 10).collect())
+    val (iSec, iRows) = ProbeHarness.time(Similarity.pqTopKIndexed(e, idx, q, 10).collect())
+    val recall = iRows.map(_.getLong(0)).count(bRows.map(_.getLong(0)).toSet)
+    val corpusBytes = dirBytes(s"$corpusDir/embeddings.parquet")
+    val codesBytes = dirBytes(s"$idx/codes")
+    println(f"[pqprobe] vectors=${n * inflate}%d inflate=$inflate%d build=$buildSec%.1f s")
+    println(f"[pqprobe] ranking-scan bytes: corpus=$corpusBytes%d codes=$codesBytes%d " +
+      f"ratio=${corpusBytes.toDouble / codesBytes}%.1fx")
+    println(f"[pqprobe] brute=$bSec%.2f s indexed=$iSec%.2f s recall@10=$recall%d/10")
+    spark.stop()
+  }
+}

@@ -235,12 +235,19 @@ object Similarity {
       val lut = pqLut(pqSubCodebook(cents, j, subLen), qArr, j, subLen)
       element_at(lit(lut), element_at(col("codes"), j + 1) + 1)
     }
-    val cand = codes
+    // The candidate id set is rescoreK longs — collected (bounded,
+    // metadata-scale, same posture as the centroid literals) so the
+    // rescore reaches the corpus scan as a pushed-down IN filter that
+    // prunes row groups by vec_id statistics, instead of a join that
+    // would read every corpus byte back in.
+    val candIds = codes
       .select(col("vec_id"), adcTerms.reduceLeft(_ + _).as("approx"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(rescoreK)
+      .select(col("vec_id"))
+      .as[Long].collect().toSeq
     nonZeroVecs(embs)
-      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+      .where(col("vec_id").isin(candIds: _*))
       .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
