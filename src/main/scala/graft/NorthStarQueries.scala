@@ -1185,6 +1185,45 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // Mixture resampling WITH upsampling (the repeat-factor form of real
+    // training recipes): same targeted-total output, redistributed to the
+    // declared proportions — under-represented langs repeat for ⌊f⌋ full
+    // epochs plus a hash-gated fractional epoch, over-represented ones
+    // downsample through the same formula (⌊f⌋ = 0). fr is deliberately
+    // absent → drops. The oracle replays factors, epochs and the gate
+    // (DuckDB's range() can't take lateral column bounds, so the oracle
+    // uses a fixed 0..7 epoch range — ample: max factor here is ~1.6 —
+    // with the ep = full_ep conjunct making it equivalent to the engine's
+    // sequence(0, full)).
+    QueryDef("smp_epochs")(
+      """WITH t(lang, p) AS (VALUES ('en', 0.25), ('de', 0.25), ('es', 0.25),
+        |                           ('zh', 0.25)),
+        | c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | j AS (SELECT c.lang, c.n, t.p FROM c JOIN t USING (lang)),
+        | tot AS (SELECT sum(n) AS nt FROM j),
+        | f AS (SELECT lang, n, CAST(floor(p * nt / n) AS BIGINT) AS full_ep,
+        |         CAST(floor((p * nt / n - floor(p * nt / n)) * 10000.0) AS BIGINT) AS th
+        |       FROM j CROSS JOIN tot),
+        | outp AS (SELECT d.lang, d.doc_id, r.ep FROM documents d JOIN f USING (lang)
+        |          CROSS JOIN range(0, 8) r(ep)
+        |          WHERE r.ep < f.full_ep
+        |             OR (r.ep = f.full_ep AND
+        |                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < f.th))
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |   CAST(max(ep) AS BIGINT) AS max_epoch
+        | FROM outp GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Sampling.mixtureResample(
+          Tables(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25, "zh" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy(col("lang"))
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

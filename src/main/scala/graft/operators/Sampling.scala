@@ -87,4 +87,54 @@ object Sampling {
       .where(hashBucket(key, buckets) < col("_thr"))
       .drop("_strat", "_thr")
   }
+
+  /** Mixture resampling WITH upsampling — the repeat-factor form real
+    * training mixtures use (under-represented domains repeat for multiple
+    * epochs; over-represented ones downsample): the output holds the
+    * targeted strata's total `N = Σ_targeted n_s` (strata absent from
+    * `targets` drop) but redistributed to the target proportions, so
+    * stratum `s` needs `f_s = p_s·N / n_s` copies of each row — `⌊f_s⌋`
+    * full epochs plus a fractional epoch containing the rows whose hash
+    * bucket clears `floor((f_s − ⌊f_s⌋)·buckets)`. Output rows carry an
+    * `epoch` column (0-based) so downstream shuffling/packing can
+    * interleave epochs rather than concatenate them.
+    *
+    * [[mixtureSample]] is the pure-downsampling contract (never duplicates,
+    * binding stratum whole); this one trades exact-dedup cleanliness for
+    * hitting the mixture at FULL corpus size — the standard trade the
+    * published data recipes make.
+    *
+    * Scale: one metadata-scale count aggregate, broadcast factors, then a
+    * codegen'd `sequence`+`explode` per row — output amplification is
+    * exactly the declared repeat factors, there is no shuffle at all
+    * beyond the count. Determinism: `f_s` is a fixed-order double
+    * expression, epoch membership is an integer compare on the same md5
+    * buckets as every other sampler. */
+  def mixtureResample(df: DataFrame, stratum: Column, key: Column,
+      targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
+      s"target proportions must be in (0, 1]: $targets")
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"target proportions must sum to <= 1: $targets")
+    val cnt = df.select(stratum.as("_strat"))
+      .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
+    val withP = cnt.withColumn("_p",
+        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
+          when(col("_strat") === s, lit(p)).otherwise(acc)
+        })
+      .where(col("_p").isNotNull)
+    val total = withP.agg(sum(col("_n")).as("_tot"))
+    val factors = withP.crossJoin(broadcast(total))
+      .select(col("_strat"),
+        floor(col("_p") * col("_tot") / col("_n")).cast("long").as("_full"),
+        floor((col("_p") * col("_tot") / col("_n")
+            - floor(col("_p") * col("_tot") / col("_n"))) * lit(buckets.toDouble))
+          .cast("long").as("_thr"))
+    df.join(broadcast(factors), stratum <=> col("_strat"), "inner")
+      .select(df.columns.map(col) :+ col("_full") :+ col("_thr") :+
+        explode(sequence(lit(0L), col("_full"))).as("epoch"): _*)
+      .where(col("epoch") < col("_full") ||
+        hashBucket(key, buckets) < col("_thr"))
+      .drop("_strat", "_full", "_thr")
+  }
 }

@@ -68,4 +68,29 @@ class SamplingSpec extends TestBase {
       Sampling.mixtureSample(d, col("grp"), col("id"), Map("a" -> 0.0))
     }
   }
+
+  test("mixtureResample: upsampling epochs + fractional gate hit the target mixture") {
+    // 900 a / 100 b, targets 50/50 over the same total (1000): a needs
+    // f = 500/900 ≈ 0.556 (downsample, epoch 0 only); b needs f = 5.0
+    // (exactly 5 full epochs 0..4, empty fractional epoch).
+    val d = ((0L until 900L).map(i => (i, "a")) ++
+        (900L until 1000L).map(i => (i, "b"))).toDF("id", "grp")
+    val out = Sampling.mixtureResample(d, col("grp"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val agg = out.groupBy("grp")
+      .agg(count(lit(1)).as("rows"), countDistinct(col("id")).as("ids"),
+        max(col("epoch")).as("maxep"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(agg("b") == ((500L, 100L, 4L)), s"b must repeat exactly 5 epochs: $agg")
+    val (aRows, aIds, aMax) = agg("a")
+    assert(aMax == 0L && aRows == aIds, "a only downsamples — no duplicates")
+    assert(aRows > 400 && aRows < 600, s"a ~500 of 900: $aRows")
+    // epochs of an upsampled row are contiguous from 0 (interleavable)
+    val epochsOfOneB = out.where(col("id") === 950L).select("epoch")
+      .as[Long].collect().sorted.toSeq
+    assert(epochsOfOneB == Seq(0L, 1L, 2L, 3L, 4L))
+    // strata absent from the mixture drop
+    assert(Sampling.mixtureResample(d, col("grp"), col("id"), Map("a" -> 1.0))
+      .where(col("grp") === "b").count() == 0)
+  }
 }
