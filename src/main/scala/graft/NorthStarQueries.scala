@@ -1185,6 +1185,27 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // Temperature flattening (the multilingual α-sampling rule): sampled
+    // sizes m_s = n_min^(1−α)·n_s^α keep the smallest stratum whole and
+    // pull larger ones toward it. α = 0.5 → floor(B·sqrt(n_min·n)/n):
+    // integer product, correctly-rounded sqrt, one division — the whole
+    // threshold is bit-identical across engines, no epsilon boundary.
+    QueryDef("smp_temperature")(
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | mn AS (SELECT min(n) AS nmin FROM c),
+        | thr AS (SELECT lang, CAST(floor(10000.0 * sqrt(nmin * n) / n) AS BIGINT) AS th
+        |         FROM c CROSS JOIN mn)
+        | SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        | FROM documents d JOIN thr USING (lang)
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+          Tables(s, dir, "documents"), col("lang"), col("doc_id"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
     // Mixture resampling WITH upsampling (the repeat-factor form of real
     // training recipes): same targeted-total output, redistributed to the
     // declared proportions — under-represented langs repeat for ⌊f⌋ full

@@ -88,6 +88,39 @@ object Sampling {
       .drop("_strat", "_thr")
   }
 
+  /** Temperature-based stratum flattening — the published multilingual
+    * sampling rule (exponentiated-count sampling, mBERT/XLM-R style):
+    * sampled sizes follow `m_s = n_min^(1−α) · n_s^α`, which keeps the
+    * SMALLEST stratum whole and downsamples larger ones toward it; α = 1
+    * is a no-op, α → 0 equalizes all strata at `n_min`. No allowlist —
+    * temperature applies to every stratum present (that is its point),
+    * unlike the declared-mixture samplers above.
+    *
+    * Same plan shape as [[mixtureSample]]: one metadata-scale count
+    * aggregate, broadcast thresholds, pure-row-property hash filter.
+    * Cross-engine parity: at the default α = 0.5 the threshold is
+    * `floor(buckets·sqrt(n_min·n_s)/n_s)` — integer product (exact below
+    * 2⁵³), correctly-rounded IEEE sqrt, one division, floor: bit-identical
+    * in any engine. Other α use `pow`, whose last-ulp behavior is
+    * platform-dependent — fine for production, not oracle-gated here. */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+      alpha: Double = 0.5, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha not in (0, 1]")
+    val cnt = df.select(stratum.as("_strat"))
+      .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
+    val nmin = cnt.agg(min(col("_n")).as("_nmin"))
+    val m =
+      if (alpha == 0.5) sqrt(col("_nmin") * col("_n"))
+      else pow(col("_nmin").cast("double"), lit(1.0 - alpha)) *
+        pow(col("_n").cast("double"), lit(alpha))
+    val thresholds = cnt.crossJoin(broadcast(nmin))
+      .select(col("_strat"),
+        floor(lit(buckets.toDouble) * m / col("_n")).cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratum <=> col("_strat"), "inner")
+      .where(hashBucket(key, buckets) < col("_thr"))
+      .drop("_strat", "_thr")
+  }
+
   /** Mixture resampling WITH upsampling — the repeat-factor form real
     * training mixtures use (under-represented domains repeat for multiple
     * epochs; over-represented ones downsample): the output holds the

@@ -69,6 +69,29 @@ class SamplingSpec extends TestBase {
     }
   }
 
+  test("temperatureSample: smallest stratum whole, larger ones flatten toward it") {
+    // 6400 a / 400 b / 100 c at α=0.5: m = sqrt(100·n) → a 800, b 200, c 100
+    val d = ((0L until 6400L).map(i => (i, "a")) ++
+        (6400L until 6800L).map(i => (i, "b")) ++
+        (6800L until 6900L).map(i => (i, "c")))
+      .toDF("id", "grp")
+    val got = Sampling.temperatureSample(d, col("grp"), col("id"))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 100L, s"smallest stratum must be kept whole: $got")
+    assert(got("a") > 640 && got("a") < 960, s"a ~800 of 6400: $got")
+    assert(got("b") > 160 && got("b") < 240, s"b ~200 of 400: $got")
+    // α = 1 is a no-op (threshold = buckets for every stratum)
+    assert(Sampling.temperatureSample(d, col("grp"), col("id"), alpha = 1.0)
+      .count() == 6900L)
+    // flattening is monotone in α: lower α keeps less of the big stratum
+    val cold = Sampling.temperatureSample(d, col("grp"), col("id"), alpha = 0.25)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(cold("a") < got("a") && cold("c") == 100L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(d, col("grp"), col("id"), alpha = 0.0)
+    }
+  }
+
   test("mixtureResample: upsampling epochs + fractional gate hit the target mixture") {
     // 900 a / 100 b, targets 50/50 over the same total (1000): a needs
     // f = 500/900 ≈ 0.556 (downsample, epoch 0 only); b needs f = 5.0
