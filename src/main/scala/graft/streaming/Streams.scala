@@ -151,6 +151,65 @@ object Streams {
       }
   }
 
+  final case class CdcState(tsUs: Long, eventId: Long, eventType: String,
+      value: Double)
+  final case class ChangeRecord(user_id: Long, change: String,
+      old_type: String, new_type: String)
+
+  /** Streaming CDC — the micro-batch twin of `operators/SnapshotDiff`:
+    * keyed state holds each key's latest `(ts, event_id)`-ordered
+    * `(event_type, value)`; every batch, keys TOUCHED by the batch emit
+    * the change between their pre-batch and post-batch states — `insert`
+    * (no prior live state), `update`, `unchanged` (the batch only
+    * replayed older/equal events), or `delete` (latest event now carries
+    * the `tombstone` type). Untouched keys stay silent by framework
+    * contract (NoTimeout + Append) — the batch equivalence is therefore
+    * `SnapshotDiff.diff(t0, t1)` MINUS its `unchanged` rows for keys with
+    * no events in (t0, t1), which the spec asserts exactly.
+    *
+    * State is max-merged, never blindly overwritten, so a replayed or
+    * late micro-batch cannot regress a key's state (the at-least-once
+    * discipline of the other stateful ops here). Scale: state is one
+    * small record per key, the per-batch work is one max per touched key
+    * — the same single-aggregate shape as the batch operator. */
+  def cdcStream(events: DataFrame,
+      tombstone: Option[String] = None): Dataset[ChangeRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+            state: GroupState[CdcState]) =>
+          val newest = rows.maxBy(r => (r._2, r._3))
+          val cur = CdcState(newest._2, newest._3, newest._4, newest._5)
+          val prev = state.getOption
+          val next = prev match {
+            case Some(p) if p.tsUs > cur.tsUs ||
+              (p.tsUs == cur.tsUs && p.eventId >= cur.eventId) => p
+            case _ => cur
+          }
+          state.update(next)
+          def live(s: CdcState): Option[CdcState] =
+            Some(s).filterNot(x => tombstone.contains(x.eventType))
+          val o = prev.flatMap(live)
+          val n = live(next)
+          val change = (o, n) match {
+            case (None, None) => None // dead before, dead after: not a change
+            case (None, Some(_)) => Some("insert")
+            case (Some(_), None) => Some("delete")
+            case (Some(a), Some(b)) =>
+              if (a.eventType != b.eventType || a.value != b.value) Some("update")
+              else Some("unchanged")
+          }
+          change.map(c => ChangeRecord(uid, c,
+            o.map(_.eventType).orNull, n.map(_.eventType).orNull)).iterator
+      }
+  }
+
   /** Document-stream schema (`TESTDATA.md` `documents`). */
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

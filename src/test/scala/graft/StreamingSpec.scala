@@ -344,4 +344,94 @@ class StreamingSpec extends TestBase {
     assert(spark.read.parquet(s"$idxDir/shingle_keys")
       .select("doc_id").distinct().count() == indexed)
   }
+
+  /** The file-stream source lists its directory NON-recursively, so each
+    * batch must arrive as a flat FILE: write through a staging dir and
+    * move the single part-file into the watched dir under `name`. */
+  private def stageFile(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("out"))
+    try {
+      val f = part.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      java.nio.file.Files.copy(f, dir.resolve(name))
+    } finally part.close()
+  }
+
+  test("cdcStream: two-batch emissions == SnapshotDiff between the same as-of points") {
+    import graft.operators.SnapshotDiff
+    import spark.implicits._
+    val bounds = SnapshotDiff.defaultBounds(batchEvents).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    stageFile(batchEvents.where(unix_micros(col("ts")) < t0).select(cols.map(col): _*),
+      dir, "b1.parquet")
+    val schema = batchEvents.select(cols.map(col): _*).schema
+    val q = Streams.cdcStream(
+        spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.format("memory").queryName("t_cdc").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("t_cdc").collect().toSeq
+      // batch 1 cold-starts every pre-t0 key as an insert
+      assert(b1.forall(_.getString(1) == "insert"))
+      assert(b1.size == batchEvents.where(unix_micros(col("ts")) < t0)
+        .select("user_id").distinct().count())
+
+      stageFile(batchEvents.where(unix_micros(col("ts")) >= t0).select(cols.map(col): _*),
+        dir, "b2.parquet")
+      q.processAllAvailable()
+      val b2 = spark.table("t_cdc").collect().toSeq.diff(b1)
+      // keys the second batch touched report exactly the batch-operator
+      // classification; untouched keys are its `unchanged` rows (silent
+      // here by framework contract) — so compare the non-unchanged sets
+      val streamed = b2.filter(_.getString(1) != "unchanged")
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+        .toMap
+      val batch = SnapshotDiff.diff(
+          batchEvents.crossJoin(broadcast(SnapshotDiff.defaultBounds(batchEvents))),
+          col("user_id"), col("t0"), col("t1"))
+        .where(col("change").isin("insert", "update"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+        .toMap
+      assert(streamed == batch,
+        s"streamed CDC must equal the batch operator: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("cdcStream: tombstones delete; replayed stale events cannot regress state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-tomb")
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      stageFile(rows.toDF("event_id", "tsus", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_micros(col("tsus")).as("ts"),
+          col("user_id"), col("event_type"), col("value")), dir, name)
+    write("b1.parquet", Seq((1L, 1000000L, 7L, "click", 1.0)))
+    val schema = spark.read.parquet(dir.resolve("b1.parquet").toString).schema
+    val q = Streams.cdcStream(
+        spark.readStream.schema(schema).parquet(dir.toString),
+        tombstone = Some("gone"))
+      .writeStream.format("memory").queryName("t_cdc_tomb").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      write("b2.parquet", Seq((2L, 2000000L, 7L, "gone", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_cdc_tomb").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+      assert(rows.contains((7L, "insert", null, "click")))
+      assert(rows.contains((7L, "delete", "click", null)), s"got $rows")
+      // replay an OLDER event: max-merged state keeps the tombstone, and a
+      // dead-before/dead-after key emits nothing
+      write("b3.parquet", Seq((1L, 1000000L, 7L, "click", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("t_cdc_tomb").count() == 2,
+        "a stale replay must not resurrect a tombstoned key")
+    } finally q.stop()
+  }
 }
