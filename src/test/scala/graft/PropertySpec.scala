@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, MediaRow, Multimodal}
+import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 
@@ -115,6 +116,90 @@ class PropertySpec extends TestBase {
         }
         got == expByHash
       }
+    }, 10)
+  }
+
+  test("semanticDedup matches a reference greedy keep-first on random vector sets") {
+    // Reference replays the EXACT engine arithmetic: left-to-right dots,
+    // argmax (cosine DESC, cell ASC), greedy "exists smaller-id cell-mate
+    // at >= tau". Integer-valued components keep every dot/norm exact, so
+    // reference and engine compute identical doubles.
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      sdot(a, b) / (math.sqrt(sdot(a, a)) * math.sqrt(sdot(b, b)))
+    val genVecs = for {
+      n <- Gen.choose(1, 25)
+      vs <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 500L)
+        v <- Gen.listOfN(3, Gen.choose(-3, 3).map(_.toDouble))
+      } yield (id, v.toArray))
+    } yield vs.distinctBy(_._1).filter(x => sdot(x._2, x._2) > 0)
+    check(Prop.forAll(genVecs) { vs =>
+      vs.isEmpty || {
+        val nCells = 2
+        val cents = vs.sortBy(_._1).take(nCells)
+        def cellOf(v: Array[Double]): Long =
+          cents.map { case (cid, cv) => (cos(v, cv), cid) }
+            .reduceLeft { (a, b) =>
+              val c = java.lang.Double.compare(a._1, b._1)
+              if (c > 0 || (c == 0 && a._2 < b._2)) a else b
+            }._2
+        val byCell = vs.map { case (id, v) => (id, v, cellOf(v)) }
+        val expected = byCell.map { case (id, v, cell) =>
+          val dropped = byCell.exists { case (id2, v2, cell2) =>
+            cell2 == cell && id2 < id && cos(v2, v) >= 0.9 }
+          id -> ((cell, if (dropped) 0 else 1))
+        }.toMap
+        val got = graft.operators.Similarity.semanticDedup(
+            vs.map { case (id, v) => (id, v.map(_.toFloat)) }
+              .toDF("vec_id", "embedding"), 0.9, nCells = nCells)
+          .as[(Long, Long, Int)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        got == expected
+      }
+    }, 10)
+  }
+
+  test("snapshot diff matches a per-key reference fold on random event logs") {
+    import graft.operators.SnapshotDiff
+    val genLog = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, for {
+        key <- Gen.choose(0L, 8L)
+        tsSec <- Gen.choose(0L, 100L)
+        tp <- Gen.oneOf("click", "view", "gone")
+        v <- Gen.choose(0, 5).map(_.toDouble)
+      } yield (key, tsSec, tp, v))
+    } yield evs.zipWithIndex.map { case ((k, t, tp, v), i) => (i.toLong, k, t, tp, v) }
+    val (t0Sec, t1Sec) = (40L, 90L)
+    check(Prop.forAll(genLog) { evs =>
+      def stateAt(key: Long, bound: Long): Option[(String, Double)] =
+        evs.filter(e => e._2 == key && e._3 < bound)
+          .sortBy(e => (e._3, e._1)).lastOption
+          .map(e => (e._4, e._5))
+          .filterNot(_._1 == "gone")
+      val keys = evs.map(_._2).distinct
+      val expected = keys.flatMap { k =>
+        (stateAt(k, t0Sec), stateAt(k, t1Sec)) match {
+          case (None, None) => None
+          case (None, Some(n)) => Some(k -> (("insert", null: String, n._1)))
+          case (Some(o), None) => Some(k -> (("delete", o._1, null: String)))
+          case (Some(o), Some(n)) =>
+            Some(k -> ((if (o != n) "update" else "unchanged", o._1, n._1)))
+        }
+      }.toMap
+      val df = evs.toDF("event_id", "k", "ts_sec", "event_type", "value")
+        .select(col("event_id"), expr("timestamp_seconds(ts_sec)").as("ts"),
+          col("k"), col("event_type"), col("value"))
+      val got = SnapshotDiff.diff(df, col("k"),
+          lit(t0Sec * 1000000L), lit(t1Sec * 1000000L), tombstone = Some("gone"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+        .toMap
+      got == expected
     }, 10)
   }
 }
