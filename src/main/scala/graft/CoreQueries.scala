@@ -994,7 +994,7 @@ object CoreQueries {
     // combined): one shuffle instead of two sorts + a join.
     QueryDef("evt_cdc")(
       """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
-        | t AS (SELECT mn + CAST((mx - mn) * 6 / 10 AS BIGINT) AS t0, mx + 1 AS t1 FROM b),
+        | t AS (SELECT mn + CAST(floor((mx - mn) * 6 / 10) AS BIGINT) AS t0, mx + 1 AS t1 FROM b),
         | s0 AS (SELECT user_id, event_type, value FROM (
         |     SELECT e.user_id, e.event_type, e.value,
         |       row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn

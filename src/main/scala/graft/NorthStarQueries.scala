@@ -1187,13 +1187,15 @@ object NorthStarQueries {
 
     // Temperature flattening (the multilingual α-sampling rule): sampled
     // sizes m_s = n_min^(1−α)·n_s^α keep the smallest stratum whole and
-    // pull larger ones toward it. α = 0.5 → floor(B·sqrt(n_min·n)/n):
-    // integer product, correctly-rounded sqrt, one division — the whole
-    // threshold is bit-identical across engines, no epsilon boundary.
+    // pull larger ones toward it. α = 0.5 → floor(B·sqrt(dbl(n_min)·n)/n):
+    // double product (long·long would wrap at 2⁶³-scale strata), then
+    // correctly-rounded sqrt and one division — every step identical IEEE
+    // across engines, no epsilon boundary.
     QueryDef("smp_temperature")(
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         | mn AS (SELECT min(n) AS nmin FROM c),
-        | thr AS (SELECT lang, CAST(floor(10000.0 * sqrt(nmin * n) / n) AS BIGINT) AS th
+        | thr AS (SELECT lang,
+        |     CAST(floor(10000.0 * sqrt(CAST(nmin AS DOUBLE) * n) / n) AS BIGINT) AS th
         |         FROM c CROSS JOIN mn)
         | SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
         | FROM documents d JOIN thr USING (lang)

@@ -24,10 +24,15 @@ object PqProbe {
     val base = Tables(spark, dir, "embeddings")
     val n = base.count()
     // shifted copies with per-coordinate deterministic perturbation (no
-    // rand(): hash of (id, coordinate) — reproducible across runs)
+    // rand(): hash of (REPLICA, id, coordinate) — the replica index must
+    // be inside the hash or every replica of a vector is byte-identical
+    // and the probe measures a degenerate 39-fold-duplicated corpus; the
+    // outer CAST keeps the copies float32 so the written corpus stays the
+    // width the compression claim is about (a bare /9970.0 would promote
+    // to double and union-widen the whole table)
     val copies = (1 until inflate).map { r =>
       base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x + CAST(pmod(hash(vec_id + i * 7), 997) AS FLOAT) / 9970.0)")
+        expr(s"transform(embedding, (x, i) -> CAST(x + pmod(hash($r * 131 + vec_id + i * 7), 997) / 9970.0 AS FLOAT))")
           .as("embedding"))
     }
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-pq-corpus").toString
@@ -51,14 +56,21 @@ object PqProbe {
     Similarity.bruteForceTopK(e, q, 10).collect()
     Similarity.pqTopKIndexed(e, idx, q, 10).collect()
     val (bSec, bRows) = ProbeHarness.time(Similarity.bruteForceTopK(e, q, 10).collect())
-    val (iSec, iRows) = ProbeHarness.time(Similarity.pqTopKIndexed(e, idx, q, 10).collect())
-    val recall = iRows.map(_.getLong(0)).count(bRows.map(_.getLong(0)).toSet)
+    val truth = bRows.map(_.getLong(0)).toSet
     val corpusBytes = dirBytes(s"$corpusDir/embeddings.parquet")
     val codesBytes = dirBytes(s"$idx/codes")
     println(f"[pqprobe] vectors=${n * inflate}%d inflate=$inflate%d build=$buildSec%.1f s")
     println(f"[pqprobe] ranking-scan bytes: corpus=$corpusBytes%d codes=$codesBytes%d " +
       f"ratio=${corpusBytes.toDouble / codesBytes}%.1fx")
-    println(f"[pqprobe] brute=$bSec%.2f s indexed=$iSec%.2f s recall@10=$recall%d/10")
+    println(f"[pqprobe] brute=$bSec%.2f s")
+    // rescoreK is THE recall knob (the exact rescore stays id-pruned and
+    // cheap); sweep it so the recall-vs-work trade is on the record
+    Seq(40, 400, 4000).foreach { rk =>
+      val (iSec, iRows) =
+        ProbeHarness.time(Similarity.pqTopKIndexed(e, idx, q, 10, rescoreK = rk).collect())
+      val recall = iRows.map(_.getLong(0)).count(truth)
+      println(f"[pqprobe] indexed rescoreK=$rk%d: $iSec%.2f s recall@10=$recall%d/10")
+    }
     spark.stop()
   }
 }

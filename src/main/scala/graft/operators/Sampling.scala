@@ -99,9 +99,11 @@ object Sampling {
     * Same plan shape as [[mixtureSample]]: one metadata-scale count
     * aggregate, broadcast thresholds, pure-row-property hash filter.
     * Cross-engine parity: at the default α = 0.5 the threshold is
-    * `floor(buckets·sqrt(n_min·n_s)/n_s)` — integer product (exact below
-    * 2⁵³), correctly-rounded IEEE sqrt, one division, floor: bit-identical
-    * in any engine. Other α use `pow`, whose last-ulp behavior is
+    * `floor(buckets·sqrt(double(n_min)·n_s)/n_s)` — the product is taken
+    * in DOUBLE (long·long would wrap at 2⁶³ for ~4×10⁹-row strata, the
+    * scale this module targets; the double product is correctly rounded,
+    * then sqrt/divide/floor are too): every step is identical IEEE in any
+    * engine. Other α use `pow`, whose last-ulp behavior is
     * platform-dependent — fine for production, not oracle-gated here. */
   def temperatureSample(df: DataFrame, stratum: Column, key: Column,
       alpha: Double = 0.5, buckets: Int = 10000): DataFrame = {
@@ -110,7 +112,7 @@ object Sampling {
       .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
     val nmin = cnt.agg(min(col("_n")).as("_nmin"))
     val m =
-      if (alpha == 0.5) sqrt(col("_nmin") * col("_n"))
+      if (alpha == 0.5) sqrt(col("_nmin").cast("double") * col("_n"))
       else pow(col("_nmin").cast("double"), lit(1.0 - alpha)) *
         pow(col("_n").cast("double"), lit(alpha))
     val thresholds = cnt.crossJoin(broadcast(nmin))

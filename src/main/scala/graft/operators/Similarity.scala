@@ -199,7 +199,14 @@ object Similarity {
     val codeCols = (0 until numSubs).map(j =>
       pqCodeExpr(pqSubCodebook(cents, j, subLen), j, subLen).cast("int"))
     nonZeroVecs(embs)
-      .where(size(col("v")) === lit(dim))
+      // fail fast on a dim mismatch — pqTopK's guard, applied at build
+      // time: silently dropping the row would let the indexed path return
+      // a top-k the inline path refuses to compute (asymmetric contracts)
+      .withColumn("v", when(size(col("v")) =!= lit(dim),
+          raise_error(concat(lit(s"buildPqIndex: codebook dim $dim != embedding dim "),
+            size(col("v")).cast("string"), lit(" at vec_id "),
+            col("vec_id").cast("string"))))
+        .otherwise(col("v")))
       .select(col("vec_id"), array(codeCols: _*).as("codes"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
     cents.zipWithIndex

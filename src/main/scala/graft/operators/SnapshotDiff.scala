@@ -45,9 +45,12 @@ object SnapshotDiff {
     val raw = events.groupBy(key.as("key"))
       .agg(stateAt(t0Us).as("_old"), stateAt(t1Us).as("_new"))
     // A tombstoned latest event erases the state AFTER selection (the
-    // tombstone still wins the max_by race, as it must).
+    // tombstone still wins the max_by race, as it must). Null-safe
+    // compare: an event with a NULL type is live — `=!=` would evaluate
+    // NULL and silently kill the key, diverging from the streaming twin's
+    // `tombstone.contains(...)` (false for null).
     def live(c: Column): Column = tombstone match {
-      case Some(t) => when(c.isNotNull && c.getField("event_type") =!= t, c)
+      case Some(t) => when(c.isNotNull && !(c.getField("event_type") <=> lit(t)), c)
       case None    => c
     }
     raw.select(col("key"), live(col("_old")).as("_old"), live(col("_new")).as("_new"))
@@ -65,14 +68,18 @@ object SnapshotDiff {
   }
 
   /** The as-of bounds used by the declared `evt_cdc` query: `t0` at 60% of
-    * the log's microsecond span (integer-exact in both engines: the spans
-    * stay far below 2⁵³, so the double division is exact), `t1` just past
-    * the end. 1-row result — broadcast onto the log by [[diffAuto]]. */
+    * the log's microsecond span, `t1` just past the end. The 60% point is
+    * `floor()`ed EXPLICITLY: a bare long cast truncates in Spark but
+    * rounds-to-nearest in DuckDB (`CAST(4.6 AS BIGINT)` = 5 there), so
+    * without the floor the two engines can derive bounds 1 µs apart and
+    * flip the classification of any key whose event sits exactly on the
+    * boundary. The double arithmetic itself is exact (spans ≪ 2⁵³).
+    * 1-row result — broadcast onto the log by [[diffAuto]]. */
   def defaultBounds(events: DataFrame): DataFrame =
     events.agg(min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx"))
       .select(
-        (col("mn") + (((col("mx") - col("mn")) * 6) / 10).cast("long")).as("t0"),
+        (col("mn") + floor(((col("mx") - col("mn")) * 6) / 10).cast("long")).as("t0"),
         (col("mx") + 1).as("t1"))
 
   /** [[diff]] with data-derived default bounds (one metadata-scale

@@ -345,21 +345,6 @@ class StreamingSpec extends TestBase {
       .select("doc_id").distinct().count() == indexed)
   }
 
-  /** The file-stream source lists its directory NON-recursively, so each
-    * batch must arrive as a flat FILE: write through a staging dir and
-    * move the single part-file into the watched dir under `name`. */
-  private def stageFile(df: org.apache.spark.sql.DataFrame,
-      dir: java.nio.file.Path, name: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
-    val part = java.nio.file.Files.list(tmp.resolve("out"))
-    try {
-      val f = part.filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
-      java.nio.file.Files.copy(f, dir.resolve(name))
-    } finally part.close()
-  }
-
   test("cdcStream: two-batch emissions == SnapshotDiff between the same as-of points") {
     import graft.operators.SnapshotDiff
     import spark.implicits._
@@ -367,7 +352,7 @@ class StreamingSpec extends TestBase {
     val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
-    stageFile(batchEvents.where(unix_micros(col("ts")) < t0).select(cols.map(col): _*),
+    dropAsFile(batchEvents.where(unix_micros(col("ts")) < t0).select(cols.map(col): _*),
       dir, "b1.parquet")
     val schema = batchEvents.select(cols.map(col): _*).schema
     val q = Streams.cdcStream(
@@ -382,7 +367,7 @@ class StreamingSpec extends TestBase {
       assert(b1.size == batchEvents.where(unix_micros(col("ts")) < t0)
         .select("user_id").distinct().count())
 
-      stageFile(batchEvents.where(unix_micros(col("ts")) >= t0).select(cols.map(col): _*),
+      dropAsFile(batchEvents.where(unix_micros(col("ts")) >= t0).select(cols.map(col): _*),
         dir, "b2.parquet")
       q.processAllAvailable()
       val b2 = spark.table("t_cdc").collect().toSeq.diff(b1)
@@ -408,7 +393,7 @@ class StreamingSpec extends TestBase {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-tomb")
     def write(name: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit =
-      stageFile(rows.toDF("event_id", "tsus", "user_id", "event_type", "value")
+      dropAsFile(rows.toDF("event_id", "tsus", "user_id", "event_type", "value")
         .select(col("event_id"), timestamp_micros(col("tsus")).as("ts"),
           col("user_id"), col("event_type"), col("value")), dir, name)
     write("b1.parquet", Seq((1L, 1000000L, 7L, "click", 1.0)))
