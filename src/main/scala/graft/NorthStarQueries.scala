@@ -1247,6 +1247,60 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // THE round-9 composed pipeline (the embedding-space sibling of
+    // dd_pipeline's minhash chain): LR quality gate → SemDeDup over the
+    // survivors (centroids seeded from the SURVIVOR set — the oracle's
+    // row_number ≤ 16 = the engine's centroidsOf on the gated frame) →
+    // temperature flattening; per-lang funnel counts. Planted text+vector
+    // copies of doc 0–9 gate identically to their originals and then drop
+    // in the semantic stage; every stage is its own declared operator.
+    QueryDef("cur_pipeline")(
+      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+         |   UNION ALL SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id < 10),
+         | vecs AS (SELECT vec_id, embedding FROM embeddings
+         |   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+         | gate AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+         |     round(1.0 / (1.0 + exp(-(-3.0
+         |       + 0.4 * ((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')))
+         |       + 6.0 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')))
+         |       + 0.35 * ln(1.0 + len(string_split(text,' ')))))), 6) AS s
+         |   FROM corpus) WHERE s >= 0.5),
+         | d AS (SELECT g.doc_id AS vec_id, g.lang, v.embedding::DOUBLE[] AS v
+         |       FROM gate g JOIN vecs v ON g.doc_id = v.vec_id
+         |       WHERE list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM
+         |         (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM d) WHERE rn <= 16),
+         | asgr AS (SELECT d.vec_id, d.lang, d.v, c.cell, ${cosSql("d.v", "c.cv")} AS cs
+         |          FROM d CROSS JOIN c),
+         | asg AS (SELECT vec_id, lang, v, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |         ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE ${cosSql("a.v", "b.v")} >= 0.9),
+         | sem AS (SELECT g.vec_id, g.lang FROM asg g LEFT JOIN drp ON g.vec_id = drp.vec_id
+         |         WHERE drp.vec_id IS NULL),
+         | tc AS (SELECT lang, count(*) AS n FROM sem GROUP BY 1),
+         | mn AS (SELECT min(n) AS nmin FROM tc),
+         | thr AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(nmin AS DOUBLE) * n) / n) AS BIGINT) AS th
+         |         FROM tc CROSS JOIN mn),
+         | fin AS (SELECT s.lang FROM sem s JOIN thr USING (lang)
+         |         WHERE ('0x' || substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th)
+         | SELECT g.lang, CAST(count(*) AS BIGINT) AS n_gated,
+         |   CAST((SELECT count(*) FROM sem s WHERE s.lang = g.lang) AS BIGINT) AS n_semantic,
+         |   CAST((SELECT count(*) FROM fin f WHERE f.lang = g.lang) AS BIGINT) AS n_final
+         | FROM gate g GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val docs = d.select(col("doc_id"), col("lang"), col("text")).unionAll(
+        d.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
+      val vecs = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      graft.operators.Curation.funnel(docs, vecs).orderBy(col("lang"))
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends TestBase {
+
+  import spark.implicits._
+
+  test("funnel: gate drops junk, semantic stage drops copies, smallest lang kept whole") {
+    // lang "aa": 3 good docs, one an exact copy (text+vector) of another;
+    // lang "bb": 1 good doc; lang "cc": 1 junk doc (fails the LR gate:
+    // single short token, no stopwords).
+    val docs = Seq(
+      (1L, "aa", "the data table of rows and the columns of it"),
+      (2L, "aa", "the data table of rows and the columns of it"), // copy of 1
+      (3L, "aa", "a fast stream and a slow batch of the big data"),
+      (4L, "bb", "the group and the window of a query of the rows"),
+      (5L, "cc", "zz")
+    ).toDF("doc_id", "lang", "text")
+    val vec = Map(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(1.0f, 0.0f),
+      3L -> Array(0.0f, 1.0f), 4L -> Array(0.6f, 0.8f), 5L -> Array(0.1f, 0.9f))
+    val embs = vec.toSeq.toDF("vec_id", "embedding")
+    val got = Curation.funnel(docs, embs, threshold = 0.95, nCells = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cc fails the gate entirely → absent from the funnel
+    assert(!got.contains("cc"), s"junk-only lang must not appear: $got")
+    // aa: 3 gated, copy 2 drops in the semantic stage → 2; bb: 1 → 1
+    assert(got("aa")._1 == 3L && got("aa")._2 == 2L, s"got $got")
+    assert(got("bb") == ((1L, 1L, 1L)), s"got $got")
+    // temperature keeps the smallest lang whole and n_final <= n_semantic
+    assert(got("aa")._3 <= got("aa")._2)
+  }
+}
