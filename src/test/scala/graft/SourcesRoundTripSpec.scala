@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** §2.2 scans/sources/sinks claims: parquet + csv/tsv(+gzip) + json + text
-  * writers/readers round-trip with schema fidelity. */
+/** §2.2 scans/sources/sinks claims: parquet + orc + csv/tsv(+gzip) + json +
+  * text writers/readers round-trip with schema fidelity. */
 class SourcesRoundTripSpec extends TestBase {
 
   private def tmp(): String =
@@ -44,6 +44,24 @@ class SourcesRoundTripSpec extends TestBase {
     assert(back.schema("embedding").dataType ==
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
     assert(back.count() == e.count())
+  }
+
+  test("orc round-trip: values identical to parquet, filters pushed to the scan") {
+    // ORC is the second columnar format Spark ships natively — the engine
+    // must read/write it with the same fidelity (array columns included)
+    // and keep predicate pushdown at the scan.
+    val e = Tables(spark, sf(), "embeddings")
+    val out = s"${tmp()}/emb_orc"
+    e.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty,
+      "orc round-trip must be value-identical")
+    val plan = back.where(col("vec_id") < 10).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      s"orc scan must carry the pushed filter:\n$plan")
   }
 
   test("date-partitioned time-series layout: ts predicate prunes partitions at the scan") {
