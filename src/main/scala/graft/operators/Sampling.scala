@@ -146,11 +146,13 @@ object Sampling {
     * expression, epoch membership is an integer compare on the same md5
     * buckets as every other sampler. */
   def mixtureResample(df: DataFrame, stratum: Column, key: Column,
-      targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
+      targets: Map[String, Double], buckets: Int = 10000,
+      maxEpochs: Int = 100): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
       s"target proportions must be in (0, 1]: $targets")
     require(targets.values.sum <= 1.0 + 1e-9,
       s"target proportions must sum to <= 1: $targets")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
     val cnt = df.select(stratum.as("_strat"))
       .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
     val withP = cnt.withColumn("_p",
@@ -165,6 +167,16 @@ object Sampling {
         floor((col("_p") * col("_tot") / col("_n")
             - floor(col("_p") * col("_tot") / col("_n"))) * lit(buckets.toDouble))
           .cast("long").as("_thr"))
+      // amplification guard: a mistyped target against a tiny stratum
+      // would otherwise explode a row into millions of epochs; published
+      // recipes repeat data ~O(10) times, so beyond maxEpochs is a spec
+      // error, not a mixture — fail fast with the offending stratum named
+      .withColumn("_full",
+        when(col("_full") > maxEpochs,
+          raise_error(concat(lit("mixtureResample: stratum "), col("_strat"),
+            lit(s" needs more than $maxEpochs epochs ("), col("_full").cast("string"),
+            lit(") — check the target mixture"))))
+        .otherwise(col("_full")))
     df.join(broadcast(factors), stratum <=> col("_strat"), "inner")
       .select(df.columns.map(col) :+ col("_full") :+ col("_thr") :+
         explode(sequence(lit(0L), col("_full"))).as("epoch"): _*)

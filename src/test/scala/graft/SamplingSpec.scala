@@ -115,5 +115,15 @@ class SamplingSpec extends TestBase {
     // strata absent from the mixture drop
     assert(Sampling.mixtureResample(d, col("grp"), col("id"), Map("a" -> 1.0))
       .where(col("grp") === "b").count() == 0)
+    // amplification guard: a mixture demanding > maxEpochs repeats of a
+    // tiny stratum fails fast instead of exploding the output
+    val tiny = ((0L until 999L).map(i => (i, "a")) :+ ((999L, "c")))
+      .toDF("id", "grp")
+    val ex = intercept[Exception] {
+      Sampling.mixtureResample(tiny, col("grp"), col("id"),
+        Map("a" -> 0.5, "c" -> 0.5), maxEpochs = 100).count()
+    }
+    assert(ex.getMessage.contains("mixtureResample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixtureResample")))
   }
 }
