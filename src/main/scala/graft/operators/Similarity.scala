@@ -810,4 +810,97 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF-PQ — the industry-standard billion-vector layout (the
+    * IndexIVFPQ composition of Jégou et al. 2011): a COARSE quantizer
+    * (the IVF cells) partitions the CODES table, so a probe prunes file
+    * reads to ~nProbe/nCells of the index, and within the probed cells
+    * candidates rank by the PQ ADC score over byte codes — the candidate
+    * scan is simultaneously partition-pruned AND ~byte-compressed (the
+    * two savings multiply: at nProbe/nCells = 1/4 and codes 40× under
+    * floats, the ranking stage reads ~1% of the corpus bytes). Only the
+    * `rescoreK` ADC survivors touch full vectors, by id-pruned IN filter
+    * on the ORIGINAL embeddings table.
+    *
+    * Layout under `indexDir`: `codes/` (vec_id, codes — PARTITIONED BY
+    * cell), `centroids/` (coarse), `codebook/` (fine, per-subspace
+    * flattened). Both quantizers use the deterministic seed recipe, and
+    * probes always use the BUILD-time geometry (the buildIvfIndex
+    * discipline). Exactness contract (spec-asserted): with `rescoreK` ≥
+    * the probed-cell population, ADC ranking is a permutation of the
+    * probed candidates, so the result EQUALS `ivfTopKIndexed` at the same
+    * nProbe; smaller rescoreK trades recall for rescore work exactly as
+    * in [[pqTopKIndexed]]. */
+  def buildIvfPqIndex(embs: DataFrame, indexDir: String, nCells: Int = 16,
+      numSubs: Int = 4, numCents: Int = 16): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val coarse = centroidsOf(embs, nCells)
+    val fine = centroidsOf(embs, numCents)
+    require(fine.nonEmpty, "buildIvfPqIndex: no non-zero-norm vectors to seed the codebook")
+    val dim = fine.head._2.length
+    require(dim % numSubs == 0, s"buildIvfPqIndex: dim $dim not divisible into $numSubs subspaces")
+    val subLen = dim / numSubs
+    val codeCols = (0 until numSubs).map(j =>
+      pqCodeExpr(pqSubCodebook(fine, j, subLen), j, subLen).cast("int"))
+    nonZeroVecs(embs)
+      .withColumn("v", when(size(col("v")) =!= lit(dim),
+          raise_error(concat(lit(s"buildIvfPqIndex: codebook dim $dim != embedding dim "),
+            size(col("v")).cast("string"), lit(" at vec_id "),
+            col("vec_id").cast("string"))))
+        .otherwise(col("v")))
+      .withColumn("cell", cellAssignExpr(coarse))
+      .select(col("vec_id"), array(codeCols: _*).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    coarse.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    fine.zipWithIndex
+      .map { case ((_, cv), pos) => (pos.toLong, cv) }.toSeq
+      .toDF("pos", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** ANN top-k over a [[buildIvfPqIndex]] layout: partition-pruned ADC
+    * ranking over byte codes, exact rescore of the survivors from the
+    * original `embs` table. */
+  def ivfPqTopK(embs: DataFrame, indexDir: String, query: Seq[Double],
+      k: Int, nProbe: Int = 4, rescoreK: Int = 40): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val fine = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("pos"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(coarse.nonEmpty && fine.nonEmpty,
+      s"ivfPqTopK: empty centroids/codebook at $indexDir")
+    val dim = fine.head._2.length
+    require(dim == query.length,
+      s"ivfPqTopK: query dim ${query.length} != index dim $dim")
+    val qArr = query.toArray
+    val probeCells = probeCellsFor(coarse, qArr, nProbe)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .where(col("cell").isin(probeCells: _*))
+      // replayed appends must not seat one vec_id in two slots
+      // (ivfTopKIndexed's probe-side discipline)
+      .dropDuplicates("vec_id")
+    val numSubs = codes.select(size(col("codes"))).head().getInt(0)
+    val subLen = dim / numSubs
+    val adcTerms = (0 until numSubs).map { j =>
+      val lut = pqLut(pqSubCodebook(fine, j, subLen), qArr, j, subLen)
+      element_at(lit(lut), element_at(col("codes"), j + 1) + 1)
+    }
+    val candIds = codes
+      .select(col("vec_id"), adcTerms.reduceLeft(_ + _).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreK)
+      .select(col("vec_id"))
+      .as[Long].collect().toSeq
+    nonZeroVecs(embs)
+      .where(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), round(cosine(col("v"), lit(qArr)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

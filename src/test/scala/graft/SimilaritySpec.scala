@@ -324,6 +324,38 @@ class SimilaritySpec extends TestBase {
     assert(codes.select(max(size(col("codes")))).head().getInt(0) == 4)
   }
 
+  test("ivfPqTopK: full-width rescore == exact probed-cell search; pruning at the scan") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    Similarity.buildIvfPqIndex(e, dir)
+    // the separately-built IVF index probes the SAME cells exactly (same
+    // seed centroids), so with rescoreK >= probed population the ADC rank
+    // is a permutation and results must be identical
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq-ivf").toString
+    Similarity.buildIvfIndex(e, ivfDir)
+    val exact = Similarity.ivfTopKIndexed(spark, ivfDir, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val fullRescore = Similarity.ivfPqTopK(e, dir, q, 10, rescoreK = 100000)
+      .as[(Long, Double)].collect().toSeq
+    assert(fullRescore == exact,
+      s"full-width IVF-PQ must equal exact probed-cell search:\n$fullRescore\n$exact")
+    // tight rescore still finds the query itself and keeps high recall
+    val tight = Similarity.ivfPqTopK(e, dir, q, 10, rescoreK = 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(tight.head == ((0L, 1.0)), s"self must rank first: $tight")
+    assert(tight.map(_._1).count(exact.map(_._1).toSet) >= 7,
+      s"ADC@40 recall collapsed vs exact probed-cell search: $tight vs $exact")
+    // the probe prunes PARTITIONS of the codes table, not post-scan rows
+    val plan = spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter must prune partitions:\n${plan.take(1500)}")
+  }
+
   test("pqTopK: guards — dim mismatch fails fast, non-divisible dim refused") {
     val e = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
