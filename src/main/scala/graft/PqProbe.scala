@@ -71,6 +71,33 @@ object PqProbe {
       val recall = iRows.map(_.getLong(0)).count(truth)
       println(f"[pqprobe] indexed rescoreK=$rk%d: $iSec%.2f s recall@10=$recall%d/10")
     }
+
+    // IVF-PQ: the coarse cells must MULTIPLY the byte savings — the probed
+    // codes scan reads ~nProbe/nCells of the (already ~40× compressed)
+    // codes bytes. Measured from FileSourceScanExec metrics on the pruned
+    // scan, not estimated.
+    val ivfpq = java.nio.file.Files.createTempDirectory("graft-ivfpq-probe").toString
+    val (b2Sec, _) = ProbeHarness.time(Similarity.buildIvfPqIndex(e, ivfpq))
+    Similarity.ivfPqTopK(e, ivfpq, q, 10, rescoreK = 400).collect() // warm
+    val (pSec, pRows) =
+      ProbeHarness.time(Similarity.ivfPqTopK(e, ivfpq, q, 10, rescoreK = 400).collect())
+    val pRecall = pRows.map(_.getLong(0)).count(truth)
+    val probedCodes = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val cents = spark.read.parquet(s"$ivfpq/centroids")
+      val someCells = cents.select(col("cell")).limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      val df = spark.read.parquet(s"$ivfpq/codes")
+        .where(col("cell").isin(someCells: _*))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+        .map(s => s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
+    }
+    val allCodesBytes = dirBytes(s"$ivfpq/codes")
+    println(f"[pqprobe] ivfpq: build=$b2Sec%.1f s probe=$pSec%.2f s recall@10=$pRecall%d/10 " +
+      f"probed_codes_bytes=$probedCodes%d of $allCodesBytes%d " +
+      f"(corpus ratio=${corpusBytes.toDouble / probedCodes}%.0fx)")
     spark.stop()
   }
 }
