@@ -30,10 +30,19 @@ object Tables {
     // INTEGER division: epoch-ns values (~1.7e18) exceed double's exact
     // integer range, so `/ 1000.0` rounds ~12% of timestamps up 1µs vs the
     // truncation DuckDB applies reading the same parquet.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Regenerated data writes plain timestamp[us] with no UTC flag, which
+      // Spark infers as TIMESTAMP_NTZ. The session timezone is pinned UTC,
+      // so reinterpreting NTZ micros as instant micros is lossless and
+      // byte-identical to what DuckDB reads from the same file.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (used by tests and SQL surface). */

@@ -25,17 +25,32 @@ object Streams {
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (see Tables: TIMESTAMP(NANOS))
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory/glob of events parquet. */
+  /** File-source stream over a directory/glob of events parquet.
+    *
+    * Streaming requires an explicit schema, but the data of record has
+    * shipped `ts` three ways across regenerations (TIMESTAMP(NANOS),
+    * plain int64 nanos, timestamp[us] with no UTC flag → TIMESTAMP_NTZ).
+    * Sniff one footer batch-side — a metadata-only read, valid at any
+    * scale — and normalize to TimestampType exactly like `Tables`. All
+    * files under one stream path must share the sniffed form (the parquet
+    * source contract anyway). */
   def eventsStream(spark: SparkSession, pathGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(pathGlob)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
+    val fileSchema = spark.read.parquet(pathGlob).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(pathGlob)
+    fileSchema("ts").dataType match {
+      case LongType => // nanos-as-long; integer div: ns > 2^53
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // session tz is pinned UTC: lossless
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts with a 10-minute watermark: late events beyond

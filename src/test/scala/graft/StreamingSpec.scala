@@ -92,8 +92,17 @@ class StreamingSpec extends TestBase {
       val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
       val lateTs = new java.sql.Timestamp(maxTs.getTime - 70 * 60 * 1000L)
       import spark.implicits._
-      Seq((999999L, lateTs.getTime * 1000000L, 1L, "late_evt", 1.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // the appended file must carry ts in the same physical form as the
+      // staged data of record (the stream schema was sniffed from it)
+      val fileTsType = spark.read.parquet(s"${sf()}/events.parquet").schema("ts").dataType
+      val lateTsCol = fileTsType match {
+        case org.apache.spark.sql.types.LongType => lit(lateTs.getTime * 1000000L)
+        case t => lit(lateTs).cast(t)
+      }
+      Seq((999999L, 1L, "late_evt", 1.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", lateTsCol)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.parquet(dir.resolve("b2.parquet").toString)
       q.processAllAvailable()
 
