@@ -51,8 +51,8 @@ object Bench {
   private val headline: Set[String] = Set(
     "dd_exact", "dd_incremental", "dd_decontaminate", "dd_minhash_lsh",
     "dd_ngram_jaccard", "dd_containment", "dd_simhash", "dd_simhash_pairs",
-    "dd_edit", "dd_cluster", "dd_embed_neardup", "dd_pipeline",
-    "dd_cross_neardup", "dd_embed_cross", "dd_cluster_increment",
+    "dd_edit", "dd_edit_gated", "dd_cluster", "dd_embed_neardup", "dd_pipeline",
+    "dd_cross_neardup", "dd_cross_indexed", "dd_embed_cross", "dd_cluster_increment",
     "dd_pipeline_increment", "dd_semantic",
     "sim_topk_brute", "sim_ivf_topk", "sim_knn_join", "sim_pq_topk",
     "laser_pipeline_e2e", "trace_pipeline_e2e",
@@ -82,6 +82,37 @@ object Bench {
   private val perQueryProbeIters = 150000000L
   private val probeContendedSec = 0.2
 
+  /** PARALLEL noise probe: the same burn on every vCPU at once, reporting
+    * the SLOWEST thread's seconds. Round-9 lesson: the r8 driver bench
+    * archived the dd chain at ~10× its quiet-host cost (dd_edit 77.5 s vs
+    * 8.0 s on identical code+data+settings re-run later) while every
+    * SINGLE-thread probe read quiet (max 0.185) — contention that steals
+    * whole cores or memory bandwidth leaves a lone arithmetic thread
+    * untouched and only shows up when all vCPUs demand cycles at once,
+    * exactly what a 32-thread Spark stage does. Quiet ≈ the single-thread
+    * reading (~0.15 s for the half burn); a multiple of it means the
+    * measured queries ran against a host that could not actually deliver
+    * `cpus` cores, and the archived numbers read high by roughly that
+    * factor. */
+  private def parallelNoiseProbe(threads: Int, iters: Long = 150000000L): Double = {
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val pool = (0 until threads).map { _ =>
+      new Thread(() => {
+        val t0 = System.nanoTime()
+        var s = 0L
+        var i = 0L
+        while (i < iters) { s += i * i; i += 1 }
+        if (s == 42L) System.err.println("")
+        times.add((System.nanoTime() - t0) / 1e9); ()
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    var mx = 0.0
+    times.forEach(t => mx = math.max(mx, t))
+    mx
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,6 +140,7 @@ object Bench {
     // driver always runs the full catalog).
     val only = args.toSet
     val probeStart = noiseProbe()
+    val parProbeStart = parallelNoiseProbe(cpus.toInt)
     def once(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -136,7 +168,8 @@ object Bench {
     // full run list is archived alongside the min so cross-round
     // comparisons can separate operator gains from retry-policy effects,
     // and the probe attaches environment quality to each measurement.
-    case class QueryResult(name: String, sec: Double, runs: Seq[Double], probe: Double)
+    case class QueryResult(name: String, sec: Double, runs: Seq[Double],
+      probe: Double, probePar: Double)
     val results: Seq[QueryResult] = SparkEntry.catalog
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
@@ -155,9 +188,11 @@ object Bench {
           } else Seq(first)
         val valid = runs.filter(_ >= 0)
         val sec = if (valid.isEmpty) -1.0 else valid.min
-        QueryResult(q.name, sec, runs, noiseProbe(perQueryProbeIters))
+        QueryResult(q.name, sec, runs, noiseProbe(perQueryProbeIters),
+          parallelNoiseProbe(cpus.toInt, perQueryProbeIters))
       }
     val probeEnd = noiseProbe()
+    val parProbeEnd = parallelNoiseProbe(cpus.toInt)
     // Locale.ROOT formatting: the f-interpolator uses the JVM default
     // locale — a comma-decimal locale would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -168,7 +203,12 @@ object Bench {
     // probe_sec: the host-noise burn at run start/end (see noiseProbe) —
     // quiet ≈ 0.2 s on this guest; readings ≥ 0.5 s mean the run raced
     // invisible host contention and its numbers read high.
-    val probes = s""""probe_sec":[${num(probeStart)},${num(probeEnd)}]"""
+    // probe_par_sec: the all-vCPU burn at run start/end (slowest thread).
+    // Quiet ≈ the single-thread half-burn (~0.15 s); a large multiple
+    // means the host could not deliver `cpus` cores during this run and
+    // every archived number reads high by roughly that factor — the
+    // contention mode the single-thread probes missed in r8.
+    val probes = s""""probe_sec":[${num(probeStart)},${num(probeEnd)}],"probe_par_sec":[${num(parProbeStart)},${num(parProbeEnd)}]"""
     // first_sec: the pre-retry first-run time of every retried query, so
     // the retry policy's effect is visible per query in the archive.
     val firsts = qmap(results.collect { case r if r.runs.size > 1 => r.name -> r.runs.head })
@@ -182,18 +222,27 @@ object Bench {
     // query's number reads high). This is what the endpoint probes missed:
     // contention opening and closing mid-run.
     val probeByQuery = qmap(results.map(r => (r.name, r.probe)))
-    val contended = results.filter(_.probe >= probeContendedSec).map(_.name)
+    // probe_par_by_query: the all-vCPU burn after each query (slowest
+    // thread). The r8 contention mode — whole cores / memory bandwidth
+    // stolen while a lone arithmetic thread reads quiet — shows up HERE.
+    // Quiet tracks the single-thread probe; a multiple of it means that
+    // query's archived time reads high by roughly that factor.
+    val probeParByQuery = qmap(results.map(r => (r.name, r.probePar)))
+    val contended = results
+      .filter(r => r.probe >= probeContendedSec || r.probePar >= 3 * probeContendedSec)
+      .map(_.name)
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probeMax = if (results.isEmpty) 0.0 else results.map(_.probe).max
+    val probeParMax = if (results.isEmpty) 0.0 else results.map(_.probePar).max
     val detail =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"probe_by_query":$probeByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"probe_by_query":$probeByQuery,"probe_par_by_query":$probeParByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     val head = timings.filter(r => headline(r._1))
     // Stdout stays one compact line: endpoint probes plus a two-number
     // summary of the per-query probes (max + contended-count) — the full
     // per-query probe map lives in BENCH_DETAIL.json.
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"probe_q_max":${num(probeMax)},"probe_q_contended":${contended.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"probe_q_max":${num(probeMax)},"probe_par_q_max":${num(probeParMax)},"probe_q_contended":${contended.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -597,6 +597,43 @@ class DedupSpec extends TestBase {
     } finally spark.conf.unset("graft.editShuffleBodies")
   }
 
+  test("edit similarity floored == unfloored + filter (bound prune is invisible)") {
+    // The length-difference gate may only skip DPs that cannot reach the
+    // floor — the floored result must equal filtering the full result,
+    // including pairs AT the floor (rounding slack) and pairs pruned by
+    // the bound (1 vs 5: |Δlen| alone kills 0.5).
+    val d = docs(1L -> "kitten", 2L -> "sitting", 3L -> "kitten",
+      4L -> "kitten sitting on a mat", 5L -> "a very much longer unrelated text body here")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 5L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val full = Dedup.editSimilarity(d, pairs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val floored = Dedup.editSimilarity(d, pairs, Some(0.5))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(floored == full.filter(_._4 >= 0.5))
+    assert(floored.map(r => (r._1, r._2)) == Set((1L, 2L), (1L, 3L))) // non-vacuous
+    // body-carrying regime honors the same floored contract
+    spark.conf.set("graft.editShuffleBodies", "true")
+    try assert(Dedup.editSimilarity(d, pairs, Some(0.5))
+      .as[(Long, Long, Long, Double)].collect().toSet == floored)
+    finally spark.conf.unset("graft.editShuffleBodies")
+  }
+
+  test("gated edit: agreement floor drops template collisions, keeps near-dups") {
+    // 1≈2 near-identical (high seed agreement, edit_sim ≥ 0.5); 3/4 share
+    // a template prefix — enough for LSH band collisions sometimes, but
+    // character-level different enough that the 0.5 floor drops them; the
+    // planted near-pair must survive the full gate chain.
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "common template header one two three alpha beta gamma delta",
+      4L -> "totally unrelated tail words here nine ten eleven twelve")
+    val got = Dedup.editSimilarityGated(d, minSim = 0.5, minAgree = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == Set((1L, 2L)))
+    assert(got.forall(_._4 >= 0.5))
+  }
+
   private def cc(pairs: (Long, Long)*): Map[Long, Long] =
     Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
