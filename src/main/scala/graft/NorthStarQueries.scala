@@ -181,6 +181,19 @@ object NorthStarQueries {
     cachedArtifact(dir, "cross-index", corpus)(
       Dedup.buildCrossNearDupIndex(corpus, _))
 
+  /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
+    * file-stream source lists files, not Spark output directories, so
+    * streaming queries' deterministic drops are staged this way (same
+    * pattern as StreamingSpec). */
+  private def stageAsFile(df: DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("d"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.copy(part, dir.resolve(name)); ()
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- dedup -----------------------------------------------------------
@@ -767,6 +780,66 @@ object NorthStarQueries {
       corpus.unionAll(batch).join(purge, Seq("doc_id"), "left_anti")
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
+    },
+
+    // The streaming curation loop, driver-checked end to end: seed standing
+    // state from the corpus, stream two deterministic document drops
+    // through `Streams.curationLoop` (availableNow, one file per
+    // micro-batch), and emit the FINAL committed labels snapshot. The
+    // oracle recomputes the accumulated labeling from scratch (doc-level
+    // LSH chain → 0.8 Jaccard gate → recursive-CTE CC), so the hash match
+    // IS the increments-equal-batch theorem for the round's most complex
+    // streaming artifact — previously spec-asserted only.
+    QueryDef("dd_curation_stream")(
+      s"""WITH RECURSIVE corpus AS (
+         |   SELECT doc_id, text FROM documents WHERE doc_id < 40
+         |   UNION ALL SELECT doc_id + 1000, text || ' extra' FROM documents WHERE doc_id < 10
+         |   UNION ALL SELECT doc_id + 2000, text || ' extra' FROM documents WHERE doc_id < 5
+         |   UNION ALL SELECT doc_id + 3000, upper(text) FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | dup AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |         JOIN sizes na ON na.doc_id = p.doc_a
+         |         JOIN sizes nb ON nb.doc_id = p.doc_b
+         |         WHERE round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.8),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM dup
+         |         UNION SELECT doc_b, doc_a FROM dup),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") < 40)
+      val b1 = d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val b2 = d.where(col("doc_id") < 5)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 3000).as("doc_id"), upper(col("text")).as("text")))
+      // Fresh state per call: the loop's own crash/replay machinery is
+      // exercised by StreamingSpec; this row checks the converged result.
+      val st = java.nio.file.Files.createTempDirectory("graft-curation-q")
+      val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
+      graft.streaming.Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-curation-q-in")
+      stageAsFile(b1, inDir, "b1.parquet")
+      stageAsFile(b2, inDir, "b2.parquet")
+      val q = graft.streaming.Streams.curationLoop(
+        graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, threshold = 0.8, s"$st/ckpt")
+      q.awaitTermination()
+      s.read.schema("doc_id LONG, cluster_id LONG").parquet(s"$lblDir/v1")
+        .orderBy(col("doc_id"))
     },
 
     // ---- similarity search ----------------------------------------------
