@@ -993,14 +993,30 @@ object Dedup {
             greatest(col("la"), col("lb")) >= lit(t - 1e-6))
           .select(col("ha"), col("hb"))
     }
-    val scored = gated
+    val withTexts = gated
       .join(texts.select(col("h").as("ha"), col("text").as("ta")), "ha")
       .join(texts.select(col("h").as("hb"), col("text").as("tb")), "hb")
-      .select(col("ha"), col("hb"),
-        lev.as("edit_dist"),
-        round(lit(1.0) - lev.cast("double") /
-          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
-    val floored = minSim.fold(scored)(t => scored.where(col("edit_sim") >= t))
+    def project(df: DataFrame): DataFrame = df.select(col("ha"), col("hb"),
+      lev.as("edit_dist"),
+      round(lit(1.0) - lev.cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+    // Floored mode: (1) spread the gated pair set across the session's
+    // shuffle partitions BEFORE the DP projection — the pair set is tiny
+    // relative to the cluster, AQE coalesces its exchanges to one
+    // partition, and a serial DP stage wastes every other core; (2)
+    // materialize the scores (one DP per pair, output-scale rows of four
+    // scalars) and filter the STORED column — a lazy `where(edit_sim ≥ t)`
+    // gets its aliased levenshtein pushed into the join as a residual
+    // condition and re-evaluated per consumer. GateProbe (2400-char
+    // texts, 262 gated pairs): lazy-filtered 12.9 s, spread + stored
+    // filter 0.9 s, kernel floor 0.2 s.
+    val floored = minSim match {
+      case None => project(withTexts)
+      case Some(t) =>
+        val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        checkpointed(project(withTexts.repartition(parts)))
+          .where(col("edit_sim") >= t)
+    }
     keyed
       .join(floored, Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
@@ -1028,12 +1044,18 @@ object Dedup {
     val gated = minSim.fold(distinctTexts)(t => distinctTexts
       .where(lit(1.0) - abs(length(col("ta")) - length(col("tb"))).cast("double") /
         greatest(length(col("ta")), length(col("tb"))) >= lit(t - 1e-6)))
-    val scored = gated
-      .select(col("ha"), col("hb"),
-        lev.as("edit_dist"),
-        round(lit(1.0) - lev.cast("double") /
-          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
-    val floored = minSim.fold(scored)(t => scored.where(col("edit_sim") >= t))
+    def project(df: DataFrame): DataFrame = df.select(col("ha"), col("hb"),
+      lev.as("edit_dist"),
+      round(lit(1.0) - lev.cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+    // same spread-then-materialize rationale as the hash-keyed shape
+    val floored = minSim match {
+      case None => project(gated)
+      case Some(t) =>
+        val parts = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        checkpointed(project(gated.repartition(parts)))
+          .where(col("edit_sim") >= t)
+    }
     withTexts.select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
       .join(floored, Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
@@ -1056,6 +1078,28 @@ object Dedup {
     * contract: every LSH candidate pair with seed agreement ≥ `minAgree`
     * and rounded `edit_sim` ≥ `minSim` — mirrored verbatim by the
     * `dd_edit_gated` oracle. */
+  /** Probe-only standalone of the agreement stage (GateProbe cost
+    * attribution): the rep-level candidate pairs surviving the seed
+    * -agreement floor, prelude recomputed and released. */
+  private[graft] def agreementGatedPairs(
+      docs: DataFrame,
+      minAgree: Int,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val ctx = dedupPrelude(docs, n, numHashes, bandSize, maxBucket)
+    val sigs = minhashSigsWide(ctx.sh, numHashes)
+    val agree = (0 until numHashes)
+      .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    materializeThenRelease(ctx.repPairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .where(agree >= minAgree)
+      .select(col("doc_a"), col("doc_b")), ctx.keyed, ctx.sh)
+  }
+
   def editSimilarityGated(
       docs: DataFrame,
       minSim: Double = 0.5,
@@ -1064,10 +1108,18 @@ object Dedup {
       numHashes: Int = 8,
       bandSize: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sh = shingles(docs.select(col("doc_id"), col("text")), n).persist(sl)
-    val pairs = lshCandidatePairsFromShingles(sh, numHashes, bandSize, maxBucket)
-    val sigs = minhashSigsWide(sh, numHashes)
+    require(minSim <= 1.0, s"minSim $minSim > 1.0: no pair can pass")
+    // Dedup-FIRST, like every scorer in this file: the gate, the DP, and
+    // the candidate joins all run at REPRESENTATIVE scale (one doc per
+    // distinct text); member doc pairs expand afterward — within-group
+    // pairs are identity (equal texts ⇒ edit_dist 0, sim 1.0 ≥ any legal
+    // floor), cross pairs inherit their text pair's scores (edit metrics
+    // are symmetric, so the (least, greatest) re-canonicalization carries
+    // nothing, unlike containment's orientation swap). In a k-copy
+    // dup-dense corpus that is a k² cut on every pair-level join — the
+    // first cut of this operator was doc-level and paid it everywhere.
+    val ctx = dedupPrelude(docs, n, numHashes, bandSize, maxBucket)
+    val sigs = minhashSigsWide(ctx.sh, numHashes)
     val agree = (0 until numHashes)
       .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1).otherwise(0))
       .reduce(_ + _)
@@ -1077,14 +1129,27 @@ object Dedup {
     // plan would replay the whole LSH + signature chain once per branch —
     // measured 73 s vs 3.4 s at sf0.1 for this exact operator, ~700
     // concurrent broadcast jobs thrashing 32 cores. The checkpoint is
-    // output-scale (surviving pairs only).
-    val agreed = checkpointed(pairs
+    // output-scale (surviving rep pairs only).
+    val agreed = checkpointed(ctx.repPairs
       .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
       .where(agree >= minAgree)
       .select(col("doc_a"), col("doc_b")))
-    val out = editSimilarity(docs, agreed, Some(minSim))
-    materializeThenRelease(out, sh)
+    val repScores = editSimilarity(docs, agreed, Some(minSim))
+    val cross = repScores
+      .join(ctx.rep.select(col("rep").as("doc_a"), col("th").as("tha")), "doc_a")
+      .join(ctx.rep.select(col("rep").as("doc_b"), col("th").as("thb")), "doc_b")
+      .join(ctx.capped.select(col("th").as("tha"), col("doc_id").as("ia")), "tha")
+      .join(ctx.capped.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        col("edit_dist"), col("edit_sim"))
+    val within = ctx.capped.as("x")
+      .join(ctx.capped.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("edit_dist"), lit(1.0).as("edit_sim"))
+    materializeThenRelease(cross.unionAll(within), ctx.keyed, ctx.sh)
   }
 
   /** Connected components over an undirected near-dup pair graph
