@@ -53,7 +53,7 @@ object Bench {
     "dd_ngram_jaccard", "dd_containment", "dd_simhash", "dd_simhash_pairs",
     "dd_edit", "dd_edit_gated", "dd_cluster", "dd_embed_neardup", "dd_pipeline",
     "dd_cross_neardup", "dd_cross_indexed", "dd_embed_cross", "dd_cluster_increment",
-    "dd_pipeline_increment", "dd_semantic",
+    "dd_pipeline_increment", "dd_semantic", "dd_substring",
     "sim_topk_brute", "sim_ivf_topk", "sim_knn_join", "sim_pq_topk",
     "laser_pipeline_e2e", "trace_pipeline_e2e",
     "q09_agg_group", "q14_window_chunk", "q37_sketches", "q42_recursive_cte",

@@ -492,6 +492,51 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Substring-level duplication via robust winnowing (Schleimer et al.
+    // 2003): char-32-gram hashes, window-16 minima, docs sharing >= 3
+    // fingerprints — catches verbatim copied PASSAGES that word-shingle
+    // Jaccard under-scores in otherwise-different docs (the scalable
+    // approximation of suffix-array substring dedup). Planted: docs < 20
+    // re-emitted as (180-char prefix of the base) + a distinct tail, so
+    // each planted doc shares a long passage with its base and nothing
+    // else. The oracle replays gram hashing, the window minima, the
+    // winnow dedup, the bucket cap, and the shared-count floor verbatim.
+    QueryDef("dd_substring")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT doc_id + 100000,
+         |     substr(text, 1, 180) || ' tail marker ' || CAST(doc_id AS VARCHAR)
+         |   FROM documents WHERE doc_id < 20),
+         | grams AS (SELECT doc_id, i.i AS i,
+         |     ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 32)), 1, 15))::BIGINT AS h,
+         |     greatest(length(text) - 31, 1) AS n
+         |   FROM corpus JOIN range(1, 100000) i(i)
+         |     ON i.i <= greatest(length(text) - 31, 1)),
+         | wins AS (SELECT doc_id, i, n,
+         |     min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |   FROM grams),
+         | fps AS (SELECT DISTINCT doc_id, fp FROM wins
+         |         WHERE i <= greatest(n - 15, 1)),
+         | capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN
+         |              (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS c
+         |                               FROM fps GROUP BY 1) WHERE c <= 1000) ok
+         |            USING (fp))
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(count(*) AS BIGINT) AS n_shared
+         | FROM capped a JOIN capped b
+         |   ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 3
+         | ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 180), lit(" tail marker "),
+            col("doc_id").cast("string")).as("text")))
+      Dedup.substringDupPairs(corpus, k = 32, w = 16, minShared = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Cluster formation: LSH candidate pairs → connected components →
     // (doc_id, cluster_id = component min). The engine runs alternating
     // large-star/small-star rounds (O(log² n), chain-safe); the oracle is a

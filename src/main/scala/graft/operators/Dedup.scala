@@ -898,6 +898,73 @@ object Dedup {
     materializeThenRelease(out, keyed)
   }
 
+  /** Winnowed character-k-gram fingerprints (doc_id, fp) — the robust
+    * winnowing scheme (Schleimer et al., SIGMOD 2003, the MOSS algorithm):
+    * hash every k-char gram, slide a w-gram window, keep each window's
+    * MINIMUM hash, dedup. Guarantees: any shared substring of length
+    * ≥ k + w − 1 yields ≥ 1 shared fingerprint (detection floor), and
+    * fingerprint density is ~2/(w+1) of the gram count — the tunable
+    * storage/recall dial. This is the CHARACTER-level complement to word
+    * -shingle minhash: it finds verbatim copied PASSAGES (licenses,
+    * boilerplate, quoted blocks) that word-level Jaccard under-scores in
+    * otherwise-different documents — the scalable approximation of
+    * suffix-array substring dedup (Lee et al. 2022).
+    *
+    * Plan shape: the ENTIRE per-doc computation — gram hashes, window
+    * minima, dedup — is one projection of nested higher-order functions
+    * (transform/slice/array_min/array_distinct) over the text column:
+    * zero exchanges, codegen-friendly, embarrassingly parallel at any
+    * scale. The only shuffle in any consumer is on the emitted
+    * (doc_id, fp) rows. The gram hash is the engine-standard 15-hex md5
+    * prefix as BIGINT, so the DuckDB oracle reproduces fingerprints
+    * bit-for-bit. Docs shorter than k yield their whole text as the one
+    * gram; windows shorter than w take the min of what exists (the
+    * standard short-input degeneration, mirrored in SQL by the same
+    * `greatest(1, …)` bounds). */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 32, w: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(1, length(text) - ${k - 1})),
+           |  i -> cast(conv(substring(md5(substring(text, i, $k)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, greatest(1, size(hs) - ${w - 1})),
+           |  j -> array_min(slice(hs, j, $w))))""".stripMargin)).as("fp"))
+
+  /** Cross-doc substring-duplication pairs: documents sharing ≥ `minShared`
+    * winnowed fingerprints, with the shared count — the detector for
+    * copied passages across an otherwise-deduplicated corpus.
+    *
+    * Scale: fingerprinting is per-row projection work (above); the pair
+    * join is per-fingerprint-bucket with the same oversized-bucket cap as
+    * every blocking join here (a fingerprint shared by > `maxBucket` docs
+    * is ecosystem boilerplate — cap + route to a dedicated pass, never
+    * k² pairs). `minShared` is applied at the aggregate, so one lucky
+    * hash collision never pairs two documents. For dup-dense corpora
+    * compose with `exact` first — equal texts share every fingerprint by
+    * construction. */
+  def substringDupPairs(
+      docs: DataFrame,
+      k: Int = 32,
+      w: Int = 16,
+      minShared: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fps = winnowedFingerprints(docs.select(col("doc_id"), col("text")), k, w)
+      .persist(sl)
+    val tooBig = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .where(col("n") > maxBucket).select(col("fp"))
+    val capped = fps.join(broadcast(tooBig), Seq("fp"), "left_anti")
+    val out = capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    materializeThenRelease(out, fps)
+  }
+
   /** Edit-distance scoring of candidate pairs (`pairs(doc_a, doc_b)`):
     * Levenshtein distance plus the normalized similarity
     * `1 - lev / max(len_a, len_b)` — the character-level complement to

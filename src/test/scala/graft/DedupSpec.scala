@@ -597,6 +597,44 @@ class DedupSpec extends TestBase {
     } finally spark.conf.unset("graft.editShuffleBodies")
   }
 
+  test("winnowing: shared long passage detected, disjoint docs silent, short docs ok") {
+    val passage = "the quick brown fox jumps over the lazy dog while carrying " +
+      "a remarkably heavy dictionary of winnowed fingerprints across the yard"
+    val d = docs(
+      1L -> (passage + " first document unique tail content here"),
+      2L -> (passage + " second tail entirely different from the first"),
+      3L -> "completely unrelated text with no overlap whatsoever in any window of it",
+      4L -> "tiny") // shorter than k: whole-text gram, no crash
+    val got = Dedup.substringDupPairs(d, k = 32, w = 16, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == Set((1L, 2L)))
+    assert(got.head._3 >= 3) // the ~130-char shared passage yields several fps
+    // winnowing guarantee floor: shared substring >= k + w - 1 chars ⇒ >= 1
+    // shared fingerprint — 1 and 2 share far more, 3 shares none
+    val fps = Dedup.winnowedFingerprints(d, 32, 16)
+    val f1 = fps.where(col("doc_id") === 1).select("fp").as[Long].collect().toSet
+    val f3 = fps.where(col("doc_id") === 3).select("fp").as[Long].collect().toSet
+    assert((f1 & f3).isEmpty)
+    // density: winnowed fps ≈ 2/(w+1) of grams — far fewer than gram count
+    assert(f1.size < (passage.length + 40) / 4)
+  }
+
+  test("winnowing: identical docs share every fingerprint; cap silences mega-buckets") {
+    val t = "a shared boilerplate license header that appears verbatim in every single document of this corpus"
+    val d = docs(1L -> t, 2L -> t, 3L -> t)
+    val fps = Dedup.winnowedFingerprints(d, 32, 16)
+    val sets = (1L to 3L).map(i =>
+      fps.where(col("doc_id") === i).select("fp").as[Long].collect().toSet)
+    assert(sets(0) == sets(1) && sets(1) == sets(2))
+    // cap at maxBucket=2: every fp bucket holds 3 docs → all dropped → no pairs
+    assert(Dedup.substringDupPairs(d, 32, 16, minShared = 1, maxBucket = 2).count() == 0)
+    // uncapped: all three pairs, sharing the full fp set
+    val pairs = Dedup.substringDupPairs(d, 32, 16, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.forall(_._3 == sets(0).size.toLong))
+  }
+
   test("edit similarity floored == unfloored + filter (bound prune is invisible)") {
     // The length-difference gate may only skip DPs that cannot reach the
     // floor — the floored result must equal filtering the full result,
