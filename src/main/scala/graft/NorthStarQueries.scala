@@ -537,6 +537,51 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Substring-level decontamination: corpus docs carrying a VERBATIM
+    // eval passage (>= k+w-1 = 47 chars), robust to the tokenization/
+    // whitespace edits that shred word shingles. Planted: five corpus
+    // docs embed an 80-char eval excerpt mid-text. Eval fingerprints
+    // broadcast (benchmark-scale) into a LeftSemi; the corpus never
+    // shuffles — dd_decontaminate's plan shape at the character level.
+    QueryDef("dd_substring_decon")(
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+         | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+         |   UNION ALL SELECT doc_id + 100000,
+         |     'leading filler words ' || substr(text, 1, 80) || ' trailing filler'
+         |   FROM documents WHERE doc_id < 5),
+         | cg AS (SELECT doc_id, i.i AS i,
+         |     ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 32)), 1, 15))::BIGINT AS h,
+         |     greatest(length(text) - 31, 1) AS n
+         |   FROM corpus JOIN range(1, 100000) i(i)
+         |     ON i.i <= greatest(length(text) - 31, 1)),
+         | cw AS (SELECT doc_id, i, n,
+         |     min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |   FROM cg),
+         | cf AS (SELECT DISTINCT doc_id, fp FROM cw WHERE i <= greatest(n - 15, 1)),
+         | eg AS (SELECT doc_id, i.i AS i,
+         |     ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 32)), 1, 15))::BIGINT AS h,
+         |     greatest(length(text) - 31, 1) AS n
+         |   FROM ev JOIN range(1, 100000) i(i)
+         |     ON i.i <= greatest(length(text) - 31, 1)),
+         | ew AS (SELECT doc_id, i, n,
+         |     min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |   FROM eg),
+         | ef AS (SELECT DISTINCT fp FROM ew WHERE i <= greatest(n - 15, 1))
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM cf JOIN ef USING (fp)
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.where(col("doc_id") < 5)
+      val corpus = d.where(col("doc_id") >= 5)
+        .unionAll(ev.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("leading filler words "), substring(col("text"), 1, 80),
+            lit(" trailing filler")).as("text")))
+      Dedup.substringContamination(corpus, ev).orderBy(col("doc_id"))
+    },
+
     // Cluster formation: LSH candidate pairs → connected components →
     // (doc_id, cluster_id = component min). The engine runs alternating
     // large-star/small-star rounds (O(log² n), chain-safe); the oracle is a

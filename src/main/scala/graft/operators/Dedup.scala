@@ -800,6 +800,26 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Substring-level decontamination: corpus docs containing a VERBATIM
+    * passage (≥ k + w − 1 chars, the winnowing detection floor) from the
+    * eval/benchmark set, with shared-fingerprint counts — the char-level
+    * sibling of `contaminationHits` (word n-grams match ANY shared
+    * shingle; this matches copied passages, robust to tokenization and
+    * whitespace differences that shred word shingles at the edit points).
+    *
+    * Scale: fingerprinting both sides is per-row projection work
+    * (`winnowedFingerprints`); the eval set is benchmark-scale, so its
+    * distinct fingerprints broadcast into a LeftSemi build side and the
+    * corpus never shuffles — the exact `contaminationHits` plan shape. */
+  def substringContamination(
+      corpus: DataFrame, evalSet: DataFrame, k: Int = 32, w: Int = 16): DataFrame =
+    winnowedFingerprints(corpus.select(col("doc_id"), col("text")), k, w)
+      .join(winnowedFingerprints(evalSet.select(col("doc_id"), col("text")), k, w)
+          .select(col("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+
   /** SimHash (16-bit variant): for bit j, each token votes +1 if the high
     * bit of hex digit j of `md5(token)` is set, else −1; bit j of the
     * signature is 1 iff the integer vote sum is positive. Integer votes →

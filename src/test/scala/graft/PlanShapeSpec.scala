@@ -66,6 +66,23 @@ class PlanShapeSpec extends TestBase {
     assert(p.contains("LeftSemi"), "contamination check must be a semi join")
   }
 
+  test("dd_substring_decon: eval fingerprints broadcast LeftSemi; corpus never shuffles") {
+    val p = planOf("dd_substring_decon")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "eval fps must broadcast into a semi join")
+  }
+
+  test("winnowedFingerprints: one projection, zero exchanges before consumers") {
+    import spark.implicits._
+    val d = Seq((1L, "some text long enough to produce a few character grams here"))
+      .toDF("doc_id", "text")
+    val p = graft.operators.Dedup.winnowedFingerprints(d).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      "per-doc fingerprinting must be pure projection work — no shuffle")
+    assert(!p.contains("Window "), "window minima must be array ops, not a Window sort")
+  }
+
   test("q30: TopK aggregator plans partial + final (ObjectHashAggregate)") {
     val p = planOf("q30_topk_agg")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
