@@ -955,14 +955,23 @@ object Dedup {
     * winnowed fingerprints, with the shared count — the detector for
     * copied passages across an otherwise-deduplicated corpus.
     *
-    * Scale: fingerprinting is per-row projection work (above); the pair
-    * join is per-fingerprint-bucket with the same oversized-bucket cap as
-    * every blocking join here (a fingerprint shared by > `maxBucket` docs
-    * is ecosystem boilerplate — cap + route to a dedicated pass, never
-    * k² pairs). `minShared` is applied at the aggregate, so one lucky
-    * hash collision never pairs two documents. For dup-dense corpora
-    * compose with `exact` first — equal texts share every fingerprint by
-    * construction. */
+    * Scale: DEDUP-FIRST, like every pair scorer here — fingerprinting,
+    * the bucket join, and the shared-count aggregate all run at
+    * REPRESENTATIVE scale (one doc per distinct text): equal texts share
+    * IDENTICAL fingerprint sets by construction, so within-group member
+    * pairs are identity (n_shared = the text's own fingerprint count,
+    * emitted iff ≥ `minShared`) and cross pairs inherit their text
+    * pair's count through the member expansion. In a k-copy corpus that
+    * is a k² cut on the bucket join. Mega text groups (> `maxBucket`
+    * copies) are excluded wholesale, mirroring `dedupPrelude`; at
+    * doc-level the same texts would die by the fingerprint-bucket cap
+    * (every fp of a k-copy text sits in a ≥ k-doc bucket), so the two
+    * regimes agree in kind at the cap boundary (the documented
+    * dedup-first recall note). The fp-bucket cap itself counts reps —
+    * ecosystem boilerplate shared by > `maxBucket` DISTINCT texts is
+    * capped + routed to a dedicated pass, never k² pairs. `minShared`
+    * is applied at the aggregate, so one lucky hash collision never
+    * pairs two documents. */
   def substringDupPairs(
       docs: DataFrame,
       k: Int = 32,
@@ -970,19 +979,46 @@ object Dedup {
       minShared: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fps = winnowedFingerprints(docs.select(col("doc_id"), col("text")), k, w)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("th")).persist(sl)
+    val bigGroups = keyed.groupBy(col("th")).agg(count(lit(1)).as("gk"))
+      .where(col("gk") > maxBucket).select(col("th"))
+    val capped = keyed.join(broadcast(bigGroups), Seq("th"), "left_anti")
+    val rep = capped.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = docs.join(rep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val fps = winnowedFingerprints(repDocs.select(col("doc_id"), col("text")), k, w)
       .persist(sl)
     val tooBig = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("n"))
       .where(col("n") > maxBucket).select(col("fp"))
-    val capped = fps.join(broadcast(tooBig), Seq("fp"), "left_anti")
-    val out = capped.as("a")
-      .join(capped.as("b"),
+    val cappedFps = fps.join(broadcast(tooBig), Seq("fp"), "left_anti")
+    val repPairs = cappedFps.as("a")
+      .join(cappedFps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .where(col("n_shared") >= minShared)
-    materializeThenRelease(out, fps)
+    // Cross-text candidates expand to member pairs re-canonicalized as
+    // (least, greatest); n_shared is symmetric, so no orientation carry.
+    val cross = repPairs
+      .join(rep.select(col("rep").as("doc_a"), col("th").as("tha")), "doc_a")
+      .join(rep.select(col("rep").as("doc_b"), col("th").as("thb")), "doc_b")
+      .join(capped.select(col("th").as("tha"), col("doc_id").as("ia")), "tha")
+      .join(capped.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("n_shared"))
+    // Within-group pairs: equal texts share their WHOLE fingerprint set —
+    // n_shared is the rep's fp count (uncapped: a doc always shares its
+    // own boilerplate with its own copies), gated by the same floor.
+    val fpCount = fps.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("doc_id").as("rep"), col("n_shared"))
+    val within = capped.as("x")
+      .join(capped.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.th").as("th"))
+      .join(rep.join(fpCount, Seq("rep")).select(col("th"), col("n_shared")), Seq("th"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    materializeThenRelease(cross.unionAll(within), keyed, fps)
   }
 
   /** Edit-distance scoring of candidate pairs (`pairs(doc_a, doc_b)`):
