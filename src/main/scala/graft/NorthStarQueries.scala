@@ -638,10 +638,22 @@ object NorthStarQueries {
         .where(col("doc_id") < 10)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text"))
-      val labels0 = Dedup.clusterDedupFirst(corpus)
+      // Standing state persisted once per testdata fingerprint (the
+      // dd_pipeline_increment treatment): warm runs measure the increment,
+      // not the fixture rebuild. The UNGATED labeling is its own artifact;
+      // the corpus band/shingle index is byte-identical to the pipeline
+      // one (same planted chain, same (doc_id, text) projection), so the
+      // two increment queries share it.
+      val lblDir = cachedArtifact(dir, "cluster-labels", corpus)(out =>
+        Dedup.clusterDedupFirst(corpus)
+          .write.mode("overwrite").parquet(s"$out/data"))
+      val labels0 = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/data")
+      val idx = cachedArtifact(dir, "pipeline-cross-index", corpus)(out =>
+        Dedup.buildCrossNearDupIndex(corpus.select(col("doc_id"), col("text")), out))
       // threshold 0.0 emits every LSH candidate cross pair (left-join
       // convention) — the same ungated edge semantics dd_cluster uses.
-      val newEdges = Dedup.crossNearDup(corpus, batch, threshold = 0.0)
+      val newEdges = Dedup.crossNearDupIndexed(s, idx, batch, threshold = 0.0)
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
       Dedup.incrementalClusters(labels0, newEdges)
         .orderBy(col("doc_id"), col("cluster_id"))
