@@ -60,6 +60,21 @@ object Bench {
     "q46_bloom_join", "txt_tfidf", "txt_pipeline", "txt_repetition",
     "mm_decode_real", "evt_sliding")
 
+  /** FROZEN cross-round comparison subset: the r7-era 27-query headline,
+    * never to be edited again. The full-catalog total grows with coverage
+    * (122 → 130 → 135 queries) and is incomparable across rounds; this
+    * fixed subset's sum (`subset_r7_sec`) is the like-for-like number —
+    * r7 measured it at 90.7 s, the r9 builder archive at 59.6 s. */
+  private val r7Subset: Set[String] = Set(
+    "dd_exact", "dd_incremental", "dd_decontaminate", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_containment", "dd_simhash", "dd_simhash_pairs",
+    "dd_edit", "dd_cluster", "dd_embed_neardup", "dd_pipeline",
+    "sim_topk_brute", "sim_ivf_topk", "sim_knn_join",
+    "laser_pipeline_e2e", "trace_pipeline_e2e",
+    "q09_agg_group", "q14_window_chunk", "q37_sketches", "q42_recursive_cte",
+    "q46_bloom_join", "txt_tfidf", "txt_pipeline", "txt_repetition",
+    "mm_decode_real", "evt_sliding")
+
   /** Deterministic single-thread arithmetic burn, timed — a host-CPU-noise
     * probe. This guest's vCPUs contend with invisible host neighbors
     * (virtualized, zero reported steal): identical-code queries measured
@@ -126,6 +141,15 @@ object Bench {
     // trigger a third run (archived value = min of all runs): a 1.5× spread
     // on identical code means at least one run raced host contention.
     val spreadRatio = sys.env.getOrElse("SPARK_GRAFT_SPREAD", "1.5").toDouble
+    // Round-9 lesson: the r9 driver archive carried `contended: []` and
+    // quiet per-query probes next to 8× spreads on back-to-back identical
+    // runs (dd_edit_gated 9.7/78.1/28.4) — bursty starvation opens and
+    // closes INSIDE a query run, between probes. The runs themselves are
+    // the most direct contention sensor we have: identical code+data
+    // disagreeing by more than this ratio means at least one run raced
+    // contention, so the query is flagged contended regardless of what the
+    // probes read.
+    val contendedSpread = sys.env.getOrElse("SPARK_GRAFT_RUNSPREAD", "2.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -169,7 +193,8 @@ object Bench {
     // comparisons can separate operator gains from retry-policy effects,
     // and the probe attaches environment quality to each measurement.
     case class QueryResult(name: String, sec: Double, runs: Seq[Double],
-      probe: Double, probePar: Double)
+      probe: Double, probePar: Double, builds: Map[String, Double])
+    NorthStarQueries.buildSecs.clear()
     val results: Seq[QueryResult] = SparkEntry.catalog
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
@@ -188,8 +213,20 @@ object Bench {
           } else Seq(first)
         val valid = runs.filter(_ >= 0)
         val sec = if (valid.isEmpty) -1.0 else valid.min
+        // Drain fixture/build wall-clock recorded by this query's runs
+        // (cachedArtifact builds, curation-loop stage timings): a driver
+        // cold run pays artifact builds INSIDE the first benched run, so
+        // without this attribution the increment queries read as
+        // regressions on any fresh container (r9 driver: 12.2/13.6/23.4 s
+        // cold vs 4.2/2.7/7.6 warm).
+        val builds = {
+          import scala.jdk.CollectionConverters._
+          val m = NorthStarQueries.buildSecs.asScala.toMap
+          NorthStarQueries.buildSecs.clear()
+          m
+        }
         QueryResult(q.name, sec, runs, noiseProbe(perQueryProbeIters),
-          parallelNoiseProbe(cpus.toInt, perQueryProbeIters))
+          parallelNoiseProbe(cpus.toInt, perQueryProbeIters), builds)
       }
     val probeEnd = noiseProbe()
     val parProbeEnd = parallelNoiseProbe(cpus.toInt)
@@ -228,21 +265,42 @@ object Bench {
     // Quiet tracks the single-thread probe; a multiple of it means that
     // query's archived time reads high by roughly that factor.
     val probeParByQuery = qmap(results.map(r => (r.name, r.probePar)))
+    // Contended = probe-flagged (the burn raced contention right after the
+    // query) OR run-spread-flagged (the query's own identical reruns
+    // disagreed > contendedSpread — the r9 mode where starvation lived
+    // entirely inside runs and every probe read quiet). Either way the
+    // archived min may still read high; the flag says "distrust this row".
+    def runSpreadFlag(r: QueryResult): Boolean = {
+      val valid = r.runs.filter(_ >= 0)
+      valid.size >= 2 && valid.max / math.max(valid.min, 1e-9) > contendedSpread
+    }
     val contended = results
-      .filter(r => r.probe >= probeContendedSec || r.probePar >= 3 * probeContendedSec)
+      .filter(r => r.probe >= probeContendedSec || r.probePar >= 3 * probeContendedSec ||
+        runSpreadFlag(r))
       .map(_.name)
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probeMax = if (results.isEmpty) 0.0 else results.map(_.probe).max
     val probeParMax = if (results.isEmpty) 0.0 else results.map(_.probePar).max
+    // Fixed-subset total: the frozen r7-era 27-query headline, the ONLY
+    // total comparable across rounds as the catalog grows (r7: 90.7 s).
+    val subsetR7 = timings.filter(t => r7Subset(t._1) && t._2 >= 0).map(_._2).sum
+    // build_sec: per-query fixture/artifact build cost paid inside benched
+    // runs this session (cold-container builds of fingerprint-cached
+    // artifacts, curation-loop stage splits) — warm-probe numbers stay the
+    // headline; this map explains cold-run asymmetry.
+    val buildJson = results.filter(_.builds.nonEmpty)
+      .map(r => "\"" + r.name + "\":" +
+        qmap(r.builds.toSeq.sortBy(_._1)))
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"probe_by_query":$probeByQuery,"probe_par_by_query":$probeParByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","subset_r7_sec":${num(subsetR7)},"queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"build_sec":$buildJson,"probe_by_query":$probeByQuery,"probe_par_by_query":$probeParByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     val head = timings.filter(r => headline(r._1))
     // Stdout stays one compact line: endpoint probes plus a two-number
     // summary of the per-query probes (max + contended-count) — the full
     // per-query probe map lives in BENCH_DETAIL.json.
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(head)},$probes,"probe_q_max":${num(probeMax)},"probe_par_q_max":${num(probeParMax)},"probe_q_contended":${contended.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","subset_r7_sec":${num(subsetR7)},"queries":${qmap(head)},$probes,"probe_q_max":${num(probeMax)},"probe_par_q_max":${num(probeParMax)},"probe_q_contended":${contended.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

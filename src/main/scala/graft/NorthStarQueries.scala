@@ -152,29 +152,45 @@ object NorthStarQueries {
 
   /** Fingerprint-guarded build-once/reuse-many of a persisted artifact
     * under /tmp, keyed by the data directory. The fingerprint — (row
-    * count, sum of doc_id, sum of text length), one metadata-scale
+    * count, sum of doc_id, sum of text length, sum of each text's
+    * 15-hex md5 prefix as a 60-bit integer), one metadata-scale
     * aggregate over `corpus` — guards reuse: the driver regenerates
     * testdata between rounds, and probing a stale artifact would return
-    * confidently wrong results. Build-once/probe-many is the operational
-    * contract these queries exist to measure; the first run pays the
-    * build, later runs (bench retries, repeated sessions) measure the
-    * probe/increment alone. */
+    * confidently wrong results. The md5-prefix term makes the
+    * fingerprint sensitive to ANY byte change in any text (a
+    * regeneration that preserves counts/ids/lengths — e.g. a case-only
+    * rewrite — still flips it); summing as decimal(38,0) keeps the
+    * aggregate overflow-free and deterministic under ANSI mode.
+    * Build-once/probe-many is the operational contract these queries
+    * exist to measure; the first run pays the build, later runs (bench
+    * retries, repeated sessions) measure the probe/increment alone.
+    * Each build's wall-clock is recorded in [[buildSecs]] so the bench
+    * archive can separate cold build cost from warm probe cost. */
   private def cachedArtifact(dir: String, name: String, corpus: DataFrame)
       (build: String => Unit): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val outDir = s"/tmp/graft-$name-$key"
     val fp = corpus.agg(
-        count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+        count(lit(1)), sum(col("doc_id")), sum(length(col("text"))),
+        sum(expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as decimal(38,0))")))
       .collect()(0).toSeq.mkString(":")
     val marker = java.nio.file.Paths.get(outDir, "FINGERPRINT")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
     if (!fresh) {
+      val t0 = System.nanoTime()
       build(outDir)
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      buildSecs.put(name, (System.nanoTime() - t0) / 1e9)
     }
     outDir
   }
+
+  /** Wall-clock seconds of each cachedArtifact build executed in this
+    * JVM, keyed by artifact name. Bench drains this after each query so
+    * BENCH_DETAIL.json can attribute cold-start build cost separately
+    * from the warm probe the increment queries are designed to measure. */
+  val buildSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
   private def cachedCrossIndex(
       s: SparkSession, dir: String, corpus: DataFrame): String =
@@ -189,9 +205,22 @@ object NorthStarQueries {
       dir: java.nio.file.Path, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
     df.coalesce(1).write.parquet(tmp.resolve("d").toString)
-    val part = java.nio.file.Files.list(tmp.resolve("d"))
-      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
-    java.nio.file.Files.copy(part, dir.resolve(name)); ()
+    val ls = java.nio.file.Files.list(tmp.resolve("d"))
+    val part =
+      try ls.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    java.nio.file.Files.copy(part, dir.resolve(name))
+    deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -499,17 +528,28 @@ object NorthStarQueries {
     // approximation of suffix-array substring dedup). Planted: docs < 20
     // re-emitted as (180-char prefix of the base) + a distinct tail, so
     // each planted doc shares a long passage with its base and nothing
-    // else. The oracle replays gram hashing, the window minima, the
-    // winnow dedup, the bucket cap, and the shared-count floor verbatim.
+    // else. The oracle replays the ENGINE's dedup-first semantics
+    // verbatim — mega text groups (> 1000 copies) excluded wholesale,
+    // fingerprints at representative (distinct-text) scale, the fp-bucket
+    // cap counted over REPS (the rep-scale pair join is what the cap
+    // budgets), within-group pairs carrying the rep's UNCAPPED fp count
+    // (a doc always shares its own boilerplate with its own copies) —
+    // so engine and oracle agree AT the cap boundary, not just below it.
     QueryDef("dd_substring")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |   UNION ALL SELECT doc_id + 100000,
          |     substr(text, 1, 180) || ' tail marker ' || CAST(doc_id AS VARCHAR)
          |   FROM documents WHERE doc_id < 20),
+         | keyed AS (SELECT doc_id, md5(text) AS th FROM corpus),
+         | okg AS (SELECT th FROM keyed GROUP BY th HAVING count(*) <= 1000),
+         | members AS (SELECT k.doc_id, k.th FROM keyed k JOIN okg USING (th)),
+         | rep AS (SELECT th, min(doc_id) AS rep FROM members GROUP BY 1),
+         | rtexts AS (SELECT r.rep AS doc_id, c.text
+         |            FROM rep r JOIN corpus c ON c.doc_id = r.rep),
          | grams AS (SELECT doc_id, i.i AS i,
          |     ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 32)), 1, 15))::BIGINT AS h,
          |     greatest(length(text) - 31, 1) AS n
-         |   FROM corpus JOIN range(1, 100000) i(i)
+         |   FROM rtexts JOIN range(1, 100000) i(i)
          |     ON i.i <= greatest(length(text) - 31, 1)),
          | wins AS (SELECT doc_id, i, n,
          |     min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -517,15 +557,31 @@ object NorthStarQueries {
          |   FROM grams),
          | fps AS (SELECT DISTINCT doc_id, fp FROM wins
          |         WHERE i <= greatest(n - 15, 1)),
-         | capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN
-         |              (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS c
-         |                               FROM fps GROUP BY 1) WHERE c <= 1000) ok
-         |            USING (fp))
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |   CAST(count(*) AS BIGINT) AS n_shared
-         | FROM capped a JOIN capped b
-         |   ON a.fp = b.fp AND a.doc_id < b.doc_id
-         | GROUP BY 1, 2 HAVING count(*) >= 3
+         | cappedfps AS (SELECT f.doc_id, f.fp FROM fps f JOIN
+         |                 (SELECT fp FROM fps GROUP BY fp
+         |                  HAVING count(DISTINCT doc_id) <= 1000) ok
+         |               USING (fp)),
+         | reppairs AS (SELECT a.doc_id AS ra, b.doc_id AS rb,
+         |     CAST(count(*) AS BIGINT) AS n_shared
+         |   FROM cappedfps a JOIN cappedfps b
+         |     ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2 HAVING count(*) >= 3),
+         | crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |     greatest(ma.doc_id, mb.doc_id) AS doc_b, p.n_shared
+         |   FROM reppairs p
+         |   JOIN rep r1 ON r1.rep = p.ra
+         |   JOIN rep r2 ON r2.rep = p.rb
+         |   JOIN members ma ON ma.th = r1.th
+         |   JOIN members mb ON mb.th = r2.th),
+         | fpcnt AS (SELECT doc_id AS rep, CAST(count(*) AS BIGINT) AS n_shared
+         |           FROM fps GROUP BY 1 HAVING count(*) >= 3),
+         | withinp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, fc.n_shared
+         |   FROM members x JOIN members y
+         |     ON x.th = y.th AND x.doc_id < y.doc_id
+         |   JOIN rep r ON r.th = x.th
+         |   JOIN fpcnt fc ON fc.rep = r.rep)
+         | SELECT doc_a, doc_b, n_shared FROM
+         |   (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
          | ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -930,18 +986,41 @@ object NorthStarQueries {
           .select((col("doc_id") + 3000).as("doc_id"), upper(col("text")).as("text")))
       // Fresh state per call: the loop's own crash/replay machinery is
       // exercised by StreamingSpec; this row checks the converged result.
+      // Stage timings land in `buildSecs` so the bench archive splits
+      // FIXTURE cost (state seed + file staging, paid once per standing
+      // corpus in production) from the LOOP itself, and the loop total
+      // from the steady-state per-micro-batch cost — the number that
+      // actually scales with arriving data (VERDICT r9 #4).
       val st = java.nio.file.Files.createTempDirectory("graft-curation-q")
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
+      val tSeed = System.nanoTime()
       graft.streaming.Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-q-in")
       stageAsFile(b1, inDir, "b1.parquet")
       stageAsFile(b2, inDir, "b2.parquet")
+      buildSecs.put("curation-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.curationLoop(
         graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
         idxDir, lblDir, threshold = 0.8, s"$st/ckpt")
       q.awaitTermination()
-      s.read.schema("doc_id LONG, cluster_id LONG").parquet(s"$lblDir/v1")
-        .orderBy(col("doc_id"))
+      buildSecs.put("curation-loop", (System.nanoTime() - tLoop) / 1e9)
+      // Steady-state per-micro-batch cost from the stream's own progress
+      // events (triggerExecution of data-carrying batches): the
+      // corpus-size-cancelling number a production loop pays per arrival.
+      val batchMs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      if (batchMs.nonEmpty)
+        buildSecs.put("curation-batch-max", batchMs.max / 1e3)
+      // Materialize eagerly (labels are output-scale) so the per-run temp
+      // state/staging/checkpoint dirs can be deleted — repeated bench runs
+      // must not accumulate snapshots and checkpoints under /tmp.
+      val out = s.read.schema("doc_id LONG, cluster_id LONG").parquet(s"$lblDir/v1")
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
     },
 
     // ---- similarity search ----------------------------------------------
@@ -1026,6 +1105,121 @@ object NorthStarQueries {
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .head().getSeq[Double](0)
       Similarity.pqTopK(e, q, 10)
+    },
+
+    // GROWN-index probe: build the PQ index on the first half of the
+    // corpus, append the second half with `appendToPqIndex` (encoding via
+    // the index's STORED codebook, never recomputed), then answer from the
+    // grown layout. The oracle is sim_pq_topk's SQL verbatim: the codebook
+    // (first 16 non-zero vectors) lives entirely in the first half, so
+    // grown == rebuilt == inline — the hash match IS the append-equals-
+    // rebuild theorem, driver-checked (previously spec-asserted only).
+    // At 100 TB this is the operational path: an arriving batch appends
+    // byte codes, the corpus is never re-encoded.
+    QueryDef("sim_pq_grown")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | cs AS (SELECT s.sub, c.cid, list_slice(c.cv, s.sub*16+1, s.sub*16+16) AS csub
+         |        FROM c CROSS JOIN range(0, 4) s(sub)),
+         | scored AS (SELECT e.vec_id, cs.sub, cs.cid,
+         |     list_dot_product(cs.csub, cs.csub)
+         |       - 2 * list_dot_product(list_slice(e.v, cs.sub*16+1, cs.sub*16+16), cs.csub) AS s2
+         |   FROM e CROSS JOIN cs),
+         | code AS (SELECT vec_id, sub, cid FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY s2, cid) AS rn
+         |            FROM scored) WHERE rn = 1),
+         | lut AS (SELECT cs.sub, cs.cid,
+         |     list_dot_product(list_slice(q.qv, cs.sub*16+1, cs.sub*16+16), cs.csub) AS lv
+         |   FROM cs CROSS JOIN q),
+         | adc AS (SELECT code.vec_id,
+         |       max(CASE WHEN code.sub = 0 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 1 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 2 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 3 THEN lut.lv END) AS approx
+         |   FROM code JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+         |   GROUP BY code.vec_id),
+         | cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40)
+         | SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         | FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-pq-grown-q")
+      val tB = System.nanoTime()
+      Similarity.buildPqIndex(e.where(col("vec_id") < n / 2), idx.toString)
+      Similarity.appendToPqIndex(e.where(col("vec_id") >= n / 2), idx.toString)
+      buildSecs.put("pq-grown-build", (System.nanoTime() - tB) / 1e9)
+      val out = Similarity.pqTopKIndexed(e, idx.toString, q, 10).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
+    },
+
+    // GROWN IVF-PQ probe — the billion-vector layout's append path,
+    // driver-checked: coarse cells AND fine codebook both come from the
+    // index built on the first half (both quantizer seeds live in
+    // vec_id < 16), the second half appends INTO existing cell
+    // partitions, and the probe ranks partition-pruned ADC over the
+    // grown codes table. The oracle replays coarse assignment, probe-cell
+    // selection, PQ encoding, ADC ranking within probed cells, and the
+    // exact rescore — the full IVF-PQ probe semantics in SQL.
+    QueryDef("sim_ivfpq_grown")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |          FROM e CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qv")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4),
+         | cs AS (SELECT s.sub, c.cell AS cid, list_slice(c.cv, s.sub*16+1, s.sub*16+16) AS csub
+         |        FROM c CROSS JOIN range(0, 4) s(sub)),
+         | scored AS (SELECT e.vec_id, cs.sub, cs.cid,
+         |     list_dot_product(cs.csub, cs.csub)
+         |       - 2 * list_dot_product(list_slice(e.v, cs.sub*16+1, cs.sub*16+16), cs.csub) AS s2
+         |   FROM e CROSS JOIN cs),
+         | code AS (SELECT vec_id, sub, cid FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY s2, cid) AS rn
+         |            FROM scored) WHERE rn = 1),
+         | lut AS (SELECT cs.sub, cs.cid,
+         |     list_dot_product(list_slice(q.qv, cs.sub*16+1, cs.sub*16+16), cs.csub) AS lv
+         |   FROM cs CROSS JOIN q),
+         | adc AS (SELECT code.vec_id,
+         |       max(CASE WHEN code.sub = 0 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 1 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 2 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 3 THEN lut.lv END) AS approx
+         |   FROM code JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+         |   JOIN asg ON asg.vec_id = code.vec_id
+         |   JOIN probe ON probe.cell = asg.cell
+         |   GROUP BY code.vec_id),
+         | cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40)
+         | SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         | FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-grown-q")
+      val tB = System.nanoTime()
+      Similarity.buildIvfPqIndex(e.where(col("vec_id") < n / 2), idx.toString)
+      Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= n / 2), idx.toString)
+      buildSecs.put("ivfpq-grown-build", (System.nanoTime() - tB) / 1e9)
+      val out = Similarity.ivfPqTopK(e, idx.toString, q, 10).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
     },
 
     QueryDef("sim_lsh_buckets")(

@@ -963,11 +963,10 @@ object Dedup {
     * emitted iff ≥ `minShared`) and cross pairs inherit their text
     * pair's count through the member expansion. In a k-copy corpus that
     * is a k² cut on the bucket join. Mega text groups (> `maxBucket`
-    * copies) are excluded wholesale, mirroring `dedupPrelude`; at
-    * doc-level the same texts would die by the fingerprint-bucket cap
-    * (every fp of a k-copy text sits in a ≥ k-doc bucket), so the two
-    * regimes agree in kind at the cap boundary (the documented
-    * dedup-first recall note). The fp-bucket cap itself counts reps —
+    * copies) are excluded wholesale, mirroring `dedupPrelude`; the
+    * dd_substring oracle replays these exact semantics (rep-counted
+    * cap, uncapped within-group counts), so engine and oracle agree AT
+    * the cap boundary, not just below it. The fp-bucket cap counts reps —
     * ecosystem boilerplate shared by > `maxBucket` DISTINCT texts is
     * capped + routed to a dedicated pass, never k² pairs. `minShared`
     * is applied at the aggregate, so one lucky hash collision never

@@ -215,6 +215,46 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** Grow a [[buildPqIndex]] layout with NEW vectors — the PQ leg of the
+    * index-append family ([[appendToIvfIndex]], `appendToCrossNearDupIndex`):
+    * encoding uses the INDEX's own stored codebook (never recomputed), so
+    * ADC probes see one consistent quantizer geometry across increments and
+    * growth is a file append into the codes table — at 100 TB an arriving
+    * batch appends ~1 byte/subspace/vector instead of triggering a corpus
+    * re-encode. An index grown this way is IDENTICAL to one rebuilt from
+    * scratch with the same codebook (spec-asserted at the CODES level —
+    * per-vector code arrays compared, not just one probe), and a replayed
+    * append converges: [[pqTopKIndexed]] ranks per distinct vec_id, so a
+    * duplicated row cannot seat one id in two top-k slots.
+    * Operating discipline: quantization error grows only as the data
+    * distribution drifts from the build-time codebook — monitor recall on a
+    * held-out probe set (the `sim_recall` gate pattern) and rebuild on
+    * drift, the standard PQ trade. */
+  def appendToPqIndex(embs: DataFrame, indexDir: String): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("pos"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(cents.nonEmpty, s"appendToPqIndex: empty codebook at $indexDir")
+    val dim = cents.head._2.length
+    // numSubs is recorded by the stored codes (array length); one
+    // footer-only row recovers it without scanning the table.
+    val numSubs = spark.read.parquet(s"$indexDir/codes")
+      .select(size(col("codes"))).head().getInt(0)
+    val subLen = dim / numSubs
+    val codeCols = (0 until numSubs).map(j =>
+      pqCodeExpr(pqSubCodebook(cents, j, subLen), j, subLen).cast("int"))
+    nonZeroVecs(embs)
+      .withColumn("v", when(size(col("v")) =!= lit(dim),
+          raise_error(concat(lit(s"appendToPqIndex: codebook dim $dim != embedding dim "),
+            size(col("v")).cast("string"), lit(" at vec_id "),
+            col("vec_id").cast("string"))))
+        .otherwise(col("v")))
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
   /** ANN top-k over a [[buildPqIndex]] layout: rank candidates from the
     * CODES table (ADC over the stored byte codes — the corpus floats never
     * load), then join the top `rescoreK` ids back to `embs` for the exact
@@ -236,6 +276,9 @@ object Similarity {
     // numSubs is recorded by the codes themselves (array length); read one
     // footer-only row to recover it without scanning.
     val codes = spark.read.parquet(s"$indexDir/codes")
+      // replayed appends must not seat one vec_id in two candidate slots
+      // (ivfPqTopK's probe-side discipline)
+      .dropDuplicates("vec_id")
     val numSubs = codes.select(size(col("codes"))).head().getInt(0)
     val subLen = dim / numSubs
     val adcTerms = (0 until numSubs).map { j =>
@@ -858,6 +901,45 @@ object Similarity {
       .map { case ((_, cv), pos) => (pos.toLong, cv) }.toSeq
       .toDF("pos", "cv")
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** Grow a [[buildIvfPqIndex]] layout with NEW vectors — the last leg of
+    * the index-append family, and the one that matters most at 100 TB
+    * (IVF-PQ is the billion-vector layout): cell assignment uses the
+    * index's stored COARSE centroids and encoding its stored FINE
+    * codebook, neither recomputed, so an arriving batch appends byte
+    * codes INTO existing cell partitions (`cell=N/` directories) — the
+    * partition-pruning and compression contracts hold unchanged across
+    * increments, and a grown index is IDENTICAL to one rebuilt from
+    * scratch with the same quantizers (spec-asserted at the codes level).
+    * Replayed appends converge via [[ivfPqTopK]]'s probe-side duplicate
+    * collapse. Same drift discipline as [[appendToPqIndex]]. */
+  def appendToIvfPqIndex(embs: DataFrame, indexDir: String): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val fine = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("pos"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(coarse.nonEmpty && fine.nonEmpty,
+      s"appendToIvfPqIndex: empty centroids/codebook at $indexDir")
+    val dim = fine.head._2.length
+    val numSubs = spark.read.parquet(s"$indexDir/codes")
+      .select(size(col("codes"))).head().getInt(0)
+    val subLen = dim / numSubs
+    val codeCols = (0 until numSubs).map(j =>
+      pqCodeExpr(pqSubCodebook(fine, j, subLen), j, subLen).cast("int"))
+    nonZeroVecs(embs)
+      .withColumn("v", when(size(col("v")) =!= lit(dim),
+          raise_error(concat(lit(s"appendToIvfPqIndex: codebook dim $dim != embedding dim "),
+            size(col("v")).cast("string"), lit(" at vec_id "),
+            col("vec_id").cast("string"))))
+        .otherwise(col("v")))
+      .withColumn("cell", cellAssignExpr(coarse))
+      .select(col("vec_id"), array(codeCols: _*).as("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
   /** ANN top-k over a [[buildIvfPqIndex]] layout: partition-pruned ADC

@@ -42,7 +42,17 @@ object Streams {
     * source contract anyway). */
   def eventsStream(spark: SparkSession, pathGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(pathGlob).schema
+    // Start-before-first-file: an empty source directory can't be sniffed
+    // (no footer), so fall back to the explicit nanos-as-long schema — the
+    // shipped form the sniff exists to normalize — and start an idle stream.
+    val fileSchema =
+      try spark.read.parquet(pathGlob).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") =>
+          StructType(eventSchema.map(f =>
+            if (f.name == "ts") f.copy(dataType = LongType) else f))
+      }
     val raw = spark.readStream.schema(fileSchema).parquet(pathGlob)
     fileSchema("ts").dataType match {
       case LongType => // nanos-as-long; integer div: ns > 2^53

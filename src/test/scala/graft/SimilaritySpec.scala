@@ -225,6 +225,74 @@ class SimilaritySpec extends TestBase {
     assert(replayed.map(_._1).distinct.size == replayed.size)
   }
 
+  test("appendToPqIndex: grown index == index rebuilt with the same codebook") {
+    val e = Tables(spark, sf(), "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // split by id so both builds seed an IDENTICAL codebook (centroidsOf
+    // takes the first numCents non-zero vectors by vec_id, all in the
+    // first half) — then grown and rebuilt layouts must agree exactly
+    val (half, rest) = (e.where(col("vec_id") < n / 2), e.where(col("vec_id") >= n / 2))
+    val grown = java.nio.file.Files.createTempDirectory("graft-pq-grow").toString
+    Similarity.buildPqIndex(half, grown, numSubs = 4, numCents = 8)
+    Similarity.appendToPqIndex(rest, grown)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-pq-rebuild").toString
+    Similarity.buildPqIndex(e, rebuilt, numSubs = 4, numCents = 8)
+    // codes-level identity, not just one probe: every vector carries the
+    // SAME code array in the grown and rebuilt indexes
+    val codesOf = (d: String) => spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect().toSet
+    assert(codesOf(grown) == codesOf(rebuilt))
+    assert(codesOf(grown).exists(_._1 >= n / 2), "growth actually landed")
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val a = Similarity.pqTopKIndexed(e, grown, q, 10).as[(Long, Double)].collect().toSeq
+    val b = Similarity.pqTopKIndexed(e, rebuilt, q, 10).as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // a replayed (duplicate) append must not seat one vec_id in two
+    // candidate slots — the probe collapses duplicates
+    Similarity.appendToPqIndex(rest, grown)
+    val replayed = Similarity.pqTopKIndexed(e, grown, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(replayed == a)
+    assert(replayed.map(_._1).distinct.size == replayed.size)
+  }
+
+  test("appendToIvfPqIndex: grown index == index rebuilt with the same quantizers") {
+    val e = Tables(spark, sf(), "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val (half, rest) = (e.where(col("vec_id") < n / 2), e.where(col("vec_id") >= n / 2))
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivfpq-grow").toString
+    Similarity.buildIvfPqIndex(half, grown, nCells = 8, numSubs = 4, numCents = 8)
+    Similarity.appendToIvfPqIndex(rest, grown)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivfpq-rebuild").toString
+    Similarity.buildIvfPqIndex(e, rebuilt, nCells = 8, numSubs = 4, numCents = 8)
+    // layout-level identity: every vector sits in the SAME cell with the
+    // SAME code array in the grown and rebuilt indexes
+    val layoutOf = (d: String) => spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(layoutOf(grown) == layoutOf(rebuilt))
+    assert(layoutOf(grown).exists(_._1 >= n / 2), "growth actually landed")
+    // growth appended INTO existing cell partition directories (the 100 TB
+    // contract: arriving codes land in cell=N/, no layout rewrite)
+    val cellDirs = new java.io.File(s"$grown/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    val q = e.where(col("vec_id") === 7)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val a = Similarity.ivfPqTopK(e, grown, q, 10).as[(Long, Double)].collect().toSeq
+    val b = Similarity.ivfPqTopK(e, rebuilt, q, 10).as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // replayed append converges at the probe
+    Similarity.appendToIvfPqIndex(rest, grown)
+    val replayed = Similarity.ivfPqTopK(e, grown, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(replayed == a)
+    assert(replayed.map(_._1).distinct.size == replayed.size)
+  }
+
   test("LSH buckets: deterministic, identical vectors share a bucket") {
     val e = Seq(
       (1L, Array(0.5f, -0.2f, 0.8f)), (2L, Array(0.5f, -0.2f, 0.8f)),
