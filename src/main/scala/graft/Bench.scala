@@ -193,8 +193,10 @@ object Bench {
     // comparisons can separate operator gains from retry-policy effects,
     // and the probe attaches environment quality to each measurement.
     case class QueryResult(name: String, sec: Double, runs: Seq[Double],
-      probe: Double, probePar: Double, builds: Map[String, Double])
+      probe: Double, probePar: Double, builds: Map[String, Double],
+      fixtures: Map[String, Double])
     NorthStarQueries.buildSecs.clear()
+    NorthStarQueries.fixtureSecs.clear()
     val results: Seq[QueryResult] = SparkEntry.catalog
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
@@ -225,8 +227,15 @@ object Bench {
           NorthStarQueries.buildSecs.clear()
           m
         }
+        // Per-run fixture splits (paid on EVERY run — can't create spread).
+        val fixtures = {
+          import scala.jdk.CollectionConverters._
+          val m = NorthStarQueries.fixtureSecs.asScala.toMap
+          NorthStarQueries.fixtureSecs.clear()
+          m
+        }
         QueryResult(q.name, sec, runs, noiseProbe(perQueryProbeIters),
-          parallelNoiseProbe(cpus.toInt, perQueryProbeIters), builds)
+          parallelNoiseProbe(cpus.toInt, perQueryProbeIters), builds, fixtures)
       }
     val probeEnd = noiseProbe()
     val parProbeEnd = parallelNoiseProbe(cpus.toInt)
@@ -271,7 +280,16 @@ object Bench {
     // entirely inside runs and every probe read quiet). Either way the
     // archived min may still read high; the flag says "distrust this row".
     def runSpreadFlag(r: QueryResult): Boolean = {
-      val valid = r.runs.filter(_ >= 0)
+      // One-time cachedArtifact builds land inside the FIRST run by design
+      // (fingerprint-cached thereafter); subtract them before the spread
+      // test so a driver cold run's build cost doesn't read as contention —
+      // it's archived separately in build_sec.
+      val adjusted = r.runs match {
+        case first +: tail if first >= 0 =>
+          math.max(first - r.builds.values.sum, 0.0) +: tail
+        case other => other
+      }
+      val valid = adjusted.filter(_ >= 0)
       valid.size >= 2 && valid.max / math.max(valid.min, 1e-9) > contendedSpread
     }
     val contended = results
@@ -292,8 +310,16 @@ object Bench {
       .map(r => "\"" + r.name + "\":" +
         qmap(r.builds.toSeq.sortBy(_._1)))
       .mkString("{", ",", "}")
+    // fixture_sec: PER-RUN fixture splits (stream state seeding, temp index
+    // builds, loop/batch attribution) — e.g. dd_curation_stream's row is
+    // fixture + loop; `curation-batch-max` is its steady-state per-batch
+    // cost, the number that actually scales with arriving data.
+    val fixtureJson = results.filter(_.fixtures.nonEmpty)
+      .map(r => "\"" + r.name + "\":" +
+        qmap(r.fixtures.toSeq.sortBy(_._1)))
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","subset_r7_sec":${num(subsetR7)},"queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"build_sec":$buildJson,"probe_by_query":$probeByQuery,"probe_par_by_query":$probeParByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","subset_r7_sec":${num(subsetR7)},"queries":${qmap(timings)},"first_sec":$firsts,"runs_sec":$runsJson,"build_sec":$buildJson,"fixture_sec":$fixtureJson,"probe_by_query":$probeByQuery,"probe_par_by_query":$probeParByQuery,"contended":$contendedJson,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     val head = timings.filter(r => headline(r._1))

@@ -189,8 +189,19 @@ object NorthStarQueries {
   /** Wall-clock seconds of each cachedArtifact build executed in this
     * JVM, keyed by artifact name. Bench drains this after each query so
     * BENCH_DETAIL.json can attribute cold-start build cost separately
-    * from the warm probe the increment queries are designed to measure. */
+    * from the warm probe the increment queries are designed to measure.
+    * ONE-TIME costs only (paid in a query's first run, then
+    * fingerprint-cached): Bench subtracts them from the first run before
+    * the run-spread contention test, so a driver cold run doesn't read
+    * as contention. Per-run fixture costs go in [[fixtureSecs]]. */
   val buildSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Wall-clock seconds of PER-RUN fixture work inside a query (fresh
+    * temp-dir index builds, stream state seeding, loop/batch splits) —
+    * informational attribution for the bench archive. Unlike
+    * [[buildSecs]], these are paid on EVERY run, so they cannot create
+    * run-to-run spread and are never subtracted by the contention test. */
+  val fixtureSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
   private def cachedCrossIndex(
       s: SparkSession, dir: String, corpus: DataFrame): String =
@@ -998,13 +1009,13 @@ object NorthStarQueries {
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-q-in")
       stageAsFile(b1, inDir, "b1.parquet")
       stageAsFile(b2, inDir, "b2.parquet")
-      buildSecs.put("curation-fixture", (System.nanoTime() - tSeed) / 1e9)
+      fixtureSecs.put("curation-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.curationLoop(
         graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
         idxDir, lblDir, threshold = 0.8, s"$st/ckpt")
       q.awaitTermination()
-      buildSecs.put("curation-loop", (System.nanoTime() - tLoop) / 1e9)
+      fixtureSecs.put("curation-loop", (System.nanoTime() - tLoop) / 1e9)
       // Steady-state per-micro-batch cost from the stream's own progress
       // events (triggerExecution of data-carrying batches): the
       // corpus-size-cancelling number a production loop pays per arrival.
@@ -1012,7 +1023,7 @@ object NorthStarQueries {
         .filter(_.numInputRows > 0)
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
       if (batchMs.nonEmpty)
-        buildSecs.put("curation-batch-max", batchMs.max / 1e3)
+        fixtureSecs.put("curation-batch-max", batchMs.max / 1e3)
       // Materialize eagerly (labels are output-scale) so the per-run temp
       // state/staging/checkpoint dirs can be deleted — repeated bench runs
       // must not accumulate snapshots and checkpoints under /tmp.
@@ -1154,7 +1165,7 @@ object NorthStarQueries {
       val tB = System.nanoTime()
       Similarity.buildPqIndex(e.where(col("vec_id") < n / 2), idx.toString)
       Similarity.appendToPqIndex(e.where(col("vec_id") >= n / 2), idx.toString)
-      buildSecs.put("pq-grown-build", (System.nanoTime() - tB) / 1e9)
+      fixtureSecs.put("pq-grown-build", (System.nanoTime() - tB) / 1e9)
       val out = Similarity.pqTopKIndexed(e, idx.toString, q, 10).localCheckpoint(true)
       deleteRecursively(idx)
       out
@@ -1216,7 +1227,7 @@ object NorthStarQueries {
       val tB = System.nanoTime()
       Similarity.buildIvfPqIndex(e.where(col("vec_id") < n / 2), idx.toString)
       Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= n / 2), idx.toString)
-      buildSecs.put("ivfpq-grown-build", (System.nanoTime() - tB) / 1e9)
+      fixtureSecs.put("ivfpq-grown-build", (System.nanoTime() - tB) / 1e9)
       val out = Similarity.ivfPqTopK(e, idx.toString, q, 10).localCheckpoint(true)
       deleteRecursively(idx)
       out
