@@ -83,14 +83,32 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  val winnowInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+    (children: Seq[Expression]) => children match {
+      case Seq(t) => WinnowFps(t, 32, 16)
+      case Seq(t, kE, wE) =>
+        // k and w shape the per-row algorithm, not per-row data — they
+        // must be foldable literals.
+        require(kE.foldable && wE.foldable, "winnow_fps k and w must be literals")
+        WinnowFps(t,
+          kE.eval().asInstanceOf[Number].intValue(),
+          wE.eval().asInstanceOf[Number].intValue())
+      case c => throw new IllegalArgumentException(
+        s"winnow_fps takes (text) or (text, k, w), got ${c.length} args")
+    })
+
   /** Idempotent imperative registration for pre-built sessions. */
   def ensure(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(dotInfo._1))
-      spark.sessionState.functionRegistry.registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    Seq(dotInfo, winnowInfo).foreach { info =>
+      if (!spark.sessionState.functionRegistry.functionExists(info._1))
+        spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+    }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.dotInfo)
+    Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo).foreach(ext.injectFunction)
 }

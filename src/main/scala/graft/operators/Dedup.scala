@@ -941,7 +941,20 @@ object Dedup {
     * gram; windows shorter than w take the min of what exists (the
     * standard short-input degeneration, mirrored in SQL by the same
     * `greatest(1, …)` bounds). */
-  def winnowedFingerprints(docs: DataFrame, k: Int = 32, w: Int = 16): DataFrame =
+  def winnowedFingerprints(docs: DataFrame, k: Int = 32, w: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensure(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(call_function("winnow_fps", col("text"), lit(k), lit(w))).as("fp"))
+  }
+
+  /** The original SQL formulation of `winnowedFingerprints` — kept as the
+    * differential-testing reference for the native `winnow_fps` expression
+    * (spec-pinned equal on every edge) and as the WinnowProbe A/B arm that
+    * measured WHY the native expression exists: `substring(text, i, k)`
+    * re-walks the string's bytes from position 0 per call, so this form is
+    * O(len²) per doc — 1.7 s at 5 KB docs → 120 s at 50 KB on the same 500
+    * docs. Do not put it on a hot path; it is correct, and quadratic. */
+  def winnowedFingerprintsSql(docs: DataFrame, k: Int = 32, w: Int = 16): DataFrame =
     docs
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, greatest(1, length(text) - ${k - 1})),
@@ -950,6 +963,35 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence(1, greatest(1, size(hs) - ${w - 1})),
            |  j -> array_min(slice(hs, j, $w))))""".stripMargin)).as("fp"))
+
+  /** `winnowedFingerprints` re-expressed as explode + sliding window-min —
+    * SAME contract and identical output set (spec-pinned): one row per
+    * char-`k`-gram via `explode(sequence(...))` so the md5 chain runs in a
+    * whole-stage-codegen'd projection, then the `w`-window minimum as a
+    * `rowsBetween(0, w-1)` window aggregate and a per-doc dedup. Built as
+    * the WinnowProbe A/B arm testing whether the nested form's cost was
+    * HOF interpretation; the measurement said NO — this form is exactly as
+    * quadratic (32 s at 25 KB docs, same as nested), because the cliff is
+    * `substring(text, i, k)`'s per-call byte-walk, which both share. Kept
+    * as a differential-testing reference for the native `winnow_fps`
+    * expression; not a hot-path candidate. */
+  def winnowedFingerprintsExploded(docs: DataFrame, k: Int = 32, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        greatest(lit(1), length(col("text")) - (k - 1)).as("n"), col("text"))
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(expr("sequence(1, n)")).as("i"))
+      .select(col("doc_id"), col("n"), col("i"),
+        expr(s"cast(conv(substring(md5(substring(text, i, $k)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val wmin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), col("n"), col("i"), min(col("h")).over(wmin).as("fp"))
+      .where(col("i") <= greatest(lit(1), col("n") - (w - 1)))
+      .select(col("doc_id"), col("fp")).dropDuplicates("doc_id", "fp")
+  }
 
   /** Cross-doc substring-duplication pairs: documents sharing ≥ `minShared`
     * winnowed fingerprints, with the shared count — the detector for

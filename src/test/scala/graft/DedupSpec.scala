@@ -635,6 +635,39 @@ class DedupSpec extends TestBase {
     assert(pairs.forall(_._3 == sets(0).size.toLong))
   }
 
+  test("winnowing: native winnow_fps == SQL formulations on every edge") {
+    // Same (doc_id, fp) set from the native one-pass expression (the
+    // default), the nested-HOF SQL form, and the explode+window SQL form,
+    // across the edges that could diverge: len < k (single truncated
+    // gram), k <= len < k+w-1 (single window over a short hash array),
+    // long text (many windows), duplicate minima within a doc (per-doc
+    // dedup), empty text (md5 of zero bytes), MULTI-BYTE text including a
+    // supplementary-plane emoji (the native expression walks code-point
+    // byte offsets and must agree with substring()'s char semantics, where
+    // the emoji is ONE char — a Java-String UTF-16 walk would see two),
+    // and the (k, w) defaults vs custom.
+    val passage = "the quick brown fox jumps over the lazy dog while carrying " +
+      "a remarkably heavy dictionary of winnowed fingerprints across the yard"
+    val d = docs(
+      1L -> (passage + " first document unique tail content here " + passage),
+      2L -> "tiny",
+      3L -> "exactly thirty-two characters!!!",
+      4L -> ("short but past one gram window " + "x" * 20),
+      5L -> ("r" * 200), // degenerate: every gram identical → one fp
+      6L -> "",
+      7L -> ("naïve café — über résumé 💯 emoji and accented text running " +
+        "well past the gram width with 日本語 characters mixed in too"))
+    for ((k, w) <- Seq((32, 16), (8, 4))) {
+      val a = Dedup.winnowedFingerprints(d, k, w)
+      val b = Dedup.winnowedFingerprintsSql(d, k, w)
+      val c = Dedup.winnowedFingerprintsExploded(d, k, w)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"native vs nested-SQL disagree at k=$k w=$w")
+      assert(a.exceptAll(c).count() == 0 && c.exceptAll(a).count() == 0,
+        s"native vs exploded-SQL disagree at k=$k w=$w")
+    }
+  }
+
   test("edit similarity floored == unfloored + filter (bound prune is invisible)") {
     // The length-difference gate may only skip DPs that cannot reach the
     // floor — the floored result must equal filtering the full result,
