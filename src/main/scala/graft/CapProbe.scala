@@ -28,11 +28,16 @@ import org.apache.spark.sql.functions._
   *    Expectation: fp-bucket sizes unchanged, pair volume and wall
   *    ~linear in `factor`.
   *  - `boiler` arm: the distinct arm plus ONE fixed ~300-char boilerplate
-  *    sentence appended to EVERY doc — boilerplate fingerprints and
+  *    line appended to EVERY doc — boilerplate fingerprints and
   *    boilerplate-dominated minhash band signatures are shared by
   *    factor×5000 DISTINCT texts, far past `maxBucket`=1000. Expectation:
   *    the `tooBig` fp cap and the band-bucket cap fire (reported), the
   *    queries complete at ~distinct-arm cost instead of k²-exploding.
+  *  - `stripped` arm: the boiler arm run through
+  *    `TextAnalysis.stripBoilerplate` first — the upstream defense the
+  *    saturation measurement points at. Expectation: the corpus-wide line
+  *    is deleted (strip wall reported), fp/band buckets return to
+  *    distinct-arm shape, and every query reads ~distinct-arm numbers.
   *
   * Probed queries: `dd_substring` (`substringDupPairs`), `dd_edit_gated`
   * (`editSimilarityGated`), and `dd_cross_indexed` (index build timed
@@ -94,19 +99,31 @@ object CapProbe {
     val (wDistinct, _) = ProbeHarness.time {
       all.write.mode("overwrite").parquet(s"$root/distinct")
     }
+    // The boilerplate rides its own LINE so the `stripped` arm can target
+    // it with the line-level cleaner; the dedup chain sees it all the same
+    // (shingle/gram saturation does not care about the separator).
     val (wBoiler, _) = ProbeHarness.time {
-      all.select(col("doc_id"), concat(col("text"), lit(" " + Boiler)).as("text"))
+      all.select(col("doc_id"), concat(col("text"), lit("\n" + Boiler)).as("text"))
         .write.mode("overwrite").parquet(s"$root/boiler")
     }
     all.unpersist()
+    // The defense arm: strip the corpus-wide line BEFORE dedup. Timed and
+    // materialized like the others — the strip wall is the price of
+    // admission to distinct-arm dedup numbers.
+    val (wStrip, _) = ProbeHarness.time {
+      graft.operators.TextAnalysis
+        .stripBoilerplate(spark.read.parquet(s"$root/boiler"))
+        .write.mode("overwrite").parquet(s"$root/stripped")
+    }
     println(f"[capprobe] corpora built: 1x $wOne%.1f s, distinct $wDistinct%.1f s, " +
-      f"boiler $wBoiler%.1f s (factor=$factor)")
+      f"boiler $wBoiler%.1f s, strip pass $wStrip%.1f s (factor=$factor)")
 
     case class Arm(name: String, docs: DataFrame)
     val arms = Seq(
       Arm("1x", spark.read.parquet(s"$root/one")),
       Arm(s"${factor}x-distinct", spark.read.parquet(s"$root/distinct")),
-      Arm(s"${factor}x-boiler", spark.read.parquet(s"$root/boiler")))
+      Arm(s"${factor}x-boiler", spark.read.parquet(s"$root/boiler")),
+      Arm(s"${factor}x-stripped", spark.read.parquet(s"$root/stripped")))
 
     def time(label: String)(f: => Long): Double = {
       val (w, n) = ProbeHarness.time(f)

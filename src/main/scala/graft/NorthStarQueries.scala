@@ -1638,6 +1638,49 @@ object NorthStarQueries {
         .orderBy("doc_id")
     },
 
+    // Line-level boilerplate removal (TextAnalysis.stripBoilerplate): the
+    // CCNet-style cleanup that deletes corpus-wide chrome BEFORE dedup —
+    // the upstream defense for the LSH saturation regime CapProbe
+    // measured. Planted: a footer on every doc (case-varied, so the
+    // normalized match is exercised), a line shared by 3 docs (under the
+    // 5% fraction → kept), and per-doc unique markers (kept). Both sides
+    // rebuild surviving lines in original order.
+    QueryDef("txt_strip_boiler")(
+      """WITH corpus AS (
+        |   SELECT doc_id, text || chr(10) ||
+        |     CASE WHEN doc_id % 2 = 0 THEN 'STANDARD FOOTER LINE'
+        |          ELSE 'standard footer line' END ||
+        |     CASE WHEN doc_id < 3 THEN chr(10) || 'rare shared line' ELSE '' END ||
+        |     CASE WHEN doc_id < 10 THEN chr(10) || 'unique marker ' || CAST(doc_id AS VARCHAR)
+        |          ELSE '' END AS text
+        |   FROM documents),
+        | sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+        | lines AS (SELECT doc_id, i.i AS pos, parts[CAST(i.i AS INT)] AS line
+        |           FROM sp JOIN range(1, 10000) i(i) ON i.i <= len(parts)),
+        | nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM corpus),
+        | freq AS (SELECT nl, CAST(count(*) AS DOUBLE) AS df FROM
+        |            (SELECT DISTINCT doc_id, lower(trim(line)) AS nl
+        |             FROM lines WHERE length(trim(line)) > 0)
+        |          GROUP BY 1),
+        | boiler AS (SELECT nl FROM freq, nd
+        |            WHERE df >= greatest(2.0, n_docs * 0.05)),
+        | kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |          LEFT JOIN boiler b ON lower(trim(l.line)) = b.nl
+        |          WHERE b.nl IS NULL)
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        | FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          when(col("doc_id") % 2 === 0, lit("STANDARD FOOTER LINE"))
+            .otherwise(lit("standard footer line")),
+          when(col("doc_id") < 3, lit("\nrare shared line")).otherwise(lit("")),
+          when(col("doc_id") < 10,
+            concat(lit("\nunique marker "), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.stripBoilerplate(corpus).orderBy("doc_id")
+    },
+
     // ---- deterministic sampling -----------------------------------------
     // Hash-mod sampling (operators/Sampling): reproducible across engines,
     // runs and cluster sizes — df.sample() is seed×partitioning dependent,

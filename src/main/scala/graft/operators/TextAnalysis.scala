@@ -165,4 +165,48 @@ object TextAnalysis {
         round((col("tf").cast("double") / col("dl")) *
           log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
   }
+
+  /** Line-level boilerplate removal (the CCNet-style cleanup): drop every
+    * line whose normalized form (`lower(trim(line))`) appears in at least
+    * `max(minDocs, maxDocFrac × corpus docs)` DISTINCT documents —
+    * navigation chrome, license footers, cookie banners — and rebuild each
+    * document from its surviving lines in original order. Blank lines are
+    * never counted as boilerplate (and so never stripped); documents whose
+    * EVERY line is boilerplate vanish from the output. This is the
+    * upstream defense for the LSH saturation regime CapProbe measured:
+    * corpus-wide boilerplate is cheapest to delete BEFORE it floods
+    * fingerprint and band buckets (the caps bound that flood; this removes
+    * it).
+    *
+    * Scale: one explode + one per-(line, doc) distinct + one count
+    * aggregate, all map-side combinable. The boilerplate set is
+    * `broadcast` by construction, not hope: a line must clear
+    * `maxDocFrac × n_docs` docs to qualify, so there can be at most
+    * `avg_lines_per_doc / maxDocFrac` distinct qualifying lines (e.g. 50
+    * lines/doc at 5% ⇒ ≤ 1,000 entries) regardless of corpus size. The
+    * rebuild groups by doc_id — the same shuffle key the explode left the
+    * data on. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      maxDocFrac: Double = 0.05,
+      minDocs: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, s"maxDocFrac $maxDocFrac not in (0, 1]")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "line")
+    val norm = lower(trim(col("line")))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val boiler = lines.where(length(norm) > 0)
+      .select(col("doc_id"), norm.as("nl")).distinct()
+      .groupBy(col("nl")).agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(nDocs)
+      .where(col("df") >= greatest(lit(minDocs.toDouble), col("n_docs") * maxDocFrac))
+      .select(col("nl"))
+    lines.join(broadcast(boiler), norm === col("nl"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("text"))
+  }
 }

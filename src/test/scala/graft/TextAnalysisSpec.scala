@@ -108,4 +108,25 @@ class TextAnalysisSpec extends TestBase {
     assert(got((1L, "b")) == ((1L, 0.135155))) // (1/3)·ln(1.5)
     assert(got((2L, "c")) == ((1L, 0.202733))) // (1/2)·ln(1.5)
   }
+
+  test("stripBoilerplate: frequent lines drop, rare/blank/unique lines stay in order") {
+    // 40 docs; threshold = max(minDocs=2, 40 × 0.1) = 4 distinct docs.
+    //  - footer on every doc, case-varied → normalized df=40 → stripped
+    //  - "rare shared line" on docs 0,1 → df=2 < 4 → kept
+    //  - blank line in doc 0 → never counted, never stripped
+    //  - doc 39 is ONLY the footer → zero surviving lines → dropped
+    val rows = (0L until 39L).map { i =>
+      val footer = if (i % 2 == 0) "THE COMMON FOOTER" else "the common footer"
+      val rare = if (i < 2) "\nrare shared line" else ""
+      val blank = if (i == 0) "\n" else ""
+      i -> s"body of doc $i$blank$rare\n$footer"
+    } :+ (39L -> "the common footer")
+    val got = TextAnalysis.stripBoilerplate(rows.toDF("doc_id", "text"),
+        maxDocFrac = 0.1).as[(Long, String)].collect().toMap
+    assert(!got.contains(39L)) // fully-boilerplate doc vanishes
+    assert(got(0L) == "body of doc 0\n\nrare shared line") // order + blank kept
+    assert(got(1L) == "body of doc 1\nrare shared line")
+    assert(got(5L) == "body of doc 5")
+    assert(got.size == 39)
+  }
 }
