@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Data-layout queries: Z-order clustering as a first-class, oracle-gated
+  * catalog row. The fidelity query rewrites lineitem Z-ordered by
+  * (l_partkey, l_suppkey) and answers a two-column box predicate FROM THE
+  * REWRITTEN LAYOUT; the oracle answers the same predicate from the
+  * source table — a hash match proves the rewrite is lossless and the
+  * curve-ordered read path returns exactly the relational answer. The
+  * pruning query surfaces the file-skipping arithmetic itself (survivors
+  * under min/max pruning, Z-order vs linear sort), the number that
+  * justifies the layout at 100 TB. */
+object LayoutQueries {
+
+  /** Overwritten every run (no staleness, no /tmp accumulation): the
+    * write IS the operator under measurement — one metadata-scale min/max
+    * agg + one range shuffle + local sorts; see `operators/Layout.scala`. */
+  private def layoutDirs(dir: String): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    (s"/tmp/graft-lay-z-$key", s"/tmp/graft-lay-lin-$key")
+  }
+
+  private val ZCols = Seq("l_partkey", "l_suppkey")
+  private val Files = 16
+  // ~3.8%-selective two-column box: selective on BOTH dims, so a linear
+  // partkey sort prunes one dim and Z-order prunes both
+  private val Box = Map("l_partkey" -> (100.0, 300.0), "l_suppkey" -> (5.0, 40.0))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Round-trip fidelity through the Z-ordered layout: write the curve-
+    // clustered copy, then answer the box predicate from it. The oracle
+    // reads the source table directly — the layout must be invisible to
+    // query results. l_quantity is whole-valued, so its sum is exact in
+    // double on both engines.
+    QueryDef("lay_zorder")(
+      """SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(sum(l_quantity), 6) AS sum_qty,
+        |   CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |   CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM lineitem
+        | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val (zDir, _) = layoutDirs(dir)
+      Layout.zorderWrite(Tables(s, dir, "lineitem"), ZCols, zDir, Files)
+      s.read.parquet(zDir)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(5, 40))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          min(col("l_orderkey")).cast("long").as("min_ok"),
+          max(col("l_orderkey")).cast("long").as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // The pruning arithmetic itself: per-file min/max ranges (what parquet
+    // footers carry) evaluated against three predicate shapes for both
+    // layouts. The trade the table shows is the reason Z-order exists: a
+    // linear (l_partkey, l_suppkey) sort prunes the LEADING column
+    // perfectly and the trailing one not at all (every file spans the
+    // full l_suppkey range), while the Z-order curve prunes BOTH — it
+    // cedes a little on the leading column to win the trailing one
+    // outright. Not SQL-expressible (file boundaries are an engine
+    // artifact) — driver records the rows-only check; LayoutSpec asserts
+    // the invariants on the same arithmetic.
+    QueryDef.noOracle("lay_zorder_prune") { (s, dir) =>
+      import s.implicits._
+      val (zDir, linDir) = layoutDirs(dir)
+      val li = Tables(s, dir, "lineitem")
+      Layout.zorderWrite(li, ZCols, zDir, Files)
+      Layout.linearWrite(li, ZCols, linDir, Files)
+      val boxes = Seq(
+        "partkey_only" -> Box.view.filterKeys(_ == "l_partkey").toMap,
+        "suppkey_only" -> Box.view.filterKeys(_ == "l_suppkey").toMap,
+        "both_dims" -> Box)
+      val rows = for {
+        (layout, d) <- Seq("zorder" -> zDir, "linear" -> linDir)
+        ranges = Layout.fileRanges(s, d, ZCols)
+        (pname, box) <- boxes
+        (read, total) = Layout.filesOverlapping(ranges, box)
+      } yield (layout, pname, read, total)
+      rows.toDF("layout", "predicate", "files_read", "files_total")
+        .orderBy(col("layout"), col("predicate"))
+    }
+  )
+}

@@ -1805,6 +1805,67 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // Leakage-safe split: every member of a near-dup cluster lands in the
+    // SAME fold (split on the cluster, not the doc — a per-doc hash split
+    // would let a near-copy of a training doc straddle into test). The
+    // engine probes the PERSISTED standing labeling (the dd_cluster
+    // artifact, shared with dd_cluster_increment); the oracle recomputes
+    // connected components from scratch and replays the
+    // coalesce(cluster, doc) → md5-bucket → threshold chain, so the hash
+    // match covers both the labeling reuse and the fold arithmetic.
+    QueryDef("smp_cluster_split")(
+      s"""WITH RECURSIVE $plantedChainSql,
+         | $lshPairsSql,
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |         UNION SELECT doc_b, doc_a FROM pairs),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |            FROM reach GROUP BY 1),
+         | keyed AS (SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS split_key
+         |           FROM corpus c LEFT JOIN labels l USING (doc_id)),
+         | b AS (SELECT doc_id, split_key,
+         |         ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+         |       FROM keyed)
+         | SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+         |   CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |        ELSE 'test' END AS fold
+         | FROM b ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedChain(s, dir)
+      val lblDir = cachedArtifact(dir, "cluster-labels", corpus)(out =>
+        Dedup.clusterDedupFirst(corpus)
+          .write.mode("overwrite").parquet(s"$out/data"))
+      val labels = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/data")
+      graft.operators.Sampling.clusterSplit(corpus, labels,
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .select(col("doc_id"), col("split_key").cast("long").as("split_key"),
+          col("fold"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic global training order: shard + in-shard position are
+    // pure functions of (seed, doc_id) — reproducible on any cluster
+    // size, exact to resume from, re-permuted by a new seed. The window
+    // is partitioned BY SHARD (parallel across shards, no global sort
+    // bottleneck); the oracle replays the identical md5 ordering.
+    QueryDef("smp_shard_order")(
+      """WITH k AS (SELECT doc_id,
+        |     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |   FROM documents)
+        | SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |   CAST(row_number() OVER (PARTITION BY shard
+        |        ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        | FROM k ORDER BY shard, pos""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Sampling.shardOrder(
+          Tables(s, dir, "documents").select(col("doc_id")), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // THE round-9 composed pipeline (the embedding-space sibling of
     // dd_pipeline's minhash chain): LR quality gate → SemDeDup over the
     // survivors (centroids seeded from the SURVIVOR set — the oracle's

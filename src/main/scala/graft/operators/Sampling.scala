@@ -184,4 +184,70 @@ object Sampling {
         hashBucket(key, buckets) < col("_thr"))
       .drop("_strat", "_full", "_thr")
   }
+
+  /** Leakage-safe train/val/test split: every member of a near-dup
+    * CLUSTER lands in the same fold, so no near-copy of a training
+    * document can leak into evaluation — the contamination mode a plain
+    * per-document hash split cannot prevent (a doc and its near-copy
+    * hash independently and straddle the boundary). The standard remedy
+    * in published dedup pipelines: split on the cluster, not the doc.
+    *
+    * `labels` is a `(doc_id, cluster_id)` near-dup labeling (e.g.
+    * [[graft.operators.Dedup.clusterDedupFirst]] output, or a persisted
+    * standing labeling); docs absent from it are singletons and split on
+    * their own id. `folds` is an ordered list of `(name, upperBucket)`
+    * with EXCLUSIVE upper bounds over [0, buckets) — e.g.
+    * `Seq(("train", 80), ("val", 90), ("test", 100))` — and the last
+    * bound must equal `buckets` so every row is assigned.
+    *
+    * Scale: one equi-join against the labeling (broadcast when the
+    * labeling is small — it is pair-bearing docs only, usually a small
+    * fraction of the corpus — else a shuffle join on doc_id), then the
+    * same pure-row-property md5 bucket as every sampler here. The fold
+    * of a doc never changes when OTHER docs arrive; it changes only if
+    * its own cluster merges — which is exactly the property you want
+    * (the merged cluster re-lands whole, still leak-free). */
+  def clusterSplit(docs: DataFrame, labels: DataFrame,
+      folds: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
+    require(folds.nonEmpty, "folds must be non-empty")
+    require(folds.map(_._2) == folds.map(_._2).sorted,
+      s"fold bounds must be ascending: $folds")
+    require(folds.last._2 == buckets,
+      s"last fold bound ${folds.last._2} must equal buckets=$buckets")
+    val keyed = docs.join(labels.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .drop("cluster_id")
+    val b = hashBucket(col("split_key"), buckets)
+    val foldCol = folds.init.foldRight(lit(folds.last._1): Column) {
+      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    keyed.withColumn("fold", foldCol)
+  }
+
+  /** Deterministic global training order: assign each row a shard in
+    * [0, nShards) and a 1-based position within its shard, both pure
+    * functions of the row key and `seed` — the reproducible-shuffle
+    * contract a training run needs (same corpus + same seed = identical
+    * batch order on any cluster size; a new seed is a fresh permutation;
+    * resuming from shard/pos is exact).
+    *
+    * Scale: the shard is a pure row property (no shuffle); the position
+    * is a window partitioned BY SHARD — parallel across shards, one
+    * sort per shard. Size `nShards` so a shard fits an executor's sort
+    * budget (at 100 TB: tens of thousands of shards), which is the same
+    * knob as the training job's file-shard count; there is no global
+    * total-order bottleneck anywhere. */
+  def shardOrder(df: DataFrame, key: Column, nShards: Int,
+      seed: String = "s42"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val order = md5(concat(lit(seed + ":"), key.cast("string")))
+    // the shard is seeded too: a new seed is a fresh permutation across
+    // shards, not just within them
+    df.withColumn("shard", hashBucket(concat(lit(seed + ":"), key.cast("string")), nShards))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(order, key)).cast("long"))
+  }
 }

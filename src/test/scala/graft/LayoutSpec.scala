@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends TestBase {
+
+  import spark.implicits._
+
+  test("zValue: bit-exact Morton interleave on known points") {
+    // 2-D, 2 bits each: z(x, y) interleaves x bit b -> out bit 2b,
+    // y bit b -> out bit 2b+1 (x is column 0 = LSB lane)
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (0L, 3L),
+        (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 2))
+    val got = df.select("x", "y", "z").as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    // hand-computed Morton codes
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L)
+    assert(got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L)
+    assert(got((3L, 0L)) == 5L)   // x=11 -> bits 0,2
+    assert(got((0L, 3L)) == 10L)  // y=11 -> bits 1,3
+    assert(got((3L, 3L)) == 15L)
+    assert(got((2L, 1L)) == 6L)   // x=10 -> bit 2; y=01 -> bit 1
+  }
+
+  test("zValue: null rank interleaves as 0, deterministically") {
+    val df = Seq((0L, Some(1L), Some(1L)), (1L, None, Some(1L)),
+        (2L, Some(1L), None))
+      .toDF("i", "x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 2))
+    val z = df.orderBy("i").select("z").as[Long].collect()
+    assert(z sameElements Array(3L, 2L, 1L))
+  }
+
+  test("zorderWrite: lossless round trip (same multiset of rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("lay-rt").toString
+    val li = Tables(spark, sf(), "lineitem")
+    Layout.zorderWrite(li, Seq("l_partkey", "l_suppkey"), s"$dir/z", 8)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.columns.sorted sameElements li.columns.sorted,
+      "layout must not add or drop columns")
+    val a = li.groupBy(li.columns.map(col): _*).count()
+    val b = back.groupBy(li.columns.map(col): _*).count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "re-clustered layout must hold exactly the source rows")
+  }
+
+  test("zorder prunes BOTH dimensions; linear sort only its leading one") {
+    val dir = java.nio.file.Files.createTempDirectory("lay-pr").toString
+    val zc = Seq("l_partkey", "l_suppkey")
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+    Layout.zorderWrite(li, zc, s"$dir/z", 16)
+    Layout.linearWrite(li, zc, s"$dir/lin", 16)
+    val zr = Layout.fileRanges(spark, s"$dir/z", zc)
+    val lr = Layout.fileRanges(spark, s"$dir/lin", zc)
+    // trailing-column predicate: linear layout cannot prune at all (every
+    // file spans the full l_suppkey range); the Z-curve reads a fraction
+    val supp = Map("l_suppkey" -> (5.0, 40.0))
+    val (zSupp, zTot) = Layout.filesOverlapping(zr, supp)
+    val (lSupp, lTot) = Layout.filesOverlapping(lr, supp)
+    assert(zTot == 16 && lTot == 16)
+    assert(lSupp == 16, s"linear layout should be unable to prune suppkey, read $lSupp")
+    assert(zSupp <= 8, s"zorder should skip at least half the files, read $zSupp")
+    // two-dimensional box: zorder must prune it too (not degrade to scan)
+    val box = Map("l_partkey" -> (100.0, 300.0), "l_suppkey" -> (5.0, 40.0))
+    val (zBox, _) = Layout.filesOverlapping(zr, box)
+    assert(zBox <= 4, s"zorder should confine a ~4% box to few files, read $zBox")
+    // leading-column predicate: zorder cedes some pruning vs linear but
+    // must still skip most files (the documented trade)
+    val part = Map("l_partkey" -> (100.0, 300.0))
+    val (zPart, _) = Layout.filesOverlapping(zr, part)
+    assert(zPart <= 8, s"zorder should still prune the leading dim, read $zPart")
+  }
+
+  test("withZValue: degenerate and all-null dimensions rank constant 0") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    val z = Layout.withZValue(df, Seq("a", "b"), 4)
+    // b is constant -> contributes 0 bits; z is monotone in a alone
+    val got = z.orderBy("a").select("_z").as[Long].collect()
+    assert(got.toSeq == got.sorted.toSeq && got.distinct.length == 3)
+    val nulls = Seq((Some(1L), Option.empty[Long]), (Some(2L), None))
+      .toDF("a", "b")
+    val zn = Layout.withZValue(nulls, Seq("a", "b"), 4)
+    assert(zn.select("_z").as[Long].collect().forall(_ >= 0L))
+  }
+}

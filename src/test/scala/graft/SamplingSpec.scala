@@ -126,4 +126,60 @@ class SamplingSpec extends TestBase {
     assert(ex.getMessage.contains("mixtureResample") ||
       Option(ex.getCause).exists(_.getMessage.contains("mixtureResample")))
   }
+
+  test("clusterSplit: no cluster ever spans folds; singletons split on their id") {
+    // 300 docs; docs 0..29 form 10 clusters of 3 (labels point at the min)
+    val docs = (0L until 300L).toDF("doc_id")
+    val labels = (0L until 30L).map(i => (i, i / 3 * 3)).toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterSplit(docs, labels,
+      Seq(("train", 80), ("val", 90), ("test", 100)))
+    assert(out.count() == 300, "split must assign every doc exactly once")
+    // leak-freedom: each cluster maps to exactly one fold
+    val perCluster = out.join(labels, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("fold")).as("nf"))
+      .select("nf").as[Long].collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_ == 1L),
+      "a near-dup cluster must land whole in one fold")
+    // singletons use their own id as split key
+    val single = out.where(col("doc_id") === 200L)
+      .select("split_key").as[Long].head()
+    assert(single == 200L)
+    // pure row property: fold of a doc is unchanged when other docs arrive
+    val fewer = Sampling.clusterSplit(docs.where(col("doc_id") < 100),
+      labels, Seq(("train", 80), ("val", 90), ("test", 100)))
+    val a = out.where(col("doc_id") < 100).select("doc_id", "fold")
+    assert(a.except(fewer.select("doc_id", "fold")).isEmpty)
+    // ~80/10/10 with hash slack
+    val sizes = out.groupBy("fold").count().as[(String, Long)].collect().toMap
+    assert(sizes("train") > 200 && sizes("test") > 10 && sizes("val") > 10, s"$sizes")
+  }
+
+  test("clusterSplit: rejects non-exhaustive or unordered folds") {
+    val docs = (0L until 10L).toDF("doc_id")
+    val labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSplit(docs, labels, Seq(("train", 80), ("val", 90)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSplit(docs, labels, Seq(("train", 90), ("val", 80), ("t", 100)))
+    }
+  }
+
+  test("shardOrder: deterministic permutation, dense per-shard positions") {
+    val d = (0L until 500L).toDF("doc_id")
+    val out = Sampling.shardOrder(d, col("doc_id"), 8).cache()
+    // positions are dense 1..n_shard within every shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .where(col("mn") =!= 1L || col("mx") =!= col("n"))
+    assert(bad.isEmpty, "per-shard positions must be dense 1..n")
+    // invariant under repartitioning (cluster-size independence)
+    val out2 = Sampling.shardOrder(d.repartition(13), col("doc_id"), 8)
+    assert(out.except(out2).isEmpty && out2.except(out).isEmpty)
+    // a different seed is a genuinely different permutation
+    val reseeded = Sampling.shardOrder(d, col("doc_id"), 8, seed = "s43")
+    assert(out.join(reseeded, Seq("doc_id", "shard", "pos"), "inner").count() < 100,
+      "new seed must re-permute")
+    out.unpersist()
+  }
 }
