@@ -58,6 +58,46 @@ object LayoutQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The GROWTH path: at 100 TB a layout is never rebuilt — an arriving
+    // batch is curve-clustered with the layout's PERSISTED scaling
+    // (_graft_zmeta) and appended. The engine builds base + appends a
+    // planted batch (key-shifted order keys, same curve columns), then
+    // answers the box predicate from the GROWN layout; the oracle answers
+    // it from source ∪ the same planted batch — the hash match proves
+    // append loses nothing and the grown layout remains a faithful copy.
+    QueryDef("lay_zorder_grown")(
+      """WITH grown AS (SELECT * FROM lineitem
+        |   UNION ALL SELECT l_orderkey + 1000000000, l_partkey, l_suppkey,
+        |     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        |     l_returnflag, l_linestatus, l_shipdate
+        |   FROM lineitem WHERE l_orderkey < 100)
+        | SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(sum(l_quantity), 6) AS sum_qty,
+        |   CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |   CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM grown
+        | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val grownDir = s"/tmp/graft-lay-grown-$key"
+      val li = Tables(s, dir, "lineitem")
+      Layout.zorderWrite(li, ZCols, grownDir, Files)
+      val batch = li.where(col("l_orderkey") < 100)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      Layout.appendZOrdered(batch, grownDir, files = 2)
+      s.read.parquet(grownDir)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(5, 40))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          min(col("l_orderkey")).cast("long").as("min_ok"),
+          max(col("l_orderkey")).cast("long").as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // The pruning arithmetic itself: per-file min/max ranges (what parquet
     // footers carry) evaluated against three predicate shapes for both
     // layouts. The trade the table shows is the reason Z-order exists: a

@@ -55,20 +55,29 @@ object Layout {
       ((c.cast("double") - mn) / span * top).cast("long")))
   }
 
-  /** `df` plus a `_z` Z-value column over `zcols` (each castable to
-    * double: ints, floats, dates, timestamps; hash strings to a numeric
-    * key first). Costs one metadata-scale min/max aggregate (2·k values
-    * to the driver) plus a codegen'd projection. */
-  def withZValue(df: DataFrame, zcols: Seq[String], bits: Int = 16): DataFrame = {
+  /** Per-column (min, max) of `zcols` — ONE metadata-scale aggregate
+    * (2·k values to the driver); all-null/empty dimensions degenerate to
+    * (0, 0) = constant rank 0. */
+  private def computeScaling(df: DataFrame, zcols: Seq[String])
+      : Seq[(String, Double, Double)] = {
     require(zcols.nonEmpty, "zcols must be non-empty")
     val aggs = zcols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.drop(1): _*).head()
-    val ranks = zcols.zipWithIndex.map { case (c, i) =>
-      if (row.isNullAt(2 * i)) lit(0L) // all-null or empty dimension
-      else scaledRank(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+    zcols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i)) (c, 0.0, 0.0)
+      else (c, row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }
+  }
+
+  /** `df` plus a `_z` Z-value column over `zcols` (each castable to
+    * double: ints, floats, dates, timestamps; hash strings to a numeric
+    * key first). Costs one metadata-scale min/max aggregate plus a
+    * codegen'd projection. */
+  def withZValue(df: DataFrame, zcols: Seq[String], bits: Int = 16): DataFrame = {
+    val ranks = computeScaling(df, zcols)
+      .map { case (c, mn, mx) => scaledRank(col(c), mn, mx, bits) }
     df.withColumn("_z", zValue(ranks, bits))
   }
 
@@ -76,14 +85,55 @@ object Layout {
     * curve of `zcols`. Range-partitioning on the Z-value keeps files
     * curve-contiguous (each file = one curve segment = one small box per
     * dimension); the within-partition sort tightens row-group stats for
-    * readers that prune below file granularity. */
+    * readers that prune below file granularity.
+    *
+    * The per-column scaling (min, max, bits) is persisted into the layout
+    * (`_graft_zmeta`, underscore-prefixed so readers ignore it) so that
+    * later [[appendZOrdered]] batches rank on the SAME curve — the
+    * growth path: at 100 TB an arriving batch is curve-clustered and
+    * appended, never a full re-cluster. */
   def zorderWrite(df: DataFrame, zcols: Seq[String], outDir: String,
-      files: Int, bits: Int = 16): Unit =
-    withZValue(df, zcols, bits)
+      files: Int, bits: Int = 16): Unit = {
+    val scaling = computeScaling(df, zcols)
+    writeClustered(df, scaling, bits, outDir, files, overwrite = true)
+    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
+      // java Double round-trips exactly through toString/parseDouble
+      s"$c $mn $mx"
+    }).mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+  }
+
+  /** Curve-cluster an ARRIVING batch with the layout's persisted scaling
+    * and append its files — grown layout ≡ rebuilt layout for pruning
+    * purposes (every file, old or new, is a small curve box on the same
+    * curve; LayoutSpec proves the grown layout's boxes obey the same
+    * arithmetic). Batch values outside the original min/max clamp to the
+    * curve's edge cells — correct for pruning (edge files advertise the
+    * true widened min/max in their own footers) but it coarsens edge
+    * boxes under sustained drift; re-cluster when the clamped fraction
+    * grows, exactly like an IVF index re-trains when centroids stale. */
+  def appendZOrdered(df: DataFrame, outDir: String, files: Int): Unit = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "_graft_zmeta")), "UTF-8").split("\n")
+    val bits = lines.head.stripPrefix("bits ").trim.toInt
+    val scaling = lines.drop(1).toSeq.map { l =>
+      val Array(c, mn, mx) = l.split(" ")
+      (c, mn.toDouble, mx.toDouble)
+    }
+    writeClustered(df, scaling, bits, outDir, files, overwrite = false)
+  }
+
+  private def writeClustered(df: DataFrame,
+      scaling: Seq[(String, Double, Double)], bits: Int, outDir: String,
+      files: Int, overwrite: Boolean): Unit = {
+    val ranks = scaling.map { case (c, mn, mx) => scaledRank(col(c), mn, mx, bits) }
+    df.withColumn("_z", zValue(ranks, bits))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(outDir)
+  }
 
   /** Baseline for comparison: the same table linearly sorted by
     * `sortCols` into `files` files (perfect pruning on the leading

@@ -76,6 +76,40 @@ class LayoutSpec extends TestBase {
     assert(zPart <= 8, s"zorder should still prune the leading dim, read $zPart")
   }
 
+  test("appendZOrdered: grown layout = base ∪ batch, same curve, still prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("lay-gr").toString + "/z"
+    val zc = Seq("l_partkey", "l_suppkey")
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+    val base = li.where(col("l_orderkey") % 2 === 0)
+    val batch = li.where(col("l_orderkey") % 2 === 1)
+      .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+    Layout.zorderWrite(base, zc, dir, 16)
+    val metaBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_zmeta")).toSeq
+    Layout.appendZOrdered(batch, dir, files = 4)
+    // scaling is frozen at build time — append must not touch it
+    val metaAfter = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_zmeta")).toSeq
+    assert(metaBefore == metaAfter)
+    // lossless growth
+    val back = spark.read.parquet(dir)
+    val want = base.unionAll(batch)
+    assert(back.count() == want.count())
+    assert(want.groupBy(want.columns.map(col): _*).count()
+      .except(back.groupBy(want.columns.map(col): _*).count()).isEmpty)
+    // the grown layout still prunes a trailing-column predicate (batch
+    // files rank on the SAME persisted curve, so they are boxes too)
+    val (read, total) = Layout.filesOverlapping(
+      Layout.fileRanges(spark, dir, zc), Map("l_suppkey" -> (5.0, 20.0)))
+    assert(total == 20, s"expected 16 base + 4 batch files, got $total")
+    assert(read < total / 2, s"grown layout must still prune: read $read/$total")
+    // out-of-range batch values clamp to edge cells but stay readable
+    val wild = li.limit(10)
+      .withColumn("l_partkey", col("l_partkey") + 1000000L)
+    Layout.appendZOrdered(wild, dir, files = 1)
+    assert(spark.read.parquet(dir).count() == want.count() + 10)
+  }
+
   test("withZValue: degenerate and all-null dimensions rank constant 0") {
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
     val z = Layout.withZValue(df, Seq("a", "b"), 4)
