@@ -114,14 +114,48 @@ object Layout {
     * boxes under sustained drift; re-cluster when the clamped fraction
     * grows, exactly like an IVF index re-trains when centroids stale. */
   def appendZOrdered(df: DataFrame, outDir: String, files: Int): Unit = {
+    val (scaling, bits) = readMeta(outDir)
+    writeClustered(df, scaling, bits, outDir, files, overwrite = false)
+  }
+
+  /** Seed a KEYED layout: the base corpus curve-clusters into the
+    * `batch=0` partition and the scaling persists at the layout ROOT, so
+    * later keyed appends rank on the same curve. A keyed layout holds
+    * every file under `batch=<id>` partitions (partition discovery
+    * surfaces `batch` as a column on read) — the streamed form of
+    * [[zorderWrite]], where each micro-batch owns its partition and a
+    * REPLAY overwrites it: exactly-once effective under at-least-once
+    * `foreachBatch` delivery, with no transactional table format. */
+  def initKeyedLayout(df: DataFrame, zcols: Seq[String], rootDir: String,
+      files: Int, bits: Int = 16): Unit = {
+    val scaling = computeScaling(df, zcols)
+    writeClustered(df, scaling, bits, s"$rootDir/batch=0", files, overwrite = true)
+    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
+      s"$c $mn $mx"
+    }).mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rootDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+  }
+
+  /** Curve-cluster a batch with the keyed layout's persisted scaling and
+    * (over)write it as the `partition` sub-dir (e.g. "batch=7") —
+    * idempotent per key, see [[initKeyedLayout]]. */
+  def appendZOrderedKeyed(df: DataFrame, rootDir: String, partition: String,
+      files: Int): Unit = {
+    val (scaling, bits) = readMeta(rootDir)
+    writeClustered(df, scaling, bits, s"$rootDir/$partition", files,
+      overwrite = true)
+  }
+
+  private def readMeta(dir: String): (Seq[(String, Double, Double)], Int) = {
     val lines = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(outDir, "_graft_zmeta")), "UTF-8").split("\n")
+      java.nio.file.Paths.get(dir, "_graft_zmeta")), "UTF-8").split("\n")
     val bits = lines.head.stripPrefix("bits ").trim.toInt
     val scaling = lines.drop(1).toSeq.map { l =>
       val Array(c, mn, mx) = l.split(" ")
       (c, mn.toDouble, mx.toDouble)
     }
-    writeClustered(df, scaling, bits, outDir, files, overwrite = false)
+    (scaling, bits)
   }
 
   private def writeClustered(df: DataFrame,

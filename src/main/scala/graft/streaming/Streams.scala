@@ -501,6 +501,40 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of a KEYED Z-ordered layout
+    * ([[graft.operators.Layout.initKeyedLayout]]): each arriving
+    * micro-batch curve-clusters with the layout's persisted scaling and
+    * lands as its OWN `batch=<id>` partition — the stream is the
+    * compactor, and every later scan of the layout root prunes on the
+    * same curve (old and new files alike are curve boxes).
+    *
+    * Delivery: foreachBatch is at-least-once, but each micro-batch
+    * OVERWRITES its own keyed partition, so a crash replay rewrites the
+    * same files instead of duplicating them — exactly-once effective
+    * with no transactional table format (the batchId-keyed sink
+    * discipline, same as the near-dup sinks above, enforced by the
+    * layout directory structure itself).
+    *
+    * Scale: per-batch cost is one codegen'd projection + one range
+    * shuffle of THE BATCH only; the standing layout is never read or
+    * rewritten. Partition count grows with stream lifetime — fold
+    * accumulated small `batch=` partitions into the base with a periodic
+    * [[graft.operators.Layout.zorderWrite]] re-cluster, the classic
+    * compaction cadence. */
+  def layoutMaintainer(
+      docs: DataFrame,
+      layoutRoot: String,
+      filesPerBatch: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Layout.appendZOrderedKeyed(
+          batch, layoutRoot, s"batch=${batchId + 1}", filesPerBatch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run any of the above to completion over the existing files and return
     * the final result as a batch DataFrame (availableNow trigger → memory
     * sink). Used by tests and the batch-twin comparisons. */

@@ -160,4 +160,23 @@ class PlanShapeSpec extends TestBase {
     // levenshtein must still be computed (the DP survives the re-keying)
     assert(plan.contains("levenshtein"))
   }
+
+  test("lay_zorder: both box predicates push into the layout scan") {
+    // The Z-order claim needs the reader to actually consult footer stats:
+    // both columns' range predicates must reach the parquet scan as
+    // PushedFilters (row-group pruning), and the write side must be a
+    // range repartition — not a global sort.
+    val p = planOf("lay_zorder")
+    val scanAt = p.indexOf("/tmp/graft-lay-z-")
+    assert(scanAt > 0, "query must read the rewritten layout")
+    assert(p.contains("GreaterThanOrEqual(l_partkey,100)") &&
+      p.contains("LessThanOrEqual(l_suppkey,40)"),
+      s"both box predicates must push into the layout scan:\n${p.take(1500)}")
+    val w = graft.operators.Layout
+      .withZValue(Tables(spark, sf(), "lineitem"), Seq("l_partkey", "l_suppkey"))
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("_z"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(w.contains("rangepartitioning(_z"),
+      "layout write must range-partition on the Z-value (no global sort)")
+  }
 }

@@ -220,6 +220,45 @@ class StreamingSpec extends TestBase {
     java.nio.file.Files.copy(part, dir.resolve(name))
   }
 
+  test("layoutMaintainer: micro-batches land as keyed curve partitions; replay is idempotent") {
+    import graft.operators.Layout
+    val zc = Seq("l_partkey", "l_suppkey")
+    val li = Tables(spark, sf(), "lineitem")
+    val base = li.where(col("l_orderkey") % 2 === 0)
+    val odd = li.where(col("l_orderkey") % 2 === 1)
+    val drop1 = odd.where(col("l_partkey") % 2 === 0)
+    val drop2 = odd.where(col("l_partkey") % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-lay-s").toString + "/z"
+    Layout.initKeyedLayout(base, zc, root, files = 8)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-lay-in")
+    dropAsFile(drop1, inDir, "b1.parquet")
+    dropAsFile(drop2, inDir, "b2.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lay-ck").toString
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    Streams.layoutMaintainer(stream, root, filesPerBatch = 2, ckpt)
+      .awaitTermination()
+    val back = spark.read.parquet(root)
+    // partition discovery surfaces the batch key; base=0, drops own 1..N
+    assert(back.select("batch").distinct().count() >= 3)
+    val cols = li.columns
+    assert(back.select(cols.map(col): _*)
+      .groupBy(cols.map(col): _*).count()
+      .except(li.groupBy(cols.map(col): _*).count()).isEmpty,
+      "layout root must hold exactly base ∪ all micro-batches")
+    // every partition's files are curve boxes: the trailing predicate
+    // still prunes across old AND new files
+    val (read, total) = Layout.filesOverlapping(
+      Layout.fileRanges(spark, root, zc), Map("l_suppkey" -> (5.0, 20.0)))
+    assert(read < total, s"grown keyed layout must prune: $read/$total")
+    // at-least-once replay: re-delivering a micro-batch overwrites its own
+    // partition — row count is unchanged (exactly-once effective)
+    val n = back.count()
+    Layout.appendZOrderedKeyed(drop1, root, "batch=1", files = 2)
+    assert(spark.read.parquet(root).count() == n,
+      "replayed micro-batch must overwrite, not duplicate")
+  }
+
   test("foreachBatch near-dedup stream: micro-batch union == one-shot batch operator") {
     // Cross-only semantics make micro-batch boundaries invisible: each
     // arriving doc is scored against the standing corpus independently, so
