@@ -1866,6 +1866,72 @@ object NorthStarQueries {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // The corpus-to-batches CAPSTONE: near-dup labeling (persisted
+    // standing artifact) → model quality gate → leakage-safe TRAIN fold
+    // → temperature rebalancing over the surviving strata → deterministic
+    // shard/position training order. Every stage is its own declared
+    // operator with its own oracle row; this row proves the COMPOSITION
+    // — thresholds derived from post-gate/post-split counts, folds from
+    // cluster keys, order from the seeded permutation — hash-matches a
+    // from-scratch SQL replay of the whole chain.
+    QueryDef("pipe_training_order")(
+      s"""WITH RECURSIVE $plantedChainLangSql,
+         | $lshPairsSql,
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |         UNION SELECT doc_b, doc_a FROM pairs),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |            FROM reach GROUP BY 1),
+         | gate AS (SELECT doc_id FROM (SELECT doc_id,
+         |     round(1.0 / (1.0 + exp(-(-3.0
+         |       + 0.4 * ((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')))
+         |       + 6.0 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')))
+         |       + 0.35 * ln(1.0 + len(string_split(text,' ')))))), 6) AS sc
+         |   FROM corpus) WHERE sc >= 0.5),
+         | keyed AS (SELECT c.doc_id, c.lang, coalesce(l.cluster_id, c.doc_id) AS sk
+         |           FROM corpus c JOIN gate USING (doc_id)
+         |           LEFT JOIN labels l USING (doc_id)),
+         | train AS (SELECT doc_id, lang FROM keyed
+         |           WHERE ('0x' || substr(md5(CAST(sk AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+         | c AS (SELECT lang, count(*) AS n FROM train GROUP BY 1),
+         | mn AS (SELECT min(n) AS nmin FROM c),
+         | thr AS (SELECT lang,
+         |     CAST(floor(10000.0 * sqrt(CAST(nmin AS DOUBLE) * n) / n) AS BIGINT) AS th
+         |   FROM c CROSS JOIN mn),
+         | samp AS (SELECT t.doc_id, t.lang FROM train t JOIN thr USING (lang)
+         |          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th),
+         | k AS (SELECT doc_id, lang,
+         |         ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+         |       FROM samp)
+         | SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+         |   CAST(row_number() OVER (PARTITION BY shard
+         |        ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         | FROM k ORDER BY shard, pos""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{Sampling, TextAnalysis}
+      val corpus = plantedChainLang(s, dir)
+      val flat = corpus.select(col("doc_id"), col("text"))
+      val lblDir = cachedArtifact(dir, "cluster-labels", flat)(out =>
+        Dedup.clusterDedupFirst(flat)
+          .write.mode("overwrite").parquet(s"$out/data"))
+      val labels = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/data")
+      val gated = corpus.join(
+        TextAnalysis.lrQuality(corpus).where(col("pass") === 1)
+          .select(col("doc_id")), Seq("doc_id"))
+      val train = Sampling.clusterSplit(gated, labels,
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .where(col("fold") === "train")
+      val sampled = Sampling.temperatureSample(train, col("lang"), col("doc_id"))
+      Sampling.shardOrder(sampled.select(col("doc_id"), col("lang")),
+          col("doc_id"), 4)
+        .select(col("doc_id"), col("lang"),
+          col("shard").cast("long").as("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // THE round-9 composed pipeline (the embedding-space sibling of
     // dd_pipeline's minhash chain): LR quality gate → SemDeDup over the
     // survivors (centroids seeded from the SURVIVOR set — the oracle's
