@@ -61,6 +61,9 @@ object Layout {
   private def computeScaling(df: DataFrame, zcols: Seq[String])
       : Seq[(String, Double, Double)] = {
     require(zcols.nonEmpty, "zcols must be non-empty")
+    // the persisted _graft_zmeta format is whitespace-delimited
+    require(zcols.forall(c => !c.exists(_.isWhitespace)),
+      s"z-order column names must not contain whitespace: $zcols")
     val aggs = zcols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c")))

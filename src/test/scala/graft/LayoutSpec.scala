@@ -27,6 +27,20 @@ class LayoutSpec extends TestBase {
     assert(got((2L, 1L)) == 6L)   // x=10 -> bit 2; y=01 -> bit 1
   }
 
+  test("zValue: three-column interleave (bit b of col i -> out bit 3b+i)") {
+    val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (3L, 3L, 3L),
+        (2L, 1L, 0L))
+      .toDF("x", "y", "w")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y"), col("w")), 2))
+    val got = df.select("x", "y", "w", "z").as[(Long, Long, Long, Long)]
+      .collect().map { case (x, y, w, z) => (x, y, w) -> z }.toMap
+    assert(got((1L, 0L, 0L)) == 1L)    // bit 0
+    assert(got((0L, 1L, 0L)) == 2L)    // bit 1
+    assert(got((0L, 0L, 1L)) == 4L)    // bit 2
+    assert(got((3L, 3L, 3L)) == 63L)   // all six low bits
+    assert(got((2L, 1L, 0L)) == 10L)   // x bit1 -> out 3; y bit0 -> out 1
+  }
+
   test("zValue: null rank interleaves as 0, deterministically") {
     val df = Seq((0L, Some(1L), Some(1L)), (1L, None, Some(1L)),
         (2L, Some(1L), None))
