@@ -150,6 +150,46 @@ object Layout {
       overwrite = true)
   }
 
+  /** Fold a keyed layout's accumulated micro-batch partitions back into
+    * one freshly re-clustered base — the periodic compaction cadence
+    * [[graft.streaming.Streams.layoutMaintainer]]'s scaladoc prescribes:
+    * stream-appended `batch=<id>` partitions are correct but small and
+    * rank on the SEED scaling, so sustained drift coarsens edge boxes
+    * and partition count grows with stream lifetime. Compaction re-ranks
+    * EVERYTHING with fresh min/max scaling (drift absorbed), rewrites
+    * `batch=0`, and drops the per-batch partitions.
+    *
+    * Isolation on a plain filesystem: the new base builds under an
+    * underscore-prefixed staging dir (invisible to Spark's partition
+    * discovery, like `_graft_zmeta`), so concurrent readers see the old
+    * layout until the final rename swap; the swap itself is two renames
+    * + deletes, not atomic — run compaction from the same single writer
+    * that owns the stream (a transactional table format is what buys a
+    * truly atomic swap, and this operator maps 1:1 onto one). */
+  def compactKeyed(spark: SparkSession, rootDir: String, zcols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val all = spark.read.parquet(rootDir).drop("batch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scaling = computeScaling(all, zcols)
+      writeClustered(all, scaling, bits, s"$rootDir/_compacting", files,
+        overwrite = true)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val root = new org.apache.hadoop.fs.Path(rootDir)
+      val fs = root.getFileSystem(conf)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .foreach(s => fs.delete(s.getPath, true))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$rootDir/_compacting"),
+        new org.apache.hadoop.fs.Path(s"$rootDir/batch=0"))
+      val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
+        s"$c $mn $mx"
+      }).mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(rootDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+    } finally { all.unpersist(false); () }
+  }
+
   private def readMeta(dir: String): (Seq[(String, Double, Double)], Int) = {
     val lines = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_graft_zmeta")), "UTF-8").split("\n")

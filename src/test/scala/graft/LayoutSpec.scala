@@ -124,6 +124,37 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(dir).count() == want.count() + 10)
   }
 
+  test("compactKeyed: folds batch partitions into a fresh base, absorbs drift") {
+    val zc = Seq("l_partkey", "l_suppkey")
+    val root = java.nio.file.Files.createTempDirectory("lay-cp").toString + "/z"
+    val li = Tables(spark, sf(), "lineitem")
+    val base = li.where(col("l_orderkey") % 2 === 0)
+    // drifted batch: partkeys far beyond the seed scaling clamp to the
+    // edge cell until compaction re-ranks them
+    val drift = li.where(col("l_orderkey") % 2 === 1)
+      .withColumn("l_partkey", col("l_partkey") + 100000L)
+    Layout.initKeyedLayout(base, zc, root, files = 8)
+    Layout.appendZOrderedKeyed(drift, root, "batch=1", files = 4)
+    val before = spark.read.parquet(root).drop("batch")
+    val n = before.count()
+    Layout.compactKeyed(spark, root, zc, files = 12)
+    val after = spark.read.parquet(root)
+    // lossless, and only the compacted base remains
+    assert(after.count() == n)
+    assert(after.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // fresh scaling covers the drifted range: a predicate INSIDE the
+    // drifted region prunes (pre-compaction it all sat in one edge cell)
+    val (read, total) = Layout.filesOverlapping(
+      Layout.fileRanges(spark, root, zc),
+      Map("l_partkey" -> (100000.0, 100200.0)))
+    assert(total == 12, s"expected 12 compacted files, got $total")
+    assert(read < total, s"re-ranked drift region must prune: $read/$total")
+    // the meta now spans the drifted max, so future appends rank on it
+    Layout.appendZOrderedKeyed(drift.limit(5), root, "batch=1", files = 1)
+    assert(spark.read.parquet(root).count() == n + 5)
+  }
+
   test("withZValue: degenerate and all-null dimensions rank constant 0") {
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
     val z = Layout.withZValue(df, Seq("a", "b"), 4)
