@@ -201,27 +201,37 @@ object Bench {
       .filter(q => only.isEmpty || only(q.name))
       .map { q =>
         val first = once(q)
+        // Drain one-time cachedArtifact builds NOW: they land inside the
+        // FIRST run by design (fingerprint-cached thereafter), so both the
+        // retry decision and the third-run spread test must compare the
+        // build-adjusted first run — otherwise a driver cold run pays a
+        // wasted multi-second tie-breaker per artifact-building query
+        // (r9 cold 12.2 s vs warm 4.2 s reads as a 2.9x "spread").
+        val buildsFirst = {
+          import scala.jdk.CollectionConverters._
+          val m = NorthStarQueries.buildSecs.asScala.toMap
+          NorthStarQueries.buildSecs.clear()
+          m
+        }
+        val firstAdj =
+          if (first >= 0) math.max(first - buildsFirst.values.sum, 0.0) else first
         val runs: Seq[Double] =
-          if (first > retrySec) {
+          if (firstAdj > retrySec) {
             val second = once(q)
             val both = Seq(first, second)
-            val valid = both.filter(_ >= 0)
-            // Third run only when the first two VALID runs disagree by more
+            val cmp = Seq(firstAdj, second).filter(_ >= 0)
+            // Third run only when the two VALID runs disagree by more
             // than the spread ratio — agreement means either number is
             // trustworthy and a tie-breaker would be wasted wall clock.
-            if (valid.size == 2 && valid.max / math.max(valid.min, 1e-9) > spreadRatio)
+            if (cmp.size == 2 && cmp.max / math.max(cmp.min, 1e-9) > spreadRatio)
               both :+ once(q)
             else both
           } else Seq(first)
         val valid = runs.filter(_ >= 0)
         val sec = if (valid.isEmpty) -1.0 else valid.min
-        // Drain fixture/build wall-clock recorded by this query's runs
-        // (cachedArtifact builds, curation-loop stage timings): a driver
-        // cold run pays artifact builds INSIDE the first benched run, so
-        // without this attribution the increment queries read as
-        // regressions on any fresh container (r9 driver: 12.2/13.6/23.4 s
-        // cold vs 4.2/2.7/7.6 warm).
-        val builds = {
+        // Any builds recorded by later runs (none in the normal fingerprint
+        // flow) merge into the same attribution map archived as build_sec.
+        val builds = buildsFirst ++ {
           import scala.jdk.CollectionConverters._
           val m = NorthStarQueries.buildSecs.asScala.toMap
           NorthStarQueries.buildSecs.clear()

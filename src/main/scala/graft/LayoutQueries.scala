@@ -118,12 +118,16 @@ object LayoutQueries {
         "partkey_only" -> Box.view.filterKeys(_ == "l_partkey").toMap,
         "suppkey_only" -> Box.view.filterKeys(_ == "l_suppkey").toMap,
         "both_dims" -> Box)
-      val rows = for {
-        (layout, d) <- Seq("zorder" -> zDir, "linear" -> linDir)
-        ranges = Layout.fileRanges(s, d, ZCols)
-        (pname, box) <- boxes
-        (read, total) = Layout.filesOverlapping(ranges, box)
-      } yield (layout, pname, read, total)
+      val rows = Seq("zorder" -> zDir, "linear" -> linDir).flatMap {
+        case (layout, d) =>
+          // one scan per layout: the per-file ranges are a handful of rows
+          val ranges = Layout.fileRanges(s, d, ZCols)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try boxes.map { case (pname, box) =>
+            val (read, total) = Layout.filesOverlapping(ranges, box)
+            (layout, pname, read, total)
+          } finally { ranges.unpersist(false); () }
+      }
       rows.toDF("layout", "predicate", "files_read", "files_total")
         .orderBy(col("layout"), col("predicate"))
     }

@@ -99,12 +99,7 @@ object Layout {
       files: Int, bits: Int = 16): Unit = {
     val scaling = computeScaling(df, zcols)
     writeClustered(df, scaling, bits, outDir, files, overwrite = true)
-    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
-      // java Double round-trips exactly through toString/parseDouble
-      s"$c $mn $mx"
-    }).mkString("\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+    writeMeta(outDir, scaling, bits)
   }
 
   /** Curve-cluster an ARRIVING batch with the layout's persisted scaling
@@ -122,22 +117,20 @@ object Layout {
   }
 
   /** Seed a KEYED layout: the base corpus curve-clusters into the
-    * `batch=0` partition and the scaling persists at the layout ROOT, so
-    * later keyed appends rank on the same curve. A keyed layout holds
-    * every file under `batch=<id>` partitions (partition discovery
-    * surfaces `batch` as a column on read) — the streamed form of
-    * [[zorderWrite]], where each micro-batch owns its partition and a
-    * REPLAY overwrites it: exactly-once effective under at-least-once
-    * `foreachBatch` delivery, with no transactional table format. */
+    * `batch=0` partition, and the scaling persists INSIDE that partition
+    * (`batch=0/_graft_zmeta`) so compaction later installs a new base and
+    * its matching scaling in ONE rename — the curve and the data it ranks
+    * can never be observed out of sync. A keyed layout holds every file
+    * under `batch=<id>` partitions (partition discovery surfaces `batch`
+    * as a column on read) — the streamed form of [[zorderWrite]], where
+    * each micro-batch owns its partition and a REPLAY overwrites it:
+    * exactly-once effective under at-least-once `foreachBatch` delivery,
+    * with no transactional table format. */
   def initKeyedLayout(df: DataFrame, zcols: Seq[String], rootDir: String,
       files: Int, bits: Int = 16): Unit = {
     val scaling = computeScaling(df, zcols)
     writeClustered(df, scaling, bits, s"$rootDir/batch=0", files, overwrite = true)
-    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
-      s"$c $mn $mx"
-    }).mkString("\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(rootDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+    writeMeta(s"$rootDir/batch=0", scaling, bits)
   }
 
   /** Curve-cluster a batch with the keyed layout's persisted scaling and
@@ -145,7 +138,7 @@ object Layout {
     * idempotent per key, see [[initKeyedLayout]]. */
   def appendZOrderedKeyed(df: DataFrame, rootDir: String, partition: String,
       files: Int): Unit = {
-    val (scaling, bits) = readMeta(rootDir)
+    val (scaling, bits) = readMeta(s"$rootDir/batch=0")
     writeClustered(df, scaling, bits, s"$rootDir/$partition", files,
       overwrite = true)
   }
@@ -157,42 +150,74 @@ object Layout {
     * rank on the SEED scaling, so sustained drift coarsens edge boxes
     * and partition count grows with stream lifetime. Compaction re-ranks
     * EVERYTHING with fresh min/max scaling (drift absorbed), rewrites
-    * `batch=0`, and drops the per-batch partitions.
+    * `batch=0`, and drops the per-batch partitions. The curve columns and
+    * bit budget come from the layout's own persisted meta — a compaction
+    * cannot silently re-shape the layout.
     *
-    * Isolation on a plain filesystem: the new base builds under an
-    * underscore-prefixed staging dir (invisible to Spark's partition
-    * discovery, like `_graft_zmeta`), so concurrent readers see the old
-    * layout until the final rename swap; the swap itself is two renames
-    * + deletes, not atomic — run compaction from the same single writer
-    * that owns the stream (a transactional table format is what buys a
-    * truly atomic swap, and this operator maps 1:1 onto one). */
-  def compactKeyed(spark: SparkSession, rootDir: String, zcols: Seq[String],
-      files: Int, bits: Int = 16): Unit = {
+    * Isolation on a plain filesystem: the new base (data + its matching
+    * `_graft_zmeta`) builds complete under an underscore staging dir
+    * (invisible to partition discovery), then swaps in by renames — old
+    * base aside, staged base in, stale partitions dropped last. Readers
+    * between the two base renames can miss the base partition (never the
+    * whole layout, and never a base whose meta mismatches its data);
+    * appends must not race the swap — run compaction from the single
+    * writer that owns the stream. A crash AFTER the install but before
+    * the stale-partition drops leaves duplicate rows visible (the new
+    * base already holds them) — detectable and repaired by re-running
+    * compaction, which is the right failure shape: the loss-shaped
+    * alternative (drop first, install second) is not. A transactional
+    * table format is what buys a truly atomic swap; this operator maps
+    * 1:1 onto one. */
+  def compactKeyed(spark: SparkSession, rootDir: String, files: Int): Unit = {
+    val (oldScaling, bits) = readMeta(s"$rootDir/batch=0")
+    val zcols = oldScaling.map(_._1)
     val all = spark.read.parquet(rootDir).drop("batch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val scaling = computeScaling(all, zcols)
       writeClustered(all, scaling, bits, s"$rootDir/_compacting", files,
         overwrite = true)
+      writeMeta(s"$rootDir/_compacting", scaling, bits)
       val conf = new org.apache.hadoop.conf.Configuration()
       val root = new org.apache.hadoop.fs.Path(rootDir)
       val fs = root.getFileSystem(conf)
-      fs.listStatus(root)
+      val stale = fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .foreach(s => fs.delete(s.getPath, true))
+      stale.find(_.getPath.getName == "batch=0").foreach(s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")))
       fs.rename(new org.apache.hadoop.fs.Path(s"$rootDir/_compacting"),
         new org.apache.hadoop.fs.Path(s"$rootDir/batch=0"))
-      val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
-        s"$c $mn $mx"
-      }).mkString("\n")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(rootDir, "_graft_zmeta"), meta.getBytes("UTF-8"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/_old_base"), true)
+      stale.filter(_.getPath.getName != "batch=0")
+        .foreach(s => fs.delete(s.getPath, true))
     } finally { all.unpersist(false); () }
   }
 
+  /** Meta I/O goes through the Hadoop FileSystem of the layout path, not
+    * java.nio — a layout on HDFS/S3A carries its meta beside its data. */
+  private def writeMeta(dir: String,
+      scaling: Seq[(String, Double, Double)], bits: Int): Unit = {
+    // java Double round-trips exactly through toString/parseDouble
+    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
+      s"$c $mn $mx"
+    }).mkString("\n")
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
   private def readMeta(dir: String): (Seq[(String, Double, Double)], Int) = {
-    val lines = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_graft_zmeta")), "UTF-8").split("\n")
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n")
     val bits = lines.head.stripPrefix("bits ").trim.toInt
     val scaling = lines.drop(1).toSeq.map { l =>
       val Array(c, mn, mx) = l.split(" ")
@@ -242,6 +267,10 @@ object Layout {
     val pred = box.map { case (c, (lo, hi)) =>
       col(s"mn_$c").cast("double") <= hi && col(s"mx_$c").cast("double") >= lo
     }.reduce(_ && _)
-    (ranges.where(pred).count(), ranges.count())
+    // one pass: both counts from a single aggregate over the ranges scan
+    val row = ranges.agg(
+      sum(when(pred, 1L).otherwise(0L)).as("surviving"),
+      count(lit(1)).as("total")).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 }

@@ -273,13 +273,14 @@ object Similarity {
     require(dim == query.length,
       s"pqTopKIndexed: query dim ${query.length} != index dim $dim")
     val qArr = query.toArray
-    // numSubs is recorded by the codes themselves (array length); read one
-    // footer-only row to recover it without scanning.
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      // replayed appends must not seat one vec_id in two candidate slots
-      // (ivfPqTopK's probe-side discipline)
-      .dropDuplicates("vec_id")
-    val numSubs = codes.select(size(col("codes"))).head().getInt(0)
+    // numSubs is recorded by the codes themselves (array length); recover
+    // it from ONE row of the RAW scan — before the dedup below, whose
+    // aggregate would otherwise run just to answer a schema question.
+    val rawCodes = spark.read.parquet(s"$indexDir/codes")
+    val numSubs = rawCodes.select(size(col("codes"))).head().getInt(0)
+    // replayed appends must not seat one vec_id in two candidate slots
+    // (ivfPqTopK's probe-side discipline)
+    val codes = rawCodes.dropDuplicates("vec_id")
     val subLen = dim / numSubs
     val adcTerms = (0 until numSubs).map { j =>
       val lut = pqLut(pqSubCodebook(cents, j, subLen), qArr, j, subLen)

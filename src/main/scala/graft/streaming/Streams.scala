@@ -43,13 +43,17 @@ object Streams {
   def eventsStream(spark: SparkSession, pathGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Start-before-first-file: an empty source directory can't be sniffed
-    // (no footer), so fall back to the explicit nanos-as-long schema — the
-    // shipped form the sniff exists to normalize — and start an idle stream.
+    // (no footer) and a zero-match GLOB raises path-not-found — both are
+    // the same operational state, so fall back to the explicit
+    // nanos-as-long schema — the shipped form the sniff exists to
+    // normalize — and start an idle stream.
     val fileSchema =
       try spark.read.parquet(pathGlob).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("Unable to infer schema") =>
+            if e.getMessage.contains("Unable to infer schema") ||
+              e.getMessage.contains("Path does not exist") ||
+              e.getCondition == "PATH_NOT_FOUND" =>
           StructType(eventSchema.map(f =>
             if (f.name == "ts") f.copy(dataType = LongType) else f))
       }

@@ -137,7 +137,7 @@ class LayoutSpec extends TestBase {
     Layout.appendZOrderedKeyed(drift, root, "batch=1", files = 4)
     val before = spark.read.parquet(root).drop("batch")
     val n = before.count()
-    Layout.compactKeyed(spark, root, zc, files = 12)
+    Layout.compactKeyed(spark, root, files = 12)
     val after = spark.read.parquet(root)
     // lossless, and only the compacted base remains
     assert(after.count() == n)

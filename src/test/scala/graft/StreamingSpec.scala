@@ -220,6 +220,19 @@ class StreamingSpec extends TestBase {
     java.nio.file.Files.copy(part, dir.resolve(name))
   }
 
+  test("eventsStream: start-before-first-file — empty dir AND zero-match glob both idle-start") {
+    // Both spellings of "no data yet" must fall back to the explicit
+    // nanos-as-long schema and hand back a streaming frame with the
+    // normalized TimestampType ts, not throw at sniff time.
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val fromEmpty = Streams.eventsStream(spark, empty)
+    assert(fromEmpty.isStreaming &&
+      fromEmpty.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val fromGlob = Streams.eventsStream(spark, s"$empty/sub/*.parquet")
+    assert(fromGlob.isStreaming &&
+      fromGlob.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("layoutMaintainer: micro-batches land as keyed curve partitions; replay is idempotent") {
     import graft.operators.Layout
     val zc = Seq("l_partkey", "l_suppkey")
