@@ -92,10 +92,13 @@ object LayoutProbe {
     val base = java.nio.file.Files.createTempDirectory("graft-lay-probe").toString
     val (zSec, _) = ProbeHarness.time(
       Layout.zorderWrite(li, zc, s"$base/z", nFiles))
+    val (hSec, _) = ProbeHarness.time(
+      Layout.zorderWrite(li, zc, s"$base/h", nFiles, curve = Layout.Hilbert))
     val (lSec, _) = ProbeHarness.time(
       Layout.linearWrite(li, zc, s"$base/lin", nFiles))
     val n = li.count()
-    println(f"[layprobe] rows=$n%d files=$nFiles%d zorder-write=$zSec%.1f s linear-write=$lSec%.1f s")
+    println(f"[layprobe] rows=$n%d files=$nFiles%d zorder-write=$zSec%.1f s " +
+      f"hilbert-write=$hSec%.1f s linear-write=$lSec%.1f s")
 
     def scan(d: String, box: Map[String, (Double, Double)]): DataFrame =
       spark.read.parquet(d)
@@ -105,18 +108,24 @@ object LayoutProbe {
 
     for ((pname, box) <- boxes) {
       val (zs, zt) = rowGroupStats(s"$base/z", box)
+      val (hs, ht) = rowGroupStats(s"$base/h", box)
       val (ls, lt) = rowGroupStats(s"$base/lin", box)
-      // warm both arms, then interleave timed rounds
-      scan(s"$base/z", box).collect(); scan(s"$base/lin", box).collect()
+      // warm all arms, then interleave timed rounds
+      scan(s"$base/z", box).collect(); scan(s"$base/h", box).collect()
+      scan(s"$base/lin", box).collect()
       val zTimes = Array.newBuilder[Double]
+      val hTimes = Array.newBuilder[Double]
       val lTimes = Array.newBuilder[Double]
       (1 to rounds).foreach { _ =>
         zTimes += ProbeHarness.time(scan(s"$base/z", box).collect())._1
+        hTimes += ProbeHarness.time(scan(s"$base/h", box).collect())._1
         lTimes += ProbeHarness.time(scan(s"$base/lin", box).collect())._1
       }
       val zm = zTimes.result().min
+      val hm = hTimes.result().min
       val lm = lTimes.result().min
       println(f"[layprobe] $pname%-15s zorder: rowgroups $zs%3d/$zt%-3d scan $zm%.3f s | " +
+        f"hilbert: rowgroups $hs%3d/$ht%-3d scan $hm%.3f s | " +
         f"linear: rowgroups $ls%3d/$lt%-3d scan $lm%.3f s")
     }
     spark.stop()

@@ -58,6 +58,36 @@ object LayoutQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Same fidelity contract over the HILBERT curve (the native
+    // `hilbert_d` expression): curve choice must be invisible to query
+    // results — only file boxes change. Same oracle as lay_zorder by
+    // construction; the two rows share a hash iff both layouts are
+    // lossless.
+    QueryDef("lay_hilbert")(
+      """SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(sum(l_quantity), 6) AS sum_qty,
+        |   CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |   CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM lineitem
+        | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val hDir = s"/tmp/graft-lay-h-$key"
+      Layout.zorderWrite(Tables(s, dir, "lineitem"), ZCols, hDir, Files,
+        curve = Layout.Hilbert)
+      s.read.parquet(hDir)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(5, 40))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          min(col("l_orderkey")).cast("long").as("min_ok"),
+          max(col("l_orderkey")).cast("long").as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // The GROWTH path: at 100 TB a layout is never rebuilt — an arriving
     // batch is curve-clustered with the layout's PERSISTED scaling
     // (_graft_zmeta) and appended. The engine builds base + appends a

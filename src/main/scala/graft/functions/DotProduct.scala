@@ -99,9 +99,22 @@ object GraftFunctions {
         s"winnow_fps takes (text) or (text, k, w), got ${c.length} args")
     })
 
+  val hilbertInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_d"),
+    new ExpressionInfo(classOf[HilbertValue].getName, "hilbert_d"),
+    (children: Seq[Expression]) => children match {
+      case Seq(x, y) => HilbertValue(x, y, 16)
+      case Seq(x, y, bE) =>
+        // bits shapes the per-row loop, not per-row data — a literal.
+        require(bE.foldable, "hilbert_d bits must be a literal")
+        HilbertValue(x, y, bE.eval().asInstanceOf[Number].intValue())
+      case c => throw new IllegalArgumentException(
+        s"hilbert_d takes (x, y) or (x, y, bits), got ${c.length} args")
+    })
+
   /** Idempotent imperative registration for pre-built sessions. */
   def ensure(spark: SparkSession): Unit =
-    Seq(dotInfo, winnowInfo).foreach { info =>
+    Seq(dotInfo, winnowInfo, hilbertInfo).foreach { info =>
       if (!spark.sessionState.functionRegistry.functionExists(info._1))
         spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
     }
@@ -110,5 +123,6 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo).foreach(ext.injectFunction)
+    Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo,
+      GraftFunctions.hilbertInfo).foreach(ext.injectFunction)
 }

@@ -43,6 +43,25 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** The two supported space-filling curves. Morton (`Zorder`) is the
+    * bit-interleave above — cheapest, k-dimensional; `Hilbert` (2-D, via
+    * the native `hilbert_d` expression) additionally guarantees
+    * consecutive curve cells are grid NEIGHBORS, so each file's box has
+    * no diagonal-jump slack — the default in modern clustered layouts. */
+  val Zorder = "zorder"
+  val Hilbert = "hilbert"
+
+  private def curveValue(ranks: Seq[Column], bits: Int, curve: String): Column =
+    curve match {
+      case Zorder => zValue(ranks, bits)
+      case Hilbert =>
+        require(ranks.size == 2, s"hilbert curve is 2-D, got ${ranks.size} cols")
+        call_function("hilbert_d",
+          coalesce(ranks.head, lit(0L)), coalesce(ranks(1), lit(0L)), lit(bits))
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (expected $Zorder or $Hilbert)")
+    }
+
   /** Scale a value into an unsigned `bits`-bit rank by linear min/max
     * normalization (the per-file box model only needs monotonicity, not
     * uniformity; rank ties just coarsen the curve). Degenerate dimensions
@@ -96,10 +115,10 @@ object Layout {
     * growth path: at 100 TB an arriving batch is curve-clustered and
     * appended, never a full re-cluster. */
   def zorderWrite(df: DataFrame, zcols: Seq[String], outDir: String,
-      files: Int, bits: Int = 16): Unit = {
+      files: Int, bits: Int = 16, curve: String = Zorder): Unit = {
     val scaling = computeScaling(df, zcols)
-    writeClustered(df, scaling, bits, outDir, files, overwrite = true)
-    writeMeta(outDir, scaling, bits)
+    writeClustered(df, scaling, bits, curve, outDir, files, overwrite = true)
+    writeMeta(outDir, scaling, bits, curve)
   }
 
   /** Curve-cluster an ARRIVING batch with the layout's persisted scaling
@@ -112,8 +131,8 @@ object Layout {
     * boxes under sustained drift; re-cluster when the clamped fraction
     * grows, exactly like an IVF index re-trains when centroids stale. */
   def appendZOrdered(df: DataFrame, outDir: String, files: Int): Unit = {
-    val (scaling, bits) = readMeta(outDir)
-    writeClustered(df, scaling, bits, outDir, files, overwrite = false)
+    val (scaling, bits, curve) = readMeta(outDir)
+    writeClustered(df, scaling, bits, curve, outDir, files, overwrite = false)
   }
 
   /** Seed a KEYED layout: the base corpus curve-clusters into the
@@ -127,10 +146,11 @@ object Layout {
     * exactly-once effective under at-least-once `foreachBatch` delivery,
     * with no transactional table format. */
   def initKeyedLayout(df: DataFrame, zcols: Seq[String], rootDir: String,
-      files: Int, bits: Int = 16): Unit = {
+      files: Int, bits: Int = 16, curve: String = Zorder): Unit = {
     val scaling = computeScaling(df, zcols)
-    writeClustered(df, scaling, bits, s"$rootDir/batch=0", files, overwrite = true)
-    writeMeta(s"$rootDir/batch=0", scaling, bits)
+    writeClustered(df, scaling, bits, curve, s"$rootDir/batch=0", files,
+      overwrite = true)
+    writeMeta(s"$rootDir/batch=0", scaling, bits, curve)
   }
 
   /** Curve-cluster a batch with the keyed layout's persisted scaling and
@@ -138,8 +158,8 @@ object Layout {
     * idempotent per key, see [[initKeyedLayout]]. */
   def appendZOrderedKeyed(df: DataFrame, rootDir: String, partition: String,
       files: Int): Unit = {
-    val (scaling, bits) = readMeta(s"$rootDir/batch=0")
-    writeClustered(df, scaling, bits, s"$rootDir/$partition", files,
+    val (scaling, bits, curve) = readMeta(s"$rootDir/batch=0")
+    writeClustered(df, scaling, bits, curve, s"$rootDir/$partition", files,
       overwrite = true)
   }
 
@@ -169,15 +189,15 @@ object Layout {
     * table format is what buys a truly atomic swap; this operator maps
     * 1:1 onto one. */
   def compactKeyed(spark: SparkSession, rootDir: String, files: Int): Unit = {
-    val (oldScaling, bits) = readMeta(s"$rootDir/batch=0")
+    val (oldScaling, bits, curve) = readMeta(s"$rootDir/batch=0")
     val zcols = oldScaling.map(_._1)
     val all = spark.read.parquet(rootDir).drop("batch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val scaling = computeScaling(all, zcols)
-      writeClustered(all, scaling, bits, s"$rootDir/_compacting", files,
+      writeClustered(all, scaling, bits, curve, s"$rootDir/_compacting", files,
         overwrite = true)
-      writeMeta(s"$rootDir/_compacting", scaling, bits)
+      writeMeta(s"$rootDir/_compacting", scaling, bits, curve)
       val conf = new org.apache.hadoop.conf.Configuration()
       val root = new org.apache.hadoop.fs.Path(rootDir)
       val fs = root.getFileSystem(conf)
@@ -196,9 +216,9 @@ object Layout {
   /** Meta I/O goes through the Hadoop FileSystem of the layout path, not
     * java.nio — a layout on HDFS/S3A carries its meta beside its data. */
   private def writeMeta(dir: String,
-      scaling: Seq[(String, Double, Double)], bits: Int): Unit = {
+      scaling: Seq[(String, Double, Double)], bits: Int, curve: String): Unit = {
     // java Double round-trips exactly through toString/parseDouble
-    val meta = (s"bits $bits" +: scaling.map { case (c, mn, mx) =>
+    val meta = (s"bits $bits $curve" +: scaling.map { case (c, mn, mx) =>
       s"$c $mn $mx"
     }).mkString("\n")
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
@@ -207,7 +227,8 @@ object Layout {
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(dir: String): (Seq[(String, Double, Double)], Int) = {
+  private def readMeta(dir: String)
+      : (Seq[(String, Double, Double)], Int, String) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
@@ -218,19 +239,24 @@ object Layout {
         buf.toByteArray
       } finally in.close()
     val lines = new String(bytes, "UTF-8").split("\n")
-    val bits = lines.head.stripPrefix("bits ").trim.toInt
+    val head = lines.head.stripPrefix("bits ").trim.split(" ")
+    val bits = head(0).toInt
+    // curve token absent in layouts written before Hilbert support: Morton
+    val curve = if (head.length > 1) head(1) else Zorder
     val scaling = lines.drop(1).toSeq.map { l =>
       val Array(c, mn, mx) = l.split(" ")
       (c, mn.toDouble, mx.toDouble)
     }
-    (scaling, bits)
+    (scaling, bits, curve)
   }
 
   private def writeClustered(df: DataFrame,
-      scaling: Seq[(String, Double, Double)], bits: Int, outDir: String,
-      files: Int, overwrite: Boolean): Unit = {
+      scaling: Seq[(String, Double, Double)], bits: Int, curve: String,
+      outDir: String, files: Int, overwrite: Boolean): Unit = {
+    // the hilbert_d expression resolves through the function registry
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
     val ranks = scaling.map { case (c, mn, mx) => scaledRank(col(c), mn, mx, bits) }
-    df.withColumn("_z", zValue(ranks, bits))
+    df.withColumn("_z", curveValue(ranks, bits, curve))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

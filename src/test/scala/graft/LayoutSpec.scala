@@ -50,6 +50,63 @@ class LayoutSpec extends TestBase {
     assert(z sameElements Array(3L, 2L, 1L))
   }
 
+  test("hilbert_d: known order-1/order-2 indices; full-grid bijection") {
+    graft.functions.GraftFunctions.ensure(spark)
+    // order 1 (2x2): the U shape (0,0)->(0,1)->(1,1)->(1,0)
+    val o1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).zipWithIndex
+      .map { case ((x, y), i) => (x, y, i.toLong) }.toDF("x", "y", "want")
+      .withColumn("d", expr("hilbert_d(x, y, 1)"))
+    assert(o1.where(col("d") =!= col("want")).isEmpty)
+    // any order: d is a BIJECTION onto [0, 4^bits)
+    val grid = spark.range(16).select((col("id") / 4).cast("long").as("x"),
+        (col("id") % 4).cast("long").as("y"))
+      .withColumn("d", expr("hilbert_d(x, y, 2)"))
+    val ds = grid.select("d").as[Long].collect().sorted
+    assert(ds.toSeq == (0L until 16L).toSeq, s"not a bijection: ${ds.toSeq}")
+  }
+
+  test("hilbert_d: consecutive curve cells are ALWAYS grid neighbors (Morton's are not)") {
+    graft.functions.GraftFunctions.ensure(spark)
+    // the locality property the curve is chosen for, checked by full
+    // enumeration of the 32x32 grid
+    val pts = spark.range(1024)
+      .select((col("id") / 32).cast("long").as("x"), (col("id") % 32).cast("long").as("y"))
+    val byHilbert = pts.withColumn("d", expr("hilbert_d(x, y, 5)"))
+      .orderBy("d").select("x", "y").as[(Long, Long)].collect()
+    val jumpsH = byHilbert.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumpsH == 0, s"hilbert must have zero non-adjacent steps, got $jumpsH")
+    // Morton on the same grid jumps (diagonal discontinuities) — the
+    // contrast that motivates offering both curves
+    val byMorton = pts
+      .withColumn("d", Layout.zValue(Seq(col("x"), col("y")), 5))
+      .orderBy("d").select("x", "y").as[(Long, Long)].collect()
+    val jumpsZ = byMorton.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumpsZ > 0, "morton should jump somewhere on a 32x32 grid")
+  }
+
+  test("hilbert layout: lossless, prunes both dims, growth reads the persisted curve") {
+    val dir = java.nio.file.Files.createTempDirectory("lay-h").toString + "/h"
+    val zc = Seq("l_partkey", "l_suppkey")
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+    Layout.zorderWrite(li, zc, dir, 16, curve = Layout.Hilbert)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    val ranges = Layout.fileRanges(spark, dir, zc)
+    val (supp, tot) = Layout.filesOverlapping(ranges, Map("l_suppkey" -> (5.0, 40.0)))
+    assert(tot == 16 && supp <= 8,
+      s"hilbert layout should prune the trailing dim, read $supp/$tot")
+    val (box, _) = Layout.filesOverlapping(ranges,
+      Map("l_partkey" -> (100.0, 300.0), "l_suppkey" -> (5.0, 40.0)))
+    assert(box <= 4, s"hilbert should confine the 2-D box, read $box")
+    // append ranks on the persisted hilbert curve (meta carries the curve)
+    Layout.appendZOrdered(li.limit(50), dir, files = 1)
+    assert(spark.read.parquet(dir).count() == li.count() + 50)
+  }
+
   test("zorderWrite: lossless round trip (same multiset of rows)") {
     val dir = java.nio.file.Files.createTempDirectory("lay-rt").toString
     val li = Tables(spark, sf(), "lineitem")
