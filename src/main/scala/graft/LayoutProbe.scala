@@ -90,6 +90,12 @@ object LayoutProbe {
       "box_2d" -> Map(zc(0) -> pBox, zc(1) -> sBox))
 
     val base = java.nio.file.Files.createTempDirectory("graft-lay-probe").toString
+    // Untimed warmup write first: the session's FIRST parquet write pays
+    // JIT/codegen/committer setup that an interleaved timing would pin on
+    // whichever arm runs first (this confounded an early round-10 read of
+    // these numbers as a 1.8x Morton-tree penalty — warmed, the three
+    // writes are within ~20% of each other).
+    Layout.linearWrite(li, zc, s"$base/warm", nFiles)
     val (zSec, _) = ProbeHarness.time(
       Layout.zorderWrite(li, zc, s"$base/z", nFiles))
     val (hSec, _) = ProbeHarness.time(

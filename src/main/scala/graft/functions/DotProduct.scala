@@ -112,9 +112,20 @@ object GraftFunctions {
         s"hilbert_d takes (x, y) or (x, y, bits), got ${c.length} args")
     })
 
+  val mortonInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("morton_d"),
+    new ExpressionInfo(classOf[MortonValue].getName, "morton_d"),
+    (children: Seq[Expression]) => {
+      // last arg is the bits literal; the rest are the rank columns
+      require(children.size >= 2, "morton_d takes (x1[, x2, ...], bits)")
+      val bE = children.last
+      require(bE.foldable, "morton_d bits must be a literal")
+      MortonValue(children.init, bE.eval().asInstanceOf[Number].intValue())
+    })
+
   /** Idempotent imperative registration for pre-built sessions. */
   def ensure(spark: SparkSession): Unit =
-    Seq(dotInfo, winnowInfo, hilbertInfo).foreach { info =>
+    Seq(dotInfo, winnowInfo, hilbertInfo, mortonInfo).foreach { info =>
       if (!spark.sessionState.functionRegistry.functionExists(info._1))
         spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
     }
@@ -124,5 +135,6 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo,
-      GraftFunctions.hilbertInfo).foreach(ext.injectFunction)
+      GraftFunctions.hilbertInfo, GraftFunctions.mortonInfo)
+      .foreach(ext.injectFunction)
 }

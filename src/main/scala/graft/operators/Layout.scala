@@ -53,7 +53,12 @@ object Layout {
 
   private def curveValue(ranks: Seq[Column], bits: Int, curve: String): Column =
     curve match {
-      case Zorder => zValue(ranks, bits)
+      case Zorder =>
+        // the native interleave: one codegen'd call vs bits×k chained
+        // shift/or Column nodes (LayoutProbe measured the tree costing
+        // ~1.8× the whole write); zValue remains the reference semantics
+        call_function("morton_d",
+          ranks.map(r => coalesce(r, lit(0L))) :+ lit(bits): _*)
       case Hilbert =>
         require(ranks.size == 2, s"hilbert curve is 2-D, got ${ranks.size} cols")
         call_function("hilbert_d",

@@ -50,6 +50,30 @@ class LayoutSpec extends TestBase {
     assert(z sameElements Array(3L, 2L, 1L))
   }
 
+  test("morton_d: native interleave == the zValue Column formulation, nulls included") {
+    graft.functions.GraftFunctions.ensure(spark)
+    // random 16-bit points plus null rows: the two formulations must be
+    // bit-identical everywhere (the write path uses the native call)
+    val pts = spark.range(2000).select(
+        when(col("id") % 17 =!= 0,
+          expr("cast(conv(substring(md5(cast(id as string)), 1, 4), 16, 10) as bigint)"))
+          .as("x"),
+        when(col("id") % 13 =!= 0,
+          expr("cast(conv(substring(md5(cast(id + 7 as string)), 1, 4), 16, 10) as bigint)"))
+          .as("y"))
+    val both = pts
+      .withColumn("native", expr("morton_d(coalesce(x, 0L), coalesce(y, 0L), 16)"))
+      .withColumn("tree", Layout.zValue(Seq(col("x"), col("y")), 16))
+    assert(both.where(col("native") =!= col("tree")).isEmpty,
+      "native morton_d must equal the zValue tree bit-for-bit")
+    // three dims too
+    val three = spark.range(500).select(
+        (col("id") % 7).as("a"), (col("id") % 11).as("b"), (col("id") % 5).as("c"))
+      .withColumn("native", expr("morton_d(a, b, c, 4)"))
+      .withColumn("tree", Layout.zValue(Seq(col("a"), col("b"), col("c")), 4))
+    assert(three.where(col("native") =!= col("tree")).isEmpty)
+  }
+
   test("hilbert_d: known order-1/order-2 indices; full-grid bijection") {
     graft.functions.GraftFunctions.ensure(spark)
     // order 1 (2x2): the U shape (0,0)->(0,1)->(1,1)->(1,0)
