@@ -128,6 +128,51 @@ object LayoutQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The full KEYED lifecycle through the driver's oracle gate: seed a
+    // keyed layout, stream-shape append a batch partition, COMPACT (the
+    // staged-rename swap, fresh scaling), then answer the box predicate
+    // from the compacted base. The oracle computes the same answer from
+    // source ∪ batch — a hash match proves init+append+compact lose
+    // nothing and the swap leaves a queryable layout.
+    QueryDef("lay_compact")(
+      """WITH grown AS (SELECT * FROM lineitem
+        |   UNION ALL SELECT l_orderkey + 1000000000, l_partkey, l_suppkey,
+        |     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        |     l_returnflag, l_linestatus, l_shipdate
+        |   FROM lineitem WHERE l_orderkey < 100)
+        | SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(sum(l_quantity), 6) AS sum_qty,
+        |   CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |   CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM grown
+        | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-lay-keyed-$key"
+      // fresh lifecycle every run: the init overwrites batch=0, and any
+      // leftover batch partitions from a prior run are dropped first
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val li = Tables(s, dir, "lineitem")
+      Layout.initKeyedLayout(li, ZCols, root, Files)
+      val batch = li.where(col("l_orderkey") < 100)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      Layout.appendZOrderedKeyed(batch, root, "batch=1", files = 2)
+      Layout.compactKeyed(s, root, files = Files)
+      s.read.parquet(root).drop("batch")
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(5, 40))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          min(col("l_orderkey")).cast("long").as("min_ok"),
+          max(col("l_orderkey")).cast("long").as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // The pruning arithmetic itself: per-file min/max ranges (what parquet
     // footers carry) evaluated against three predicate shapes for both
     // layouts. The trade the table shows is the reason Z-order exists: a
