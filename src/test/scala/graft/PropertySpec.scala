@@ -202,4 +202,46 @@ class PropertySpec extends TestBase {
       got == expected
     }, 10)
   }
+
+  test("hilbert kernel: bijective and step-adjacent at every order (pure)") {
+    // Pure-function property over the STATIC kernel the codegen calls —
+    // full case counts, no Spark jobs. For random orders 1..5, the full
+    // 2^b x 2^b grid maps bijectively onto [0, 4^b) and walking the curve
+    // in d order moves exactly one grid step at a time (the locality
+    // property the layout buys files with).
+    check(Prop.forAll(Gen.choose(1, 5)) { bits =>
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield (x.toLong, y.toLong, graft.functions.HilbertValue.xy2d(x, y, bits))
+      val ds = cells.map(_._3)
+      val bijective = ds.sorted == (0L until (n.toLong * n)).toList
+      val walk = cells.sortBy(_._3)
+      val adjacent = walk.sliding(2).forall {
+        case Seq((x1, y1, _), (x2, y2, _)) =>
+          math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+        case _ => true
+      }
+      bijective && adjacent
+    }, 50)
+  }
+
+  test("morton spread kernel: exact bit placement and round trip (pure)") {
+    val gen = for {
+      bits <- Gen.choose(1, 16)
+      k <- Gen.choose(1, 3)
+      v <- Gen.choose(0L, (1L << bits) - 1)
+    } yield (v, bits, k)
+    check(Prop.forAll(gen) { case (v, bits, k) =>
+      val s = graft.functions.MortonValue.spread(v, bits, k)
+      // every set bit b of v lands at b*k and nowhere else
+      val placed = (0 until bits).forall { b =>
+        ((s >> (b * k)) & 1L) == ((v >> b) & 1L)
+      }
+      // collecting the bits back recovers v (round trip)
+      val back = (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((s >> (b * k)) & 1L) << b)
+      }
+      placed && back == v && java.lang.Long.bitCount(s) == java.lang.Long.bitCount(v)
+    }, 500)
+  }
 }
