@@ -1932,6 +1932,40 @@ object NorthStarQueries {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // The dataloader's batch MANIFEST: seeded deterministic order
+    // (smp_shard_order's permutation) → running token budget within each
+    // shard → batch ids — what a training job actually consumes. Batches
+    // are reproducible on any cluster size, resumable from (shard,
+    // batch), and shard-parallel (one window per shard, no global
+    // state); the oracle replays the identical permutation + running-sum
+    // packing from scratch.
+    QueryDef("pipe_packed_batches")(
+      """WITH k AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+        |     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |     md5('s42:' || CAST(doc_id AS VARCHAR)) AS ord
+        |   FROM documents),
+        | c AS (SELECT shard, tok,
+        |         sum(tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM k)
+        | SELECT CAST(shard AS BIGINT) AS shard,
+        |   CAST((cum - tok) // 1000 AS BIGINT) AS batch,
+        |   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS toks
+        | FROM c GROUP BY 1, 2 ORDER BY shard, batch""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+      val ordered = graft.operators.Sampling.shardOrder(d, col("doc_id"), 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("pos").rowsBetween(Long.MinValue, 0)
+      ordered.withColumn("cum", sum(col("tok")).over(w))
+        .select(col("shard").cast("long").as("shard"),
+          floor((col("cum") - col("tok")) / lit(1000)).as("batch"), col("tok"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy(col("shard"), col("batch"))
+    },
+
     // THE round-9 composed pipeline (the embedding-space sibling of
     // dd_pipeline's minhash chain): LR quality gate → SemDeDup over the
     // survivors (centroids seeded from the SURVIVOR set — the oracle's
