@@ -186,14 +186,22 @@ object Layout {
     * between the two base renames can miss the base partition (never the
     * whole layout, and never a base whose meta mismatches its data);
     * appends must not race the swap — run compaction from the single
-    * writer that owns the stream. A crash AFTER the install but before
-    * the stale-partition drops leaves duplicate rows visible (the new
-    * base already holds them) — detectable and repaired by re-running
-    * compaction, which is the right failure shape: the loss-shaped
-    * alternative (drop first, install second) is not. A transactional
-    * table format is what buys a truly atomic swap; this operator maps
-    * 1:1 onto one. */
+    * writer that owns the stream.
+    *
+    * Crash safety is a two-phase mini-commit: the staged base (data,
+    * then its `_graft_zmeta` — the meta write IS staging-complete) and
+    * then a `_graft_subsumed` marker at the root listing EXACTLY the
+    * `batch=N` partitions the staged base folded in. The marker is the
+    * commit point: [[repairKeyed]] (also run at the start of every
+    * compaction) rolls an uncommitted crash BACK (discard the stage;
+    * the old layout was never touched) and a committed crash FORWARD
+    * (finish the renames, drop exactly the listed partitions). The
+    * explicit list is what makes recovery safe next to a live stream:
+    * a partition appended AFTER the commit point is not in the list
+    * and is never dropped. A transactional table format is what buys a
+    * truly atomic swap; this marker protocol maps 1:1 onto one. */
   def compactKeyed(spark: SparkSession, rootDir: String, files: Int): Unit = {
+    repairKeyed(rootDir) // complete or discard any interrupted prior swap
     val (oldScaling, bits, curve) = readMeta(s"$rootDir/batch=0")
     val zcols = oldScaling.map(_._1)
     val all = spark.read.parquet(rootDir).drop("batch")
@@ -203,19 +211,70 @@ object Layout {
       writeClustered(all, scaling, bits, curve, s"$rootDir/_compacting", files,
         overwrite = true)
       writeMeta(s"$rootDir/_compacting", scaling, bits, curve)
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val root = new org.apache.hadoop.fs.Path(rootDir)
-      val fs = root.getFileSystem(conf)
-      val stale = fs.listStatus(root)
+      val fs = new org.apache.hadoop.fs.Path(rootDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val stale = fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      stale.find(_.getPath.getName == "batch=0").foreach(s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$rootDir/_compacting"),
-        new org.apache.hadoop.fs.Path(s"$rootDir/batch=0"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/_old_base"), true)
-      stale.filter(_.getPath.getName != "batch=0")
-        .foreach(s => fs.delete(s.getPath, true))
+        .map(_.getPath.getName)
+        .filter(_ != "batch=0") // the old base travels via _old_base, not the list
+      // COMMIT POINT: everything after this is re-runnable roll-forward
+      writeTextFile(fs, s"$rootDir/_graft_subsumed", stale.mkString("\n"))
+      rollForward(fs, rootDir, stale.toSeq)
     } finally { all.unpersist(false); () }
+  }
+
+  /** Recover a keyed layout from a compaction interrupted at ANY point:
+    * before the `_graft_subsumed` commit marker the staged base is
+    * discarded (the live layout was never modified); after it the swap
+    * is rolled forward (renames finished, exactly the listed partitions
+    * dropped, marker cleared). Idempotent; a no-op on a healthy layout. */
+  def repairKeyed(rootDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(rootDir))) return
+    val marker = new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed")
+    if (fs.exists(marker)) {
+      val listed = readTextFile(fs, marker).split("\n").filter(_.nonEmpty)
+      rollForward(fs, rootDir, listed.toSeq)
+    } else {
+      // uncommitted staging (or half-written stage with no meta): discard
+      fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_compacting"), true)
+    }
+  }
+
+  /** The committed half of the swap — every step idempotent, so a crash
+    * anywhere inside re-runs cleanly from [[repairKeyed]]. */
+  private def rollForward(fs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String, subsumed: Seq[String]): Unit = {
+    val b0 = new org.apache.hadoop.fs.Path(s"$rootDir/batch=0")
+    val staged = new org.apache.hadoop.fs.Path(s"$rootDir/_compacting")
+    val oldBase = new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")
+    if (fs.exists(staged)) {
+      // install pending: the staged dir is complete by the commit
+      // invariant (marker is written only after the staged meta)
+      if (fs.exists(b0)) fs.rename(b0, oldBase)
+      fs.rename(staged, b0)
+    }
+    fs.delete(oldBase, true)
+    subsumed.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/$n"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed"), false)
+  }
+
+  private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
   /** Meta I/O goes through the Hadoop FileSystem of the layout path, not
@@ -226,24 +285,16 @@ object Layout {
     val meta = (s"bits $bits $curve" +: scaling.map { case (c, mn, mx) =>
       s"$c $mn $mx"
     }).mkString("\n")
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    writeTextFile(fs, s"$dir/_graft_zmeta", meta)
   }
 
   private def readMeta(dir: String)
       : (Seq[(String, Double, Double)], Int, String) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toByteArray
-      } finally in.close()
-    val lines = new String(bytes, "UTF-8").split("\n")
+    val lines = readTextFile(fs, p).split("\n")
     val head = lines.head.stripPrefix("bits ").trim.split(" ")
     val bits = head(0).toInt
     // curve token absent in layouts written before Hilbert support: Morton

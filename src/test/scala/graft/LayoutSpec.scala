@@ -236,6 +236,65 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(root).count() == n + 5)
   }
 
+  test("repairKeyed: every compaction crash window recovers to the exact rows") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = java.nio.file.Files.createTempDirectory("lay-cr").toString + "/z"
+    val fs = new Path(root).getFileSystem(conf)
+    val zc = Seq("l_partkey", "l_suppkey")
+    val li = Tables(spark, sf(), "lineitem")
+    val base = li.where(col("l_orderkey") % 2 === 0)
+    val batch = li.where(col("l_orderkey") % 2 === 1)
+    Layout.initKeyedLayout(base, zc, root, files = 8)
+    Layout.appendZOrderedKeyed(batch, root, "batch=1", files = 2)
+    val want = li.count()
+
+    // window 1: crash BEFORE the commit marker — half-staged _compacting
+    // is discarded, the live layout untouched
+    fs.mkdirs(new Path(s"$root/_compacting"))
+    Layout.repairKeyed(root)
+    assert(!fs.exists(new Path(s"$root/_compacting")))
+    assert(spark.read.parquet(root).count() == want)
+
+    // window 2: crash AFTER commit, BEFORE install — complete staged base
+    // + marker, old base and stale partition still in place. Manufacture:
+    // stage a copy of the real compacted result.
+    Layout.compactKeyed(spark, root, files = 8) // healthy compact first
+    Layout.appendZOrderedKeyed(batch.limit(100), root, "batch=2", files = 1)
+    // stage = current base ∪ batch=2 folded (build it via a scratch keyed
+    // layout so it carries a complete _graft_zmeta)
+    val scratch = java.nio.file.Files.createTempDirectory("lay-cr2").toString + "/s"
+    Layout.initKeyedLayout(spark.read.parquet(root).drop("batch"), zc, scratch, 8)
+    FileUtil.copy(fs, new Path(s"$scratch/batch=0"),
+      fs, new Path(s"$root/_compacting"), false, conf)
+    fs.create(new Path(s"$root/_graft_subsumed"), true) match {
+      case out => try out.write("batch=2".getBytes("UTF-8")) finally out.close()
+    }
+    Layout.repairKeyed(root)
+    assert(!fs.exists(new Path(s"$root/_graft_subsumed")))
+    assert(!fs.exists(new Path(s"$root/batch=2")), "listed partition must drop")
+    assert(spark.read.parquet(root).count() == want + 100)
+
+    // window 3: crash AFTER install, BEFORE drops — duplicates visible
+    // through the stale listed partition; repair drops exactly it, and a
+    // partition appended after the commit (not listed) SURVIVES
+    Layout.appendZOrderedKeyed(batch.limit(40), root, "batch=3", files = 1)
+    FileUtil.copy(fs, new Path(s"$root/batch=3"),
+      fs, new Path(s"$root/batch=9"), false, conf) // fake stale duplicate
+    fs.create(new Path(s"$root/_graft_subsumed"), true) match {
+      case out => try out.write("batch=9".getBytes("UTF-8")) finally out.close()
+    }
+    Layout.appendZOrderedKeyed(batch.limit(7), root, "batch=4", files = 1) // post-commit append
+    Layout.repairKeyed(root)
+    assert(!fs.exists(new Path(s"$root/batch=9")))
+    assert(fs.exists(new Path(s"$root/batch=4")), "post-commit append must survive")
+    assert(spark.read.parquet(root).count() == want + 100 + 40 + 7)
+
+    // idempotent no-op on a healthy layout
+    Layout.repairKeyed(root)
+    assert(spark.read.parquet(root).count() == want + 100 + 40 + 7)
+  }
+
   test("withZValue: degenerate and all-null dimensions rank constant 0") {
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
     val z = Layout.withZValue(df, Seq("a", "b"), 4)
