@@ -522,9 +522,16 @@ object Streams {
     * Scale: per-batch cost is one codegen'd projection + one range
     * shuffle of THE BATCH only; the standing layout is never read or
     * rewritten. Partition count grows with stream lifetime — fold
-    * accumulated small `batch=` partitions into the base with a periodic
-    * [[graft.operators.Layout.zorderWrite]] re-cluster, the classic
-    * compaction cadence. */
+    * accumulated `batch=` partitions with
+    * [[graft.operators.Layout.compactKeyed]], the classic compaction
+    * cadence. Compact only while the stream is STOPPED (or provably
+    * past its last checkpoint commit): folding a partition whose
+    * micro-batch the checkpoint has not committed means a post-crash
+    * replay re-appends rows the compacted base already holds — the one
+    * duplication mode the keyed-overwrite discipline cannot absorb
+    * (the swap itself is crash-safe via `repairKeyed`'s marker
+    * protocol; this constraint is about WHEN to start one, and is the
+    * coordination a transactional table format would internalize). */
   def layoutMaintainer(
       docs: DataFrame,
       layoutRoot: String,
