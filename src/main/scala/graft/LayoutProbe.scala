@@ -90,12 +90,16 @@ object LayoutProbe {
       "box_2d" -> Map(zc(0) -> pBox, zc(1) -> sBox))
 
     val base = java.nio.file.Files.createTempDirectory("graft-lay-probe").toString
-    // Untimed warmup write first: the session's FIRST parquet write pays
-    // JIT/codegen/committer setup that an interleaved timing would pin on
-    // whichever arm runs first (this confounded an early round-10 read of
-    // these numbers as a 1.8x Morton-tree penalty — warmed, the three
-    // writes are within ~20% of each other).
+    // Untimed warmup writes first — one per ARM, small for the curves:
+    // the session's first parquet write pays JIT/committer setup, and
+    // each curve's first use pays its generated-class compile; either
+    // would land on whichever timed arm runs first (this confounded an
+    // early round-10 read of these numbers as a 1.8x Morton-tree
+    // penalty).
     Layout.linearWrite(li, zc, s"$base/warm", nFiles)
+    val small = li.limit(10000)
+    Layout.zorderWrite(small, zc, s"$base/warmz", 2)
+    Layout.zorderWrite(small, zc, s"$base/warmh", 2, curve = Layout.Hilbert)
     val (zSec, _) = ProbeHarness.time(
       Layout.zorderWrite(li, zc, s"$base/z", nFiles))
     val (hSec, _) = ProbeHarness.time(

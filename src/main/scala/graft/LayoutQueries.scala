@@ -17,16 +17,29 @@ object LayoutQueries {
   /** Overwritten every run (no staleness, no /tmp accumulation): the
     * write IS the operator under measurement — one metadata-scale min/max
     * agg + one range shuffle + local sorts; see `operators/Layout.scala`. */
-  private def layoutDirs(dir: String): (String, String) = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    (s"/tmp/graft-lay-z-$key", s"/tmp/graft-lay-lin-$key")
-  }
+  private def layoutDir(dir: String, tag: String): String =
+    s"/tmp/graft-lay-$tag-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   private val ZCols = Seq("l_partkey", "l_suppkey")
   private val Files = 16
   // ~3.8%-selective two-column box: selective on BOTH dims, so a linear
   // partkey sort prunes one dim and Z-order prunes both
   private val Box = Map("l_partkey" -> (100.0, 300.0), "l_suppkey" -> (5.0, 40.0))
+
+  /** The shared fidelity probe: the box predicate + per-flag aggregate
+    * every lay_* fidelity row answers FROM its rewritten layout — ONE
+    * definition so the four oracle-paired queries cannot drift apart
+    * (their SQL texts share the same shape verbatim). */
+  private def boxAgg(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.where(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(5, 40))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        min(col("l_orderkey")).cast("long").as("min_ok"),
+        max(col("l_orderkey")).cast("long").as("max_ok"))
+      .orderBy(col("l_returnflag"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -45,17 +58,9 @@ object LayoutQueries {
         | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
         | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val (zDir, _) = layoutDirs(dir)
+      val zDir = layoutDir(dir, "z")
       Layout.zorderWrite(Tables(s, dir, "lineitem"), ZCols, zDir, Files)
-      s.read.parquet(zDir)
-        .where(col("l_partkey").between(100, 300) &&
-          col("l_suppkey").between(5, 40))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          min(col("l_orderkey")).cast("long").as("min_ok"),
-          max(col("l_orderkey")).cast("long").as("max_ok"))
-        .orderBy(col("l_returnflag"))
+      boxAgg(s.read.parquet(zDir))
     },
 
     // Same fidelity contract over the HILBERT curve (the native
@@ -73,19 +78,10 @@ object LayoutQueries {
         | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
         | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val hDir = s"/tmp/graft-lay-h-$key"
+      val hDir = layoutDir(dir, "h")
       Layout.zorderWrite(Tables(s, dir, "lineitem"), ZCols, hDir, Files,
         curve = Layout.Hilbert)
-      s.read.parquet(hDir)
-        .where(col("l_partkey").between(100, 300) &&
-          col("l_suppkey").between(5, 40))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          min(col("l_orderkey")).cast("long").as("min_ok"),
-          max(col("l_orderkey")).cast("long").as("max_ok"))
-        .orderBy(col("l_returnflag"))
+      boxAgg(s.read.parquet(hDir))
     },
 
     // The GROWTH path: at 100 TB a layout is never rebuilt — an arriving
@@ -110,22 +106,13 @@ object LayoutQueries {
         | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
         | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val grownDir = s"/tmp/graft-lay-grown-$key"
+      val grownDir = layoutDir(dir, "grown")
       val li = Tables(s, dir, "lineitem")
       Layout.zorderWrite(li, ZCols, grownDir, Files)
       val batch = li.where(col("l_orderkey") < 100)
         .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
       Layout.appendZOrdered(batch, grownDir, files = 2)
-      s.read.parquet(grownDir)
-        .where(col("l_partkey").between(100, 300) &&
-          col("l_suppkey").between(5, 40))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          min(col("l_orderkey")).cast("long").as("min_ok"),
-          max(col("l_orderkey")).cast("long").as("max_ok"))
-        .orderBy(col("l_returnflag"))
+      boxAgg(s.read.parquet(grownDir))
     },
 
     // The full KEYED lifecycle through the driver's oracle gate: seed a
@@ -149,8 +136,7 @@ object LayoutQueries {
         | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
         | GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val root = s"/tmp/graft-lay-keyed-$key"
+      val root = layoutDir(dir, "keyed")
       // fresh lifecycle every run: the init overwrites batch=0, and any
       // leftover batch partitions from a prior run are dropped first
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -162,15 +148,7 @@ object LayoutQueries {
         .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
       Layout.appendZOrderedKeyed(batch, root, "batch=1", files = 2)
       Layout.compactKeyed(s, root, files = Files)
-      s.read.parquet(root).drop("batch")
-        .where(col("l_partkey").between(100, 300) &&
-          col("l_suppkey").between(5, 40))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          min(col("l_orderkey")).cast("long").as("min_ok"),
-          max(col("l_orderkey")).cast("long").as("max_ok"))
-        .orderBy(col("l_returnflag"))
+      boxAgg(s.read.parquet(root).drop("batch"))
     },
 
     // The pruning arithmetic itself: per-file min/max ranges (what parquet
@@ -185,7 +163,7 @@ object LayoutQueries {
     // the invariants on the same arithmetic.
     QueryDef.noOracle("lay_zorder_prune") { (s, dir) =>
       import s.implicits._
-      val (zDir, linDir) = layoutDirs(dir)
+      val (zDir, linDir) = (layoutDir(dir, "z"), layoutDir(dir, "lin"))
       val li = Tables(s, dir, "lineitem")
       Layout.zorderWrite(li, ZCols, zDir, Files)
       Layout.linearWrite(li, ZCols, linDir, Files)

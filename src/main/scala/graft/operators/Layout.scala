@@ -55,10 +55,9 @@ object Layout {
     curve match {
       case Zorder =>
         // the native interleave: one codegen'd call vs bits×k chained
-        // shift/or Column nodes (LayoutProbe measured the tree costing
-        // ~1.8× the whole write); zValue remains the reference semantics
-        call_function("morton_d",
-          ranks.map(r => coalesce(r, lit(0L))) :+ lit(bits): _*)
+        // shift/or Column nodes; zValue remains the reference semantics.
+        // morton_d itself ranks nulls at the origin — no coalesce needed
+        call_function("morton_d", ranks :+ lit(bits): _*)
       case Hilbert =>
         require(ranks.size == 2, s"hilbert curve is 2-D, got ${ranks.size} cols")
         call_function("hilbert_d",
@@ -123,7 +122,8 @@ object Layout {
       files: Int, bits: Int = 16, curve: String = Zorder): Unit = {
     val scaling = computeScaling(df, zcols)
     writeClustered(df, scaling, bits, curve, outDir, files, overwrite = true)
-    writeMeta(outDir, scaling, bits, curve)
+    writeMeta(outDir, scaling, bits, curve,
+      df.sparkSession.sessionState.newHadoopConf())
   }
 
   /** Curve-cluster an ARRIVING batch with the layout's persisted scaling
@@ -136,7 +136,8 @@ object Layout {
     * boxes under sustained drift; re-cluster when the clamped fraction
     * grows, exactly like an IVF index re-trains when centroids stale. */
   def appendZOrdered(df: DataFrame, outDir: String, files: Int): Unit = {
-    val (scaling, bits, curve) = readMeta(outDir)
+    val (scaling, bits, curve) =
+      readMeta(outDir, df.sparkSession.sessionState.newHadoopConf())
     writeClustered(df, scaling, bits, curve, outDir, files, overwrite = false)
   }
 
@@ -155,7 +156,8 @@ object Layout {
     val scaling = computeScaling(df, zcols)
     writeClustered(df, scaling, bits, curve, s"$rootDir/batch=0", files,
       overwrite = true)
-    writeMeta(s"$rootDir/batch=0", scaling, bits, curve)
+    writeMeta(s"$rootDir/batch=0", scaling, bits, curve,
+      df.sparkSession.sessionState.newHadoopConf())
   }
 
   /** Curve-cluster a batch with the keyed layout's persisted scaling and
@@ -163,7 +165,12 @@ object Layout {
     * idempotent per key, see [[initKeyedLayout]]. */
   def appendZOrderedKeyed(df: DataFrame, rootDir: String, partition: String,
       files: Int): Unit = {
-    val (scaling, bits, curve) = readMeta(s"$rootDir/batch=0")
+    // self-heal first (no-op when healthy): a crash inside a committed
+    // compaction's install window leaves no batch=0 until rolled forward,
+    // and the streaming writer must not crash-loop on a repairable state
+    repairKeyed(rootDir, df.sparkSession.sessionState.newHadoopConf())
+    val (scaling, bits, curve) = readMeta(s"$rootDir/batch=0",
+      df.sparkSession.sessionState.newHadoopConf())
     writeClustered(df, scaling, bits, curve, s"$rootDir/$partition", files,
       overwrite = true)
   }
@@ -201,25 +208,35 @@ object Layout {
     * and is never dropped. A transactional table format is what buys a
     * truly atomic swap; this marker protocol maps 1:1 onto one. */
   def compactKeyed(spark: SparkSession, rootDir: String, files: Int): Unit = {
-    repairKeyed(rootDir) // complete or discard any interrupted prior swap
-    val (oldScaling, bits, curve) = readMeta(s"$rootDir/batch=0")
+    val conf = spark.sessionState.newHadoopConf()
+    repairKeyed(rootDir, conf) // complete or discard any interrupted prior swap
+    val (oldScaling, bits, curve) = readMeta(s"$rootDir/batch=0", conf)
     val zcols = oldScaling.map(_._1)
-    val all = spark.read.parquet(rootDir).drop("batch")
+    val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
+    // Snapshot the partition set FIRST, then read exactly that set: the
+    // staged base folds precisely these partitions, so the commit list
+    // and the data are consistent by construction — a partition appended
+    // at ANY later point (even mid-build) is neither folded nor dropped.
+    val snapshot = fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).sorted
+    val all = spark.read
+      .parquet(snapshot.map(n => s"$rootDir/$n").toIndexedSeq: _*)
+      .drop("batch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val scaling = computeScaling(all, zcols)
       writeClustered(all, scaling, bits, curve, s"$rootDir/_compacting", files,
         overwrite = true)
-      writeMeta(s"$rootDir/_compacting", scaling, bits, curve)
-      val fs = new org.apache.hadoop.fs.Path(rootDir)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val stale = fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName)
+      writeMeta(s"$rootDir/_compacting", scaling, bits, curve, conf)
+      val subsumed = snapshot
         .filter(_ != "batch=0") // the old base travels via _old_base, not the list
-      // COMMIT POINT: everything after this is re-runnable roll-forward
-      writeTextFile(fs, s"$rootDir/_graft_subsumed", stale.mkString("\n"))
-      rollForward(fs, rootDir, stale.toSeq)
+      // COMMIT POINT (atomic: temp write + rename): everything after this
+      // is re-runnable roll-forward
+      writeTextFile(fs, s"$rootDir/_graft_subsumed.tmp", subsumed.mkString("\n"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed.tmp"),
+        new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed"))
+      rollForward(fs, rootDir, subsumed.toSeq)
     } finally { all.unpersist(false); () }
   }
 
@@ -228,16 +245,20 @@ object Layout {
     * discarded (the live layout was never modified); after it the swap
     * is rolled forward (renames finished, exactly the listed partitions
     * dropped, marker cleared). Idempotent; a no-op on a healthy layout. */
-  def repairKeyed(rootDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(rootDir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  def repairKeyed(rootDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(rootDir))) return
     val marker = new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed")
     if (fs.exists(marker)) {
       val listed = readTextFile(fs, marker).split("\n").filter(_.nonEmpty)
       rollForward(fs, rootDir, listed.toSeq)
     } else {
-      // uncommitted staging (or half-written stage with no meta): discard
+      // uncommitted staging (half-written stage, or a marker that never
+      // finished its atomic temp→final rename): discard both — the live
+      // layout was never modified before the commit point
+      fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed.tmp"), false)
       fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_compacting"), true)
     }
   }
@@ -280,20 +301,21 @@ object Layout {
   /** Meta I/O goes through the Hadoop FileSystem of the layout path, not
     * java.nio — a layout on HDFS/S3A carries its meta beside its data. */
   private def writeMeta(dir: String,
-      scaling: Seq[(String, Double, Double)], bits: Int, curve: String): Unit = {
+      scaling: Seq[(String, Double, Double)], bits: Int, curve: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     // java Double round-trips exactly through toString/parseDouble
     val meta = (s"bits $bits $curve" +: scaling.map { case (c, mn, mx) =>
       s"$c $mn $mx"
     }).mkString("\n")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     writeTextFile(fs, s"$dir/_graft_zmeta", meta)
   }
 
-  private def readMeta(dir: String)
+  private def readMeta(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
       : (Seq[(String, Double, Double)], Int, String) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_zmeta")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val lines = readTextFile(fs, p).split("\n")
     val head = lines.head.stripPrefix("bits ").trim.split(" ")
     val bits = head(0).toInt

@@ -61,8 +61,10 @@ class LayoutSpec extends TestBase {
         when(col("id") % 13 =!= 0,
           expr("cast(conv(substring(md5(cast(id + 7 as string)), 1, 4), 16, 10) as bigint)"))
           .as("y"))
+    // RAW nullable inputs: morton_d's own null branch (treat as 0) must
+    // match zValue's coalesce — no pre-coalescing that would mask it
     val both = pts
-      .withColumn("native", expr("morton_d(coalesce(x, 0L), coalesce(y, 0L), 16)"))
+      .withColumn("native", expr("morton_d(x, y, 16)"))
       .withColumn("tree", Layout.zValue(Seq(col("x"), col("y")), 16))
     assert(both.where(col("native") =!= col("tree")).isEmpty,
       "native morton_d must equal the zValue tree bit-for-bit")
