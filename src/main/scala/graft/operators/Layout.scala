@@ -88,8 +88,8 @@ object Layout {
     require(zcols.forall(c => !c.exists(_.isWhitespace)),
       s"z-order column names must not contain whitespace: $zcols")
     val aggs = zcols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c")))
+      Seq(min(numKey(df, c)).as(s"mn_$c"),
+        max(numKey(df, c)).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.drop(1): _*).head()
     zcols.zipWithIndex.map { case (c, i) =>
       if (row.isNullAt(2 * i)) (c, 0.0, 0.0)
@@ -97,13 +97,25 @@ object Layout {
     }
   }
 
-  /** `df` plus a `_z` Z-value column over `zcols` (each castable to
-    * double: ints, floats, dates, timestamps; hash strings to a numeric
-    * key first). Costs one metadata-scale min/max aggregate plus a
-    * codegen'd projection. */
+  /** Numeric curve key for a layout column. DATE columns convert to
+    * days-since-epoch (Spark rejects `CAST(DATE AS DOUBLE)` at analysis
+    * time); everything else casts to double directly (ints, floats,
+    * timestamps). Strings have no meaningful linear order for a box
+    * model — hash them to a numeric key first. */
+  private def numKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  /** `df` plus a `_z` Z-value column over `zcols` (ints, floats and
+    * timestamps cast to double; DATE columns are converted to
+    * days-since-epoch internally; hash strings to a numeric key first).
+    * Costs one metadata-scale min/max aggregate plus a codegen'd
+    * projection. */
   def withZValue(df: DataFrame, zcols: Seq[String], bits: Int = 16): DataFrame = {
     val ranks = computeScaling(df, zcols)
-      .map { case (c, mn, mx) => scaledRank(col(c), mn, mx, bits) }
+      .map { case (c, mn, mx) => scaledRank(numKey(df, c), mn, mx, bits) }
     df.withColumn("_z", zValue(ranks, bits))
   }
 
@@ -167,8 +179,14 @@ object Layout {
       files: Int): Unit = {
     // self-heal first (no-op when healthy): a crash inside a committed
     // compaction's install window leaves no batch=0 until rolled forward,
-    // and the streaming writer must not crash-loop on a repairable state
-    repairKeyed(rootDir, df.sparkSession.sessionState.newHadoopConf())
+    // and the streaming writer must not crash-loop on a repairable state.
+    // COMMITTED markers only: an uncommitted _compacting stage seen from
+    // the append path may be a LIVE compactor mid-build, and discarding it
+    // would let that compactor commit a marker for a stage that no longer
+    // exists (silent data loss once rollForward drops the listed
+    // partitions with no installed base). Only the compaction owner
+    // (compactKeyed / an explicit repairKeyed call) may discard a stage.
+    healCommitted(rootDir, df.sparkSession.sessionState.newHadoopConf())
     val (scaling, bits, curve) = readMeta(s"$rootDir/batch=0",
       df.sparkSession.sessionState.newHadoopConf())
     writeClustered(df, scaling, bits, curve, s"$rootDir/$partition", files,
@@ -231,11 +249,22 @@ object Layout {
       writeMeta(s"$rootDir/_compacting", scaling, bits, curve, conf)
       val subsumed = snapshot
         .filter(_ != "batch=0") // the old base travels via _old_base, not the list
+      // Last-moment stage check: if a concurrent repairKeyed (a violated
+      // single-compactor rule) discarded the uncommitted stage, committing
+      // the marker anyway would drop the listed partitions with no base to
+      // install. The staged meta is written LAST, so its presence is the
+      // staging-complete witness. Abort — the live layout is untouched.
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$rootDir/_compacting/_graft_zmeta")),
+        s"$rootDir/_compacting vanished before commit (concurrent repair?) " +
+          "— aborting compaction without committing")
       // COMMIT POINT (atomic: temp write + rename): everything after this
       // is re-runnable roll-forward
       writeTextFile(fs, s"$rootDir/_graft_subsumed.tmp", subsumed.mkString("\n"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed.tmp"),
-        new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed"))
+      require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed.tmp"),
+          new org.apache.hadoop.fs.Path(s"$rootDir/_graft_subsumed")),
+        s"commit-marker rename failed under $rootDir — compaction not committed")
       rollForward(fs, rootDir, subsumed.toSeq)
     } finally { all.unpersist(false); () }
   }
@@ -244,23 +273,41 @@ object Layout {
     * before the `_graft_subsumed` commit marker the staged base is
     * discarded (the live layout was never modified); after it the swap
     * is rolled forward (renames finished, exactly the listed partitions
-    * dropped, marker cleared). Idempotent; a no-op on a healthy layout. */
+    * dropped, marker cleared). Idempotent; a no-op on a healthy layout.
+    *
+    * OWNER-ONLY: discarding an uncommitted stage is only safe when the
+    * caller owns compaction (no compactor can be live), because the stage
+    * it discards might otherwise be one being built right now. The append
+    * path self-heals through [[healCommitted]] instead. */
   def repairKeyed(rootDir: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(rootDir))) return
-    val marker = new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed")
-    if (fs.exists(marker)) {
-      val listed = readTextFile(fs, marker).split("\n").filter(_.nonEmpty)
-      rollForward(fs, rootDir, listed.toSeq)
-    } else {
+    if (!healCommitted(rootDir, conf)) {
       // uncommitted staging (half-written stage, or a marker that never
       // finished its atomic temp→final rename): discard both — the live
       // layout was never modified before the commit point
       fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed.tmp"), false)
       fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_compacting"), true)
+      ()
     }
+  }
+
+  /** The non-destructive half of [[repairKeyed]]: finish a COMMITTED
+    * interrupted compaction (roll the swap forward), but never touch an
+    * uncommitted stage — safe to run from any writer at any time, even
+    * next to a live compactor. Returns true when a committed marker was
+    * found (and rolled forward). */
+  def healCommitted(rootDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed")
+    if (!fs.exists(marker)) return false
+    val listed = readTextFile(fs, marker).split("\n").filter(_.nonEmpty)
+    rollForward(fs, rootDir, listed.toSeq)
+    true
   }
 
   /** The committed half of the swap — every step idempotent, so a crash
@@ -272,9 +319,19 @@ object Layout {
     val oldBase = new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")
     if (fs.exists(staged)) {
       // install pending: the staged dir is complete by the commit
-      // invariant (marker is written only after the staged meta)
-      if (fs.exists(b0)) fs.rename(b0, oldBase)
-      fs.rename(staged, b0)
+      // invariant (marker is written only after the staged meta).
+      // Hadoop FileSystem.rename signals failure by RETURNING FALSE; an
+      // unchecked failure here would leave a state a later repair
+      // misclassifies, so every rename must be verified.
+      if (fs.exists(b0)) {
+        // clear any stale _old_base a prior crashed roll-forward left, so
+        // the rename below cannot land batch=0 INSIDE it
+        fs.delete(oldBase, true)
+        require(fs.rename(b0, oldBase),
+          s"rename $b0 -> $oldBase failed; aborting roll-forward")
+      }
+      require(fs.rename(staged, b0),
+        s"rename $staged -> $b0 failed; aborting roll-forward")
     }
     fs.delete(oldBase, true)
     subsumed.foreach(n =>
@@ -333,7 +390,8 @@ object Layout {
       outDir: String, files: Int, overwrite: Boolean): Unit = {
     // the hilbert_d expression resolves through the function registry
     graft.functions.GraftFunctions.ensure(df.sparkSession)
-    val ranks = scaling.map { case (c, mn, mx) => scaledRank(col(c), mn, mx, bits) }
+    val ranks = scaling.map { case (c, mn, mx) =>
+      scaledRank(numKey(df, c), mn, mx, bits) }
     df.withColumn("_z", curveValue(ranks, bits, curve))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
@@ -365,7 +423,10 @@ object Layout {
 
   /** How many files of a layout SURVIVE min/max pruning for the box
     * predicate `lo(c) <= c <= hi(c)` — the file-skipping arithmetic a
-    * stats-pruning reader performs. Returns (surviving, total). */
+    * stats-pruning reader performs. A file with NULL range stats (an
+    * all-null column chunk) survives: a real stats-pruning reader must
+    * read a file whose footer carries no min/max, exactly as
+    * LayoutProbe.rowGroupStats counts it. Returns (surviving, total). */
   def filesOverlapping(ranges: DataFrame, box: Map[String, (Double, Double)])
       : (Long, Long) = {
     val pred = box.map { case (c, (lo, hi)) =>
@@ -373,7 +434,7 @@ object Layout {
     }.reduce(_ && _)
     // one pass: both counts from a single aggregate over the ranges scan
     val row = ranges.agg(
-      sum(when(pred, 1L).otherwise(0L)).as("surviving"),
+      sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as("surviving"),
       count(lit(1)).as("total")).head()
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }

@@ -297,6 +297,68 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(root).count() == want + 100 + 40 + 7)
   }
 
+  test("appendZOrderedKeyed: never discards an uncommitted compaction stage") {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = java.nio.file.Files.createTempDirectory("lay-race").toString + "/z"
+    val fs = new Path(root).getFileSystem(conf)
+    val li = Tables(spark, sf(), "lineitem")
+    Layout.initKeyedLayout(li.limit(200), Seq("l_partkey", "l_suppkey"), root, 2)
+    // an uncommitted _compacting dir seen from the APPEND path may be a
+    // live compactor mid-build — the append must leave it alone (the
+    // r10-advice race: discard here + commit there = the marker drops
+    // partitions with no installed base)
+    fs.mkdirs(new Path(s"$root/_compacting"))
+    Layout.appendZOrderedKeyed(li.limit(5), root, "batch=1", files = 1)
+    assert(fs.exists(new Path(s"$root/_compacting")),
+      "append-path self-heal must not discard a possibly-live stage")
+    assert(spark.read.parquet(root).count() == 205)
+    // the compaction OWNER's repair still discards the (now known-dead)
+    // stage — and a subsequent compaction verifies its stage right before
+    // the commit marker, so the discard can no longer be silent
+    Layout.repairKeyed(root)
+    assert(!fs.exists(new Path(s"$root/_compacting")))
+    Layout.compactKeyed(spark, root, files = 2)
+    assert(spark.read.parquet(root).count() == 205)
+  }
+
+  test("filesOverlapping: a file with null range stats SURVIVES pruning") {
+    // an all-null column chunk writes no min/max; a stats-pruning reader
+    // must read such a file (LayoutProbe.rowGroupStats counts it the same)
+    val ranges = Seq(
+        ("f1", Some(1.0), Some(2.0)),   // disjoint from the box -> pruned
+        ("f2", Some(12.0), Some(15.0)), // overlaps -> read
+        ("f3", Option.empty[Double], Option.empty[Double])) // no stats -> read
+      .toDF("file", "mn_a", "mx_a")
+    val (supp, tot) = Layout.filesOverlapping(ranges, Map("a" -> (10.0, 20.0)))
+    assert(tot == 3 && supp == 2,
+      s"null-stat file must survive, ranged disjoint file must prune: $supp/$tot")
+  }
+
+  test("z-order on a DATE column: days-since-epoch key, layout prunes the date dim") {
+    val dir = java.nio.file.Files.createTempDirectory("lay-dt").toString + "/z"
+    val zc = Seq("l_partkey", "d")
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+      .withColumn("d", to_date(col("l_shipdate")))
+    Layout.zorderWrite(li, zc, dir, 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // withZValue on the date dim alone is monotone in the date
+    val z = Layout.withZValue(li.select("d").distinct(), Seq("d"), 8)
+      .orderBy("d").select("_z").as[Long].collect()
+    assert(z.toSeq == z.sorted.toSeq, "date rank must be monotone in the date")
+    // a one-quarter date box prunes most files (dates span ~7 years);
+    // compare in days-since-epoch, the same key the curve ranks on
+    val mn = li.agg(min(unix_date(col("d")))).head().getInt(0).toDouble
+    val ranges = Layout.fileRanges(spark, dir, Seq("d"))
+      .select(col("file"),
+        unix_date(col("mn_d")).cast("double").as("mn_dk"),
+        unix_date(col("mx_d")).cast("double").as("mx_dk"))
+    val (read, total) = Layout.filesOverlapping(ranges, Map("dk" -> (mn, mn + 90.0)))
+    assert(total == 16 && read <= 8,
+      s"date-dim quarter box should skip at least half the files: $read/$total")
+  }
+
   test("withZValue: degenerate and all-null dimensions rank constant 0") {
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
     val z = Layout.withZValue(df, Seq("a", "b"), 4)
