@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -647,6 +647,76 @@ object NorthStarQueries {
           concat(lit("leading filler words "), substring(col("text"), 1, 80),
             lit(" trailing filler")).as("text")))
       Dedup.substringContamination(corpus, ev).orderBy(col("doc_id"))
+    },
+
+    // EXACT duplicated-substring spans (Lee et al. 2021's ExactSubstr
+    // semantics, here hash-prefilter + exact-substring grouping instead
+    // of a suffix array): every 40-char window occurring at 2+ positions
+    // corpus-wide marks all its occurrences except the globally-first
+    // (min (doc_id, pos)); marked positions merge per doc into maximal
+    // half-open spans. The oracle replays all-windows, first-occurrence
+    // election, and the lag-window island merge verbatim. Linear in
+    // corpus chars — the exact complement of winnowing's sampled
+    // fingerprints (dd_substring).
+    QueryDef("dd_exact_substring")(
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 40),
+        | w AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
+        |       FROM d JOIN range(1, 100000) i(i) ON i.i <= n - 39),
+        | g AS (SELECT win, count(*) AS c, min(doc_id * 10000000 + pos) AS fkey FROM w GROUP BY 1),
+        | m AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
+        |       WHERE g.c > 1 AND w.doc_id * 10000000 + w.pos <> g.fkey),
+        | b AS (SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM m),
+        | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |   CAST(max(pos) + 40 AS BIGINT) AS span_end
+        | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, dir) =>
+      Dedup.exactSubstringSpans(Tables(s, dir, "documents"), L = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // The cut itself: every doc's kept text is the ordered concatenation
+    // of the gaps between its merged duplicated spans (docs without spans
+    // pass through). The oracle rebuilds gaps with a lag window + ordered
+    // string_agg; the engine folds each doc's own span list in one
+    // nested-HOF aggregate — candidate-scale per row, no corpus shuffle
+    // beyond the doc_id join.
+    QueryDef("dd_exact_clean")(
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 40),
+        | w AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
+        |       FROM d JOIN range(1, 100000) i(i) ON i.i <= n - 39),
+        | g AS (SELECT win, count(*) AS c, min(doc_id * 10000000 + pos) AS fkey FROM w GROUP BY 1),
+        | m AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
+        |       WHERE g.c > 1 AND w.doc_id * 10000000 + w.pos <> g.fkey),
+        | b AS (SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+        |              THEN 1 ELSE 0 END AS brk FROM m),
+        | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+        | sp AS (SELECT doc_id, min(pos) AS ss, max(pos) + 40 AS se FROM s GROUP BY doc_id, grp),
+        | gaps AS (
+        |   SELECT doc_id,
+        |     coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS gs,
+        |     ss AS ge
+        |   FROM sp
+        |   UNION ALL
+        |   SELECT sp.doc_id, max(sp.se), max(dd.n) + 1
+        |   FROM sp JOIN (SELECT doc_id, len(text) AS n FROM documents) dd USING (doc_id)
+        |   GROUP BY sp.doc_id),
+        | cleaned AS (SELECT doc_id,
+        |     string_agg(substr(text, CAST(gs AS INT), CAST(ge - gs AS INT)), '' ORDER BY gs) AS clean_text
+        |   FROM gaps JOIN documents USING (doc_id) GROUP BY doc_id)
+        | SELECT dd.doc_id, coalesce(c.clean_text, dd.text) AS clean_text
+        | FROM documents dd LEFT JOIN cleaned c USING (doc_id)
+        | ORDER BY dd.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.removeSpans(docs, Dedup.exactSubstringSpans(docs, L = 40))
+        .orderBy(col("doc_id"))
     },
 
     // Cluster formation: LSH candidate pairs → connected components →
@@ -1416,6 +1486,53 @@ object NorthStarQueries {
       Similarity.knnJoin(qs, e, 5).orderBy("query_id", "rk")
     },
 
+    // Hybrid retrieval: BM25 lexical top-50 + brute cosine top-50 over
+    // the aligned embeddings (vec_id ≡ doc_id in this corpus), fused by
+    // reciprocal-rank fusion (Cormack et al. 2009, c = 60). Ranks are
+    // INTEGERS assigned over each list's total order, so the fusion is
+    // bit-reproducible across engines; both engines replay both top-k
+    // boundaries and the fused top-10 with doc_id tie-breaks.
+    QueryDef("sim_hybrid_rrf")(
+      s"""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+         | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+         |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | sc AS (SELECT tf.doc_id,
+         |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+         |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+         |   GROUP BY 1),
+         | bm AS (SELECT doc_id, round(score, 6) AS score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 50),
+         | bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_0 FROM bm),
+         | q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | sim AS (SELECT vec_id AS doc_id, round(${cosSql("v", "qe")}, 6) AS sim
+         |         FROM e CROSS JOIN q ORDER BY sim DESC, doc_id LIMIT 50),
+         | simr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_1 FROM sim),
+         | j AS (SELECT coalesce(bmr.doc_id, simr.doc_id) AS doc_id, bmr.rank_0, simr.rank_1
+         |       FROM bmr FULL OUTER JOIN simr ON bmr.doc_id = simr.doc_id)
+         | SELECT doc_id,
+         |   round(coalesce(1.0/(60 + rank_0), 0) + coalesce(1.0/(60 + rank_1), 0), 6) AS rrf,
+         |   CAST(rank_0 AS BIGINT) AS rank_0, CAST(rank_1 AS BIGINT) AS rank_1
+         | FROM j ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val bm = Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        Seq("spark", "window", "merge"), 50)
+      val sim = Similarity.bruteForceTopK(e, q, 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rrfFuse(Seq(
+          (bm, Seq(col("score").desc, col("doc_id"))),
+          (sim, Seq(col("sim").desc, col("doc_id")))),
+        idCol = "doc_id", k = 10)
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("txt_langid")(
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1591,6 +1708,31 @@ object NorthStarQueries {
       TextAnalysis.tfidf(Tables(s, dir, "documents"))
         .where(col("doc_id") < 20)
         .orderBy(col("doc_id"), col("term"))
+    },
+
+    // Okapi BM25 scoring for a literal term query (Lucene's non-negative
+    // idf form) — sparse retrieval without an inverted index: the term
+    // filter is an `isin` literal evaluated inside the scan, (N, avgdl)
+    // and per-term df are metadata-scale broadcasts, the top-k is a
+    // TakeOrderedAndProject. Both engines total-order on (rounded score,
+    // doc_id).
+    QueryDef("txt_bm25")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1)
+        | SELECT doc_id, round(score, 6) AS score FROM sc
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        Seq("spark", "window", "merge"), 20)
     },
 
     // End-to-end corpus-curation pipeline: quality gate → exact dedup →

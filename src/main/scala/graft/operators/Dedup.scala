@@ -1062,6 +1062,114 @@ object Dedup {
     materializeThenRelease(cross.unionAll(within), keyed, fps)
   }
 
+  /** EXACT duplicated-substring spans (the ExactSubstr semantics of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — there via a suffix array): every
+    * length-`L` character window that occurs at 2+ positions corpus-wide
+    * is a duplicate; all its occurrences EXCEPT the globally first
+    * (minimum `(doc_id, pos)`) are marked, and per document the marked
+    * positions merge (overlap or adjacency) into maximal half-open spans
+    * `[span_start, span_end)`, 1-based. The exact counterpart of the
+    * winnowing pipeline ([[winnowedFingerprints]] /
+    * [[substringDupPairs]]): winnowing SAMPLES fingerprints to find
+    * near-dup document PAIRS cheaply; this finds every exactly-repeated
+    * CHARACTER RANGE — the thing a training pipeline actually cuts
+    * ([[removeSpans]]).
+    *
+    * Scale shape — every stage linear in corpus characters, no pair join
+    * anywhere, so unlike the pair scorers NO mega-group cap is needed (a
+    * window repeated a million times costs O(occurrences), never
+    * O(occurrences²)):
+    *   1. one zero-exchange nested-HOF projection per doc computes the
+    *      per-position `xxhash64` of each window from ONE copy of the
+    *      text — 8 bytes per position leave the scan, not `L` chars;
+    *   2. hashes repeated ≥2× survive a map-side-combinable count (in
+    *      natural corpora a small fraction of positions);
+    *   3. only survivors rematerialize window TEXT (positions regroup
+    *      per doc so each doc's text is read once more), and the final
+    *      group-by is on the exact substring — an xxhash64 collision
+    *      only lets a unique window into this stage, where its exact
+    *      group has size 1 and drops. The result therefore contains no
+    *      engine-private hash and is exact-match, not
+    *      exact-modulo-hash (the file-header determinism contract);
+    *   4. span merging is one `lag` window per doc — keyed on the
+    *      `doc_id` the survivors already carry.
+    */
+  def exactSubstringSpans(docs: DataFrame, L: Int = 40): DataFrame = {
+    require(L >= 2 && L <= 10000, s"window length $L out of range")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= L)
+    // (doc_id, pos, h): pos is 1-based; array element i covers chars
+    // [i+1, i+1+L)
+    val hashes = d
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), " +
+          s"p -> xxhash64(substring(text, p, $L)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+      .persist(sl)
+    val dupH = hashes.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val survivors = hashes.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    val wins = survivors.join(d, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"transform(ps, p -> struct(p AS pos, " +
+          s"substring(text, CAST(p AS INT), $L) AS win))")).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
+    val groups = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("c") > 1)
+      .select(col("win"), col("first"))
+    val marked = wins.join(groups, "win")
+      .where(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(byDoc) + L), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    materializeThenRelease(spans, hashes)
+  }
+
+  /** Cut [[exactSubstringSpans]]-style spans out of their documents:
+    * every doc's kept text is the ordered concatenation of the gaps
+    * between its (non-overlapping, sorted) spans; docs with no spans pass
+    * through unchanged. One `doc_id` equi-join plus a per-row fold over
+    * that doc's own span list (candidate-scale, collected per doc) — no
+    * corpus-scale shuffle beyond the join.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val byDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("sp"))
+    docs.select(col("doc_id"), col("text"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """aggregate(sp, named_struct('cur', CAST(1 AS BIGINT), 'acc', ''),
+            |  (a, x) -> named_struct(
+            |    'cur', x.e,
+            |    'acc', concat(a.acc,
+            |      substring(text, CAST(a.cur AS INT),
+            |        CAST(x.s - a.cur AS INT)))),
+            |  a -> concat(a.acc,
+            |    substring(text, CAST(a.cur AS INT), length(text))))
+            |""".stripMargin)).as("clean_text"))
+  }
+
   /** Edit-distance scoring of candidate pairs (`pairs(doc_a, doc_b)`):
     * Levenshtein distance plus the normalized similarity
     * `1 - lev / max(len_a, len_b)` — the character-level complement to

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (BM25) retrieval and rank fusion — the lexical half of the
+  * hybrid-search shape every retrieval-augmented training pipeline runs
+  * next to the ANN operators in [[Similarity]]: score candidates by BM25
+  * over exact terms, by cosine over embeddings, and fuse the two rankings
+  * with reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009).
+  * No reference precedent (`Preprocessing/src/main/java` has no retrieval
+  * surface) — this is LLM-pipeline surface next to SURVEY §2's similarity
+  * operators.
+  *
+  * Plan shape at 100 TB: the query's term set is a tiny LITERAL, so term
+  * matching is an `isin` filter evaluated inside the scan (pushed to
+  * parquet dictionary/stats level — no inverted index materialized, no
+  * join against a term table); the corpus-wide statistics BM25 needs
+  * (N, avgdl, per-term df) are metadata-scale aggregates (df has one row
+  * per QUERY term); the final top-k is a `TakeOrderedAndProject`, never a
+  * global sort. The only corpus-scale shuffle is the per-doc length
+  * aggregate, which is map-side combinable.
+  */
+object Retrieval {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Okapi BM25 scores for a bag-of-terms query over `docs(doc_id, text)`:
+    *
+    *   score(D) = Σ_t  idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * (the Lucene non-negative idf form). Document length |D| and `avgdl`
+    * count whitespace tokens with the same tokenizer as
+    * [[TextAnalysis.tfidf]]. Returns one row per document containing at
+    * least one query term: `(doc_id, score)` with `score` rounded to 6
+    * decimals; total-order the caller's top-k on `(score DESC, doc_id)`.
+    *
+    * Scale: `queryTerms` is a literal `isin` predicate — the tf aggregate
+    * runs on the MATCHING rows only and its filter reaches the scan; df
+    * and (N, avgdl) are metadata-scale and enter through broadcast
+    * (crossJoin of a 1-row aggregate; |queryTerms|-row df join). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // one metadata-scale row: corpus size and mean doc length
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = terms
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df per QUERY term (≤ |queryTerms| rows): docs containing the term
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+  }
+
+  /** BM25 top-k: total-ordered on `(score DESC, doc_id)` — a
+    * `TakeOrderedAndProject`, not a global sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(docs, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Reciprocal-rank fusion of already-truncated rankings: each input is
+    * `(id, …)` ALREADY in its final rank order's top-n (so every input is
+    * candidate-scale, not corpus-scale — the fusion input is the OUTPUT of
+    * two top-k operators), and each id's fused score is Σ_r 1/(c + rank_r)
+    * over the rankings that contain it (Cormack et al. 2009; c = 60 is
+    * the paper's constant). Ranks are assigned by each input's
+    * `orderCols` total order, so fusion is exactly reproducible: integer
+    * ranks, no float comparisons across engines.
+    *
+    * The `Window.orderBy` single-partition shuffle here is CORRECT, not a
+    * scale smell: it runs on ≤ n rows per ranking (top-k output), never
+    * on a corpus. */
+  def rrfFuse(rankings: Seq[(DataFrame, Seq[Column])], idCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val ranked = rankings.zipWithIndex.map { case ((df, orderCols), i) =>
+      df.select(col(idCol),
+        row_number().over(Window.orderBy(orderCols: _*)).as(s"rank_$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = ranked.indices
+      .map(i => when(col(s"rank_$i").isNotNull,
+        lit(1.0) / (lit(c) + col(s"rank_$i"))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select(col(idCol) +: round(fused, 6).as("rrf") +:
+        ranked.indices.map(i => col(s"rank_$i")): _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}

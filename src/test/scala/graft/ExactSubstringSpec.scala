@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class ExactSubstringSpec extends TestBase {
+
+  import spark.implicits._
+
+  private val base = "0123456789abcdefghijABCDEFGHIJ" // 30 distinct chars
+
+  test("exactSubstringSpans: the globally-first occurrence is kept, the copy is spanned") {
+    val docs = Seq(
+      (0L, base),
+      // chars 3..22 replicate base[0,20): windows (L=10) at pos 3..13
+      (1L, "XX" + base.substring(0, 20) + "YYYYYYYY"),
+      (2L, "completely unrelated text zzz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, L = 10)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect()
+    // doc0 is globally first for every shared window -> no spans there;
+    // doc1's 11 marked positions (3..13) merge into ONE span [3, 23)
+    assert(got.toSeq == Seq((1L, 3L, 23L)), s"got ${got.toSeq}")
+  }
+
+  test("exactSubstringSpans: within-doc repetition marks the LATER occurrence") {
+    val p = "qwertyuiop12" // 12 chars
+    val doc = p + "MIDDLEFILLER" + p // second p duplicated vs first
+    val got = Dedup.exactSubstringSpans(Seq((7L, doc)).toDF("doc_id", "text"), L = 10)
+      .as[(Long, Long, Long)].collect()
+    // windows in the second p: positions 25..27 (1-based, len 36, L=10)
+    assert(got.toSeq == Seq((7L, 25L, 37L)), s"got ${got.toSeq}")
+  }
+
+  test("exactSubstringSpans: far-apart marked runs stay separate spans") {
+    // repeat-free fillers (every char distinct) so the only duplicated
+    // windows are the planted base / base.reverse regions
+    val filler1 = "klmnopqrstuvwxyzKLMNOPQRSTUVWXYZ!@#$%^&*"
+    val docs = Seq(
+      (0L, base + "unique-mid-0" + base.reverse),
+      (1L, base + filler1 + base.reverse), // two dup regions, 40 chars apart
+      (2L, "zero one two three four five six")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, L = 10)
+      .where(col("doc_id") === 1).orderBy("span_start")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 2, s"expected two separate spans, got ${got.toSeq}")
+    assert(got(0)._2 == 1L && got(0)._3 == 31L, s"got ${got.toSeq}")
+    assert(got(1)._2 == 71L && got(1)._3 == 101L, s"got ${got.toSeq}")
+  }
+
+  test("removeSpans: cuts exactly the spanned chars, start/end/no-span edges included") {
+    val docs = Seq(
+      (0L, "abcdefghij"),
+      (1L, "abcdefghij"),
+      (2L, "no spans here")
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (0L, 1L, 4L),   // leading span: keep "defghij"
+      (0L, 8L, 11L),  // trailing span: keep nothing after
+      (1L, 5L, 7L)    // middle span: "abcd" + "ghij"
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.removeSpans(docs, spans)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((0L, "defg"), (1L, "abcdghij"), (2L, "no spans here")),
+      s"got ${got.toSeq}")
+  }
+
+  test("spans + clean on the real corpus: disjoint in-bounds spans; cut length adds up") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val spans = Dedup.exactSubstringSpans(docs, L = 40).persist()
+    // spans are within bounds, at least L wide, and pairwise disjoint
+    val bad = spans.join(docs, "doc_id")
+      .where((col("span_start") < 1)
+        || (col("span_end") > length(col("text")) + 1)
+        || (col("span_end") - col("span_start") < 40))
+    assert(bad.isEmpty, "every span must be in-bounds and >= L wide")
+    val overlap = spans.as("a").join(spans.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.span_start") < col("b.span_start") &&
+        col("b.span_start") < col("a.span_end"))
+    assert(overlap.isEmpty, "merged spans must be pairwise disjoint")
+    // clean length = original length - total cut, for every doc
+    val cut = spans.groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("cut"))
+    val mismatch = Dedup.removeSpans(docs, spans)
+      .join(docs, "doc_id").join(cut, Seq("doc_id"), "left")
+      .where(length(col("clean_text")) =!=
+        length(col("text")) - coalesce(col("cut"), lit(0L)))
+    assert(mismatch.isEmpty, "clean text length must equal original minus cut")
+    // and the cut is non-trivial on this template-dense corpus
+    assert(spans.count() > 0, "expected duplicated spans in the corpus")
+    spans.unpersist()
+  }
+}

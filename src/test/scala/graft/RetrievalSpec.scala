@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends TestBase {
+
+  import spark.implicits._
+
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    // corpus: dl = 4, 4, 4 -> avgdl = 4, N = 3
+    val docs = Seq(
+      (0L, "spark is very fast"),    // tf(spark)=1
+      (1L, "spark spark and spark"), // tf(spark)=3
+      (2L, "ducks like the pond")    // no query term
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, Seq("spark"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    // df(spark) = 2: idf = ln(1 + (3 - 2 + 0.5) / 2.5) = ln(1.6)
+    val idf = math.log(1.6)
+    // dl/avgdl = 1 -> norm = tf + k1 = tf + 1.2
+    val s1 = BigDecimal(idf * 1 * 2.2 / (1 + 1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s3 = BigDecimal(idf * 3 * 2.2 / (3 + 1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 2, "doc without any query term must not appear")
+    assert(got(0) == (0L, s1) && got(1) == (1L, s3))
+    // more occurrences => higher score, with tf saturation (not 3x)
+    assert(got(1)._2 > got(0)._2 && got(1)._2 < 3 * got(0)._2)
+  }
+
+  test("bm25: longer documents are penalized at equal tf") {
+    val docs = Seq(
+      (0L, "spark a b c"),
+      (1L, "spark " + Seq.fill(40)("filler").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, Seq("spark"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got(0)._2 > got(1)._2,
+      s"short doc must outscore long doc at equal tf: ${got.toSeq}")
+  }
+
+  test("bm25TopK: literal term filter reaches the scan; top-k is TakeOrdered") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val plan = Retrieval.bm25TopK(docs, Seq("spark", "window"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$plan")
+    val rows = Retrieval.bm25TopK(docs, Seq("spark", "window"), 10).collect()
+    assert(rows.length == 10)
+  }
+
+  test("rrfFuse: fused score is sum of reciprocal ranks; missing side contributes 0") {
+    val a = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("id", "s")
+    val b = Seq((11L, 0.99), (13L, 0.5)).toDF("id", "s")
+    val got = Retrieval.rrfFuse(
+        Seq((a, Seq(col("s").desc, col("id"))), (b, Seq(col("s").desc, col("id")))),
+        idCol = "id", k = 10)
+      .as[(Long, Double, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 11 is rank 2 in a, rank 1 in b
+    assert(got(11L) == (11L, r6(1.0 / 62 + 1.0 / 61), Some(2L), Some(1L)))
+    // 10 only in a at rank 1; 13 only in b at rank 2
+    assert(got(10L) == (10L, r6(1.0 / 61), Some(1L), None))
+    assert(got(13L) == (13L, r6(1.0 / 62), None, Some(2L)))
+    // consensus beats either single-list winner
+    assert(got(11L)._2 > got(10L)._2 && got(11L)._2 > got(13L)._2)
+  }
+
+  test("hybrid rrf over the real corpus: deterministic and consensus-ranked") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    def run() = Retrieval.rrfFuse(Seq(
+        (Retrieval.bm25TopK(docs, Seq("spark", "window", "merge"), 50),
+          Seq(col("score").desc, col("doc_id"))),
+        (Similarity.bruteForceTopK(e, q, 50).withColumnRenamed("vec_id", "doc_id"),
+          Seq(col("sim").desc, col("doc_id")))),
+      idCol = "doc_id", k = 10).collect().toSeq
+    val one = run()
+    assert(one == run(), "fusion must be run-to-run deterministic")
+    assert(one.size == 10)
+    // any doc present in BOTH lists must outrank a doc present in one
+    // list at the same single-list rank (1/(c+r) + something > 1/(c+r))
+    val both = one.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    assert(both.nonEmpty, "the two rankings should overlap on this corpus")
+  }
+}
