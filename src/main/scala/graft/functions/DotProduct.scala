@@ -112,6 +112,29 @@ object GraftFunctions {
         s"hilbert_d takes (x, y) or (x, y, bits), got ${c.length} args")
     })
 
+  val windowHashInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_hash64"),
+    new ExpressionInfo(classOf[WindowHash].getName, "window_hash64"),
+    (children: Seq[Expression]) => children match {
+      case Seq(t, lE) =>
+        // L shapes the per-row roll, not per-row data — a literal.
+        require(lE.foldable, "window_hash64 L must be a literal")
+        WindowHash(t, lE.eval().asInstanceOf[Number].intValue())
+      case c => throw new IllegalArgumentException(
+        s"window_hash64 takes (text, L), got ${c.length} args")
+    })
+
+  val charWindowsInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_windows"),
+    new ExpressionInfo(classOf[CharWindows].getName, "char_windows"),
+    (children: Seq[Expression]) => children match {
+      case Seq(t, ps, lE) =>
+        require(lE.foldable, "char_windows L must be a literal")
+        CharWindows(t, ps, lE.eval().asInstanceOf[Number].intValue())
+      case c => throw new IllegalArgumentException(
+        s"char_windows takes (text, positions, L), got ${c.length} args")
+    })
+
   val mortonInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("morton_d"),
     new ExpressionInfo(classOf[MortonValue].getName, "morton_d"),
@@ -125,7 +148,8 @@ object GraftFunctions {
 
   /** Idempotent imperative registration for pre-built sessions. */
   def ensure(spark: SparkSession): Unit =
-    Seq(dotInfo, winnowInfo, hilbertInfo, mortonInfo).foreach { info =>
+    Seq(dotInfo, winnowInfo, windowHashInfo, charWindowsInfo, hilbertInfo,
+      mortonInfo).foreach { info =>
       if (!spark.sessionState.functionRegistry.functionExists(info._1))
         spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
     }
@@ -135,6 +159,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo,
+      GraftFunctions.windowHashInfo, GraftFunctions.charWindowsInfo,
       GraftFunctions.hilbertInfo, GraftFunctions.mortonInfo)
       .foreach(ext.injectFunction)
 }

@@ -1079,10 +1079,17 @@ object Dedup {
     * Scale shape — every stage linear in corpus characters, no pair join
     * anywhere, so unlike the pair scorers NO mega-group cap is needed (a
     * window repeated a million times costs O(occurrences), never
-    * O(occurrences²)):
-    *   1. one zero-exchange nested-HOF projection per doc computes the
-    *      per-position `xxhash64` of each window from ONE copy of the
-    *      text — 8 bytes per position leave the scan, not `L` chars;
+    * O(occurrences²)); dedup-first: exact text copies short-circuit to a
+    * whole-document span from md5-keyed metadata and the window pipeline
+    * runs at DISTINCT-text scale (provably identical output — see the
+    * inline note):
+    *   1. one zero-exchange projection per doc computes the per-position
+    *      window hash with the native `window_hash64` rolling kernel
+    *      (O(len) per doc — the HOF substring spelling is O(len²), see
+    *      the kernel's scaladoc and SubstrProbe) — 8 bytes per position
+    *      leave the scan, not `L` chars, and the position table is never
+    *      cached (it is ~24× the corpus; both consumers re-derive it
+    *      from the columnar scan);
     *   2. hashes repeated ≥2× survive a map-side-combinable count (in
     *      natural corpora a small fraction of positions);
     *   3. only survivors rematerialize window TEXT (positions regroup
@@ -1097,26 +1104,58 @@ object Dedup {
     */
   def exactSubstringSpans(docs: DataFrame, L: Int = 40): DataFrame = {
     require(L >= 2 && L <= 10000, s"window length $L out of range")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val d = docs.select(col("doc_id"), col("text"))
+    graft.functions.GraftFunctions.ensure(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= L)
-    // (doc_id, pos, h): pos is 1-based; array element i covers chars
-    // [i+1, i+1+L)
-    val hashes = d
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${L - 1}), " +
-          s"p -> xxhash64(substring(text, p, $L)))")))
+    // Dedup-first (the engine-wide doctrine): an exact COPY of an earlier
+    // text has every window already present in its representative
+    // (min doc_id per distinct text), so its marked set is all positions
+    // and its span is the whole document — emitted directly from the
+    // md5-keyed metadata, zero window work. The window pipeline then runs
+    // at DISTINCT-text scale. Semantics-preserving: the global
+    // first-occurrence election is unchanged (a copy's (doc_id, pos) is
+    // always ordered after its rep's identical (pos) instance), and a
+    // window shared only between a rep and its own copies is correctly
+    // NOT marked in the rep (its rep-scale count is 1, and full-corpus
+    // semantics keep the globally-first instance — the rep's).
+    val keyed = base.select(col("doc_id"),
+      length(col("text")).cast("long").as("n"), md5(col("text")).as("th"))
+    val rep = keyed.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
+    val copySpans = keyed.join(rep, "th")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), lit(1L).as("span_start"),
+        (col("n") + 1).as("span_end"))
+    val d = base.join(rep.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // (doc_id, pos, h): pos is 1-based; window_hash64 element i covers
+    // chars [i+1, i+1+L). The native one-pass roll, NOT
+    // transform(sequence(...), p -> xxhash64(substring(text, p, L))) —
+    // substring's per-call byte walk makes the HOF form O(len²) per doc
+    // (the winnow_fps cliff: 5 KB docs 1.7 s → 50 KB 120 s).
+    //
+    // Deliberately NOT persisted: the all-positions table is ~24 bytes
+    // per corpus CHARACTER (doc_id, pos, h) — 24× the corpus itself — so
+    // caching it inverts the memory economics at any real scale
+    // (SubstrProbe OOM'd exactly here at 50 KB docs before this was a
+    // recompute). The projection is one O(len) rolling scan (~85 MB/s
+    // measured), so each of its two consumers re-derives it from the
+    // (columnar, compressed) parquet scan instead; the only
+    // corpus-proportional state lives in disk-backed shuffles.
+    def hashes: DataFrame = d
+      .select(col("doc_id"), posexplode(expr(s"window_hash64(text, $L)")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
-      .persist(sl)
     val dupH = hashes.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("h"))
     val survivors = hashes.join(dupH, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    // char_windows extracts ALL survivor windows in one offset walk —
+    // per-position substring would be O(len²) again on a fully-duplicated
+    // doc, where every position survives the pre-filter
     val wins = survivors.join(d, "doc_id")
       .select(col("doc_id"), explode(expr(
-        s"transform(ps, p -> struct(p AS pos, " +
-          s"substring(text, CAST(p AS INT), $L) AS win))")).as("pw"))
+        s"zip_with(ps, char_windows(text, ps, $L), " +
+          "(p, w) -> struct(p AS pos, w AS win))")).as("pw"))
       .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
     val groups = wins.groupBy(col("win"))
       .agg(count(lit(1)).as("c"),
@@ -1139,7 +1178,7 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + L).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    materializeThenRelease(spans, hashes)
+    materializeThenRelease(spans.unionAll(copySpans))
   }
 
   /** Cut [[exactSubstringSpans]]-style spans out of their documents:

@@ -23,6 +23,19 @@ class ExactSubstringSpec extends TestBase {
     assert(got.toSeq == Seq((1L, 3L, 23L)), s"got ${got.toSeq}")
   }
 
+  test("exactSubstringSpans: an exact text copy spans its WHOLE document (dedup-first)") {
+    val other = "some other distinct text entirely!"
+    val docs = Seq(
+      (3L, base),  // representative (min doc_id)
+      (9L, base),  // exact copy -> full-doc span, no window work
+      (11L, base), // second copy
+      (20L, other)
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, L = 10)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((9L, 1L, 31L), (11L, 1L, 31L)), s"got ${got.toSeq}")
+  }
+
   test("exactSubstringSpans: within-doc repetition marks the LATER occurrence") {
     val p = "qwertyuiop12" // 12 chars
     val doc = p + "MIDDLEFILLER" + p // second p duplicated vs first
@@ -64,6 +77,43 @@ class ExactSubstringSpec extends TestBase {
       .orderBy("doc_id").as[(Long, String)].collect()
     assert(got.toSeq == Seq((0L, "defg"), (1L, "abcdghij"), (2L, "no spans here")),
       s"got ${got.toSeq}")
+  }
+
+  test("window_hash64 + char_windows: native kernels match the SQL forms, multibyte included") {
+    graft.functions.GraftFunctions.ensure(spark)
+    val L = 10
+    // random texts with multibyte prefixes and planted shared tails
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("αβγ déjà 文字 "), md5(col("id").cast("string")),
+        lit(" tail "), md5((col("id") % 7).cast("string"))).as("text"))
+    // char_windows at every position == transform+substring exactly
+    val mismatch = docs.select(
+        expr(s"char_windows(text, sequence(CAST(1 AS BIGINT), " +
+          s"CAST(length(text) - ${L - 1} AS BIGINT)), $L)").as("native"),
+        expr(s"transform(sequence(1, length(text) - ${L - 1}), " +
+          s"p -> substring(text, p, $L))").as("sqlf"))
+      .where(col("native") =!= col("sqlf"))
+    assert(mismatch.isEmpty, "char_windows must equal per-position substring")
+    // window_hash64: one hash per position, and EQUAL windows never hash
+    // apart (the no-false-negative contract the pre-filter rests on)
+    val sized = docs.select((length(col("text")) - (L - 1)).as("want"),
+      expr(s"size(window_hash64(text, $L))").as("got"))
+    assert(sized.where(col("want") =!= col("got")).isEmpty)
+    val hw = docs
+      .select(col("doc_id"), posexplode(expr(s"window_hash64(text, $L)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val wins = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), p -> substring(text, p, $L))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("win"))
+    val split = hw.join(wins, Seq("doc_id", "p"))
+      .groupBy("win").agg(countDistinct(col("h")).as("nh"))
+      .where(col("nh") =!= 1)
+    assert(split.isEmpty, "equal windows must always hash equal")
+    // short text -> empty array; truncated out-of-range char_windows clamp
+    assert(spark.sql(s"SELECT size(window_hash64('abc', $L)) s").head().getInt(0) == 0)
+    assert(spark.sql(s"SELECT char_windows('abcde', array(CAST(4 AS BIGINT)), $L) w")
+      .head().getSeq[String](0) == Seq("de"))
   }
 
   test("spans + clean on the real corpus: disjoint in-bounds spans; cut length adds up") {
