@@ -719,6 +719,42 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT substring decontamination: corpus spans that verbatim-match
+    // ANY eval-set 40-char window (every occurrence marked — leakage has
+    // no "first keeps"), merged per doc, ready for removeSpans. Planted:
+    // five corpus docs embed a 120-char eval passage inside filler; the
+    // span must land exactly on the embedded passage. Eval hashes and
+    // window texts broadcast; the corpus never shuffles by hash.
+    QueryDef("dd_exact_decon")(
+      """WITH ev AS (SELECT text FROM documents WHERE doc_id < 5),
+        | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+        |   UNION ALL SELECT doc_id + 100000,
+        |     'prefix filler block ' || substr(text, 10, 120) || ' suffix filler block'
+        |   FROM documents WHERE doc_id < 5),
+        | ew AS (SELECT DISTINCT substr(text, CAST(i.i AS INT), 40) AS win
+        |        FROM ev JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | cw AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
+        |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | m AS (SELECT cw.doc_id, cw.pos FROM cw JOIN ew USING (win)),
+        | b AS (SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+        |              THEN 1 ELSE 0 END AS brk FROM m),
+        | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |   CAST(max(pos) + 40 AS BIGINT) AS span_end
+        | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = d.where(col("doc_id") < 5)
+      val corpus = d.where(col("doc_id") >= 5)
+        .unionAll(ev.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("prefix filler block "), substring(col("text"), 10, 120),
+            lit(" suffix filler block")).as("text")))
+      Dedup.exactContaminationSpans(corpus, ev, L = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // Cluster formation: LSH candidate pairs → connected components →
     // (doc_id, cluster_id = component min). The engine runs alternating
     // large-star/small-star rounds (O(log² n), chain-safe); the oracle is a

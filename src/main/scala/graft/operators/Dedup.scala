@@ -1166,9 +1166,17 @@ object Dedup {
       .where(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
+    materializeThenRelease(mergeSpans(marked, L).unionAll(copySpans))
+  }
+
+  /** Merge marked window positions (`(doc_id, pos)`, each covering chars
+    * `[pos, pos+L)`) into maximal half-open spans per doc — the islands
+    * merge both substring-span operators end on: one `lag` window keyed
+    * on the `doc_id` the marked rows already carry. */
+  private def mergeSpans(marked: DataFrame, L: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = marked
+    marked
       .withColumn("brk",
         when(lag(col("pos"), 1).over(byDoc).isNull
           .or(col("pos") > lag(col("pos"), 1).over(byDoc) + L), 1L)
@@ -1178,7 +1186,65 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + L).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    materializeThenRelease(spans.unionAll(copySpans))
+  }
+
+  /** EXACT substring DECONTAMINATION spans: every corpus position whose
+    * length-`L` character window occurs VERBATIM anywhere in the eval
+    * set is marked (every occurrence — contamination has no "first
+    * keeps"), and marked positions merge into maximal per-doc spans that
+    * [[removeSpans]] can cut. The exact sibling of
+    * [[substringContamination]] (winnowing-sampled, pair-level) and of
+    * [[exactSubstringSpans]] (within-corpus): this is the train/test
+    * leakage surgery of Lee et al. 2021 §decontamination.
+    *
+    * Scale: the corpus side is the [[exactSubstringSpans]] shape (native
+    * rolling hashes, nothing cached); the EVAL side is small by contract
+    * (a benchmark suite, not a corpus), so its distinct window hashes
+    * and window texts broadcast into a LeftSemi — the corpus never
+    * shuffles by hash at all, only the (tiny) candidate survivor set
+    * regroups. Dedup-first: spans depend only on the TEXT, so they are
+    * computed once per distinct corpus text and expanded to every copy
+    * by md5-key join. */
+  def exactContaminationSpans(corpus: DataFrame, evalSet: DataFrame,
+      L: Int = 40): DataFrame = {
+    require(L >= 2 && L <= 10000, s"window length $L out of range")
+    graft.functions.GraftFunctions.ensure(corpus.sparkSession)
+    val c = corpus.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= L)
+    val e = evalSet.select(col("text")).where(length(col("text")) >= L)
+    // spans are a pure function of the text: compute at distinct-text
+    // scale, expand to members at the end
+    val keyed = c.select(col("doc_id"), md5(col("text")).as("th"))
+    val rep = keyed.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+    val d = c.join(rep, Seq("doc_id"), "left_semi")
+    val evalHashes = e
+      .select(explode(expr(s"window_hash64(text, $L)")).as("h")).distinct()
+    val cand = d
+      .select(col("doc_id"), posexplode(expr(s"window_hash64(text, $L)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    // exact verify: candidate corpus windows against the eval set's
+    // DISTINCT window texts (both sides extracted with one offset walk)
+    val evalWins = e.select(explode(expr(
+        s"char_windows(text, sequence(CAST(1 AS BIGINT), " +
+          s"CAST(length(text) - ${L - 1} AS BIGINT)), $L)")).as("win"))
+      .distinct()
+    val marked = cand.join(d, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"zip_with(ps, char_windows(text, ps, $L), " +
+          "(p, w) -> struct(p AS pos, w AS win))")).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
+      .join(broadcast(evalWins), Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // expand rep spans to every exact copy (same text ⇒ same spans)
+    val spans = mergeSpans(marked, L)
+    val expanded = spans
+      .join(keyed.withColumnRenamed("doc_id", "member")
+        .join(rep, "th").select(col("doc_id"), col("member")), "doc_id")
+      .select(col("member").as("doc_id"), col("span_start"), col("span_end"))
+    materializeThenRelease(expanded)
   }
 
   /** Cut [[exactSubstringSpans]]-style spans out of their documents:

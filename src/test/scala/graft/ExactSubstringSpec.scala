@@ -79,6 +79,29 @@ class ExactSubstringSpec extends TestBase {
       s"got ${got.toSeq}")
   }
 
+  test("exactContaminationSpans: every eval-matching occurrence marked, copies expanded") {
+    val evalDoc = "THE-EVAL-ANSWER-KEY-PASSAGE-0123456789xyz" // 41 chars
+    val ev = Seq((0L, evalDoc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "aaaa " + evalDoc + " bbbb"),       // embeds the full passage
+      (11L, "clean document with nothing shared here at all"),
+      (12L, "aaaa " + evalDoc + " bbbb"),       // exact copy of 10 -> same spans
+      (13L, evalDoc)                             // IS the eval text
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactContaminationSpans(corpus, ev, L = 40)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect()
+    // embedded at pos 6..46: windows 6 and 7 match (41-char passage has
+    // two 40-windows), span [6, 47); doc 13 spans its whole 41 chars
+    assert(got.toSeq == Seq((10L, 6L, 47L), (12L, 6L, 47L), (13L, 1L, 42L)),
+      s"got ${got.toSeq}")
+    // removeSpans cuts the leakage
+    val cleaned = Dedup.removeSpans(corpus, got.toSeq.toDF("doc_id", "span_start", "span_end"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(cleaned.map(_._2).toSeq ==
+      Seq("aaaa  bbbb", "clean document with nothing shared here at all",
+        "aaaa  bbbb", ""))
+  }
+
   test("window_hash64 + char_windows: native kernels match the SQL forms, multibyte included") {
     graft.functions.GraftFunctions.ensure(spark)
     val L = 10
