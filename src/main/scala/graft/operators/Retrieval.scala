@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * operators.
   *
   * Plan shape at 100 TB: the query's term set is a tiny LITERAL, so term
-  * matching is an `isin` filter evaluated inside the scan (pushed to
-  * parquet dictionary/stats level — no inverted index materialized, no
+  * matching is an `isin` filter codegen'd into the scan stage (right
+  * after the tokenizing Generate — no inverted index materialized, no
   * join against a term table); the corpus-wide statistics BM25 needs
   * (N, avgdl, per-term df) are metadata-scale aggregates (df has one row
   * per QUERY term); the final top-k is a `TakeOrderedAndProject`, never a

@@ -72,6 +72,27 @@ class PlanShapeSpec extends TestBase {
       "eval fps must broadcast into a semi join")
   }
 
+  test("dd_exact_decon: eval windows broadcast into LeftSemis; corpus never shuffles by hash") {
+    // the catalog row checkpoints its result, so inspect the operator's
+    // own plan with eager materialization off
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val d = Tables(spark, sf("sf0.001"), "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val p = graft.operators.Dedup
+        .exactContaminationSpans(d.where("doc_id >= 5"), d.where("doc_id < 5"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 2,
+        "both the hash pre-filter and the exact window verify must broadcast the eval side")
+    } finally spark.conf.set("graft.eagerRelease", "true")
+  }
+
+  test("txt_bm25 / sim_hybrid_rrf: top-k stages plan as TakeOrderedAndProject") {
+    assert(planOf("txt_bm25").contains("TakeOrderedAndProject"))
+    assert(planOf("sim_hybrid_rrf").contains("TakeOrderedAndProject"))
+  }
+
   test("winnowedFingerprints: one projection, zero exchanges before consumers") {
     import spark.implicits._
     val d = Seq((1L, "some text long enough to produce a few character grams here"))
