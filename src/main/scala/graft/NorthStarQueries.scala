@@ -208,6 +208,24 @@ object NorthStarQueries {
     cachedArtifact(dir, "cross-index", corpus)(
       Dedup.buildCrossNearDupIndex(corpus, _))
 
+  private def cachedWindowIndex(
+      s: SparkSession, dir: String, corpus: DataFrame): String =
+    cachedArtifact(dir, "exact-window-index", corpus)(
+      Dedup.buildExactWindowIndex(corpus, _))
+
+  /** Shared arriving-batch fixture of the dd_exact_cross/indexed rows:
+    * embedded corpus passages (spans), casing-broken docs (no spans),
+    * and exact whole-doc copies (full-doc spans). */
+  private def exactCrossBatch(d: DataFrame): DataFrame =
+    d.where(col("doc_id") < 10)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("fresh lead-in words "), substring(col("text"), 5, 150),
+          lit(" fresh tail words")).as("text"))
+      .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 600000).as("doc_id"), upper(col("text")).as("text")))
+      .unionAll(d.where(col("doc_id") >= 20 && col("doc_id") < 25)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+
   /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
     * file-stream source lists files, not Spark output directories, so
     * streaming queries' deterministic drops are staged this way (same
@@ -390,6 +408,78 @@ object NorthStarQueries {
           .select((col("doc_id") + 400000).as("doc_id"), upper(col("text")).as("text")))
       Dedup.crossNearDupIndexed(s, cachedCrossIndex(s, dir, d), batch, threshold = 0.5)
         .orderBy(col("batch_id"), col("corpus_id"))
+    },
+
+    // Cross-corpus EXACT substring spans: an arriving batch is cut
+    // against what the standing corpus already contains — every batch
+    // position whose 40-char window occurs anywhere in the corpus is
+    // marked and merged. Planted: ten docs embedding a 150-char corpus
+    // passage inside fresh filler (one mid-doc span each), five exact
+    // whole-doc copies (full-doc span), ten upper-cased docs (no 40-char
+    // window survives casing — no spans). The oracle replays the
+    // engine's 60-bit md5 window universe verbatim.
+    QueryDef("dd_exact_cross")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         | batch AS (SELECT doc_id + 500000 AS doc_id,
+         |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+         |             FROM documents WHERE doc_id < 10
+         |           UNION ALL SELECT doc_id + 600000, upper(text)
+         |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
+         |           UNION ALL SELECT doc_id + 700000, text
+         |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+         | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+         | bw AS (SELECT doc_id, i.i AS pos,
+         |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+         |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+         | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
+         | b AS (SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+         |              THEN 1 ELSE 0 END AS brk FROM mk),
+         | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+         | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |   CAST(max(pos) + 40 AS BIGINT) AS span_end
+         | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.exactCrossDupSpans(d, exactCrossBatch(d), L = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // The same cut through the PERSISTED window index ("index once,
+    // probe per batch"): the index is the corpus's distinct 60-bit
+    // window keys — 8 bytes per distinct window, streamed (never
+    // shuffled) through a broadcast of the batch's windows. Identical
+    // result contract, identical oracle; the index is fingerprint-cached
+    // so the benched number is the PROBE.
+    QueryDef("dd_exact_indexed")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         | batch AS (SELECT doc_id + 500000 AS doc_id,
+         |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+         |             FROM documents WHERE doc_id < 10
+         |           UNION ALL SELECT doc_id + 600000, upper(text)
+         |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
+         |           UNION ALL SELECT doc_id + 700000, text
+         |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+         | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+         | bw AS (SELECT doc_id, i.i AS pos,
+         |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+         |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+         | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
+         | b AS (SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+         |              THEN 1 ELSE 0 END AS brk FROM mk),
+         | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+         | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |   CAST(max(pos) + 40 AS BIGINT) AS span_end
+         | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.exactCrossDupIndexed(s, cachedWindowIndex(s, dir, d), exactCrossBatch(d))
+        .orderBy(col("doc_id"), col("span_start"))
     },
 
     QueryDef("dd_minhash_lsh")(

@@ -124,6 +124,17 @@ object GraftFunctions {
         s"window_hash64 takes (text, L), got ${c.length} args")
     })
 
+  val windowMd5Info: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_md5"),
+    new ExpressionInfo(classOf[WindowMd5].getName, "window_md5"),
+    (children: Seq[Expression]) => children match {
+      case Seq(t, lE) =>
+        require(lE.foldable, "window_md5 L must be a literal")
+        WindowMd5(t, lE.eval().asInstanceOf[Number].intValue())
+      case c => throw new IllegalArgumentException(
+        s"window_md5 takes (text, L), got ${c.length} args")
+    })
+
   val charWindowsInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("char_windows"),
     new ExpressionInfo(classOf[CharWindows].getName, "char_windows"),
@@ -148,8 +159,8 @@ object GraftFunctions {
 
   /** Idempotent imperative registration for pre-built sessions. */
   def ensure(spark: SparkSession): Unit =
-    Seq(dotInfo, winnowInfo, windowHashInfo, charWindowsInfo, hilbertInfo,
-      mortonInfo).foreach { info =>
+    Seq(dotInfo, winnowInfo, windowHashInfo, windowMd5Info, charWindowsInfo,
+      hilbertInfo, mortonInfo).foreach { info =>
       if (!spark.sessionState.functionRegistry.functionExists(info._1))
         spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
     }
@@ -159,7 +170,8 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     Seq(GraftFunctions.dotInfo, GraftFunctions.winnowInfo,
-      GraftFunctions.windowHashInfo, GraftFunctions.charWindowsInfo,
-      GraftFunctions.hilbertInfo, GraftFunctions.mortonInfo)
+      GraftFunctions.windowHashInfo, GraftFunctions.windowMd5Info,
+      GraftFunctions.charWindowsInfo, GraftFunctions.hilbertInfo,
+      GraftFunctions.mortonInfo)
       .foreach(ext.injectFunction)
 }

@@ -85,6 +85,74 @@ case class WindowHash(child: Expression, l: Int)
     copy(child = newChild)
 }
 
+/** `window_md5(text, L)`: the 60-bit md5 prefix (first 15 hex chars as a
+  * BIGINT — the engine's shared hash universe, bit-identical to
+  * `('0x' || substr(md5(win), 1, 15))::BIGINT` and to `winnow_fps`'s
+  * gram hash) of EVERY length-`L` character window, positions preserved:
+  * element `i` covers chars `[i+1, i+1+L)`. Empty array when the text is
+  * shorter than `L`.
+  *
+  * This is the CROSS-CORPUS window key: unlike [[WindowHash]]'s rolling
+  * polynomial (cheap, collision-weak, safe only when an exact-text
+  * verify follows), md5 equality IS the engine's text-equality standard
+  * (`Dedup.exact` groups by md5(text); minhash shingles key on the same
+  * 15-hex prefix), so a persisted window INDEX can store just these 8
+  * bytes per distinct window and probe batches against it without
+  * shipping window text. Cost: one md5 per position (O(len·L) md5 work —
+  * the winnow_fps cost class), against one offset walk; same
+  * CodegenFallback economics (the per-row loop amortizes dispatch). */
+case class WindowMd5(child: Expression, l: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(l >= 1, s"window_md5 needs L >= 1, got $l")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_md5 requires STRING input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      i += UTF8String.numBytesForFirstByte(bytes(i)); n += 1
+    }
+    if (n < l) return new GenericArrayData(Array.emptyLongArray)
+    val offs = new Array[Int](n + 1)
+    i = 0; var c = 0
+    while (i < bytes.length) {
+      offs(c) = i; i += UTF8String.numBytesForFirstByte(bytes(i)); c += 1
+    }
+    offs(n) = bytes.length
+    val md = WindowMd5.md5.get()
+    val out = new Array[Long](n - l + 1)
+    var g = 0
+    while (g < n - l + 1) {
+      md.reset()
+      md.update(bytes, offs(g), offs(g + l) - offs(g))
+      val d = md.digest()
+      // digest bytes 0..7 big-endian >>> 4 == first 15 hex chars as int
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(g) = v >>> 4
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowMd5 {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** `char_windows(text, positions, L)`: the length-`L` character windows
   * of `text` starting at each 1-based position in `positions`, extracted
   * with ONE O(len) code-point offset walk — the companion to

@@ -1247,6 +1247,124 @@ object Dedup {
     materializeThenRelease(expanded)
   }
 
+  /** Per-position 60-bit md5 window keys of a doc set (`doc_id, pos, m`)
+    * at DISTINCT-text scale, plus the machinery to expand rep results to
+    * copies — the shared prelude of the cross-corpus exact-substring
+    * forms. md5 equality is the engine's text-equality standard
+    * (`exact` groups by md5(text); shingle keys use the same 15-hex
+    * prefix), which is what lets a window INDEX store 8 bytes per
+    * distinct window and probe batches without shipping window text. */
+  private def batchWindowPrelude(batch: DataFrame, L: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= L)
+    val keyed = b.select(col("doc_id"), md5(col("text")).as("th"))
+    val rep = keyed.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+    val d = b.join(rep, Seq("doc_id"), "left_semi")
+    val wins = d
+      .select(col("doc_id"), posexplode(expr(s"window_md5(text, $L)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("m"))
+    val members = keyed.withColumnRenamed("doc_id", "member")
+      .join(rep, "th").select(col("doc_id"), col("member"))
+    (wins, members, d)
+  }
+
+  /** Expand rep-scale spans to every exact copy (same text ⇒ same
+    * spans). */
+  private def expandSpans(spans: DataFrame, members: DataFrame): DataFrame =
+    spans.join(members, "doc_id")
+      .select(col("member").as("doc_id"), col("span_start"), col("span_end"))
+
+  /** Cross-corpus EXACT duplicated-substring spans: every batch position
+    * whose length-`L` window occurs ANYWHERE in the standing corpus is
+    * marked (all occurrences — the standing corpus always wins), merged
+    * into per-batch-doc spans ready for [[removeSpans]]. The incremental
+    * counterpart of [[exactSubstringSpans]]: an arriving batch is cut
+    * against what the corpus already contains, without re-examining
+    * corpus-internal duplication.
+    *
+    * Scale: both sides are one `window_md5` projection; the corpus side
+    * reduces to its DISTINCT window keys (8 bytes per distinct window —
+    * exactly what [[buildExactWindowIndex]] persists, making this form ≡
+    * the indexed probe by construction). The recompute form pays the
+    * corpus-side distinct aggregate (one disk-backed shuffle of 8-byte
+    * keys — unavoidable when no index exists); the INDEXED form is where
+    * the corpus side never shuffles at all. The distinct also means a
+    * mega-repeated corpus window cannot fan out batch rows. Dedup-first:
+    * spans are a pure function of (batch text, corpus window set) —
+    * computed per distinct batch text, expanded to copies. */
+  def exactCrossDupSpans(standing: DataFrame, batch: DataFrame,
+      L: Int = 40): DataFrame = {
+    require(L >= 2 && L <= 10000, s"window length $L out of range")
+    graft.functions.GraftFunctions.ensure(batch.sparkSession)
+    val sWins = standing.select(col("text"))
+      .where(length(col("text")) >= L)
+      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
+    val (bWins, members, _) = batchWindowPrelude(batch, L)
+    val marked = bWins.join(sWins, Seq("m"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    materializeThenRelease(expandSpans(mergeSpans(marked, L), members))
+  }
+
+  /** Persist the standing corpus's DISTINCT window-key set — the
+    * "index once, probe per batch" form of [[exactCrossDupSpans]]. The
+    * index is one LONG column (8 bytes per distinct window before
+    * parquet encoding — the suffix-array cost class, on disk, never in
+    * memory); the manifest pins `L` so probes can never hash with a
+    * different window length than the index. */
+  def buildExactWindowIndex(corpus: DataFrame, dir: String, L: Int = 40): Unit = {
+    require(L >= 2 && L <= 10000, s"window length $L out of range")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensure(spark)
+    corpus.select(col("text")).where(length(col("text")) >= L)
+      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/windows")
+    Seq(L).toDF("l").coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+  }
+
+  /** Grow the window index with an arriving batch's keys — an APPEND of
+    * the batch's (batch-local distinct) keys, no global rebuild. Keys
+    * already present re-append as duplicate rows; probes are duplicate-
+    * safe (semi join), so the stored union stays correct however the
+    * index was grown — the same append-only doctrine as
+    * [[appendToCrossNearDupIndex]]. Row duplication across increments is
+    * bounded by the increment count; re-compact with
+    * [[buildExactWindowIndex]] over the full corpus when it matters. */
+  def appendToExactWindowIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    graft.functions.GraftFunctions.ensure(spark)
+    val l = spark.read.json(s"$dir/manifest").collect()(0)
+      .getAs[Long]("l").toInt
+    newDocs.select(col("text")).where(length(col("text")) >= l)
+      .select(explode(expr(s"window_md5(text, $l)")).as("m")).distinct()
+      .write.mode("append").parquet(s"$dir/windows")
+  }
+
+  /** [[exactCrossDupSpans]] against a prebuilt [[buildExactWindowIndex]]
+    * index: identical result contract, but the corpus side is a LOADED
+    * scan of 8-byte keys, not recomputed — per-batch cost is the batch's
+    * own window projection plus ONE inner join in which the (small)
+    * batch side broadcasts, so the index is only ever STREAMED: no
+    * corpus-scale shuffle, no corpus-scale memory. Duplicate index rows
+    * (appends re-adding known keys) duplicate marked positions, which
+    * the islands merge collapses — bounded by the increment count and
+    * harmless to the result. */
+  def exactCrossDupIndexed(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(spark)
+    val l = spark.read.json(s"$dir/manifest").collect()(0)
+      .getAs[Long]("l").toInt
+    val sWins = spark.read.schema("m LONG").parquet(s"$dir/windows")
+    val (bWins, members, _) = batchWindowPrelude(batch, l)
+    // inner join, batch side broadcast: the index scan streams through
+    // the broadcast hash map and never shuffles or aggregates
+    val marked = sWins.join(broadcast(bWins), Seq("m"))
+      .select(col("doc_id"), col("pos"))
+    materializeThenRelease(expandSpans(mergeSpans(marked, l), members))
+  }
+
   /** Cut [[exactSubstringSpans]]-style spans out of their documents:
     * every doc's kept text is the ordered concatenation of the gaps
     * between its (non-overlapping, sorted) spans; docs with no spans pass

@@ -102,6 +102,80 @@ class ExactSubstringSpec extends TestBase {
         "aaaa  bbbb", ""))
   }
 
+  test("exactCrossDupSpans: batch cut against the standing corpus only") {
+    val s0 = base + "abcdefghijklmno" // 45 chars
+    val standing = Seq((0L, s0), (1L, "unrelated standing content here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "XYZ" + base + "QRSTUVWX"),          // embeds base -> one span
+      (101L, s0),                                  // exact standing copy -> full span
+      (102L, "totally different fresh batch line"),
+      (103L, "totally different fresh batch line") // batch-internal dup: NOT marked
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactCrossDupSpans(standing, batch, L = 10)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((100L, 4L, 34L), (101L, 1L, 46L)), s"got ${got.toSeq}")
+  }
+
+  test("window index: grown == rebuilt == recompute; append genuinely extends coverage") {
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusA = d.where(col("doc_id") < 250)
+    val batchB = d.where(col("doc_id") >= 250)
+    // probe embeds one passage from each half: only the grown index can
+    // see the B-half passage
+    def passage(s: String) = s.substring(0, math.min(80, s.length))
+    val aText = corpusA.where(col("doc_id") === 3).head().getString(1)
+    val bText = batchB.where(col("doc_id") === 400).head().getString(1)
+    assert(aText.length >= 40 && bText.length >= 40)
+    val probe = Seq(
+      (900L, "lead filler " + passage(aText) + " tail filler"),
+      (901L, "lead filler " + passage(bText) + " tail filler"),
+      (902L, "nothing shared with anything at all here")
+    ).toDF("doc_id", "text")
+
+    val root = java.nio.file.Files.createTempDirectory("xwin").toString
+    Dedup.buildExactWindowIndex(corpusA, s"$root/idx", L = 40)
+    val aOnly = Dedup.exactCrossDupIndexed(spark, s"$root/idx", probe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(aOnly.exists(_._1 == 900L) && !aOnly.exists(_._1 == 901L),
+      s"A-only index must see only the A passage: $aOnly")
+    Dedup.appendToExactWindowIndex(batchB, s"$root/idx")
+    val grown = Dedup.exactCrossDupIndexed(spark, s"$root/idx", probe)
+      .as[(Long, Long, Long)].collect().toSet
+    // grown == rebuilt-from-scratch == inline recompute
+    Dedup.buildExactWindowIndex(corpusA.unionAll(batchB), s"$root/idx2", L = 40)
+    val rebuilt = Dedup.exactCrossDupIndexed(spark, s"$root/idx2", probe)
+      .as[(Long, Long, Long)].collect().toSet
+    val recompute = Dedup.exactCrossDupSpans(corpusA.unionAll(batchB), probe, L = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown == rebuilt && rebuilt == recompute,
+      s"grown=$grown rebuilt=$rebuilt recompute=$recompute")
+    assert(grown.exists(_._1 == 900L) && grown.exists(_._1 == 901L) &&
+      !grown.exists(_._1 == 902L))
+    // a replayed append (duplicate index rows) must not change the result
+    Dedup.appendToExactWindowIndex(batchB, s"$root/idx")
+    val replayed = Dedup.exactCrossDupIndexed(spark, s"$root/idx", probe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == grown, "duplicate index rows must be harmless")
+  }
+
+  test("window_md5: matches the SQL 15-hex-prefix universe exactly") {
+    graft.functions.GraftFunctions.ensure(spark)
+    val L = 12
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("πρό "), md5(col("id").cast("string"))).as("text"))
+    val native = docs.select(col("doc_id"),
+      posexplode(expr(s"window_md5(text, $L)")))
+      .select(col("doc_id"), col("pos"), col("col").as("m"))
+    val sqlForm = docs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), " +
+          s"p -> cast(conv(substring(md5(substring(text, p, $L)), 1, 15), 16, 10) as bigint))")))
+      .select(col("doc_id"), col("pos"), col("col").as("m"))
+    assert(native.exceptAll(sqlForm).isEmpty && sqlForm.exceptAll(native).isEmpty,
+      "window_md5 must be bit-identical to the conv(md5-prefix) SQL form")
+  }
+
   test("window_hash64 + char_windows: native kernels match the SQL forms, multibyte included") {
     graft.functions.GraftFunctions.ensure(spark)
     val L = 10
