@@ -1861,6 +1861,41 @@ object NorthStarQueries {
         Seq("spark", "window", "merge"), 20)
     },
 
+    // Batch BM25: top-10 per query for a 3-query request batch in ONE
+    // corpus pass (the lexical sibling of sim_knn_join) — per-query
+    // top-k via the TopK Aggregator, O(queries × k) shuffle. Scores
+    // round before the cut; rk is row_number on (score DESC, doc_id).
+    QueryDef("txt_bm25_batch")(
+      """WITH q(query_id, term) AS (VALUES (0, 'spark'), (0, 'merge'),
+        |     (1, 'window'), (1, 'stream'), (2, 'vector')),
+        | terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT q.query_id, tf.doc_id,
+        |     round(sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ), 6) AS score
+        |   FROM tf JOIN q USING (term) JOIN tdf USING (term)
+        |   JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |       FROM sc)
+        | SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |   CAST(rk AS BIGINT) AS rk
+        | FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("spark", "merge")),
+        (1L, Seq("window", "stream")),
+        (2L, Seq("vector"))).toDF("query_id", "terms")
+      Retrieval.bm25Join(Tables(s, dir, "documents"), queries, k = 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // End-to-end corpus-curation pipeline: quality gate → exact dedup →
     // per-language counts. The canonical composition of the operators above
     // — every stage is the declared operator, not a reimplementation.

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * reference's only dedup is the panel's last-wins key overwrite,
   * `LASERInputCheckMapper.java:66-69`).
   *
-  * Cross-engine determinism: every hash derives from `md5` of a UTF-8
-  * string (either the hex form directly, or integer arithmetic on a fixed
-  * prefix of it — see `MinhashP`), so the DuckDB oracle reproduces the
-  * exact same signatures — no engine-private hash (Spark's murmur3 `hash()`
-  * or xxhash64) appears in any correctness-checked result.
+  * Cross-engine determinism: every hash a RESULT depends on derives from
+  * `md5` of a UTF-8 string (either the hex form directly, or integer
+  * arithmetic on a fixed prefix of it — see `MinhashP`), so the DuckDB
+  * oracle reproduces the exact same signatures — no engine-private hash
+  * (Spark's murmur3 `hash()`, xxhash64, or the `window_hash64` rolling
+  * kernel) appears in any correctness-checked result. Engine-private
+  * hashes are allowed as CANDIDATE pre-filters only, where a collision
+  * adds verify work but cannot alter output
+  * ([[exactSubstringSpans]] step 3).
   *
   * 100 TB notes per operator are on each method.
   */

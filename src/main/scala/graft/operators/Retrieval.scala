@@ -73,6 +73,52 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Batch BM25 retrieval: exact top-`k` docs PER QUERY in ONE corpus
+    * pass — the lexical sibling of [[Similarity.knnJoin]].
+    * `queries(query_id, terms: ARRAY<STRING>)` is a SMALL table (a
+    * request batch), broadcast twice: once as the distinct term set that
+    * restricts the corpus tf aggregate (rows matching no query vanish in
+    * the scan stage), once to fan matched terms out to the queries that
+    * asked for them. Per-query top-k runs through the [[graft.functions
+    * .TopK]] Aggregator — shuffle volume O(queries × k) regardless of
+    * corpus size, never a window sort over all scored rows. Scores are
+    * rounded to 6 decimals BEFORE the top-k so both engines cut the same
+    * boundary; `rk` is row_number semantics on (score DESC, doc_id). */
+  def bm25Join(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("term")).distinct()
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = terms
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopK(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._1").as("doc_id"), col("e._2").as("score"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Reciprocal-rank fusion of already-truncated rankings: each input is
     * `(id, …)` ALREADY in its final rank order's top-n (so every input is
     * candidate-scale, not corpus-scale — the fusion input is the OUTPUT of

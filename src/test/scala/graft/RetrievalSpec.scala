@@ -68,6 +68,26 @@ class RetrievalSpec extends TestBase {
     assert(got(11L)._2 > got(10L)._2 && got(11L)._2 > got(13L)._2)
   }
 
+  test("bm25Join: per-query results equal the single-query operator") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val queries = Seq(
+      (0L, Seq("spark", "merge")),
+      (1L, Seq("window", "stream"))).toDF("query_id", "terms")
+    val joined = Retrieval.bm25Join(docs, queries, k = 5)
+      .select("query_id", "doc_id", "score").as[(Long, Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for ((qid, terms) <- Seq(0L -> Seq("spark", "merge"), 1L -> Seq("window", "stream"))) {
+      val single = Retrieval.bm25TopK(docs, terms, 5)
+        .as[(Long, Double)].collect().toSet
+      assert(joined(qid) == single, s"query $qid: ${joined(qid)} vs $single")
+    }
+    // rk is dense 1..k per query
+    val rks = Retrieval.bm25Join(docs, queries, k = 5)
+      .groupBy("query_id").agg(collect_list("rk"))
+      .as[(Long, Seq[Long])].collect()
+    assert(rks.forall(_._2.sorted == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("hybrid rrf over the real corpus: deterministic and consensus-ranked") {
     val e = Tables(spark, sf("sf0.01"), "embeddings")
     val docs = Tables(spark, sf("sf0.01"), "documents")
