@@ -127,6 +127,25 @@ object SubstrProbe {
         Dedup.exactSubstringSpans(topDocs, L).count())
       println(f"[substrprobe] exactSubstringSpans at segs=$fTop: $n%d spans in $w%.1f s")
     }
+
+    // Cross-corpus index at the top length: the md5 window universe costs
+    // O(chars × L) md5 work ONCE at build; each probe is the (small)
+    // batch's own projection + a broadcast join the index only streams
+    // through. This is the steady-state ingest shape — build amortizes,
+    // probes repeat.
+    val idxDir = s"$root/xwin$fTop"
+    val (wBuild, _) = ProbeHarness.time(
+      Dedup.buildExactWindowIndex(topDocs, idxDir, L))
+    println(f"[substrprobe] window index build at segs=$fTop: $wBuild%.1f s (one-time)")
+    val arriving = topDocs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("arriving batch lead "), substring(col("text"), 11, 5000),
+          lit(" arriving tail")).as("text"))
+    (1 to rounds).foreach { _ =>
+      val (w, n) = ProbeHarness.time(
+        Dedup.exactCrossDupIndexed(spark, idxDir, arriving).count())
+      println(f"[substrprobe] indexed cross probe (${arriving.count()}%d arriving docs): $n%d spans in $w%.1f s")
+    }
     spark.stop()
   }
 }
