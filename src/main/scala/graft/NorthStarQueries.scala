@@ -210,7 +210,7 @@ object NorthStarQueries {
 
   private def cachedWindowIndex(
       s: SparkSession, dir: String, corpus: DataFrame): String =
-    cachedArtifact(dir, "exact-window-index", corpus)(
+    cachedArtifact(dir, "exact-window-index-p1", corpus)(
       Dedup.buildExactWindowIndex(corpus, _))
 
   /** Shared arriving-batch fixture of the dd_exact_cross/indexed rows:

@@ -1311,39 +1311,62 @@ object Dedup {
     materializeThenRelease(expandSpans(mergeSpans(marked, L), members))
   }
 
+  private def distinctWindowKeys(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("text")).where(length(col("text")) >= L)
+      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
+
   /** Persist the standing corpus's DISTINCT window-key set — the
     * "index once, probe per batch" form of [[exactCrossDupSpans]]. The
     * index is one LONG column (8 bytes per distinct window before
     * parquet encoding — the suffix-array cost class, on disk, never in
     * memory); the manifest pins `L` so probes can never hash with a
-    * different window length than the index. */
+    * different window length than the index.
+    *
+    * Layout: keys live under `windows/ingest_batch=<id>` partitions
+    * (seed = -1), so every contribution is ATTRIBUTABLE: a probe can
+    * exclude one ingest batch by partition filter (file-level pruning),
+    * which is what makes the streaming loop's at-least-once replays
+    * exact ([[graft.streaming.Streams]] `exactDedupIngest`: a replayed
+    * micro-batch must not self-match the windows its failed attempt
+    * already appended), and a replayed append an idempotent overwrite of
+    * its own partition. */
   def buildExactWindowIndex(corpus: DataFrame, dir: String, L: Int = 40): Unit = {
     require(L >= 2 && L <= 10000, s"window length $L out of range")
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.ensure(spark)
-    corpus.select(col("text")).where(length(col("text")) >= L)
-      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/windows")
+    distinctWindowKeys(corpus, L)
+      .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=-1")
     Seq(L).toDF("l").coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
   }
 
-  /** Grow the window index with an arriving batch's keys — an APPEND of
-    * the batch's (batch-local distinct) keys, no global rebuild. Keys
-    * already present re-append as duplicate rows; probes are duplicate-
-    * safe (semi join), so the stored union stays correct however the
-    * index was grown — the same append-only doctrine as
-    * [[appendToCrossNearDupIndex]]. Row duplication across increments is
-    * bounded by the increment count; re-compact with
-    * [[buildExactWindowIndex]] over the full corpus when it matters. */
-  def appendToExactWindowIndex(newDocs: DataFrame, dir: String): Unit = {
+  /** Grow the window index with an arriving batch's keys — a
+    * per-partition write, no global rebuild. With an explicit
+    * `ingestBatch` (the streaming loop passes its micro-batch id) the
+    * write OVERWRITES that partition — replay-idempotent; without one,
+    * the next free partition id is taken (single-writer contract, like
+    * the keyed layout). Keys already present elsewhere re-append as
+    * duplicate rows; probes are duplicate-safe, so the stored union
+    * stays correct however the index was grown. Re-compact with
+    * [[buildExactWindowIndex]] over the full corpus when partition count
+    * or duplication matters. */
+  def appendToExactWindowIndex(newDocs: DataFrame, dir: String,
+      ingestBatch: Long = -2L): Unit = {
     val spark = newDocs.sparkSession
     graft.functions.GraftFunctions.ensure(spark)
     val l = spark.read.json(s"$dir/manifest").collect()(0)
       .getAs[Long]("l").toInt
-    newDocs.select(col("text")).where(length(col("text")) >= l)
-      .select(explode(expr(s"window_md5(text, $l)")).as("m")).distinct()
-      .write.mode("append").parquet(s"$dir/windows")
+    val key = if (ingestBatch >= 0) ingestBatch else {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/windows")
+      val fs = root.getFileSystem(conf)
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+        .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
+        .foldLeft(-1L)(math.max) + 1
+    }
+    distinctWindowKeys(newDocs, l)
+      .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=$key")
   }
 
   /** [[exactCrossDupSpans]] against a prebuilt [[buildExactWindowIndex]]
@@ -1356,11 +1379,17 @@ object Dedup {
     * the islands merge collapses — bounded by the increment count and
     * harmless to the result. */
   def exactCrossDupIndexed(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, excludeIngestBatch: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark)
     val l = spark.read.json(s"$dir/manifest").collect()(0)
       .getAs[Long]("l").toInt
-    val sWins = spark.read.schema("m LONG").parquet(s"$dir/windows")
+    val all = spark.read.parquet(s"$dir/windows")
+    // partition filter — prunes the excluded ingest batch at file level
+    // (the streaming loop excludes its OWN micro-batch id so a replayed
+    // batch never self-matches its failed attempt's append)
+    val sWins = excludeIngestBatch
+      .fold(all)(id => all.where(col("ingest_batch") =!= id))
+      .select(col("m"))
     val (bWins, members, _) = batchWindowPrelude(batch, l)
     // inner join, batch side broadcast: the index scan streams through
     // the broadcast hash map and never shuffles or aggregates

@@ -309,6 +309,61 @@ object Streams {
     nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
       b => graft.operators.Dedup.crossNearDupIndexed(b.sparkSession, indexDir, b, threshold))
 
+  /** Streaming EXACT-substring ingest: per micro-batch of arriving
+    * documents,
+    *   1. probe the standing window INDEX for verbatim ≥L-char overlap
+    *      (`Dedup.exactCrossDupIndexed`, excluding this micro-batch's own
+    *      partition — see replay note);
+    *   2. CUT the matched spans (`Dedup.removeSpans`) and write the
+    *      cleaned docs under the batchId-keyed dir
+    *      `keepDir/micro_batch=<id>` (overwrite — replays converge);
+    *   3. grow the index with the batch's own windows
+    *      (`appendToExactWindowIndex` into partition
+    *      `ingest_batch=<batchId>`, overwrite — replays converge), so
+    *      every LATER batch also dedups against this one.
+    *
+    * Semantics: arrival order is precedence — standing corpus beats
+    * batch 0 beats batch 1 … exactly the "first occurrence keeps" rule
+    * `exactSubstringSpans` applies by doc_id within one corpus. Within a
+    * micro-batch, docs are cut only against everything EARLIER (batch-
+    * internal duplication is the batch operator's job — run
+    * `exactSubstringSpans` downstream if arrivals can self-duplicate).
+    * The union of per-batch outputs therefore equals the sequential
+    * batch computation over the same arrival partition (StreamingSpec
+    * asserts the equivalence).
+    *
+    * Replay exactness (foreachBatch is at-least-once): both writes are
+    * batchId-keyed overwrites, and the probe EXCLUDES the index
+    * partition this batch id owns — a replayed batch can never
+    * self-match the windows its failed attempt already appended, so a
+    * replay produces byte-identical output instead of cutting the whole
+    * batch to shreds. The index must be owned by this single loop
+    * (ingest_batch ids are the stream's batch ids — don't interleave
+    * batch-API appends). */
+  def exactDedupIngest(
+      docs: DataFrame,
+      indexDir: String,
+      keepDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val spans = graft.operators.Dedup
+            .exactCrossDupIndexed(spark, indexDir, b,
+              excludeIngestBatch = Some(batchId))
+          graft.operators.Dedup.removeSpans(b, spans)
+            .write.mode("overwrite").parquet(s"$keepDir/micro_batch=$batchId")
+          graft.operators.Dedup
+            .appendToExactWindowIndex(b, indexDir, ingestBatch = batchId)
+        } finally { b.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate), written as labels

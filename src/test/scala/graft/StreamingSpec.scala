@@ -340,6 +340,57 @@ class StreamingSpec extends TestBase {
       "index-probing stream must equal the corpus-recompute stream")
   }
 
+  test("exactDedupIngest: arrival-order precedence; union == sequential batch computation") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val standing = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 50)
+    val passage = standing.where(col("doc_id") === 3).head().getString(1).substring(0, 100)
+    val fresh = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "wombats debate quantum economics in a parliament of owls"
+    val b1 = Seq(
+      (5000L, "b1 lead " + passage + " b1 tail"), // cut vs STANDING
+      (5001L, fresh)                              // novel -> kept whole, indexed
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (6000L, "b2 lead " + fresh.substring(0, 60) + " b2 tail"), // only the GROWN index sees this
+      (6001L, "completely novel second batch document with nothing in common at all here")
+    ).toDF("doc_id", "text")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-xingest-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-xingest-out")
+    val idxDir = out.resolve("index").toString
+    val keepDir = out.resolve("keeps").toString
+    Dedup.buildExactWindowIndex(standing, idxDir)
+
+    val q = Streams.exactDedupIngest(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, keepDir, out.resolve("ckpt").toString)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(keepDir)
+    assert(got.select("micro_batch").distinct().count() >= 2,
+      "two file drops at maxFilesPerTrigger=1 must yield >= 2 micro-batches")
+    // sequential batch twin: each arrival cut against everything EARLIER
+    val clean1 = Dedup.removeSpans(b1, Dedup.exactCrossDupSpans(standing, b1))
+    val clean2 = Dedup.removeSpans(b2,
+      Dedup.exactCrossDupSpans(standing.unionAll(b1), b2))
+    val want = clean1.unionAll(clean2)
+    val gotRows = got.select("doc_id", "clean_text")
+    assert(gotRows.exceptAll(want).isEmpty && want.exceptAll(gotRows).isEmpty,
+      "streamed union must equal the sequential batch computation")
+    // the cuts prove precedence: 5000 lost the standing passage, 6000
+    // lost the batch-1 passage (so the index genuinely grew mid-stream),
+    // 5001/6001 kept whole
+    val byId = gotRows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(5000L) == "b1 lead  b1 tail")
+    assert(byId(5001L) == fresh)
+    assert(byId(6000L) == "b2 lead  b2 tail")
+    assert(byId(6001L).startsWith("completely novel"))
+  }
+
   test("curation loop: streamed increments converge to the batch-pipeline labeling") {
     import graft.operators.Dedup
     val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
