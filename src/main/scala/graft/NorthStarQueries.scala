@@ -482,6 +482,105 @@ object NorthStarQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // The STREAMING exact-substring ingest loop run END TO END inside
+    // the oracle row: seed index from the standing corpus, stream two
+    // file-dropped micro-batches through `Streams.exactDedupIngest`
+    // (probe → cut → append index), and hash-check the union of cleaned
+    // outputs against a from-scratch SEQUENTIAL recomputation — batch 1
+    // cut against the corpus, batch 2 against corpus ∪ batch 1. A match
+    // proves arrival-order precedence and mid-stream index growth,
+    // driver-checked. Planted: embedded corpus passages (cut), novel
+    // upper-cased docs (kept, indexed), batch-2 docs embedding a BATCH-1
+    // passage (cut only because the index grew), exact standing copies
+    // (cut to empty).
+    QueryDef("dd_exact_stream")(
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | b1 AS (SELECT doc_id + 800000 AS doc_id,
+        |          'stream one lead ' || substr(text, 7, 120) || ' stream one tail' AS text
+        |        FROM documents WHERE doc_id < 8
+        |        UNION ALL SELECT doc_id + 810000, upper(text)
+        |        FROM documents WHERE doc_id >= 8 AND doc_id < 10),
+        | b2 AS (SELECT doc_id + 820000 AS doc_id,
+        |          'stream two lead ' || substr(upper(text), 3, 100) || ' stream two tail' AS text
+        |        FROM documents WHERE doc_id >= 8 AND doc_id < 10
+        |        UNION ALL SELECT doc_id + 830000, text
+        |        FROM documents WHERE doc_id >= 30 AND doc_id < 33),
+        | sk1 AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |         FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | b1w AS (SELECT doc_id, i.i AS pos,
+        |           ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |         FROM b1 JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | sk2 AS (SELECT m FROM sk1 UNION SELECT m FROM b1w),
+        | b2w AS (SELECT doc_id, i.i AS pos,
+        |           ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |         FROM b2 JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | mk AS (SELECT b1w.doc_id, b1w.pos FROM b1w JOIN sk1 USING (m)
+        |        UNION ALL SELECT b2w.doc_id, b2w.pos FROM b2w JOIN sk2 USING (m)),
+        | br AS (SELECT doc_id, pos,
+        |          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+        |               THEN 1 ELSE 0 END AS brk FROM mk),
+        | sg AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM br),
+        | sp AS (SELECT doc_id, min(pos) AS ss, max(pos) + 40 AS se FROM sg GROUP BY doc_id, grp),
+        | ba AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        | gaps AS (
+        |   SELECT doc_id,
+        |     coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS gs,
+        |     ss AS ge
+        |   FROM sp
+        |   UNION ALL
+        |   SELECT sp.doc_id, max(sp.se), max(len(ba.text)) + 1
+        |   FROM sp JOIN ba USING (doc_id) GROUP BY sp.doc_id),
+        | cleaned AS (SELECT doc_id,
+        |     string_agg(substr(text, CAST(gs AS INT), CAST(ge - gs AS INT)), '' ORDER BY gs) AS clean_text
+        |   FROM gaps JOIN ba USING (doc_id) GROUP BY doc_id)
+        | SELECT ba.doc_id, coalesce(c.clean_text, ba.text) AS clean_text
+        | FROM ba LEFT JOIN cleaned c USING (doc_id)
+        | ORDER BY ba.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = d.where(col("doc_id") < 8)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(lit("stream one lead "), substring(col("text"), 7, 120),
+            lit(" stream one tail")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 8 && col("doc_id") < 10)
+          .select((col("doc_id") + 810000).as("doc_id"), upper(col("text")).as("text")))
+      val b2 = d.where(col("doc_id") >= 8 && col("doc_id") < 10)
+        .select((col("doc_id") + 820000).as("doc_id"),
+          concat(lit("stream two lead "), substring(upper(col("text")), 3, 100),
+            lit(" stream two tail")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 30 && col("doc_id") < 33)
+          .select((col("doc_id") + 830000).as("doc_id"), col("text")))
+      // Fresh state per call; replay machinery is StreamingSpec's job —
+      // this row checks the converged result. Fixture vs loop timings
+      // split the same way as dd_curation_stream.
+      val st = java.nio.file.Files.createTempDirectory("graft-xstream-q")
+      val (idxDir, keepDir) = (s"$st/index", s"$st/keeps")
+      val tSeed = System.nanoTime()
+      Dedup.buildExactWindowIndex(d, idxDir)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-xstream-q-in")
+      stageAsFile(b1, inDir, "b1.parquet")
+      stageAsFile(b2, inDir, "b2.parquet")
+      fixtureSecs.put("exact-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.exactDedupIngest(
+        graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, keepDir, s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("exact-stream-loop", (System.nanoTime() - tLoop) / 1e9)
+      val batchMs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      if (batchMs.nonEmpty)
+        fixtureSecs.put("exact-stream-batch-max", batchMs.max / 1e3)
+      val out = s.read.parquet(keepDir)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
+    },
+
     QueryDef("dd_minhash_lsh")(
       s"""WITH $plantedNearSql,
          | $lshPairsSql
