@@ -58,6 +58,20 @@ object NorthStarQueries {
     * per-seed universal hashes by integer arithmetic; the constants
     * interpolate from the SAME Scala definitions the engine uses, so the
     * two sides cannot drift. */
+  /** Shared SQL fragments of the exact-substring oracles (r11): the
+    * lag-window islands merge over a marked-(doc_id, pos) CTE, emitting
+    * the final span rows. Every exact-substring oracle ends on this
+    * fragment so the merge rule lives in ONE place. */
+  private def islandSpanTailSql(markedCte: String): String =
+    s"""xb AS (SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+       |              THEN 1 ELSE 0 END AS brk FROM $markedCte),
+       | xs AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM xb)
+       | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |   CAST(max(pos) + 40 AS BIGINT) AS span_end
+       | FROM xs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
   private val lshPairsSql =
     // One source of SQL truth for the chain: the empty prefix yields the
     // historical CTE names (toks/sh/mh/bands/capped), so the self-pair and
@@ -208,10 +222,28 @@ object NorthStarQueries {
     cachedArtifact(dir, "cross-index", corpus)(
       Dedup.buildCrossNearDupIndex(corpus, _))
 
-  private def cachedWindowIndex(
-      s: SparkSession, dir: String, corpus: DataFrame): String =
+  private def cachedWindowIndex(dir: String, corpus: DataFrame): String =
     cachedArtifact(dir, "exact-window-index-p1", corpus)(
       Dedup.buildExactWindowIndex(corpus, _))
+
+  /** The one oracle text both cross-batch rows share (identical result
+    * contract: recompute vs indexed probe). */
+  private val exactCrossOracleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       | batch AS (SELECT doc_id + 500000 AS doc_id,
+       |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+       |             FROM documents WHERE doc_id < 10
+       |           UNION ALL SELECT doc_id + 600000, upper(text)
+       |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
+       |           UNION ALL SELECT doc_id + 700000, text
+       |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+       | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+       |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+       | bw AS (SELECT doc_id, i.i AS pos,
+       |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+       |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+       | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
+       | ${islandSpanTailSql("mk")}""".stripMargin
 
   /** Shared arriving-batch fixture of the dd_exact_cross/indexed rows:
     * embedded corpus passages (spans), casing-broken docs (no spans),
@@ -419,29 +451,7 @@ object NorthStarQueries {
     // window survives casing — no spans). The oracle replays the
     // engine's 60-bit md5 window universe verbatim.
     QueryDef("dd_exact_cross")(
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         | batch AS (SELECT doc_id + 500000 AS doc_id,
-         |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
-         |             FROM documents WHERE doc_id < 10
-         |           UNION ALL SELECT doc_id + 600000, upper(text)
-         |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
-         |           UNION ALL SELECT doc_id + 700000, text
-         |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
-         | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
-         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
-         | bw AS (SELECT doc_id, i.i AS pos,
-         |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
-         |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
-         | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
-         | b AS (SELECT doc_id, pos,
-         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
-         |              THEN 1 ELSE 0 END AS brk FROM mk),
-         | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
-         | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |   CAST(max(pos) + 40 AS BIGINT) AS span_end
-         | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
-    ) { (s, dir) =>
+     exactCrossOracleSql) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.exactCrossDupSpans(d, exactCrossBatch(d), L = 40)
         .orderBy(col("doc_id"), col("span_start"))
@@ -454,31 +464,9 @@ object NorthStarQueries {
     // result contract, identical oracle; the index is fingerprint-cached
     // so the benched number is the PROBE.
     QueryDef("dd_exact_indexed")(
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         | batch AS (SELECT doc_id + 500000 AS doc_id,
-         |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
-         |             FROM documents WHERE doc_id < 10
-         |           UNION ALL SELECT doc_id + 600000, upper(text)
-         |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
-         |           UNION ALL SELECT doc_id + 700000, text
-         |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
-         | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
-         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
-         | bw AS (SELECT doc_id, i.i AS pos,
-         |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
-         |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
-         | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
-         | b AS (SELECT doc_id, pos,
-         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
-         |              THEN 1 ELSE 0 END AS brk FROM mk),
-         | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
-         | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |   CAST(max(pos) + 40 AS BIGINT) AS span_end
-         | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
-    ) { (s, dir) =>
+     exactCrossOracleSql) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      Dedup.exactCrossDupIndexed(s, cachedWindowIndex(s, dir, d), exactCrossBatch(d))
+      Dedup.exactCrossDupIndexed(s, cachedWindowIndex(dir, d), exactCrossBatch(d))
         .orderBy(col("doc_id"), col("span_start"))
     },
 
@@ -848,21 +836,13 @@ object NorthStarQueries {
     // corpus chars — the exact complement of winnowing's sampled
     // fingerprints (dd_substring).
     QueryDef("dd_exact_substring")(
-      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 40),
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 40),
         | w AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
         |       FROM d JOIN range(1, 100000) i(i) ON i.i <= n - 39),
         | g AS (SELECT win, count(*) AS c, min(doc_id * 10000000 + pos) AS fkey FROM w GROUP BY 1),
         | m AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
         |       WHERE g.c > 1 AND w.doc_id * 10000000 + w.pos <> g.fkey),
-        | b AS (SELECT doc_id, pos,
-        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
-        |              THEN 1 ELSE 0 END AS brk
-        |       FROM m),
-        | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
-        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |   CAST(max(pos) + 40 AS BIGINT) AS span_end
-        | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+        | ${islandSpanTailSql("m")}""".stripMargin
     ) { (s, dir) =>
       Dedup.exactSubstringSpans(Tables(s, dir, "documents"), L = 40)
         .orderBy(col("doc_id"), col("span_start"))
@@ -915,7 +895,7 @@ object NorthStarQueries {
     // span must land exactly on the embedded passage. Eval hashes and
     // window texts broadcast; the corpus never shuffles by hash.
     QueryDef("dd_exact_decon")(
-      """WITH ev AS (SELECT text FROM documents WHERE doc_id < 5),
+      s"""WITH ev AS (SELECT text FROM documents WHERE doc_id < 5),
         | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
         |   UNION ALL SELECT doc_id + 100000,
         |     'prefix filler block ' || substr(text, 10, 120) || ' suffix filler block'
@@ -925,14 +905,7 @@ object NorthStarQueries {
         | cw AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
         | m AS (SELECT cw.doc_id, cw.pos FROM cw JOIN ew USING (win)),
-        | b AS (SELECT doc_id, pos,
-        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
-        |              THEN 1 ELSE 0 END AS brk FROM m),
-        | s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
-        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |   CAST(max(pos) + 40 AS BIGINT) AS span_end
-        | FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+        | ${islandSpanTailSql("m")}""".stripMargin
     ) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val ev = d.where(col("doc_id") < 5)

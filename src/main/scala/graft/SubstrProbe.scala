@@ -112,9 +112,18 @@ object SubstrProbe {
     }
 
     // Full operator at the top length: spans must land on the planted
-    // shared passage carriers (every 10th doc except the first carrier).
+    // shared passage carriers (every 10th doc except the first carrier) —
+    // asserted below, not just counted.
     val fTop = segsList.max
     val topDocs = spark.read.parquet(s"$root/segs$fTop").repartition(cpus)
+    val carrierSpans = Dedup.exactSubstringSpans(topDocs, L)
+      .where(col("span_start") === 1)
+      .select(col("doc_id")).distinct().count()
+    val carriers = topDocs.where(col("doc_id") % 10 === 0).count()
+    require(carrierSpans >= carriers - 1,
+      s"expected >= ${carriers - 1} leading-passage spans (all planted carriers " +
+        s"except the globally-first), got $carrierSpans")
+    println(s"[substrprobe] carrier check: $carrierSpans/$carriers planted docs spanned (first keeps)")
     // stage attribution: the duplicate-hash aggregate is the expected
     // dominant cost (one position-scale shuffle of mostly-unique keys)
     val topHashes = nativeHashes(topDocs)
@@ -141,10 +150,11 @@ object SubstrProbe {
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(lit("arriving batch lead "), substring(col("text"), 11, 5000),
           lit(" arriving tail")).as("text"))
+    val nArriving = arriving.count() // outside the timed loop
     (1 to rounds).foreach { _ =>
       val (w, n) = ProbeHarness.time(
         Dedup.exactCrossDupIndexed(spark, idxDir, arriving).count())
-      println(f"[substrprobe] indexed cross probe (${arriving.count()}%d arriving docs): $n%d spans in $w%.1f s")
+      println(f"[substrprobe] indexed cross probe ($nArriving%d arriving docs): $n%d spans in $w%.1f s")
     }
     spark.stop()
   }

@@ -1243,12 +1243,9 @@ object Dedup {
       .join(broadcast(evalWins), Seq("win"), "left_semi")
       .select(col("doc_id"), col("pos"))
     // expand rep spans to every exact copy (same text ⇒ same spans)
-    val spans = mergeSpans(marked, L)
-    val expanded = spans
-      .join(keyed.withColumnRenamed("doc_id", "member")
-        .join(rep, "th").select(col("doc_id"), col("member")), "doc_id")
-      .select(col("member").as("doc_id"), col("span_start"), col("span_end"))
-    materializeThenRelease(expanded)
+    val members = keyed.withColumnRenamed("doc_id", "member")
+      .join(rep, "th").select(col("doc_id"), col("member"))
+    materializeThenRelease(expandSpans(mergeSpans(marked, L), members))
   }
 
   /** Per-position 60-bit md5 window keys of a doc set (`doc_id, pos, m`)
@@ -1259,7 +1256,7 @@ object Dedup {
     * prefix), which is what lets a window INDEX store 8 bytes per
     * distinct window and probe batches without shipping window text. */
   private def batchWindowPrelude(batch: DataFrame, L: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val b = batch.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= L)
     val keyed = b.select(col("doc_id"), md5(col("text")).as("th"))
@@ -1271,7 +1268,7 @@ object Dedup {
         col("col").as("m"))
     val members = keyed.withColumnRenamed("doc_id", "member")
       .join(rep, "th").select(col("doc_id"), col("member"))
-    (wins, members, d)
+    (wins, members)
   }
 
   /** Expand rep-scale spans to every exact copy (same text ⇒ same
@@ -1305,7 +1302,7 @@ object Dedup {
     val sWins = standing.select(col("text"))
       .where(length(col("text")) >= L)
       .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
-    val (bWins, members, _) = batchWindowPrelude(batch, L)
+    val (bWins, members) = batchWindowPrelude(batch, L)
     val marked = bWins.join(sWins, Seq("m"), "left_semi")
       .select(col("doc_id"), col("pos"))
     materializeThenRelease(expandSpans(mergeSpans(marked, L), members))
@@ -1335,6 +1332,13 @@ object Dedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.ensure(spark)
+    // a REBUILD over an appended index must drop every ingest_batch=N
+    // partition, or "re-compact to reduce partitions/duplication" would
+    // leave stale keys (possibly from a different L or removed docs)
+    // marking spurious spans in later probes
+    val winRoot = new org.apache.hadoop.fs.Path(s"$dir/windows")
+    val fs = winRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(winRoot, true)
     distinctWindowKeys(corpus, L)
       .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=-1")
     Seq(L).toDF("l").coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
@@ -1390,7 +1394,7 @@ object Dedup {
     val sWins = excludeIngestBatch
       .fold(all)(id => all.where(col("ingest_batch") =!= id))
       .select(col("m"))
-    val (bWins, members, _) = batchWindowPrelude(batch, l)
+    val (bWins, members) = batchWindowPrelude(batch, l)
     // inner join, batch side broadcast: the index scan streams through
     // the broadcast hash map and never shuffles or aggregates
     val marked = sWins.join(broadcast(bWins), Seq("m"))

@@ -284,7 +284,7 @@ object Layout {
         new org.apache.hadoop.conf.Configuration()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(rootDir))) return
-    if (!healCommitted(rootDir, conf)) {
+    if (!healCommitted(rootDir, conf)) { // also restores a stranded base
       // uncommitted staging (half-written stage, or a marker that never
       // finished its atomic temp→final rename): discard both — the live
       // layout was never modified before the commit point
@@ -297,17 +297,36 @@ object Layout {
   /** The non-destructive half of [[repairKeyed]]: finish a COMMITTED
     * interrupted compaction (roll the swap forward), but never touch an
     * uncommitted stage — safe to run from any writer at any time, even
-    * next to a live compactor. Returns true when a committed marker was
-    * found (and rolled forward). */
+    * next to a live compactor. Two concurrent roll-forwards of the SAME
+    * committed marker self-correct: the racing loser detects its parked
+    * base and restores it ([[rollForward]]'s recovery branch), and the
+    * stranded-base restore below repairs any layout a pre-recovery
+    * version of that race left behind. Returns true when a committed
+    * marker was found (and rolled forward). */
   def healCommitted(rootDir: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(rootDir).getFileSystem(conf)
+    restoreStrandedBase(fs, rootDir)
     val marker = new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed")
     if (!fs.exists(marker)) return false
     val listed = readTextFile(fs, marker).split("\n").filter(_.nonEmpty)
     rollForward(fs, rootDir, listed.toSeq)
     true
+  }
+
+  /** Repair the one state no normal crash window produces but a lost
+    * roll-forward race can: no base, no stage, no marker, base data
+    * parked in `_old_base`. Restoring it is always safe — `_old_base`
+    * only ever holds a previously-installed base, and nothing else can
+    * claim the empty `batch=0` slot while no stage or marker exists. */
+  private def restoreStrandedBase(fs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String): Unit = {
+    val b0 = new org.apache.hadoop.fs.Path(s"$rootDir/batch=0")
+    val staged = new org.apache.hadoop.fs.Path(s"$rootDir/_compacting")
+    val oldBase = new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")
+    if (!fs.exists(b0) && !fs.exists(staged) && fs.exists(oldBase))
+      require(fs.rename(oldBase, b0), s"restore $oldBase -> $b0 failed")
   }
 
   /** The committed half of the swap — every step idempotent, so a crash
@@ -330,8 +349,18 @@ object Layout {
         require(fs.rename(b0, oldBase),
           s"rename $b0 -> $oldBase failed; aborting roll-forward")
       }
-      require(fs.rename(staged, b0),
-        s"rename $staged -> $b0 failed; aborting roll-forward")
+      if (!fs.rename(staged, b0)) {
+        // a CONCURRENT roll-forward of the same committed marker may have
+        // completed the install between our staged-exists check and here
+        // (e.g. append-path heal racing the compactor's own commit) — in
+        // that case the base we just parked aside IS the installed base:
+        // restore it instead of stranding the layout without batch=0
+        if (!fs.exists(b0) && fs.exists(oldBase))
+          require(fs.rename(oldBase, b0),
+            s"restore $oldBase -> $b0 failed after racing roll-forward")
+        require(fs.exists(b0),
+          s"rename $staged -> $b0 failed and no base is present")
+      }
     }
     fs.delete(oldBase, true)
     subsumed.foreach(n =>

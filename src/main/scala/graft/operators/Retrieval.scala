@@ -136,7 +136,10 @@ object Retrieval {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val ranked = rankings.zipWithIndex.map { case ((df, orderCols), i) =>
       df.select(col(idCol),
-        row_number().over(Window.orderBy(orderCols: _*)).as(s"rank_$i"))
+        // BIGINT like every other rank column (the oracle casts too — an
+        // INT32 here breaks the driver's type-sensitive schema compare)
+        row_number().over(Window.orderBy(orderCols: _*))
+          .cast("long").as(s"rank_$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val fused = ranked.indices

@@ -322,6 +322,26 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(root).count() == 205)
   }
 
+  test("healCommitted restores a base stranded by a lost roll-forward race") {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = java.nio.file.Files.createTempDirectory("lay-strand").toString + "/z"
+    val fs = new Path(root).getFileSystem(conf)
+    val li = Tables(spark, sf(), "lineitem")
+    Layout.initKeyedLayout(li.limit(100), Seq("l_partkey", "l_suppkey"), root, 2)
+    // the one state only a lost roll-forward race can produce: base data
+    // parked in _old_base, no batch=0, no stage, no marker
+    assert(fs.rename(new Path(s"$root/batch=0"), new Path(s"$root/_old_base")))
+    Layout.healCommitted(root, conf)
+    assert(fs.exists(new Path(s"$root/batch=0")) &&
+      !fs.exists(new Path(s"$root/_old_base")))
+    assert(spark.read.parquet(root).count() == 100)
+    // the append path self-heals the same state (it calls healCommitted)
+    assert(fs.rename(new Path(s"$root/batch=0"), new Path(s"$root/_old_base")))
+    Layout.appendZOrderedKeyed(li.limit(5), root, "batch=1", files = 1)
+    assert(spark.read.parquet(root).count() == 105)
+  }
+
   test("filesOverlapping: a file with null range stats SURVIVES pruning") {
     // an all-null column chunk writes no min/max; a stats-pruning reader
     // must read such a file (LayoutProbe.rowGroupStats counts it the same)
