@@ -203,6 +203,79 @@ class PropertySpec extends TestBase {
     }, 10)
   }
 
+  test("exactSubstringSpans matches a reference mark-and-merge on random corpora") {
+    // tiny alphabet forces cross-doc and within-doc window repeats
+    val docGen = Gen.choose(4, 28).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, docGen))
+    val L = 4
+    def refSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+      val wins = for {
+        (id, t) <- docs if t.length >= L
+        p <- 1 to (t.length - L + 1)
+      } yield (id, p.toLong, t.substring(p - 1, p - 1 + L))
+      val byWin = wins.groupBy(_._3)
+      val marked = wins.collect {
+        case (id, p, w) if byWin(w).size > 1 &&
+          byWin(w).map(x => (x._1, x._2)).min != ((id, p)) => (id, p)
+      }
+      marked.groupBy(_._1).flatMap { case (id, ps0) =>
+        val ps = ps0.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+        var start = ps.head
+        var prev = ps.head
+        for (p <- ps.tail) {
+          if (p > prev + L) { spans += ((id, start, prev + L)); start = p }
+          prev = p
+        }
+        spans += ((id, start, prev + L))
+        spans
+      }.toSet
+    }
+    check(Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exactSubstringSpans(docs.toDF("doc_id", "text"), L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == refSpans(docs)
+    }, 12)
+  }
+
+  test("bm25 matches a reference scorer on random corpora and term sets") {
+    import graft.operators.Retrieval
+    val word = Gen.oneOf("red", "blue", "green", "dog", "cat", "fish", "sky")
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, docGen))
+    val termsGen = Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, word)).map(_.distinct)
+    def ref(docs: Seq[(Long, Seq[String])], terms: Seq[String])
+        : Map[Long, Double] = {
+      val n = docs.size.toDouble
+      val avgdl = docs.map(_._2.size).sum / n
+      val dfs = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+      docs.flatMap { case (id, ws) =>
+        val s = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5)) *
+            tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl))
+        }.sum
+        if (s > 0 || terms.exists(ws.contains))
+          Some(id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }.toMap
+    }
+    check(Prop.forAll(corpusGen, termsGen) { (texts, terms) =>
+      val docs = texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      val got = Retrieval.bm25(
+          docs.map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text"),
+          terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = ref(docs, terms)
+      got.keySet == want.keySet &&
+        got.forall { case (k, v) => math.abs(v - want(k)) <= 1e-6 }
+    }, 12)
+  }
+
   test("hilbert kernel: bijective and step-adjacent at every order (pure)") {
     // Pure-function property over the STATIC kernel the codegen calls —
     // full case counts, no Spark jobs. For random orders 1..5, the full
