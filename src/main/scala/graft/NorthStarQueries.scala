@@ -470,6 +470,35 @@ object NorthStarQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // Per-doc window novelty vs the standing corpus — the dedup-aware
+    // value signal a sampling stage filters on (0 = verbatim corpus
+    // content, 1 = entirely new text). Same fixture as dd_exact_cross:
+    // embedded passages score mid-range, upper-cased docs 1.0, exact
+    // copies 0.0.
+    QueryDef("dd_exact_novelty")(
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | batch AS (SELECT doc_id + 500000 AS doc_id,
+        |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+        |             FROM documents WHERE doc_id < 10
+        |           UNION ALL SELECT doc_id + 600000, upper(text)
+        |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
+        |           UNION ALL SELECT doc_id + 700000, text
+        |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+        | sw AS (SELECT DISTINCT substr(text, CAST(i.i AS INT), 40) AS win
+        |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | bw AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
+        |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | st AS (SELECT bw.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |          CAST(count(*) FILTER (WHERE sw.win IS NOT NULL) AS BIGINT) AS n_matched
+        |        FROM bw LEFT JOIN sw ON bw.win = sw.win GROUP BY 1)
+        | SELECT doc_id, n_windows, n_matched,
+        |   round(1.0 - n_matched / n_windows, 6) AS novelty
+        | FROM st ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.windowNovelty(d, exactCrossBatch(d), L = 40).orderBy(col("doc_id"))
+    },
+
     // The STREAMING exact-substring ingest loop run END TO END inside
     // the oracle row: seed index from the standing corpus, stream two
     // file-dropped micro-batches through `Streams.exactDedupIngest`

@@ -1373,6 +1373,38 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=$key")
   }
 
+  /** Per-document window NOVELTY against the standing corpus: the
+    * fraction of a batch doc's length-`L` character windows that do NOT
+    * occur anywhere in the corpus — the dedup-aware value signal a
+    * sampling stage filters on (novelty 0 = the doc is verbatim corpus
+    * content; 1 = entirely new text). Same machinery and scale shape as
+    * [[exactCrossDupSpans]] (corpus reduces to distinct window keys; the
+    * batch side is one projection; dedup-first with copies inheriting
+    * their rep's numbers), but the output is per-doc counts, not spans:
+    * `(doc_id, n_windows, n_matched, novelty)`. Docs shorter than `L`
+    * have no windows and are omitted (no window evidence either way). */
+  def windowNovelty(standing: DataFrame, batch: DataFrame,
+      L: Int = 40): DataFrame = {
+    require(L >= 2 && L <= 10000, s"window length $L out of range")
+    graft.functions.GraftFunctions.ensure(batch.sparkSession)
+    val sWins = standing.select(col("text"))
+      .where(length(col("text")) >= L)
+      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
+    val (bWins, members) = batchWindowPrelude(batch, L)
+    val matched = bWins.join(sWins, Seq("m"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    val stats = bWins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_matched").cast("double") / col("n_windows"), 6))
+    stats.join(members, "doc_id")
+      .select(col("member").as("doc_id"), col("n_windows"),
+        col("n_matched"), col("novelty"))
+  }
+
   /** [[exactCrossDupSpans]] against a prebuilt [[buildExactWindowIndex]]
     * index: identical result contract, but the corpus side is a LOADED
     * scan of 8-byte keys, not recomputed — per-batch cost is the batch's

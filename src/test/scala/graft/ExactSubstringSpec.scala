@@ -160,6 +160,23 @@ class ExactSubstringSpec extends TestBase {
     assert(replayed == grown, "duplicate index rows must be harmless")
   }
 
+  test("windowNovelty: 0 for verbatim corpus content, 1 for new text, copies inherit") {
+    val standing = Seq((0L, base + base.reverse)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + base.reverse),                       // verbatim -> 0.0
+      (11L, "a wholly new batch document right here"),  // novel -> 1.0
+      (12L, "a wholly new batch document right here"),  // exact copy of 11
+      (13L, base + "ZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZ")    // half shared
+    ).toDF("doc_id", "text")
+    val got = Dedup.windowNovelty(standing, batch, L = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._4 == 0.0 && got(10L)._2 == got(10L)._3)
+    assert(got(11L)._4 == 1.0 && got(11L)._3 == 0L)
+    assert(got(12L) == got(11L).copy(_1 = 12L))
+    assert(got(13L)._4 > 0.0 && got(13L)._4 < 1.0)
+  }
+
   test("window_md5: matches the SQL 15-hex-prefix universe exactly") {
     graft.functions.GraftFunctions.ensure(spark)
     val L = 12
