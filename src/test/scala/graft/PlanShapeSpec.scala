@@ -88,6 +88,22 @@ class PlanShapeSpec extends TestBase {
     } finally spark.conf.set("graft.eagerRelease", "true")
   }
 
+  test("exactCrossDupIndexed: the index scan streams through a broadcast of the batch") {
+    spark.conf.set("graft.eagerRelease", "false")
+    try {
+      val d = Tables(spark, sf("sf0.001"), "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("psl-xwin").toString
+      graft.operators.Dedup.buildExactWindowIndex(d.where("doc_id < 100"), idx)
+      val p = graft.operators.Dedup
+        .exactCrossDupIndexed(spark, idx, d.where("doc_id >= 100 AND doc_id < 120"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("BroadcastHashJoin"),
+        "the batch windows must broadcast so the index is only streamed")
+    } finally spark.conf.set("graft.eagerRelease", "true")
+  }
+
   test("txt_bm25 / sim_hybrid_rrf: top-k stages plan as TakeOrderedAndProject") {
     assert(planOf("txt_bm25").contains("TakeOrderedAndProject"))
     assert(planOf("sim_hybrid_rrf").contains("TakeOrderedAndProject"))
