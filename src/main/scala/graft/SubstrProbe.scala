@@ -156,6 +156,31 @@ object SubstrProbe {
         Dedup.exactCrossDupIndexed(spark, idxDir, arriving).count())
       println(f"[substrprobe] indexed cross probe ($nArriving%d arriving docs): $n%d spans in $w%.1f s")
     }
+
+    // Mega-group arm: ONE 80-char boilerplate block shared by EVERY one
+    // of 200k otherwise-distinct docs — the regime where the pair-based
+    // scorers need bucket caps (200k² candidate pairs). The span
+    // pipeline's central claim is that it needs NO cap: group-then-mark
+    // is O(occurrences), so every non-first doc simply gets one
+    // boilerplate span. Assert it, don't just time it.
+    val megaN = 200000L
+    val mega = spark.range(megaN).select(col("id").as("doc_id"),
+      concat(
+        lit("SHARED-BOILERPLATE-BLOCK-ABCDEFGHIJKLMNOPQRSTUVWXYZ-0123456789-COMMON-HDR "),
+        md5(col("id").cast("string")), lit(" "),
+        md5((col("id") + 7).cast("string"))).as("text"))
+      .repartition(cpus)
+    mega.write.mode("overwrite").parquet(s"$root/mega")
+    val megaDocs = spark.read.parquet(s"$root/mega")
+    (1 to rounds).foreach { _ =>
+      val (w, n) = ProbeHarness.time(
+        Dedup.exactSubstringSpans(megaDocs, L)
+          .where(col("span_start") === 1).count())
+      println(f"[substrprobe] mega-group (${megaN}%d docs sharing one block): " +
+        f"$n%d leading spans in $w%.1f s")
+      require(n >= megaN - 1,
+        s"every non-first doc must carry the boilerplate span, got $n")
+    }
     spark.stop()
   }
 }
