@@ -245,6 +245,10 @@ object NorthStarQueries {
        | mk AS (SELECT bw.doc_id, bw.pos FROM bw JOIN sw USING (m)),
        | ${islandSpanTailSql("mk")}""".stripMargin
 
+  private def cachedBm25Index(dir: String, corpus: DataFrame): String =
+    cachedArtifact(dir, "bm25-index", corpus)(
+      Retrieval.buildBm25Index(corpus, _))
+
   /** Shared arriving-batch fixture of the dd_exact_cross/indexed rows:
     * embedded corpus passages (spans), casing-broken docs (no spans),
     * and exact whole-doc copies (full-doc spans). */
@@ -1959,6 +1963,32 @@ object NorthStarQueries {
         | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     ) { (s, dir) =>
       Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        Seq("spark", "window", "merge"), 20)
+    },
+
+    // The same query through the PERSISTED postings index ("index once,
+    // query many"): one term-pruned postings scan (filter pushed to
+    // parquet row-group level on the sorted term column), the 1-row
+    // stats broadcast, zero joins, TakeOrderedAndProject. Identical
+    // result contract, identical oracle; the index is
+    // fingerprint-cached so the benched number is the QUERY.
+    QueryDef("txt_bm25_indexed")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1)
+        | SELECT doc_id, round(score, 6) AS score FROM sc
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      Retrieval.bm25IndexedTopK(s,
+        cachedBm25Index(dir, Tables(s, dir, "documents")),
         Seq("spark", "window", "merge"), 20)
     },
 

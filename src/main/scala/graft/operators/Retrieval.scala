@@ -73,6 +73,57 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Persist the BM25 POSTINGS index — the "index once, query many"
+    * form of [[bm25]] for serving workloads. Rows are fully DENORMALIZED
+    * `(term, doc_id, tf, df, dl)` so a probe needs ZERO joins: the
+    * corpus statistics each score needs travel with the posting. The
+    * table is range-partitioned and sorted BY TERM, so a query's literal
+    * `isin` predicate prunes at parquet row-group (min/max) level — the
+    * columnar analogue of an inverted index's posting-list seek. Size:
+    * one row per distinct (doc, term) — the standard inverted-index cost
+    * class, on disk. `stats` holds the one (n_docs, avgdl) row. */
+  def buildBm25Index(docs: DataFrame, dir: String, files: Int = 32): Unit = {
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(
+        terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))), "term")
+      .join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"))
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** [[bm25TopK]] against a prebuilt [[buildBm25Index]]: identical
+    * result contract, but the probe is ONE postings scan with the term
+    * filter PUSHED into parquet (row-group pruning on the sorted term
+    * column), a broadcast of the 1-row stats, and a
+    * TakeOrderedAndProject — no corpus scan, no tokenization, no joins.
+    * The df stored per posting is docs-containing-the-term, identical to
+    * [[bm25]]'s tf-derived df for every term that has postings at all
+    * (a term with no postings contributes nothing either way). */
+  def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25IndexedTopK needs at least one query term")
+    val post = spark.read.parquet(s"$dir/postings")
+      .where(col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    post.crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Batch BM25 retrieval: exact top-`k` docs PER QUERY in ONE corpus
     * pass — the lexical sibling of [[Similarity.knnJoin]].
     * `queries(query_id, terms: ARRAY<STRING>)` is a SMALL table (a

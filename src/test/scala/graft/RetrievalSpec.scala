@@ -50,6 +50,23 @@ class RetrievalSpec extends TestBase {
     assert(rows.length == 10)
   }
 
+  test("bm25IndexedTopK: identical to the direct operator; term filter pushed to the scan") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildBm25Index(docs, dir)
+    for (terms <- Seq(Seq("spark"), Seq("window", "merge"), Seq("spark", "stream", "vector"))) {
+      val direct = Retrieval.bm25TopK(docs, terms, 15).as[(Long, Double)].collect().toSeq
+      val indexed = Retrieval.bm25IndexedTopK(spark, dir, terms, 15)
+        .as[(Long, Double)].collect().toSeq
+      assert(indexed == direct, s"terms $terms: $indexed vs $direct")
+    }
+    val plan = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "merge"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term predicate must push into the postings scan:\n$plan")
+  }
+
   test("rrfFuse: fused score is sum of reciprocal ranks; missing side contributes 0") {
     val a = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("id", "s")
     val b = Seq((11L, 0.99), (13L, 0.5)).toDF("id", "s")
