@@ -488,13 +488,14 @@ object NorthStarQueries {
         |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
         |           UNION ALL SELECT doc_id + 700000, text
         |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
-        | sw AS (SELECT DISTINCT substr(text, CAST(i.i AS INT), 40) AS win
+        | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
         |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
-        | bw AS (SELECT doc_id, i.i AS pos, substr(text, CAST(i.i AS INT), 40) AS win
+        | bw AS (SELECT doc_id, i.i AS pos,
+        |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
         |        FROM batch JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
         | st AS (SELECT bw.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-        |          CAST(count(*) FILTER (WHERE sw.win IS NOT NULL) AS BIGINT) AS n_matched
-        |        FROM bw LEFT JOIN sw ON bw.win = sw.win GROUP BY 1)
+        |          CAST(count(*) FILTER (WHERE sw.m IS NOT NULL) AS BIGINT) AS n_matched
+        |        FROM bw LEFT JOIN sw ON bw.m = sw.m GROUP BY 1)
         | SELECT doc_id, n_windows, n_matched,
         |   round(1.0 - n_matched / n_windows, 6) AS novelty
         | FROM st ORDER BY doc_id""".stripMargin

@@ -157,12 +157,13 @@ object SubstrProbe {
       println(f"[substrprobe] indexed cross probe ($nArriving%d arriving docs): $n%d spans in $w%.1f s")
     }
 
-    // Mega-group arm: ONE 80-char boilerplate block shared by EVERY one
-    // of 200k otherwise-distinct docs — the regime where the pair-based
-    // scorers need bucket caps (200k² candidate pairs). The span
-    // pipeline's central claim is that it needs NO cap: group-then-mark
-    // is O(occurrences), so every non-first doc simply gets one
-    // boilerplate span. Assert it, don't just time it.
+    // Mega-group arm: ONE 74-char boilerplate block (35 fully-shared
+    // leading windows at L=40) shared by EVERY one of 200k
+    // otherwise-distinct docs — the regime where the pair-based scorers
+    // need bucket caps (200k² candidate pairs). The span pipeline's
+    // central claim is that it needs NO cap: group-then-mark is
+    // O(occurrences), so every non-first doc gets exactly one leading
+    // boilerplate span. Asserted EXACTLY, not just timed.
     val megaN = 200000L
     val mega = spark.range(megaN).select(col("id").as("doc_id"),
       concat(
@@ -178,8 +179,8 @@ object SubstrProbe {
           .where(col("span_start") === 1).count())
       println(f"[substrprobe] mega-group (${megaN}%d docs sharing one block): " +
         f"$n%d leading spans in $w%.1f s")
-      require(n >= megaN - 1,
-        s"every non-first doc must carry the boilerplate span, got $n")
+      require(n == megaN - 1,
+        s"exactly every non-first doc must carry one leading boilerplate span, got $n")
     }
     spark.stop()
   }

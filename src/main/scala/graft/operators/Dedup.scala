@@ -1387,17 +1387,15 @@ object Dedup {
       L: Int = 40): DataFrame = {
     require(L >= 2 && L <= 10000, s"window length $L out of range")
     graft.functions.GraftFunctions.ensure(batch.sparkSession)
-    val sWins = standing.select(col("text"))
-      .where(length(col("text")) >= L)
-      .select(explode(expr(s"window_md5(text, $L)")).as("m")).distinct()
+    val sWins = distinctWindowKeys(standing, L)
     val (bWins, members) = batchWindowPrelude(batch, L)
-    val matched = bWins.join(sWins, Seq("m"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    val stats = bWins.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"))
-      .join(matched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+    // ONE pass over the batch windows: a left join against the DISTINCT
+    // corpus keys cannot fan out, so both counts come from a single
+    // aggregation (count(hit) counts non-nulls)
+    val stats = bWins
+      .join(sWins.withColumn("hit", lit(1)), Seq("m"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_matched"))
       .withColumn("novelty",
         round(lit(1.0) - col("n_matched").cast("double") / col("n_windows"), 6))
     stats.join(members, "doc_id")

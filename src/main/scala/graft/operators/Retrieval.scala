@@ -87,10 +87,15 @@ object Retrieval {
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(
-        terms.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))), "term")
+    val tfAgg = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df derives from the tf aggregate (one row per (doc, term) already)
+    // and joins WITHOUT a broadcast hint: the full-corpus vocabulary is
+    // corpus-proportional — at web scale it would blow the broadcast
+    // limit — unlike bm25's per-QUERY df, which is tiny by construction
+    val df = tfAgg.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfAgg
+      .join(df, "term")
       .join(dl, "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"))
       .repartitionByRange(files, col("term"))
