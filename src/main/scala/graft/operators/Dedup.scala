@@ -1326,36 +1326,66 @@ object Dedup {
     * exact ([[graft.streaming.Streams]] `exactDedupIngest`: a replayed
     * micro-batch must not self-match the windows its failed attempt
     * already appended), and a replayed append an idempotent overwrite of
-    * its own partition. */
+    * its own partition.
+    *
+    * Crash safety: the replacement index (windows AND manifest) builds
+    * complete under `_stage`, and the swap deletes the LIVE MANIFEST
+    * FIRST — from that point until the staged manifest's final rename,
+    * every probe and append fails loudly on the missing manifest instead
+    * of hashing with a stale `L` against new-`L` keys and silently
+    * matching nothing. A crash before the manifest delete leaves the old
+    * index fully live (the orphaned stage is discarded by the next
+    * rebuild); re-running the rebuild completes the swap. */
   def buildExactWindowIndex(corpus: DataFrame, dir: String, L: Int = 40): Unit = {
     require(L >= 2 && L <= 10000, s"window length $L out of range")
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.ensure(spark)
-    // a REBUILD over an appended index must drop every ingest_batch=N
-    // partition, or "re-compact to reduce partitions/duplication" would
-    // leave stale keys (possibly from a different L or removed docs)
-    // marking spurious spans in later probes
-    val winRoot = new org.apache.hadoop.fs.Path(s"$dir/windows")
-    val fs = winRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(winRoot, true)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(s"$dir/_stage"), true) // discard any crashed prior rebuild
     distinctWindowKeys(corpus, L)
-      .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=-1")
-    Seq(L).toDF("l").coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+      .write.mode("overwrite").parquet(s"$dir/_stage/windows/ingest_batch=-1")
+    Seq(L).toDF("l").coalesce(1).write.mode("overwrite")
+      .json(s"$dir/_stage/manifest")
+    // swap: manifest OUT first (probes fail loudly from here), then the
+    // windows root — a REBUILD over an appended index must drop every
+    // ingest_batch=N partition, or "re-compact to reduce partitions/
+    // duplication" would leave stale keys (possibly from a different L or
+    // removed docs) marking spurious spans — then staged dirs IN, the
+    // manifest's rename last (the index is valid again at that instant)
+    fs.delete(p(s"$dir/manifest"), true)
+    fs.delete(p(s"$dir/windows"), true)
+    require(fs.rename(p(s"$dir/_stage/windows"), p(s"$dir/windows")),
+      s"rename $dir/_stage/windows -> $dir/windows failed mid-swap")
+    require(fs.rename(p(s"$dir/_stage/manifest"), p(s"$dir/manifest")),
+      s"rename $dir/_stage/manifest -> $dir/manifest failed mid-swap")
+    fs.delete(p(s"$dir/_stage"), true)
+    ()
   }
 
   /** Grow the window index with an arriving batch's keys — a
     * per-partition write, no global rebuild. With an explicit
-    * `ingestBatch` (the streaming loop passes its micro-batch id) the
-    * write OVERWRITES that partition — replay-idempotent; without one,
-    * the next free partition id is taken (single-writer contract, like
-    * the keyed layout). Keys already present elsewhere re-append as
-    * duplicate rows; probes are duplicate-safe, so the stored union
-    * stays correct however the index was grown. Re-compact with
-    * [[buildExactWindowIndex]] over the full corpus when partition count
-    * or duplication matters. */
+    * `ingestBatch` (the streaming loop passes its micro-batch id, >= 0)
+    * the write OVERWRITES that partition — replay-idempotent; without
+    * one, the next free id BELOW the build's seed `-1` is taken
+    * (`-2, -3, …` — single-writer contract, like the keyed layout).
+    * The two id spaces are DISJOINT BY CONSTRUCTION: a batch-API append
+    * can never occupy an id a stream's micro-batch 0..N will claim, so a
+    * stream attaching to a batch-grown index neither overwrites appended
+    * keys nor excludes them from its replay probes (the probe excludes
+    * only its OWN micro-batch id, which is always >= 0). Keys already
+    * present elsewhere re-append as duplicate rows; probes are
+    * duplicate-safe, so the stored union stays correct however the index
+    * was grown. Re-compact with [[buildExactWindowIndex]] over the full
+    * corpus when partition count or duplication matters. */
   def appendToExactWindowIndex(newDocs: DataFrame, dir: String,
-      ingestBatch: Long = -2L): Unit = {
+      ingestBatch: Long = Long.MinValue): Unit = {
+    require(ingestBatch == Long.MinValue || ingestBatch >= 0,
+      s"explicit ingestBatch must be a stream micro-batch id >= 0, " +
+        s"got $ingestBatch (negative ids are reserved: -1 = build seed, " +
+        "<= -2 = auto-keyed batch appends)")
     val spark = newDocs.sparkSession
     graft.functions.GraftFunctions.ensure(spark)
     val l = spark.read.json(s"$dir/manifest").collect()(0)
@@ -1367,7 +1397,7 @@ object Dedup {
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
         .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
-        .foldLeft(-1L)(math.max) + 1
+        .foldLeft(-1L)(math.min) - 1
     }
     distinctWindowKeys(newDocs, l)
       .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=$key")
@@ -1411,7 +1441,19 @@ object Dedup {
     * corpus-scale shuffle, no corpus-scale memory. Duplicate index rows
     * (appends re-adding known keys) duplicate marked positions, which
     * the islands merge collapses — bounded by the increment count and
-    * harmless to the result. */
+    * harmless to the result.
+    *
+    * The broadcast is GUARDED, not assumed: the batch's window table is
+    * ~24 bytes per batch character (far larger in the driver's hashed
+    * relation), so a micro-batch beyond
+    * `graft.exactIndexedBroadcastMaxChars` total characters (default
+    * 4e6 ≈ low-hundreds-of-MB hashed) falls back to a FORCED
+    * shuffle-hash join on the window key, batch side as build — slower
+    * (the index side shuffles once) but correct at any batch size, and
+    * forced rather than stats-decided because the batch window table is
+    * a computed relation whose size Catalyst may underestimate straight
+    * back into a broadcast. The size check is one batch-scale
+    * aggregate. */
   def exactCrossDupIndexed(spark: SparkSession, dir: String,
       batch: DataFrame, excludeIngestBatch: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark)
@@ -1425,9 +1467,18 @@ object Dedup {
       .fold(all)(id => all.where(col("ingest_batch") =!= id))
       .select(col("m"))
     val (bWins, members) = batchWindowPrelude(batch, l)
-    // inner join, batch side broadcast: the index scan streams through
-    // the broadcast hash map and never shuffles or aggregates
-    val marked = sWins.join(broadcast(bWins), Seq("m"))
+    val batchChars = batch
+      .agg(coalesce(sum(length(col("text"))), lit(0L))).collect()(0).getLong(0)
+    val maxChars = spark.conf
+      .getOption("graft.exactIndexedBroadcastMaxChars")
+      .map(_.toLong).getOrElse(4000000L)
+    // inner join, batch side broadcast when it fits: the index scan
+    // streams through the broadcast hash map and never shuffles or
+    // aggregates; an oversized batch demotes to a shuffle-hash join
+    // (batch side still the build side, now per-partition) instead of
+    // blowing the broadcast/driver limits
+    val marked = (if (batchChars <= maxChars) sWins.join(broadcast(bWins), Seq("m"))
+      else sWins.join(bWins.hint("shuffle_hash"), Seq("m")))
       .select(col("doc_id"), col("pos"))
     materializeThenRelease(expandSpans(mergeSpans(marked, l), members))
   }

@@ -292,17 +292,29 @@ object Layout {
       fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_compacting"), true)
       ()
     }
+    // owner-only: crashed attempts leak their per-attempt park dirs
+    // (stale pre-install bases); with the layout healthy again they are
+    // dead weight. Safe ONLY here — no concurrent roll-forward can be
+    // mid-park under the repair caller's no-live-compactor contract.
+    sweepParkDirs(fs, rootDir)
   }
 
   /** The non-destructive half of [[repairKeyed]]: finish a COMMITTED
     * interrupted compaction (roll the swap forward), but never touch an
     * uncommitted stage — safe to run from any writer at any time, even
     * next to a live compactor. Two concurrent roll-forwards of the SAME
-    * committed marker self-correct: the racing loser detects its parked
-    * base and restores it ([[rollForward]]'s recovery branch), and the
-    * stranded-base restore below repairs any layout a pre-recovery
-    * version of that race left behind. Returns true when a committed
-    * marker was found (and rolled forward). */
+    * committed marker self-correct because each attempt parks the base
+    * it displaces under its OWN uniquely-named `_old_base_*` dir and
+    * deletes ONLY that dir: the racing loser (which may park the
+    * already-installed NEW base, having passed a stale staged-exists
+    * check) restores from its own park dir ([[rollForward]]'s recovery
+    * branch), and no other actor's trailing cleanup can delete that park
+    * dir out from under it — the lost-base interleaving a shared
+    * `_old_base` name allowed. The stranded-base restore below repairs
+    * any layout a crashed attempt left mid-recovery; park dirs leaked by
+    * crashed attempts are swept by the compaction owner
+    * ([[compactKeyed]]/[[repairKeyed]]), never concurrently. Returns
+    * true when a committed marker was found (and rolled forward). */
   def healCommitted(rootDir: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Boolean = {
@@ -315,46 +327,82 @@ object Layout {
     true
   }
 
-  /** Repair the one state no normal crash window produces but a lost
-    * roll-forward race can: no base, no stage, no marker, base data
-    * parked in `_old_base`. Restoring it is always safe — `_old_base`
-    * only ever holds a previously-installed base, and nothing else can
-    * claim the empty `batch=0` slot while no stage or marker exists. */
+  /** Every `_old_base*` park dir under the root, newest-named first.
+    * Park names are `_old_base_<zero-padded-millis>_<uuid>` (the legacy
+    * shared `_old_base` sorts last), so lexical order IS park order and
+    * head-of-list is the most recently displaced base. */
+  private def parkDirs(fs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(rootDir))) Seq.empty
+    else fs.listStatus(new org.apache.hadoop.fs.Path(rootDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_old_base"))
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+      .map(_.getPath)
+
+  /** Repair the one state no normal crash window produces but a crashed
+    * roll-forward race can: no base, no stage, base data parked in an
+    * `_old_base*` dir. Restoring the NEWEST park is always safe — a park
+    * dir only ever holds a previously-installed base (the newest being
+    * the most recently live one; older parks are stale bases from
+    * earlier epochs, swept by the owner), and nothing else can claim the
+    * empty `batch=0` slot while no stage exists. */
   private def restoreStrandedBase(fs: org.apache.hadoop.fs.FileSystem,
       rootDir: String): Unit = {
     val b0 = new org.apache.hadoop.fs.Path(s"$rootDir/batch=0")
     val staged = new org.apache.hadoop.fs.Path(s"$rootDir/_compacting")
-    val oldBase = new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")
-    if (!fs.exists(b0) && !fs.exists(staged) && fs.exists(oldBase))
-      require(fs.rename(oldBase, b0), s"restore $oldBase -> $b0 failed")
+    if (!fs.exists(b0) && !fs.exists(staged))
+      parkDirs(fs, rootDir).headOption.foreach(park =>
+        require(fs.rename(park, b0), s"restore $park -> $b0 failed"))
   }
 
+  /** Sweep park dirs leaked by crashed roll-forward attempts. OWNER-ONLY
+    * (called under [[compactKeyed]]/[[repairKeyed]]'s no-live-compactor
+    * contract, after the layout is healthy): a concurrent sweep could
+    * delete a park dir between a racing loser's park and restore — the
+    * exact lost-base window per-attempt parking exists to close. */
+  private def sweepParkDirs(fs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$rootDir/batch=0")))
+      parkDirs(fs, rootDir).foreach(fs.delete(_, true))
+
   /** The committed half of the swap — every step idempotent, so a crash
-    * anywhere inside re-runs cleanly from [[repairKeyed]]. */
+    * anywhere inside re-runs cleanly from [[repairKeyed]]. Concurrent
+    *-safe against another roll-forward of the SAME marker: the base this
+    * attempt displaces is parked under a per-attempt unique dir that
+    * only this attempt deletes or restores. */
   private def rollForward(fs: org.apache.hadoop.fs.FileSystem,
       rootDir: String, subsumed: Seq[String]): Unit = {
     val b0 = new org.apache.hadoop.fs.Path(s"$rootDir/batch=0")
     val staged = new org.apache.hadoop.fs.Path(s"$rootDir/_compacting")
-    val oldBase = new org.apache.hadoop.fs.Path(s"$rootDir/_old_base")
+    // per-attempt park dir: no other actor's cleanup can delete it, so
+    // the recovery branch below can ALWAYS restore what this attempt
+    // parked. Zero-padded millis prefix makes newest = lexically first
+    // for the stranded-base restore.
+    val oldBase = new org.apache.hadoop.fs.Path(rootDir,
+      f"_old_base_${System.currentTimeMillis()}%020d_${java.util.UUID.randomUUID()}")
+    var parked = false
     if (fs.exists(staged)) {
       // install pending: the staged dir is complete by the commit
       // invariant (marker is written only after the staged meta).
       // Hadoop FileSystem.rename signals failure by RETURNING FALSE; an
       // unchecked failure here would leave a state a later repair
       // misclassifies, so every rename must be verified.
-      if (fs.exists(b0)) {
-        // clear any stale _old_base a prior crashed roll-forward left, so
-        // the rename below cannot land batch=0 INSIDE it
-        fs.delete(oldBase, true)
+      if (fs.exists(b0) && fs.exists(staged)) {
+        // the second staged check is a LAST-MOMENT re-verify: if a
+        // concurrent roll-forward already installed (staged gone), the
+        // b0 we see is the NEW base — don't displace it at all
         require(fs.rename(b0, oldBase),
           s"rename $b0 -> $oldBase failed; aborting roll-forward")
+        parked = true
       }
       if (!fs.rename(staged, b0)) {
         // a CONCURRENT roll-forward of the same committed marker may have
         // completed the install between our staged-exists check and here
         // (e.g. append-path heal racing the compactor's own commit) — in
         // that case the base we just parked aside IS the installed base:
-        // restore it instead of stranding the layout without batch=0
+        // restore it instead of stranding the layout without batch=0.
+        // Our park dir is attempt-private, so it cannot have been deleted
+        // by the racing winner (it sweeps only its own).
         if (!fs.exists(b0) && fs.exists(oldBase))
           require(fs.rename(oldBase, b0),
             s"restore $oldBase -> $b0 failed after racing roll-forward")
@@ -362,7 +410,7 @@ object Layout {
           s"rename $staged -> $b0 failed and no base is present")
       }
     }
-    fs.delete(oldBase, true)
+    if (parked) fs.delete(oldBase, true) // ONLY our own park dir
     subsumed.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/$n"), true))
     fs.delete(new org.apache.hadoop.fs.Path(rootDir, "_graft_subsumed"), false)

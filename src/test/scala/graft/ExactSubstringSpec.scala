@@ -256,4 +256,112 @@ class ExactSubstringSpec extends TestBase {
     assert(spans.count() > 0, "expected duplicated spans in the corpus")
     spans.unpersist()
   }
+
+  test("appendToExactWindowIndex: batch-API auto ids never collide with stream batch ids") {
+    import org.apache.hadoop.fs.Path
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("xwin-ids").toString
+    val idx = s"$root/idx"
+    Dedup.buildExactWindowIndex(d.where(col("doc_id") < 100), idx, L = 40)
+    // two batch-API appends take ids BELOW the build seed -1
+    Dedup.appendToExactWindowIndex(d.where(col("doc_id") >= 100 &&
+      col("doc_id") < 150), idx)
+    Dedup.appendToExactWindowIndex(d.where(col("doc_id") >= 150 &&
+      col("doc_id") < 200), idx)
+    val fs = new Path(idx).getFileSystem(spark.sessionState.newHadoopConf())
+    def ids = fs.listStatus(new Path(s"$idx/windows")).toSeq
+      .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong).sorted
+    assert(ids == Seq(-3L, -2L, -1L), s"auto ids must descend below -1: $ids")
+    // a stream attaching later claims id 0 WITHOUT touching appended keys,
+    // and its self-exclusion probe still sees the batch-API contribution
+    val bTxt = d.where(col("doc_id") === 120).head().getString(1)
+    val probe = Seq((900L, "xx " + bTxt.substring(0, 60) + " yy"))
+      .toDF("doc_id", "text")
+    Dedup.appendToExactWindowIndex(probe, idx, ingestBatch = 0L)
+    assert(ids == Seq(-3L, -2L, -1L, 0L), s"stream id 0 must be free: $ids")
+    val spans = Dedup.exactCrossDupIndexed(spark, idx, probe,
+      excludeIngestBatch = Some(0L)).as[(Long, Long, Long)].collect()
+    assert(spans.nonEmpty,
+      "probe excluding its own stream batch must still match batch-API keys")
+    // negative explicit ids are reserved — fail fast, not silently remap
+    intercept[IllegalArgumentException] {
+      Dedup.appendToExactWindowIndex(probe, idx, ingestBatch = -1L)
+    }
+    ()
+  }
+
+  test("buildExactWindowIndex: interrupted rebuild fails probes loudly, rerun completes") {
+    import org.apache.hadoop.fs.Path
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 120)
+    val root = java.nio.file.Files.createTempDirectory("xwin-crash").toString
+    val idx = s"$root/idx"
+    val fs = new Path(idx).getFileSystem(spark.sessionState.newHadoopConf())
+    Dedup.buildExactWindowIndex(d, idx, L = 40)
+    val aTxt = d.where(col("doc_id") === 3).head().getString(1)
+    val probe = Seq((900L, "xx " + aTxt.substring(0, 60) + " yy"))
+      .toDF("doc_id", "text")
+    val want = Dedup.exactCrossDupIndexed(spark, idx, probe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    // crash window: rebuild (to a DIFFERENT L) died after the live
+    // manifest was dropped — probes and appends must fail loudly on the
+    // missing manifest, never hash with a stale L and match nothing
+    assert(fs.delete(new Path(s"$idx/manifest"), true))
+    intercept[Exception] { Dedup.exactCrossDupIndexed(spark, idx, probe).count() }
+    intercept[Exception] { Dedup.appendToExactWindowIndex(probe, idx) }
+    // crash window: rebuild died BEFORE touching the live index — the
+    // orphaned _stage must not shadow it, and the rerun discards it
+    Dedup.buildExactWindowIndex(d, idx, L = 40)
+    fs.mkdirs(new Path(s"$idx/_stage/windows/ingest_batch=-1"))
+    val again = Dedup.exactCrossDupIndexed(spark, idx, probe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == want, s"live index must serve through an orphaned stage")
+    Dedup.buildExactWindowIndex(d, idx, L = 40)
+    assert(!fs.exists(new Path(s"$idx/_stage")), "rerun must clear the stage")
+    assert(Dedup.exactCrossDupIndexed(spark, idx, probe)
+      .as[(Long, Long, Long)].collect().toSet == want)
+  }
+
+  test("exactCrossDupIndexed: an oversized batch demotes broadcast to a shuffle join") {
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("xwin-bcast").toString
+    val idx = s"$root/idx"
+    Dedup.buildExactWindowIndex(d.where(col("doc_id") < 100), idx, L = 40)
+    val aTxt = d.where(col("doc_id") === 3).head().getString(1)
+    val probe = Seq(
+      (900L, "xx " + aTxt.substring(0, 60) + " yy"),
+      (901L, "nothing shared with anything at all here ok")
+    ).toDF("doc_id", "text")
+    val want = Dedup.exactCrossDupIndexed(spark, idx, probe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    // the guard FORCES a shuffle-hash join on the probe join (the batch
+    // window table is a computed relation whose stats could mis-estimate
+    // back into a broadcast); the prelude's own tiny joins may still
+    // auto-broadcast, so the lock is ShuffledHashJoin presence: absent by
+    // default (everything broadcasts), present once the batch exceeds the
+    // threshold
+    spark.conf.set("graft.eagerRelease", "false") // inspect the REAL plan
+    try {
+      def planStr() = Dedup.exactCrossDupIndexed(spark, idx, probe)
+        .queryExecution.executedPlan.toString
+      assert(!planStr().contains("ShuffledHashJoin"),
+        "under-threshold batch must broadcast the probe join")
+      spark.conf.set("graft.exactIndexedBroadcastMaxChars", "10")
+      val demotedPlan = planStr()
+      assert(demotedPlan.contains("ShuffledHashJoin"),
+        s"over-threshold batch must demote the probe join to a " +
+          s"shuffle-hash join:\n$demotedPlan")
+      spark.conf.set("graft.eagerRelease", "true")
+      val demoted = Dedup.exactCrossDupIndexed(spark, idx, probe)
+      assert(demoted.as[(Long, Long, Long)].collect().toSet == want,
+        "shuffle fallback must produce the identical spans")
+    } finally {
+      spark.conf.unset("graft.exactIndexedBroadcastMaxChars")
+      spark.conf.set("graft.eagerRelease", "true")
+    }
+  }
 }

@@ -342,6 +342,63 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(root).count() == 105)
   }
 
+  test("rollForward never deletes another attempt's park dir; owner sweeps it") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = java.nio.file.Files.createTempDirectory("lay-park").toString + "/z"
+    val fs = new Path(root).getFileSystem(conf)
+    val li = Tables(spark, sf(), "lineitem")
+    Layout.initKeyedLayout(li.limit(100), Seq("l_partkey", "l_suppkey"), root, 2)
+    // a committed interrupted compaction (staged base + marker) PLUS a
+    // foreign in-flight park dir: the r11-advice lost-base interleaving
+    // had the roll-forward's trailing delete destroy a racing attempt's
+    // parked base because the park name was shared. Per-attempt names
+    // mean this roll-forward must leave the foreign dir alone.
+    val scratch = java.nio.file.Files.createTempDirectory("lay-park2").toString + "/s"
+    Layout.initKeyedLayout(li.limit(100), Seq("l_partkey", "l_suppkey"), scratch, 2)
+    FileUtil.copy(fs, new Path(s"$scratch/batch=0"),
+      fs, new Path(s"$root/_compacting"), false, conf)
+    fs.create(new Path(s"$root/_graft_subsumed"), true) match {
+      case out => try out.write("".getBytes("UTF-8")) finally out.close()
+    }
+    val foreign = new Path(s"$root/_old_base_00000000000000000001_foreign")
+    fs.mkdirs(foreign)
+    Layout.healCommitted(root, conf)
+    assert(fs.exists(foreign),
+      "a concurrent attempt's park dir must survive another roll-forward")
+    assert(!fs.exists(new Path(s"$root/_graft_subsumed")) &&
+      !fs.exists(new Path(s"$root/_compacting")))
+    assert(spark.read.parquet(root).count() == 100)
+    // the OWNER's repair sweeps leaked park dirs once the layout is healthy
+    Layout.repairKeyed(root)
+    assert(!fs.exists(foreign), "repairKeyed must sweep leaked park dirs")
+    assert(spark.read.parquet(root).count() == 100)
+  }
+
+  test("stranded-base restore picks the NEWEST park dir, owner sweeps stale ones") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = java.nio.file.Files.createTempDirectory("lay-newest").toString + "/z"
+    val fs = new Path(root).getFileSystem(conf)
+    val li = Tables(spark, sf(), "lineitem")
+    // a STALE park (an earlier epoch's 20-row base, leaked by a crash) …
+    val old = java.nio.file.Files.createTempDirectory("lay-newest2").toString + "/s"
+    Layout.initKeyedLayout(li.limit(20), Seq("l_partkey", "l_suppkey"), old, 1)
+    Layout.initKeyedLayout(li.limit(100), Seq("l_partkey", "l_suppkey"), root, 2)
+    val stale = new Path(s"$root/_old_base_00000000000000000001_stale")
+    FileUtil.copy(fs, new Path(s"$old/batch=0"), fs, stale, false, conf)
+    // … and the LIVE base parked by a crashed racing loser (newer name)
+    assert(fs.rename(new Path(s"$root/batch=0"),
+      new Path(s"$root/_old_base_99999999999999999998_live")))
+    Layout.healCommitted(root, conf)
+    assert(spark.read.parquet(root).count() == 100,
+      "restore must pick the newest park (the live base), not the stale one")
+    assert(fs.exists(stale), "healCommitted must not sweep (non-owner)")
+    Layout.repairKeyed(root)
+    assert(!fs.exists(stale), "owner repair sweeps the stale park")
+    assert(spark.read.parquet(root).count() == 100)
+  }
+
   test("filesOverlapping: a file with null range stats SURVIVES pruning") {
     // an all-null column chunk writes no min/max; a stats-pruning reader
     // must read such a file (LayoutProbe.rowGroupStats counts it the same)
