@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1884,6 +1884,46 @@ object NorthStarQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // TOKEN-ACCURATE counting: the production BPE kernel (mapPartitions,
+    // iterate-lowest-rank merge loop + per-partition word memo) against an
+    // oracle that replays the SAME merge list as a literal replace chain
+    // (generated from one Scala Seq — the two engines cannot drift). The
+    // hash match proves kernel ≡ chain ≡ SQL on every corpus word; packing
+    // and batch manifests below budget on THESE counts, not whitespace.
+    QueryDef("txt_bpe")(
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |   CAST(${Bpe.tokenCountSql("text")} AS BIGINT) AS bpe_tokens
+         | FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Bpe.encodeDocs(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
+    // txt_pack re-based on REAL token budgets: same consecutive-bin packing
+    // shape, but the running window sums BPE tokens (the codegen'd chain —
+    // whole-stage codegen, no kernel handoff in the hot path).
+    QueryDef("txt_pack_bpe")(
+      s"""WITH t AS (SELECT lang, doc_id,
+         |             ${Bpe.tokenCountSql("text")} AS tok FROM documents),
+         | c AS (SELECT lang, doc_id, tok,
+         |         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM t)
+         | SELECT lang, CAST((cum - tok) // 1500 AS BIGINT) AS bin,
+         |   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS toks
+         | FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), Bpe.tokenCount(col("text")).as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("lang"), floor((col("cum") - col("tok")) / lit(1500)).as("bin"), col("tok"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // Intra-doc repetition filter (duplicate word-3-gram fraction + hottest
     // n-gram count) — the natural corpus has near-zero repetition, so one
     // degenerate boilerplate doc is planted (both engines build it with
@@ -2373,9 +2413,11 @@ object NorthStarQueries {
     // are reproducible on any cluster size, resumable from (shard,
     // batch), and shard-parallel (one window per shard, no global
     // state); the oracle replays the identical permutation + running-sum
-    // packing from scratch.
+    // packing from scratch. Budgets count BPE tokens (the `txt_bpe`
+    // chain, r12) — whitespace counts misestimate real batch sizes 2–4×
+    // on CJK/code, which silently breaks every manifest downstream.
     QueryDef("pipe_packed_batches")(
-      """WITH k AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+      s"""WITH k AS (SELECT doc_id, ${Bpe.tokenCountSql("text")} AS tok,
         |     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
         |     md5('s42:' || CAST(doc_id AS VARCHAR)) AS ord
         |   FROM documents),
@@ -2389,7 +2431,7 @@ object NorthStarQueries {
         | FROM c GROUP BY 1, 2 ORDER BY shard, batch""".stripMargin
     ) { (s, dir) =>
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), Bpe.tokenCount(col("text")).as("tok"))
       val ordered = graft.operators.Sampling.shardOrder(d, col("doc_id"), 8)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("shard").orderBy("pos").rowsBetween(Long.MinValue, 0)

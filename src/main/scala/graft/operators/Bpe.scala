@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization: TOKEN-ACCURATE counting for batch
+  * construction — the counting every training dataloader actually budgets
+  * on (Sennrich, Haddow & Birch, ACL 2016; the GPT-2 tokenizer applies the
+  * same learned merge list). Whitespace counts ([[TextAnalysis.tokenCounts]])
+  * misestimate real token budgets 2–4× on CJK/code; sequence packing
+  * (`txt_pack`, `pipe_packed_batches`) budgets BPE tokens here instead.
+  * No reference precedent (`Preprocessing/src/main/java` has no text
+  * surface) — LLM-pipeline surface next to SURVEY §2's text operators.
+  *
+  * Two interchangeable evaluation paths over ONE merge list:
+  *
+  *  - [[tokenCount]] — a pure codegen'd Column: render each char as
+  *    `~c~`, fold the merge list as literal `replace` calls (each merge
+  *    `(x, y) → xy` is `replace(s, "~x~~y~", "~xy~")`), then count
+  *    separator pairs. Left-to-right non-overlapping `replace` IS the
+  *    leftmost-first merge application BPE specifies. Stays inside
+  *    whole-stage codegen; cost O(len × |merges|) per row — right for
+  *    fixture-sized merge lists and for the DuckDB oracle, which replays
+  *    the identical chain (generated from the same Scala list, so the two
+  *    engines cannot drift).
+  *  - [[encodeDocs]] — the production kernel: mapPartitions, merge-rank
+  *    hash map + per-partition word memo, the standard iterate-lowest-rank
+  *    loop. Cost O(len × rounds) independent of merge-list SIZE — the
+  *    path a real 50k-merge vocabulary takes at 100 TB (the merge list is
+  *    metadata-scale: closure-shipped here, `spark.sparkContext.broadcast`
+  *    for vocabularies big enough to matter). BpeSpec asserts the two
+  *    paths agree word-for-word on the corpus.
+  *
+  * Equivalence contract (why one merge list serves both): applying merges
+  * SEQUENTIALLY in rank order equals the iterate-lowest-rank-present loop
+  * when (a) every merge's operands are single characters or outputs of
+  * strictly EARLIER merges, and (b) outputs are distinct. Then applying
+  * merge r can never create an occurrence of any merge q < r (q's operand
+  * would have to contain r's output, which did not exist when q was
+  * learned), so the sequential pass visits pairs in exactly the order the
+  * priority loop would. [[validateMerges]] enforces (a) and (b) on every
+  * list this object accepts — a learned BPE merge list satisfies both by
+  * construction.
+  *
+  * Separator: tokens are rendered `~token~` (boundary = `~~`), so a merge
+  * pattern `~x~~y~` matches exactly a complete-token adjacency — x and y
+  * each carry their OWN separator pair, which kills both classic
+  * string-replace traps: no boundary sharing (so `[a,a,a,a]` merges to
+  * `[aa,aa]`, not `[aa,a,a]`) and no partial-token matches (`~a~~t~`
+  * cannot fire inside `~ta~`). `~` must not occur in the text (the
+  * synthetic corpus is `[a-z ]`; the kernel fail-fasts on violation).
+  */
+object Bpe {
+
+  /** Rendered-token separator. Must be absent from tokenized text. */
+  val Sep = "~"
+
+  /** The fixture merge list (rank order), hand-learned over the synthetic
+    * corpus vocabulary the way subword-nmt would learn it: frequent words
+    * (`the`, `table`, `data`, `spark`, `query`, `window`, `join`, `hash`,
+    * `row`) compress to one token; rarer words stay multi-token. Satisfies
+    * [[validateMerges]]'s invariants by construction. */
+  val fixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e",              // the
+    "i" -> "n", "e" -> "r", "o" -> "w", "a" -> "t",
+    "s" -> "t", "a" -> "r", "o" -> "r",
+    "r" -> "ow",                          // row
+    "t" -> "a", "b" -> "l", "ta" -> "bl", "tabl" -> "e", // table
+    "d" -> "at", "dat" -> "a",            // data
+    "s" -> "p", "sp" -> "ar", "spar" -> "k", // spark
+    "q" -> "u", "qu" -> "er", "quer" -> "y", // query
+    "w" -> "in", "win" -> "d", "wind" -> "ow", // window
+    "j" -> "o", "jo" -> "in",             // join
+    "h" -> "a", "ha" -> "s", "has" -> "h") // hash
+
+  /** Enforce the sequential≡priority invariants (scaladoc above): every
+    * operand is a single char or an earlier output; outputs are distinct
+    * (and never single chars); no operand or output contains [[Sep]] or
+    * whitespace. */
+  def validateMerges(merges: Seq[(String, String)]): Unit = {
+    require(merges.nonEmpty, "empty merge list")
+    val seen = scala.collection.mutable.Set[String]()
+    merges.zipWithIndex.foreach { case ((x, y), i) =>
+      Seq(x, y).foreach { op =>
+        require(op.nonEmpty && !op.contains(Sep) && !op.exists(_.isWhitespace),
+          s"merge $i operand '$op' is empty or contains '$Sep'/whitespace")
+        require(op.length == 1 || seen(op),
+          s"merge $i operand '$op' is neither a single char nor an earlier output")
+      }
+      val out = x + y
+      require(!seen(out), s"merge $i output '$out' duplicates an earlier output")
+      seen += out
+    }
+  }
+  validateMerges(fixtureMerges)
+
+  /** Load a merge list from a text file of `x y` lines (the subword-nmt /
+    * GPT-2 `merges.txt` shape; `#`-prefixed lines and blanks skipped) —
+    * metadata-scale, read once on the driver like every other
+    * metadata artifact (centroid/codebook precedent). */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val lines = spark.read.textFile(path).collect().toSeq
+    val merges = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\s+")
+        require(parts.length == 2, s"merge line '$l' is not 'x y'")
+        (parts(0), parts(1))
+      }
+    validateMerges(merges)
+    merges
+  }
+
+  /** `text` rendered one `~c~` per character (codegen'd regexp). */
+  private def render(text: Column): Column =
+    regexp_replace(text, "(.)", s"$Sep$$1$Sep")
+
+  /** The rendered text after the full merge chain — each merge one
+    * codegen'd literal `replace`. Runs over the WHOLE text in one pass:
+    * the space character is itself a rendered token (`~ ~`) no merge
+    * touches, so merges can never fire across a word boundary. */
+  def encodeCol(text: Column, merges: Seq[(String, String)] = fixtureMerges): Column = {
+    validateMerges(merges)
+    merges.foldLeft(render(text)) { case (c, (x, y)) =>
+      call_function("replace", c, lit(s"$Sep$x$Sep$Sep$y$Sep"), lit(s"$Sep$x$y$Sep"))
+    }
+  }
+
+  /** BPE token count of `text` as a pure codegen'd Column: rendered tokens
+    * each carry exactly two separators, so count = (#`~`)/2 minus the
+    * space tokens (one per space character of the input). */
+  def tokenCount(text: Column, merges: Seq[(String, String)] = fixtureMerges): Column = {
+    val enc = encodeCol(text, merges)
+    (((length(enc) - length(translate(enc, Sep, ""))) / 2).cast("long")
+      - (length(text) - length(translate(text, " ", ""))).cast("long"))
+  }
+
+  /** The identical chain as DuckDB SQL over `textExpr` — generated from
+    * the SAME Scala merge list, so engine and oracle cannot drift. */
+  def tokenCountSql(textExpr: String,
+      merges: Seq[(String, String)] = fixtureMerges): String = {
+    val rendered = s"regexp_replace($textExpr, '(.)', '$Sep\\1$Sep', 'g')"
+    val enc = merges.foldLeft(rendered) { case (e, (x, y)) =>
+      s"replace($e, '$Sep$x$Sep$Sep$y$Sep', '$Sep$x$y$Sep')"
+    }
+    s"((length($enc) - length(replace($enc, '$Sep', ''))) // 2" +
+      s" - (length($textExpr) - length(replace($textExpr, ' ', ''))))"
+  }
+
+  /** Encode one word with the standard iterate-lowest-rank BPE loop. */
+  private def encodeWord(w: String,
+      rank: scala.collection.Map[(String, String), Int]): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    var toks: Vector[String] = w.map(_.toString).toVector
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bx = ""; var by = ""
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bx = toks(i); by = toks(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge every occurrence of the winning pair, leftmost first
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == bx && toks(j + 1) == by) {
+            out += bx + by; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+        if (toks.length < 2) done = true
+      }
+    }
+    toks
+  }
+
+  /** The production tokenization kernel: `docs(doc_id, text)` →
+    * `(doc_id, ws_tokens, bpe_tokens)` in one narrow mapPartitions pass —
+    * per-partition merge-rank map + word→count memo (real corpora repeat
+    * words heavily; the memo makes the loop amortized O(distinct words)),
+    * no shuffle, scales with merge-list size unlike the replace chain. */
+  def encodeDocs(docs: DataFrame,
+      merges: Seq[(String, String)] = fixtureMerges): DataFrame = {
+    validateMerges(merges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+        // java.lang.Long values: a Scala-Long-valued map would unbox a
+        // missing key's null to 0 and the memo could never fill
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        rows.map { case (id, text) =>
+          require(!text.contains(Sep),
+            s"doc $id contains the reserved separator '$Sep'")
+          // -1 limit: keep trailing empty strings, matching split(text,' ')
+          val words = text.split(" ", -1)
+          var n = 0L
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            var c: java.lang.Long = memo.get(w)
+            if (c == null) {
+              c = java.lang.Long.valueOf(encodeWord(w, rank).length.toLong)
+              memo.put(w, c)
+            }
+            n += c.longValue()
+            i += 1
+          }
+          (id, words.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "ws_tokens", "bpe_tokens")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("encodeWord semantics: hand-checked tokenizations via the kernel") {
+    val d = docs(1L -> "the table data spark query window join hash",
+      2L -> "batch stream order customer", 3L -> "a agg")
+    val got = Bpe.encodeDocs(d).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // the=1 table=1 data=1 spark=1 query=1 window=1 join=1 hash=1
+    assert(got(1L) == (8L, 8L))
+    // batch=[b,at,c,h]=4  stream=[st,r,e,a,m]=5  order=[or,d,er]=3
+    // customer=[c,u,st,o,m,er]=6
+    assert(got(2L) == (4L, 18L))
+    // a=1  agg=[a,g,g]=3
+    assert(got(3L) == (2L, 4L))
+  }
+
+  test("kernel == codegen replace chain on the full sf0.001 corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kernel = Bpe.encodeDocs(d).select(col("doc_id"), col("bpe_tokens"))
+    val chain = d.select(col("doc_id"), Bpe.tokenCount(col("text")).as("bpe_tokens"))
+    assert(kernel.join(chain, Seq("doc_id", "bpe_tokens")).count() == d.count())
+  }
+
+  test("leftmost-first pairing: aaaa -> [aa, aa], aaa -> [aa, a]") {
+    val merges = Seq("a" -> "a")
+    val d = docs(1L -> "aaaa", 2L -> "aaa")
+    val got = Bpe.encodeDocs(d, merges).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+    val chain = d.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(chain == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("no cross-boundary or partial-token merges in the replace chain") {
+    // (a,t) must not fire across "ta|a" or inside "ta"
+    val merges = Seq("t" -> "a", "a" -> "t")
+    val d = docs(1L -> "ta at", 2L -> "taat")
+    val got = d.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("t"))
+      .as[(Long, Long)].collect().toMap
+    // "ta"=[ta], "at"=[a,t]->? (a,t) rank2: "at"->[at]; so 1+1=2
+    // "taat": t,a,a,t -> (t,a) leftmost: [ta,a,t] -> (a,t): [ta,at] = 2
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("validateMerges rejects out-of-order operands and dup outputs") {
+    intercept[IllegalArgumentException] {
+      Bpe.validateMerges(Seq("th" -> "e")) // 'th' never produced
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.validateMerges(Seq("a" -> "b", "a" -> "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.validateMerges(Seq("a" -> "~"))
+    }
+  }
+
+  test("loadMerges round-trips a merges.txt fixture") {
+    val f = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# fixture\nt h\nth e\n\n")
+    val m = Bpe.loadMerges(spark, f.toString)
+    assert(m == Seq("t" -> "h", "th" -> "e"))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("kernel fails fast on reserved separator in text") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Bpe.encodeDocs(docs(1L -> "bad~text")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("empty and degenerate words") {
+    // double space -> empty word (0 tokens); trailing space -> empty word
+    val d = docs(1L -> "a  b ", 2L -> "")
+    val got = Bpe.encodeDocs(d).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (4L, 2L))
+    assert(got(2L) == (1L, 0L))
+    val chain = d.select(col("doc_id"), Bpe.tokenCount(col("text")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(chain == Map(1L -> 2L, 2L -> 0L))
+  }
+}
