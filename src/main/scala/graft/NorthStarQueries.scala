@@ -50,6 +50,27 @@ object NorthStarQueries {
     """corpus AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20)""".stripMargin
 
+  /** Shared dHash oracle chain, `f(id, key, delta, spot)` → `bt(id, gy,
+    * byte)`: replays `Multimodal.syntheticImageVariants`' pixel formula
+    * (`(key·31 + x·7 + y·13 + c·5 + spot@origin) % 255 + delta`), the 9×8
+    * nearest-neighbor downsample (`(g·dim)//grid`), integer grayscale
+    * ((R+G+B)//3) and the per-row gradient byte (bit gx set iff
+    * gray(gx) < gray(gx+1)) — the full dHash, byte-exact by formula. */
+  private val phashByteSql =
+    """ g AS (SELECT id, key, delta, spot, key % 13 + 3 AS w, key % 7 + 2 AS h FROM f),
+      | px AS (SELECT g.id, g.key, g.delta, g.spot,
+      |          gx.gx AS gx, gy.gy AS gy,
+      |          (gx.gx * g.w) // 9 AS sx, (gy.gy * g.h) // 8 AS sy
+      |        FROM g JOIN range(0, 9) gx(gx) ON true JOIN range(0, 8) gy(gy) ON true),
+      | gr AS (SELECT id, gx, gy,
+      |          (  ((key*31 + sx*7 + sy*13 + 0  + CASE WHEN sx = 0 AND sy = 0 THEN spot ELSE 0 END) % 255) + delta
+      |           + ((key*31 + sx*7 + sy*13 + 5  + CASE WHEN sx = 0 AND sy = 0 THEN spot ELSE 0 END) % 255) + delta
+      |           + ((key*31 + sx*7 + sy*13 + 10 + CASE WHEN sx = 0 AND sy = 0 THEN spot ELSE 0 END) % 255) + delta) // 3 AS gray
+      |        FROM px),
+      | bt AS (SELECT a.id, a.gy, sum(CASE WHEN a.gray < b.gray THEN 1 << a.gx ELSE 0 END) AS byte
+      |        FROM gr a JOIN gr b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |        WHERE a.gx < 8 GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB CTE chain: shingles → minhash → bands → candidate pairs
     * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
     * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens).
@@ -2671,6 +2692,65 @@ object NorthStarQueries {
       Multimodal.sampleFramesReal(Multimodal.syntheticAnimatedGifs(
         Tables(s, dir, "documents").where(col("doc_id") < 16)), 2)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // REAL perceptual hash: deterministic fixtures (plus controlled
+    // brightness/spot perturbations) encode through the real codec, the
+    // production kernel decodes and dHashes the true pixels, and the
+    // oracle recomputes every hash by formula — grayscale, 9×8 NN
+    // downsample, per-row gradient byte, hex roll-up. A header-only or
+    // faked decode cannot pass.
+    QueryDef("mm_phash")(
+      s"""WITH f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |           FROM documents WHERE doc_id < 24),
+         |$phashByteSql
+         | SELECT id AS doc_id,
+         |   string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY gy DESC) AS phash_hex
+         | FROM bt GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.dHash64(Multimodal.syntheticImageVariants(
+        Tables(s, dir, "documents").where(col("doc_id") < 24)
+          .select(col("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(0).as("spot"))))
+        .select(col("doc_id"), col("phash_hex"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Image NEAR-dedup — what exact dedup cannot see: delta twins
+    // (uniform +1 brightness; different bytes, digest and px_sum, SAME
+    // gradient hash → Hamming 0) and a single-pixel spot retouch on the
+    // one id whose 9×8 grid samples pixel (0,0) exactly once (w=9, h=8 →
+    // Hamming 1). The engine blocks candidates on simhashPairs' 16-bit
+    // bands (pigeonhole-complete ≤ 3); the oracle all-pairs the
+    // formula-derived hashes at fixture scale. Both engines emit the
+    // same pairs with the same distances.
+    QueryDef("mm_neardup")(
+      s"""WITH f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy AND a.id < b.id
+         |        GROUP BY 1, 2)
+         | SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val fixture = d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot"))
+        .unionAll(d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+            lit(1).as("delta"), lit(0).as("spot")))
+        .unionAll(d.where(col("doc_id") === 6)
+          .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(50).as("spot")))
+      Multimodal.nearDupImages(Multimodal.syntheticImageVariants(fixture))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     QueryDef("mm_frames")(

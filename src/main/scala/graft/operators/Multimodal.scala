@@ -241,6 +241,104 @@ object Multimodal {
     }
   }
 
+  /** Deterministic image fixtures WITH controlled perturbations, through
+    * the real codec — the near-dup planting generator for [[dHash64]] /
+    * [[nearDupImages]]: one row per `(doc_id, key, delta, spot)`, an RGB
+    * image whose dims derive from `key` alone (w = key%13+3, h = key%7+2)
+    * and whose pixels are `px(x,y,c) = (key·31 + x·7 + y·13 + c·5 +
+    * (x==0 && y==0 ? spot : 0)) mod 255 + delta` — the `% 255` (not 256)
+    * head-room makes `delta ∈ {0, 1}` a uniform brightness shift with NO
+    * wrap, so a delta twin has byte-different pixels (different digest,
+    * different px_sum — exact dedup is blind to it) but an IDENTICAL
+    * dHash (every gradient comparison shifts equally); `spot` perturbs
+    * the single source pixel (0,0), flipping at most the gradient bits of
+    * the grid cells that sample it. PNG for even keys, BMP for odd — both
+    * lossless, so a DuckDB oracle recomputes the hash by formula
+    * (`syntheticImages`' trick, aimed at the near-dup operator). */
+  def syntheticImageVariants(rows: DataFrame): Dataset[MediaRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("long"), col("key").cast("long"),
+        col("delta").cast("int"), col("spot").cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, key, delta, spot) =>
+          require(key >= 0 && delta >= 0 && delta <= 1 && spot >= 0,
+            s"variant ($id, $key, $delta, $spot) out of contract")
+          val w = (key % 13 + 3).toInt
+          val h = (key % 7 + 2).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val s = if (x == 0 && y == 0) spot else 0
+              def v(c: Int): Int =
+                ((key * 31 + x * 7 + y * 13 + c * 5 + s) % 255).toInt + delta
+              img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (key % 2 == 0) "png" else "bmp"
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          MediaRow(id, s"image/$fmt", bos.toByteArray)
+        }
+      }
+  }
+
+  /** Perceptual hash (dHash) over the REAL decoded pixels: grayscale
+    * ((R+G+B)/3, integer), nearest-neighbor downsample to a 9×8 grid
+    * (source pixel (gx·w/9, gy·h/8) — `resizeImages`' mapping), then one
+    * gradient bit per adjacent horizontal pair: bit (gy·8+gx) set iff
+    * gray(gx,gy) < gray(gx+1,gy). 64 bits, robust to uniform brightness/
+    * contrast shifts and resizing — the standard cheap image near-dup
+    * signature (the image-side analogue of `Dedup.simhash64`). Returns
+    * `(doc_id, phash, phash_hex)`; non-decodable payloads DROP (flatMap,
+    * `resizeImages`' failure routing). Narrow partition-batched map — no
+    * shuffle, O(81) pixel reads per image after decode. */
+  def dHash64(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecode(r.content).map { case (img, _) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          def gray(gx: Int, gy: Int): Int = {
+            val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          var hash = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (gray(gx, gy) < gray(gx + 1, gy)) hash |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          (r.doc_id, hash, f"$hash%016x")
+        }
+      }
+    }.toDF("doc_id", "phash", "phash_hex")
+  }
+
+  /** Image near-dup pairs: Hamming distance ≤ `maxHamming` over [[dHash64]]
+    * signatures — [[graft.operators.Dedup.simhashPairs]]' 16-bit-band
+    * pigeonhole blocking applied verbatim to the image modality (zero
+    * recall loss for maxHamming ≤ 3, no O(n²) pair space, no corpus
+    * broadcast). This is what exact dedup cannot do for media: a
+    * re-encoded, brightness-shifted or slightly-retouched image hashes
+    * to a different SHA but the same (or near) dHash. */
+  def nearDupImages(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      dHash64(media).select(col("doc_id"), col("phash").as("sigint")),
+      maxHamming)
+
   /** WAV container sniff: RIFF chunk id at 0, WAVE form type at 8 — the
     * same magic-byte dispatch as `sniffImageFormat`. */
   private[graft] def sniffWav(b: Array[Byte]): Boolean =

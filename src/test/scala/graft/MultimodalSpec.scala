@@ -219,6 +219,43 @@ class MultimodalSpec extends TestBase {
         s"id $id must fall back raw")
   }
 
+  test("dHash64: brightness-invariant, spot-sensitive, drop on non-image") {
+    def variants(rows: (Long, Long, Int, Int)*) =
+      Multimodal.syntheticImageVariants(
+        rows.toDF("doc_id", "key", "delta", "spot"))
+    // key 6 → w=9, h=8: the 9×8 grid samples source (0,0) exactly once
+    val media = variants((1L, 6L, 0, 0), (2L, 6L, 1, 0), (3L, 6L, 0, 50))
+    val h = Multimodal.dHash64(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // uniform +1 brightness: every gradient comparison shifts equally
+    assert(h(1L)._1 == h(2L)._1)
+    // the +50 spot at (0,0) flips exactly the (0,0)-(1,0) gradient bit
+    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) == 1L)
+    assert(h(1L)._2 == f"${h(1L)._1}%016x")
+    // bytes differ even though the hash matches: this is what exact
+    // dedup cannot see
+    val bytes = media.collect().map(m => m.doc_id -> m.content).toMap
+    assert(!java.util.Arrays.equals(bytes(1L), bytes(2L)))
+    // non-decodable payloads drop, not crash
+    val mixed = media.unionAll(Seq(
+      MediaRow(9L, "text/plain", "not an image".getBytes)).toDS())
+    assert(Multimodal.dHash64(mixed).count() == 3L)
+  }
+
+  test("nearDupImages: banded Hamming join finds the planted pairs") {
+    val media = Multimodal.syntheticImageVariants(Seq(
+      (1L, 6L, 0, 0), (2L, 6L, 1, 0), (3L, 6L, 0, 50), (4L, 19L, 0, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val pairs = Multimodal.nearDupImages(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number]("hamming").longValue()).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((1L, 3L)) == 1L)
+    assert(pairs((2L, 3L)) == 1L)
+    // key 19 (w=9, h=7) is a different image: not within Hamming 3 of key 6
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)
