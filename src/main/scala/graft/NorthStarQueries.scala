@@ -267,7 +267,9 @@ object NorthStarQueries {
        | ${islandSpanTailSql("mk")}""".stripMargin
 
   private def cachedBm25Index(dir: String, corpus: DataFrame): String =
-    cachedArtifact(dir, "bm25-index", corpus)(
+    // v2: versioned df/stats side tables (growable index) — the name bump
+    // invalidates any pre-r12 cached artifact with the old layout
+    cachedArtifact(dir, "bm25-index-v2", corpus)(
       Retrieval.buildBm25Index(corpus, _))
 
   /** Shared arriving-batch fixture of the dd_exact_cross/indexed rows:
@@ -2052,6 +2054,89 @@ object NorthStarQueries {
       Retrieval.bm25IndexedTopK(s,
         cachedBm25Index(dir, Tables(s, dir, "documents")),
         Seq("spark", "window", "merge"), 20)
+    },
+
+    // The GROWN index — BM25's append path, driver-checked: build on the
+    // first half of the corpus, append the rest in TWO batches (auto ids
+    // -2, -3; two version rolls of the global df/stats side tables), and
+    // probe the grown index. The oracle scores the FULL corpus from
+    // scratch — a hash match proves grown == rebuilt: per-term df
+    // re-aggregated exactly, (n_docs, sum_dl) rolled forward as integer
+    // sums, no standing posting re-tokenized or rewritten.
+    QueryDef("txt_bm25_grown")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1)
+        | SELECT doc_id, round(score, 6) AS score FROM sc
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = d.count()
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-grown-q")
+      val tB = System.nanoTime()
+      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
+      Retrieval.appendToBm25Index(
+        d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
+      Retrieval.appendToBm25Index(
+        d.where(col("doc_id") >= 3 * n / 4), idx.toString)
+      fixtureSecs.put("bm25-grown-build", (System.nanoTime() - tB) / 1e9)
+      val out = Retrieval.bm25IndexedTopK(s, idx.toString,
+        Seq("spark", "window", "merge"), 20).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
+    },
+
+    // The STREAMING ingest loop run end to end inside the oracle row:
+    // seed the index from a standing partial corpus, stream the rest as
+    // two file-dropped micro-batches through Streams.bm25Ingest
+    // (postings partition + df/stats version roll per batch), then probe
+    // the final index. The oracle scores the full corpus from scratch —
+    // a hash match proves the stream-grown index equals a one-shot
+    // build, driver-checked.
+    QueryDef("txt_bm25_stream")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1)
+        | SELECT doc_id, round(score, 6) AS score FROM sc
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val st = java.nio.file.Files.createTempDirectory("graft-bm25-stream-q")
+      val idxDir = s"$st/index"
+      val tSeed = System.nanoTime()
+      Retrieval.buildBm25Index(d.where(col("doc_id") >= 100), idxDir)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-bm25-stream-in")
+      stageAsFile(d.where(col("doc_id") < 50), inDir, "b1.parquet")
+      stageAsFile(d.where(col("doc_id") >= 50 && col("doc_id") < 100),
+        inDir, "b2.parquet")
+      fixtureSecs.put("bm25-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.bm25Ingest(
+        graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("bm25-stream-loop", (System.nanoTime() - tLoop) / 1e9)
+      val out = Retrieval.bm25IndexedTopK(s, idxDir,
+        Seq("spark", "window", "merge"), 20).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
     },
 
     // Batch BM25: top-10 per query for a 3-query request batch in ONE

@@ -73,56 +73,204 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
-  /** Persist the BM25 POSTINGS index — the "index once, query many"
-    * form of [[bm25]] for serving workloads. Rows are fully DENORMALIZED
-    * `(term, doc_id, tf, df, dl)` so a probe needs ZERO joins: the
-    * corpus statistics each score needs travel with the posting. The
-    * table is range-partitioned and sorted BY TERM, so a query's literal
-    * `isin` predicate prunes at parquet row-group (min/max) level — the
-    * columnar analogue of an inverted index's posting-list seek. Size:
-    * one row per distinct (doc, term) — the standard inverted-index cost
-    * class, on disk. `stats` holds the one (n_docs, avgdl) row. */
-  def buildBm25Index(docs: DataFrame, dir: String, files: Int = 32): Unit = {
-    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    val tfAgg = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df derives from the tf aggregate (one row per (doc, term) already)
-    // and joins WITHOUT a broadcast hint: the full-corpus vocabulary is
-    // corpus-proportional — at web scale it would blow the broadcast
-    // limit — unlike bm25's per-QUERY df, which is tiny by construction
-    val df = tfAgg.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tfAgg
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"))
-      .repartitionByRange(files, col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
+  // ---- persisted BM25 index (grows by append) ---------------------------
+  //
+  // Layout:
+  //   dir/postings/batch=<id>/  (term, doc_id, tf, dl) range-partitioned
+  //                             + sorted BY TERM — a query's literal isin
+  //                             prunes at parquet row-group level, the
+  //                             columnar analogue of a posting-list seek
+  //   dir/v<k>/df/              (term, df) sorted by term — df and stats
+  //   dir/v<k>/stats/           (n_docs, sum_dl), one row    are GLOBAL,
+  //   dir/v<k>/_batches         covered batch ids            so they are
+  //   dir/v<k>/_COMMIT          written LAST                 VERSIONED
+  //
+  // Why df/stats live beside the postings instead of denormalized into
+  // them (the r11 layout): df is global, so ANY append changes it for
+  // every touched term — a denormalized df would force rewriting every
+  // posting of every touched term on every append. Versioned side tables
+  // make an append O(batch + vocabulary): the standing postings are never
+  // read, re-tokenized or rewritten. The probe pays one extra join, but
+  // against a ≤|queryTerms|-row broadcast — never corpus-scale.
+  //
+  // Crash discipline (the buildExactWindowIndex lesson): a version
+  // without _COMMIT is invisible; postings/batch dirs are keyed
+  // overwrites (replays converge); a crash between the postings write
+  // and the version commit leaves a stray batch dir that the old
+  // committed version simply does not list — probes stay consistent and
+  // the retried append overwrites it.
+
+  private def committedVersion(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Seq[Long], org.apache.hadoop.fs.FileSystem) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .sortBy(_.getName.drop(1).toLong)
+    require(versions.nonEmpty, s"no committed BM25 index version under $dir")
+    val latest = versions.last
+    val batches = readText(fs, new org.apache.hadoop.fs.Path(latest, "_batches"))
+      .trim.split(",").map(_.toLong).toSeq
+    (latest.getName.drop(1).toLong, batches, fs)
   }
 
-  /** [[bm25TopK]] against a prebuilt [[buildBm25Index]]: identical
-    * result contract, but the probe is ONE postings scan with the term
-    * filter PUSHED into parquet (row-group pruning on the sorted term
-    * column), a broadcast of the 1-row stats, and a
-    * TakeOrderedAndProject — no corpus scan, no tokenization, no joins.
-    * The df stored per posting is docs-containing-the-term, identical to
-    * [[bm25]]'s tf-derived df for every term that has postings at all
-    * (a term with no postings contributes nothing either way). */
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One tokenization pass → the batch's postings `(term, doc_id, tf,
+    * dl)` and its `(term, df)` / `(n_docs, sum_dl)` contributions. */
+  private def batchTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tfAgg = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val postings = tfAgg.join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // df derives from the tf aggregate (one row per (doc, term) already);
+    // the (term → df) table is vocabulary-scale, never broadcast on write
+    val df = tfAgg.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // sum_dl is an exact integer, so the derived avgdl = sum_dl / n_docs
+    // is reproducible under any append order (a stored float mean would
+    // drift from the rebuilt one by accumulation order)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (postings, df, stats)
+  }
+
+  private def writePostings(postings: DataFrame, dir: String, id: Long,
+      files: Int): Unit =
+    postings
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings/batch=$id")
+
+  private def commitVersion(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long, df: DataFrame, stats: DataFrame,
+      batches: Seq[Long], dfFiles: Int): Unit = {
+    df.repartitionByRange(math.max(1, dfFiles), col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/v$v/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$v/stats")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeText(fs, new org.apache.hadoop.fs.Path(s"$dir/v$v/_batches"),
+      batches.mkString(","))
+    writeText(fs, new org.apache.hadoop.fs.Path(s"$dir/v$v/_COMMIT"), "")
+    // prune: the newest version plus its predecessor are all recovery
+    // can need (committedSnapshots' discipline)
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        p.getName.drop(1).toLong < v - 1)
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Persist the BM25 index — the "index once, query many" form of
+    * [[bm25]] for serving workloads, growable by [[appendToBm25Index]].
+    * Size: one postings row per distinct (doc, term) — the standard
+    * inverted-index cost class, on disk — plus a vocabulary-scale df
+    * table and a 1-row stats table (versioned; see layout note above). */
+  def buildBm25Index(docs: DataFrame, dir: String, files: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val (postings, df, stats) = batchTables(docs)
+    writePostings(postings, dir, -1L, files)
+    commitVersion(spark, dir, 0L, df, stats, Seq(-1L), files / 4)
+  }
+
+  /** Grow a [[buildBm25Index]] index with an arriving batch WITHOUT
+    * re-tokenizing or rewriting the standing corpus: write the batch's
+    * own postings partition, merge its per-term df into a new df
+    * version (df is global — an append must re-aggregate it; the merge
+    * is vocabulary-scale), roll (n_docs, sum_dl) forward exactly
+    * (integer sums — no float-mean drift), and commit the new version.
+    * Grown == rebuilt, by construction and spec (RetrievalSpec).
+    *
+    * Batch ids: the batch API auto-assigns ids descending below the
+    * build's -1 (-2, -3, …), DISJOINT from streaming ingest ids (≥ 0,
+    * passed via `batchId` by [[graft.streaming.Streams.bm25Ingest]]) —
+    * the id-space discipline appendToExactWindowIndex settled in r11.
+    * A `batchId` already committed is a REPLAY (foreachBatch is
+    * at-least-once): the batch's postings partition is overwritten with
+    * the identical data and df/stats are left alone — they already
+    * include this batch.
+    *
+    * Doc ids must be globally unique across the index: a collision
+    * would double-count the doc in df and stats, so the append fails
+    * fast (one postings id-column scan against the broadcast batch ids
+    * — no shuffle, the curationLoop guard). */
+  def appendToBm25Index(docs: DataFrame, dir: String,
+      batchId: Option[Long] = None, files: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val (v, batches, _) = committedVersion(spark, dir)
+    batchId.foreach(id => require(id >= 0,
+      s"explicit batch id $id is negative — negative ids belong to the batch API"))
+    val id = batchId.getOrElse(batches.filter(_ < 0).min - 1)
+    if (batches.contains(id)) {
+      // replay of a committed streaming batch: postings only (see above)
+      writePostings(batchTables(docs)._1, dir, id, files)
+      return
+    }
+    val indexed = spark.read
+      .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
+      .select(col("doc_id"))
+      .join(broadcast(docs.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(indexed.isEmpty,
+      s"appendToBm25Index: doc_id ${indexed.head.getLong(0)} is already " +
+        "indexed — the BM25 index requires globally unique doc ids")
+    val (postings, dfNew, statsNew) = batchTables(docs)
+    writePostings(postings, dir, id, files)
+    val dfOld = spark.read.parquet(s"$dir/v$v/df")
+    val dfMerged = dfOld.unionAll(dfNew)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val statsOld = spark.read.parquet(s"$dir/v$v/stats")
+    val statsMerged = statsOld.unionAll(statsNew)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    commitVersion(spark, dir, v + 1, dfMerged, statsMerged, batches :+ id,
+      math.max(1, files / 4))
+  }
+
+  /** [[bm25TopK]] against a prebuilt [[buildBm25Index]] (+appends):
+    * identical result contract, but the probe reads ONLY the index —
+    * the committed version's postings partitions with the term filter
+    * PUSHED into parquet (row-group pruning on the sorted term column),
+    * the ≤|queryTerms|-row df slice (same pushdown, then broadcast),
+    * and the 1-row stats broadcast; top-k is a TakeOrderedAndProject.
+    * No corpus scan, no tokenization, no corpus-scale join. */
   def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25IndexedTopK needs at least one query term")
-    val post = spark.read.parquet(s"$dir/postings")
+    val (v, batches, _) = committedVersion(spark, dir)
+    val post = spark.read
+      .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
       .where(col("term").isin(queryTerms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val dfq = spark.read.parquet(s"$dir/v$v/df")
+      .where(col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$dir/v$v/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    post.crossJoin(broadcast(stats))
+    post.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -364,6 +364,35 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25-index ingest: each arriving micro-batch of documents
+    * is appended to a standing [[graft.operators.Retrieval.buildBm25Index]]
+    * index — postings land as the batch's own `batch=<id>` partition, df
+    * and (n_docs, sum_dl) roll forward as a new committed version — so a
+    * retrieval service queries an index that is never more than one
+    * micro-batch stale, without ever re-tokenizing the standing corpus.
+    *
+    * Replay exactness (foreachBatch is at-least-once): ingest batch ids
+    * are the stream's batch ids (≥ 0, disjoint from the batch API's
+    * negative ids); a replayed batch is detected by its id already being
+    * committed, overwrites its own postings partition with the identical
+    * data, and leaves df/stats alone — they already include it
+    * (`appendToBm25Index`'s replay branch; StreamingSpec asserts
+    * stream == one-shot build end to end). The index must be owned by
+    * this single loop — don't interleave batch-API appends. */
+  def bm25Ingest(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Retrieval.appendToBm25Index(
+          batch.select(col("doc_id"), col("text")), indexDir,
+          batchId = Some(batchId))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate), written as labels

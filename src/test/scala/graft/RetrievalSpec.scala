@@ -67,6 +67,80 @@ class RetrievalSpec extends TestBase {
       s"term predicate must push into the postings scan:\n$plan")
   }
 
+  test("appendToBm25Index: grown == rebuilt for every term set; versions roll") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val grownDir = java.nio.file.Files.createTempDirectory("bm25grown").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Retrieval.buildBm25Index(docs.where(col("doc_id") < 200), grownDir)
+    Retrieval.appendToBm25Index(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 350), grownDir)
+    Retrieval.appendToBm25Index(docs.where(col("doc_id") >= 350), grownDir)
+    Retrieval.buildBm25Index(docs, fullDir)
+    for (terms <- Seq(Seq("spark"), Seq("window", "merge"), Seq("the", "a"))) {
+      val grown = Retrieval.bm25IndexedTopK(spark, grownDir, terms, 25)
+        .as[(Long, Double)].collect().toSeq
+      val rebuilt = Retrieval.bm25IndexedTopK(spark, fullDir, terms, 25)
+        .as[(Long, Double)].collect().toSeq
+      assert(grown == rebuilt, s"terms $terms: grown != rebuilt")
+    }
+    // two appends = two version rolls; only the newest two survive pruning
+    val vs = new java.io.File(grownDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    assert(vs.toSeq == Seq("v1", "v2"), s"versions: ${vs.toSeq}")
+  }
+
+  test("appendToBm25Index: doc-id collision fails fast; explicit negative id rejected") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25coll").toString
+    Retrieval.buildBm25Index(docs.where(col("doc_id") < 100), dir)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(docs.where(col("doc_id") < 10), dir)
+    }
+    assert(e.getMessage.contains("already"))
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        docs.where(col("doc_id") >= 100 && col("doc_id") < 110), dir,
+        batchId = Some(-5L))
+    }
+  }
+
+  test("appendToBm25Index: committed-id replay rewrites postings only; results stable") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25replay").toString
+    Retrieval.buildBm25Index(docs.where(col("doc_id") < 300), dir)
+    val batch = docs.where(col("doc_id") >= 300)
+    Retrieval.appendToBm25Index(batch, dir, batchId = Some(0L))
+    val before = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "merge"), 20)
+      .as[(Long, Double)].collect().toSeq
+    // at-least-once redelivery of the same batch id: df/stats untouched
+    Retrieval.appendToBm25Index(batch, dir, batchId = Some(0L))
+    val after = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "merge"), 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    val vs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    assert(vs.toSeq == Seq("v0", "v1"), s"replay must not roll a version: ${vs.toSeq}")
+  }
+
+  test("bm25 index crash discipline: uncommitted postings stay invisible") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    Retrieval.buildBm25Index(docs.where(col("doc_id") < 250), dir)
+    val before = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "window"), 20)
+      .as[(Long, Double)].collect().toSeq
+    // simulate a crash mid-append: the batch's postings landed but no
+    // version committed — the probe must not read the stray partition
+    docs.where(col("doc_id") >= 250)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", lit(7L))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.parquet(s"$dir/postings/batch=-2")
+    val after = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "window"), 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before, "stray uncommitted postings must be invisible")
+  }
+
   test("rrfFuse: fused score is sum of reciprocal ranks; missing side contributes 0") {
     val a = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("id", "s")
     val b = Seq((11L, 0.99), (13L, 0.5)).toDF("id", "s")

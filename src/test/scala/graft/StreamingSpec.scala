@@ -391,6 +391,41 @@ class StreamingSpec extends TestBase {
     assert(byId(6001L).startsWith("completely novel"))
   }
 
+  test("bm25Ingest: stream-grown index == one-shot build; micro-batch ids committed") {
+    import graft.operators.Retrieval
+    val docs = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val standing = docs.where(col("doc_id") >= 100)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-bm25ingest-in")
+    dropAsFile(docs.where(col("doc_id") < 50), inDir, "b1.parquet")
+    dropAsFile(docs.where(col("doc_id") >= 50 && col("doc_id") < 100),
+      inDir, "b2.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25ingest-out")
+    val idxDir = out.resolve("index").toString
+    Retrieval.buildBm25Index(standing, idxDir)
+
+    val q = Streams.bm25Ingest(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, out.resolve("ckpt").toString)
+    q.awaitTermination()
+
+    val fullDir = out.resolve("full").toString
+    Retrieval.buildBm25Index(docs, fullDir)
+    for (terms <- Seq(Seq("spark", "merge"), Seq("window"))) {
+      val streamed = Retrieval.bm25IndexedTopK(spark, idxDir, terms, 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oneShot = Retrieval.bm25IndexedTopK(spark, fullDir, terms, 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamed == oneShot, s"terms $terms: streamed != one-shot")
+    }
+    // both micro-batch ids committed (two file drops at maxFilesPerTrigger=1)
+    val vDirs = new java.io.File(idxDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(vDirs.length == 2, s"expected 2 surviving versions, got ${vDirs.toSeq}")
+    val batches = new java.io.File(idxDir, "postings").listFiles().map(_.getName).sorted
+    assert(batches.toSeq == Seq("batch=-1", "batch=0", "batch=1"),
+      s"postings partitions: ${batches.toSeq}")
+  }
+
   test("curation loop: streamed increments converge to the batch-pipeline labeling") {
     import graft.operators.Dedup
     val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
