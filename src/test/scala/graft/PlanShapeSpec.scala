@@ -109,6 +109,37 @@ class PlanShapeSpec extends TestBase {
     assert(planOf("sim_hybrid_rrf").contains("TakeOrderedAndProject"))
   }
 
+  test("sim_hybrid_indexed: fused plan is index-only — no corpus text scan, pushed probes") {
+    import org.apache.spark.sql.functions._
+    val dirSf = sf("sf0.001")
+    val docs = Tables(spark, dirSf, "documents")
+    val e = Tables(spark, dirSf, "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val bmIdx = java.nio.file.Files.createTempDirectory("psl-hybrid-bm").toString
+    graft.operators.Retrieval.buildBm25Index(docs, bmIdx)
+    val annIdx = java.nio.file.Files.createTempDirectory("psl-hybrid-pq").toString
+    graft.operators.Similarity.buildIvfPqIndex(e, annIdx)
+    val bm = graft.operators.Retrieval.bm25IndexedTopK(
+      spark, bmIdx, Seq("spark", "window", "merge"), 20)
+    val ann = graft.operators.Similarity.ivfPqTopK(e, annIdx, q, 20)
+      .withColumnRenamed("vec_id", "doc_id")
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(
+        (bm, Seq(col("score").desc, col("doc_id"))),
+        (ann, Seq(col("sim").desc, col("doc_id")))),
+      idCol = "doc_id", k = 10)
+    val p = fused.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // no documents.parquet scan anywhere: the lexical side reads ONLY the
+    // postings index (the ADC ranking ran inside ivfPqTopK against the
+    // partition-pruned codes layout — asserted by the sim_ivfpq rows)
+    assert(!p.contains("documents"), s"corpus text scan leaked into the fused plan:\n$p")
+    // the term predicate reaches the postings scan as a pushed filter
+    assert(p.contains("In(term"), s"term filter must push into the postings scan:\n$p")
+    // the rescore touches embeddings only through the pushed candidate IN
+    assert(p.contains("In(vec_id"), s"rescore must reach embeddings as a pushed IN:\n$p")
+  }
+
   test("winnowedFingerprints: one projection, zero exchanges before consumers") {
     import spark.implicits._
     val d = Seq((1L, "some text long enough to produce a few character grams here"))
