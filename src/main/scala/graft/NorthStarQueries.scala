@@ -2694,6 +2694,66 @@ object NorthStarQueries {
       graft.operators.Curation.funnel(docs, vecs).orderBy(col("lang"))
     },
 
+    // Novelty-weighted curation — dd_exact_novelty's value signal finally
+    // CONSUMED by a sampling stage: LR quality gate → window-novelty
+    // floor vs the standing corpus → temperature rebalance, per-lang
+    // funnel counts. Planted: wrapper-spam around copied passages scores
+    // ~0.25 novelty and drops at the 0.5 floor, exact corpus copies drop
+    // at 0.0, upper-cased (genuinely new byte-wise) docs score 1.0 and
+    // survive to the mixture stage. The oracle replays gate features,
+    // the full rolling-window novelty chain, and the sqrt-temperature
+    // thresholds from scratch.
+    QueryDef("cur_novelty")(
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | batch AS (SELECT doc_id + 500000 AS doc_id, lang,
+        |             'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+        |             FROM documents WHERE doc_id < 10
+        |           UNION ALL SELECT doc_id + 600000, lang, upper(text)
+        |             FROM documents WHERE doc_id >= 10 AND doc_id < 20
+        |           UNION ALL SELECT doc_id + 700000, lang, text
+        |             FROM documents WHERE doc_id >= 20 AND doc_id < 25),
+        | gate AS (SELECT doc_id, lang, text FROM (SELECT doc_id, lang, text,
+        |     round(1.0 / (1.0 + exp(-(-3.0
+        |       + 0.4 * ((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')))
+        |       + 6.0 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')))
+        |       + 0.35 * ln(1.0 + len(string_split(text,' ')))))), 6) AS s
+        |   FROM batch) WHERE s >= 0.5),
+        | sw AS (SELECT DISTINCT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |        FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | bw AS (SELECT doc_id, i.i AS pos,
+        |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |        FROM gate JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | st AS (SELECT bw.doc_id, count(*) AS n_windows,
+        |          count(*) FILTER (WHERE sw.m IS NOT NULL) AS n_matched
+        |        FROM bw LEFT JOIN sw ON bw.m = sw.m GROUP BY 1),
+        | novel AS (SELECT g.doc_id, g.lang FROM st JOIN gate g USING (doc_id)
+        |           WHERE round(1.0 - n_matched / n_windows, 6) >= 0.5),
+        | tc AS (SELECT lang, count(*) AS n FROM novel GROUP BY 1),
+        | mn AS (SELECT min(n) AS nmin FROM tc),
+        | thr AS (SELECT lang, CAST(floor(10000.0 * sqrt(CAST(nmin AS DOUBLE) * n) / n) AS BIGINT) AS th
+        |         FROM tc CROSS JOIN mn),
+        | fin AS (SELECT nv.lang FROM novel nv JOIN thr USING (lang)
+        |         WHERE ('0x' || substr(md5(CAST(nv.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th)
+        | SELECT g.lang, CAST(count(*) AS BIGINT) AS n_gated,
+        |   CAST((SELECT count(*) FROM novel nv WHERE nv.lang = g.lang) AS BIGINT) AS n_novel,
+        |   CAST((SELECT count(*) FROM fin f WHERE f.lang = g.lang) AS BIGINT) AS n_final
+        | FROM gate g GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = d.select(col("doc_id"), col("text"))
+      val batch = d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+          concat(lit("fresh lead-in words "), substring(col("text"), 5, 150),
+            lit(" fresh tail words")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 600000).as("doc_id"), col("lang"),
+            upper(col("text")).as("text")))
+        .unionAll(d.where(col("doc_id") >= 20 && col("doc_id") < 25)
+          .select((col("doc_id") + 700000).as("doc_id"), col("lang"), col("text")))
+      graft.operators.Curation.noveltyFunnel(standing, batch)
+        .orderBy(col("lang"))
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

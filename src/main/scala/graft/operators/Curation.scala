@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Novelty-weighted curation of an ARRIVING batch against a standing
+    * corpus — the dedup-aware sampling composition `windowNovelty` exists
+    * for (the value signal of the r11 exact-substring family, now
+    * consumed): LR quality gate → window-novelty floor vs the standing
+    * corpus (0 = verbatim corpus content drops; wrapper-text spam around
+    * copied passages scores mid-range and drops below the floor; genuinely
+    * new text scores ~1 and survives) → temperature rebalance of the
+    * survivors' language mixture. Returns per-lang funnel counts
+    * `(lang, n_gated, n_novel, n_final)`.
+    *
+    * Stage order is the cost order: the per-row gate runs first so the
+    * window projection (the expensive stage — L bytes of hashing per doc
+    * char) only pays for gate survivors; the novelty probe is
+    * `windowNovelty`'s single batch-side pass against the corpus's
+    * DISTINCT window keys (no fan-out join); the rebalance is a
+    * metadata-scale threshold broadcast + pure-row-property hash filter.
+    * Nothing here re-pairs or re-scans the standing corpus beyond the one
+    * distinct-keys stream. */
+  def noveltyFunnel(standing: DataFrame, batch: DataFrame,
+      noveltyFloor: Double = 0.5, L: Int = 40): DataFrame = {
+    val gate = TextAnalysis.lrQuality(batch)
+      .where(col("pass") === 1)
+      .join(batch.select(col("doc_id"), col("lang"), col("text")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val novel = gate.join(
+        Dedup.windowNovelty(standing, gate.select(col("doc_id"), col("text")), L)
+          .where(col("novelty") >= noveltyFloor)
+          .select(col("doc_id")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"))
+    val fin = Sampling.temperatureSample(novel, col("lang"), col("doc_id"))
+    def countBy(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(as))
+    countBy(gate, "n_gated")
+      .join(countBy(novel, "n_novel"), Seq("lang"), "left")
+      .join(countBy(fin, "n_final"), Seq("lang"), "left")
+      .select(col("lang"), col("n_gated"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   /** Per-stratum funnel over `docs(doc_id, lang, text, …)` and
     * `embs(vec_id, embedding)` with `doc_id == vec_id` row identity. */
   def funnel(docs: DataFrame, embs: DataFrame,

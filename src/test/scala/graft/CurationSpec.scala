@@ -7,6 +7,36 @@ class CurationSpec extends TestBase {
 
   import spark.implicits._
 
+  test("noveltyFunnel: gate drops junk, novelty floor drops corpus content, new text survives") {
+    val standing = Seq(
+      (100L, "the data table of rows and the columns of it all day long " +
+        "while the fast stream and the slow batch of big data move along"))
+      .toDF("doc_id", "text")
+    val copiedCore = "the data table of rows and the columns of it all day long"
+    val batch = Seq(
+      // exact copy of standing content → novelty 0 → drops at the floor
+      (1L, "aa", standing.head().getString(1)),
+      // wrapper spam around a copied passage → mid novelty → drops at 0.5
+      (2L, "aa", "x " + copiedCore + " y"),
+      // genuinely new text (same vocab, different composition) → survives
+      (3L, "aa", "a slow window of the sorted group and a query of the " +
+        "big merge and the joined line of a filter of the new value here"),
+      (4L, "bb", "the hash of a key and the sorted order of the parts " +
+        "and a scan of the stream with the small vector of a batch too"),
+      // junk: fails the LR gate before novelty is even computed
+      (5L, "cc", "zz")
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.noveltyFunnel(standing, batch)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains("cc"), s"junk-only lang must not appear: $got")
+    assert(got("aa")._1 == 3L && got("aa")._2 == 1L,
+      s"aa: 3 gated, only the new doc novel: $got")
+    assert(got("bb")._1 == 1L && got("bb")._2 == 1L, s"bb survives whole: $got")
+    // balanced 1/1 mixture: temperature thresholds keep both strata whole
+    assert(got("aa")._3 <= got("aa")._2 && got("bb")._3 <= got("bb")._2)
+  }
+
   test("funnel: gate drops junk, semantic stage drops copies, smallest lang kept whole") {
     // lang "aa": 3 good docs, one an exact copy (text+vector) of another;
     // lang "bb": 1 good doc; lang "cc": 1 junk doc (fails the LR gate:
