@@ -151,30 +151,56 @@ object LayoutQueries {
       boxAgg(s.read.parquet(root).drop("batch"))
     },
 
-    // The pruning arithmetic itself: per-file min/max ranges (what parquet
-    // footers carry) evaluated against three predicate shapes for both
-    // layouts. The trade the table shows is the reason Z-order exists: a
-    // linear (l_partkey, l_suppkey) sort prunes the LEADING column
-    // perfectly and the trailing one not at all (every file spans the
-    // full l_suppkey range), while the Z-order curve prunes BOTH — it
-    // cedes a little on the leading column to win the trailing one
-    // outright. Not SQL-expressible (file boundaries are an engine
-    // artifact) — driver records the rows-only check; LayoutSpec asserts
-    // the invariants on the same arithmetic.
-    QueryDef.noOracle("lay_zorder_prune") { (s, dir) =>
+    // The pruning arithmetic itself: per-bin min/max ranges (the roll-up
+    // of what parquet footers carry) evaluated against three predicate
+    // shapes for both layouts. The trade the table shows is the reason
+    // Z-order exists: a linear (l_partkey, l_suppkey) layout prunes the
+    // LEADING column perfectly and the trailing one not at all (every
+    // bin spans the full l_suppkey range), while the Z-order curve
+    // prunes BOTH. HASH-ORACLED since r12: the binned writes assign
+    // every row's file by pure arithmetic (top curve bits — a static
+    // zone-map grid, no sampled boundaries), so DuckDB replays the
+    // whole assignment — scaling, rank truncation, Morton top-bit
+    // interleave, bin ranges, overlap counts — from the source table.
+    // LayoutProbe remains the REAL-footer truth at row-group depth.
+    QueryDef("lay_zorder_prune")(
+      """WITH s AS (SELECT CAST(min(l_partkey) AS DOUBLE) AS mn1, CAST(max(l_partkey) AS DOUBLE) AS mx1,
+        |             CAST(min(l_suppkey) AS DOUBLE) AS mn2, CAST(max(l_suppkey) AS DOUBLE) AS mx2
+        |           FROM lineitem),
+        | r AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         least(65535, greatest(0, CAST(floor((CAST(l_partkey AS DOUBLE) - mn1) / (mx1 - mn1) * 65535.0) AS BIGINT))) AS r1,
+        |         least(65535, greatest(0, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn2) / (mx2 - mn2) * 65535.0) AS BIGINT))) AS r2
+        |       FROM lineitem CROSS JOIN s),
+        | f AS (SELECT pk, sk,
+        |         ((r1 >> 14) & 1) + 2 * ((r2 >> 14) & 1)
+        |           + 4 * ((r1 >> 15) & 1) + 8 * ((r2 >> 15) & 1) AS fz,
+        |         r1 >> 12 AS fl
+        |       FROM r),
+        | bins AS (SELECT 'zorder' AS layout, fz AS fid, min(pk) AS mnp, max(pk) AS mxp,
+        |            min(sk) AS mns, max(sk) AS mxs FROM f GROUP BY 2
+        |          UNION ALL
+        |          SELECT 'linear', fl, min(pk), max(pk), min(sk), max(sk) FROM f GROUP BY 2),
+        | pr(predicate, usep, uses) AS (VALUES ('both_dims', true, true),
+        |     ('partkey_only', true, false), ('suppkey_only', false, true))
+        | SELECT layout, predicate,
+        |   CAST(sum(CASE WHEN (NOT usep OR (mnp <= 300 AND mxp >= 100))
+        |                  AND (NOT uses OR (mns <= 40 AND mxs >= 5)) THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+        |   CAST(count(*) AS BIGINT) AS files_total
+        | FROM bins CROSS JOIN pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
-      val (zDir, linDir) = (layoutDir(dir, "z"), layoutDir(dir, "lin"))
+      val (zDir, linDir) = (layoutDir(dir, "zb"), layoutDir(dir, "linb"))
       val li = Tables(s, dir, "lineitem")
-      Layout.zorderWrite(li, ZCols, zDir, Files)
-      Layout.linearWrite(li, ZCols, linDir, Files)
+      Layout.binnedZorderWrite(li, ZCols, zDir, Files)
+      Layout.binnedLinearWrite(li, ZCols, linDir, Files)
       val boxes = Seq(
         "partkey_only" -> Box.view.filterKeys(_ == "l_partkey").toMap,
         "suppkey_only" -> Box.view.filterKeys(_ == "l_suppkey").toMap,
         "both_dims" -> Box)
       val rows = Seq("zorder" -> zDir, "linear" -> linDir).flatMap {
         case (layout, d) =>
-          // one scan per layout: the per-file ranges are a handful of rows
-          val ranges = Layout.fileRanges(s, d, ZCols)
+          // one scan per layout: the per-bin ranges are a handful of rows
+          val ranges = Layout.binRanges(s, d, ZCols)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try boxes.map { case (pname, box) =>
             val (read, total) = Layout.filesOverlapping(ranges, box)

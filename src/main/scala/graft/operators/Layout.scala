@@ -485,6 +485,66 @@ object Layout {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(outDir)
 
+  private def log2Exact(n: Int, what: String): Int = {
+    require(n > 0 && (n & (n - 1)) == 0, s"$what must be a power of two, got $n")
+    java.lang.Integer.numberOfTrailingZeros(n)
+  }
+
+  /** Curve-BUCKETED rewrite: like [[zorderWrite]] but file membership is
+    * the DETERMINISTIC static grid `fid = top log₂(bins) bits of the
+    * curve value` (equal-width curve cells — a zone map) instead of
+    * sampled range boundaries. Trade: `repartitionByRange` balances file
+    * SIZES from a sample (nondeterministic boundaries); the static grid
+    * fixes every row's file as pure arithmetic on its key — replayable
+    * by any engine (the prune row's DuckDB oracle recomputes the whole
+    * assignment), stable across runs and appends, at the cost of bins
+    * tracking key-space density (skewed data coarsens hot cells exactly
+    * like a zone map). Plan: one metadata-scale min/max aggregate + one
+    * codegen'd projection + one hash shuffle on the bounded fid space —
+    * no global sort, no sampling pass. */
+  def binnedZorderWrite(df: DataFrame, zcols: Seq[String], outDir: String,
+      bins: Int, bits: Int = 16): Unit = {
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    val scaling = computeScaling(df, zcols)
+    val ranks = scaling.map { case (c, mn, mx) =>
+      scaledRank(numKey(df, c), mn, mx, bits) }
+    val shift = zcols.size * bits - log2Exact(bins, "bins")
+    df.withColumn("fid",
+        shiftright(curveValue(ranks, bits, Zorder), shift))
+      .repartition(bins, col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(outDir)
+    writeMeta(outDir, scaling, bits, Zorder,
+      df.sparkSession.sessionState.newHadoopConf())
+  }
+
+  /** [[binnedZorderWrite]]'s linear baseline: `fid` = top log₂(bins)
+    * bits of the LEADING column's rank — equal-width bins on one
+    * dimension, the deterministic analogue of [[linearWrite]]. */
+  def binnedLinearWrite(df: DataFrame, sortCols: Seq[String], outDir: String,
+      bins: Int, bits: Int = 16): Unit = {
+    val scaling = computeScaling(df, sortCols.take(1))
+    val rank = scaling.map { case (c, mn, mx) =>
+      scaledRank(numKey(df, c), mn, mx, bits) }.head
+    df.withColumn("fid", shiftright(rank, bits - log2Exact(bins, "bins")))
+      .repartition(bins, col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(outDir)
+    writeMeta(outDir, scaling, bits, Zorder,
+      df.sparkSession.sessionState.newHadoopConf())
+  }
+
+  /** Per-BIN (min, max) of `cols` for a binned layout — each bin's range
+    * is exactly the roll-up of its files' parquet footer stats ([[
+    * fileRanges]] granularity, aggregated over the bin's partition dir).
+    * Same column naming as fileRanges so [[filesOverlapping]] runs on
+    * either granularity unchanged. */
+  def binRanges(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("fid"))
+      .agg(min(col(cols.head)).as(s"mn_${cols.head}"),
+        (Seq(max(col(cols.head)).as(s"mx_${cols.head}")) ++
+          cols.drop(1).flatMap(c =>
+            Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))): _*)
+
   /** Per-file (min, max) of `cols` for a written layout — exactly the
     * footer stats a min/max-pruning reader consults, materialized as one
     * aggregate (`file, mn_c1, mx_c1, mn_c2, mx_c2, ...`). Probe-side

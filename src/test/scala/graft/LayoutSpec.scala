@@ -399,6 +399,32 @@ class LayoutSpec extends TestBase {
     assert(spark.read.parquet(root).count() == 100)
   }
 
+  test("binned writes: lossless, deterministic fid grid, zorder prunes both dims") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+    val zDir = java.nio.file.Files.createTempDirectory("lay-binz").toString
+    val lDir = java.nio.file.Files.createTempDirectory("lay-binl").toString
+    Layout.binnedZorderWrite(li, Seq("l_partkey", "l_suppkey"), zDir, 16)
+    Layout.binnedLinearWrite(li, Seq("l_partkey", "l_suppkey"), lDir, 16)
+    // lossless: same multiset of rows back (fid is an additive partition col)
+    val back = spark.read.parquet(zDir).drop("fid")
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li.select(back.columns.map(col): _*)).isEmpty)
+    // deterministic: a second write yields the identical fid assignment
+    val zDir2 = java.nio.file.Files.createTempDirectory("lay-binz2").toString
+    Layout.binnedZorderWrite(li, Seq("l_partkey", "l_suppkey"), zDir2, 16)
+    val a = spark.read.parquet(zDir).groupBy("fid").count()
+    val b = spark.read.parquet(zDir2).groupBy("fid").count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the zone-map trade: zorder bins bound BOTH dims, linear only leading
+    val box = Map("l_suppkey" -> (5.0, 40.0))
+    val (zRead, zTot) = Layout.filesOverlapping(
+      Layout.binRanges(spark, zDir, Seq("l_partkey", "l_suppkey")), box)
+    val (lRead, lTot) = Layout.filesOverlapping(
+      Layout.binRanges(spark, lDir, Seq("l_partkey", "l_suppkey")), box)
+    assert(lRead == lTot, "linear layout cannot prune its trailing column")
+    assert(zRead < zTot, s"zorder must prune the trailing column: $zRead/$zTot")
+  }
+
   test("filesOverlapping: a file with null range stats SURVIVES pruning") {
     // an all-null column chunk writes no min/max; a stats-pruning reader
     // must read such a file (LayoutProbe.rowGroupStats counts it the same)
