@@ -2038,6 +2038,31 @@ object NorthStarQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // The token SEQUENCES a dataloader materializes — not just counts:
+    // the production kernel (merge loop + word memo, mapPartitions) emits
+    // per-doc token arrays and vocab ids; the oracle replays the replace
+    // chain to the rendered string, splits it back into tokens, and maps
+    // ids through the SAME Scala-generated vocab CASE. Spaces are tokens
+    // (concat(tokens) == text — BpeSpec pins the round trip), bpe_tokens
+    // excludes them so it matches txt_bpe's budgets exactly.
+    QueryDef("txt_bpe_ids")(
+      s"""WITH tl AS (SELECT doc_id, ${Bpe.tokensSql("text")} AS l
+         |            FROM documents WHERE doc_id < 200)
+         | SELECT doc_id,
+         |   array_to_string(l, '|') AS tokens_str,
+         |   array_to_string(list_transform(l,
+         |     t -> CAST((${Bpe.tokenIdCaseSql("t")}) AS VARCHAR)), ',') AS ids_str,
+         |   CAST(len(list_filter(l, t -> t <> ' ')) AS BIGINT) AS bpe_tokens
+         | FROM tl ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Bpe.encodeDocsIds(Tables(s, dir, "documents").where(col("doc_id") < 200))
+        .select(col("doc_id"),
+          array_join(col("tokens"), "|").as("tokens_str"),
+          array_join(expr("transform(ids, x -> cast(x as string))"), ",").as("ids_str"),
+          col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-doc repetition filter (duplicate word-3-gram fraction + hottest
     // n-gram count) — the natural corpus has near-zero repetition, so one
     // degenerate boilerplate doc is planted (both engines build it with

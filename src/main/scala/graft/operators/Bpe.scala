@@ -97,9 +97,28 @@ object Bpe {
   /** Load a merge list from a text file of `x y` lines (the subword-nmt /
     * GPT-2 `merges.txt` shape; `#`-prefixed lines and blanks skipped) —
     * metadata-scale, read once on the driver like every other
-    * metadata artifact (centroid/codebook precedent). */
+    * metadata artifact (centroid/codebook precedent).
+    *
+    * Read through the Hadoop FileSystem API, NOT `spark.read.textFile(...)
+    * .collect()`: rank order is load-bearing for BPE correctness and a
+    * distributed text scan does not guarantee line order across splits or
+    * files. Here order is pinned explicitly — files in name order
+    * (matching a multi-part writer's part numbering), each file's lines in
+    * byte order. */
   def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val lines = spark.read.textFile(path).collect().toSeq
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath)
+          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+          .sortBy(_.getName)
+      else Seq(root)
+    val lines = files.flatMap { f =>
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8").split("\n", -1).toSeq
+      finally in.close()
+    }
     val merges = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val parts = l.split("\\s+")
@@ -110,9 +129,13 @@ object Bpe {
     merges
   }
 
-  /** `text` rendered one `~c~` per character (codegen'd regexp). */
+  /** `text` rendered one `~c~` per character (codegen'd regexp). `(?s)`:
+    * dotall is off by default in both engines, so a bare `(.)` would skip
+    * newline characters — the rendered paths would silently count fewer
+    * tokens than the kernel (which counts every character of a word) on
+    * any text containing `\n`/`\r`. */
   private def render(text: Column): Column =
-    regexp_replace(text, "(.)", s"$Sep$$1$Sep")
+    regexp_replace(text, "(?s)(.)", s"$Sep$$1$Sep")
 
   /** The rendered text after the full merge chain — each merge one
     * codegen'd literal `replace`. Runs over the WHOLE text in one pass:
@@ -125,6 +148,19 @@ object Bpe {
     }
   }
 
+  /** The token SEQUENCE of `text` as a pure codegen'd Column
+    * (`ARRAY<STRING>`, spaces are tokens too — `concat_ws("", tokens)`
+    * rebuilds the text verbatim): trim the outer separators off
+    * [[encodeCol]]'s rendering, split on the `~~` boundary, drop the empty
+    * element an empty text leaves. The Column twin of the kernel's token
+    * output ([[encodeDocsIds]]); BpeSpec asserts the two agree
+    * token-for-token. */
+  def tokensCol(text: Column, merges: Seq[(String, String)] = fixtureMerges): Column = {
+    val enc = encodeCol(text, merges)
+    filter(split(regexp_replace(enc, s"^$Sep|$Sep$$", ""), s"$Sep$Sep"),
+      t => t =!= lit(""))
+  }
+
   /** BPE token count of `text` as a pure codegen'd Column: rendered tokens
     * each carry exactly two separators, so count = (#`~`)/2 minus the
     * space tokens (one per space character of the input). */
@@ -134,17 +170,110 @@ object Bpe {
       - (length(text) - length(translate(text, " ", ""))).cast("long"))
   }
 
-  /** The identical chain as DuckDB SQL over `textExpr` — generated from
-    * the SAME Scala merge list, so engine and oracle cannot drift. */
-  def tokenCountSql(textExpr: String,
+  /** The rendered-and-merged encoding as DuckDB SQL over `textExpr` —
+    * generated from the SAME Scala merge list as [[encodeCol]], so engine
+    * and oracle cannot drift. */
+  def encodeSql(textExpr: String,
       merges: Seq[(String, String)] = fixtureMerges): String = {
-    val rendered = s"regexp_replace($textExpr, '(.)', '$Sep\\1$Sep', 'g')"
-    val enc = merges.foldLeft(rendered) { case (e, (x, y)) =>
+    // (?s) for the same newline contract as `render` (DuckDB's RE2 honors
+    // the inline flag exactly like the JVM regex engine)
+    val rendered = s"regexp_replace($textExpr, '(?s)(.)', '$Sep\\1$Sep', 'g')"
+    merges.foldLeft(rendered) { case (e, (x, y)) =>
       s"replace($e, '$Sep$x$Sep$Sep$y$Sep', '$Sep$x$y$Sep')"
     }
+  }
+
+  /** The identical count chain as DuckDB SQL over `textExpr`. */
+  def tokenCountSql(textExpr: String,
+      merges: Seq[(String, String)] = fixtureMerges): String = {
+    val enc = encodeSql(textExpr, merges)
     s"((length($enc) - length(replace($enc, '$Sep', ''))) // 2" +
       s" - (length($textExpr) - length(replace($textExpr, ' ', ''))))"
   }
+
+  /** The rendered encoding as a DuckDB token LIST (spaces are tokens too:
+    * `list_aggregate(..., 'string_agg', '')` over the list rebuilds the
+    * text verbatim — the detokenize contract the ids operator is checked
+    * against). `trim` strips the outer separators, the split on the
+    * boundary pair yields one element per token, and the filter drops the
+    * empty element an empty text leaves behind. */
+  def tokensSql(textExpr: String,
+      merges: Seq[(String, String)] = fixtureMerges): String =
+    s"list_filter(string_split(trim(${encodeSql(textExpr, merges)}, '$Sep'), " +
+      s"'$Sep$Sep'), t -> t <> '')"
+
+  /** Token vocabulary of a merge list: ids 0..26 for `' '` and `'a'..'z'`
+    * (the byte-alphabet seeding every real BPE vocab starts from,
+    * restricted to this corpus's documented `[a-z ]` contract), then one
+    * id per merge OUTPUT in rank order — exactly how subword-nmt/GPT-2
+    * number their vocabularies (alphabet first, merges after). Distinct by
+    * construction: base entries are single chars, merge outputs are ≥ 2
+    * chars and mutually distinct ([[validateMerges]]). Characters outside
+    * the alphabet encode as id −1 (unk) — the documented out-of-contract
+    * marker, never a silent collision. */
+  def vocab(merges: Seq[(String, String)] = fixtureMerges): Seq[String] =
+    (" " +: ('a' to 'z').map(_.toString)) ++ merges.map { case (x, y) => x + y }
+
+  /** `token → id` CASE expression over the SAME vocab, for the DuckDB
+    * oracle (vocabulary is metadata-scale, so a literal CASE is fine). */
+  def tokenIdCaseSql(tokenExpr: String,
+      merges: Seq[(String, String)] = fixtureMerges): String =
+    vocab(merges).zipWithIndex.map { case (t, i) =>
+      s"WHEN $tokenExpr = '${t.replace("'", "''")}' THEN $i"
+    }.mkString("CASE ", " ", " ELSE -1 END")
+
+  /** A production-SCALE synthetic merge list (e.g. 50k entries, the GPT-2
+    * vocabulary's order of magnitude), [[validateMerges]]-conformant BY
+    * CONSTRUCTION: level k extends each level-(k−1) output by one
+    * alphabet char, in deterministic lexicographic order — every operand
+    * is a single char or a strictly earlier output, and outputs are
+    * distinct (each generated string appears exactly once, and levels
+    * have distinct lengths). NOT a learned vocabulary: it exists so
+    * `BpeProbe` can measure kernel cost against merge-list SIZE, where
+    * only the list's scale and validity matter, not its linguistics. */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    require(n > 0, s"need a positive merge count, got $n")
+    val az = ('a' to 'z').map(_.toString)
+    val out = Seq.newBuilder[(String, String)]
+    var level: Seq[String] = az
+    var total = 0
+    while (total < n) {
+      val next = Seq.newBuilder[String]
+      val it = level.iterator
+      while (it.hasNext && total < n) {
+        val p = it.next()
+        val cit = az.iterator
+        while (cit.hasNext && total < n) {
+          val c = cit.next()
+          out += (p -> c)
+          next += p + c
+          total += 1
+        }
+      }
+      level = next.result()
+    }
+    out.result()
+  }
+
+  /** The SEQUENTIAL rank-order replace-chain semantics of [[encodeCol]]
+    * replayed in plain driver-side Scala, one word at a time — usable at
+    * vocabulary sizes where a 50k-deep codegen'd replace chain is not.
+    * BpeProbe's agreement check runs the kernel against THIS at the big
+    * vocab, extending BpeSpec's fixture-scale path-agreement pin. */
+  private[graft] def encodeWordSequential(w: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    val rendered = w.map(c => s"$Sep$c$Sep").mkString
+    val enc = merges.foldLeft(rendered) { case (e, (x, y)) =>
+      e.replace(s"$Sep$x$Sep$Sep$y$Sep", s"$Sep$x$y$Sep")
+    }
+    enc.stripPrefix(Sep).stripSuffix(Sep).split(s"$Sep$Sep").toSeq
+  }
+
+  /** Test/probe door onto the private priority loop. */
+  private[graft] def encodeWordPriority(w: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    encodeWord(w, merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
 
   /** Encode one word with the standard iterate-lowest-rank BPE loop. */
   private def encodeWord(w: String,
@@ -216,5 +345,55 @@ object Bpe {
         }
       }
       .toDF("doc_id", "ws_tokens", "bpe_tokens")
+  }
+
+  /** The production kernel emitting the SEQUENCES a dataloader actually
+    * materializes, not just their counts: `docs(doc_id, text)` →
+    * `(doc_id, tokens ARRAY<STRING>, ids ARRAY<INT>, bpe_tokens)` in the
+    * same narrow mapPartitions shape as [[encodeDocs]] (per-partition
+    * rank map + word→tokens memo, no shuffle). `tokens` includes the
+    * inter-word space tokens, so `concat_ws("", tokens)` rebuilds the
+    * text verbatim — the detokenize round-trip BpeSpec pins. `ids` maps
+    * through [[vocab]] (`' '` = 0, out-of-alphabet chars = −1);
+    * `bpe_tokens` counts word tokens only (spaces excluded), identical to
+    * [[encodeDocs]]' column of the same name, so packing budgets agree
+    * between the counting and materializing passes. Memo note: the memo
+    * holds token VECTORS now, not counts — still O(distinct words)
+    * entries, each bounded by its word's length. */
+  def encodeDocsIds(docs: DataFrame,
+      merges: Seq[(String, String)] = fixtureMerges): DataFrame = {
+    validateMerges(merges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vb: Map[String, Int] = vocab(merges).zipWithIndex.toMap
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+        val memo = new java.util.HashMap[String, Vector[String]]()
+        rows.map { case (id, text) =>
+          require(!text.contains(Sep),
+            s"doc $id contains the reserved separator '$Sep'")
+          val words = text.split(" ", -1)
+          val toks = Vector.newBuilder[String]
+          var nBpe = 0L
+          var i = 0
+          while (i < words.length) {
+            if (i > 0) toks += " "
+            val w = words(i)
+            var t = memo.get(w)
+            if (t == null) {
+              t = encodeWord(w, rank).toVector
+              memo.put(w, t)
+            }
+            toks ++= t
+            nBpe += t.length
+            i += 1
+          }
+          val tokens = toks.result()
+          (id, tokens, tokens.map(t => vb.getOrElse(t, -1)), nBpe)
+        }
+      }
+      .toDF("doc_id", "tokens", "ids", "bpe_tokens")
   }
 }

@@ -81,6 +81,47 @@ class BpeSpec extends TestBase {
     assert(e.getMessage != null)
   }
 
+  test("newline-bearing text: kernel and replace chain agree (dotall render)") {
+    // '(.)' without (?s) would skip the \n in the rendered paths while the
+    // kernel counts it as a character token — the ADVICE r12 divergence.
+    val d = docs(1L -> "a\nb", 2L -> "the\ntable")
+    val kernel = Bpe.encodeDocs(d).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val chain = d.select(col("doc_id"), Bpe.tokenCount(col("text")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == chain)
+    assert(kernel(1L) == 3L) // [a, \n, b] — no merge touches \n
+  }
+
+  test("token ids: kernel == column path, round-trips, vocab-mapped on sf0.001") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = d.count()
+    val k = Bpe.encodeDocsIds(d)
+    // 1. detokenize round trip: concat(tokens) rebuilds the text verbatim
+    assert(k.join(d, "doc_id")
+      .where(concat_ws("", col("tokens")) === col("text")).count() == n)
+    // 2. kernel tokens == codegen replace-chain tokens, token for token
+    val chain = d.select(col("doc_id"), Bpe.tokensCol(col("text")).as("tokens"))
+    assert(k.select(col("doc_id"), col("tokens"))
+      .join(chain, Seq("doc_id", "tokens")).count() == n)
+    // 3. ids are exactly the vocab positions of the tokens (no -1 on the
+    //    in-contract corpus), and bpe_tokens excludes the space tokens
+    val vb = Bpe.vocab().zipWithIndex.toMap
+    val rows = k.select(col("doc_id"), col("tokens"), col("ids"), col("bpe_tokens"))
+      .as[(Long, Seq[String], Seq[Int], Long)].collect()
+    rows.foreach { case (_, toks, ids, nBpe) =>
+      assert(ids == toks.map(vb))
+      assert(nBpe == toks.count(_ != " "))
+    }
+    // 4. detokenize from IDS alone through the reverse vocab
+    val rev = vb.map(_.swap)
+    val texts = d.as[(Long, String)].collect().toMap
+    rows.take(50).foreach { case (id, _, ids, _) =>
+      assert(ids.map(rev).mkString == texts(id))
+    }
+  }
+
   test("empty and degenerate words") {
     // double space -> empty word (0 tokens); trailing space -> empty word
     val d = docs(1L -> "a  b ", 2L -> "")
