@@ -1879,6 +1879,102 @@ object NorthStarQueries {
       out
     },
 
+    // Hybrid retrieval after INDEX GROWTH — the serving continuity
+    // guarantee (VERDICT r12 #6): BOTH standing indexes are built on the
+    // first half of the corpus and grown by append (BM25: postings
+    // partition + df/stats version roll; IVF-PQ: appended codes into
+    // existing cell partitions — both quantizer seeds live in
+    // vec_id < 16, inside the build half), then fused exactly like
+    // sim_hybrid_indexed. The oracle is the full-corpus replay — a hash
+    // match proves grown-index hybrid == rebuilt-index hybrid end to
+    // end, not just per index.
+    QueryDef("sim_hybrid_grown")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |          FROM e CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qv")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4),
+         | cs AS (SELECT s.sub, c.cell AS cid, list_slice(c.cv, s.sub*16+1, s.sub*16+16) AS csub
+         |        FROM c CROSS JOIN range(0, 4) s(sub)),
+         | scored AS (SELECT e.vec_id, cs.sub, cs.cid,
+         |     list_dot_product(cs.csub, cs.csub)
+         |       - 2 * list_dot_product(list_slice(e.v, cs.sub*16+1, cs.sub*16+16), cs.csub) AS s2
+         |   FROM e CROSS JOIN cs),
+         | code AS (SELECT vec_id, sub, cid FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY s2, cid) AS rn
+         |            FROM scored) WHERE rn = 1),
+         | lut AS (SELECT cs.sub, cs.cid,
+         |     list_dot_product(list_slice(q.qv, cs.sub*16+1, cs.sub*16+16), cs.csub) AS lv
+         |   FROM cs CROSS JOIN q),
+         | adc AS (SELECT code.vec_id,
+         |       max(CASE WHEN code.sub = 0 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 1 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 2 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 3 THEN lut.lv END) AS approx
+         |   FROM code JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+         |   JOIN asg ON asg.vec_id = code.vec_id
+         |   JOIN probe ON probe.cell = asg.cell
+         |   GROUP BY code.vec_id),
+         | cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40),
+         | ann AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |         FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         |         ORDER BY sim DESC, doc_id LIMIT 20),
+         | annr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_1 FROM ann),
+         | terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+         | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+         |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | sc AS (SELECT tf.doc_id,
+         |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+         |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+         |   GROUP BY 1),
+         | bm AS (SELECT doc_id, round(score, 6) AS score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 20),
+         | bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_0 FROM bm),
+         | j AS (SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id, bmr.rank_0, annr.rank_1
+         |       FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id)
+         | SELECT doc_id,
+         |   round(coalesce(1.0/(60 + rank_0), 0) + coalesce(1.0/(60 + rank_1), 0), 6) AS rrf,
+         |   CAST(rank_0 AS BIGINT) AS rank_0, CAST(rank_1 AS BIGINT) AS rank_1
+         | FROM j ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val nE = e.count()
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nD = d.count()
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val st = java.nio.file.Files.createTempDirectory("graft-hybrid-grown-q")
+      val (annIdx, bmIdx) = (s"$st/ivfpq", s"$st/bm25")
+      val tB = System.nanoTime()
+      Similarity.buildIvfPqIndex(e.where(col("vec_id") < nE / 2), annIdx)
+      Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= nE / 2), annIdx)
+      Retrieval.buildBm25Index(d.where(col("doc_id") < nD / 2), bmIdx)
+      Retrieval.appendToBm25Index(d.where(col("doc_id") >= nD / 2), bmIdx)
+      fixtureSecs.put("hybrid-grown-build", (System.nanoTime() - tB) / 1e9)
+      val bm = Retrieval.bm25IndexedTopK(s, bmIdx,
+        Seq("spark", "window", "merge"), 20)
+      val ann = Similarity.ivfPqTopK(e, annIdx, q, 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      val out = Retrieval.rrfFuse(Seq(
+          (bm, Seq(col("score").desc, col("doc_id"))),
+          (ann, Seq(col("sim").desc, col("doc_id")))),
+        idCol = "doc_id", k = 10).localCheckpoint(true)
+      deleteRecursively(st)
+      out
+    },
+
     // ---- text analysis ---------------------------------------------------
     QueryDef("txt_langid")(
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -179,6 +179,36 @@ class RetrievalSpec extends TestBase {
     assert(rks.forall(_._2.sorted == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("hybrid fusion after growth: grown-index hybrid == rebuilt-index hybrid") {
+    // Both standing indexes built on a half, grown by append, then FUSED —
+    // the serving continuity guarantee: fusion over grown indexes equals
+    // fusion over one-shot rebuilds (ranks are integers over total
+    // orders, so equality is exact, not approximate).
+    val docs = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val embs = Tables(spark, sf(), "embeddings")
+    val nD = docs.count()
+    val nE = embs.count()
+    val q = embs.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0)
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid-grown").toString
+    Retrieval.buildBm25Index(docs.where(col("doc_id") < nD / 2), s"$root/bmG")
+    Retrieval.appendToBm25Index(docs.where(col("doc_id") >= nD / 2), s"$root/bmG")
+    Retrieval.buildBm25Index(docs, s"$root/bmF")
+    Similarity.buildIvfPqIndex(embs.where(col("vec_id") < nE / 2), s"$root/annG")
+    Similarity.appendToIvfPqIndex(embs.where(col("vec_id") >= nE / 2), s"$root/annG")
+    Similarity.buildIvfPqIndex(embs, s"$root/annF")
+    def fused(bmDir: String, annDir: String) = Retrieval.rrfFuse(Seq(
+        (Retrieval.bm25IndexedTopK(spark, bmDir, Seq("spark", "window", "merge"), 20),
+          Seq(col("score").desc, col("doc_id"))),
+        (Similarity.ivfPqTopK(embs, annDir, q, 20).withColumnRenamed("vec_id", "doc_id"),
+          Seq(col("sim").desc, col("doc_id")))),
+      idCol = "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fused(s"$root/bmG", s"$root/annG") == fused(s"$root/bmF", s"$root/annF"),
+      "fused ranking must be identical over grown and rebuilt indexes")
+  }
+
   test("hybrid rrf over the real corpus: deterministic and consensus-ranked") {
     val e = Tables(spark, sf("sf0.01"), "embeddings")
     val docs = Tables(spark, sf("sf0.01"), "documents")
