@@ -2875,6 +2875,115 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // The STREAMING novelty-curation loop, driver-checked end to end:
+    // seed the exact-window index from the standing corpus, stream two
+    // document drops through Streams.noveltyIngest (per batch: indexed
+    // novelty funnel, then index growth with the batch's own windows),
+    // and emit every batch's per-lang funnel. Batch 1 plants all three
+    // regimes: verbatim corpus text (novelty 0 vs the SEED), exact
+    // copies of batch 0's upper-cased docs (novelty 0 ONLY because
+    // batch 0 grew the index — the cross-batch growth proof), and
+    // genuinely new upper-cased text (novelty 1, survives). The oracle
+    // replays the sequential computation from scratch: each batch's
+    // windows matched against corpus ∪ strictly-earlier batches, then
+    // the per-batch temperature thresholds — a hash match IS the
+    // stream-equals-sequential theorem for the funnel.
+    QueryDef("cur_novelty_stream")(
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        | b AS (SELECT 0 AS mb, doc_id + 500000 AS doc_id, lang,
+        |         'fresh lead-in words ' || substr(text, 5, 150) || ' fresh tail words' AS text
+        |         FROM documents WHERE doc_id < 10
+        |       UNION ALL SELECT 0, doc_id + 600000, lang, upper(text)
+        |         FROM documents WHERE doc_id >= 10 AND doc_id < 20
+        |       UNION ALL SELECT 0, doc_id + 700000, lang, text
+        |         FROM documents WHERE doc_id >= 20 AND doc_id < 25
+        |       UNION ALL SELECT 1, doc_id + 800000, lang, text
+        |         FROM documents WHERE doc_id >= 25 AND doc_id < 30
+        |       UNION ALL SELECT 1, doc_id + 900000, lang, upper(text)
+        |         FROM documents WHERE doc_id >= 10 AND doc_id < 15
+        |       UNION ALL SELECT 1, doc_id + 950000, lang, upper(text)
+        |         FROM documents WHERE doc_id >= 40 AND doc_id < 50),
+        | gate AS (SELECT mb, doc_id, lang, text FROM (SELECT mb, doc_id, lang, text,
+        |     round(1.0 / (1.0 + exp(-(-3.0
+        |       + 0.4 * ((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')))
+        |       + 6.0 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')))
+        |       + 0.35 * ln(1.0 + len(string_split(text,' ')))))), 6) AS s
+        |   FROM b) WHERE s >= 0.5),
+        | avail AS (SELECT m, min(src) AS minmb FROM (
+        |     SELECT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m, 0 AS src
+        |     FROM corpus JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39
+        |   UNION ALL
+        |     SELECT ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT, mb + 1
+        |     FROM b JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39 AND b.mb = 0
+        |   ) GROUP BY m),
+        | bw AS (SELECT mb, doc_id, i.i AS pos,
+        |          ('0x' || substr(md5(substr(text, CAST(i.i AS INT), 40)), 1, 15))::BIGINT AS m
+        |        FROM gate JOIN range(1, 100000) i(i) ON i.i <= len(text) - 39),
+        | st AS (SELECT bw.mb, bw.doc_id, count(*) AS n_windows,
+        |          count(*) FILTER (WHERE a.m IS NOT NULL AND a.minmb <= bw.mb) AS n_matched
+        |        FROM bw LEFT JOIN avail a ON bw.m = a.m GROUP BY 1, 2),
+        | novel AS (SELECT g.mb, g.doc_id, g.lang FROM st
+        |           JOIN gate g ON g.mb = st.mb AND g.doc_id = st.doc_id
+        |           WHERE round(1.0 - n_matched / n_windows, 6) >= 0.5),
+        | tc AS (SELECT mb, lang, count(*) AS n FROM novel GROUP BY 1, 2),
+        | mn AS (SELECT mb, min(n) AS nmin FROM tc GROUP BY 1),
+        | thr AS (SELECT tc.mb, tc.lang,
+        |           CAST(floor(10000.0 * sqrt(CAST(mn.nmin AS DOUBLE) * tc.n) / tc.n) AS BIGINT) AS th
+        |         FROM tc JOIN mn ON mn.mb = tc.mb),
+        | fin AS (SELECT nv.mb, nv.lang FROM novel nv
+        |         JOIN thr ON thr.mb = nv.mb AND thr.lang = nv.lang
+        |         WHERE ('0x' || substr(md5(CAST(nv.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th)
+        | SELECT CAST(g.mb AS BIGINT) AS micro_batch, g.lang,
+        |   CAST(count(*) AS BIGINT) AS n_gated,
+        |   CAST((SELECT count(*) FROM novel nv WHERE nv.mb = g.mb AND nv.lang = g.lang) AS BIGINT) AS n_novel,
+        |   CAST((SELECT count(*) FROM fin f WHERE f.mb = g.mb AND f.lang = g.lang) AS BIGINT) AS n_final
+        | FROM gate g GROUP BY g.mb, g.lang ORDER BY micro_batch, lang""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = d.select(col("doc_id"), col("text"))
+      val b1 = d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+          concat(lit("fresh lead-in words "), substring(col("text"), 5, 150),
+            lit(" fresh tail words")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 600000).as("doc_id"), col("lang"),
+            upper(col("text")).as("text")))
+        .unionAll(d.where(col("doc_id") >= 20 && col("doc_id") < 25)
+          .select((col("doc_id") + 700000).as("doc_id"), col("lang"), col("text")))
+      val b2 = d.where(col("doc_id") >= 25 && col("doc_id") < 30)
+        .select((col("doc_id") + 800000).as("doc_id"), col("lang"), col("text"))
+        .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 15)
+          .select((col("doc_id") + 900000).as("doc_id"), col("lang"),
+            upper(col("text")).as("text")))
+        .unionAll(d.where(col("doc_id") >= 40 && col("doc_id") < 50)
+          .select((col("doc_id") + 950000).as("doc_id"), col("lang"),
+            upper(col("text")).as("text")))
+      // Fresh state per call (the dd_curation_stream treatment): the
+      // loop's replay machinery is StreamingSpec's job; this row checks
+      // the converged funnels. Fixture/loop splits land in fixtureSecs.
+      val st = java.nio.file.Files.createTempDirectory("graft-novelty-stream-q")
+      val idxDir = s"$st/index"
+      val tSeed = System.nanoTime()
+      Dedup.buildExactWindowIndex(standing, idxDir, L = 40)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-novelty-stream-in")
+      stageAsFile(b1, inDir, "b1.parquet")
+      stageAsFile(b2, inDir, "b2.parquet")
+      fixtureSecs.put("novelty-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.noveltyIngest(
+        graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, s"$st/funnel", s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("novelty-stream-loop", (System.nanoTime() - tLoop) / 1e9)
+      val out = s.read.parquet(s"$st/funnel")
+        .select(col("micro_batch").cast("long").as("micro_batch"), col("lang"),
+          col("n_gated"), col("n_novel"), col("n_final"))
+        .orderBy(col("micro_batch"), col("lang")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

@@ -39,13 +39,37 @@ object Curation {
     * Nothing here re-pairs or re-scans the standing corpus beyond the one
     * distinct-keys stream. */
   def noveltyFunnel(standing: DataFrame, batch: DataFrame,
-      noveltyFloor: Double = 0.5, L: Int = 40): DataFrame = {
+      noveltyFloor: Double = 0.5, L: Int = 40): DataFrame =
+    noveltyFunnelFrom(batch, noveltyFloor,
+      g => Dedup.windowNovelty(standing, g, L))
+
+  /** [[noveltyFunnel]] probing a prebuilt exact-window INDEX
+    * ([[graft.operators.Dedup.buildExactWindowIndex]]) instead of
+    * recomputing the standing corpus's window keys — the per-arrival
+    * shape [[graft.streaming.Streams]]'s novelty loop runs: gate →
+    * [[graft.operators.Dedup.windowNoveltyIndexed]] (index streamed,
+    * own-micro-batch partition excluded for replay exactness) →
+    * temperature rebalance. `L` comes from the index manifest, so a
+    * probe can never hash with a different window length than the
+    * index. */
+  def noveltyFunnelIndexed(indexDir: String, batch: DataFrame,
+      noveltyFloor: Double = 0.5,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    noveltyFunnelFrom(batch, noveltyFloor,
+      g => Dedup.windowNoveltyIndexed(batch.sparkSession, indexDir, g,
+        excludeIngestBatch))
+
+  /** The shared funnel body: LR gate → novelty floor over the given
+    * scorer → temperature rebalance → per-lang counts. One code path for
+    * the batch and indexed/streaming forms, so they cannot drift. */
+  private def noveltyFunnelFrom(batch: DataFrame, noveltyFloor: Double,
+      score: DataFrame => DataFrame): DataFrame = {
     val gate = TextAnalysis.lrQuality(batch)
       .where(col("pass") === 1)
       .join(batch.select(col("doc_id"), col("lang"), col("text")), "doc_id")
       .select(col("doc_id"), col("lang"), col("text"))
     val novel = gate.join(
-        Dedup.windowNovelty(standing, gate.select(col("doc_id"), col("text")), L)
+        score(gate.select(col("doc_id"), col("text")))
           .where(col("novelty") >= noveltyFloor)
           .select(col("doc_id")),
         "doc_id")

@@ -1433,6 +1433,53 @@ object Dedup {
         col("n_matched"), col("novelty"))
   }
 
+  /** [[windowNovelty]] against a prebuilt [[buildExactWindowIndex]] index —
+    * identical result contract, but the corpus side is the LOADED 8-byte
+    * key scan, never recomputed. The index may hold DUPLICATE keys across
+    * `ingest_batch` partitions (appends re-add known keys), and a novelty
+    * COUNT — unlike the span probe — must not double-count a window that
+    * matches twice, so the match join's output dedups on `(doc_id, pos)`
+    * before counting: the distinct is batch-window-scale (bounded by the
+    * batch's own windows × duplication), never index-scale. Join strategy
+    * is [[exactCrossDupIndexed]]'s guarded broadcast — batch windows
+    * broadcast under `graft.exactIndexedBroadcastMaxChars` total batch
+    * chars, forced shuffle-hash above it — so the index only ever
+    * STREAMS. `excludeIngestBatch` prunes one partition at file level
+    * (the streaming loop excludes its own micro-batch id so a replay
+    * never matches its failed attempt's append). */
+  def windowNoveltyIndexed(spark: SparkSession, dir: String,
+      batch: DataFrame, excludeIngestBatch: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensure(spark)
+    val l = spark.read.json(s"$dir/manifest").collect()(0)
+      .getAs[Long]("l").toInt
+    val all = spark.read.parquet(s"$dir/windows")
+    val sWins = excludeIngestBatch
+      .fold(all)(id => all.where(col("ingest_batch") =!= id))
+      .select(col("m"))
+    val (bWins, members) = batchWindowPrelude(batch, l)
+    val batchChars = batch
+      .agg(coalesce(sum(length(col("text"))), lit(0L))).collect()(0).getLong(0)
+    val maxChars = spark.conf
+      .getOption("graft.exactIndexedBroadcastMaxChars")
+      .map(_.toLong).getOrElse(4000000L)
+    val matchedPos = (if (batchChars <= maxChars)
+        sWins.join(broadcast(bWins), Seq("m"))
+      else sWins.join(bWins.hint("shuffle_hash"), Seq("m")))
+      .select(col("doc_id"), col("pos")).distinct()
+    val matched = matchedPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    val stats = bWins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_matched").cast("double") / col("n_windows"), 6))
+    stats.join(members, "doc_id")
+      .select(col("member").as("doc_id"), col("n_windows"),
+        col("n_matched"), col("novelty"))
+  }
+
   /** [[exactCrossDupSpans]] against a prebuilt [[buildExactWindowIndex]]
     * index: identical result contract, but the corpus side is a LOADED
     * scan of 8-byte keys, not recomputed — per-batch cost is the batch's

@@ -393,6 +393,60 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming NOVELTY curation — `Curation.noveltyFunnelIndexed` run as
+    * an ingest loop (the batch operator's `batch` argument was always
+    * "arriving" by design; this wires the arrival). Per micro-batch of
+    * documents:
+    *   1. run the indexed novelty funnel against the standing window
+    *      index (gate → novelty floor → temperature rebalance), EXCLUDING
+    *      this micro-batch's own index partition, and write the per-lang
+    *      funnel counts under `funnelDir/micro_batch=<id>` (overwrite);
+    *   2. grow the window index with the FULL batch's windows
+    *      (`appendToExactWindowIndex` into `ingest_batch=<id>`,
+    *      overwrite), so every LATER batch's novelty is measured against
+    *      this one too.
+    * The full batch grows the index — not just gate survivors — because
+    * novelty is a property of what EXISTS, not of what was curated: text
+    * that arrived is no longer novel to later arrivals whether or not
+    * the quality gate kept it (the standing corpus the seed indexes was
+    * never quality-gated either).
+    *
+    * Semantics: batch k is scored against standing ∪ batches 0..k−1, so
+    * the per-batch funnels equal the SEQUENTIAL batch computation —
+    * `Curation.noveltyFunnel` with the standing corpus grown by each
+    * earlier batch (StreamingSpec asserts this end to end, and the
+    * driver's `cur_novelty_stream` oracle replays it in SQL).
+    *
+    * Replay exactness (foreachBatch is at-least-once): both writes are
+    * batchId-keyed overwrites, and the probe excludes the index
+    * partition this batch id owns — a replayed batch can never match
+    * its failed attempt's own append, so replays are byte-identical.
+    * The index must be owned by this single loop (`exactDedupIngest`'s
+    * contract: stream ids ≥ 0, disjoint from batch-API appends). */
+  def noveltyIngest(
+      docs: DataFrame,
+      indexDir: String,
+      funnelDir: String,
+      checkpointDir: String,
+      noveltyFloor: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("lang"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.Curation
+            .noveltyFunnelIndexed(indexDir, b, noveltyFloor,
+              excludeIngestBatch = Some(batchId))
+            .write.mode("overwrite").parquet(s"$funnelDir/micro_batch=$batchId")
+          graft.operators.Dedup.appendToExactWindowIndex(
+            b.select(col("doc_id"), col("text")), indexDir,
+            ingestBatch = batchId)
+        } finally { b.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate), written as labels

@@ -177,6 +177,36 @@ class ExactSubstringSpec extends TestBase {
     assert(got(13L)._4 > 0.0 && got(13L)._4 < 1.0)
   }
 
+  test("windowNoveltyIndexed == recompute form; duplicate index keys never double-count") {
+    val standing = Seq((0L, base + base.reverse)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + base.reverse),
+      (11L, "a wholly new batch document right here"),
+      (13L, base + "ZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZ")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-novidx").toString
+    Dedup.buildExactWindowIndex(standing, s"$root/idx", L = 10)
+    val want = Dedup.windowNovelty(standing, batch, L = 10)
+      .orderBy("doc_id").collect().toSeq
+    val got = Dedup.windowNoveltyIndexed(spark, s"$root/idx", batch)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want, s"indexed=$got recompute=$want")
+    // re-append the same corpus: every key now appears TWICE in the index;
+    // a novelty count (unlike a span probe) would read double without the
+    // (doc_id, pos) dedup — the result must not move
+    Dedup.appendToExactWindowIndex(standing, s"$root/idx")
+    val dup = Dedup.windowNoveltyIndexed(spark, s"$root/idx", batch)
+      .orderBy("doc_id").collect().toSeq
+    assert(dup == want, "duplicate index keys must not double-count matches")
+    // the forced shuffle-hash fallback (oversized-batch path) agrees too
+    spark.conf.set("graft.exactIndexedBroadcastMaxChars", "1")
+    try {
+      val sh = Dedup.windowNoveltyIndexed(spark, s"$root/idx", batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(sh == want, "shuffle-hash fallback must agree with broadcast path")
+    } finally spark.conf.unset("graft.exactIndexedBroadcastMaxChars")
+  }
+
   test("window_md5: matches the SQL 15-hex-prefix universe exactly") {
     graft.functions.GraftFunctions.ensure(spark)
     val L = 12

@@ -426,6 +426,55 @@ class StreamingSpec extends TestBase {
       s"postings partitions: ${batches.toSeq}")
   }
 
+  test("noveltyIngest: per-batch funnels == sequential; batch-0 growth cuts batch-1 novelty") {
+    import graft.operators.{Curation, Dedup}
+    val d = Tables(spark, sf(), "documents")
+    val standing = d.select(col("doc_id"), col("text")).where(col("doc_id") < 60)
+    val b1 = d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select((col("doc_id") + 600000).as("doc_id"), col("lang"),
+        upper(col("text")).as("text"))
+      .unionAll(d.where(col("doc_id") >= 20 && col("doc_id") < 25)
+        .select((col("doc_id") + 700000).as("doc_id"), col("lang"), col("text")))
+    // b2: exact copies of b1's upper-cased content (novel vs the seed,
+    // non-novel ONLY because batch 0 grew the index) plus genuinely new
+    val b2 = d.where(col("doc_id") >= 10 && col("doc_id") < 15)
+      .select((col("doc_id") + 900000).as("doc_id"), col("lang"),
+        upper(col("text")).as("text"))
+      .unionAll(d.where(col("doc_id") >= 40 && col("doc_id") < 50)
+        .select((col("doc_id") + 950000).as("doc_id"), col("lang"),
+          upper(col("text")).as("text")))
+    val st = java.nio.file.Files.createTempDirectory("graft-novingest")
+    val idxDir = st.resolve("index").toString
+    val funnelDir = st.resolve("funnel").toString
+    Dedup.buildExactWindowIndex(standing, idxDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-novingest-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    val q = Streams.noveltyIngest(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, funnelDir, st.resolve("ckpt").toString)
+    q.awaitTermination()
+    val cols = Seq("micro_batch", "lang", "n_gated", "n_novel", "n_final")
+    val got = spark.read.parquet(funnelDir)
+      .select(col("micro_batch").cast("long").as("micro_batch"), col("lang"),
+        col("n_gated"), col("n_novel"), col("n_final"))
+    // sequential twin: batch k scored against standing ∪ earlier batches
+    val want1 = Curation.noveltyFunnel(standing, b1)
+      .withColumn("micro_batch", lit(0L))
+    val want2grown = Curation.noveltyFunnel(
+        standing.unionAll(b1.select(col("doc_id"), col("text"))), b2)
+      .withColumn("micro_batch", lit(1L))
+    val want = want1.unionAll(want2grown).select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed funnels must equal the sequential batch computation")
+    // growth proof: without batch 0's windows the copies would count novel
+    val ungrown = Curation.noveltyFunnel(standing, b2)
+      .agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    val grown = want2grown.agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    assert(ungrown > grown,
+      s"batch-0 index growth must reduce batch-1 novelty ($ungrown vs $grown)")
+  }
+
   test("curation loop: streamed increments converge to the batch-pipeline labeling") {
     import graft.operators.Dedup
     val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
