@@ -3219,6 +3219,65 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Image near-dup pairs COMPOSED into decisions — the missing last
+    // step of the media dedup story (VERDICT r12 #3): mm_neardup's pairs
+    // through connectedComponents (cluster labels), a keep-first purge
+    // (keep = the component minimum; delta twins and the spot retouch
+    // drop), and clusterSplit (leakage-safe folds — a near-dup image
+    // pair can never straddle train/test). The text chain dd_cluster →
+    // smp_cluster_split applied verbatim to the image modality; the
+    // oracle recomputes every dHash by pixel formula, all-pairs the
+    // Hamming graph, recursive-CTE CCs it, and replays the md5 fold
+    // bucketing.
+    QueryDef("mm_cluster")(
+      s"""WITH RECURSIVE f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          sum(bit_count(xor(a.byte, b.byte))) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy AND a.id < b.id
+         |        GROUP BY 1, 2),
+         | pr AS (SELECT doc_a, doc_b FROM hm WHERE hamming <= 3),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |         UNION SELECT doc_b, doc_a FROM pr),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |            FROM reach GROUP BY 1),
+         | keyed AS (SELECT f.id AS doc_id, coalesce(l.cluster_id, f.id) AS sk
+         |           FROM f LEFT JOIN labels l ON l.doc_id = f.id),
+         | b AS (SELECT doc_id, sk,
+         |         ('0x' || substr(md5(CAST(sk AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+         |       FROM keyed)
+         | SELECT doc_id, CAST(sk AS BIGINT) AS cluster_id, doc_id = sk AS keep,
+         |   CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |        ELSE 'test' END AS fold
+         | FROM b ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val fixture = d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot"))
+        .unionAll(d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+            lit(1).as("delta"), lit(0).as("spot")))
+        .unionAll(d.where(col("doc_id") === 6)
+          .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(50).as("spot")))
+      val labels = Multimodal.clusterImages(Multimodal.syntheticImageVariants(fixture))
+      graft.operators.Sampling.clusterSplit(fixture.select(col("doc_id")), labels,
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .select(col("doc_id"),
+          col("split_key").cast("long").as("cluster_id"),
+          (col("doc_id") === col("split_key")).as("keep"),
+          col("fold"))
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef("mm_frames")(
       """WITH d AS (SELECT doc_id, text, CAST(ceil(length(text) / 32.0) AS INT) AS nf
         |           FROM documents WHERE doc_id < 10)

@@ -339,6 +339,23 @@ object Multimodal {
       dHash64(media).select(col("doc_id"), col("phash").as("sigint")),
       maxHamming)
 
+  /** Near-dup CLUSTER LABELS for the image modality: [[nearDupImages]]
+    * pairs fed through [[graft.operators.Dedup.connectedComponents]] —
+    * the text chain (`dd_cluster`) applied to media, closing the gap
+    * between pair evidence and the decisions a pipeline makes from it.
+    * Returns `(doc_id, cluster_id)` for PAIR-BEARING images only (the
+    * `clusterDedupFirst` convention: absent = no dup evidence). Compose
+    * downstream exactly like text: a keep-first purge drops
+    * `doc_id =!= cluster_id`, and `Sampling.clusterSplit` over these
+    * labels yields leakage-safe folds (a near-dup image pair can never
+    * straddle train/test) — the machinery is modality-agnostic, only the
+    * pair evidence differs. Scale: the pairs are band-blocked (never
+    * all-pairs) and CC is the large-star/small-star loop with bounded
+    * local finish — both already 100 TB-shaped. */
+  def clusterImages(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    Dedup.connectedComponents(
+      nearDupImages(media, maxHamming).select(col("doc_a"), col("doc_b")))
+
   /** WAV container sniff: RIFF chunk id at 0, WAVE form type at 8 — the
     * same magic-byte dispatch as `sniffImageFormat`. */
   private[graft] def sniffWav(b: Array[Byte]): Boolean =

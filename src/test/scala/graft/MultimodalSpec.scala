@@ -256,6 +256,18 @@ class MultimodalSpec extends TestBase {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("clusterImages: pair evidence becomes transitive cluster labels") {
+    // 1≈2 (brightness twin, Hamming 0) and 1≈3 / 2≈3 (spot, Hamming 1)
+    // form one component labeled by its min id; key 19 stays unlabeled
+    // (no dup evidence — the clusterDedupFirst convention).
+    val media = Multimodal.syntheticImageVariants(Seq(
+      (1L, 6L, 0, 0), (2L, 6L, 1, 0), (3L, 6L, 0, 50), (4L, 19L, 0, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val labels = Multimodal.clusterImages(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)
