@@ -51,6 +51,14 @@ object Layout {
   val Zorder = "zorder"
   val Hilbert = "hilbert"
 
+  /** Meta tag for [[binnedLinearWrite]]'s single-column layout. NOT a
+    * space-filling curve: the fid is the leading column's rank truncated,
+    * so a reader reconstructing assignment must not interleave. Kept out
+    * of [[curveValue]] on purpose — any curve-path consumer (append,
+    * compaction) handed a linear-bin layout fails loudly on the tag
+    * instead of silently mis-deriving bins. */
+  val LinearBin = "linear-bin"
+
   private def curveValue(ranks: Seq[Column], bits: Int, curve: String): Column =
     curve match {
       case Zorder =>
@@ -528,7 +536,9 @@ object Layout {
     df.withColumn("fid", shiftright(rank, bits - log2Exact(bins, "bins")))
       .repartition(bins, col("fid"))
       .write.mode("overwrite").partitionBy("fid").parquet(outDir)
-    writeMeta(outDir, scaling, bits, Zorder,
+    // LinearBin, not Zorder: this layout's fid is NOT a curve value, and
+    // the distinct tag keeps curve-path readers from mis-deriving bins
+    writeMeta(outDir, scaling, bits, LinearBin,
       df.sparkSession.sessionState.newHadoopConf())
   }
 

@@ -220,7 +220,26 @@ object Retrieval {
       s"explicit batch id $id is negative — negative ids belong to the batch API"))
     val id = batchId.getOrElse(batches.filter(_ < 0).min - 1)
     if (batches.contains(id)) {
-      // replay of a committed streaming batch: postings only (see above)
+      // Replay of a committed streaming batch: postings only (see above) —
+      // but assert the replay really IS the committed data first. A
+      // committed batchId resubmitted with DIFFERENT docs would silently
+      // desynchronize postings from the committed df/stats. The guard is
+      // batch-partition-scale (one aggregate over the one partition, one
+      // over the batch — never the standing index), and doc-id-set exact
+      // up to xor collision: distinct count + min/max + the order-free
+      // `bit_xor` fold of the distinct ids (partial-aggregable — no
+      // driver-side set, no sort).
+      val sig = (d: DataFrame) => d.select(col("doc_id")).distinct().agg(
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          expr("bit_xor(doc_id)").as("x"))
+        .collect()(0)
+      val committed = sig(spark.read.parquet(s"$dir/postings/batch=$id"))
+      val replayed = sig(docs.select(col("doc_id")))
+      require(committed == replayed,
+        s"appendToBm25Index: batch $id is already committed with a " +
+          s"different doc set ($committed vs replay $replayed) — a replay " +
+          "must resubmit the committed batch unchanged")
       writePostings(batchTables(docs)._1, dir, id, files)
       return
     }

@@ -423,6 +423,18 @@ class LayoutSpec extends TestBase {
       Layout.binRanges(spark, lDir, Seq("l_partkey", "l_suppkey")), box)
     assert(lRead == lTot, "linear layout cannot prune its trailing column")
     assert(zRead < zTot, s"zorder must prune the trailing column: $zRead/$zTot")
+    // meta tags distinguish the layouts: the linear baseline is NOT a
+    // curve, and a curve-path consumer handed it must fail loudly
+    // rather than reconstruct bins by interleaving (ADVICE r12)
+    def metaCurve(dir: String) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_graft_zmeta")).get(0).split(" ").last
+    assert(metaCurve(zDir) == Layout.Zorder)
+    assert(metaCurve(lDir) == Layout.LinearBin)
+    val e = intercept[Exception] {
+      Layout.appendZOrdered(li.limit(10), lDir, files = 1)
+    }
+    assert(e.getMessage.contains(Layout.LinearBin),
+      s"curve consumers must reject the linear-bin tag: ${e.getMessage}")
   }
 
   test("filesOverlapping: a file with null range stats SURVIVES pruning") {

@@ -120,6 +120,21 @@ class RetrievalSpec extends TestBase {
     val vs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
     assert(vs.toSeq == Seq("v0", "v1"), s"replay must not roll a version: ${vs.toSeq}")
+    // a committed id resubmitted with DIFFERENT docs is not a replay —
+    // it would desynchronize postings from the committed df/stats, so
+    // the guard must refuse before touching the partition (ADVICE r12)
+    val preTop = Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "merge"), 20)
+      .as[(Long, Double)].collect().toSeq
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+        dir, batchId = Some(0L))
+    }
+    assert(err.getMessage.contains("different doc set"))
+    assert(Retrieval.bm25IndexedTopK(spark, dir, Seq("spark", "merge"), 20)
+      .as[(Long, Double)].collect().toSeq == preTop,
+      "a refused fake replay must leave the index untouched")
   }
 
   test("bm25 index crash discipline: uncommitted postings stay invisible") {
