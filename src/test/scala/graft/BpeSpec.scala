@@ -122,6 +122,26 @@ class BpeSpec extends TestBase {
     }
   }
 
+  test("50k-merge vocab: kernel agrees with sequential replace semantics") {
+    // the production-scale list the Column path cannot follow (a 50k-deep
+    // codegen chain); agreement is against the driver-side sequential
+    // replay of encodeCol's contract — BpeProbe runs the same check over
+    // the full corpus vocabulary plus a 2k distinct-word sample
+    val big = Bpe.syntheticMerges(50000)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    val texts = d.as[(Long, String)].collect().toMap
+    val got = Bpe.encodeDocsIds(d, big)
+      .select(col("doc_id"), col("tokens")).as[(Long, Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, toks) =>
+      val want = texts(id).split(" ", -1).toSeq
+        .map(w => Bpe.encodeWordSequential(w, big))
+        .reduce((a, b) => a ++ Seq(" ") ++ b)
+      assert(toks == want, s"doc $id kernel/sequential disagree at 50k merges")
+    }
+  }
+
   test("empty and degenerate words") {
     // double space -> empty word (0 tokens); trailing space -> empty word
     val d = docs(1L -> "a  b ", 2L -> "")
