@@ -2536,6 +2536,39 @@ object NorthStarQueries {
         .orderBy(col("lang"))
     },
 
+    // Mixture on TOKEN budgets (smp_mixture's DoReMi-shaped sibling):
+    // weights allocate token mass, not doc counts — zh's short docs get
+    // MORE docs per budget share than en's long ones. Realized budget =
+    // min(asked, min_s floor(T_s/w_s)); per-stratum keep-rate =
+    // B·w_s/T_s through the same md5 gate. toks_kept per lang lands
+    // ≈ B·w_s (the hash sampler's expectation contract; the oracle
+    // replays the exact threshold arithmetic so the row is hash-exact).
+    QueryDef("smp_token_mixture")(
+      s"""WITH t(lang, w) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+        |                           ('fr', 0.1), ('zh', 0.1)),
+        | k AS (SELECT doc_id, lang, ${Bpe.tokenCountSql("text")} AS tok FROM documents),
+        | c AS (SELECT lang, sum(tok) AS tt FROM k GROUP BY 1),
+        | j AS (SELECT c.lang, c.tt, t.w FROM c JOIN t USING (lang)),
+        | a AS (SELECT least(10000, min(CAST(floor(tt / w) AS BIGINT))) AS bach FROM j),
+        | thr AS (SELECT lang, CAST(floor(w * bach * 10000.0 / tt) AS BIGINT) AS th
+        |         FROM j CROSS JOIN a)
+        | SELECT k.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |   CAST(sum(k.tok) AS BIGINT) AS toks_kept
+        | FROM k JOIN thr USING (lang)
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      graft.operators.Sampling.tokenMixtureSample(d, col("lang"), col("doc_id"),
+          Bpe.tokenCount(col("text")),
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1),
+          budget = 10000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(Bpe.tokenCount(col("text"))).as("toks_kept"))
+        .orderBy(col("lang"))
+    },
+
     // Temperature flattening (the multilingual α-sampling rule): sampled
     // sizes m_s = n_min^(1−α)·n_s^α keep the smallest stratum whole and
     // pull larger ones toward it. α = 0.5 → floor(B·sqrt(dbl(n_min)·n)/n):
@@ -2758,6 +2791,53 @@ object NorthStarQueries {
           floor((col("cum") - col("tok")) / lit(1000)).as("batch"), col("tok"))
         .groupBy(col("shard"), col("batch"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy(col("shard"), col("batch"))
+    },
+
+    // The batches MATERIALIZED, not just manifested: pipe_packed_batches'
+    // running-budget assignment joined back to the token-id sequences
+    // (txt_bpe_ids' kernel), each batch one row carrying the concatenated
+    // ids of its member docs in permutation order, a -2 boundary id after
+    // each doc (the EOS analogue; -2 is outside both the vocab space and
+    // the -1 unk marker). `toks` counts non-space BPE tokens — identical
+    // to the manifest's budget basis, so manifest and materialization can
+    // never disagree on batch membership. Scale: one row per batch,
+    // bounded by the budget (the collect_list is budget-bounded, never
+    // corpus-bounded); the permutation window is shard-parallel.
+    QueryDef("pipe_token_batches")(
+      s"""WITH tl AS (SELECT doc_id, ${Bpe.tokensSql("text")} AS l FROM documents),
+        | k AS (SELECT doc_id,
+        |     CAST(len(list_filter(l, t -> t <> ' ')) AS BIGINT) AS tok,
+        |     list_append(list_transform(l, t -> (${Bpe.tokenIdCaseSql("t")})), -2) AS ids,
+        |     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |     md5('s42:' || CAST(doc_id AS VARCHAR)) AS ord
+        |   FROM tl),
+        | c AS (SELECT shard, doc_id, ord, tok, ids,
+        |         sum(tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM k)
+        | SELECT CAST(shard AS BIGINT) AS shard,
+        |   CAST((cum - tok) // 1000 AS BIGINT) AS batch,
+        |   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS toks,
+        |   array_to_string(flatten(list(ids ORDER BY ord, doc_id)), ',') AS ids_str
+        | FROM c GROUP BY 1, 2 ORDER BY shard, batch""".stripMargin
+    ) { (s, dir) =>
+      val ids = Bpe.encodeDocsIds(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("ids"), array(lit(-2))).as("ids"),
+          col("bpe_tokens").as("tok"))
+      val ordered = graft.operators.Sampling.shardOrder(ids, col("doc_id"), 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("pos").rowsBetween(Long.MinValue, 0)
+      ordered.withColumn("cum", sum(col("tok")).over(w))
+        .select(col("shard").cast("long").as("shard"),
+          floor((col("cum") - col("tok")) / lit(1000)).as("batch"),
+          col("pos"), col("tok"), col("ids"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"),
+          array_join(expr(
+            "transform(flatten(transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids)), i -> cast(i as string))"),
+            ",").as("ids_str"))
         .orderBy(col("shard"), col("batch"))
     },
 

@@ -64,6 +64,49 @@ object Sampling {
     * left-to-right double expression DuckDB evaluates, compared against the
     * integer hash bucket — no epsilon boundary.
     */
+  /** Mixture sampling on TOKEN budgets: training-mixture weights (the
+    * DoReMi / data-recipe form) act on token mass, not document counts —
+    * a lang of long documents needs fewer docs for the same share of the
+    * training budget, and a doc-count mixture silently misallocates
+    * 2–4× whenever per-stratum lengths differ. Given weights `w_s` and a
+    * total token `budget`: per-stratum token mass `T_s` (one aggregate,
+    * map-side combined), realized budget `B = min(budget, min_s ⌊T_s /
+    * w_s⌋)` so every weight stays achievable (the [[mixtureSample]]
+    * scale-down rule in token space), then each stratum keeps docs
+    * through the deterministic hash gate at rate `B·w_s / T_s` — token
+    * mass ≈ `B·w_s` in expectation (the doc is the sampling unit; the
+    * ~rate contract every hash sampler here has). `tok` must be a pure
+    * row property (e.g. [[graft.operators.Bpe.tokenCount]], the same
+    * budget basis the packing manifests use) — the gate stays one
+    * codegen'd filter over a broadcast threshold row per stratum; the
+    * only shuffle is the stats aggregate. */
+  def tokenMixtureSample(df: DataFrame, stratum: Column, key: Column,
+      tok: Column, weights: Map[String, Double], budget: Long,
+      buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(p => p > 0 && p <= 1),
+      s"weights must be in (0, 1]: $weights")
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights must sum to <= 1: $weights")
+    require(budget > 0, s"budget must be positive: $budget")
+    val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
+      .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
+    val withW = cnt.withColumn("_w",
+        weights.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
+          when(col("_strat") === s, lit(p)).otherwise(acc)
+        })
+      .where(col("_w").isNotNull)
+    val achievable = withW
+      .agg(least(lit(budget),
+        min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"))
+    val thresholds = withW.crossJoin(broadcast(achievable))
+      .select(col("_strat"),
+        floor(col("_w") * col("_bach") * lit(buckets.toDouble) / col("_t"))
+          .cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratum <=> col("_strat"), "inner")
+      .where(hashBucket(key, buckets) < col("_thr"))
+      .drop("_strat", "_thr")
+  }
+
   def mixtureSample(df: DataFrame, stratum: Column, key: Column,
       targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),

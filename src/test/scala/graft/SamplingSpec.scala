@@ -36,6 +36,41 @@ class SamplingSpec extends TestBase {
     }
   }
 
+  test("tokenMixtureSample: token shares track weights; short-doc strata get more docs") {
+    // a: 1000 docs x 100 tok; b: 1000 docs x 10 tok — equal doc counts,
+    // 10x token skew. Weights .5/.5, budget 20k → rates a 10%/b 100%:
+    // b keeps ~10x MORE DOCS than a for the same token share (the thing
+    // a doc-count mixture gets wrong by that same 10x).
+    val d = ((0L until 1000L).map(i => (i, "a", 100L)) ++
+        (1000L until 2000L).map(i => (i, "b", 10L)))
+      .toDF("id", "grp", "tok")
+    val got = Sampling.tokenMixtureSample(d, col("grp"), col("id"), col("tok"),
+        Map("a" -> 0.5, "b" -> 0.5), budget = 20000L)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("tok")).as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("b") == ((1000L, 10000L)), s"binding stratum kept whole: $got")
+    val (na, ta) = got("a")
+    assert(ta > 8000 && ta < 12000, s"a's token share ~10k: $got")
+    assert(na * 5 < got("b")._1, s"a must keep far fewer docs than b: $got")
+    // achievability scale-down: weight 0.9 on b (9k tokens available per
+    // 0.9 → B = floor(10000/0.9) = 11111 < 20000 asked)
+    val sc = Sampling.tokenMixtureSample(d, col("grp"), col("id"), col("tok"),
+        Map("a" -> 0.1, "b" -> 0.9), budget = 20000L)
+      .agg(sum(col("tok"))).as[Long].head()
+    assert(sc < 13000, s"realized budget must scale down to achievability: $sc")
+    // pure row property: stable under repartitioning
+    val s1 = Sampling.tokenMixtureSample(d, col("grp"), col("id"), col("tok"),
+        Map("a" -> 0.5, "b" -> 0.5), budget = 5000L).select("id").as[Long].collect().toSet
+    val s2 = Sampling.tokenMixtureSample(d.repartition(7), col("grp"), col("id"),
+        col("tok"), Map("a" -> 0.5, "b" -> 0.5), budget = 5000L)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenMixtureSample(d, col("grp"), col("id"), col("tok"),
+        Map("a" -> 0.7, "b" -> 0.7), budget = 1000L)
+    }
+  }
+
   test("mixtureSample: output approximates target proportions; binding stratum whole") {
     // 6000 a / 2000 b / 400 c; targets a .4 / b .4 / c .2 → caps 15000 /
     // 5000 / 2000 → N = 2000 (c binding, kept whole): a→800, b→800, c→400.
