@@ -125,6 +125,21 @@ object BpeProbe {
     }
     Seq(50, 100, 200, 400).foreach(runChain)
 
+    // merge LEARNING at production scale: the incremental driver loop
+    // (pair-indexed, TreeSet argmax) over the distinct-vocab corpus's
+    // word-count table — the naive recount alternative is
+    // O(n · vocab · len) and would take hours here
+    val (wcSec, wcRows) = ProbeHarness.time {
+      graft.operators.Bpe.wordCounts(dv).count()
+    }
+    Seq(500, 5000).foreach { k =>
+      val (learnSec, learned) = ProbeHarness.time {
+        graft.operators.Bpe.learnMerges(dv, n = k, minCount = 2)
+      }
+      println(f"[bpeprobe] learnMerges($k%5d) over $wcRows words " +
+        f"(count pass $wcSec%.2f s): $learnSec%.2f s, ${learned.size} learned")
+    }
+
     // agreement at the big vocab: priority loop == sequential replace
     // semantics, driver-side, on every distinct natural-corpus word plus
     // a distinct-vocab sample

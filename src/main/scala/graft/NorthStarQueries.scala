@@ -2159,6 +2159,39 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE merge LEARNING (Sennrich 2016 §3.2): the corpus reduces to the
+    // word-frequency table (the one distributed pass), learning runs
+    // driver-side over it — the subword-nmt architecture, not a per-merge
+    // Spark job. The oracle replays all 8 steps as chained CTEs (pair
+    // counts over rendered words → argmax with the deterministic
+    // (count DESC, x, y) tie-break → leftmost-non-overlap replace), both
+    // sides generated from one contract, so the learned list itself is
+    // hash-checked, not just its downstream effects.
+    QueryDef("txt_bpe_learn")(Bpe.learnSql(8)) { (s, dir) =>
+      import s.implicits._
+      Bpe.learnMerges(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          n = 8, minCount = 1)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y")
+        .orderBy(col("rank"))
+    },
+
+    // The learned list APPLIED: corpus re-tokenized under its own learned
+    // merges (learning feeding the production kernel end to end). The
+    // oracle derives per-word token counts from the final merged word
+    // table and rolls them up per doc — hash equality proves the engine's
+    // learn → encode chain equals the SQL replay's, including every
+    // argmax tie-break along the way.
+    QueryDef("txt_bpe_learned")(
+      s"${Bpe.learnedCountSql(8)} ORDER BY doc_id"
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.encodeDocs(d, Bpe.learnMerges(d, n = 8, minCount = 1))
+        .select(col("doc_id"), col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-doc repetition filter (duplicate word-3-gram fraction + hottest
     // n-gram count) — the natural corpus has near-zero repetition, so one
     // degenerate boilerplate doc is planted (both engines build it with

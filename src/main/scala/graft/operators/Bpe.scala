@@ -275,6 +275,178 @@ object Bpe {
       merges: Seq[(String, String)]): Seq[String] =
     encodeWord(w, merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
 
+  /** Corpus word-frequency table — the ONLY corpus-scale stage of merge
+    * learning: one explode + one map-side-combined aggregate; output is
+    * vocabulary-scale. Empty words (double/trailing spaces) drop — they
+    * carry no pairs. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** LEARN a merge list from the corpus (Sennrich 2016 §3.2, the
+    * subword-nmt/GPT-2 training architecture): the corpus first reduces
+    * to the [[wordCounts]] table — at 100 TB that is the one distributed
+    * pass, and its output is vocabulary-scale — then learning runs
+    * driver-side over (word, count): repeatedly take the most frequent
+    * adjacent token pair (count desc, then lexicographic (x, y) — a
+    * DETERMINISTIC tie-break, so the DuckDB oracle can replay argmax
+    * exactly), merge it leftmost-non-overlapping in every word, and
+    * re-count. This is exactly how the reference tools train: pair
+    * statistics over a word-frequency table, never over raw text twice.
+    *
+    * Driver loop is incremental (the subword-nmt optimization): a
+    * pair→count map plus an ordered candidate set, updated only for the
+    * words a merge touches (lazily-indexed by pair), so learning 10k
+    * merges from a 100k-word vocab stays seconds, not hours — measured
+    * in BpeProbe. Stops early when the best pair's count falls below
+    * `minCount` or no pairs remain. `maxWords` fail-fasts on a vocab too
+    * big to collect rather than silently truncating (cap the vocab
+    * upstream — e.g. min-count-filter wordCounts — if hit; at 2M words
+    * the table is ~tens of MB, standard tokenizer-training scale).
+    *
+    * The learned list satisfies [[validateMerges]]'s invariants by
+    * construction — operands exist only as chars or earlier outputs —
+    * EXCEPT output-distinctness, which learning on adversarial corpora
+    * can violate ((a,bc) and (ab,c) both yielding "abc"); that breaks
+    * the sequential≡priority equivalence the two evaluation paths rely
+    * on, so it fails loudly here instead of mis-tokenizing later. */
+  def learnMerges(docs: DataFrame, n: Int, minCount: Long = 2,
+      maxWords: Int = 2000000): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs).as[(String, Long)].collect()
+    require(wc.length <= maxWords,
+      s"${wc.length} distinct words exceeds maxWords=$maxWords — " +
+        "filter the word-count table (e.g. by min count) before learning")
+    val learned = learnFromWordCounts(wc.toSeq, n, minCount)
+    validateMerges(learned)
+    learned
+  }
+
+  /** The driver-side learning loop over a word-frequency table. */
+  private[graft] def learnFromWordCounts(wc: Seq[(String, Long)], n: Int,
+      minCount: Long): Seq[(String, String)] = {
+    require(n > 0, s"need a positive merge count, got $n")
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    import scala.collection.mutable
+    val words: Array[Vector[String]] =
+      wc.map(_._1.map(_.toString).toVector).toArray
+    val cnt: Array[Long] = wc.map(_._2).toArray
+    val pairCount = mutable.HashMap[(String, String), Long]()
+    // lazy index: a word lands here when a pair appears in it and is
+    // never removed — consumers re-check current adjacency
+    val pairWords = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    // ordered candidates: (count desc, x asc, y asc) — head IS the argmax
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val queue = mutable.TreeSet[(Long, String, String)]()
+
+    // add (sign=+1) or retract (sign=-1) word i's pair contributions
+    def adjust(i: Int, sign: Long): Unit = {
+      val toks = words(i)
+      var j = 0
+      while (j < toks.length - 1) {
+        val p = (toks(j), toks(j + 1))
+        val old = pairCount.getOrElse(p, 0L)
+        if (old != 0) queue.remove((old, p._1, p._2))
+        val nw = old + sign * cnt(i)
+        if (nw != 0) {
+          pairCount(p) = nw
+          queue.add((nw, p._1, p._2))
+        } else pairCount.remove(p)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set()) += i
+        j += 1
+      }
+    }
+    def mergeWord(toks: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < toks.length) {
+        if (j < toks.length - 1 && toks(j) == x && toks(j + 1) == y) {
+          out += x + y; j += 2
+        } else { out += toks(j); j += 1 }
+      }
+      out.result()
+    }
+    words.indices.foreach(adjust(_, 1L))
+
+    val learned = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < n && !done) {
+      if (queue.isEmpty || queue.head._1 < minCount) done = true
+      else {
+        val (_, x, y) = queue.head
+        learned += (x -> y)
+        pairWords.getOrElse((x, y), mutable.Set()).foreach { i =>
+          val toks = words(i)
+          // lazy index: verify the pair is CURRENTLY adjacent here
+          var has = false
+          var j = 0
+          while (!has && j < toks.length - 1) {
+            has = toks(j) == x && toks(j + 1) == y; j += 1
+          }
+          if (has) {
+            adjust(i, -1L)
+            words(i) = mergeWord(toks, x, y)
+            adjust(i, 1L)
+          }
+        }
+        k += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** The CTE chain replaying `k` learning steps in DuckDB over the table
+    * `documents(text)` — generated, like every other oracle here, from
+    * the same contract the engine implements: word counts → per-step
+    * (pair counts over rendered words → argmax by (count DESC, x, y) →
+    * leftmost-non-overlapping replace) — so engine and oracle argmax,
+    * tie-break and merge application cannot drift. Exposes CTEs `w$k`
+    * (word, r rendered-merged, cnt) and `b0..b${k-1}` (x, y). */
+  private def learnCtes(k: Int): String = {
+    val w0 =
+      s"""w0 AS (SELECT word, regexp_replace(word, '(?s)(.)', '$Sep\\1$Sep', 'g') AS r, cnt
+         |   FROM (SELECT word, count(*) AS cnt
+         |         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) uq
+         |         WHERE word <> '' GROUP BY 1) wq)""".stripMargin
+    val steps = (0 until k).map { i =>
+      s"""p$i AS (SELECT l[j.j] AS x, l[j.j + 1] AS y, sum(cnt) AS c
+         |   FROM (SELECT string_split(trim(r, '$Sep'), '$Sep$Sep') AS l, cnt FROM w$i) t$i
+         |   JOIN range(1, 100000) j(j) ON j.j <= len(l) - 1
+         |   GROUP BY 1, 2),
+         | b$i AS (SELECT x, y FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+         | w${i + 1} AS (SELECT word,
+         |     replace(r, '$Sep' || x || '$Sep$Sep' || y || '$Sep',
+         |             '$Sep' || x || y || '$Sep') AS r, cnt
+         |   FROM w$i CROSS JOIN b$i)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n ")
+  }
+
+  /** Oracle SQL: the `k` learned merges as `(rank, x, y)` rows. */
+  def learnSql(k: Int): String = {
+    val union = (0 until k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, x, y FROM b$i")
+      .mkString("\n   UNION ALL ")
+    s"WITH ${learnCtes(k)}\n $union\n ORDER BY rank"
+  }
+
+  /** Oracle SQL: the corpus re-tokenized under the `k` LEARNED merges —
+    * per doc `(doc_id, bpe_tokens)` via the final word table (each word's
+    * token count = its merged rendering's token-list length), matching
+    * [[encodeDocs]] run on [[learnMerges]]' output. */
+  def learnedCountSql(k: Int): String =
+    s"""WITH ${learnCtes(k)},
+       | wt AS (SELECT word, CAST(len(string_split(trim(r, '$Sep'), '$Sep$Sep')) AS BIGINT) AS t
+       |        FROM w$k),
+       | dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       | SELECT dw.doc_id, CAST(sum(wt.t) AS BIGINT) AS bpe_tokens
+       | FROM dw JOIN wt USING (word)
+       | GROUP BY 1""".stripMargin
+
   /** Encode one word with the standard iterate-lowest-rank BPE loop. */
   private def encodeWord(w: String,
       rank: scala.collection.Map[(String, String), Int]): Seq[String] = {

@@ -142,6 +142,61 @@ class BpeSpec extends TestBase {
     }
   }
 
+  test("learnMerges: hand-checkable ranks on a tiny corpus") {
+    // 3x "the", 1x "then": pairs th=4 and he=4 TIE, en=1 — the
+    // deterministic tie-break picks the lexicographically smaller pair
+    // (h,e); then (t,he)=4 → "the"; then (the,n)=1
+    val d = docs(1L -> "the the the then")
+    val got = Bpe.learnMerges(d, n = 3, minCount = 1)
+    assert(got == Seq("h" -> "e", "t" -> "he", "the" -> "n"), got.toString)
+    // minCount 2 stops before the singleton pair
+    assert(Bpe.learnMerges(d, n = 3, minCount = 2) ==
+      Seq("h" -> "e", "t" -> "he"))
+    // and the learned list drives the kernel: "the" is one token
+    val enc = Bpe.encodeDocs(d, Bpe.learnMerges(d, n = 2, minCount = 1))
+      .as[(Long, Long, Long)].head()
+    assert(enc._3 == 5L) // the, the, the, the, n
+  }
+
+  test("learnFromWordCounts: incremental loop == naive recount on a stress vocab") {
+    // a few hundred hash-derived words with heavy sharing + skewed counts
+    // — exercises lazy pair-index invalidation, overlapping pairs (runs
+    // of repeated chars), and tie-breaks
+    val wc = (0 until 300).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$i".getBytes("UTF-8")).map(b => ((b & 0x7f) % 26 + 'a').toChar)
+      (new String(h.take(3 + i % 8)) + ("ab" * (i % 3)), (i % 17 + 1).toLong)
+    }.distinct
+    def naive(words0: Seq[(String, Long)], n: Int, minCount: Long) = {
+      var words = words0.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = Seq.newBuilder[(String, String)]
+      var stop = false
+      for (_ <- 0 until n if !stop) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (t, c) =>
+          t.zip(t.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c) }
+        val cand = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }
+        if (cand.isEmpty || cand.head._2 < minCount) stop = true
+        else {
+          val (x, y) = cand.head._1
+          out += (x -> y)
+          words = words.map { case (t, c) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < t.length) {
+              if (j < t.length - 1 && t(j) == x && t(j + 1) == y) { b += x + y; j += 2 }
+              else { b += t(j); j += 1 }
+            }
+            (b.result(), c)
+          }
+        }
+      }
+      out.result()
+    }
+    assert(Bpe.learnFromWordCounts(wc, 60, 2) == naive(wc, 60, 2))
+    assert(Bpe.learnFromWordCounts(wc, 500, 3) == naive(wc, 500, 3))
+  }
+
   test("empty and degenerate words") {
     // double space -> empty word (0 tokens); trailing space -> empty word
     val d = docs(1L -> "a  b ", 2L -> "")
