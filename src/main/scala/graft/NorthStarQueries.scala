@@ -2029,6 +2029,38 @@ object NorthStarQueries {
       TextAnalysis.lrQuality(Tables(s, dir, "documents")).orderBy(col("doc_id"))
     },
 
+    // TRAIN the quality gate (VERDICT r13 #4): fixed-iteration full-batch
+    // gradient descent over the declared LR features — each iteration one
+    // map-side-combined gradient aggregate; the label is a deterministic
+    // row property (lang = 'en' — separable via the English-stopword
+    // ratio feature, so the learned weights are meaningful, not noise).
+    // Determinism: per-row sigmoids round to 6 decimals, per-row gradient
+    // contributions quantize to integers (×10⁶) so the SUM is order-free,
+    // weights round to 9 decimals per update — the oracle replays all 5
+    // iterations as chained CTEs and the TRAJECTORY itself is
+    // hash-checked (the learnMerges proof pattern applied to learning a
+    // model).
+    QueryDef("txt_lr_train")(TextAnalysis.lrTrainSql(5)) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.lrTrain(Tables(s, dir, "documents"),
+          col("lang") === "en", iters = 5)
+        .zipWithIndex
+        .map { case (w, i) => (i + 1L, w(0), w(1), w(2), w(3)) }
+        .toDF("iter", "w0", "w_mtl", "w_stop", "w_ltok")
+        .orderBy(col("iter"))
+    },
+
+    // The learned gate APPLIED: the corpus scored under its own trained
+    // weights (train → score end to end through lrQuality — the learned
+    // model scores with exactly the features it trained on). Hash
+    // equality covers every gradient step AND the final inference
+    // projection.
+    QueryDef("txt_lr_trained")(TextAnalysis.lrTrainedScoreSql(5)) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val w = TextAnalysis.lrTrain(d, col("lang") === "en", iters = 5).last
+      TextAnalysis.lrQuality(d, w(0), w(1), w(2), w(3)).orderBy(col("doc_id"))
+    },
+
     QueryDef("txt_tokens")(
       """SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |   CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sub_tokens
@@ -2189,6 +2221,37 @@ object NorthStarQueries {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       Bpe.encodeDocs(d, Bpe.learnMerges(d, n = 8, minCount = 1))
         .select(col("doc_id"), col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The PRE-TOKENIZED learn→encode chain (the production word contract):
+    // a GPT-2-style regex pre-tokenizer — letter runs / digit runs /
+    // punctuation runs, whitespace never a token — replaces the bare
+    // single-space split ahead of BOTH merge learning and the encode
+    // kernel, so punctuation stops gluing to words (`word,` and `word`
+    // share statistics) and no-space text stops degrading into one giant
+    // word. Two adversarial docs are planted (same literals in both
+    // engines): a punctuation/digit-dense one and a no-space one — under
+    // the space-split contract each is 1–7 giant words; pre-tokenized
+    // they split into runs the merge loop handles at normal cost. The
+    // oracle replays the full pre-tokenized learn (8 argmax steps, same
+    // CTE chain as txt_bpe_learn but over pretokens) and the per-doc
+    // (n_pretok, bpe_tokens) roll-up.
+    QueryDef("txt_bpe_pretok")(
+      s"""${Bpe.learnedPretokCountSql(8,
+             """(SELECT doc_id, text FROM documents WHERE doc_id < 300
+               | UNION ALL SELECT 900001, 'end.of.sentence,and then:more!words 42x7 code(x1,y2)'
+               | UNION ALL SELECT 900002, 'nospacetexthereatall...nospacetexthereatall!!!42')"""
+               .stripMargin)}
+         | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 300)
+        .unionAll(s.range(1).select(lit(900001L).as("doc_id"),
+          lit("end.of.sentence,and then:more!words 42x7 code(x1,y2)").as("text")))
+        .unionAll(s.range(1).select(lit(900002L).as("doc_id"),
+          lit("nospacetexthereatall...nospacetexthereatall!!!42").as("text")))
+      Bpe.encodeDocsPretok(d, Bpe.learnMerges(d, n = 8, minCount = 1, pretok = true))
         .orderBy(col("doc_id"))
     },
 
@@ -2661,6 +2724,48 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"),
           max(col("epoch")).as("max_epoch"))
+        .orderBy(col("lang"))
+    },
+
+    // TOKEN-budget epochs (smp_epochs' DoReMi-shaped sibling, VERDICT r13
+    // #5): repeat factors computed on TOKEN mass, not doc counts —
+    // f_s = p_s·T/T_s, ⌊f⌋ full epochs + a hash-gated fractional epoch.
+    // A doc-count factor misallocates whenever per-stratum lengths
+    // differ (zh's short docs would repeat by doc share and under-carry
+    // token mass); SamplingSpec pins the asymmetry on a controlled
+    // fixture. The oracle replays the factor arithmetic, the epoch
+    // explosion and the gate; toks_kept makes the allocation itself part
+    // of the hash check.
+    QueryDef("smp_token_epochs")(
+      s"""WITH t(lang, p) AS (VALUES ('en', 0.25), ('de', 0.25), ('es', 0.25),
+        |                           ('zh', 0.25)),
+        | k AS (SELECT doc_id, lang, ${Bpe.tokenCountSql("text")} AS tok FROM documents),
+        | c AS (SELECT lang, sum(tok) AS tt FROM k GROUP BY 1),
+        | j AS (SELECT c.lang, c.tt, t.p FROM c JOIN t USING (lang)),
+        | tot AS (SELECT sum(tt) AS gt FROM j),
+        | f AS (SELECT lang, CAST(floor(p * gt / tt) AS BIGINT) AS full_ep,
+        |         CAST(floor((p * gt / tt - floor(p * gt / tt)) * 10000.0) AS BIGINT) AS th
+        |       FROM j CROSS JOIN tot),
+        | outp AS (SELECT k.lang, k.doc_id, k.tok, r.ep FROM k JOIN f USING (lang)
+        |          CROSS JOIN range(0, 32) r(ep)
+        |          WHERE r.ep < f.full_ep
+        |             OR (r.ep = f.full_ep AND
+        |                 ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < f.th))
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |   CAST(max(ep) AS BIGINT) AS max_epoch,
+        |   CAST(sum(tok) AS BIGINT) AS toks_kept
+        | FROM outp GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Sampling.tokenMixtureResample(
+          Tables(s, dir, "documents"), col("lang"), col("doc_id"),
+          Bpe.tokenCount(col("text")),
+          Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25, "zh" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"),
+          sum(Bpe.tokenCount(col("text"))).as("toks_kept"))
         .orderBy(col("lang"))
     },
 
@@ -3389,6 +3494,156 @@ object NorthStarQueries {
           (col("doc_id") === col("split_key")).as("keep"),
           col("fold"))
         .orderBy(col("doc_id"))
+    },
+
+    // CROSS-corpus image near-dedup — the text ladder's dd_cross_neardup
+    // on the image modality: an ARRIVING batch (delta twins + the spot
+    // retouch) probes the STANDING corpus (the 24 originals) through one
+    // banded equi-join; within-side pairs are never generated and the
+    // standing corpus is never re-paired. The oracle recomputes every
+    // dHash by pixel formula and all-pairs ONLY across sides at fixture
+    // scale — both engines emit the same (batch, standing) pairs with
+    // the same Hamming distances.
+    QueryDef("mm_cross")(
+      s"""WITH f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS batch_id, b.id AS corpus_id,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy
+         |          AND a.id >= 100000 AND b.id < 100000
+         |        GROUP BY 1, 2)
+         | SELECT batch_id, corpus_id, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot")))
+      val batch = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 12)
+        .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+          lit(1).as("delta"), lit(0).as("spot"))
+        .unionAll(d.where(col("doc_id") === 6)
+          .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(50).as("spot"))))
+      Multimodal.crossNearDupImages(standing, batch)
+        .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+
+    // INCREMENTAL image cluster labels — the arriving batch's Hamming
+    // edges (cross via one banded join + within-batch self pairs) folded
+    // into the STANDING labeling with incrementalClusters: untouched
+    // components never move, and the grown labeling equals the
+    // from-scratch one (CC over star edges ∪ new pairs = CC over the
+    // union pair set — the oracle recomputes the union from formula
+    // hashes and recursive-CTE CCs it). MultimodalSpec additionally pins
+    // grown == clusterImages(standing ∪ batch) in-engine.
+    QueryDef("mm_cluster_increment")(
+      s"""WITH RECURSIVE f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          sum(bit_count(xor(a.byte, b.byte))) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy AND a.id < b.id
+         |        GROUP BY 1, 2),
+         | pr AS (SELECT doc_a, doc_b FROM hm WHERE hamming <= 3),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |         UNION SELECT doc_b, doc_a FROM pr),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot")))
+      val batch = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 12)
+        .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+          lit(1).as("delta"), lit(0).as("spot"))
+        .unionAll(d.where(col("doc_id") === 6)
+          .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(50).as("spot"))))
+      val labels = Multimodal.clusterImages(standing)
+      val cross = Multimodal.crossNearDupImages(standing, batch)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      val within = Multimodal.nearDupImages(batch)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.incrementalClusters(labels, cross.unionAll(within))
+        .orderBy(col("doc_id"))
+    },
+
+    // The STREAMING image-dedup ingest loop run end to end inside the
+    // row: seed the dHash index + labeling from the standing corpus,
+    // stream two file-dropped image micro-batches through imageDedupLoop
+    // (probe index → fold labels → grow index), and hash-check the FINAL
+    // labeling against the from-scratch recursive-CTE CC over the whole
+    // fixture. The spot retouch (batch 2) pairs with a DELTA TWIN that
+    // arrived in batch 1 — a pair that exists only because batch 1's
+    // hashes were appended to the index before batch 2 arrived, so the
+    // match proves mid-stream index growth, not just per-batch probing.
+    QueryDef("mm_neardup_stream")(
+      s"""WITH RECURSIVE f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          sum(bit_count(xor(a.byte, b.byte))) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy AND a.id < b.id
+         |        GROUP BY 1, 2),
+         | pr AS (SELECT doc_a, doc_b FROM hm WHERE hamming <= 3),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |         UNION SELECT doc_b, doc_a FROM pr),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot")))
+      val b1 = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 8)
+        .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+          lit(1).as("delta"), lit(0).as("spot")))
+      val b2 = Multimodal.syntheticImageVariants(
+        d.where(col("doc_id") >= 8 && col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+            lit(1).as("delta"), lit(0).as("spot"))
+          .unionAll(d.where(col("doc_id") === 6)
+            .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+              lit(0).as("delta"), lit(50).as("spot"))))
+      val st = java.nio.file.Files.createTempDirectory("graft-imgstream-q")
+      val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
+      val tSeed = System.nanoTime()
+      graft.streaming.Streams.seedImageDedupState(standing, idxDir, lblDir)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-imgstream-q-in")
+      stageAsFile(b1.toDF(), inDir, "b1.parquet")
+      stageAsFile(b2.toDF(), inDir, "b2.parquet")
+      fixtureSecs.put("img-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.imageDedupLoop(
+        graft.streaming.Streams.mediaStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("img-stream-loop", (System.nanoTime() - tLoop) / 1e9)
+      val out = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/v1")
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
     },
 
     QueryDef("mm_frames")(

@@ -104,16 +104,27 @@ object Bpe {
     * distributed text scan does not guarantee line order across splits or
     * files. Here order is pinned explicitly — files in name order
     * (matching a multi-part writer's part numbering), each file's lines in
-    * byte order. */
+    * byte order. `path` must be a literal file or a FLAT directory: glob
+    * patterns are not accepted (no single defensible order exists across
+    * glob expansion), and a directory containing sub-directories fails
+    * loudly rather than silently skipping them — a nested layout losing
+    * merge lines would change tokenization with no error at all. */
   def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath)
-          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-          .sortBy(_.getName)
-      else Seq(root)
+      if (fs.getFileStatus(root).isDirectory) {
+        val entries = fs.listStatus(root).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+        val dirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+        require(dirs.isEmpty,
+          s"merge-list directory $path contains sub-directories " +
+            s"${dirs.mkString(", ")} — nested layouts are not accepted " +
+            "(their line order is ambiguous and skipping them would " +
+            "silently truncate the merge list); flatten to one level first")
+        entries.filter(_.isFile).map(_.getPath).sortBy(_.getName)
+      } else Seq(root)
     val lines = files.flatMap { f =>
       val in = fs.open(f)
       try new String(in.readAllBytes(), "UTF-8").split("\n", -1).toSeq
@@ -275,14 +286,42 @@ object Bpe {
       merges: Seq[(String, String)]): Seq[String] =
     encodeWord(w, merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
 
+  /** Regex pre-tokenizer (GPT-2-style, deterministic): text splits into
+    * runs of LETTERS (`\p{L}+` — Unicode, so CJK text forms letter runs
+    * exactly as GPT-2's pre-tokenizer treats it), runs of DIGITS, and
+    * runs of other non-whitespace (punctuation); whitespace separates and
+    * is never a pretoken. This is the fix for the two ways a bare
+    * `split(text, " ")` word contract degrades on real corpora:
+    * punctuation glues to words (`word,` and `word` learn separate
+    * merges, splitting their statistics), and a no-whitespace document is
+    * ONE giant word (the per-word merge loop goes O(len·rounds) on a
+    * multi-KB token vector). Both alternation order and greediness are
+    * identical in the JVM regex engine and DuckDB's RE2 (leftmost-first
+    * alternation, greedy `+`), so engine and oracle pre-tokenize
+    * identically; BpeSpec pins the kernel against the Column form. */
+  val PretokRegex = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]+"
+
+  /** The pretoken ARRAY of `text` as a codegen'd Column. */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PretokRegex), lit(0))
+
+  /** The identical pre-tokenization as DuckDB SQL (RE2 honors the same
+    * pattern; single-quoted literal needs no escaping here). */
+  def preTokensSql(textExpr: String): String =
+    s"regexp_extract_all($textExpr, '$PretokRegex')"
+
   /** Corpus word-frequency table — the ONLY corpus-scale stage of merge
     * learning: one explode + one map-side-combined aggregate; output is
     * vocabulary-scale. Empty words (double/trailing spaces) drop — they
-    * carry no pairs. */
-  def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("word"))
+    * carry no pairs. With `pretok = true` the word source is
+    * [[preTokens]] instead of the single-space split — the production
+    * contract for corpora with punctuation/CJK/no-space text. */
+  def wordCounts(docs: DataFrame, pretok: Boolean = false): DataFrame = {
+    val words = if (pretok) preTokens(col("text")) else split(col("text"), " ")
+    docs.select(explode(words).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+  }
 
   /** LEARN a merge list from the corpus (Sennrich 2016 §3.2, the
     * subword-nmt/GPT-2 training architecture): the corpus first reduces
@@ -312,10 +351,10 @@ object Bpe {
     * the sequential≡priority equivalence the two evaluation paths rely
     * on, so it fails loudly here instead of mis-tokenizing later. */
   def learnMerges(docs: DataFrame, n: Int, minCount: Long = 2,
-      maxWords: Int = 2000000): Seq[(String, String)] = {
+      maxWords: Int = 2000000, pretok: Boolean = false): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = wordCounts(docs).as[(String, Long)].collect()
+    val wc = wordCounts(docs, pretok).as[(String, Long)].collect()
     require(wc.length <= maxWords,
       s"${wc.length} distinct words exceeds maxWords=$maxWords — " +
         "filter the word-count table (e.g. by min count) before learning")
@@ -406,11 +445,12 @@ object Bpe {
     * leftmost-non-overlapping replace) — so engine and oracle argmax,
     * tie-break and merge application cannot drift. Exposes CTEs `w$k`
     * (word, r rendered-merged, cnt) and `b0..b${k-1}` (x, y). */
-  private def learnCtes(k: Int): String = {
+  private def learnCtes(k: Int, wordsOf: String = "string_split(text, ' ')",
+      corpusSql: String = "documents"): String = {
     val w0 =
       s"""w0 AS (SELECT word, regexp_replace(word, '(?s)(.)', '$Sep\\1$Sep', 'g') AS r, cnt
          |   FROM (SELECT word, count(*) AS cnt
-         |         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) uq
+         |         FROM (SELECT unnest($wordsOf) AS word FROM $corpusSql) uq
          |         WHERE word <> '' GROUP BY 1) wq)""".stripMargin
     val steps = (0 until k).map { i =>
       s"""p$i AS (SELECT l[j.j] AS x, l[j.j + 1] AS y, sum(cnt) AS c
@@ -426,24 +466,46 @@ object Bpe {
     (w0 +: steps).mkString(",\n ")
   }
 
-  /** Oracle SQL: the `k` learned merges as `(rank, x, y)` rows. */
-  def learnSql(k: Int): String = {
+  /** Oracle SQL: the `k` learned merges as `(rank, x, y)` rows.
+    * `wordsOf`/`corpusSql` select the word source (default: single-space
+    * split over `documents`; pass [[preTokensSql]]`("text")` and a corpus
+    * CTE for the pre-tokenized form). */
+  def learnSql(k: Int, wordsOf: String = "string_split(text, ' ')",
+      corpusSql: String = "documents"): String = {
     val union = (0 until k)
       .map(i => s"SELECT CAST($i AS BIGINT) AS rank, x, y FROM b$i")
       .mkString("\n   UNION ALL ")
-    s"WITH ${learnCtes(k)}\n $union\n ORDER BY rank"
+    s"WITH ${learnCtes(k, wordsOf, corpusSql)}\n $union\n ORDER BY rank"
   }
 
   /** Oracle SQL: the corpus re-tokenized under the `k` LEARNED merges —
     * per doc `(doc_id, bpe_tokens)` via the final word table (each word's
     * token count = its merged rendering's token-list length), matching
-    * [[encodeDocs]] run on [[learnMerges]]' output. */
-  def learnedCountSql(k: Int): String =
-    s"""WITH ${learnCtes(k)},
+    * [[encodeDocs]] run on [[learnMerges]]' output (or their pretok twins
+    * when `wordsOf` is [[preTokensSql]]`("text")`). */
+  def learnedCountSql(k: Int, wordsOf: String = "string_split(text, ' ')",
+      corpusSql: String = "documents"): String =
+    s"""WITH ${learnCtes(k, wordsOf, corpusSql)},
        | wt AS (SELECT word, CAST(len(string_split(trim(r, '$Sep'), '$Sep$Sep')) AS BIGINT) AS t
        |        FROM w$k),
-       | dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       | dw AS (SELECT doc_id, unnest($wordsOf) AS word FROM $corpusSql)
        | SELECT dw.doc_id, CAST(sum(wt.t) AS BIGINT) AS bpe_tokens
+       | FROM dw JOIN wt USING (word)
+       | GROUP BY 1""".stripMargin
+
+  /** Oracle SQL for the PRETOK learn→encode chain: per doc `(doc_id,
+    * n_pretok, bpe_tokens)` — [[learnedCountSql]] with the word source
+    * fixed to [[preTokensSql]] and a pretoken count riding the same join
+    * (`dw` has exactly one row per pretoken, and every pretoken is in
+    * `wt` by construction). Matches [[encodeDocsPretok]] run on
+    * [[learnMerges]]`(…, pretok = true)`. */
+  def learnedPretokCountSql(k: Int, corpusSql: String): String =
+    s"""WITH ${learnCtes(k, preTokensSql("text"), corpusSql)},
+       | wt AS (SELECT word, CAST(len(string_split(trim(r, '$Sep'), '$Sep$Sep')) AS BIGINT) AS t
+       |        FROM w$k),
+       | dw AS (SELECT doc_id, unnest(${preTokensSql("text")}) AS word FROM $corpusSql)
+       | SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_pretok,
+       |   CAST(sum(wt.t) AS BIGINT) AS bpe_tokens
        | FROM dw JOIN wt USING (word)
        | GROUP BY 1""".stripMargin
 
@@ -517,6 +579,52 @@ object Bpe {
         }
       }
       .toDF("doc_id", "ws_tokens", "bpe_tokens")
+  }
+
+  /** [[encodeDocs]] under the [[PretokRegex]] pre-tokenizer — the
+    * production word contract: `docs(doc_id, text)` → `(doc_id,
+    * n_pretok, bpe_tokens)` in the same narrow mapPartitions shape
+    * (per-partition rank map + pretoken→count memo, no shuffle).
+    * `n_pretok` counts pretokens (whitespace never is one); `bpe_tokens`
+    * sums each pretoken's BPE length under `merges`. The pre-tokenizer
+    * bounds every merge-loop input at one letter/digit/punctuation RUN,
+    * so a no-space document costs O(Σ run²-ish) instead of one
+    * O(len·rounds) giant-word loop, and `word,` vs `word` stop learning
+    * and spending merges separately. Memo note: real corpora repeat
+    * pretokens even more than space-split words (punctuation marks are
+    * the heaviest repeaters), so the per-partition memo is amortized
+    * O(distinct pretokens). */
+  def encodeDocsPretok(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    validateMerges(merges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+        val pat = java.util.regex.Pattern.compile(PretokRegex)
+        val memo = new java.util.HashMap[String, java.lang.Long]()
+        rows.map { case (id, text) =>
+          require(!text.contains(Sep),
+            s"doc $id contains the reserved separator '$Sep'")
+          val m = pat.matcher(text)
+          var nPre = 0L
+          var n = 0L
+          while (m.find()) {
+            val w = m.group()
+            var c: java.lang.Long = memo.get(w)
+            if (c == null) {
+              c = java.lang.Long.valueOf(encodeWord(w, rank).length.toLong)
+              memo.put(w, c)
+            }
+            nPre += 1L
+            n += c.longValue()
+          }
+          (id, nPre, n)
+        }
+      }
+      .toDF("doc_id", "n_pretok", "bpe_tokens")
   }
 
   /** The production kernel emitting the SEQUENCES a dataloader actually

@@ -922,6 +922,40 @@ object Dedup {
     materializeThenRelease(out, keyed)
   }
 
+  /** CROSS-side Hamming pairs over 64-bit signatures: `(batch_id,
+    * corpus_id, hamming)` for every (batch, standing) pair at distance
+    * ≤ `maxHamming` — [[simhashPairs]]' 16-bit-band pigeonhole blocking
+    * with the self-join replaced by a batch×standing equi-join on
+    * (band, block), so within-side pairs are NEVER generated (the
+    * standing corpus is not re-paired against itself per arriving
+    * batch — [[crossNearDup]]'s operational contract, applied to the
+    * signature modality). Pigeonhole completeness is the same: ≤ 3
+    * differing bits cannot touch all 4 blocks, so every true pair
+    * collides in ≥ 1 band. The per-pair first-matching-band arithmetic
+    * replaces a distinct shuffle exactly as in [[simhashPairs]].
+    * Both inputs are `(doc_id, sigint)`; signature tables are
+    * hash-scale (8 bytes/doc), so AQE broadcasts the batch side when
+    * it is small. */
+  def simhashCrossPairs(standing: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit-band pigeonhole is only complete for maxHamming < 4")
+    def keyed(df: DataFrame) = df
+      .select(col("doc_id"), col("sigint"), explode(expr(
+        "transform(sequence(0, 3), q -> named_struct('q', q, 'blk', shiftright(sigint, (3 - q) * 16) & 65535))")).as("k"))
+      .select(col("doc_id"), col("sigint"), col("k.q"), col("k.blk"))
+    val xor = col("b.sigint").bitwiseXOR(col("c.sigint"))
+    val firstMatch = (0 until 4).foldRight(lit(99): org.apache.spark.sql.Column) {
+      (q, rest) => when(shiftright(xor, (3 - q) * 16).bitwiseAND(lit(65535L)) === 0, lit(q)).otherwise(rest)
+    }
+    keyed(batch).as("b")
+      .join(keyed(standing).as("c"),
+        col("b.q") === col("c.q") && col("b.blk") === col("c.blk"))
+      .where(col("b.q") === firstMatch)
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"),
+        bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Winnowed character-k-gram fingerprints (doc_id, fp) — the robust
     * winnowing scheme (Schleimer et al., SIGMOD 2003, the MOSS algorithm):
     * hash every k-char gram, slide a w-gram window, keep each window's

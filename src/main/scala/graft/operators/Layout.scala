@@ -527,7 +527,17 @@ object Layout {
 
   /** [[binnedZorderWrite]]'s linear baseline: `fid` = top log₂(bins)
     * bits of the LEADING column's rank — equal-width bins on one
-    * dimension, the deterministic analogue of [[linearWrite]]. */
+    * dimension, the deterministic analogue of [[linearWrite]].
+    *
+    * MIGRATION NOTE: layouts written by versions of this method BEFORE
+    * the `linear-bin` meta tag existed carry `curve: zorder` in their
+    * `_layout_meta` on disk, so the fail-loud guard on curve-path
+    * consumers (e.g. `appendZOrdered`) cannot protect them — such a
+    * consumer would still silently mis-derive bins from the linear fid.
+    * Any pre-tag linear-bin layout must be REWRITTEN (one
+    * `binnedLinearWrite` over its rows) before a curve-path consumer
+    * touches it; there is deliberately no in-place meta edit (the meta
+    * is the writer's contract, not a mutable attribute). */
   def binnedLinearWrite(df: DataFrame, sortCols: Seq[String], outDir: String,
       bins: Int, bits: Int = 16): Unit = {
     val scaling = computeScaling(df, sortCols.take(1))

@@ -356,6 +356,79 @@ object Multimodal {
     Dedup.connectedComponents(
       nearDupImages(media, maxHamming).select(col("doc_a"), col("doc_b")))
 
+  /** CROSS-corpus image near-dedup: Hamming pairs between an ARRIVING
+    * image batch and a STANDING corpus — `(batch_id, corpus_id,
+    * hamming)` via [[graft.operators.Dedup.simhashCrossPairs]] over both
+    * sides' dHashes. The text ladder's `dd_cross_neardup` applied to the
+    * image modality: the standing corpus is never re-paired against
+    * itself per arriving batch, candidates come from ONE banded
+    * equi-join, and the decode cost is one pass per side (the standing
+    * side's decode is what [[buildDHashIndex]] amortizes away). */
+  def crossNearDupImages(standing: Dataset[MediaRow], batch: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashCrossPairs(
+      dHash64(standing).select(col("doc_id"), col("phash").as("sigint")),
+      dHash64(batch).select(col("doc_id"), col("phash").as("sigint")),
+      maxHamming)
+
+  /** Build the PERSISTED standing-corpus dHash index — the probe-only
+    * layout a production image-ingest stream needs: re-DECODING the
+    * standing corpus per arriving batch (as [[crossNearDupImages]] does)
+    * re-reads every corpus image byte every increment, while the hash
+    * table is 8 bytes/image. Layout mirrors the exact-window index's
+    * batchId-keyed discipline: `dir/hashes/ingest_batch=<id>` parquet of
+    * `(doc_id, phash)`; the build owns partition −1, streaming appends
+    * own ids ≥ 0, each an idempotent overwrite (replay-exact). */
+  def buildDHashIndex(media: Dataset[MediaRow], dir: String): Unit = {
+    val spark = media.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    dHash64(media).select(col("doc_id"), col("phash"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=-1")
+  }
+
+  /** Grow a [[buildDHashIndex]] index with an arriving batch's hashes —
+    * one narrow decode+hash pass over the batch, an overwrite into the
+    * batch's own partition (replays are byte-identical; the standing
+    * partitions are never touched). */
+  def appendToDHashIndex(media: Dataset[MediaRow], dir: String,
+      ingestBatch: Long): Unit =
+    dHash64(media).select(col("doc_id"), col("phash"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=$ingestBatch")
+
+  /** The standing hash table of a [[buildDHashIndex]] index —
+    * optionally EXCLUDING one ingest batch's partition (a replayed
+    * micro-batch must never match its own failed attempt's append;
+    * `Streams.noveltyIngest`'s own-partition exclusion). Directory
+    * listing via the Hadoop FS API so exclusion is partition pruning,
+    * not a scan-then-filter. */
+  def standingDHashes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no dHash index at $dir — run buildDHashIndex first")
+    val parts = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .filterNot(p => excludeIngestBatch.exists(b => p.getName == s"ingest_batch=$b"))
+    require(parts.nonEmpty, s"dHash index at $dir has no readable partitions")
+    spark.read.schema("doc_id LONG, phash LONG").parquet(parts.map(_.toString): _*)
+  }
+
+  /** Probe an arriving image batch against the PERSISTED index:
+    * `(batch_id, corpus_id, hamming)` — [[crossNearDupImages]] with the
+    * standing side read from the hash table (zero standing-image
+    * decodes; the index is 8 bytes/image, so the probe's corpus-side
+    * cost is a hash-table scan + the banded equi-join). */
+  def crossNearDupImagesIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: Dataset[MediaRow], maxHamming: Int = 3,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    Dedup.simhashCrossPairs(
+      standingDHashes(spark, dir, excludeIngestBatch)
+        .select(col("doc_id"), col("phash").as("sigint")),
+      dHash64(batch).select(col("doc_id"), col("phash").as("sigint")),
+      maxHamming)
+
   /** WAV container sniff: RIFF chunk id at 0, WAVE form type at 8 — the
     * same magic-byte dispatch as `sniffImageFormat`. */
   private[graft] def sniffWav(b: Array[Byte]): Boolean =

@@ -129,6 +129,23 @@ object Retrieval {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Fail fast on NULL text before any index write: a null-text doc
+    * explodes to ZERO postings rows, so it would be silently absent from
+    * the index while present in its batch — and a committed streaming
+    * batch containing one could never be replayed (the replay doc-set
+    * guard derives the committed ids from the postings partition, which
+    * excludes the doc; a faithful resubmission would be refused forever).
+    * One pushed-IsNull `limit(1)` probe over the batch/corpus — never the
+    * standing index. */
+  private def requireNonNullText(docs: DataFrame, op: String): Unit = {
+    val bad = docs.where(col("text").isNull)
+      .select(col("doc_id")).limit(1).collect()
+    require(bad.isEmpty,
+      s"$op: doc_id ${bad.headOption.map(_.get(0)).getOrElse("?")} has NULL " +
+        "text — a null-text doc contributes no postings and would make its " +
+        "batch unreplayable; drop it or submit empty text upstream")
+  }
+
   /** One tokenization pass → the batch's postings `(term, doc_id, tf,
     * dl)` and its `(term, df)` / `(n_docs, sum_dl)` contributions. */
   private def batchTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
@@ -183,6 +200,7 @@ object Retrieval {
     * table and a 1-row stats table (versioned; see layout note above). */
   def buildBm25Index(docs: DataFrame, dir: String, files: Int = 32): Unit = {
     val spark = docs.sparkSession
+    requireNonNullText(docs, "buildBm25Index")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -215,6 +233,7 @@ object Retrieval {
   def appendToBm25Index(docs: DataFrame, dir: String,
       batchId: Option[Long] = None, files: Int = 8): Unit = {
     val spark = docs.sparkSession
+    requireNonNullText(docs, "appendToBm25Index")
     val (v, batches, _) = committedVersion(spark, dir)
     batchId.foreach(id => require(id >= 0,
       s"explicit batch id $id is negative — negative ids belong to the batch API"))

@@ -95,13 +95,28 @@ object Sampling {
           when(col("_strat") === s, lit(p)).otherwise(acc)
         })
       .where(col("_w").isNotNull)
+    // `_nstrat` rides the same aggregate: a weight key naming a stratum
+    // ABSENT from the data would otherwise just drop out of the
+    // achievability min and the join — a typo'd name silently vanishing
+    // its budget share, inconsistent with this operator's fail-fast
+    // requires. The raise_error fires lazily with the data (the
+    // mixtureResample amplification-guard pattern), keeping the operator
+    // collect-free.
     val achievable = withW
       .agg(least(lit(budget),
-        min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"))
+        min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"),
+        count(lit(1)).as("_nstrat"))
     val thresholds = withW.crossJoin(broadcast(achievable))
       .select(col("_strat"),
-        floor(col("_w") * col("_bach") * lit(buckets.toDouble) / col("_t"))
-          .cast("long").as("_thr"))
+        when(col("_nstrat") =!= lit(weights.size.toLong),
+          raise_error(concat(
+            lit("tokenMixtureSample: only "), col("_nstrat").cast("string"),
+            lit(s" of ${weights.size} weight keys matched a stratum in the " +
+              "data — check the weight names (an unmatched key's budget " +
+              "share would silently vanish)"))))
+        .otherwise(
+          floor(col("_w") * col("_bach") * lit(buckets.toDouble) / col("_t"))
+            .cast("long")).as("_thr"))
     df.join(broadcast(thresholds), stratum <=> col("_strat"), "inner")
       .where(hashBucket(key, buckets) < col("_thr"))
       .drop("_strat", "_thr")
@@ -217,6 +232,62 @@ object Sampling {
       .withColumn("_full",
         when(col("_full") > maxEpochs,
           raise_error(concat(lit("mixtureResample: stratum "), col("_strat"),
+            lit(s" needs more than $maxEpochs epochs ("), col("_full").cast("string"),
+            lit(") — check the target mixture"))))
+        .otherwise(col("_full")))
+    df.join(broadcast(factors), stratum <=> col("_strat"), "inner")
+      .select(df.columns.map(col) :+ col("_full") :+ col("_thr") :+
+        explode(sequence(lit(0L), col("_full"))).as("epoch"): _*)
+      .where(col("epoch") < col("_full") ||
+        hashBucket(key, buckets) < col("_thr"))
+      .drop("_strat", "_full", "_thr")
+  }
+
+  /** Mixture resampling with upsampling on TOKEN budgets —
+    * [[mixtureResample]]'s DoReMi-shaped sibling, the form the published
+    * recipes actually repeat by: stratum `s` holds token mass `T_s`; the
+    * output redistributes the targeted total `T = Σ_targeted T_s` to the
+    * declared proportions, so each doc of `s` appears `f_s = p_s·T / T_s`
+    * times — `⌊f_s⌋` full epochs plus a hash-gated fractional epoch
+    * (token mass kept ≈ `frac(f_s)·T_s` in expectation; the doc is the
+    * repetition unit, exactly as in the doc-count form). A doc-count
+    * repeat factor misallocates whenever per-stratum lengths differ — a
+    * stratum of long documents gets its factor computed from doc share,
+    * not token share, and can over-repeat its token mass several-fold
+    * (SamplingSpec pins the asymmetry).
+    *
+    * Same plan as [[mixtureResample]]: one map-side-combined token-mass
+    * aggregate (metadata-scale), broadcast factors, then the codegen'd
+    * `sequence`+`explode` — no shuffle beyond the aggregate, output
+    * amplification exactly the declared factors, the same `maxEpochs`
+    * fail-fast against a mistyped target amplifying a tiny stratum.
+    * `tok` must be a pure row property (the [[tokenMixtureSample]]
+    * contract). Strata absent from `targets` drop. */
+  def tokenMixtureResample(df: DataFrame, stratum: Column, key: Column,
+      tok: Column, targets: Map[String, Double], buckets: Int = 10000,
+      maxEpochs: Int = 100): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
+      s"target proportions must be in (0, 1]: $targets")
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"target proportions must sum to <= 1: $targets")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
+      .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
+    val withP = cnt.withColumn("_p",
+        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
+          when(col("_strat") === s, lit(p)).otherwise(acc)
+        })
+      .where(col("_p").isNotNull)
+    val total = withP.agg(sum(col("_t")).as("_tt"))
+    val factors = withP.crossJoin(broadcast(total))
+      .select(col("_strat"),
+        floor(col("_p") * col("_tt") / col("_t")).cast("long").as("_full"),
+        floor((col("_p") * col("_tt") / col("_t")
+            - floor(col("_p") * col("_tt") / col("_t"))) * lit(buckets.toDouble))
+          .cast("long").as("_thr"))
+      .withColumn("_full",
+        when(col("_full") > maxEpochs,
+          raise_error(concat(lit("tokenMixtureResample: stratum "), col("_strat"),
             lit(s" needs more than $maxEpochs epochs ("), col("_full").cast("string"),
             lit(") — check the target mixture"))))
         .otherwise(col("_full")))

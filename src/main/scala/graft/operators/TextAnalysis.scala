@@ -80,18 +80,143 @@ object TextAnalysis {
   def lrQuality(docs: DataFrame,
       w0: Double = -3.0, wMeanTokLen: Double = 0.4,
       wStop: Double = 6.0, wLogTok: Double = 0.35): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*)))
-    val mtl = (length(col("text")) - (nTok - 1)) / nTok
-    val sr = nStop / nTok
-    val z = lit(w0) + lit(wMeanTokLen) * mtl + lit(wStop) * sr +
-      lit(wLogTok) * log(lit(1.0) + nTok)
+    val z = lit(w0) + lit(wMeanTokLen) * featMtl + lit(wStop) * featSr +
+      lit(wLogTok) * featLt
     docs.select(
       col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr_score"))
       .withColumn("pass", (col("lr_score") >= 0.5).cast("int"))
   }
+
+  /** The LR quality FEATURES, shared verbatim by scoring ([[lrQuality]])
+    * and training ([[lrTrain]]) so a learned gate scores with exactly the
+    * features it trained on: mean token length, stopword ratio,
+    * ln(1 + tokens). Integer-derived ratios + one ln — bit-reproducible
+    * in the oracle. */
+  private def featMtl: Column = (length(col("text")) - (size(toks) - 1)) / size(toks)
+  private def featSr: Column = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    size(filter(toks, t => t.isin(stop.map(lit): _*))) / size(toks)
+  }
+  private def featLt: Column = log(lit(1.0) + size(toks))
+
+  /** TRAIN the LR quality gate — fixed-iteration full-batch gradient
+    * descent over the declared features, the `Bpe.learnMerges` proof
+    * pattern applied to learning a MODEL: each iteration is ONE
+    * map-side-combined gradient aggregate over the labeled docs
+    * (corpus-scale, no shuffle beyond the aggregate); the weight update
+    * is scalar driver arithmetic. Published-recipe shape (CCNet/FineWeb
+    * train their quality classifiers offline on labeled docs; corpus
+    * inference stays the pure projection [[lrQuality]] is).
+    *
+    * Determinism contract (what makes the DuckDB oracle replay the
+    * arithmetic exactly): per-row sigmoids round to 6 decimals (the
+    * engine-standard exp-ULP absorber), each row's per-feature gradient
+    * contribution quantizes to an INTEGER (×10⁶, round-half-away) so the
+    * gradient SUM is order-free exact integer arithmetic — never a
+    * float sum whose accumulation order differs between engines — and
+    * weights round to 9 decimals after each update. Zero init: the
+    * first iteration's sigmoid is exactly 0.5 (exp(0) = 1), so training
+    * trajectories are anchored by exact arithmetic before any
+    * transcendental enters.
+    *
+    * Returns the weight trajectory: element i = (w0, wMtl, wStop,
+    * wLogTok) AFTER iteration i+1 — feed the last through [[lrQuality]].
+    * `label` must be a deterministic 0/1 row property. */
+  def lrTrain(docs: DataFrame, label: Column, iters: Int = 5,
+      step: Double = 0.5): Seq[Seq[Double]] = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feats = docs.select(label.cast("int").as("y"), featMtl.as("mtl"),
+      featSr.as("sr"), featLt.as("lt")).persist(sl)
+    try {
+      val n = feats.count()
+      require(n > 0, "lrTrain needs at least one labeled doc")
+      // Spark's Round semantics (canonical-string BigDecimal, HALF_UP) —
+      // the driver-side update must round exactly as the engine does.
+      def round9(x: Double): Double =
+        BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var w = Vector(0.0, 0.0, 0.0, 0.0)
+      val traj = Seq.newBuilder[Seq[Double]]
+      for (_ <- 0 until iters) {
+        val z = lit(w(0)) + lit(w(1)) * col("mtl") + lit(w(2)) * col("sr") +
+          lit(w(3)) * col("lt")
+        val d = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
+        val g = feats.agg(
+          sum(round(d * 1000000).cast("long")).as("ga"),
+          sum(round(d * col("mtl") * 1000000).cast("long")).as("gb"),
+          sum(round(d * col("sr") * 1000000).cast("long")).as("gc"),
+          sum(round(d * col("lt") * 1000000).cast("long")).as("gd"))
+          .collect()(0)
+        w = Vector.tabulate(4)(f =>
+          round9(w(f) - step * ((g.getLong(f) / 1000000.0) / n)))
+        traj += w
+      }
+      traj.result()
+    } finally { feats.unpersist(false); () }
+  }
+
+  /** The DuckDB feature CTE `f(doc_id, y, mtl, sr, lt)` — the identical
+    * expressions [[featMtl]]/[[featSr]]/[[featLt]] evaluate. */
+  private def lrFeatSql(corpusSql: String, labelExpr: String): String =
+    s"""f AS (SELECT doc_id, $labelExpr AS y,
+       |    (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mtl,
+       |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS sr,
+       |    ln(1.0 + len(string_split(text,' '))) AS lt
+       |  FROM $corpusSql)""".stripMargin
+
+  /** The chained training CTEs `w0..w$iters` replaying [[lrTrain]] in
+    * DuckDB — both sides generated from one contract (sigmoid→round6,
+    * integer gradient quantization, round-9 weight update), so engine and
+    * oracle cannot drift. Exposes `f`, `nn(n)` and `w$i(a, b, c, d)`. */
+  private def lrTrainCtes(iters: Int, corpusSql: String,
+      labelExpr: String, step: Double): String = {
+    val sig = "round(1.0/(1.0+exp(-(a + b*mtl + c*sr + d*lt))),6)"
+    val steps = (0 until iters).map { i =>
+      s"""g$i AS (SELECT
+         |    sum(CAST(round(($sig - y) * 1000000) AS BIGINT)) AS ga,
+         |    sum(CAST(round(($sig - y) * mtl * 1000000) AS BIGINT)) AS gb,
+         |    sum(CAST(round(($sig - y) * sr * 1000000) AS BIGINT)) AS gc,
+         |    sum(CAST(round(($sig - y) * lt * 1000000) AS BIGINT)) AS gd
+         |  FROM f CROSS JOIN w$i),
+         | w${i + 1} AS (SELECT
+         |    round(a - $step*((ga/1000000.0)/n), 9) AS a,
+         |    round(b - $step*((gb/1000000.0)/n), 9) AS b,
+         |    round(c - $step*((gc/1000000.0)/n), 9) AS c,
+         |    round(d - $step*((gd/1000000.0)/n), 9) AS d
+         |  FROM w$i CROSS JOIN g$i CROSS JOIN nn)""".stripMargin
+    }
+    (Seq(lrFeatSql(corpusSql, labelExpr),
+      "nn AS (SELECT count(*) AS n FROM f)",
+      """w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,
+        |  CAST(0.0 AS DOUBLE) AS c, CAST(0.0 AS DOUBLE) AS d)""".stripMargin)
+      ++ steps).mkString(",\n ")
+  }
+
+  /** Oracle SQL: the weight TRAJECTORY as `(iter, w0, w_mtl, w_stop,
+    * w_ltok)`, iter = 1..iters — the training run itself is
+    * hash-checked, every gradient aggregate and rounding along the way. */
+  def lrTrainSql(iters: Int, corpusSql: String = "documents",
+      labelExpr: String = "CAST(lang = 'en' AS INT)",
+      step: Double = 0.5): String = {
+    val union = (1 to iters)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS iter, a AS w0, b AS w_mtl, c AS w_stop, d AS w_ltok FROM w$i")
+      .mkString("\n   UNION ALL ")
+    s"WITH ${lrTrainCtes(iters, corpusSql, labelExpr, step)}\n $union\n ORDER BY iter"
+  }
+
+  /** Oracle SQL: the corpus scored under the LEARNED weights — the
+    * train → score chain end to end, matching [[lrQuality]] run on
+    * [[lrTrain]]'s final weights. */
+  def lrTrainedScoreSql(iters: Int, corpusSql: String = "documents",
+      labelExpr: String = "CAST(lang = 'en' AS INT)",
+      step: Double = 0.5): String =
+    s"""WITH ${lrTrainCtes(iters, corpusSql, labelExpr, step)},
+       | sc AS (SELECT doc_id,
+       |    round(1.0/(1.0+exp(-(a + b*mtl + c*sr + d*lt))),6) AS lr_score
+       |  FROM f CROSS JOIN w$iters)
+       | SELECT doc_id, lr_score, CAST(lr_score >= 0.5 AS INT) AS pass
+       | FROM sc ORDER BY doc_id""".stripMargin
 
   /** Token counting: whitespace tokens and a BPE-ish sub-token count
     * (alphanumeric runs + single non-alphanumeric, non-space marks). */

@@ -579,7 +579,8 @@ object Streams {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path),
-      s"no labels state at $labelsDir — run seedCurationState first")
+      s"no labels state at $labelsDir — seed it first (seedCurationState / " +
+        "seedImageDedupState)")
     val versions = fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
@@ -679,6 +680,122 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Layout.appendZOrderedKeyed(
           batch, layoutRoot, s"batch=${batchId + 1}", filesPerBatch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Media-stream schema ([[graft.operators.MediaRow]]). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("mime", StringType),
+    StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** File-source stream over a directory/glob of media parquet — the
+    * arriving-images side of the streaming image-dedup loop. */
+  def mediaStream(spark: SparkSession, pathGlob: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(mediaSchema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r).parquet(pathGlob)
+  }
+
+  /** Seed the standing state for [[imageDedupLoop]]: the corpus's dHash
+    * index ([[graft.operators.Multimodal.buildDHashIndex]]) and its
+    * initial near-dup labeling ([[graft.operators.Multimodal
+    * .clusterImages]]), written as labels version v-1 — the snapshot the
+    * first micro-batch reads ([[seedCurationState]]'s image twin). */
+  def seedImageDedupState(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaRow],
+      indexDir: String, labelsDir: String, maxHamming: Int = 3): Unit = {
+    graft.operators.Multimodal.buildDHashIndex(corpus, indexDir)
+    graft.operators.Multimodal.clusterImages(corpus, maxHamming)
+      .write.mode("overwrite").parquet(s"$labelsDir/v-1")
+  }
+
+  /** THE streaming image-dedup loop — [[curationLoop]]'s discipline on
+    * the image modality. Per micro-batch of arriving images:
+    *   1. probe the batch against the STANDING dHash index
+    *      (`crossNearDupImagesIndexed`, EXCLUDING this batch id's own
+    *      partition — a replay must never match its failed attempt's
+    *      append) and against itself (`nearDupImages`) — the standing
+    *      corpus is never re-paired and never re-DECODED (the index is
+    *      8 bytes/image);
+    *   2. fold the new Hamming edges into the standing labeling
+    *      (`incrementalClusters`) — untouched components never move;
+    *   3. write the labeling as snapshot `labelsDir/v<batchId>` and only
+    *      then append the batch's hashes to the index (a batch never
+    *      matches itself; within-batch pairs came from step 1's self
+    *      probe).
+    * After N batches, `labelsDir/v<N-1>` equals `clusterImages` over
+    * corpus ∪ all batches (StreamingSpec asserts this end to end): the
+    * cross/within decomposition is complete because earlier batches'
+    * hashes are in the index when later ones arrive, and CC over star
+    * edges ∪ new pairs equals CC over the union pair set.
+    *
+    * Replay exactness: the index append is a batchId-keyed overwrite,
+    * the probe excludes the batch's own partition, labels version by
+    * batch id with `_SUCCESS`-committed reads, and `incrementalClusters`
+    * over already-folded edges is a fixpoint — the same crash discipline
+    * as [[curationLoop]], including snapshot pruning (newest + one). */
+  def imageDedupLoop(
+      media: DataFrame,
+      indexDir: String,
+      labelsDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.select(col("doc_id"), col("mime"), col("content"))
+          .as[graft.operators.MediaRow]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dupInBatch = b.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+            .where(col("k") > 1).limit(1).collect()
+          require(dupInBatch.isEmpty,
+            s"batch $batchId carries duplicate doc_id ${dupInBatch.head.getLong(0)}")
+          // First-delivery id-collision guard against the standing index
+          // (broadcast semi-join over the hash table's id column — the
+          // curationLoop guard verbatim); replays legitimately collide
+          // with their own prior append and rely on partition exclusion.
+          val replay = committedSnapshots(spark, labelsDir)._2
+            .exists(_.getName == s"v$batchId")
+          if (!replay) {
+            val collisions = graft.operators.Multimodal
+              .standingDHashes(spark, indexDir).select(col("doc_id"))
+              .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+              .limit(1).collect()
+            require(collisions.isEmpty,
+              s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
+                "imageDedupLoop requires globally unique doc_ids")
+          }
+          val labels = readLatestLabels(spark, labelsDir)
+          // One decode+hash pass over the batch feeds all three consumers
+          // (cross probe, self probe, index append) — the batch's images
+          // are decoded exactly once per micro-batch.
+          val hb = graft.operators.Multimodal.dHash64(b)
+            .select(col("doc_id"), col("phash").as("sigint"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val cross = graft.operators.Dedup.simhashCrossPairs(
+                graft.operators.Multimodal
+                  .standingDHashes(spark, indexDir,
+                    excludeIngestBatch = Some(batchId))
+                  .select(col("doc_id"), col("phash").as("sigint")),
+                hb, maxHamming)
+              .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+            val within = graft.operators.Dedup.simhashPairs(hb, maxHamming)
+              .select(col("doc_a"), col("doc_b"))
+            graft.operators.Dedup
+              .incrementalClusters(labels, cross.unionAll(within))
+              .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
+            hb.select(col("doc_id"), col("sigint").as("phash"))
+              .write.mode("overwrite")
+              .parquet(s"$indexDir/hashes/ingest_batch=$batchId")
+          } finally { hb.unpersist(false); () }
+          pruneLabelSnapshots(spark, labelsDir)
+        } finally { b.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

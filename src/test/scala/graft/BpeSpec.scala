@@ -208,4 +208,55 @@ class BpeSpec extends TestBase {
       .as[(Long, Long)].collect().toMap
     assert(chain == Map(1L -> 2L, 2L -> 0L))
   }
+
+  test("pre-tokenizer: letter/digit/punctuation runs, whitespace never a token") {
+    val d = docs(1L -> "end.of,sentence 42x7 (a1)", 2L -> "数据引擎42!")
+    val got = d.select(col("doc_id"), Bpe.preTokens(col("text")).as("p"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("end", ".", "of", ",", "sentence", "42", "x", "7",
+      "(", "a", "1", ")"))
+    // CJK chars are \p{L}: one letter run, then the digit run, then '!'
+    assert(got(2L) == Seq("数据引擎", "42", "!"))
+  }
+
+  test("no-space text stops degrading: pretok bounds merge-loop inputs at runs") {
+    // under split(" ") this doc is ONE giant word; pre-tokenized it is
+    // letter runs split at punctuation — the production contract
+    val noSpace = "nospacetexthere...nospacetexthere!!!42"
+    val d = docs(1L -> noSpace)
+    val pre = d.select(explode(Bpe.preTokens(col("text"))).as("w"))
+      .as[String].collect().toSeq
+    assert(pre == Seq("nospacetexthere", "...", "nospacetexthere", "!!!", "42"))
+    val spaceSplit = Bpe.wordCounts(d).as[(String, Long)].collect()
+    assert(spaceSplit.length == 1 && spaceSplit.head._1 == noSpace)
+    val pretokWc = Bpe.wordCounts(d, pretok = true).as[(String, Long)].collect().toMap
+    assert(pretokWc("nospacetexthere") == 2L && pretokWc("...") == 1L)
+  }
+
+  test("pretok learning: deterministic argmax over shared pretoken statistics") {
+    // space-split would see 'word,' / 'word.' as distinct words and split
+    // their statistics; pretok pools all three 'word's. Counts tie at 3 →
+    // lexicographic (x, y) tie-break: (o,r) then (or,d) then (w,ord).
+    val d = docs(1L -> "word, word, word.")
+    val merges = Bpe.learnMerges(d, n = 3, minCount = 1, pretok = true)
+    assert(merges == Seq("o" -> "r", "or" -> "d", "w" -> "ord"))
+    val enc = Bpe.encodeDocsPretok(d, merges).as[(Long, Long, Long)].collect().head
+    // pretokens: word , word , word .  → 6; bpe: 3×[word] + 2×[,] + [.] = 6
+    assert(enc == ((1L, 6L, 6L)))
+  }
+
+  test("pretok kernel == column path (explode preTokens + tokensCol) incl CJK") {
+    val d = docs(1L -> "end.of,sentence 42x7 (a1)", 2L -> "数据处理,数据处理.",
+      3L -> "the table data spark", 4L -> "nospacetexthere...nospacetexthere!!!42")
+    val merges = Bpe.learnMerges(d, n = 6, minCount = 1, pretok = true)
+    val kernel = Bpe.encodeDocsPretok(d, merges)
+      .select(col("doc_id"), col("n_pretok"), col("bpe_tokens"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val colSide = d.select(col("doc_id"), explode(Bpe.preTokens(col("text"))).as("w"))
+      .select(col("doc_id"), size(Bpe.tokensCol(col("w"), merges)).cast("long").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretok"), sum(col("t")).as("bpe_tokens"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(kernel == colSide)
+  }
 }

@@ -268,6 +268,73 @@ class MultimodalSpec extends TestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("crossNearDupImages: cross-side pairs only, never within a side") {
+    val standing = Multimodal.syntheticImageVariants(Seq(
+      (1L, 6L, 0, 0), (4L, 19L, 0, 0), (5L, 19L, 1, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val batch = Multimodal.syntheticImageVariants(Seq(
+      (11L, 6L, 1, 0), (12L, 6L, 0, 50), (13L, 19L, 0, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val pairs = Multimodal.crossNearDupImages(standing, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number]("hamming").longValue()).toMap
+    // batch twin/spot of key 6 ↔ standing original; batch 13 ↔ both
+    // standing key-19 variants. 4≈5 (within standing) and 11≈12 (within
+    // batch) must NOT appear — the operational contract.
+    assert(pairs == Map((11L, 1L) -> 0L, (12L, 1L) -> 1L,
+      (13L, 4L) -> 0L, (13L, 5L) -> 0L))
+  }
+
+  test("incremental image labels == from-scratch clusterImages over the union") {
+    val standingRows = (0L until 16L).map(i => (i, i, 0, 0))
+    val batchRows = (0L until 8L).map(i => (i + 100L, i, 1, 0)) :+ (200L, 6L, 0, 50)
+    val standing = Multimodal.syntheticImageVariants(
+      standingRows.toDF("doc_id", "key", "delta", "spot"))
+    val batch = Multimodal.syntheticImageVariants(
+      batchRows.toDF("doc_id", "key", "delta", "spot"))
+    val all = Multimodal.syntheticImageVariants(
+      (standingRows ++ batchRows).toDF("doc_id", "key", "delta", "spot"))
+    val grown = graft.operators.Dedup.incrementalClusters(
+        Multimodal.clusterImages(standing),
+        Multimodal.crossNearDupImages(standing, batch)
+          .select(org.apache.spark.sql.functions.col("batch_id").as("doc_a"),
+            org.apache.spark.sql.functions.col("corpus_id").as("doc_b"))
+          .unionAll(Multimodal.nearDupImages(batch)
+            .select(org.apache.spark.sql.functions.col("doc_a"),
+              org.apache.spark.sql.functions.col("doc_b"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Multimodal.clusterImages(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grown == scratch)
+    // and the fold really did something: the batch twins are labeled
+    assert(grown.contains(100L) && grown(100L) == 0L)
+  }
+
+  test("dHash index: build + append + probe-only cross pairs, own-batch exclusion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dhash-idx").toString
+    val standing = Multimodal.syntheticImageVariants(Seq(
+      (1L, 6L, 0, 0), (4L, 19L, 0, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val batch = Multimodal.syntheticImageVariants(Seq(
+      (11L, 6L, 1, 0)).toDF("doc_id", "key", "delta", "spot"))
+    Multimodal.buildDHashIndex(standing, dir)
+    val probe = Multimodal.crossNearDupImagesIndexed(spark, dir, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == Set((11L, 1L)))
+    // grow, then: full probe sees the appended hash; a probe excluding
+    // the appended batch's own partition does not (replay discipline)
+    Multimodal.appendToDHashIndex(batch, dir, ingestBatch = 0L)
+    val batch2 = Multimodal.syntheticImageVariants(Seq(
+      (21L, 6L, 0, 50)).toDF("doc_id", "key", "delta", "spot"))
+    val seesAppended = Multimodal.crossNearDupImagesIndexed(spark, dir, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seesAppended == Set((21L, 1L), (21L, 11L)))
+    val excluded = Multimodal.crossNearDupImagesIndexed(spark, dir, batch2,
+        excludeIngestBatch = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(excluded == Set((21L, 1L)))
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)

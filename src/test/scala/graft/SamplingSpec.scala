@@ -162,6 +162,57 @@ class SamplingSpec extends TestBase {
       Option(ex.getCause).exists(_.getMessage.contains("mixtureResample")))
   }
 
+  test("tokenMixtureSample: a weight key naming an absent stratum fails fast") {
+    val d = ((0L until 50L).map(i => (i, "a", "w w w")) ++
+        (50L until 100L).map(i => (i, "b", "w w")))
+      .toDF("id", "grp", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    // all keys present: fine
+    Sampling.tokenMixtureSample(d, col("grp"), col("id"), tok,
+      Map("a" -> 0.5, "b" -> 0.5), budget = 100L).count()
+    // typo'd stratum name: its budget share must not silently vanish
+    val ex = intercept[Exception] {
+      Sampling.tokenMixtureSample(d, col("grp"), col("id"), tok,
+        Map("a" -> 0.5, "c" -> 0.5), budget = 100L).count()
+    }
+    assert(ex.getMessage.contains("tokenMixtureSample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tokenMixtureSample")))
+  }
+
+  test("tokenMixtureResample: factors on token mass; doc-count factors misallocate") {
+    // stratum a: 10 docs × 100 tokens (1,000 tokens); stratum b: 100 docs
+    // × 10 tokens (1,000 tokens). Targets 50/50 are ALREADY met in token
+    // mass — the token form leaves both strata at exactly one epoch-0
+    // copy (f = 0.5·2000/1000 = 1.0 exactly: one full epoch, empty
+    // fractional). The doc-count form computes f_a = 0.5·110/10 = 5.5
+    // from doc share and over-repeats a's token mass ~5× — the
+    // misallocation the token form exists to prevent.
+    val d = ((0L until 10L).map(i => (i, "a", Seq.fill(100)("w").mkString(" "))) ++
+        (100L until 200L).map(i => (i, "b", Seq.fill(10)("w").mkString(" "))))
+      .toDF("id", "grp", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val out = Sampling.tokenMixtureResample(d, col("grp"), col("id"), tok,
+      Map("a" -> 0.5, "b" -> 0.5))
+    val agg = out.groupBy("grp")
+      .agg(count(lit(1)).as("rows"), sum(tok).as("toks"), max(col("epoch")).as("maxep"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(agg("a") == ((10L, 1000L, 0L)), s"a exactly once: $agg")
+    assert(agg("b") == ((100L, 1000L, 0L)), s"b exactly once: $agg")
+    // the doc-count form on the same data: a repeats ⌊5.5⌋+fraction
+    // epochs — token mass ~5×500-tokens-worth over-allocated
+    val docForm = Sampling.mixtureResample(d, col("grp"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val aToks = docForm.where(col("grp") === "a").agg(sum(tok)).as[Long].collect().head
+    assert(aToks >= 5000L, s"doc-count factors over-repeat the long stratum: $aToks")
+    // determinism under repartitioning (pure row property + broadcast factors)
+    val again = Sampling.tokenMixtureResample(d.repartition(7), col("grp"),
+        col("id"), tok, Map("a" -> 0.5, "b" -> 0.5))
+      .select(col("id"), col("epoch")).as[(Long, Long)].collect().toSet
+    assert(again == out.select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("clusterSplit: no cluster ever spans folds; singletons split on their id") {
     // 300 docs; docs 0..29 form 10 clusters of 3 (labels point at the min)
     val docs = (0L until 300L).toDF("doc_id")

@@ -541,6 +541,63 @@ class StreamingSpec extends TestBase {
       .select("doc_id").distinct().count() == indexed)
   }
 
+  test("imageDedupLoop: streamed labels == from-scratch clusterImages; replay is a fixpoint") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val standingRows = (0L until 16L).map(i => (i, i, 0, 0))
+    val b1Rows = (0L until 6L).map(i => (i + 100L, i, 1, 0))
+    // batch 2 plants a genuine cross-BATCH edge: 210 is a second delta
+    // twin of key 0, whose only ≤-Hamming-3 partners are standing 0 and
+    // b1's twin 100 — the (210, 100) pair exists only because batch 1's
+    // hashes were appended to the index before batch 2 arrived. 200 is
+    // the spot retouch of key 6 (pairs with standing 6, cross).
+    val b2Rows = Seq((200L, 6L, 0, 50), (210L, 0L, 1, 0))
+    val standing = Multimodal.syntheticImageVariants(
+      standingRows.toDF("doc_id", "key", "delta", "spot"))
+    val b1 = Multimodal.syntheticImageVariants(
+      b1Rows.toDF("doc_id", "key", "delta", "spot"))
+    val b2 = Multimodal.syntheticImageVariants(
+      b2Rows.toDF("doc_id", "key", "delta", "spot"))
+    val st = java.nio.file.Files.createTempDirectory("graft-imgloop")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedImageDedupState(standing, idxDir, lblDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-imgloop-in")
+    dropAsFile(b1.toDF(), inDir, "b1.parquet")
+    dropAsFile(b2.toDF(), inDir, "b2.parquet")
+    val q = Streams.imageDedupLoop(
+      Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, st.resolve("ckpt").toString)
+    q.awaitTermination()
+    // retention: seed pruned once two newer committed versions exist
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v-1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(lblDir, "v1")))
+    val got = spark.read.parquet(s"$lblDir/v1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Multimodal.clusterImages(Multimodal.syntheticImageVariants(
+        (standingRows ++ b1Rows ++ b2Rows).toDF("doc_id", "key", "delta", "spot")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "streamed image labels must equal the from-scratch clusterImages labeling")
+    // the cross-BATCH edge landed: b2's twin 210 labels into 0's component,
+    // a pair that exists only because b1's twin 100 was already indexed
+    assert(got(210L) == 0L && got(100L) == 0L)
+    // index absorbed both batches
+    assert(Multimodal.standingDHashes(spark, idxDir).count() ==
+      standing.count() + b1.count() + b2.count())
+    // at-least-once replay, end to end: fresh checkpoint, same state —
+    // every batch replays; own-partition exclusion + fixpoint folds must
+    // converge to the identical labeling
+    val q2 = Streams.imageDedupLoop(
+      Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, st.resolve("ckpt-replay").toString)
+    q2.awaitTermination()
+    val replayed = spark.read.parquet(s"$lblDir/v1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == expected, "replaying every batch must be a fixpoint")
+    assert(Multimodal.standingDHashes(spark, idxDir).count() ==
+      standing.count() + b1.count() + b2.count())
+  }
+
   test("cdcStream: two-batch emissions == SnapshotDiff between the same as-of points") {
     import graft.operators.SnapshotDiff
     import spark.implicits._

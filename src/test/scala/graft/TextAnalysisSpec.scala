@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends TestBase {
 
@@ -95,6 +96,47 @@ class TextAnalysisSpec extends TestBase {
     assert(got(1L)._2 == 1)
     // "zz": 1 token, no stopwords: z = -3 + 0.4·2 + 0.35·ln(2) < 0 → fail
     assert(got(2L)._1 < 0.5 && got(2L)._2 == 0)
+  }
+
+  test("lrTrain: loss decreases monotonically; learned gate separates the fixture") {
+    // separable by the stopword-ratio feature: label-1 docs are stopword-
+    // dense, label-0 docs have none — the geometry lrTrain's features
+    // were declared for.
+    val d = ((0L until 30L).map(i => (i, s"the a of to and the a of to and w$i")) ++
+        (100L until 130L).map(i => (i, s"xx yy zz qq rr ss tt uu vv w$i")))
+      .toDF("doc_id", "text")
+    val label = col("doc_id") < 50L
+    val traj = TextAnalysis.lrTrain(d, label, iters = 8)
+    assert(traj.length == 8)
+    // mean logloss under each trajectory point, computed independently
+    def loss(w: Seq[Double]): Double = {
+      val rows = d.select(col("doc_id"),
+          ((length(col("text")) - (size(split(col("text"), " ")) - 1)) /
+            size(split(col("text"), " "))).as("mtl"),
+          (size(filter(split(col("text"), " "),
+            t => t.isin(Seq("the", "a", "and", "of", "to").map(lit): _*)))
+            / size(split(col("text"), " "))).as("sr"),
+          log(lit(1.0) + size(split(col("text"), " "))).as("lt"))
+        .as[(Long, Double, Double, Double)].collect()
+      rows.map { case (id, mtl, sr, lt) =>
+        val y = if (id < 50L) 1.0 else 0.0
+        val p = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * mtl + w(2) * sr + w(3) * lt)))
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / rows.length
+    }
+    val losses = loss(Seq(0.0, 0.0, 0.0, 0.0)) +: traj.map(loss)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss must decrease monotonically: $losses")
+    }
+    // the learned gate separates the strata: stopword weight positive and
+    // every label-1 doc outscores every label-0 doc
+    val w = traj.last
+    assert(w(2) > 0, s"stopword weight should be positive: $w")
+    val scored = TextAnalysis.lrQuality(d, w(0), w(1), w(2), w(3))
+      .as[(Long, Double, Int)].collect()
+    val (pos, neg) = scored.partition(_._1 < 50L)
+    assert(pos.map(_._2).min > neg.map(_._2).max,
+      "learned scores must separate the labeled strata")
   }
 
   test("tfidf: hand-computed weights; corpus-wide terms get idf 0") {
