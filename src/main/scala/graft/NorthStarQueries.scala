@@ -689,6 +689,45 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Containment with the dd_edit_gated recipe (VERDICT r13 #6): the
+    // minhash seed-agreement floor (≥ 4 of 8 — estimated Jaccard ≥ 0.5,
+    // values already in hand from the banding aggregate) cuts the pair
+    // spine BEFORE the overlap-stats intersection join — the ungated
+    // row's cost center — and a max(cont_a, cont_b) ≥ 0.5 output floor
+    // shrinks the expansion. The oracle mirrors both gates verbatim
+    // (agreement from the same mh CTE, the floor as a WHERE on rounded
+    // scores). Contract boundary: agreement estimates JACCARD, so an
+    // extreme-asymmetry subset pair (high containment, low Jaccard) can
+    // fail the floor — that regime belongs to the ungated dd_containment;
+    // ContainGateProbe measures the empirical identity + the cost A/B.
+    QueryDef("dd_containment_gated")(
+      s"""WITH $plantedNearSql,
+         | $lshPairsSql,
+         | agree AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |           JOIN mh a ON a.doc_id = p.doc_a
+         |           JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed AND b.h = a.h
+         |           GROUP BY 1, 2 HAVING count(*) >= 4),
+         | inter AS (SELECT g.doc_a, g.doc_b, count(*) AS n_inter
+         |           FROM agree g
+         |           JOIN sh sa ON sa.doc_id = g.doc_a
+         |           JOIN sh sb ON sb.doc_id = g.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | scored AS (SELECT g.doc_a, g.doc_b,
+         |     round(coalesce(i.n_inter, 0) / na.n_sh, 6) AS cont_a,
+         |     round(coalesce(i.n_inter, 0) / nb.n_sh, 6) AS cont_b
+         |   FROM agree g
+         |   LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+         |   JOIN sizes na ON na.doc_id = g.doc_a
+         |   JOIN sizes nb ON nb.doc_id = g.doc_b)
+         | SELECT doc_a, doc_b, cont_a, cont_b FROM scored
+         | WHERE greatest(cont_a, cont_b) >= 0.5
+         | ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.containmentDedupGated(plantedNear(s, dir), minCont = 0.5, minAgree = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     QueryDef("dd_simhash")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
          | $simhashSql

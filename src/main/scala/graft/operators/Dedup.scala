@@ -701,6 +701,77 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "containment")
 
+  /** [[containmentDedup]] with the `editSimilarityGated` recipe in front
+    * of the overlap-stats pass — the dup-dense-corpus composition for a
+    * THRESHOLDED containment contract: candidate pairs must agree on
+    * ≥ `minAgree` of the `numHashes` seed minima (an unbiased Jaccard
+    * estimate, values already in hand from the banding aggregate — no
+    * shingle or text I/O), and survivors score through
+    * [[containmentFromShingles]] with a `max(cont_a, cont_b) ≥ minCont`
+    * output floor. The agreement floor cuts the PAIR SPINE before
+    * `pairOverlapStats`' candidate-doc prune, shingle-key persist and
+    * intersection join — the three cost centers of the ungated row —
+    * and the output floor shrinks the member-pair expansion joins.
+    *
+    * Contract boundary, stated plainly: seed agreement estimates
+    * JACCARD, and a small document contained in a much larger one has
+    * high containment but LOW Jaccard (n_inter/n_union ≈ n_a/n_b) — an
+    * extreme-asymmetry pair can fail the agreement floor despite
+    * clearing `minCont`. At `minAgree = 4` the floor encodes "estimated
+    * Jaccard ≥ 0.5", the near-dup regime; callers hunting subset
+    * inclusion across very different sizes should use the ungated
+    * [[containmentDedup]] (or `minAgree` low enough for their size
+    * ratio). ContainGateProbe measures the identity empirically on the
+    * planted corpus (gated == ungated ∩ floor) alongside the cost A/B;
+    * DedupSpec pins it at fixture scale. */
+  def containmentDedupGated(
+      docs: DataFrame,
+      minCont: Double = 0.5,
+      minAgree: Int = 4,
+      n: Int = 3,
+      numHashes: Int = 8,
+      bandSize: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minCont <= 1.0, s"minCont $minCont > 1.0: no pair can pass")
+    require(minAgree >= 0 && minAgree <= numHashes,
+      s"minAgree $minAgree outside [0, $numHashes]")
+    val ctx = dedupPrelude(docs, n, numHashes, bandSize, maxBucket)
+    val sigs = minhashSigsWide(ctx.sh, numHashes)
+    val agree = (0 until numHashes)
+      .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    // Materialize the gated spine before the scorer (the dd_edit_gated
+    // lesson: pairOverlapStats reads its pair argument from three plan
+    // branches; a lazy agreement plan would replay the LSH + signature
+    // chain per branch). Output-scale rows only.
+    val agreed = checkpointed(ctx.repPairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .where(agree >= minAgree)
+      .select(col("doc_a"), col("doc_b")))
+    val repOut = containmentFromShingles(ctx.sh, agreed)
+      .where(greatest(col("cont_a"), col("cont_b")) >= minCont)
+    // Member-pair expansion with the orientation swap — dedupFirst's
+    // containment-mode tail verbatim (asymmetric carries flip when the
+    // member order flips relative to the rep order).
+    val flipped = col("ia") > col("ib")
+    val cross = repOut
+      .join(ctx.rep.select(col("rep").as("doc_a"), col("th").as("tha")), "doc_a")
+      .join(ctx.rep.select(col("rep").as("doc_b"), col("th").as("thb")), "doc_b")
+      .join(ctx.capped.select(col("th").as("tha"), col("doc_id").as("ia")), "tha")
+      .join(ctx.capped.select(col("th").as("thb"), col("doc_id").as("ib")), "thb")
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        when(flipped, col("cont_b")).otherwise(col("cont_a")).as("cont_a"),
+        when(flipped, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
+    val within = ctx.capped.as("x")
+      .join(ctx.capped.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
+    materializeThenRelease(cross.unionAll(within), ctx.keyed, ctx.sh)
+  }
+
   /** Shared dedup-first prelude: text-hash keying, representative
     * selection, mega-group cap, representative shingles and LSH candidate
     * pairs — one corpus scan feeding every dedup-first consumer. */

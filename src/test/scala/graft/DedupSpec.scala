@@ -705,6 +705,28 @@ class DedupSpec extends TestBase {
     assert(got.forall(_._4 >= 0.5))
   }
 
+  test("gated containment: identical to the floor-filtered ungated chain on the fixture") {
+    // near-dup pair (1,2), an exact copy (5 of 1, within-group identity
+    // scores), template docs 3/4 that never clear the floor — the
+    // dd_edit_gated fixture geometry on the containment scorer.
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "common template header one two three alpha beta gamma delta",
+      4L -> "totally unrelated tail words here nine ten eleven twelve",
+      5L -> "the quick brown fox jumps over the lazy dog today")
+    val gated = Dedup.containmentDedupGated(d, minCont = 0.5, minAgree = 4)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val full = Dedup.containmentDedup(d)
+      .where(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(gated == full, s"gated $gated != filtered ungated $full")
+    val pairsOnly = gated.map(p => (p._1, p._2))
+    assert(pairsOnly.contains((1L, 2L)) && pairsOnly.contains((1L, 5L)))
+    // within-group expansion scores identity, not measurement
+    assert(gated.find(p => (p._1, p._2) == (1L, 5L)).get._3 == 1.0)
+  }
+
   private def cc(pairs: (Long, Long)*): Map[Long, Long] =
     Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
