@@ -2100,6 +2100,21 @@ object NorthStarQueries {
       TextAnalysis.lrQuality(d, w(0), w(1), w(2), w(3)).orderBy(col("doc_id"))
     },
 
+    // HELD-OUT evaluation of the trained gate — the rung between training
+    // and serving that txt_lr_train/txt_lr_trained left open: md5-bucket
+    // fold split (the engine-standard pure-row-property split, so the
+    // folds are reproducible on any engine), train on the 80% standing
+    // fold, score the 20% held-out fold, and hash-check the EVALUATION
+    // METRICS themselves — exact Mann–Whitney AUC (ties by average rank,
+    // computed over the bounded score-distinct table, never a global
+    // row-rank window) and accuracy at the serving threshold. A model
+    // whose training replays but whose held-out discrimination silently
+    // regressed now fails the oracle, not just its loss curve.
+    QueryDef("txt_lr_eval")(TextAnalysis.lrEvalSql(5)) { (s, dir) =>
+      TextAnalysis.lrEval(Tables(s, dir, "documents"),
+        col("lang") === "en", iters = 5)
+    },
+
     QueryDef("txt_tokens")(
       """SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |   CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sub_tokens
@@ -3239,6 +3254,37 @@ object NorthStarQueries {
       deleteRecursively(st)
       deleteRecursively(inDir)
       out
+    },
+
+    // Distribution-DRIFT monitoring — the observability rung the growing-
+    // corpus operators (cross-corpus dedup, BM25 append, streaming
+    // novelty) all feed but nothing measured: Population Stability Index
+    // of an arriving batch's feature distributions against the standing
+    // corpus, per feature, with add-one smoothing over the union-bin
+    // table. The md5-bucket split (the smp_hash convention) stands in for
+    // standing-vs-arriving; in production the two sides are the index and
+    // the micro-batch. Per-bin contributions quantize to integers (×10⁶)
+    // before summing, so the PSI arithmetic hash-matches bit-for-bit.
+    QueryDef("cur_drift")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val st = s"(SELECT * FROM documents WHERE $bkt >= 20)"
+      val ba = s"(SELECT * FROM documents WHERE $bkt < 20)"
+      Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", st, ba),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", st, ba),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", st, ba))
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY feature")
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      graft.operators.Curation.drift(
+        d.where(bucket >= 20), d.where(bucket < 20), Seq(
+          "chars" -> floor(length(col("text")) / lit(256)),
+          "lang" -> col("lang"),
+          "tokens" -> floor(size(split(col("text"), " ")) / lit(64))))
     },
 
     // ---- multimodal ------------------------------------------------------

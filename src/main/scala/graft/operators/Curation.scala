@@ -111,4 +111,79 @@ object Curation {
         coalesce(col("n_semantic"), lit(0L)).as("n_semantic"),
         coalesce(col("n_final"), lit(0L)).as("n_final"))
   }
+
+  /** Distribution-DRIFT monitor between a standing corpus and an arriving
+    * batch — the monitoring rung every growing-corpus pipeline here feeds
+    * (cross-corpus dedup, BM25 append, streaming novelty) but nothing yet
+    * measured: per declared feature, the Population Stability Index
+    * `PSI = Σ_bins (p − q) · ln(p / q)` of the batch's bin distribution
+    * `p` against the standing corpus's `q`, with add-one smoothing over
+    * the union-bin table so a bin present on only one side contributes a
+    * finite, deterministic term instead of ±∞. One row per feature:
+    * `(feature, n_bins, psi)`. Published monitoring folklore reads
+    * PSI < 0.1 as stable, 0.1–0.25 as drifting, > 0.25 as shifted — the
+    * returned value is the raw index; thresholds belong to the caller.
+    *
+    * Scale shape: ONE corpus scan per side for ALL features — each row
+    * explodes to its (feature, bin) pairs and one map-side-combined count
+    * aggregate reduces them to the bin table; everything after (the
+    * full-outer bin alignment, the per-feature totals window, the PSI
+    * roll-up) runs at bin cardinality, metadata-scale. No corpus-scale
+    * join or window anywhere, no per-feature rescans.
+    *
+    * Determinism: per-bin contributions quantize to integers (×10⁶,
+    * round-half-up) before the final sum — the [[TextAnalysis.lrTrain]]
+    * gradient discipline — so the cross-bin accumulation is order-free
+    * exact integer arithmetic and the one `ln` per bin is absorbed by the
+    * quantization; the result rounds to 6. Bin values compare as strings
+    * inside one engine only (labels never cross engines — the oracle
+    * groups its own native values, and any injective rendering partitions
+    * rows identically). */
+  def drift(standing: DataFrame, batch: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "drift needs at least one feature")
+    def binCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(array(features.map { case (name, bin) =>
+          struct(lit(name).as("feature"), bin.cast("string").as("bin"))
+        }: _*)).as("fb"))
+        .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as(as))
+    val j = binCounts(standing, "cs")
+      .join(binCounts(batch, "cb"), Seq("feature", "bin"), "full_outer")
+      .select(col("feature"), coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val byF = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    val p = (col("cb") + lit(1.0)) / (col("tb") + col("nb"))
+    val q = (col("cs") + lit(1.0)) / (col("ts") + col("nb"))
+    j.select(col("feature"), col("cs"), col("cb"),
+        sum(col("cs")).over(byF).as("ts"), sum(col("cb")).over(byF).as("tb"),
+        count(lit(1)).over(byF).as("nb"))
+      .groupBy(col("feature"))
+      .agg(first(col("nb")).as("n_bins"),
+        round(sum(round((p - q) * log(p / q) * lit(1000000)).cast("long")) /
+          lit(1000000.0), 6).as("psi"))
+      .orderBy(col("feature"))
+  }
+
+  /** Oracle SQL replaying [[drift]] for one feature as a SELECT (callers
+    * UNION ALL the features and ORDER BY outside). `binExpr` must be the
+    * DuckDB rendering of the feature's bin expression; `standingSql` /
+    * `batchSql` the two corpus terms. */
+  def driftFeatureSql(feature: String, binExpr: String,
+      standingSql: String, batchSql: String): String =
+    s"""SELECT '$feature' AS feature, n_bins, round(raw, 6) AS psi FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |    sum(CAST(round(((cb+1.0)/(tb+nb) - (cs+1.0)/(ts+nb)) *
+       |      ln(((cb+1.0)/(tb+nb)) / ((cs+1.0)/(ts+nb))) * 1000000)
+       |      AS BIGINT)) / 1000000.0 AS raw
+       |  FROM (
+       |    SELECT coalesce(cs, 0) AS cs, coalesce(cb, 0) AS cb,
+       |      sum(coalesce(cs, 0)) OVER () AS ts,
+       |      sum(coalesce(cb, 0)) OVER () AS tb,
+       |      count(*) OVER () AS nb
+       |    FROM (SELECT $binExpr AS bin, count(*) AS cs
+       |          FROM $standingSql GROUP BY 1) s
+       |    FULL JOIN (SELECT $binExpr AS bin, count(*) AS cb
+       |          FROM $batchSql GROUP BY 1) b USING (bin)
+       |  ) j)""".stripMargin
 }

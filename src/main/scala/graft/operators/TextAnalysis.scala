@@ -158,8 +158,9 @@ object TextAnalysis {
 
   /** The DuckDB feature CTE `f(doc_id, y, mtl, sr, lt)` — the identical
     * expressions [[featMtl]]/[[featSr]]/[[featLt]] evaluate. */
-  private def lrFeatSql(corpusSql: String, labelExpr: String): String =
-    s"""f AS (SELECT doc_id, $labelExpr AS y,
+  private def lrFeatSql(corpusSql: String, labelExpr: String,
+      name: String = "f"): String =
+    s"""$name AS (SELECT doc_id, $labelExpr AS y,
        |    (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mtl,
        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS sr,
        |    ln(1.0 + len(string_split(text,' '))) AS lt
@@ -217,6 +218,94 @@ object TextAnalysis {
        |  FROM f CROSS JOIN w$iters)
        | SELECT doc_id, lr_score, CAST(lr_score >= 0.5 AS INT) AS pass
        | FROM sc ORDER BY doc_id""".stripMargin
+
+  /** HELD-OUT evaluation of the trained LR gate — the missing rung between
+    * training ([[lrTrain]]) and serving ([[lrQuality]]): split the labeled
+    * corpus into train/test folds by the engine-standard md5 bucket
+    * ([[Sampling.hashBucket]] — a pure row property, reproducible on any
+    * engine), train on the standing fold, score the held-out fold with the
+    * learned weights, and report threshold-free ranking quality (exact
+    * Mann–Whitney AUC, ties by average rank) plus accuracy at the serving
+    * threshold 0.5. One row: `(n_train, n_test, n_pos, auc, acc)`.
+    *
+    * Scale shape: the only corpus-scale stages are [[lrTrain]]'s gradient
+    * aggregates and ONE `groupBy(score)` count over the scored test fold.
+    * Scores round to 6 decimals, so the score-distinct table is bounded
+    * (≤ ~2M rows) regardless of corpus size — the rank-cumulation window
+    * runs over THAT bounded table, never a global sort of test rows (the
+    * textbook `rank() OVER (ORDER BY score)` on raw rows is a
+    * single-partition window at corpus scale; this is the aggregated,
+    * metadata-scale form of the same arithmetic).
+    *
+    * Determinism: every rank-sum term is a count plus an exact half
+    * (`below + (c+1)/2`), so the accumulation is exact in doubles up to
+    * 2^52 test rows and order-free; the single float division per metric
+    * rounds to 6 (engine-standard). A single-class test fold yields
+    * `auc = NULL` (nullif denominator) on both engines rather than an
+    * engine-specific divide-by-zero behavior. */
+  def lrEval(docs: DataFrame, label: Column, iters: Int = 5,
+      step: Double = 0.5, testPct: Int = 20, buckets: Int = 100): DataFrame = {
+    require(testPct > 0 && testPct < buckets,
+      s"testPct must be in (0, $buckets), got $testPct")
+    val bucket = Sampling.hashBucket(col("doc_id"), buckets)
+    val train = docs.where(bucket >= testPct)
+    val test = docs.where(bucket < testPct)
+    val w = lrTrain(train, label, iters, step).last
+    val scored = lrQuality(test, w(0), w(1), w(2), w(3))
+      .join(test.select(col("doc_id"), label.cast("int").as("y")), "doc_id")
+    val byScore = scored.groupBy(col("lr_score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"),
+        sum(((col("lr_score") >= 0.5).cast("int") === col("y"))
+          .cast("long")).as("ok"))
+    val asc = org.apache.spark.sql.expressions.Window.orderBy(col("lr_score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = byScore.withColumn("below",
+      coalesce(sum(col("c")).over(asc), lit(0L)))
+    val trainN = train.agg(count(lit(1)).as("n_train"))
+    val denom = col("pp") * (col("n_test") - col("pp"))
+    cum.agg(
+        sum(col("p") * (col("below") + (col("c") + lit(1)) / lit(2.0))).as("rs"),
+        sum(col("p")).as("pp"), sum(col("c")).as("n_test"),
+        sum(col("ok")).as("okc"))
+      .crossJoin(broadcast(trainN))
+      .select(col("n_train"), col("n_test"), col("pp").as("n_pos"),
+        round((col("rs") - col("pp") * (col("pp") + lit(1)) / lit(2.0)) /
+          when(denom === 0, lit(null)).otherwise(denom), 6).as("auc"),
+        round(col("okc").cast("double") / col("n_test"), 6).as("acc"))
+  }
+
+  /** Oracle SQL replaying [[lrEval]] end to end in DuckDB: fold split →
+    * the chained training CTEs on the train fold → held-out scoring →
+    * tie-aware rank-sum AUC + accuracy. The evaluation METRIC itself is
+    * hash-checked, not just the scores feeding it. */
+  def lrEvalSql(iters: Int, corpusSql: String = "documents",
+      labelExpr: String = "CAST(lang = 'en' AS INT)",
+      step: Double = 0.5, testPct: Int = 20, buckets: Int = 100): String = {
+    val bkt =
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $buckets"
+    s"""WITH tr AS (SELECT * FROM $corpusSql WHERE $bkt >= $testPct),
+       | te AS (SELECT * FROM $corpusSql WHERE $bkt < $testPct),
+       | ${lrTrainCtes(iters, "tr", labelExpr, step)},
+       | ${lrFeatSql("te", labelExpr, "fe")},
+       | sc AS (SELECT
+       |    round(1.0/(1.0+exp(-(a + b*mtl + c*sr + d*lt))),6) AS lr_score, y
+       |  FROM fe CROSS JOIN w$iters),
+       | bys AS (SELECT lr_score, count(*) AS c,
+       |    CAST(sum(y) AS BIGINT) AS p,
+       |    CAST(sum(CAST(CAST(lr_score >= 0.5 AS INT) = y AS INT)) AS BIGINT) AS ok
+       |  FROM sc GROUP BY lr_score),
+       | cum AS (SELECT c, p, ok, coalesce(sum(c) OVER (ORDER BY lr_score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM bys),
+       | ag AS (SELECT sum(p * (below + (c + 1) / 2.0)) AS rs,
+       |    CAST(sum(p) AS BIGINT) AS pp, CAST(sum(c) AS BIGINT) AS n_test,
+       |    CAST(sum(ok) AS BIGINT) AS okc FROM cum),
+       | tn AS (SELECT count(*) AS n_train FROM tr)
+       | SELECT n_train, n_test, pp AS n_pos,
+       |   round((rs - pp*(pp+1)/2.0) / nullif(pp*(n_test-pp), 0), 6) AS auc,
+       |   round(okc * 1.0 / n_test, 6) AS acc
+       | FROM ag CROSS JOIN tn ORDER BY n_test""".stripMargin
+  }
 
   /** Token counting: whitespace tokens and a BPE-ish sub-token count
     * (alphanumeric runs + single non-alphanumeric, non-space marks). */

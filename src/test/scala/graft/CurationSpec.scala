@@ -63,4 +63,23 @@ class CurationSpec extends TestBase {
     // temperature keeps the smallest lang whole and n_final <= n_semantic
     assert(got("aa")._3 <= got("aa")._2)
   }
+
+  test("drift: identical distributions score PSI 0; a shifted bin matches hand arithmetic") {
+    def corpus(bins: String*) =
+      bins.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "b")
+    // identical standing/batch distributions → every (p − q) term is 0
+    val same = corpus("A", "A", "B", "B")
+    val zero = Curation.drift(same, same, Seq("b" -> col("b"))).collect()(0)
+    assert(zero.getAs[Long]("n_bins") == 2L && zero.getAs[Double]("psi") == 0.0)
+    // standing = {A:4, B:4}, batch = {A:8, B:0}; union bins nb = 2, add-one
+    // smoothing: q_A = q_B = 5/10, p_A = 9/10, p_B = 1/10.
+    //   A: (0.9-0.5)·ln(0.9/0.5) → round(235114.66…) = 235115 (×10⁻⁶)
+    //   B: (0.1-0.5)·ln(0.1/0.5) → round(643775.16…) = 643775
+    val got = Curation.drift(
+      corpus("A", "A", "A", "A", "B", "B", "B", "B"),
+      corpus("A", "A", "A", "A", "A", "A", "A", "A"),
+      Seq("b" -> col("b"))).collect()(0)
+    assert(got.getAs[Long]("n_bins") == 2L)
+    assert(got.getAs[Double]("psi") == 0.87889, s"got $got")
+  }
 }

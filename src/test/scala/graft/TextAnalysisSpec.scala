@@ -171,4 +171,25 @@ class TextAnalysisSpec extends TestBase {
     assert(got(5L) == "body of doc 5")
     assert(got.size == 39)
   }
+
+  test("lrEval: separable fixture scores held-out AUC 1.0; all-tied scores score 0.5") {
+    // the lrTrain fixture: label-1 docs stopword-dense, label-0 none —
+    // the trained gate separates, so held-out ranking must be perfect
+    val d = ((0L until 30L).map(i => (i, s"the a of to and the a of to and w$i")) ++
+        (100L until 130L).map(i => (i, s"xx yy zz qq rr ss tt uu vv w$i")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lrEval(d, col("doc_id") < 50L, iters = 8).collect()(0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 60L)
+    assert(r.getAs[Long]("n_test") > 0L && r.getAs[Long]("n_pos") > 0L)
+    assert(r.getAs[Long]("n_pos") < r.getAs[Long]("n_test"),
+      "fixture must put both classes in the held-out fold")
+    assert(r.getAs[Double]("auc") == 1.0, s"separable fixture: $r")
+    // identical texts → every score ties → average-rank AUC is exactly 0.5
+    val tied = (0L until 40L).map(i => (i, "the the the")).toDF("doc_id", "text")
+    val t = TextAnalysis.lrEval(tied, col("doc_id") % 2 === 0, iters = 3).collect()(0)
+    assert(t.getAs[Long]("n_pos") > 0L &&
+      t.getAs[Long]("n_pos") < t.getAs[Long]("n_test"),
+      s"tie fixture needs both classes held out: $t")
+    assert(t.getAs[Double]("auc") == 0.5, s"all-tied scores: $t")
+  }
 }
