@@ -3287,6 +3287,60 @@ object NorthStarQueries {
           "tokens" -> floor(size(split(col("text"), " ")) / lit(64))))
     },
 
+    // The drift monitor's OPERATIONAL form: standing histograms persisted
+    // once (Curation.buildDriftIndex — the standing corpus is never
+    // rescanned), then a foreachBatch loop scores each arriving
+    // micro-batch against that metadata-scale index and lands
+    // batchId-keyed PSI rows (replay-exact: the monitor only observes, so
+    // the sole replay concern is the output overwrite itself). The oracle
+    // replays each micro-batch's PSI from the raw table — hash equality
+    // proves index-probed == recomputed per batch.
+    QueryDef("cur_drift_stream")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val st = s"(SELECT * FROM documents WHERE $bkt >= 20)"
+      def feats(ba: String) = Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", st, ba),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", st, ba),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", st, ba))
+      val b0 = s"(SELECT * FROM documents WHERE $bkt < 10)"
+      val b1 = s"(SELECT * FROM documents WHERE $bkt >= 10 AND $bkt < 20)"
+      (feats(b0).map(q =>
+          s"SELECT CAST(0 AS BIGINT) AS micro_batch, * FROM ($q)") ++
+        feats(b1).map(q =>
+          s"SELECT CAST(1 AS BIGINT) AS micro_batch, * FROM ($q)"))
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY micro_batch, feature")
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"),
+        "tokens" -> floor(size(split(col("text"), " ")) / lit(64)))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-drift-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-drift-stream-in")
+      val t0 = System.nanoTime()
+      graft.operators.Curation.buildDriftIndex(
+        d.where(bucket >= 20), features, s"$stDir/index")
+      stageAsFile(d.where(bucket < 10), inDir, "b0.parquet")
+      stageAsFile(d.where(bucket >= 10 && bucket < 20), inDir, "b1.parquet")
+      fixtureSecs.put("drift-stream-fixture", (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.driftMonitor(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/index", s"$stDir/drift", s"$stDir/ckpt", features)
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/drift")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("feature"), col("n_bins"), col("psi"))
+        .orderBy(col("micro_batch"), col("feature")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

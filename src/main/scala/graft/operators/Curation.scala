@@ -142,14 +142,24 @@ object Curation {
   def drift(standing: DataFrame, batch: DataFrame,
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "drift needs at least one feature")
-    def binCounts(df: DataFrame, as: String): DataFrame =
-      df.select(explode(array(features.map { case (name, bin) =>
-          struct(lit(name).as("feature"), bin.cast("string").as("bin"))
-        }: _*)).as("fb"))
-        .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
-        .agg(count(lit(1)).as(as))
-    val j = binCounts(standing, "cs")
-      .join(binCounts(batch, "cb"), Seq("feature", "bin"), "full_outer")
+    psiFromCounts(binCounts(standing, features, "cs"),
+      binCounts(batch, features, "cb"))
+  }
+
+  /** One corpus scan → the (feature, bin) count table for all features. */
+  private def binCounts(df: DataFrame, features: Seq[(String, Column)],
+      as: String): DataFrame =
+    df.select(explode(array(features.map { case (name, bin) =>
+        struct(lit(name).as("feature"), bin.cast("string").as("bin"))
+      }: _*)).as("fb"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      .agg(count(lit(1)).as(as))
+
+  /** The PSI roll-up over two bin-count tables — everything here runs at
+    * bin cardinality (metadata-scale). */
+  private def psiFromCounts(standing: DataFrame, batch: DataFrame): DataFrame = {
+    val j = standing
+      .join(batch, Seq("feature", "bin"), "full_outer")
       .select(col("feature"), coalesce(col("cs"), lit(0L)).as("cs"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val byF = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
@@ -163,6 +173,47 @@ object Curation {
         round(sum(round((p - q) * log(p / q) * lit(1000000)).cast("long")) /
           lit(1000000.0), 6).as("psi"))
       .orderBy(col("feature"))
+  }
+
+  /** Persist the standing corpus's per-feature bin HISTOGRAMS — the drift
+    * monitor's standing state. One corpus scan total ([[drift]]'s
+    * binCounts); the artifact is the bin table itself (bin cardinality,
+    * metadata-scale — one small file), so per-arrival probes
+    * ([[driftAgainstIndex]], [[graft.streaming.Streams.driftMonitor]])
+    * never rescan the standing corpus. Feature NAMES are stored with the
+    * counts and contract-checked at probe time; the bin EXPRESSIONS are
+    * the caller's contract, keyed by those names (an expression can't be
+    * persisted — redeclaring a name with different binning is the one
+    * misuse this can't catch, so keep feature definitions in one place). */
+  def buildDriftIndex(standing: DataFrame, features: Seq[(String, Column)],
+      dir: String): Unit = {
+    require(features.nonEmpty, "drift needs at least one feature")
+    binCounts(standing, features, "cs")
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** PSI of an arriving batch against the PERSISTED standing histograms —
+    * the per-arrival form: one scan of the BATCH (all features at once),
+    * one metadata-scale read of the index, nothing standing-corpus-scale
+    * anywhere. Fails loudly if the probe's declared feature names don't
+    * exactly match the index's (a probe binning features the index never
+    * counted — or missing one it did — would silently compare different
+    * monitors). */
+  def driftAgainstIndex(indexDir: String, batch: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "drift needs at least one feature")
+    val idx = batch.sparkSession.read.parquet(indexDir)
+    // metadata-scale action: the index's distinct feature names (≤ the
+    // handful of declared monitors), never its bins
+    val have = idx.select(col("feature")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val want = features.map(_._1).toSet
+    require(have == want,
+      s"drift index at $indexDir covers features ${have.toSeq.sorted} but " +
+        s"the probe declares ${want.toSeq.sorted} — rebuild the index or " +
+        "align the probe (bin expressions are keyed by these names)")
+    psiFromCounts(idx, binCounts(batch, features, "cb"))
   }
 
   /** Oracle SQL replaying [[drift]] for one feature as a SELECT (callers

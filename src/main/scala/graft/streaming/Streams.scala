@@ -447,6 +447,33 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming distribution-DRIFT monitoring: per micro-batch, the PSI of
+    * the arriving docs' feature distributions against the PERSISTED
+    * standing histograms (`Curation.buildDriftIndex`), written to
+    * `driftDir/micro_batch=<id>` — the observability loop beside the
+    * ingest loops (`exactDedupIngest`/`bm25Ingest`/`noveltyIngest`): same
+    * micro-batch cadence, but it only OBSERVES, so there is no state to
+    * grow and nothing to keep replay-consistent beyond the output itself.
+    *
+    * Replay-exact by construction: the index is read-only here and each
+    * batch's rows land as a batchId-keyed overwrite, so a crash-replayed
+    * micro-batch rewrites its own partition with identical data. Per-batch
+    * cost is one batch scan (all features at once) + a metadata-scale
+    * index read — the standing corpus is never touched. */
+  def driftMonitor(docs: DataFrame, indexDir: String, driftDir: String,
+      checkpointDir: String,
+      features: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation
+          .driftAgainstIndex(indexDir, batch.toDF(), features)
+          .write.mode("overwrite").parquet(s"$driftDir/micro_batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate), written as labels

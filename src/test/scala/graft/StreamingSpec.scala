@@ -475,6 +475,47 @@ class StreamingSpec extends TestBase {
       s"batch-0 index growth must reduce batch-1 novelty ($ungrown vs $grown)")
   }
 
+  test("driftMonitor: per-batch PSI == the batch drift form; feature contract is checked") {
+    import graft.operators.Curation
+    val d = Tables(spark, sf(), "documents")
+    val standing = d.where(col("doc_id") < 40)
+    val b1 = d.where(col("doc_id") >= 40 && col("doc_id") < 50)
+    val b2 = d.where(col("doc_id") >= 50 && col("doc_id") < 60)
+    val features = Seq(
+      "chars" -> floor(length(col("text")) / lit(256)),
+      "lang" -> col("lang"))
+    val st = java.nio.file.Files.createTempDirectory("graft-driftmon")
+    val idxDir = st.resolve("index").toString
+    Curation.buildDriftIndex(standing, features, idxDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-driftmon-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    val q = Streams.driftMonitor(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, st.resolve("drift").toString, st.resolve("ckpt").toString,
+      features)
+    q.awaitTermination()
+    val cols = Seq("micro_batch", "feature", "n_bins", "psi")
+    val got = spark.read.parquet(st.resolve("drift").toString)
+      .select(col("micro_batch").cast("long").as("micro_batch"),
+        col("feature"), col("n_bins"), col("psi"))
+    // the monitor only observes — each batch scores against the SAME
+    // standing histograms, so the sequential twin is the plain batch form
+    val want = Curation.drift(standing, b1, features)
+      .withColumn("micro_batch", lit(0L))
+      .unionAll(Curation.drift(standing, b2, features)
+        .withColumn("micro_batch", lit(1L)))
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed PSI must equal the batch drift computation per micro-batch")
+    // a probe whose declared features don't match the index fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Curation.driftAgainstIndex(idxDir, b1,
+        Seq("chars" -> floor(length(col("text")) / lit(256))))
+    }
+    assert(err.getMessage.contains("rebuild the index"), err.getMessage)
+  }
+
   test("curation loop: streamed increments converge to the batch-pipeline labeling") {
     import graft.operators.Dedup
     val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
