@@ -1037,6 +1037,41 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-aware canonical selection: within each near-dup cluster the
+    // surviving member is the QUALITY argmax (score DESC, doc_id ASC) —
+    // the published keep-the-best-representative policy — not the id
+    // accident dd_* keep-first rows use. The planted chain's generations
+    // differ in length, so the pick is frequently NOT the min id and the
+    // oracle (recursive-CTE CC + the same lrQuality arithmetic + a
+    // row_number window) hash-checks which member actually survives.
+    QueryDef("dd_canonical")(
+      s"""WITH RECURSIVE $plantedChainSql,
+         | $lshPairsSql,
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |         UNION SELECT doc_b, doc_a FROM pairs),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | lbl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |         FROM reach GROUP BY 1),
+         | sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(-3.0
+         |       + 0.4 * ((length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')))
+         |       + 6.0 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')))
+         |       + 0.35 * ln(1.0 + len(string_split(text,' ')))))), 6) AS score
+         |     FROM corpus)
+         | SELECT l.doc_id, l.cluster_id, s.score,
+         |   CAST(row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY score DESC, l.doc_id) = 1 AS INT) AS keep
+         | FROM lbl l JOIN sc s ON l.doc_id = s.doc_id
+         | ORDER BY l.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val chain = plantedChain(s, dir)
+      val labels = Dedup.clusterDedupFirst(chain)
+      val scores = TextAnalysis.lrQuality(chain)
+        .select(col("doc_id"), col("lr_score").as("score"))
+      Dedup.canonicalByQuality(labels, scores).orderBy(col("doc_id"))
+    },
+
     // Incremental cluster maintenance: a batch of near-copies arrives, its
     // cross candidates against the standing corpus become new edges, and
     // the existing dd_cluster labeling is UPDATED in place of a full

@@ -2098,6 +2098,32 @@ object Dedup {
     materializeThenRelease(labeled, ctx.keyed, ctx.sh)
   }
 
+  /** Quality-aware CANONICAL selection over a duplicate labeling — keep
+    * the BEST member of each cluster, not the smallest id: published
+    * corpus pipelines retain the highest-quality representative of a
+    * near-dup cluster and drop the rest, so which member survives is a
+    * quality decision, not an id accident. `labels(doc_id, cluster_id)`
+    * is any labeling ([[connectedComponents]] / [[clusterDedupFirst]] /
+    * [[incrementalClusters]] output); `scores(doc_id, score)` any
+    * deterministic per-doc score (e.g. `TextAnalysis.lrQuality`). Returns
+    * every labeled doc with `keep = 1` on the (score DESC, doc_id ASC)
+    * argmax member — ties break on the rounded score then doc_id, so the
+    * pick is deterministic on any engine.
+    *
+    * Scale: one labels⋈scores equi-join on doc_id plus one per-cluster
+    * `row_number` window — partitioned by cluster_id, so window state is
+    * one cluster's members (near-dup clusters are bounded groups, never
+    * corpus-scale partitions). */
+  def canonicalByQuality(labels: DataFrame, scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    labels.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("rn") === 1).cast("int").as("keep"))
+  }
+
   /** Embedding-cosine near-dup: pairs of vectors with cosine ≥ threshold.
     * Delegates to `Similarity.bucketedNearDup` — hyperplane-LSH blocking
     * (home bucket + Hamming-1 neighbor probes) then exact per-pair scoring,

@@ -766,4 +766,19 @@ class DedupSpec extends TestBase {
       .map(n => n -> find(n)).toMap
     assert(cc(edges: _*) == expected)
   }
+
+  test("canonicalByQuality: best-score member keeps; score ties fall back to doc_id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.5), (5L, 0.1))
+      .toDF("doc_id", "score")
+    val got = Dedup.canonicalByQuality(labels, scores)
+      .select(col("doc_id"), col("keep")).as[(Long, Int)].collect().toMap
+    // cluster 1: doc 2 outscores doc 1 — the min id does NOT survive
+    assert(got(1L) == 0 && got(2L) == 1)
+    // cluster 3: tie at 0.5 → lower doc_id keeps
+    assert(got(3L) == 1 && got(4L) == 0)
+    // singleton keeps itself
+    assert(got(5L) == 1)
+  }
 }
