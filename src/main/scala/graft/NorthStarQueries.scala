@@ -142,6 +142,21 @@ object NorthStarQueries {
       |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id < 20
       |  UNION ALL SELECT doc_id + 200000, text || ' extra extra' FROM documents WHERE doc_id < 20)""".stripMargin
 
+  /** documents ∪ junk twins (stopword-spam prefix — the SEO-spam shape,
+    * shifting the stopword-ratio feature from ~0.06 to ~0.26 with per-doc
+    * variation) — the planted quality-vs-junk label `txt_lr_eval` /
+    * `txt_lr_calibrate` train and evaluate the gate on. Label: original
+    * ids are quality (`doc_id < 1000000`), twins junk. */
+  private val junkSpam = "the a of to and the a of to and the a of to and "
+  private def junkPlant(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit(junkSpam), col("text")).as("text")))
+  }
+  private val junkPlantSql =
+    s"""(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000, '$junkSpam' || text FROM documents)""".stripMargin
+
   /** `plantedChain` carrying the language column through (dd_pipeline needs
     * it for the final per-language report). */
   private def plantedChainLang(s: SparkSession, dir: String): DataFrame = {
@@ -2145,9 +2160,35 @@ object NorthStarQueries {
     // row-rank window) and accuracy at the serving threshold. A model
     // whose training replays but whose held-out discrimination silently
     // regressed now fails the oracle, not just its loss curve.
-    QueryDef("txt_lr_eval")(TextAnalysis.lrEvalSql(5)) { (s, dir) =>
-      TextAnalysis.lrEval(Tables(s, dir, "documents"),
-        col("lang") === "en", iters = 5)
+    //
+    // The labeled corpus is the gate's true production task, PLANTED the
+    // way dedup rows plant duplicates: quality originals vs stopword-spam
+    // junk twins (deterministic, engine-portable, per-doc-varying). The
+    // synthetic corpus's own columns (lang/source) are homogeneous in the
+    // quality features by construction (measured: AUC 0.512 on lang), so
+    // a real label would only prove the metric arithmetic on a useless
+    // model; the planted label proves it on a model that genuinely
+    // discriminates (held-out AUC 0.73).
+    QueryDef("txt_lr_eval")(
+      TextAnalysis.lrEvalSql(10, corpusSql = junkPlantSql,
+        labelExpr = "CAST(doc_id < 1000000 AS INT)")) { (s, dir) =>
+      TextAnalysis.lrEval(junkPlant(s, dir),
+        col("doc_id") < 1000000L, iters = 10)
+    },
+
+    // CALIBRATE the serving threshold on the held-out fold: the lowest
+    // threshold whose held-out precision clears the floor (recall argmax
+    // under the precision constraint — the operating point a junk-gate
+    // deploys with, rather than the default 0.5). The oracle replays the
+    // training chain, the cumulative TP/FP sweep over the score-distinct
+    // table, and the qualifying-threshold pick; precision/recall round
+    // BEFORE the filter so both engines choose from identical values.
+    // Same planted junk corpus as txt_lr_eval.
+    QueryDef("txt_lr_calibrate")(
+      TextAnalysis.lrCalibrateSql(10, 0.9, corpusSql = junkPlantSql,
+        labelExpr = "CAST(doc_id < 1000000 AS INT)")) { (s, dir) =>
+      TextAnalysis.lrCalibrate(junkPlant(s, dir),
+        col("doc_id") < 1000000L, targetPrecision = 0.9, iters = 10)
     },
 
     QueryDef("txt_tokens")(

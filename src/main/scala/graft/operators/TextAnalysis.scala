@@ -274,6 +274,86 @@ object TextAnalysis {
         round(col("okc").cast("double") / col("n_test"), 6).as("acc"))
   }
 
+  /** CALIBRATE the serving threshold on the held-out fold — the rung
+    * after [[lrEval]]: instead of scoring at the default 0.5, pick the
+    * LOWEST threshold whose held-out precision meets `targetPrecision`
+    * (recall is monotone non-increasing in the threshold, so the lowest
+    * qualifying threshold is the recall argmax subject to the precision
+    * floor — the standard operating-point choice for a quality gate that
+    * must not pass junk). One row: `(threshold, prec, rec, kept)`; EMPTY
+    * when no threshold qualifies (the caller's signal to retrain, not a
+    * silent fallback).
+    *
+    * Scale: identical to [[lrEval]] — training aggregates + one
+    * groupBy(score) count; the cumulative TP/FP sweep runs over the
+    * bounded score-distinct table (both single-partition windows are
+    * metadata-scale by the same argument). Precision/recall round to 6
+    * BEFORE the threshold filter so both engines pick from identical
+    * values. */
+  def lrCalibrate(docs: DataFrame, label: Column, targetPrecision: Double,
+      iters: Int = 5, step: Double = 0.5, testPct: Int = 20,
+      buckets: Int = 100): DataFrame = {
+    require(targetPrecision > 0 && targetPrecision <= 1,
+      s"targetPrecision must be in (0, 1], got $targetPrecision")
+    require(testPct > 0 && testPct < buckets,
+      s"testPct must be in (0, $buckets), got $testPct")
+    val bucket = Sampling.hashBucket(col("doc_id"), buckets)
+    val train = docs.where(bucket >= testPct)
+    val test = docs.where(bucket < testPct)
+    val w = lrTrain(train, label, iters, step).last
+    val scored = lrQuality(test, w(0), w(1), w(2), w(3))
+      .join(test.select(col("doc_id"), label.cast("int").as("y")), "doc_id")
+    val byScore = scored.groupBy(col("lr_score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"))
+    val W = org.apache.spark.sql.expressions.Window
+    val desc = W.orderBy(col("lr_score").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.orderBy(col("lr_score"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    byScore.select(col("lr_score").as("threshold"),
+        sum(col("p")).over(desc).as("tp"),
+        sum(col("c") - col("p")).over(desc).as("fp"),
+        sum(col("p")).over(all).as("pp"))
+      .select(col("threshold"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fp")), 6).as("prec"),
+        round(col("tp") * lit(1.0) / col("pp"), 6).as("rec"),
+        (col("tp") + col("fp")).as("kept"))
+      .where(col("prec") >= targetPrecision)
+      .orderBy(col("threshold"))
+      .limit(1)
+  }
+
+  /** Oracle SQL replaying [[lrCalibrate]]: the lrEval CTE chain up to the
+    * per-score counts, then the descending cumulative TP/FP sweep and the
+    * lowest qualifying threshold. */
+  def lrCalibrateSql(iters: Int, targetPrecision: Double,
+      corpusSql: String = "documents",
+      labelExpr: String = "CAST(lang = 'en' AS INT)",
+      step: Double = 0.5, testPct: Int = 20, buckets: Int = 100): String = {
+    val bkt =
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $buckets"
+    s"""WITH tr AS (SELECT * FROM $corpusSql WHERE $bkt >= $testPct),
+       | te AS (SELECT * FROM $corpusSql WHERE $bkt < $testPct),
+       | ${lrTrainCtes(iters, "tr", labelExpr, step)},
+       | ${lrFeatSql("te", labelExpr, "fe")},
+       | sc AS (SELECT
+       |    round(1.0/(1.0+exp(-(a + b*mtl + c*sr + d*lt))),6) AS lr_score, y
+       |  FROM fe CROSS JOIN w$iters),
+       | bys AS (SELECT lr_score, count(*) AS c,
+       |    CAST(sum(y) AS BIGINT) AS p FROM sc GROUP BY lr_score),
+       | cum AS (SELECT lr_score AS threshold,
+       |    sum(p) OVER (ORDER BY lr_score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(c - p) OVER (ORDER BY lr_score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |    sum(p) OVER () AS pp
+       |  FROM bys)
+       | SELECT threshold, round(tp*1.0/(tp+fp), 6) AS prec,
+       |   round(tp*1.0/pp, 6) AS rec, CAST(tp + fp AS BIGINT) AS kept
+       | FROM cum WHERE round(tp*1.0/(tp+fp), 6) >= $targetPrecision
+       | ORDER BY threshold LIMIT 1""".stripMargin
+  }
+
   /** Oracle SQL replaying [[lrEval]] end to end in DuckDB: fold split →
     * the chained training CTEs on the train fold → held-out scoring →
     * tie-aware rank-sum AUC + accuracy. The evaluation METRIC itself is
