@@ -3711,6 +3711,52 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Image-modality DRIFT — the monitoring rung on the image ladder
+    // (parity with cur_drift on text): PSI of an arriving image batch's
+    // feature distributions (format / mean gray / width, from REAL
+    // decoded pixels via Multimodal.imageStats) against the standing
+    // corpus. The batch is the standing images re-uploaded brightness-
+    // shifted (delta=1 — the re-encode wave a dedup-only monitor would
+    // miss entirely): gray drifts hard while format and width read
+    // exactly 0.0, in one output. The oracle replays every pixel from
+    // the synthetic-variant formula and the PSI quantization.
+    QueryDef("mm_drift")({
+      val grayCte =
+        """sz AS (SELECT doc_id AS id, doc_id AS key, d.delta,
+          |        doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
+          |      FROM documents JOIN (VALUES (0), (1)) d(delta) ON true
+          |      WHERE doc_id < 24),
+          | gr AS (SELECT id, key, delta, w, h,
+          |        (((key*31 + x.x*7 + y.y*13) % 255 + delta)
+          |       + ((key*31 + x.x*7 + y.y*13 + 5) % 255 + delta)
+          |       + ((key*31 + x.x*7 + y.y*13 + 10) % 255 + delta)) // 3 AS gray
+          |      FROM sz JOIN range(0, 16) x(x) ON x.x < w
+          |        JOIN range(0, 9) y(y) ON y.y < h),
+          | st AS (SELECT id, delta,
+          |        CASE WHEN key % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+          |        w, sum(gray) // (w*h) AS mg
+          |      FROM gr GROUP BY id, delta, key, w, h),
+          | s0 AS (SELECT * FROM st WHERE delta = 0),
+          | s1 AS (SELECT * FROM st WHERE delta = 1)""".stripMargin
+      s"""WITH $grayCte,
+         | p0 AS (${graft.operators.Curation.driftFeatureSql("fmt", "fmt", "s0", "s1")}),
+         | p1 AS (${graft.operators.Curation.driftFeatureSql("gray", "mg", "s0", "s1")}),
+         | p2 AS (${graft.operators.Curation.driftFeatureSql("w", "w", "s0", "s1")})
+         | SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         | ORDER BY feature""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def side(delta: Int, shift: Long) = Multimodal.imageStats(
+        Multimodal.syntheticImageVariants(d.where(col("doc_id") < 24)
+          .select((col("doc_id") + shift).as("doc_id"),
+            col("doc_id").as("key"), lit(delta).as("delta"),
+            lit(0).as("spot"))))
+      graft.operators.Curation.drift(side(0, 0L), side(1, 100000L), Seq(
+        "fmt" -> col("format"),
+        "gray" -> col("mean_gray"),
+        "w" -> col("width")))
+    },
+
     // CROSS-corpus image near-dedup — the text ladder's dd_cross_neardup
     // on the image modality: an ARRIVING batch (delta twins + the spot
     // retouch) probes the STANDING corpus (the 24 originals) through one

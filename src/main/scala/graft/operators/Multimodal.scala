@@ -327,6 +327,42 @@ object Multimodal {
     }.toDF("doc_id", "phash", "phash_hex")
   }
 
+  /** Per-image SUMMARY stats over real decoded pixels — the feature row
+    * the image-side drift monitor bins (`mm_drift`): format, dimensions,
+    * and the integer mean gray `⌊Σ⌊(r+g+b)/3⌋ / (w·h)⌋` over EVERY pixel
+    * (not [[dHash64]]'s 9×8 sample — a mean must see all pixels or a
+    * localized retouch vanishes). All-integer arithmetic, so the DuckDB
+    * oracle replays it exactly from the synthetic-variant pixel formula.
+    * Non-decodable payloads DROP (flatMap — the dHash64 routing). Narrow
+    * partition-batched map, O(w·h) reads per image, no shuffle. */
+  def imageStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          fmt <- sniffImageFormat(r.content)
+          (img, _) <- tryDecode(r.content)
+        } yield {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, fmt, w, h, sum / (w.toLong * h))
+        }
+      }
+    }.toDF("doc_id", "format", "width", "height", "mean_gray")
+  }
+
   /** Image near-dup pairs: Hamming distance ≤ `maxHamming` over [[dHash64]]
     * signatures — [[graft.operators.Dedup.simhashPairs]]' 16-bit-band
     * pigeonhole blocking applied verbatim to the image modality (zero

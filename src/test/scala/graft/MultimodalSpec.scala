@@ -256,6 +256,28 @@ class MultimodalSpec extends TestBase {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("imageStats: real decoded dimensions/format; brightness twin shifts mean gray by exactly 1") {
+    // key 6: w = 6 % 13 + 3 = 9, h = 6 % 7 + 2 = 8, png (even key)
+    val media = Multimodal.syntheticImageVariants(Seq(
+      (1L, 6L, 0, 0), (2L, 6L, 1, 0), (3L, 19L, 0, 0))
+      .toDF("doc_id", "key", "delta", "spot"))
+    val got = Multimodal.imageStats(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(got(1L)._1 == "png" && got(1L)._2 == 9 && got(1L)._3 == 8)
+    assert(got(3L)._1 == "bmp" && got(3L)._2 == 9 && got(3L)._3 == 7)
+    // delta = 1 lifts every channel by 1 → per-pixel gray + 1 →
+    // integer mean + 1 exactly ((sum + w·h) div w·h = sum div w·h + 1)
+    assert(got(2L)._4 == got(1L)._4 + 1, s"got $got")
+    // hand replay of the generator formula for doc 1's mean gray
+    val w = 9; val h = 8
+    val sum = (for { y <- 0 until h; x <- 0 until w } yield
+      ((6L * 31 + x * 7 + y * 13) % 255 +
+        (6L * 31 + x * 7 + y * 13 + 5) % 255 +
+        (6L * 31 + x * 7 + y * 13 + 10) % 255) / 3).sum
+    assert(got(1L)._4 == sum / (w * h), s"got ${got(1L)._4}, want ${sum / (w * h)}")
+  }
+
   test("clusterImages: pair evidence becomes transitive cluster labels") {
     // 1≈2 (brightness twin, Hamming 0) and 1≈3 / 2≈3 (spot, Hamming 1)
     // form one component labeled by its min id; key 19 stays unlabeled
