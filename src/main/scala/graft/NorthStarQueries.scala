@@ -1464,6 +1464,48 @@ object NorthStarQueries {
       Similarity.bruteForceTopK(e, q, 10)
     },
 
+    // Embedding-space DRIFT — the monitor's third modality (text
+    // cur_drift, image mm_drift, vectors here): PSI of an arriving
+    // batch's IVF cell-occupancy histogram against the standing corpus's,
+    // both assigned against the STANDING centroids (occupancy is only
+    // comparable on one shared cell set). The planted batch is every
+    // standing vector shifted +0.5 per coordinate — a systematic encoder
+    // bias (the "model update without re-embedding the corpus" accident),
+    // which concentrates assignments toward diagonal-aligned cells. One
+    // codegen'd argmax pass per side, then the metadata-scale PSI tail.
+    QueryDef("sim_drift")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | b0 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x + 0.5) AS v
+         |        FROM embeddings),
+         | b AS (SELECT * FROM b0 WHERE list_dot_product(v, v) > 0),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM
+         |        (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |       WHERE rn <= 16),
+         | a0r AS (SELECT e.vec_id, c.cell, ${cosSql("e.v", "c.cv")} AS cs
+         |         FROM e CROSS JOIN c),
+         | a0 AS (SELECT vec_id, cell FROM (SELECT *, row_number()
+         |          OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |         FROM a0r) WHERE rn = 1),
+         | a1r AS (SELECT b.vec_id, c.cell, ${cosSql("b.v", "c.cv")} AS cs
+         |         FROM b CROSS JOIN c),
+         | a1 AS (SELECT vec_id, cell FROM (SELECT *, row_number()
+         |          OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |         FROM a1r) WHERE rn = 1)
+         | ${graft.operators.Curation.driftFeatureSql("cell", "cell", "a0", "a1")}
+         | ORDER BY feature""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = Similarity.centroidsOf(e, 16)
+      val shifted = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.5D)")
+          .as("embedding"))
+      graft.operators.Curation.drift(
+        Similarity.cellOccupancy(e, cents),
+        Similarity.cellOccupancy(shifted, cents),
+        Seq("cell" -> col("cell")))
+    },
+
     // Scalar-quantized ANN: int-[−64,64] quantized-dot candidate ranking +
     // exact rescore of the top 40 — the byte-compression scale path. Both
     // engines quantize with floor (bit-identical; round differs at halves)

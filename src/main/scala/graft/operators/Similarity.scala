@@ -491,6 +491,21 @@ object Similarity {
       .withColumn("selfdot", dot(col("v"), col("v")))
       .where(col("selfdot") > 0)
 
+  /** Per-vector nearest-centroid CELL labels — the embedding-space
+    * histogram the drift monitor bins (`sim_drift`): every non-zero
+    * vector of `embs` labeled with its nearest centroid from `cents`
+    * (pass the STANDING corpus's [[centroidsOf]] — occupancy histograms
+    * are only comparable against one shared centroid set). The codegen'd
+    * argmax assignment ([[cellAssignExpr]]) — no join, no window, no
+    * shuffle; one narrow pass. Returns `(vec_id, cell)`. */
+  def cellOccupancy(embs: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "cellOccupancy needs at least one centroid")
+    nonZeroVecs(embs)
+      .withColumn("cell", cellAssignExpr(cents))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Home bucket + every Hamming-1 flip per row — the probe set of the
     * near-dup candidate generators (self and cross). */
   private def hammingProbes(bucketed: DataFrame, numPlanes: Int): DataFrame = {

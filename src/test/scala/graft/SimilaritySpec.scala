@@ -480,4 +480,22 @@ class SimilaritySpec extends TestBase {
       Similarity.sqTopK(e, Seq.empty, k = 1)
     }
   }
+
+  test("cellOccupancy: argmax cell against a shared centroid set; zero vectors drop") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.centroidsOf(e, 2) // first two non-zero: cells 1, 2
+    val got = Similarity.cellOccupancy(e, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $got")
+    // a batch must be assignable against the STANDING centroids: same
+    // cells, even when the batch itself would seed different ones
+    val shifted = Seq((9L, Array(0.1f, 0.95f))).toDF("vec_id", "embedding")
+    val g2 = Similarity.cellOccupancy(shifted, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(9L -> 2L), s"got $g2")
+  }
 }
