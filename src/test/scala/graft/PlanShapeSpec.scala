@@ -52,6 +52,24 @@ class PlanShapeSpec extends TestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("cur_drift: one exploded scan per side — no per-feature rescans, no cross joins") {
+    val p = planOf("cur_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the PSI totals must ride the feature window, not a cross join")
+    assert(p.contains("Generate"),
+      "all features must ride ONE exploded (feature, bin) pass per side")
+    // formatted mode names each scan twice (tree + details): 2 sides → ≤ 4
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"per-feature corpus rescans crept back in ($scans)")
+  }
+
+  test("sim_drift: cell assignment is expression-only on both sides — no cartesian") {
+    val p = planOf("sim_drift")
+    assert(!p.contains("CartesianProduct"),
+      "occupancy must come from the argmax expression, not a centroid join")
+  }
+
   test("dd_simhash_pairs: band-blocked self-join with NO corpus broadcast") {
     val p = planOf("dd_simhash_pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
