@@ -141,9 +141,17 @@ object Curation {
     * rows identically). */
   def drift(standing: DataFrame, batch: DataFrame,
       features: Seq[(String, Column)]): DataFrame = {
-    require(features.nonEmpty, "drift needs at least one feature")
+    requireFeatures(features)
     psiFromCounts(binCounts(standing, features, "cs"),
       binCounts(batch, features, "cb"))
+  }
+
+  private def requireFeatures(features: Seq[(String, Column)]): Unit = {
+    require(features.nonEmpty, "drift needs at least one feature")
+    val dups = features.groupBy(_._1).collect { case (n, fs) if fs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate drift feature names ${dups.toSeq.sorted.mkString(", ")} — " +
+        "two expressions under one name would silently double-count its bins")
   }
 
   /** One corpus scan → the (feature, bin) count table for all features. */
@@ -187,7 +195,7 @@ object Curation {
     * misuse this can't catch, so keep feature definitions in one place). */
   def buildDriftIndex(standing: DataFrame, features: Seq[(String, Column)],
       dir: String): Unit = {
-    require(features.nonEmpty, "drift needs at least one feature")
+    requireFeatures(features)
     binCounts(standing, features, "cs")
       .repartition(1)
       .write.mode("overwrite").parquet(dir)
@@ -202,7 +210,7 @@ object Curation {
     * monitors). */
   def driftAgainstIndex(indexDir: String, batch: DataFrame,
       features: Seq[(String, Column)]): DataFrame = {
-    require(features.nonEmpty, "drift needs at least one feature")
+    requireFeatures(features)
     val idx = batch.sparkSession.read.parquet(indexDir)
     // metadata-scale action: the index's distinct feature names (≤ the
     // handful of declared monitors), never its bins

@@ -2118,7 +2118,18 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    labels.join(scores, "doc_id")
+    // LEFT join + lazy raise_error, not an inner join: a labeled doc with
+    // no score row would otherwise silently vanish — and could silently
+    // change which member of its cluster survives (the tokenMixtureSample
+    // unmatched-key lesson). The check rides the rows; no extra action.
+    labels.join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("score").isNull, raise_error(concat(
+            lit("canonicalByQuality: labeled doc "),
+            col("doc_id").cast("string"),
+            lit(" has no score row — score every labeled doc (a missing " +
+              "score would silently change which cluster member survives)"))))
+          .otherwise(col("score")).as("score"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("score"),
         (col("rn") === 1).cast("int").as("keep"))

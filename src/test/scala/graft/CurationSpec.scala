@@ -81,5 +81,10 @@ class CurationSpec extends TestBase {
       Seq("b" -> col("b"))).collect()(0)
     assert(got.getAs[Long]("n_bins") == 2L)
     assert(got.getAs[Double]("psi") == 0.87889, s"got $got")
+    // duplicate feature names would silently double-count bins — refused
+    val err = intercept[IllegalArgumentException] {
+      Curation.drift(same, same, Seq("b" -> col("b"), "b" -> upper(col("b"))))
+    }
+    assert(err.getMessage.contains("duplicate drift feature"), err.getMessage)
   }
 }

@@ -780,5 +780,12 @@ class DedupSpec extends TestBase {
     assert(got(3L) == 1 && got(4L) == 0)
     // singleton keeps itself
     assert(got(5L) == 1)
+    // a labeled doc with no score row fails loudly — it would otherwise
+    // silently change which member of its cluster survives
+    val err = intercept[Exception] {
+      Dedup.canonicalByQuality(labels, scores.where(col("doc_id") =!= 2L))
+        .collect()
+    }
+    assert(err.getMessage.contains("no score row"), err.getMessage)
   }
 }
