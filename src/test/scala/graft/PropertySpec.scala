@@ -94,6 +94,27 @@ class PropertySpec extends TestBase {
     }, 8)
   }
 
+  test("drift PSI is symmetric, non-negative, and zero on identical corpora (random bins)") {
+    import graft.operators.Curation
+    // per-bin term (p − q)·ln(p/q) ≥ 0, and swapping sides maps it to
+    // (q − p)·ln(q/p) — the same value — so PSI must be symmetric and
+    // non-negative for ANY pair of bin multisets; identical multisets
+    // must read exactly 0.0 (every term's quantization is round(0) = 0).
+    val genSide = for {
+      n <- Gen.choose(1, 40)
+      bins <- Gen.listOfN(n, Gen.choose(0, 5))
+    } yield bins
+    check(Prop.forAll(genSide, genSide) { (as, bs) =>
+      def df(xs: List[Int]) = xs.zipWithIndex
+        .map { case (b, i) => (i.toLong, s"b$b") }.toDF("doc_id", "b")
+      val f = Seq("b" -> col("b"))
+      def psi(x: List[Int], y: List[Int]): Double =
+        Curation.drift(df(x), df(y), f).collect()(0).getAs[Double]("psi")
+      val ab = psi(as, bs)
+      ab >= 0.0 && ab == psi(bs, as) && psi(as, as) == 0.0
+    }, 8)
+  }
+
   test("exact dedup keeps min doc_id and true copy counts on random corpora") {
     val genDocs = for {
       n <- Gen.choose(1, 40)
