@@ -3459,6 +3459,46 @@ object NorthStarQueries {
       out
     },
 
+    // The drift index GROWN by an arriving batch — histograms are
+    // count-additive, so growth is one batch scan + a bin-scale
+    // batchId-keyed partition write (appendToDriftIndex; the standing
+    // corpus is never rescanned, existing partitions never rewritten —
+    // the append ladder every other index here has). The probe scores a
+    // second batch against the grown index; the oracle recomputes the
+    // same PSI from (standing ∪ batch-0) raw — hash equality proves
+    // grown == recomputed.
+    QueryDef("cur_drift_grown")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val grown = s"(SELECT * FROM documents WHERE $bkt >= 20 OR $bkt < 10)"
+      val b1 = s"(SELECT * FROM documents WHERE $bkt >= 10 AND $bkt < 20)"
+      Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", grown, b1),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", grown, b1),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", grown, b1))
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY feature")
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"),
+        "tokens" -> floor(size(split(col("text"), " ")) / lit(64)))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-drift-grow-q")
+      val idx = s"$stDir/index"
+      graft.operators.Curation.buildDriftIndex(
+        d.where(bucket >= 20), features, idx)
+      graft.operators.Curation.appendToDriftIndex(
+        d.where(bucket < 10), features, idx, ingestBatch = 0L)
+      val out = graft.operators.Curation.driftAgainstIndex(
+        idx, d.where(bucket >= 10 && bucket < 20), features)
+        .localCheckpoint(true)
+      deleteRecursively(stDir)
+      out
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch

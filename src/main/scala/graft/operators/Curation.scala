@@ -186,7 +186,8 @@ object Curation {
   /** Persist the standing corpus's per-feature bin HISTOGRAMS — the drift
     * monitor's standing state. One corpus scan total ([[drift]]'s
     * binCounts); the artifact is the bin table itself (bin cardinality,
-    * metadata-scale — one small file), so per-arrival probes
+    * metadata-scale), written as the `ingest=-1` seed partition so
+    * [[appendToDriftIndex]] can grow it additively. Per-arrival probes
     * ([[driftAgainstIndex]], [[graft.streaming.Streams.driftMonitor]])
     * never rescan the standing corpus. Feature NAMES are stored with the
     * counts and contract-checked at probe time; the bin EXPRESSIONS are
@@ -198,7 +199,26 @@ object Curation {
     requireFeatures(features)
     binCounts(standing, features, "cs")
       .repartition(1)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/ingest=-1")
+  }
+
+  /** GROW the standing histograms by an arriving batch — histograms are
+    * count-additive, so growth is one batch scan plus a bin-cardinality
+    * write; the standing corpus is never rescanned and existing index
+    * partitions are never rewritten. The batch lands as its own
+    * `ingest=<id>` partition (batchId-keyed overwrite → a crash-replayed
+    * micro-batch rewrites its own partition with identical data, the
+    * noveltyIngest discipline); probes sum across partitions at read,
+    * still bin-scale work. Fails loudly if the batch's feature names
+    * don't match the index's. */
+  def appendToDriftIndex(batch: DataFrame, features: Seq[(String, Column)],
+      dir: String, ingestBatch: Long): Unit = {
+    require(ingestBatch >= 0,
+      s"ingest batch id $ingestBatch is negative — -1 is the seed partition")
+    requireIndexFeatures(batch.sparkSession.read.parquet(dir), dir, features)
+    binCounts(batch, features, "cs")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/ingest=$ingestBatch")
   }
 
   /** PSI of an arriving batch against the PERSISTED standing histograms —
@@ -209,19 +229,34 @@ object Curation {
     * counted — or missing one it did — would silently compare different
     * monitors). */
   def driftAgainstIndex(indexDir: String, batch: DataFrame,
-      features: Seq[(String, Column)]): DataFrame = {
+      features: Seq[(String, Column)],
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
     requireFeatures(features)
-    val idx = batch.sparkSession.read.parquet(indexDir)
-    // metadata-scale action: the index's distinct feature names (≤ the
-    // handful of declared monitors), never its bins
+    val raw = batch.sparkSession.read.parquet(indexDir)
+    requireIndexFeatures(raw, indexDir, features)
+    // own-partition exclusion (replay exactness): a crash-replayed grown
+    // micro-batch must never score against counts it appended itself
+    val visible = excludeIngestBatch match {
+      case Some(id) => raw.where(col("ingest") =!= id)
+      case None => raw
+    }
+    // sum across ingest partitions — bin-cardinality work
+    val idx = visible.groupBy(col("feature"), col("bin"))
+      .agg(sum(col("cs")).as("cs"))
+    psiFromCounts(idx, binCounts(batch, features, "cb"))
+  }
+
+  /** The probe/append feature contract: names must exactly match the
+    * index's. Metadata-scale action (distinct feature names, never bins). */
+  private def requireIndexFeatures(idx: DataFrame, dir: String,
+      features: Seq[(String, Column)]): Unit = {
     val have = idx.select(col("feature")).distinct()
       .collect().map(_.getString(0)).toSet
     val want = features.map(_._1).toSet
     require(have == want,
-      s"drift index at $indexDir covers features ${have.toSeq.sorted} but " +
+      s"drift index at $dir covers features ${have.toSeq.sorted} but " +
         s"the probe declares ${want.toSeq.sorted} — rebuild the index or " +
         "align the probe (bin expressions are keyed by these names)")
-    psiFromCounts(idx, binCounts(batch, features, "cb"))
   }
 
   /** Oracle SQL replaying [[drift]] for one feature as a SELECT (callers

@@ -455,20 +455,36 @@ object Streams {
     * micro-batch cadence, but it only OBSERVES, so there is no state to
     * grow and nothing to keep replay-consistent beyond the output itself.
     *
-    * Replay-exact by construction: the index is read-only here and each
-    * batch's rows land as a batchId-keyed overwrite, so a crash-replayed
-    * micro-batch rewrites its own partition with identical data. Per-batch
-    * cost is one batch scan (all features at once) + a metadata-scale
-    * index read — the standing corpus is never touched. */
+    * Replay-exact by construction: each batch's rows land as a
+    * batchId-keyed overwrite, so a crash-replayed micro-batch rewrites its
+    * own partition with identical data. Per-batch cost is one batch scan
+    * (all features at once) + a bin-scale index read — the standing
+    * corpus is never touched.
+    *
+    * `grow = false` (default): pure observer against a FIXED baseline.
+    * `grow = true`: after scoring, the batch's bin counts fold into the
+    * index (`Curation.appendToDriftIndex` — count-additive, batchId-keyed
+    * partition), so batch k scores against standing ∪ batches 0..k−1 (the
+    * noveltyIngest discipline; the probe excludes the batch's OWN
+    * partition, so a crash replay scores identically). */
   def driftMonitor(docs: DataFrame, indexDir: String, driftDir: String,
       checkpointDir: String,
-      features: Seq[(String, org.apache.spark.sql.Column)])
+      features: Seq[(String, org.apache.spark.sql.Column)],
+      grow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Curation
-          .driftAgainstIndex(indexDir, batch.toDF(), features)
-          .write.mode("overwrite").parquet(s"$driftDir/micro_batch=$batchId")
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.Curation
+            .driftAgainstIndex(indexDir, b, features,
+              excludeIngestBatch = if (grow) Some(batchId) else None)
+            .write.mode("overwrite").parquet(s"$driftDir/micro_batch=$batchId")
+          if (grow)
+            graft.operators.Curation
+              .appendToDriftIndex(b, features, indexDir, batchId)
+        } finally { b.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

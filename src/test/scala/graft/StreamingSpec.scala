@@ -516,6 +516,47 @@ class StreamingSpec extends TestBase {
     assert(err.getMessage.contains("rebuild the index"), err.getMessage)
   }
 
+  test("driftMonitor(grow): batch k scores vs standing ∪ batches 0..k−1; growth == recompute") {
+    import graft.operators.Curation
+    val d = Tables(spark, sf(), "documents")
+    val standing = d.where(col("doc_id") < 40)
+    val b1 = d.where(col("doc_id") >= 40 && col("doc_id") < 50)
+    val b2 = d.where(col("doc_id") >= 50 && col("doc_id") < 60)
+    val features = Seq(
+      "chars" -> floor(length(col("text")) / lit(256)),
+      "lang" -> col("lang"))
+    val st = java.nio.file.Files.createTempDirectory("graft-driftgrow")
+    val idxDir = st.resolve("index").toString
+    Curation.buildDriftIndex(standing, features, idxDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-driftgrow-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    val q = Streams.driftMonitor(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, st.resolve("drift").toString, st.resolve("ckpt").toString,
+      features, grow = true)
+    q.awaitTermination()
+    val cols = Seq("micro_batch", "feature", "n_bins", "psi")
+    val got = spark.read.parquet(st.resolve("drift").toString)
+      .select(col("micro_batch").cast("long").as("micro_batch"),
+        col("feature"), col("n_bins"), col("psi"))
+    // sequential twin: batch 0 vs standing; batch 1 vs standing ∪ batch 0
+    val want = Curation.drift(standing, b1, features)
+      .withColumn("micro_batch", lit(0L))
+      .unionAll(Curation.drift(standing.unionAll(b1), b2, features)
+        .withColumn("micro_batch", lit(1L)))
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "grown streamed PSI must equal the sequential recompute per batch")
+    // replay exactness: re-probing batch 2 with its own partition excluded
+    // scores identically to the pre-append state (the crash-replay path)
+    val replay = Curation.driftAgainstIndex(idxDir, b2, features,
+      excludeIngestBatch = Some(1L))
+    val fresh = Curation.drift(standing.unionAll(b1), b2, features)
+    assert(replay.exceptAll(fresh).isEmpty && fresh.exceptAll(replay).isEmpty,
+      "own-partition exclusion must make a replayed probe exact")
+  }
+
   test("curation loop: streamed increments converge to the batch-pipeline labeling") {
     import graft.operators.Dedup
     val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
