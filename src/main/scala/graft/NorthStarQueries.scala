@@ -673,6 +673,82 @@ object NorthStarQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // MEASURED LSH recall — the dedup-side sim_recall: the banded chain's
+    // J ≥ 0.5 pairs against the EXACT ground truth (every pair sharing a
+    // shingle, scored — complete, since J > 0 requires a shared shingle;
+    // same hashed-shingle space as the chain's scorer, so the comparison
+    // can't fork on a collision). Precision is 1.0 by construction (the
+    // chain scores candidates with the exact metric before thresholding);
+    // recall quantifies what 4-band×2-hash banding loses near the
+    // threshold. Truth is eval-corpus-only brute force, like sim_recall's
+    // baseline.
+    QueryDef("dd_recall")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' extra'
+         |    FROM documents WHERE doc_id < 20
+         |  UNION ALL SELECT doc_id + 300000,
+         |    substr(text, 1, CAST(FLOOR(length(text)*3/5) AS INT)) || ' y' || doc_id
+         |    FROM documents WHERE doc_id < 40),
+         | $lshPairsSql,
+         | shk AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sk FROM sh),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY 1),
+         | t_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |             FROM shk a JOIN shk b ON a.sk = b.sk AND a.doc_id < b.doc_id
+         |             GROUP BY 1, 2),
+         | truth AS (SELECT doc_a, doc_b FROM t_inter
+         |           JOIN sz na ON na.doc_id = doc_a
+         |           JOIN sz nb ON nb.doc_id = doc_b
+         |           WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.5),
+         | f_inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |             FROM pairs p
+         |             JOIN shk sa ON sa.doc_id = p.doc_a
+         |             JOIN shk sb ON sb.doc_id = p.doc_b AND sb.sk = sa.sk
+         |             GROUP BY 1, 2),
+         | found AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |           LEFT JOIN f_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |           JOIN sz na ON na.doc_id = p.doc_a
+         |           JOIN sz nb ON nb.doc_id = p.doc_b
+         |           WHERE round(coalesce(i.n_inter, 0)
+         |             / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5),
+         | hit AS (SELECT f.doc_a FROM found f JOIN truth t
+         |         ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+         | SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |   (SELECT count(*) FROM found) AS n_found,
+         |   (SELECT count(*) FROM hit) AS n_correct,
+         |   round((SELECT count(*) FROM hit) * 1.0
+         |     / (SELECT count(*) FROM found), 6) AS prec,
+         |   round((SELECT count(*) FROM hit) * 1.0
+         |     / (SELECT count(*) FROM truth), 6) AS rec
+         | ORDER BY n_truth""".stripMargin
+    ) { (s, dir) =>
+      // high-J suffix twins (banding always catches) + mid-J 60%-prefix
+      // twins (J ≈ 0.45–0.6 — the band where 4-band×2-hash banding
+      // actually loses pairs), so the measured recall is informative
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionAll(d.where(col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(
+              expr("substring(text, 1, CAST(FLOOR(length(text)*3/5) AS INT))"),
+              lit(" y"), col("doc_id").cast("string")).as("text")))
+      val truth = Dedup.exactNearDupTruth(corpus, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val found = Dedup.nearDupScores(corpus)
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val correct = found.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(correct.agg(count(lit(1)).as("n_correct")))
+        .select(col("n_truth"), col("n_found"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_found"), 6).as("prec"),
+          round(col("n_correct").cast("double") / col("n_truth"), 6).as("rec"))
+        .orderBy(col("n_truth"))
+    },
+
     // Asymmetric containment: n_inter/n_a ≈ 1 flags doc_a as (near-)subset
     // of doc_b — quote inclusion / boilerplate subsumption that symmetric
     // Jaccard under-scores. Same candidate-only cost model; one shared

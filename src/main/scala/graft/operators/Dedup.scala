@@ -674,6 +674,41 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     dedupFirst(docs, n, numHashes, bandSize, maxBucket, mode = "jaccard")
 
+  /** EXACT near-dup ground truth — EVERY pair with n-gram Jaccard ≥
+    * `minJaccard`, found by the shared-shingle self-join (a pair with
+    * J > 0 must share a shingle, so the set is complete), in the same
+    * 60-bit hashed-shingle space as [[pairOverlapStats]] so "truth" and
+    * the LSH chain's "found" can never diverge on a hash collision.
+    *
+    * EVAL-CORPUS ONLY — the measuring stick, not the operator: the
+    * shared-shingle self-join is O(Σ_shingle docs²), exactly the
+    * quadratic the banded chain exists to avoid (the dedup-side analogue
+    * of `sim_recall`'s brute baseline — production dedup runs the LSH
+    * operators; this quantifies what their banding loses). */
+  def exactNearDupTruth(docs: DataFrame, minJaccard: Double,
+      n: Int = 3): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1]: $minJaccard")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingles(docs, n)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sk"))
+      .persist(sl)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    materializeThenRelease(out, sh)
+  }
+
   /** Candidate pairs only, dedup-first: the pair set of `lshCandidatePairs`
     * at distinct-text cost (same equivalence argument as `nearDupScores`,
     * minus the Jaccard measurement). Feed to pair scorers with their own

@@ -788,4 +788,23 @@ class DedupSpec extends TestBase {
     }
     assert(err.getMessage.contains("no score row"), err.getMessage)
   }
+
+  test("exactNearDupTruth: complete hand-computed J >= t pair set; LSH found is a subset") {
+    // 3-gram shingles: doc 1 {abc,bcd,cde}, doc 2 {abc,bcd,cdX} → J = 2/4;
+    // doc 3 shares nothing; doc 4 = doc 1 verbatim → J = 1 with 1 and 2/4 with 2
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"),
+      (4L, "a b c d e")).toDF("doc_id", "text")
+    val truth = Dedup.exactNearDupTruth(docs, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(truth == Map(
+      (1L, 2L) -> 0.5, (1L, 4L) -> 1.0, (2L, 4L) -> 0.5), s"got $truth")
+    // below-threshold pairs are excluded, not missing: at t = 0.4 nothing new
+    assert(Dedup.exactNearDupTruth(docs, 0.4).count() == 3)
+    // the banded chain can only ever MISS truth pairs, never invent them
+    val found = Dedup.nearDupScores(docs).where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth.keySet), s"found $found beyond truth")
+  }
 }
