@@ -680,11 +680,14 @@ object Dedup {
     * 60-bit hashed-shingle space as [[pairOverlapStats]] so "truth" and
     * the LSH chain's "found" can never diverge on a hash collision.
     *
-    * EVAL-CORPUS ONLY — the measuring stick, not the operator: the
-    * shared-shingle self-join is O(Σ_shingle docs²), exactly the
-    * quadratic the banded chain exists to avoid (the dedup-side analogue
-    * of `sim_recall`'s brute baseline — production dedup runs the LSH
-    * operators; this quantifies what their banding loses). */
+    * The measuring stick, not the operator (the dedup-side analogue of
+    * `sim_recall`'s brute baseline — production dedup runs the LSH
+    * operators; this quantifies what their banding loses). EXACT but not
+    * naive: prefix filtering (see body) keeps the candidate join off the
+    * hot shingles, so the cost is O(Σ_prefix-shingle docs²) — still
+    * worst-case quadratic on a corpus of mutual near-dups (that is what
+    * "complete truth" costs), but no longer blown up by corpus-wide
+    * boilerplate shingles. */
   def exactNearDupTruth(docs: DataFrame, minJaccard: Double,
       n: Int = 3): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
@@ -695,9 +698,36 @@ object Dedup {
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sk"))
       .persist(sl)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // PREFIX FILTERING (AllPairs/PPJoin, Bayardo 2007 / Xiao 2008) — the
+    // candidate join only needs each doc's first |X| − ⌈t·|X|⌉ + 1
+    // shingles under a GLOBAL rarest-first canonical order (df ASC, sk
+    // ASC): a pair with J ≥ t has |A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉
+    // common shingles, and if none fell in both prefixes the commons
+    // would all sit in a suffix shorter than that — contradiction, so
+    // the prefix join is COMPLETE for J ≥ t. Rarest-first puts the hot
+    // shingles at the END of every doc's order, so the corpus-wide
+    // boilerplate shingles that make the naive self-join quadratic never
+    // enter the candidate join at all; exact scoring then runs on
+    // candidates only (full shingle sets, the pairOverlapStats shape).
+    val dfc = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sk"))
+    val prefix = sh.join(dfc, "sk")
+      .withColumn("rnk", row_number().over(byDoc))
+      .join(sizes, "doc_id")
+      .where(col("rnk") <=
+        col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sk"))
+      .persist(sl)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sk") === col("sb.sk"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val out = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -706,7 +736,7 @@ object Dedup {
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-    materializeThenRelease(out, sh)
+    materializeThenRelease(out, sh, prefix)
   }
 
   /** Candidate pairs only, dedup-first: the pair set of `lshCandidatePairs`

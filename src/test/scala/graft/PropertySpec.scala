@@ -115,6 +115,42 @@ class PropertySpec extends TestBase {
     }, 8)
   }
 
+  test("exactNearDupTruth (prefix-filtered) equals brute-force Jaccard truth on random corpora") {
+    // the prefix filter must be COMPLETE: same pair set as scoring every
+    // pair of docs exhaustively, for any threshold and any shingle overlap
+    def bruteTruth(docs: List[(Long, String)], t: Double): Set[(Long, Long)] = {
+      def sh(s: String): Set[String] = {
+        val w = s.split(" ").toList
+        if (w.length < 3) Set(s)
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, s) => id -> sh(s) }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (a, b)).toSet
+    }
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nd, for {
+        len <- Gen.choose(1, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(words))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val genT = Gen.oneOf(0.3, 0.5, 0.8)
+    check(Prop.forAll(genCorpus, genT) { (docs, t) =>
+      val got = graft.operators.Dedup
+        .exactNearDupTruth(docs.toDF("doc_id", "text"), t)
+        .select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      got == bruteTruth(docs, t)
+    }, 10)
+  }
+
   test("exact dedup keeps min doc_id and true copy counts on random corpora") {
     val genDocs = for {
       n <- Gen.choose(1, 40)
