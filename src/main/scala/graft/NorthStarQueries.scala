@@ -698,7 +698,7 @@ object NorthStarQueries {
          | truth AS (SELECT doc_a, doc_b FROM t_inter
          |           JOIN sz na ON na.doc_id = doc_a
          |           JOIN sz nb ON nb.doc_id = doc_b
-         |           WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.5),
+         |           WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.5),
          | f_inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
          |             FROM pairs p
          |             JOIN shk sa ON sa.doc_id = p.doc_a

@@ -298,8 +298,15 @@ object Bpe {
     * multi-KB token vector). Both alternation order and greediness are
     * identical in the JVM regex engine and DuckDB's RE2 (leftmost-first
     * alternation, greedy `+`), so engine and oracle pre-tokenize
-    * identically; BpeSpec pins the kernel against the Column form. */
-  val PretokRegex = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]+"
+    * identically; BpeSpec pins the kernel against the Column form.
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\x0B\f\r]`, not `\s`: Java's
+    * `\s` includes `\x0B` (vertical tab) while RE2's is `[\t\n\f\r ]`
+    * without it, so a `\x0B`-bearing document would pre-tokenize
+    * differently in the engine (separator) vs the DuckDB oracle (part of
+    * a punctuation run) — the one portability gap in the original `\s`
+    * form (BpeSpec pins a `\x0B` document). */
+  val PretokRegex = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9 \\t\\n\\x0B\\f\\r]+"
 
   /** The pretoken ARRAY of `text` as a codegen'd Column. */
   def preTokens(text: Column): Column =

@@ -154,11 +154,24 @@ object Curation {
         "two expressions under one name would silently double-count its bins")
   }
 
-  /** One corpus scan → the (feature, bin) count table for all features. */
+  /** One corpus scan → the (feature, bin) count table for all features.
+    *
+    * Bin rendering is `N` for NULL, `V<value>` otherwise — injective over
+    * values INCLUDING null, so a nullable feature forms exactly one null
+    * bin that ALIGNS across the two sides of [[psiFromCounts]]'s
+    * full-outer join (a bare cast would render null as a null join key,
+    * which never matches itself, splitting one non-drifting null bin into
+    * two phantom one-sided bins and inflating PSI). [[driftFeatureSql]]
+    * mirrors the same rendering. Indexes persisted before this rendering
+    * existed carry raw-cast bins; rebuild them before probing if the
+    * feature is nullable (non-null bins are unaffected up to the `V`
+    * prefix, which never leaves the count table). */
   private def binCounts(df: DataFrame, features: Seq[(String, Column)],
       as: String): DataFrame =
     df.select(explode(array(features.map { case (name, bin) =>
-        struct(lit(name).as("feature"), bin.cast("string").as("bin"))
+        struct(lit(name).as("feature"),
+          when(bin.isNull, lit("N"))
+            .otherwise(concat(lit("V"), bin.cast("string"))).as("bin"))
       }: _*)).as("fb"))
       .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
       .agg(count(lit(1)).as(as))
@@ -262,9 +275,14 @@ object Curation {
   /** Oracle SQL replaying [[drift]] for one feature as a SELECT (callers
     * UNION ALL the features and ORDER BY outside). `binExpr` must be the
     * DuckDB rendering of the feature's bin expression; `standingSql` /
-    * `batchSql` the two corpus terms. */
+    * `batchSql` the two corpus terms. Mirrors [[binCounts]]'s null-safe
+    * bin rendering (`N` / `V<value>`) so a nullable feature's null bin
+    * aligns across the FULL JOIN instead of splitting (USING(bin) never
+    * matches null to null, same as the engine-side Seq-join). */
   def driftFeatureSql(feature: String, binExpr: String,
-      standingSql: String, batchSql: String): String =
+      standingSql: String, batchSql: String): String = {
+    val binKey = s"CASE WHEN ($binExpr) IS NULL THEN 'N' " +
+      s"ELSE 'V' || CAST($binExpr AS VARCHAR) END"
     s"""SELECT '$feature' AS feature, n_bins, round(raw, 6) AS psi FROM (
        |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
        |    sum(CAST(round(((cb+1.0)/(tb+nb) - (cs+1.0)/(ts+nb)) *
@@ -275,9 +293,10 @@ object Curation {
        |      sum(coalesce(cs, 0)) OVER () AS ts,
        |      sum(coalesce(cb, 0)) OVER () AS tb,
        |      count(*) OVER () AS nb
-       |    FROM (SELECT $binExpr AS bin, count(*) AS cs
+       |    FROM (SELECT $binKey AS bin, count(*) AS cs
        |          FROM $standingSql GROUP BY 1) s
-       |    FULL JOIN (SELECT $binExpr AS bin, count(*) AS cb
+       |    FULL JOIN (SELECT $binKey AS bin, count(*) AS cb
        |          FROM $batchSql GROUP BY 1) b USING (bin)
        |  ) j)""".stripMargin
+  }
 }

@@ -729,13 +729,21 @@ object Dedup {
         col("doc_b") === col("sb.doc_id") && col("sa.sk") === col("sb.sk"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // Threshold on the UNROUNDED ratio (round only the emitted column):
+    // the prefix-filter completeness theorem holds for true J >= t, so
+    // filtering on a 6-decimal rounding would make boundary membership
+    // candidate-set-dependent for thresholds not representable in 6
+    // decimals (a true-J >= t pair could round below t and drop; a
+    // just-below pair that rounds up would be included only if it
+    // happened to survive the prefix join).
     val out = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .where(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))
+        >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
           .as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
     materializeThenRelease(out, sh, prefix)
   }
 

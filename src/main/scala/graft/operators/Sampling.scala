@@ -90,33 +90,34 @@ object Sampling {
     require(budget > 0, s"budget must be positive: $budget")
     val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
       .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
-    val withW = cnt.withColumn("_w",
-        weights.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
-          when(col("_strat") === s, lit(p)).otherwise(acc)
-        })
-      .where(col("_w").isNotNull)
-    // `_nstrat` rides the same aggregate: a weight key naming a stratum
-    // ABSENT from the data would otherwise just drop out of the
-    // achievability min and the join — a typo'd name silently vanishing
-    // its budget share, inconsistent with this operator's fail-fast
-    // requires. The raise_error fires lazily with the data (the
-    // mixtureResample amplification-guard pattern), keeping the operator
-    // collect-free.
+    // The weight LIST is the driving table (a literal-values relation, one
+    // row per declared key, left-joined to the data's stratum masses): a
+    // weight key naming a stratum ABSENT from the data surfaces as a null
+    // mass and raises — per-row, naming the key. Driving from the data
+    // side instead (the pre-r15 shape) had a hole: with ZERO matching
+    // keys the guard rode an empty relation and never evaluated, silently
+    // returning empty — exactly the typo'd-name mode it claimed to close.
+    // The raise_error fires lazily with the data (the mixtureResample
+    // amplification-guard pattern), keeping the operator collect-free.
+    val wdf = {
+      import df.sparkSession.implicits._
+      weights.toSeq.toDF("_strat", "_w")
+    }
+    val withW = wdf.join(cnt, Seq("_strat"), "left")
+      .select(col("_strat"), col("_w"),
+        when(col("_t").isNull,
+          raise_error(concat(
+            lit("tokenMixtureSample: weight key "), col("_strat"),
+            lit(" matched no stratum in the data — check the weight names " +
+              "(an unmatched key's budget share would silently vanish)"))))
+        .otherwise(col("_t")).as("_t"))
     val achievable = withW
       .agg(least(lit(budget),
-        min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"),
-        count(lit(1)).as("_nstrat"))
+        min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"))
     val thresholds = withW.crossJoin(broadcast(achievable))
       .select(col("_strat"),
-        when(col("_nstrat") =!= lit(weights.size.toLong),
-          raise_error(concat(
-            lit("tokenMixtureSample: only "), col("_nstrat").cast("string"),
-            lit(s" of ${weights.size} weight keys matched a stratum in the " +
-              "data — check the weight names (an unmatched key's budget " +
-              "share would silently vanish)"))))
-        .otherwise(
-          floor(col("_w") * col("_bach") * lit(buckets.toDouble) / col("_t"))
-            .cast("long")).as("_thr"))
+        floor(col("_w") * col("_bach") * lit(buckets.toDouble) / col("_t"))
+          .cast("long").as("_thr"))
     df.join(broadcast(thresholds), stratum <=> col("_strat"), "inner")
       .where(hashBucket(key, buckets) < col("_thr"))
       .drop("_strat", "_thr")
@@ -273,11 +274,22 @@ object Sampling {
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
       .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
-    val withP = cnt.withColumn("_p",
-        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
-          when(col("_strat") === s, lit(p)).otherwise(acc)
-        })
-      .where(col("_p").isNotNull)
+    // Target keys drive (literal-values relation left-joined to the data's
+    // masses) so a typo'd key raises by name instead of silently dropping
+    // out of withP and shrinking the targeted total T — the same fail-fast
+    // posture as tokenMixtureSample, which this sibling lacked pre-r15.
+    val tdf = {
+      import df.sparkSession.implicits._
+      targets.toSeq.toDF("_strat", "_p")
+    }
+    val withP = tdf.join(cnt, Seq("_strat"), "left")
+      .select(col("_strat"), col("_p"),
+        when(col("_t").isNull,
+          raise_error(concat(
+            lit("tokenMixtureResample: target key "), col("_strat"),
+            lit(" matched no stratum in the data — check the target names " +
+              "(an unmatched key's token share would silently vanish)"))))
+        .otherwise(col("_t")).as("_t"))
     val total = withP.agg(sum(col("_t")).as("_tt"))
     val factors = withP.crossJoin(broadcast(total))
       .select(col("_strat"),

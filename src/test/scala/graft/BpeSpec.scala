@@ -219,6 +219,18 @@ class BpeSpec extends TestBase {
     assert(got(2L) == Seq("数据引擎", "42", "!"))
   }
 
+  test("pre-tokenizer: \\x0B is whitespace (explicit class, not \\s)") {
+    // Java's \s includes \x0B but RE2's does not — PretokRegex spells the
+    // whitespace class out so both engines treat \x0B as a separator.
+    // Pinned here: \x0B separates runs and never joins a punctuation run.
+    val d = docs(1L -> "ab\u000Bcd", 2L -> "x.\u000B.y", 3L -> "\u000B")
+    val got = d.select(col("doc_id"), Bpe.preTokens(col("text")).as("p"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("ab", "cd"))
+    assert(got(2L) == Seq("x", ".", ".", "y"))
+    assert(got(3L) == Seq.empty[String])
+  }
+
   test("no-space text stops degrading: pretok bounds merge-loop inputs at runs") {
     // under split(" ") this doc is ONE giant word; pre-tokenized it is
     // letter runs split at punctuation — the production contract

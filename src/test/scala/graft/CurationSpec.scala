@@ -87,4 +87,25 @@ class CurationSpec extends TestBase {
     }
     assert(err.getMessage.contains("duplicate drift feature"), err.getMessage)
   }
+
+  test("drift: a nullable feature forms ONE aligned null bin, not two phantom bins") {
+    // r14 ADVICE (medium): null join keys never match in the full-outer
+    // bin alignment, so a null bin present on BOTH sides used to split
+    // into two one-sided bins — inflating n_bins and reporting drift on a
+    // non-drifting distribution. The injective N/V bin rendering aligns it.
+    def corpus(bins: Option[String]*) =
+      bins.zipWithIndex.map { case (b, i) => (i.toLong, b.orNull) }.toDF("doc_id", "b")
+    val same = corpus(Some("A"), Some("A"), None, None)
+    val zero = Curation.drift(same, same, Seq("b" -> col("b"))).collect()(0)
+    assert(zero.getAs[Long]("n_bins") == 2L,
+      s"null must be one bin, not two phantom one-sided bins: $zero")
+    assert(zero.getAs[Double]("psi") == 0.0, s"identical sides must not drift: $zero")
+    // and null stays a DISTINCT bin from any real value (injective): a
+    // batch that replaces nulls with 'A' genuinely drifts
+    val shifted = Curation.drift(same,
+      corpus(Some("A"), Some("A"), Some("A"), Some("A")),
+      Seq("b" -> col("b"))).collect()(0)
+    assert(shifted.getAs[Long]("n_bins") == 2L && shifted.getAs[Double]("psi") > 0.0,
+      s"null->A replacement must register as drift: $shifted")
+  }
 }

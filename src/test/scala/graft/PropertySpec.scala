@@ -125,11 +125,12 @@ class PropertySpec extends TestBase {
         else w.sliding(3).map(_.mkString(" ")).toSet
       }
       val sets = docs.map { case (id, s) => id -> sh(s) }
+      // threshold on the UNROUNDED ratio — the r15 contract (round only
+      // the emitted jaccard column), mirroring Dedup.exactNearDupTruth
       (for {
         (a, sa) <- sets; (b, sb) <- sets if a < b
         inter = (sa & sb).size
-        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        j = inter.toDouble / (sa.size + sb.size - inter)
         if j >= t
       } yield (a, b)).toSet
     }

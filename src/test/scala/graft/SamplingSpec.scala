@@ -177,6 +177,33 @@ class SamplingSpec extends TestBase {
     }
     assert(ex.getMessage.contains("tokenMixtureSample") ||
       Option(ex.getCause).exists(_.getMessage.contains("tokenMixtureSample")))
+    // ZERO matching keys (the r14 ADVICE hole): the pre-r15 guard rode the
+    // data-side relation, which is EMPTY here, so it never evaluated and
+    // the operator silently returned empty — the exact typo'd-name mode
+    // it claimed to close. The weight-list-driven guard must raise.
+    val ex0 = intercept[Exception] {
+      Sampling.tokenMixtureSample(d, col("grp"), col("id"), tok,
+        Map("x" -> 0.5, "y" -> 0.5), budget = 100L).count()
+    }
+    assert(ex0.getMessage.contains("tokenMixtureSample") ||
+      Option(ex0.getCause).exists(_.getMessage.contains("tokenMixtureSample")))
+  }
+
+  test("tokenMixtureResample: a target key naming an absent stratum fails fast") {
+    val d = ((0L until 50L).map(i => (i, "a", "w w w")) ++
+        (50L until 100L).map(i => (i, "b", "w w")))
+      .toDF("id", "grp", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    Sampling.tokenMixtureResample(d, col("grp"), col("id"), tok,
+      Map("a" -> 0.5, "b" -> 0.5)).count()
+    // a typo'd key previously dropped out of withP silently, shrinking the
+    // targeted total T — inconsistent with tokenMixtureSample's posture
+    val ex = intercept[Exception] {
+      Sampling.tokenMixtureResample(d, col("grp"), col("id"), tok,
+        Map("a" -> 0.5, "c" -> 0.5)).count()
+    }
+    assert(ex.getMessage.contains("tokenMixtureResample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tokenMixtureResample")))
   }
 
   test("tokenMixtureResample: factors on token mass; doc-count factors misallocate") {
