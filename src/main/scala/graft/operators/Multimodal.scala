@@ -433,6 +433,24 @@ object Multimodal {
     dHash64(media).select(col("doc_id"), col("phash"))
       .write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=$ingestBatch")
 
+  /** Remove an image-id set from a [[buildDHashIndex]] index — the
+    * takedown path of the image dedup ladder: one narrow id-column scan
+    * of the hash table (8 bytes/image — never the image bytes) finds the
+    * touched `ingest_batch` partitions, each rewritten minus the purged
+    * ids under [[graft.operators.Purge.rewritePartitions]]'s two-phase
+    * commit; untouched partitions are never read. Probes
+    * ([[crossNearDupImagesIndexed]]) are unchanged — the resulting table
+    * is exactly an index built without the docs. NOTE the streaming
+    * interaction: a purged doc's ORIGINAL ingest partition shrinks, so a
+    * crash-replay of that old micro-batch would re-append it —
+    * [[appendToDHashIndex]] replays are whole-partition overwrites, so
+    * run purges only over batches the stream has committed past (the
+    * owner-only discipline every two-phase rewrite here carries). */
+  def purgeFromDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: org.apache.spark.sql.DataFrame): Unit =
+    Purge.purgePartitionedIndex(spark, s"$dir/hashes", "ingest_batch",
+      "doc_id", docIds)
+
   /** The standing hash table of a [[buildDHashIndex]] index —
     * optionally EXCLUDING one ingest batch's partition (a replayed
     * micro-batch must never match its own failed attempt's append;

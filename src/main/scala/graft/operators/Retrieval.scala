@@ -129,6 +129,16 @@ object Retrieval {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The version's takedown table (`purged` or `registry`) as a doc-id
+    * DataFrame — absent dir = empty set (pre-lifecycle versions). */
+  private def versionIdTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long, name: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("doc_id"))
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
   /** Fail fast on NULL text before any index write: a null-text doc
     * explodes to ZERO postings rows, so it would be silently absent from
     * the index while present in its batch — and a committed streaming
@@ -174,11 +184,22 @@ object Retrieval {
 
   private def commitVersion(spark: org.apache.spark.sql.SparkSession,
       dir: String, v: Long, df: DataFrame, stats: DataFrame,
-      batches: Seq[Long], dfFiles: Int): Unit = {
+      batches: Seq[Long], dfFiles: Int,
+      purged: Option[DataFrame] = None,
+      registry: Option[DataFrame] = None): Unit = {
     df.repartitionByRange(math.max(1, dfFiles), col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$dir/v$v/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$v/stats")
+    // takedown state rides the version commit (atomic with df/stats):
+    // purged/ = ids logically removed but physically still in postings
+    // (probes anti-join them); registry/ = every id EVER purged (replay
+    // subtraction + re-ingest refusal). Absent dirs mean empty sets —
+    // versions from before the purge lifecycle read as purge-free.
+    purged.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/v$v/purged"))
+    registry.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/v$v/registry"))
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeText(fs, new org.apache.hadoop.fs.Path(s"$dir/v$v/_batches"),
@@ -238,6 +259,7 @@ object Retrieval {
     batchId.foreach(id => require(id >= 0,
       s"explicit batch id $id is negative — negative ids belong to the batch API"))
     val id = batchId.getOrElse(batches.filter(_ < 0).min - 1)
+    val registry = versionIdTable(spark, dir, v, "registry")
     if (batches.contains(id)) {
       // Replay of a committed streaming batch: postings only (see above) —
       // but assert the replay really IS the committed data first. A
@@ -253,15 +275,36 @@ object Retrieval {
           min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
           expr("bit_xor(doc_id)").as("x"))
         .collect()(0)
-      val committed = sig(spark.read.parquet(s"$dir/postings/batch=$id"))
-      val replayed = sig(docs.select(col("doc_id")))
+      // Purged docs are subtracted from BOTH sides before the compare: a
+      // faithful replay resubmits the ORIGINAL batch, but a purge (+
+      // compaction) may have removed some of its docs from the committed
+      // partition — the replay is still faithful if the sets agree modulo
+      // the registry. The rewritten partition likewise excludes them, so
+      // a replay can never resurrect a purged doc's postings.
+      val committed = sig(spark.read.parquet(s"$dir/postings/batch=$id")
+        .join(broadcast(registry), Seq("doc_id"), "left_anti"))
+      val replayed = sig(docs.select(col("doc_id"))
+        .join(broadcast(registry), Seq("doc_id"), "left_anti"))
       require(committed == replayed,
         s"appendToBm25Index: batch $id is already committed with a " +
           s"different doc set ($committed vs replay $replayed) — a replay " +
           "must resubmit the committed batch unchanged")
-      writePostings(batchTables(docs)._1, dir, id, files)
+      writePostings(batchTables(
+        docs.join(broadcast(registry), Seq("doc_id"), "left_anti"))._1,
+        dir, id, files)
       return
     }
+    // Takedown registry: a NEW batch containing an ever-purged id is
+    // refused loudly — re-ingesting removed content is exactly what a
+    // takedown must prevent, and silently re-adding it would also break
+    // the purged==rebuilt-without invariant.
+    val resurrected = docs.select(col("doc_id"))
+      .join(broadcast(registry), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(resurrected.isEmpty,
+      s"appendToBm25Index: doc_id ${resurrected.headOption.map(_.get(0))
+        .getOrElse("?")} was purged from this index — re-ingesting a " +
+        "taken-down doc is refused (new id required if intentional)")
     val indexed = spark.read
       .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
       .select(col("doc_id"))
@@ -279,8 +322,13 @@ object Retrieval {
     val statsOld = spark.read.parquet(s"$dir/v$v/stats")
     val statsMerged = statsOld.unionAll(statsNew)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // takedown state carries forward unchanged across appends (must be
+    // materialized: the version prune may delete the dir the lazy plan
+    // would read)
     commitVersion(spark, dir, v + 1, dfMerged, statsMerged, batches :+ id,
-      math.max(1, files / 4))
+      math.max(1, files / 4),
+      purged = Some(versionIdTable(spark, dir, v, "purged").localCheckpoint(true)),
+      registry = Some(registry.localCheckpoint(true)))
   }
 
   /** [[bm25TopK]] against a prebuilt [[buildBm25Index]] (+appends):
@@ -294,10 +342,21 @@ object Retrieval {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25IndexedTopK needs at least one query term")
-    val (v, batches, _) = committedVersion(spark, dir)
-    val post = spark.read
+    val (v, batches, fs) = committedVersion(spark, dir)
+    // logical-purge mask: ids removed from df/stats but physically still
+    // in the postings until compaction — the anti-join is against the
+    // TERM-PRUNED slice only (and absent entirely on a purge-free or
+    // freshly-compacted version), so its cost is candidate-scale
+    val purgedDir = new org.apache.hadoop.fs.Path(s"$dir/v$v/purged")
+    val post0 = spark.read
       .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
       .where(col("term").isin(queryTerms: _*))
+    val post =
+      if (fs.exists(purgedDir))
+        post0.join(
+          broadcast(spark.read.parquet(purgedDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else post0
     val dfq = spark.read.parquet(s"$dir/v$v/df")
       .where(col("term").isin(queryTerms: _*))
     val stats = spark.read.parquet(s"$dir/v$v/stats")
@@ -313,6 +372,118 @@ object Retrieval {
       .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** PURGE a doc-id set from a [[buildBm25Index]] index — the takedown
+    * verb of the BM25 ladder (build → append → stream → purge): after the
+    * call, every probe scores exactly as an index built without the docs
+    * (oracle-asserted), at O(one postings id/term/dl-column scan +
+    * vocabulary merge) cost — never a corpus re-tokenization.
+    *
+    * LOGICAL purge, physical deferral: the global df/(n_docs, sum_dl)
+    * roll-back and the `purged`/`registry` id tables commit atomically as
+    * version v+1 (the `_COMMIT`-last discipline — a crash at any point
+    * leaves v intact and v+1 invisible); the purged docs' postings ROWS
+    * stay on disk until [[compactBm25Postings]] rewrites the touched
+    * partitions, and probes mask them with a candidate-scale anti-join
+    * meanwhile. This is the tombstone-then-compact split every big
+    * purge needs at 100 TB: a takedown of K docs may touch EVERY
+    * postings partition, and deferring the rewrite keeps the legal
+    * deadline on the cheap commit, not the big I/O.
+    *
+    * Exact arithmetic: the subtraction terms come from the index's OWN
+    * postings rows for the purged ids (per-term df counts, per-doc dl),
+    * so df/n_docs/sum_dl roll back by integers to exactly the values a
+    * from-scratch build of the surviving corpus computes. Ids already
+    * purged (or never indexed) subtract nothing — re-purging is
+    * idempotent, and a takedown list may cite docs the index never held.
+    * Every requested id enters the permanent `registry`: appends refuse
+    * it forever (re-ingesting taken-down content is the failure mode a
+    * registry exists to stop) and replays subtract it. */
+  def purgeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: DataFrame, files: Int = 8): Unit = {
+    val (v, batches, _) = committedVersion(spark, dir)
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    val purgedOld = versionIdTable(spark, dir, v, "purged")
+    val registryOld = versionIdTable(spark, dir, v, "registry")
+    // subtraction basis: postings of requested ids STILL LIVE in the index
+    // (not already purged) — one narrow scan of the postings, via the same
+    // broadcast discipline as the append path's uniqueness guard
+    val live = spark.read
+      .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .join(broadcast(purgedOld), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("term"), col("dl"))
+      .localCheckpoint(true) // three aggregates below share one scan
+    val dfSub = live.groupBy(col("term")).agg(count(lit(1)).as("df_sub"))
+    val dlPerDoc = live.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    val statsSub = dlPerDoc
+      .agg(count(lit(1)).as("n_sub"), sum(col("dl")).as("dl_sub"))
+    val dfOld = spark.read.parquet(s"$dir/v$v/df")
+    val dfNew = dfOld.join(dfSub, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("df_sub"), lit(0L))).as("df"))
+      .where(col("df") > 0) // a term whose last doc purged leaves the vocab
+    val statsOld = spark.read.parquet(s"$dir/v$v/stats")
+    val statsNew = statsOld.crossJoin(broadcast(statsSub))
+      .select((col("n_docs") - coalesce(col("n_sub"), lit(0L))).as("n_docs"),
+        (col("sum_dl") - coalesce(col("dl_sub"), lit(0L))).as("sum_dl"))
+    val purgedNew = purgedOld
+      .unionAll(dlPerDoc.select(col("doc_id")))
+      .distinct().localCheckpoint(true)
+    val registryNew = registryOld.unionAll(ids).distinct().localCheckpoint(true)
+    commitVersion(spark, dir, v + 1, dfNew, statsNew, batches,
+      math.max(1, files / 4),
+      purged = Some(purgedNew), registry = Some(registryNew))
+  }
+
+  /** The PHYSICAL half of the BM25 takedown: rewrite exactly the postings
+    * partitions that still hold purged docs' rows (anti-join, term-sort
+    * preserved) under [[Purge.rewritePartitions]]'s two-phase commit,
+    * then commit a version whose `purged` set is empty — probes drop the
+    * anti-join mask and the bytes are actually gone (the part a PII
+    * erasure audit checks). df/stats/registry/batch list are untouched:
+    * they were already exact from the logical purge.
+    *
+    * Crash windows (PurgeSpec): inside the partition rewrite, the
+    * rewrite's own marker protocol repairs; between the rewrite and the
+    * version commit, probes still mask via v's `purged` table (the rows
+    * it masks are simply gone — the anti-join is a no-op) and a rerun
+    * finds nothing left to rewrite and just commits the empty-purged
+    * version. Owner-only, like [[graft.operators.Layout.compactKeyed]]. */
+  def compactBm25Postings(spark: org.apache.spark.sql.SparkSession,
+      dir: String, files: Int = 8): Unit = {
+    Purge.repairPartitionRewrite(spark, s"$dir/postings")
+    val (v, batches, _) = committedVersion(spark, dir)
+    val purged = versionIdTable(spark, dir, v, "purged").localCheckpoint(true)
+    if (purged.isEmpty) return // nothing logically purged — no-op
+    val touched = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(purged), Seq("doc_id"), "left_semi")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.nonEmpty) {
+      val replacements = touched.toSeq.map { b =>
+        val remaining = spark.read.parquet(s"$dir/postings/batch=$b")
+          .join(broadcast(purged), Seq("doc_id"), "left_anti")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+          .localCheckpoint(true) // the swap deletes the dir this plan reads
+        // always SWAP, never DROP: probes read the version's batch list as
+        // explicit paths, so an emptied partition keeps its (empty) dir
+        s"batch=$b" -> Some(remaining)
+      }
+      Purge.rewritePartitions(spark, s"$dir/postings", replacements,
+        writeStage = (df, path) => df
+          .repartitionByRange(files, col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").parquet(path))
+    }
+    commitVersion(spark, dir, v + 1,
+      spark.read.parquet(s"$dir/v$v/df").localCheckpoint(true),
+      spark.read.parquet(s"$dir/v$v/stats").localCheckpoint(true),
+      batches, math.max(1, files / 4),
+      purged = Some(purged.limit(0)),
+      registry = Some(versionIdTable(spark, dir, v, "registry")
+        .localCheckpoint(true)))
   }
 
   /** Batch BM25 retrieval: exact top-`k` docs PER QUERY in ONE corpus

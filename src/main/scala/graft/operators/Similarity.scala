@@ -958,6 +958,55 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
+  /** Remove a vec-id set from a [[buildIvfIndex]] layout — the takedown
+    * path of the IVF append ladder ([[Purge]] module overview): one
+    * narrow id-column scan of the index finds the TOUCHED cell
+    * partitions, each is rewritten minus the purged ids under
+    * [[Purge.rewritePartitions]]'s two-phase commit, and untouched cells
+    * are never read or listed. Probes are unchanged — the layout, cell
+    * geometry and partition pruning are exactly those of an index built
+    * without the docs (PurgeSpec asserts layout-level identity).
+    * Ids absent from the index are a no-op (the build already excludes
+    * zero-norm vectors, so absence is not an error); a purge that
+    * empties a cell DROPs its partition. Owner-only, like every
+    * two-phase rewrite here. */
+  def purgeFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecIds: DataFrame): Unit =
+    purgePartitioned(spark, s"$indexDir/data", "cell", vecIds)
+
+  /** Remove a vec-id set from a [[buildIvfPqIndex]] layout: identical
+    * discipline to [[purgeFromIvfIndex]], over the cell-partitioned CODES
+    * table (bytes per vector, so even a purge touching every cell
+    * rewrites ~1/40th of the float bytes a raw-vector rewrite would). The
+    * codebook/centroids are untouched — quantizer geometry is exactly the
+    * build's, as appends require. */
+  def purgeFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecIds: DataFrame): Unit =
+    purgePartitioned(spark, s"$indexDir/codes", "cell", vecIds)
+
+  /** Remove a vec-id set from a [[buildPqIndex]] layout. The flat-PQ
+    * codes table is UNPARTITIONED (one dir), so the rewrite is the whole
+    * codes table minus the ids — still byte-codes, never the float
+    * vectors, and still under the two-phase commit (the `codes` child of
+    * the index root swaps atomically). For purge-heavy workloads prefer
+    * the IVF-PQ layout, whose cell partitioning confines each purge to
+    * the touched cells. */
+  def purgeFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecIds: DataFrame): Unit = {
+    val ids = broadcast(vecIds.select(col("vec_id")).distinct())
+    val remaining = spark.read.parquet(s"$indexDir/codes")
+      .join(ids, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // the swap deletes the dir this plan reads
+    Purge.rewritePartitions(spark, indexDir, Seq("codes" -> Some(remaining)))
+  }
+
+  /** Shared cell-partitioned purge body: find touched partitions from the
+    * index's own id column (one narrow scan — never the corpus), then
+    * anti-join-rewrite exactly those under the two-phase commit. */
+  private def purgePartitioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, partCol: String, vecIds: DataFrame): Unit =
+    Purge.purgePartitionedIndex(spark, root, partCol, "vec_id", vecIds)
+
   /** ANN top-k over a [[buildIvfPqIndex]] layout: partition-pruned ADC
     * ranking over byte codes, exact rescore of the survivors from the
     * original `embs` table. */

@@ -1,0 +1,288 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Purge, Retrieval, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The deletion/takedown lifecycle (r15): purged == rebuilt-without on
+  * every persisted artifact family, plus the two-phase rewrite's crash
+  * repair at every window. */
+class PurgeSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(dir: String): Unit = {
+    def walk(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(walk))
+      f.delete(); ()
+    }
+    walk(new java.io.File(dir))
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ---- generic two-phase rewrite: crash repair at every window ---------
+
+  test("rewritePartitions: swap, drop, and both crash windows repair") {
+    val root = tmp("graft-purge-2pc")
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(s"$root/k=1")
+    Seq((2L, 20L)).toDF("id", "v").write.parquet(s"$root/k=2")
+    Seq((3L, 30L)).toDF("id", "v").write.parquet(s"$root/k=3")
+
+    // normal path: swap k=1, drop k=2, leave k=3 untouched
+    Purge.rewritePartitions(spark, root, Seq(
+      "k=1" -> Some(Seq((9L, 90L)).toDF("id", "v")),
+      "k=2" -> None))
+    val after = spark.read.parquet(root)
+      .select(col("id"), col("v"), col("k").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == Set((9L, 90L, 1L), (3L, 30L, 3L)))
+    assert(!new java.io.File(s"$root/_graft_purging").exists())
+    assert(!new java.io.File(s"$root/_graft_purge").exists())
+
+    // crash window A: stage written, marker NOT committed → repair rolls
+    // BACK (stage discarded, live layout untouched)
+    Seq((7L, 70L)).toDF("id", "v").write
+      .parquet(s"$root/_graft_purging/k=3")
+    Purge.repairPartitionRewrite(spark, root)
+    assert(!new java.io.File(s"$root/_graft_purging").exists())
+    assert(spark.read.parquet(s"$root/k=3")
+      .as[(Long, Long)].collect().toSet == Set((3L, 30L)))
+
+    // crash window B: marker committed, swap not executed → repair rolls
+    // FORWARD (staged partition installs, drop executes, marker clears)
+    Seq((8L, 80L)).toDF("id", "v").write
+      .parquet(s"$root/_graft_purging/k=3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$root/_graft_purge"), "SWAP k=3\nDROP k=1")
+    Purge.repairPartitionRewrite(spark, root)
+    val healed = spark.read.parquet(root)
+      .select(col("id"), col("v"), col("k").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(healed == Set((8L, 80L, 3L)))
+    assert(!new java.io.File(s"$root/_graft_purge").exists())
+    // and repair is idempotent on the healed layout
+    Purge.repairPartitionRewrite(spark, root)
+    assert(spark.read.parquet(root).count() == 1)
+    rm(root)
+  }
+
+  // ---- BM25: logical purge, probe mask, compaction, registry -----------
+
+  test("BM25 purge: purged == rebuilt-without at every stage; registry refuses re-ingest") {
+    val all = docs(
+      1L -> "spark window merge spark", 2L -> "window table join",
+      3L -> "spark merge", 4L -> "table scan spark window",
+      5L -> "merge window merge", 6L -> "spark spark spark")
+    val survivors = all.where(!col("doc_id").isin(2L, 5L))
+    val terms = Seq("spark", "window", "merge")
+
+    val idx = tmp("graft-bm25-purge")
+    Retrieval.buildBm25Index(all.where(col("doc_id") <= 4), idx)
+    Retrieval.appendToBm25Index(all.where(col("doc_id") > 4), idx)
+    val want = tmp("graft-bm25-want")
+    Retrieval.buildBm25Index(survivors, want)
+    def topk(dir: String) = Retrieval.bm25IndexedTopK(spark, dir, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+
+    Retrieval.purgeFromBm25Index(spark, idx, Seq(2L, 5L).toDF("doc_id"))
+    assert(topk(idx) == topk(want),
+      "logical purge must score exactly as an index built without the docs")
+    // physically still present until compaction (the masked rows)
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id").isin(2L, 5L)).count() > 0)
+
+    // re-purging the same ids is idempotent (no double subtraction)
+    Retrieval.purgeFromBm25Index(spark, idx, Seq(2L).toDF("doc_id"))
+    assert(topk(idx) == topk(want))
+
+    Retrieval.compactBm25Postings(spark, idx)
+    assert(topk(idx) == topk(want), "compaction must not change any score")
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id").isin(2L, 5L)).count() == 0,
+      "compaction must physically remove the purged rows")
+    // rerunning compaction on a clean index is a no-op
+    Retrieval.compactBm25Postings(spark, idx)
+    assert(topk(idx) == topk(want))
+
+    // the registry refuses re-ingesting a taken-down doc forever
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(docs(2L -> "spark returns"), idx)
+    }
+    assert(ex.getMessage.contains("purged"), ex.getMessage)
+    // ...but fresh ids still append fine, carrying the registry forward
+    Retrieval.appendToBm25Index(docs(7L -> "window spark"), idx)
+    val ex2 = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(docs(5L -> "merge again"), idx)
+    }
+    assert(ex2.getMessage.contains("purged"), ex2.getMessage)
+    rm(idx); rm(want)
+  }
+
+  test("BM25 purge: replay of a partially-purged streaming batch converges") {
+    val b0 = docs(1L -> "spark window", 2L -> "merge table")
+    val b1 = docs(10L -> "spark merge", 11L -> "window window")
+    val idx = tmp("graft-bm25-replay")
+    Retrieval.buildBm25Index(b0, idx)
+    Retrieval.appendToBm25Index(b1, idx, batchId = Some(0L))
+    Retrieval.purgeFromBm25Index(spark, idx, Seq(10L).toDF("doc_id"))
+    Retrieval.compactBm25Postings(spark, idx)
+    // at-least-once: the stream resubmits the ORIGINAL batch 0 — the
+    // registry subtraction must accept it and must not resurrect doc 10
+    Retrieval.appendToBm25Index(b1, idx, batchId = Some(0L))
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id") === 10L).count() == 0,
+      "a replay must never resurrect a purged doc's postings")
+    val want = tmp("graft-bm25-replay-want")
+    Retrieval.buildBm25Index(
+      b0.unionAll(b1.where(col("doc_id") =!= 10L)), want)
+    def topk(dir: String) = Retrieval.bm25IndexedTopK(spark, dir,
+      Seq("spark", "window", "merge"), 10).as[(Long, Double)].collect().toSeq
+    assert(topk(idx) == topk(want))
+    rm(idx); rm(want)
+  }
+
+  test("BM25 purge: emptying an entire batch partition keeps probes readable") {
+    val idx = tmp("graft-bm25-empty")
+    Retrieval.buildBm25Index(docs(1L -> "spark window", 2L -> "merge"), idx)
+    Retrieval.appendToBm25Index(docs(3L -> "spark table"), idx)
+    // purge the WHOLE appended batch — its partition compacts to empty
+    Retrieval.purgeFromBm25Index(spark, idx, Seq(3L).toDF("doc_id"))
+    Retrieval.compactBm25Postings(spark, idx)
+    val want = tmp("graft-bm25-empty-want")
+    Retrieval.buildBm25Index(docs(1L -> "spark window", 2L -> "merge"), want)
+    def topk(dir: String) = Retrieval.bm25IndexedTopK(spark, dir,
+      Seq("spark", "merge"), 10).as[(Long, Double)].collect().toSeq
+    assert(topk(idx) == topk(want))
+    rm(idx); rm(want)
+  }
+
+  // ---- IVF / IVF-PQ: touched-cell rewrite only --------------------------
+
+  private def embs(n: Int): DataFrame =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (((i * 31 + j * 7) % 13) - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+
+  test("IVF purge: index content == original minus ids; probes and pruning intact") {
+    val e = embs(200)
+    val idx = tmp("graft-ivf-purge")
+    Similarity.buildIvfIndex(e, s"$idx/ivf", nCells = 8)
+    val before = spark.read.parquet(s"$idx/ivf/data")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val purged = Seq(3L, 17L, 42L, 101L)
+    Similarity.purgeFromIvfIndex(spark, s"$idx/ivf",
+      purged.toDF("vec_id"))
+    val after = spark.read.parquet(s"$idx/ivf/data")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(after == before -- purged,
+      "purge must remove exactly the ids, preserving every cell assignment")
+    // the probe's partition pruning still holds and never surfaces a
+    // purged id
+    val q = Seq.tabulate(8)(j => (j + 1).toDouble / 8)
+    val got = Similarity.ivfTopKIndexed(spark, s"$idx/ivf", q, 10)
+      .as[(Long, Double)].collect()
+    assert(got.length == 10 && got.forall(r => !purged.contains(r._1)))
+    // absent ids are a no-op
+    Similarity.purgeFromIvfIndex(spark, s"$idx/ivf", Seq(99999L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$idx/ivf/data").count() == after.size.toLong)
+    rm(idx)
+  }
+
+  test("IVF-PQ purge: codes minus ids; top-k == probe over surviving codes") {
+    val e = embs(200)
+    val idx = tmp("graft-ivfpq-purge")
+    Similarity.buildIvfPqIndex(e, s"$idx/pq", nCells = 4)
+    val purged = Seq(0L, 9L, 55L)
+    // expected: the SAME index (same quantizers) without the purged rows —
+    // rebuilt by filtering the codes table directly
+    val expectCodes = spark.read.parquet(s"$idx/pq/codes")
+      .where(!col("vec_id").isin(purged: _*))
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    Similarity.purgeFromIvfPqIndex(spark, s"$idx/pq", purged.toDF("vec_id"))
+    val got = spark.read.parquet(s"$idx/pq/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(got == expectCodes)
+    val q = Seq.tabulate(8)(j => (8 - j).toDouble / 8)
+    val topk = Similarity.ivfPqTopK(
+        e.where(!col("vec_id").isin(purged: _*)), s"$idx/pq", q, 5)
+      .as[(Long, Double)].collect()
+    assert(topk.length == 5 && topk.forall(r => !purged.contains(r._1)))
+    rm(idx)
+  }
+
+  // ---- dHash: image takedown --------------------------------------------
+
+  test("dHash purge: standing table == built-without; indexed cross probe agrees") {
+    val media = Multimodal.syntheticImages((0L until 30L).toDF("doc_id"))
+    val batch = Multimodal.syntheticImages((100L until 110L).toDF("doc_id"))
+    val idx = tmp("graft-dhash-purge")
+    Multimodal.buildDHashIndex(
+      media.filter(col("doc_id") < 20), s"$idx/d")
+    Multimodal.appendToDHashIndex(
+      media.filter(col("doc_id") >= 20), s"$idx/d", ingestBatch = 0L)
+    val purged = Seq(5L, 22L)
+    Multimodal.purgeFromDHashIndex(spark, s"$idx/d", purged.toDF("doc_id"))
+    val want = tmp("graft-dhash-want")
+    Multimodal.buildDHashIndex(
+      media.filter(!col("doc_id").isin(purged: _*)), s"$want/d")
+    val gotHashes = Multimodal.standingDHashes(spark, s"$idx/d")
+      .as[(Long, Long)].collect().toSet
+    val wantHashes = Multimodal.standingDHashes(spark, s"$want/d")
+      .as[(Long, Long)].collect().toSet
+    assert(gotHashes == wantHashes,
+      "purged hash table must equal one built without the docs")
+    val gotX = Multimodal.crossNearDupImagesIndexed(spark, s"$idx/d", batch)
+      .as[(Long, Long, Int)].collect().toSet
+    val wantX = Multimodal.crossNearDupImagesIndexed(spark, s"$want/d", batch)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotX == wantX)
+    rm(idx); rm(want)
+  }
+
+  // ---- standing labels: component re-solve ------------------------------
+
+  test("purgeFromClusters: cut-vertex split, leaf survival, untouched pass-through") {
+    // component A: 1-2, 2-3 (2 is the bridge); component B: 10-11;
+    // component C: 20-21, 21-22, 20-22 (triangle — removing 21 keeps 20-22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    def asMap(df: DataFrame) = df.as[(Long, Long)].collect().toMap
+
+    // purge the bridge: component A splits into singletons (which drop —
+    // no pair evidence left), B and C untouched
+    val afterBridge = asMap(Purge.purgeFromClusters(labels, pairs,
+      Seq(2L).toDF("doc_id")))
+    assert(afterBridge == Map(10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $afterBridge")
+
+    // purge a triangle member: the remaining edge keeps C together
+    val afterLeaf = asMap(Purge.purgeFromClusters(labels, pairs,
+      Seq(21L).toDF("doc_id")))
+    assert(afterLeaf == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 22L -> 20L), s"got $afterLeaf")
+
+    // equivalence: == from-scratch CC over pairs minus incident, for a
+    // multi-doc purge across components
+    val purge = Seq(3L, 11L).toDF("doc_id")
+    val got = asMap(Purge.purgeFromClusters(labels, pairs, purge))
+    val want = asMap(Dedup.connectedComponents(
+      pairs.where(!col("doc_a").isin(3L, 11L) && !col("doc_b").isin(3L, 11L))))
+    assert(got == want, s"got $got want $want")
+
+    // purging an unlabeled doc is a no-op
+    val noop = asMap(Purge.purgeFromClusters(labels, pairs,
+      Seq(999L).toDF("doc_id")))
+    assert(noop == asMap(labels))
+  }
+}
