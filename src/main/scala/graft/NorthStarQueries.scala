@@ -1163,6 +1163,40 @@ object NorthStarQueries {
       Dedup.canonicalByQuality(labels, scores).orderBy(col("doc_id"))
     },
 
+    // PURGE from a standing labeling — the takedown capstone (r15): a
+    // doc-id set leaves the clustering, and because a purged doc may be
+    // the only bridge between two near-dup groups (a cut vertex), the
+    // touched components re-solve from the standing PAIR evidence minus
+    // purged-incident edges while untouched labels pass through. The
+    // oracle recomputes connected components FROM SCRATCH over the
+    // filtered pair set — a hash match is the purged==rebuilt-without
+    // theorem on this fixture. The planted chain makes the middle
+    // generation (+100000) a real bridge candidate, so the purge set
+    // (two originals + three middles) exercises both split and shrink.
+    QueryDef("dd_purge")(
+      s"""WITH RECURSIVE $plantedChainSql,
+         | $lshPairsSql,
+         | pp AS (SELECT doc_a, doc_b FROM pairs
+         |        WHERE doc_a NOT IN (3, 14, 100005, 100006, 100007)
+         |          AND doc_b NOT IN (3, 14, 100005, 100006, 100007)),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pp
+         |         UNION SELECT doc_b, doc_a FROM pp),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = plantedChain(s, dir)
+      val labels = Dedup.clusterDedupFirst(corpus)
+      val pairs = Dedup.lshCandidatePairsDedup(corpus)
+      val purged = corpus
+        .where(col("doc_id").isin(3L, 14L, 100005L, 100006L, 100007L))
+        .select(col("doc_id"))
+      graft.operators.Purge.purgeFromClusters(labels, pairs, purged)
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental cluster maintenance: a batch of near-copies arrives, its
     // cross candidates against the standing corpus become new edges, and
     // the existing dd_cluster labeling is UPDATED in place of a full
@@ -1761,6 +1795,72 @@ object NorthStarQueries {
       Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= n / 2), idx.toString)
       fixtureSecs.put("ivfpq-grown-build", (System.nanoTime() - tB) / 1e9)
       val out = Similarity.ivfPqTopK(e, idx.toString, q, 10).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
+    },
+
+    // The IVF-PQ TAKEDOWN path (r15): build on the full corpus, purge
+    // every vec_id % 9 == 4 (anti-join rewrite of exactly the touched
+    // cell partitions under the two-phase marker — quantizer geometry
+    // untouched, partition pruning unchanged), then probe with the
+    // surviving corpus as the rescore source. The oracle replays the
+    // FULL-corpus quantizers (seed centroids/codebook are build-time
+    // state and survive the purge) but restricts candidates and rescore
+    // to survivors — a hash match proves purged == an index that never
+    // coded the docs, at the standard billion-vector layout.
+    QueryDef("sim_purge")(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         | surv AS (SELECT * FROM e WHERE vec_id % 9 <> 4),
+         | c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         | asgr AS (SELECT surv.vec_id, c.cell, ${cosSql("surv.v", "c.cv")} AS cs
+         |          FROM surv CROSS JOIN c),
+         | asg AS (SELECT vec_id, cell FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |            FROM asgr) WHERE rn = 1),
+         | probe AS (SELECT cell FROM
+         |             (SELECT c.cell, ${cosSql("c.cv", "q.qv")} AS qs FROM c CROSS JOIN q)
+         |           ORDER BY qs DESC, cell LIMIT 4),
+         | cs AS (SELECT s.sub, c.cell AS cid, list_slice(c.cv, s.sub*16+1, s.sub*16+16) AS csub
+         |        FROM c CROSS JOIN range(0, 4) s(sub)),
+         | scored AS (SELECT surv.vec_id, cs.sub, cs.cid,
+         |     list_dot_product(cs.csub, cs.csub)
+         |       - 2 * list_dot_product(list_slice(surv.v, cs.sub*16+1, cs.sub*16+16), cs.csub) AS s2
+         |   FROM surv CROSS JOIN cs),
+         | code AS (SELECT vec_id, sub, cid FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY s2, cid) AS rn
+         |            FROM scored) WHERE rn = 1),
+         | lut AS (SELECT cs.sub, cs.cid,
+         |     list_dot_product(list_slice(q.qv, cs.sub*16+1, cs.sub*16+16), cs.csub) AS lv
+         |   FROM cs CROSS JOIN q),
+         | adc AS (SELECT code.vec_id,
+         |       max(CASE WHEN code.sub = 0 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 1 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 2 THEN lut.lv END)
+         |     + max(CASE WHEN code.sub = 3 THEN lut.lv END) AS approx
+         |   FROM code JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+         |   JOIN asg ON asg.vec_id = code.vec_id
+         |   JOIN probe ON probe.cell = asg.cell
+         |   GROUP BY code.vec_id),
+         | cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40)
+         | SELECT surv.vec_id, round(${cosSql("surv.v", "qv")}, 6) AS sim
+         | FROM surv JOIN cand USING (vec_id) CROSS JOIN q
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head().getSeq[Double](0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-purge-q")
+      val tB = System.nanoTime()
+      Similarity.buildIvfPqIndex(e, idx.toString)
+      fixtureSecs.put("ivfpq-purge-build", (System.nanoTime() - tB) / 1e9)
+      Similarity.purgeFromIvfPqIndex(s, idx.toString,
+        e.where(col("vec_id") % 9 === 4).select(col("vec_id")))
+      val out = Similarity.ivfPqTopK(
+          e.where(col("vec_id") % 9 =!= 4), idx.toString, q, 10)
+        .localCheckpoint(true)
       deleteRecursively(idx)
       out
     },
@@ -2730,6 +2830,57 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // The BM25 TAKEDOWN path, driver-checked at both stages (r15): build
+    // half + append half, LOGICALLY purge every doc_id % 5 == 2 (exact
+    // integer df/n_docs/sum_dl roll-back derived from the index's own
+    // postings; probes mask the ids with a candidate-scale anti-join),
+    // then COMPACT (touched partitions rewritten under the two-phase
+    // marker; probes drop the mask). The oracle scores the SURVIVING
+    // corpus from scratch and expects both stages identical — a hash
+    // match proves purged == rebuilt-without before AND after the bytes
+    // physically leave the postings.
+    QueryDef("txt_bm25_purged")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE doc_id % 5 <> 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1),
+        | topk AS (SELECT doc_id, round(score, 6) AS score FROM sc
+        |          ORDER BY score DESC, doc_id LIMIT 20)
+        | SELECT CAST(0 AS BIGINT) AS stage, doc_id, score FROM topk
+        | UNION ALL SELECT CAST(1 AS BIGINT), doc_id, score FROM topk
+        | ORDER BY stage, score DESC, doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = d.count()
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-purge-q")
+      val tB = System.nanoTime()
+      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
+      Retrieval.appendToBm25Index(d.where(col("doc_id") >= n / 2), idx.toString)
+      fixtureSecs.put("bm25-purge-build", (System.nanoTime() - tB) / 1e9)
+      Retrieval.purgeFromBm25Index(s, idx.toString,
+        d.where(col("doc_id") % 5 === 2).select(col("doc_id")))
+      val logical = Retrieval.bm25IndexedTopK(s, idx.toString,
+          Seq("spark", "window", "merge"), 20)
+        .select(lit(0L).as("stage"), col("doc_id"), col("score"))
+        .localCheckpoint(true)
+      Retrieval.compactBm25Postings(s, idx.toString)
+      val compacted = Retrieval.bm25IndexedTopK(s, idx.toString,
+          Seq("spark", "window", "merge"), 20)
+        .select(lit(1L).as("stage"), col("doc_id"), col("score"))
+        .localCheckpoint(true)
+      deleteRecursively(idx)
+      logical.unionAll(compacted)
+        .orderBy(col("stage"), col("score").desc, col("doc_id"))
+    },
+
     // End-to-end corpus-curation pipeline: quality gate → exact dedup →
     // per-language counts. The canonical composition of the operators above
     // — every stage is the declared operator, not a reimplementation.
@@ -3575,6 +3726,49 @@ object NorthStarQueries {
       out
     },
 
+    // Drift-index TAKEDOWN (r15): histograms are count-additive, so a
+    // purge is one scan of the departing rows and a bin-scale NEGATED
+    // delta partition — the standing partitions are never rescanned or
+    // rewritten, and probes sum across partitions unchanged. The oracle
+    // recomputes PSI from (grown corpus MINUS the purged rows) raw —
+    // hash equality proves subtracted == recounted-without.
+    QueryDef("cur_drift_purge")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val kept =
+        s"(SELECT * FROM documents WHERE ($bkt >= 20 AND $bkt < 80) OR $bkt < 10)"
+      val b1 = s"(SELECT * FROM documents WHERE $bkt >= 10 AND $bkt < 20)"
+      Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", kept, b1),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", kept, b1),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", kept, b1))
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY feature")
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"),
+        "tokens" -> floor(size(split(col("text"), " ")) / lit(64)))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-drift-purge-q")
+      val idx = s"$stDir/index"
+      graft.operators.Curation.buildDriftIndex(
+        d.where(bucket >= 20), features, idx)
+      graft.operators.Curation.appendToDriftIndex(
+        d.where(bucket < 10), features, idx, ingestBatch = 0L)
+      // takedown: the bucket>=80 slice of the SEED corpus departs — the
+      // same rows the corpus store would delete are subtracted here
+      graft.operators.Curation.purgeFromDriftIndex(
+        d.where(bucket >= 80), features, idx, purgeId = 0L)
+      val out = graft.operators.Curation.driftAgainstIndex(
+        idx, d.where(bucket >= 10 && bucket < 20), features)
+        .localCheckpoint(true)
+      deleteRecursively(stDir)
+      out
+    },
+
     // ---- multimodal ------------------------------------------------------
     // The production decode kernel over NON-image payloads: every row
     // sniffs as raw and takes the documented deterministic fallback branch
@@ -3951,6 +4145,56 @@ object NorthStarQueries {
       Multimodal.crossNearDupImages(standing, batch)
         .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
         .orderBy(col("batch_id"), col("corpus_id"))
+    },
+
+    // IMAGE takedown (r15): purge ids from the persisted dHash index
+    // (anti-join rewrite of the touched ingest partitions only — 8
+    // bytes/image, never a decode) and probe the arriving batch against
+    // what remains. The oracle recomputes formula dHashes across sides
+    // with the purged ids EXCLUDED from the standing side — hash match
+    // proves the purged index pairs exactly like one built without the
+    // docs (doc 3 and 7 lose their delta-twin pairs; 20, pairless,
+    // just leaves the table).
+    QueryDef("mm_purge")(
+      s"""WITH f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |             FROM documents WHERE doc_id < 24
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |             FROM documents WHERE doc_id < 12
+         |           UNION ALL SELECT 200006, 6, 0, 50),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS batch_id, b.id AS corpus_id,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM bt a JOIN bt b ON a.gy = b.gy
+         |          AND a.id >= 100000 AND b.id < 100000
+         |          AND b.id NOT IN (3, 7, 20)
+         |        GROUP BY 1, 2)
+         | SELECT batch_id, corpus_id, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def standingRows(pred: org.apache.spark.sql.Column) = Multimodal.syntheticImageVariants(
+        d.where(col("doc_id") < 24 && pred)
+          .select(col("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(0).as("spot")))
+      val batch = Multimodal.syntheticImageVariants(d.where(col("doc_id") < 12)
+        .select((col("doc_id") + 100000).as("doc_id"), col("doc_id").as("key"),
+          lit(1).as("delta"), lit(0).as("spot"))
+        .unionAll(d.where(col("doc_id") === 6)
+          .select(lit(200006L).as("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(50).as("spot"))))
+      val st = java.nio.file.Files.createTempDirectory("graft-dhash-purge-q")
+      val idx = s"$st/index"
+      Multimodal.buildDHashIndex(standingRows(col("doc_id") < 16), idx)
+      Multimodal.appendToDHashIndex(standingRows(col("doc_id") >= 16), idx,
+        ingestBatch = 0L)
+      Multimodal.purgeFromDHashIndex(s, idx,
+        d.where(col("doc_id").isin(3L, 7L, 20L)).select(col("doc_id")))
+      val out = Multimodal.crossNearDupImagesIndexed(s, idx, batch)
+        .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      deleteRecursively(st)
+      out
     },
 
     // INCREMENTAL image cluster labels — the arriving batch's Hamming

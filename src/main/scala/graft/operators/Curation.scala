@@ -234,6 +234,48 @@ object Curation {
       .write.mode("overwrite").parquet(s"$dir/ingest=$ingestBatch")
   }
 
+  /** PURGE docs from the standing histograms — the takedown verb of the
+    * drift family ([[graft.operators.Purge]] module overview): histograms
+    * are COUNT-ADDITIVE, so removal is one scan of the purged rows and a
+    * bin-cardinality write of NEGATED counts as a `purge` delta partition
+    * (`ingest=-(2 + purgeId)` — the id space below the build's -1 seed);
+    * probes sum across partitions unchanged and see exactly the
+    * histograms of a corpus that never held the docs. Nothing standing
+    * is rescanned or rewritten, and a replayed purge (same purgeId, same
+    * rows) overwrites its own partition idempotently.
+    *
+    * The caller supplies the PURGED ROWS (with their feature columns),
+    * not ids: histograms hold no per-doc state to subtract from, and a
+    * takedown pipeline deletes the rows from the corpus store anyway —
+    * pass the same rows here first. Fails loudly (and removes its delta)
+    * if the subtraction would drive any bin negative: that means the
+    * claimed rows were never counted into this index, and a silently
+    * negative bin would poison every later PSI. */
+  def purgeFromDriftIndex(purgedRows: DataFrame,
+      features: Seq[(String, Column)], dir: String, purgeId: Long): Unit = {
+    require(purgeId >= 0, s"purge id $purgeId is negative")
+    requireFeatures(features)
+    val spark = purgedRows.sparkSession
+    requireIndexFeatures(spark.read.parquet(dir), dir, features)
+    val part = s"$dir/ingest=${-(2 + purgeId)}"
+    binCounts(purgedRows, features, "cs")
+      .select(col("feature"), col("bin"), (-col("cs")).as("cs"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(part)
+    // bin-cardinality validation read — metadata-scale, like every probe
+    val neg = spark.read.parquet(dir)
+      .groupBy(col("feature"), col("bin")).agg(sum(col("cs")).as("c"))
+      .where(col("c") < 0).limit(1).collect()
+    if (neg.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(part)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new IllegalArgumentException(
+        s"purgeFromDriftIndex: purging would drive bin ${neg.head} negative " +
+          s"— the claimed rows were never (all) counted into $dir; delta " +
+          "removed, index unchanged")
+    }
+  }
+
   /** PSI of an arriving batch against the PERSISTED standing histograms —
     * the per-arrival form: one scan of the BATCH (all features at once),
     * one metadata-scale read of the index, nothing standing-corpus-scale
@@ -253,9 +295,14 @@ object Curation {
       case Some(id) => raw.where(col("ingest") =!= id)
       case None => raw
     }
-    // sum across ingest partitions — bin-cardinality work
+    // sum across ingest partitions — bin-cardinality work. Bins whose
+    // total reaches ZERO (every member purged via purgeFromDriftIndex's
+    // negated deltas) drop: a never-seen bin and a fully-departed bin
+    // must read identically, or purged histograms would diverge from
+    // recounted-without ones by phantom zero bins.
     val idx = visible.groupBy(col("feature"), col("bin"))
       .agg(sum(col("cs")).as("cs"))
+      .where(col("cs") > 0)
     psiFromCounts(idx, binCounts(batch, features, "cb"))
   }
 

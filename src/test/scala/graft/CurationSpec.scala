@@ -88,6 +88,34 @@ class CurationSpec extends TestBase {
     assert(err.getMessage.contains("duplicate drift feature"), err.getMessage)
   }
 
+  test("purgeFromDriftIndex: subtracted == recounted-without; over-claim fails and rolls back") {
+    def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "b")
+    val f = Seq("b" -> col("b"))
+    val standing = corpus(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B", 5L -> "C")
+    val batch = corpus(10L -> "A", 11L -> "B", 12L -> "C")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-purge").toString
+    Curation.buildDriftIndex(standing, f, s"$dir/i")
+    // purge doc 2 (an A) and doc 5 (the only C — its bin must VANISH,
+    // not linger as a phantom zero bin)
+    Curation.purgeFromDriftIndex(corpus(2L -> "A", 5L -> "C"), f, s"$dir/i", 0L)
+    val got = Curation.driftAgainstIndex(s"$dir/i", batch, f).collect()(0)
+    val want = Curation.drift(
+      corpus(1L -> "A", 3L -> "B", 4L -> "B"), batch, f).collect()(0)
+    assert(got.getAs[Long]("n_bins") == want.getAs[Long]("n_bins") &&
+      got.getAs[Double]("psi") == want.getAs[Double]("psi"),
+      s"got $got want $want")
+    // over-claiming (rows never counted in) fails loudly AND removes its
+    // delta — the index must stay exactly as before the bad purge
+    val before = Curation.driftAgainstIndex(s"$dir/i", batch, f).collect()(0)
+    val err = intercept[IllegalArgumentException] {
+      Curation.purgeFromDriftIndex(
+        corpus(90L -> "C", 91L -> "C"), f, s"$dir/i", 1L)
+    }
+    assert(err.getMessage.contains("negative"), err.getMessage)
+    val after = Curation.driftAgainstIndex(s"$dir/i", batch, f).collect()(0)
+    assert(before == after, "a refused purge must leave the index unchanged")
+  }
+
   test("drift: a nullable feature forms ONE aligned null bin, not two phantom bins") {
     // r14 ADVICE (medium): null join keys never match in the full-outer
     // bin alignment, so a null bin present on BOTH sides used to split
