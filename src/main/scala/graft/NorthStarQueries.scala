@@ -749,6 +749,93 @@ object NorthStarQueries {
         .orderBy(col("n_truth"))
     },
 
+    // SAMPLED recall estimation (r15) — the operational form of dd_recall:
+    // full-corpus exact truth is output-bounded-QUADRATIC (a corpus of
+    // mutual near-dups has a quadratic true pair set), so at 100 TB the
+    // recall monitor runs on a deterministic md5-bucket doc sample (the
+    // smp_hash discipline): truth = exactNearDupTruth over the SAMPLED
+    // sub-corpus (≡ the full truth restricted to pairs with BOTH ends
+    // sampled — a pair's Jaccard doesn't depend on other docs), found =
+    // the PRODUCTION chain over the full corpus restricted to the same
+    // both-ends-sampled pairs (a pure-row-property filter, no join), so
+    // the estimator measures the chain as it actually runs. Each true
+    // pair survives with probability p², and the hit/truth ratio is a
+    // consistent estimator of recall; truth cost scales by ~p². The
+    // EXPLAIN.md note compares estimate vs dd_recall's full number on
+    // this fixture (binomial agreement).
+    QueryDef("dd_recall_sampled")({
+      val smp = (c: String) =>
+        s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT % 100 < 50"
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' extra'
+         |    FROM documents WHERE doc_id < 20
+         |  UNION ALL SELECT doc_id + 300000,
+         |    substr(text, 1, CAST(FLOOR(length(text)*3/5) AS INT)) || ' y' || doc_id
+         |    FROM documents WHERE doc_id < 40),
+         | $lshPairsSql,
+         | shk AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sk FROM sh),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY 1),
+         | shks AS (SELECT * FROM shk WHERE ${smp("doc_id")}),
+         | t_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |             FROM shks a JOIN shks b ON a.sk = b.sk AND a.doc_id < b.doc_id
+         |             GROUP BY 1, 2),
+         | truth AS (SELECT doc_a, doc_b FROM t_inter
+         |           JOIN sz na ON na.doc_id = doc_a
+         |           JOIN sz nb ON nb.doc_id = doc_b
+         |           WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.5),
+         | f_inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |             FROM pairs p
+         |             JOIN shk sa ON sa.doc_id = p.doc_a
+         |             JOIN shk sb ON sb.doc_id = p.doc_b AND sb.sk = sa.sk
+         |             GROUP BY 1, 2),
+         | found AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |           LEFT JOIN f_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |           JOIN sz na ON na.doc_id = p.doc_a
+         |           JOIN sz nb ON nb.doc_id = p.doc_b
+         |           WHERE round(coalesce(i.n_inter, 0)
+         |             / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5
+         |             AND ${smp("p.doc_a")} AND ${smp("p.doc_b")}),
+         | hit AS (SELECT f.doc_a FROM found f JOIN truth t
+         |         ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+         | SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |   (SELECT count(*) FROM found) AS n_found,
+         |   (SELECT count(*) FROM hit) AS n_correct,
+         |   round((SELECT count(*) FROM hit) * 1.0
+         |     / (SELECT count(*) FROM found), 6) AS prec,
+         |   round((SELECT count(*) FROM hit) * 1.0
+         |     / (SELECT count(*) FROM truth), 6) AS rec
+         | ORDER BY n_truth""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+        .unionAll(d.where(col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(
+              expr("substring(text, 1, CAST(FLOOR(length(text)*3/5) AS INT))"),
+              lit(" y"), col("doc_id").cast("string")).as("text")))
+      def sampled(c: org.apache.spark.sql.Column) =
+        graft.operators.Sampling.hashBucket(c, 100) < 50
+      // truth at SAMPLE scale (the ~p² cost cut); found = the production
+      // chain over the FULL corpus, pure-row-property restricted
+      val truth = Dedup.exactNearDupTruth(corpus.where(sampled(col("doc_id"))), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val found = Dedup.nearDupScores(corpus)
+        .where(col("jaccard") >= 0.5)
+        .where(sampled(col("doc_a")) && sampled(col("doc_b")))
+        .select(col("doc_a"), col("doc_b"))
+      val correct = found.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(correct.agg(count(lit(1)).as("n_correct")))
+        .select(col("n_truth"), col("n_found"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_found"), 6).as("prec"),
+          round(col("n_correct").cast("double") / col("n_truth"), 6).as("rec"))
+        .orderBy(col("n_truth"))
+    },
+
     // Asymmetric containment: n_inter/n_a ≈ 1 flags doc_a as (near-)subset
     // of doc_b — quote inclusion / boilerplate subsumption that symmetric
     // Jaccard under-scores. Same candidate-only cost model; one shared
@@ -3767,6 +3854,45 @@ object NorthStarQueries {
         .localCheckpoint(true)
       deleteRecursively(stDir)
       out
+    },
+
+    // The drift monitor's ACTIONABLE output (r15): raw PSI banded into
+    // stable / drifting / shifted against calibrated thresholds (0.1 /
+    // 0.25 folklore defaults, per-feature overrides for features whose
+    // bin cardinality warrants different tolerance). The fixture plants
+    // real drift — the batch's texts are DOUBLED, shifting the chars and
+    // tokens histograms wholesale while lang stays put — and overrides
+    // the tokens thresholds, so the output exercises all three bands and
+    // the override path in one row.
+    QueryDef("cur_drift_gate")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val st = s"(SELECT * FROM documents WHERE $bkt >= 20)"
+      val ba = s"(SELECT doc_id, text || ' ' || text AS text, lang " +
+        s"FROM documents WHERE $bkt < 20)"
+      val psi = Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", st, ba),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", st, ba),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", st, ba))
+        .mkString("", "\n UNION ALL\n", "")
+      graft.operators.Curation.driftGateSql(psi,
+        thresholds = Map("tokens" -> (0.05, 5.0))) + "\n ORDER BY feature"
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"),
+        "tokens" -> floor(size(split(col("text"), " ")) / lit(64)))
+      val batch = d.where(bucket < 20)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"), col("lang"))
+      graft.operators.Curation.driftGate(
+          graft.operators.Curation.drift(d.where(bucket >= 20), batch, features),
+          thresholds = Map("tokens" -> (0.05, 5.0)))
+        .orderBy(col("feature"))
     },
 
     // ---- multimodal ------------------------------------------------------

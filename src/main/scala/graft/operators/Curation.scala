@@ -234,6 +234,52 @@ object Curation {
       .write.mode("overwrite").parquet(s"$dir/ingest=$ingestBatch")
   }
 
+  /** Calibrated drift GATE over a PSI table ([[drift]] /
+    * [[driftAgainstIndex]] output) — the actionable rung the raw index
+    * lacks: per feature, band the PSI against thresholds into `stable`
+    * (< warn), `drifting` ([warn, shift)), or `shifted` (≥ shift). The
+    * defaults are the published monitoring folklore (0.1 / 0.25);
+    * `thresholds` overrides per feature name (a high-cardinality feature
+    * legitimately tolerates more PSI than a 3-bin one). One
+    * metadata-scale projection — the input is already bin-cardinality.
+    * Fails loudly on a malformed override (warn ≥ shift); an override
+    * key naming no input feature is inert — the gate output lists every
+    * feature with its band, so a missing override is visible there. */
+  def driftGate(psi: DataFrame, warn: Double = 0.1, shift: Double = 0.25,
+      thresholds: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+    require(warn < shift, s"warn $warn must be < shift $shift")
+    thresholds.foreach { case (f, (w, sh)) =>
+      require(w < sh, s"feature $f: warn $w must be < shift $sh")
+    }
+    val warnC = thresholds.foldLeft(lit(warn)) { case (acc, (f, (w, _))) =>
+      when(col("feature") === f, lit(w)).otherwise(acc)
+    }
+    val shiftC = thresholds.foldLeft(lit(shift)) { case (acc, (f, (_, sh))) =>
+      when(col("feature") === f, lit(sh)).otherwise(acc)
+    }
+    psi.select(col("feature"), col("n_bins"), col("psi"),
+      when(col("psi") < warnC, lit("stable"))
+        .when(col("psi") < shiftC, lit("drifting"))
+        .otherwise(lit("shifted")).as("band"))
+  }
+
+  /** The [[driftGate]] banding as DuckDB SQL over a PSI-bearing SELECT —
+    * thresholds (including per-feature overrides) must be rendered
+    * identically on both sides (literal doubles compared against the
+    * 6-rounded psi). */
+  def driftGateSql(psiSql: String, warn: Double = 0.1, shift: Double = 0.25,
+      thresholds: Map[String, (Double, Double)] = Map.empty): String = {
+    def bandCase(w: Double, sh: Double): String =
+      s"CASE WHEN psi < $w THEN 'stable' WHEN psi < $sh THEN 'drifting' " +
+        "ELSE 'shifted' END"
+    val banded = thresholds.toSeq.sortBy(_._1).foldRight(bandCase(warn, shift)) {
+      case ((f, (w, sh)), acc) =>
+        s"CASE WHEN feature = '$f' THEN ${bandCase(w, sh)} ELSE $acc END"
+    }
+    s"""SELECT feature, n_bins, psi, $banded AS band
+       | FROM ($psiSql)""".stripMargin
+  }
+
   /** PURGE docs from the standing histograms — the takedown verb of the
     * drift family ([[graft.operators.Purge]] module overview): histograms
     * are COUNT-ADDITIVE, so removal is one scan of the purged rows and a

@@ -88,6 +88,37 @@ class CurationSpec extends TestBase {
     assert(err.getMessage.contains("duplicate drift feature"), err.getMessage)
   }
 
+  test("driftGate: planted drift lands in the declared bands; overrides and guards") {
+    def corpus(bins: String*) =
+      bins.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "b")
+    val same = corpus("A", "A", "B", "B")
+    val shifted = corpus("A", "A", "A", "A", "A", "A", "A", "A")
+    // identical corpora → stable on every feature (the planted-fixture
+    // contract from the r14 verdict)
+    val st = Curation.driftGate(Curation.drift(same, same, Seq("b" -> col("b"))))
+      .collect()(0)
+    assert(st.getAs[String]("band") == "stable", st.toString)
+    // the hand-computed 0.87889 shift from the drift spec → 'shifted'
+    val sh = Curation.driftGate(Curation.drift(same, shifted, Seq("b" -> col("b"))))
+      .collect()(0)
+    assert(sh.getAs[String]("band") == "shifted", sh.toString)
+    // a per-feature override reclassifies exactly that feature
+    val ov = Curation.driftGate(
+        Curation.drift(same, shifted, Seq("b" -> col("b"))),
+        thresholds = Map("b" -> (0.5, 5.0)))
+      .collect()(0)
+    assert(ov.getAs[String]("band") == "drifting", ov.toString)
+    // malformed thresholds fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.driftGate(Curation.drift(same, same, Seq("b" -> col("b"))),
+        warn = 0.3, shift = 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.driftGate(Curation.drift(same, same, Seq("b" -> col("b"))),
+        thresholds = Map("b" -> (0.5, 0.1)))
+    }
+  }
+
   test("purgeFromDriftIndex: subtracted == recounted-without; over-claim fails and rolls back") {
     def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "b")
     val f = Seq("b" -> col("b"))
