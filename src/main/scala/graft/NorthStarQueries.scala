@@ -71,6 +71,53 @@ object NorthStarQueries {
       |        FROM gr a JOIN gr b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
       |        WHERE a.gx < 8 GROUP BY 1, 2)""".stripMargin
 
+  /** The audio-dedup fixture corpus: 24 originals + 12 gain-×2 twins +
+    * one single-sample DROPOUT of key 7 (index 25 zeroed — inside key 7's
+    * 34 interleaved samples; it empties one energy window and flips
+    * exactly one gradient bit), all through the real
+    * WAV codec. Mirrors the `fa` CTE of the mm_audio_* oracles. */
+  private def audioVariantCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.operators.MediaRow] = {
+    val d = Tables(s, dir, "documents")
+    Multimodal.syntheticAudioVariants(
+      d.where(col("doc_id") < 24)
+        .select(col("doc_id"), col("doc_id").as("key"),
+          lit(1).as("gain"), lit(0).as("retouch"))
+        .unionAll(d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("doc_id").as("key"), lit(2).as("gain"), lit(0).as("retouch")))
+        .unionAll(d.where(col("doc_id") === 7)
+          .select(lit(200007L).as("doc_id"), col("doc_id").as("key"),
+            lit(1).as("gain"), lit(25).as("retouch"))))
+  }
+
+  /** Shared DuckDB CTE chain recomputing `Multimodal.audioFingerprint64`
+    * from the `syntheticAudioVariants` sample formula (the phashByteSql
+    * treatment for the audio modality): geometry from `key`, samples
+    * `base·gain (+5000 at `retouch`)`, 65 window energies by the
+    * `idx·65 // n` assignment, gradient bits packed 8 per byte (bit
+    * `b%8` within byte `b//8` — the engine's `1L << w` order, so hex is
+    * string_agg ORDER BY g DESC). Expects `fa(id, key, gain, retouch)`. */
+  private val afpByteSql =
+    """ ga AS (SELECT id, key, gain, retouch,
+      |          CAST(key % 2 + 1 AS BIGINT) AS ch,
+      |          CAST(key % 50 + 10 AS BIGINT) AS frames FROM fa),
+      | sm AS (SELECT g.id, s.s AS idx, g.ch * g.frames AS n,
+      |          CASE WHEN g.retouch > 0 AND s.s = g.retouch THEN 0
+      |            ELSE (((g.key*31 + (s.s // g.ch)*7 + (s.s % g.ch)*13) % 16000) - 8000) * g.gain
+      |          END AS v
+      |        FROM ga g JOIN range(0, 120) s(s) ON s.s < g.ch * g.frames),
+      | ea AS (SELECT id, (idx * 65) // n AS w, sum(CAST(v AS BIGINT) * v) AS e
+      |        FROM sm GROUP BY 1, 2),
+      | eg AS (SELECT g.id, w.w AS w, coalesce(ea.e, 0) AS e
+      |        FROM ga g CROSS JOIN range(0, 65) w(w)
+      |        LEFT JOIN ea ON ea.id = g.id AND ea.w = w.w),
+      | abit AS (SELECT a.id, a.w AS b, CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+      |          FROM eg a JOIN eg nx ON nx.id = a.id AND nx.w = a.w + 1
+      |          WHERE a.w < 64),
+      | abt AS (SELECT id, b // 8 AS g, sum(bit << (b % 8)) AS byte
+      |         FROM abit GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB CTE chain: shingles → minhash → bands → candidate pairs
     * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
     * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens).
@@ -3988,6 +4035,89 @@ object NorthStarQueries {
         .select(col("doc_id"), col("mime"), col("format"), col("sample_rate"),
           col("channels"), col("bits"), col("n_samples"), col("sample_sum"))
         .orderBy(col("doc_id"))
+    },
+
+    // AUDIO fingerprints (r15) — the third modality joins the dedup
+    // ladder: 64-bit energy-gradient signature over REAL-decoded PCM
+    // (the dHash recipe applied to samples — 65 windows, bit w =
+    // e(w+1) > e(w)). The oracle recomputes every window energy from
+    // the sample FORMULA, so a header-only decode cannot pass; gain ×2
+    // twins must land byte-identical fingerprints (energies scale
+    // uniformly — the brightness-invariance analogue, here EXACT).
+    QueryDef("mm_audio_fp")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql
+         | SELECT id AS doc_id,
+         |   string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY g DESC) AS afp_hex
+         | FROM abt GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.audioFingerprint64(audioVariantCorpus(s, dir))
+        .select(col("doc_id"), col("afp_hex"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Audio near-dup PAIRS: the simhash 16-bit-band pigeonhole blocking
+    // verbatim on afp signatures — gain twins pair with their originals
+    // at Hamming 0, the single-sample dropout at Hamming 1 (its emptied
+    // window flips one gradient bit). The oracle recomputes fingerprints by formula
+    // and all-pairs Hammings at fixture scale.
+    QueryDef("mm_audio_neardup")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM abt a JOIN abt b ON a.g = b.g AND a.id < b.id
+         |        GROUP BY 1, 2)
+         | SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.nearDupAudio(audioVariantCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // CROSS-corpus audio near-dedup — the dd_cross_neardup shape on the
+    // third modality: arriving gain twins + one retouch probe the 24
+    // standing originals through one banded equi-join; within-side
+    // pairs never generated.
+    QueryDef("mm_audio_cross")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql,
+         | hm AS (SELECT a.id AS batch_id, b.id AS corpus_id,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM abt a JOIN abt b ON a.g = b.g
+         |          AND a.id >= 100000 AND b.id < 100000
+         |        GROUP BY 1, 2)
+         | SELECT batch_id, corpus_id, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 24)
+          .select(col("doc_id"), col("doc_id").as("key"),
+            lit(1).as("gain"), lit(0).as("retouch")))
+      val batch = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("doc_id").as("key"), lit(2).as("gain"), lit(0).as("retouch"))
+          .unionAll(d.where(col("doc_id") === 7)
+            .select(lit(200007L).as("doc_id"), col("doc_id").as("key"),
+              lit(1).as("gain"), lit(25).as("retouch"))))
+      Multimodal.crossNearDupAudio(standing, batch)
+        .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
+        .orderBy(col("batch_id"), col("corpus_id"))
     },
 
     // REAL video-container metadata: structurally-valid AVI fixtures built

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{MediaRow, Multimodal}
+import org.apache.spark.sql.functions.col
 
 /** Real-codec coverage for the multimodal kernels: an independently-encoded
   * committed PNG fixture (hand-built encoder, not ImageIO — so the test
@@ -355,6 +356,50 @@ class MultimodalSpec extends TestBase {
         excludeIngestBatch = Some(0L))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(excluded == Set((21L, 1L)))
+  }
+
+  test("audio fingerprint: gain x2 exactly invariant, dropout flips one bit, codec round-trip") {
+    import spark.implicits._
+    def variants(rows: (Long, Long, Int, Int)*) =
+      Multimodal.syntheticAudioVariants(
+        rows.toDF("doc_id", "key", "gain", "retouch"))
+    // originals + gain twins + one dropout, through the REAL WAV codec
+    val m = variants(
+      (7L, 7L, 1, 0), (9L, 9L, 1, 0),
+      (107L, 7L, 2, 0), (109L, 9L, 2, 0),
+      (207L, 7L, 1, 25))
+    val fp = Multimodal.audioFingerprint64(m)
+      .select(col("doc_id"), col("afp")).as[(Long, Long)].collect().toMap
+    // multiplicative gain scales every window energy by g^2 uniformly:
+    // gradient comparisons preserved EXACTLY (Hamming 0, not just small)
+    assert(fp(107L) == fp(7L), "gain twin must be fingerprint-identical")
+    assert(fp(109L) == fp(9L))
+    // the dropout empties exactly one energy window -> exactly one
+    // gradient bit flips on this geometry
+    assert(java.lang.Long.bitCount(fp(207L) ^ fp(7L)) == 1,
+      f"dropout must flip one bit: ${fp(207L) ^ fp(7L)}%016x")
+    // distinct keys land distinct fingerprints here (no degenerate hash)
+    assert(fp(7L) != fp(9L))
+    // the banded pair operators surface exactly those relations
+    val pairs = Multimodal.nearDupAudio(m)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((7L, 107L, 0), (9L, 109L, 0), (7L, 207L, 1),
+      (107L, 207L, 1)), pairs.toString)
+    // and the fingerprint rides a REAL decode: zeroing one sample's two
+    // bytes IN THE ENCODED WAV empties its energy window and must reach
+    // the fingerprint (no header-only shortcut). A magnitude-only tamper
+    // can legitimately vanish — the gradient signature quantizes — so
+    // the probe uses the guaranteed-visible dropout edit.
+    val tampered = m.map(r =>
+      if (r.doc_id == 7L) {
+        val b = r.content.clone()
+        b(b.length - 3) = 0; b(b.length - 4) = 0
+        MediaRow(777L, r.mime, b)
+      } else r)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val fp2 = Multimodal.audioFingerprint64(tampered)
+      .select(col("doc_id"), col("afp")).as[(Long, Long)].collect().toMap
+    assert(fp2(777L) != fp(7L), "a payload edit must reach the fingerprint")
   }
 
   test("sniff dispatches on magic bytes only") {
