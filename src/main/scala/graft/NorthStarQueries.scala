@@ -4120,6 +4120,120 @@ object NorthStarQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     },
 
+    // TEXT↔IMAGE PAIR curation (r15) — the LAION-style joint filter a
+    // VLM corpus actually is: (caption, image) pairs gate on embedding
+    // cosine ≥ 0.9 (every 3rd image is planted mis-captioned — its
+    // vector belongs to the NEXT doc, and the verified corpus property
+    // that natural cross-pair cosine ≤ ~0.51 makes the gate decisive),
+    // then drop any pair whose side lost its modality's dedup: caption
+    // copies to exact-dedup (keep-min), image delta-twins to the dHash
+    // cluster labeling (keep-first). The oracle replays cosine, the
+    // md5-group text dedup, and the recursive-CTE image CC end to end.
+    QueryDef("mm_pair_filter")(
+      s"""WITH RECURSIVE p0 AS (
+         |   SELECT doc_id AS text_id, doc_id AS image_id, lang
+         |     FROM documents WHERE doc_id < 200
+         |   UNION ALL SELECT doc_id + 100000, doc_id, lang
+         |     FROM documents WHERE doc_id < 10
+         |   UNION ALL SELECT doc_id, doc_id + 100000, lang
+         |     FROM documents WHERE doc_id < 12),
+         | ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | te AS (SELECT vec_id AS id, v FROM ed WHERE vec_id < 200
+         |        UNION ALL SELECT vec_id + 100000, v FROM ed WHERE vec_id < 10),
+         | im AS (SELECT doc_id AS img,
+         |          CASE WHEN doc_id % 3 = 0 THEN doc_id + 1 ELSE doc_id END AS src
+         |        FROM documents WHERE doc_id < 200
+         |        UNION ALL SELECT doc_id + 100000, doc_id
+         |          FROM documents WHERE doc_id < 12),
+         | ie AS (SELECT im.img AS id, ed.v FROM im JOIN ed ON ed.vec_id = im.src),
+         | sc AS (SELECT p0.text_id, p0.image_id, p0.lang,
+         |          round(${cosSql("te.v", "ie.v")}, 6) AS cos
+         |        FROM p0 JOIN te ON te.id = p0.text_id
+         |                JOIN ie ON ie.id = p0.image_id),
+         | al AS (SELECT * FROM sc WHERE cos >= 0.9),
+         | tcorp AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id + 100000, text
+         |             FROM documents WHERE doc_id < 10),
+         | tkeep AS (SELECT min(doc_id) AS kid FROM tcorp GROUP BY md5(text)),
+         | tdrop AS (SELECT doc_id FROM tcorp
+         |           WHERE doc_id NOT IN (SELECT kid FROM tkeep)),
+         | f AS (SELECT doc_id AS id, doc_id AS key, 0 AS delta, 0 AS spot
+         |         FROM documents WHERE doc_id < 24
+         |       UNION ALL SELECT doc_id + 100000, doc_id, 1, 0
+         |         FROM documents WHERE doc_id < 12),
+         |$phashByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          sum(bit_count(xor(a.byte, b.byte))) AS h
+         |        FROM bt a JOIN bt b ON a.gy = b.gy AND a.id < b.id
+         |        GROUP BY 1, 2),
+         | pr AS (SELECT doc_a, doc_b FROM hm WHERE h <= 3),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |         UNION SELECT doc_b, doc_a FROM pr),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v),
+         | lbl AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY 1),
+         | idrop AS (SELECT doc_id FROM lbl WHERE doc_id <> cid),
+         | fin AS (SELECT * FROM al
+         |         WHERE text_id NOT IN (SELECT doc_id FROM tdrop)
+         |           AND image_id NOT IN (SELECT doc_id FROM idrop))
+         | SELECT np.lang, np.n_pairs,
+         |   coalesce(na.n, 0) AS n_aligned, coalesce(nf.n, 0) AS n_final
+         | FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM p0 GROUP BY 1) np
+         | LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |            FROM al GROUP BY 1) na USING (lang)
+         | LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |            FROM fin GROUP BY 1) nf USING (lang)
+         | ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val pairs = d.where(col("doc_id") < 200)
+        .select(col("doc_id").as("text_id"), col("doc_id").as("image_id"), col("lang"))
+        .unionAll(d.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("text_id"),
+            col("doc_id").as("image_id"), col("lang")))
+        .unionAll(d.where(col("doc_id") < 12)
+          .select(col("doc_id").as("text_id"),
+            (col("doc_id") + 100000).as("image_id"), col("lang")))
+      // caption embeddings: copies share their original's vector
+      val textEmb = e.where(col("vec_id") < 200)
+        .unionAll(e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // image embeddings: every 3rd image mis-captioned (next doc's
+      // vector); delta twins share their original's
+      val imgMap = d.where(col("doc_id") < 200)
+        .select(col("doc_id").as("img"),
+          when(col("doc_id") % 3 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).as("src"))
+        .unionAll(d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("img"), col("doc_id").as("src")))
+      val imageEmb = imgMap.join(e, col("src") === col("vec_id"))
+        .select(col("img").as("vec_id"), col("embedding"))
+      // dropped sets from each modality's own dedup
+      val tcorp = d.select(col("doc_id"), col("text"))
+        .unionAll(d.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val textDropped = tcorp.select(col("doc_id"))
+        .join(Dedup.exact(tcorp).select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val images = Multimodal.syntheticImageVariants(
+        d.where(col("doc_id") < 24)
+          .select(col("doc_id"), col("doc_id").as("key"),
+            lit(0).as("delta"), lit(0).as("spot"))
+          .unionAll(d.where(col("doc_id") < 12)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              col("doc_id").as("key"), lit(1).as("delta"), lit(0).as("spot"))))
+      val imageDropped = Multimodal.clusterImages(images)
+        .where(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      Multimodal.pairFilter(pairs, textEmb, imageEmb,
+          textDropped, imageDropped, minCosine = 0.9)
+        .orderBy(col("lang"))
+    },
+
     // REAL video-container metadata: structurally-valid AVI fixtures built
     // by formula (RIFF/LIST/avih/strl/movi, '00db' raw frames — no codec
     // involved, none exists in this env), walked back by the production

@@ -731,6 +731,62 @@ object Multimodal {
       audioFingerprint64(batch).select(col("doc_id"), col("afp").as("sigint")),
       maxHamming)
 
+  /** TEXT↔IMAGE pair curation (r15) — the LAION-style joint filter a VLM
+    * corpus actually is: a `(text_id, image_id, lang)` pair survives iff
+    * its caption and image EMBEDDINGS align (`cosine ≥ minCosine`,
+    * rounded 6 — the published CLIP-score gate) AND neither side was
+    * dropped by its modality's dedup (`textDropped` / `imageDropped` are
+    * doc-id sets, e.g. the `doc_id =!= cluster_id` members of a
+    * keep-first labeling or the `keep = 0` rows of
+    * [[graft.operators.Dedup.canonicalByQuality]] — a pair whose
+    * canonical was dropped on EITHER side leaves the corpus). Returns
+    * the per-lang survivor funnel `(lang, n_pairs, n_aligned, n_final)`
+    * — the `cur_pipeline` reporting shape.
+    *
+    * Scale: two equi-joins pair→embedding (shuffle on the id, no pair
+    * amplification — one row per pair throughout), one codegen'd cosine
+    * + filter, two anti-joins against the DROPPED sets (dup-bearing docs
+    * only — usually a small fraction, broadcast-sized; this is why the
+    * interface takes dropped rather than kept sets), and three
+    * map-side-combined per-lang counts left-joined at stratum scale.
+    * A pair citing a text/image with NO embedding row raises loudly
+    * (lazy, riding the rows — the canonicalByQuality posture): silently
+    * dropping it would undercount the funnel's very first stage. */
+  def pairFilter(pairs: DataFrame, textEmb: DataFrame, imageEmb: DataFrame,
+      textDropped: DataFrame, imageDropped: DataFrame,
+      minCosine: Double = 0.9): DataFrame = {
+    require(minCosine >= -1 && minCosine <= 1,
+      s"minCosine must be in [-1, 1]: $minCosine")
+    def side(emb: DataFrame, id: String, as: String) =
+      emb.select(col("vec_id").as(id), col("embedding").as(as))
+    val scored = pairs
+      .join(side(textEmb, "text_id", "t_emb"), Seq("text_id"), "left")
+      .join(side(imageEmb, "image_id", "i_emb"), Seq("image_id"), "left")
+      .select(col("text_id"), col("image_id"), col("lang"),
+        when(col("t_emb").isNull, raise_error(concat(
+            lit("pairFilter: text_id "), col("text_id").cast("string"),
+            lit(" has no embedding row — every paired caption must be embedded"))))
+          .when(col("i_emb").isNull, raise_error(concat(
+            lit("pairFilter: image_id "), col("image_id").cast("string"),
+            lit(" has no embedding row — every paired image must be embedded"))))
+          .otherwise(round(Similarity.cosine(col("t_emb"), col("i_emb")), 6))
+          .as("cos"))
+    val aligned = scored.where(col("cos") >= minCosine)
+    val fin = aligned
+      .join(textDropped.select(col("doc_id").as("text_id")),
+        Seq("text_id"), "left_anti")
+      .join(imageDropped.select(col("doc_id").as("image_id")),
+        Seq("image_id"), "left_anti")
+    def countBy(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(as))
+    countBy(pairs, "n_pairs")
+      .join(countBy(aligned, "n_aligned"), Seq("lang"), "left")
+      .join(countBy(fin, "n_final"), Seq("lang"), "left")
+      .select(col("lang"), col("n_pairs"),
+        coalesce(col("n_aligned"), lit(0L)).as("n_aligned"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   /** REAL image resize: decode (ImageIO), nearest-neighbor resample to
     * `outW`×`outH` (source pixel (x·w/outW, y·h/outH), integer floor —
     * deterministic, no interpolation-kernel variance), re-encode as PNG,

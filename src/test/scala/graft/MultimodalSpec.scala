@@ -402,6 +402,34 @@ class MultimodalSpec extends TestBase {
     assert(fp2(777L) != fp(7L), "a payload edit must reach the fingerprint")
   }
 
+  test("pairFilter: cosine gate + either-side dedup drop; missing embedding raises") {
+    import spark.implicits._
+    def emb(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    val ex = Seq(1.0, 0.0)
+    val ey = Seq(0.0, 1.0)
+    // pairs: (1,1) aligned; (2,2) misaligned; (3,3) aligned but text 3
+    // dropped; (4,4) aligned but image 4 dropped
+    val pairs = Seq((1L, 1L, "en"), (2L, 2L, "en"), (3L, 3L, "de"),
+      (4L, 4L, "de")).toDF("text_id", "image_id", "lang")
+    val te = emb(1L -> ex, 2L -> ex, 3L -> ey, 4L -> ex)
+    val ie = emb(1L -> ex, 2L -> ey, 3L -> ey, 4L -> ex)
+    val got = Multimodal.pairFilter(pairs, te, ie,
+        textDropped = Seq(3L).toDF("doc_id"),
+        imageDropped = Seq(4L).toDF("doc_id"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("en") == ((2L, 1L, 1L)), s"got $got")   // misaligned drops at stage 2
+    assert(got("de") == ((2L, 2L, 0L)), s"got $got")   // both dedup-dropped at stage 3
+    // a pair citing an unembedded side must raise, not silently vanish
+    val err = intercept[Exception] {
+      Multimodal.pairFilter(pairs, te.where(col("vec_id") =!= 2L), ie,
+        Seq.empty[Long].toDF("doc_id"), Seq.empty[Long].toDF("doc_id")).collect()
+    }
+    assert(err.getMessage.contains("pairFilter") ||
+      Option(err.getCause).exists(_.getMessage.contains("pairFilter")),
+      err.getMessage)
+  }
+
   test("sniff dispatches on magic bytes only") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill[Byte](8)(0)
