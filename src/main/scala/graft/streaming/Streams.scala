@@ -256,6 +256,36 @@ object Streams {
       r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r).parquet(pathGlob)
   }
 
+  /** Right-size shuffle parallelism to the MICRO-BATCH for the duration
+    * of one foreachBatch body — the r15 loop-overhead shave (LoopProbe):
+    * a 10-doc curation batch runs ~115 Spark jobs, and at the session's
+    * 32 shuffle partitions most stages are 32 near-empty tasks whose
+    * scheduling IS the batch's cost (interleaved A/B: ~8.6→5.7 s cold,
+    * 5.1–6.7→4.3–4.8 s warm at 1 partition, identical results — every
+    * operator in these loops is partition-count-invariant and
+    * spec-pinned so). The size signal is the batch's INPUT partition
+    * count (file-source batches get ~1 partition per small file /
+    * maxPartitionBytes slice), read from the plan without running a job;
+    * a big batch keeps the session's full parallelism, so this is a
+    * floor-trim, not a throughput cap. The conf is session-scoped state:
+    * set/restore brackets the body (the eagerRelease discipline) and
+    * these loops own their session while a batch runs. */
+  private def withBatchParallelism[T](batch: Dataset[org.apache.spark.sql.Row])(
+      body: => T): T = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val cap = prev.flatMap(_.toIntOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val parts = math.max(1, math.min(cap, batch.rdd.getNumPartitions))
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
+  }
+
   /** Streaming near-dedup against a standing corpus — the operational
     * streaming form of `Dedup.crossNearDup`: each arriving micro-batch of
     * documents is LSH-scored against the static `corpus`, appending cross
@@ -347,6 +377,7 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -359,6 +390,7 @@ object Streams {
           graft.operators.Dedup
             .appendToExactWindowIndex(b, indexDir, ingestBatch = batchId)
         } finally { b.unpersist(false); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -385,9 +417,11 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         graft.operators.Retrieval.appendToBm25Index(
           batch.select(col("doc_id"), col("text")), indexDir,
           batchId = Some(batchId))
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -431,6 +465,7 @@ object Streams {
       noveltyFloor: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val b = batch.select(col("doc_id"), col("lang"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -442,6 +477,7 @@ object Streams {
             b.select(col("doc_id"), col("text")), indexDir,
             ingestBatch = batchId)
         } finally { b.unpersist(false); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -474,6 +510,7 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -485,6 +522,7 @@ object Streams {
             graft.operators.Curation
               .appendToDriftIndex(b, features, indexDir, batchId)
         } finally { b.unpersist(false); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -555,6 +593,7 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -609,6 +648,7 @@ object Streams {
           }
           b.unpersist(false); ()
         }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -657,6 +697,7 @@ object Streams {
       score: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // Force eager materialize-and-release for the scorer call: the
@@ -682,6 +723,7 @@ object Streams {
             .withColumn("micro_batch", lit(batchId))
             .write.mode("append").parquet(keepDir)
         } finally { b.unpersist(false); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -788,6 +830,7 @@ object Streams {
       maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
         val spark = batch.sparkSession
         import spark.implicits._
         val b = batch.select(col("doc_id"), col("mime"), col("content"))
@@ -839,6 +882,7 @@ object Streams {
           } finally { hb.unpersist(false); () }
           pruneLabelSnapshots(spark, labelsDir)
         } finally { b.unpersist(false); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
