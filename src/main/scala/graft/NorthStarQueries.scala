@@ -1331,6 +1331,67 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PURGE from the persisted cross-near-dup LSH index (r15): every
+    // doc_id % 7 == 2 leaves shingle_keys AND buckets (two-phase staged
+    // swap), then the standard arriving batch probes what remains. The
+    // oracle runs the identical chain over the SURVIVING corpus from
+    // scratch — a hash match proves probe-identity with a never-built-in
+    // index, INCLUDING the bucket cap, which probes re-derive over the
+    // stored (now-surviving) union rather than trusting any baked-in
+    // decision.
+    QueryDef("dd_purge_indexed")(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+         | batch AS (SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |             FROM documents WHERE doc_id < 30
+         |           UNION ALL SELECT doc_id + 300000, text
+         |             FROM documents WHERE doc_id >= 30 AND doc_id < 40
+         |           UNION ALL SELECT doc_id + 400000, upper(text)
+         |             FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+         | ${lshCappedBandsSql("corpus", "c")},
+         | ${lshCappedBandsSql("batch", "b")},
+         | cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |          FROM bcapped b JOIN ccapped c
+         |            ON b.band = c.band AND b.sig = c.sig),
+         | inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) AS n_inter
+         |           FROM cand cd
+         |           JOIN bsh sb ON sb.doc_id = cd.batch_id
+         |           JOIN csh sc ON sc.doc_id = cd.corpus_id
+         |             AND ('0x' || substr(md5(sc.shingle), 1, 15))::BIGINT
+         |               = ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | nb AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY 1),
+         | nc AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY 1)
+         | SELECT * FROM (
+         |   SELECT i.batch_id, i.corpus_id,
+         |     round(i.n_inter / (b.n_b + c.n_c - i.n_inter), 6) AS jaccard
+         |   FROM inter i
+         |   JOIN nb b ON b.doc_id = i.batch_id
+         |   JOIN nc c ON c.doc_id = i.corpus_id)
+         | WHERE jaccard >= 0.5
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.where(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 30 && col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") >= 40 && col("doc_id") < 60)
+          .select((col("doc_id") + 400000).as("doc_id"), upper(col("text")).as("text")))
+      val st = java.nio.file.Files.createTempDirectory("graft-xpurge-q")
+      val idx = s"$st/index"
+      val tB = System.nanoTime()
+      Dedup.buildCrossNearDupIndex(d, idx)
+      fixtureSecs.put("xpurge-build", (System.nanoTime() - tB) / 1e9)
+      Dedup.purgeFromCrossNearDupIndex(s, idx,
+        d.where(col("doc_id") % 7 === 2).select(col("doc_id")))
+      val out = Dedup.crossNearDupIndexed(s, idx, batch, threshold = 0.5)
+        .orderBy(col("batch_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      deleteRecursively(st)
+      out
+    },
+
     // Incremental cluster maintenance: a batch of near-copies arrives, its
     // cross candidates against the standing corpus become new edges, and
     // the existing dd_cluster labeling is UPDATED in place of a full

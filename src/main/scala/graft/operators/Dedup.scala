@@ -522,6 +522,65 @@ object Dedup {
     } finally { sh.unpersist(false); () }
   }
 
+  /** PURGE a doc-id set from a [[buildCrossNearDupIndex]] layout — the
+    * takedown verb of the LSH-index ladder ([[Purge]] module overview):
+    * both per-doc datasets (`shingle_keys`, `buckets`) rewrite minus the
+    * ids under [[Purge.rewritePartitions]]' two-phase commit (staged
+    * writes consume the lazy anti-join plans BEFORE any live dir is
+    * touched, then both swap under one marker); the manifest — pure
+    * family parameters — is untouched. After the purge every probe
+    * behaves exactly as an index built without the docs, INCLUDING the
+    * bucket cap: buckets are stored uncapped and probes cap over the
+    * stored union at read time, so the cap re-derives from the surviving
+    * union with no stale baked-in decision (PurgeSpec + the
+    * dd_purge_indexed oracle pin probe identity).
+    *
+    * Cost class, stated plainly: this layout stores per-doc rows
+    * UNPARTITIONED (append-grown), so the rewrite is O(index) — fine for
+    * occasional takedowns; a purge-heavy deployment should front it with
+    * the BM25-style logical mask + deferred compaction split, which this
+    * index's probes do not yet carry. */
+  def purgeFromCrossNearDupIndex(spark: SparkSession, dir: String,
+      docIds: DataFrame): Unit = {
+    val ids = broadcast(docIds.select(col("doc_id")).distinct()
+      .localCheckpoint(true))
+    def remaining(name: String) =
+      spark.read.parquet(s"$dir/$name").join(ids, Seq("doc_id"), "left_anti")
+    Purge.rewritePartitions(spark, dir, Seq(
+      "shingle_keys" -> Some(remaining("shingle_keys")),
+      "buckets" -> Some(remaining("buckets"))))
+  }
+
+  /** PURGE docs from ONE ingest partition of a [[buildExactWindowIndex]]
+    * layout: the window index stores DISTINCT window hashes with no doc
+    * attribution (8 bytes/window is the point), so removal cannot be an
+    * anti-join — a purged doc's window may also occur in surviving text
+    * and must stay. The exact purge is a RECOMPUTE of the touched
+    * partition from the batch's SURVIVING docs (the caller knows each
+    * doc's ingest partition — the takedown pipeline is deleting the same
+    * docs from the corpus store): windows unique to purged docs vanish,
+    * shared windows persist via the partitions whose docs still carry
+    * them, and the result equals an index built without the docs up to
+    * cross-partition duplicate rows, which every probe collapses
+    * (duplicate-safety is the index's standing contract). A keyed
+    * overwrite — replaying the same purge converges. For a purge that
+    * cannot be attributed to partitions, [[buildExactWindowIndex]] over
+    * the surviving corpus IS the documented re-compaction path. */
+  def purgeFromExactWindowIndex(survivors: DataFrame, dir: String,
+      ingestBatch: Long): Unit = {
+    val spark = survivors.sparkSession
+    graft.functions.GraftFunctions.ensure(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val part = new org.apache.hadoop.fs.Path(
+      s"$dir/windows/ingest_batch=$ingestBatch")
+    require(part.getFileSystem(conf).exists(part),
+      s"no ingest partition $ingestBatch under $dir/windows — the purge " +
+        "rewrites an EXISTING batch's contribution from its survivors")
+    val l = spark.read.json(s"$dir/manifest").collect()(0).getAs[Long]("l").toInt
+    distinctWindowKeys(survivors, l)
+      .write.mode("overwrite").parquet(part.toString)
+  }
+
   /** `crossNearDup` against a prebuilt index (`buildCrossNearDupIndex`):
     * identical result contract, but the corpus side is LOADED, not
     * recomputed — per-batch cost is the batch's own LSH chain plus joins

@@ -249,6 +249,62 @@ class PurgeSpec extends TestBase {
     rm(idx); rm(want)
   }
 
+  // ---- cross-near-dup LSH index & exact-window index --------------------
+
+  test("cross-neardup index purge: probe == index built without the docs") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = d.where(col("doc_id") < 20)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val purged = d.where(col("doc_id") % 5 === 1).select(col("doc_id"))
+    val idx = tmp("graft-xidx-purge")
+    Dedup.buildCrossNearDupIndex(d, s"$idx/a")
+    Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a", purged)
+    Dedup.buildCrossNearDupIndex(
+      d.where(col("doc_id") % 5 =!= 1), s"$idx/b")
+    def probe(dir: String) = Dedup.crossNearDupIndexed(spark, dir, batch, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe(s"$idx/a") == probe(s"$idx/b"),
+      "purged index must probe identically to one built without the docs")
+    // no purged id survives in either dataset
+    assert(spark.read.parquet(s"$idx/a/shingle_keys")
+      .join(purged, Seq("doc_id"), "left_semi").count() == 0)
+    assert(spark.read.parquet(s"$idx/a/buckets")
+      .join(purged, Seq("doc_id"), "left_semi").count() == 0)
+    rm(idx)
+  }
+
+  test("exact-window index purge: partition recompute == built-without; shared windows survive") {
+    // docs 1 and 2 SHARE a 40-char window (identical prefix); doc 3 is
+    // unique. Purging doc 2 must drop doc 2's unique windows but keep
+    // the shared prefix window (doc 1 still carries that text).
+    val shared = "s" * 60
+    val docs = Seq(
+      (1L, shared + " alpha " + ("a" * 50)),
+      (2L, shared + " beta " + ("b" * 50)),
+      (3L, "c" * 120)).toDF("doc_id", "text")
+    val idx = tmp("graft-win-purge")
+    Dedup.buildExactWindowIndex(docs, s"$idx/w")
+    // purge doc 2: recompute the seed partition from its survivors
+    Dedup.purgeFromExactWindowIndex(
+      docs.where(col("doc_id") =!= 2L), s"$idx/w", ingestBatch = -1L)
+    val want = tmp("graft-win-want")
+    Dedup.buildExactWindowIndex(
+      docs.where(col("doc_id") =!= 2L), s"$want/w")
+    def keys(dir: String) = spark.read.schema("m LONG")
+      .parquet(s"$dir/windows").select(col("m"))
+      .as[Long].collect().toSet
+    assert(keys(s"$idx/w") == keys(s"$want/w"),
+      "purged window set must equal the built-without set")
+    // a nonexistent partition is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.purgeFromExactWindowIndex(docs, s"$idx/w", ingestBatch = 7L)
+    }
+    assert(ex.getMessage.contains("ingest partition"), ex.getMessage)
+    rm(idx); rm(want)
+  }
+
   // ---- standing labels: component re-solve ------------------------------
 
   test("purgeFromClusters: cut-vertex split, leaf survival, untouched pass-through") {
