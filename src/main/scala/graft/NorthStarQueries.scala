@@ -4181,6 +4181,53 @@ object NorthStarQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     },
 
+    // The audio cross probe through the PERSISTED fingerprint index
+    // (built on 16 originals, grown by the rest as ingest 0) — zero
+    // standing-clip decodes at probe time; the oracle is the SAME
+    // formula recompute as mm_audio_cross, so hash equality proves
+    // indexed == recompute, the image ladder's operational contract on
+    // the third modality.
+    QueryDef("mm_audio_indexed")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql,
+         | hm AS (SELECT a.id AS batch_id, b.id AS corpus_id,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM abt a JOIN abt b ON a.g = b.g
+         |          AND a.id >= 100000 AND b.id < 100000
+         |        GROUP BY 1, 2)
+         | SELECT batch_id, corpus_id, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def standingRows(pred: org.apache.spark.sql.Column) =
+        Multimodal.syntheticAudioVariants(
+          d.where(col("doc_id") < 24 && pred)
+            .select(col("doc_id"), col("doc_id").as("key"),
+              lit(1).as("gain"), lit(0).as("retouch")))
+      val batch = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("doc_id").as("key"), lit(2).as("gain"), lit(0).as("retouch"))
+          .unionAll(d.where(col("doc_id") === 7)
+            .select(lit(200007L).as("doc_id"), col("doc_id").as("key"),
+              lit(1).as("gain"), lit(25).as("retouch"))))
+      val st = java.nio.file.Files.createTempDirectory("graft-audiofp-q")
+      val idx = s"$st/index"
+      Multimodal.buildAudioFpIndex(standingRows(col("doc_id") < 16), idx)
+      Multimodal.appendToAudioFpIndex(standingRows(col("doc_id") >= 16), idx,
+        ingestBatch = 0L)
+      val out = Multimodal.crossNearDupAudioIndexed(s, idx, batch)
+        .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      deleteRecursively(st)
+      out
+    },
+
     // TEXT↔IMAGE PAIR curation (r15) — the LAION-style joint filter a
     // VLM corpus actually is: (caption, image) pairs gate on embedding
     // cosine ≥ 0.9 (every 3rd image is planted mis-captioned — its

@@ -415,14 +415,8 @@ object Multimodal {
     * batchId-keyed discipline: `dir/hashes/ingest_batch=<id>` parquet of
     * `(doc_id, phash)`; the build owns partition −1, streaming appends
     * own ids ≥ 0, each an idempotent overwrite (replay-exact). */
-  def buildDHashIndex(media: Dataset[MediaRow], dir: String): Unit = {
-    val spark = media.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(root, true)
-    dHash64(media).select(col("doc_id"), col("phash"))
-      .write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=-1")
-  }
+  def buildDHashIndex(media: Dataset[MediaRow], dir: String): Unit =
+    buildSigIndex(dHash64(media).select(col("doc_id"), col("phash")), dir)
 
   /** Grow a [[buildDHashIndex]] index with an arriving batch's hashes —
     * one narrow decode+hash pass over the batch, an overwrite into the
@@ -430,8 +424,28 @@ object Multimodal {
     * partitions are never touched). */
   def appendToDHashIndex(media: Dataset[MediaRow], dir: String,
       ingestBatch: Long): Unit =
-    dHash64(media).select(col("doc_id"), col("phash"))
-      .write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=$ingestBatch")
+    appendToSigIndex(dHash64(media).select(col("doc_id"), col("phash")),
+      dir, ingestBatch)
+
+  /** The shared 8-bytes-per-item signature-index layout behind the dHash
+    * (image) and audio-fingerprint indexes — `dir/hashes/ingest_batch=
+    * <id>` parquet of `(doc_id, <sig>)`, build owns partition −1,
+    * streaming appends own ids ≥ 0, each an idempotent overwrite
+    * (replay-exact). The signature column keeps its family's name
+    * (`phash` / `afp`) so an index can never be probed by the wrong
+    * modality's reader. */
+  private def buildSigIndex(sigs: DataFrame, dir: String): Unit = {
+    val spark = sigs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    sigs.write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=-1")
+  }
+
+  private def appendToSigIndex(sigs: DataFrame, dir: String,
+      ingestBatch: Long): Unit =
+    sigs.write.mode("overwrite")
+      .parquet(s"$dir/hashes/ingest_batch=$ingestBatch")
 
   /** Remove an image-id set from a [[buildDHashIndex]] index — the
     * takedown path of the image dedup ladder: one narrow id-column scan
@@ -458,15 +472,21 @@ object Multimodal {
     * listing via the Hadoop FS API so exclusion is partition pruning,
     * not a scan-then-filter. */
   def standingDHashes(spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeIngestBatch: Option[Long] = None): DataFrame = {
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    standingSigs(spark, dir, "phash", excludeIngestBatch)
+
+  private def standingSigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sigCol: String,
+      excludeIngestBatch: Option[Long]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"no dHash index at $dir — run buildDHashIndex first")
+    require(fs.exists(root), s"no signature index at $dir — build it first")
     val parts = fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("ingest_batch="))
       .filterNot(p => excludeIngestBatch.exists(b => p.getName == s"ingest_batch=$b"))
-    require(parts.nonEmpty, s"dHash index at $dir has no readable partitions")
-    spark.read.schema("doc_id LONG, phash LONG").parquet(parts.map(_.toString): _*)
+    require(parts.nonEmpty, s"signature index at $dir has no readable partitions")
+    spark.read.schema(s"doc_id LONG, $sigCol LONG")
+      .parquet(parts.map(_.toString): _*)
   }
 
   /** Probe an arriving image batch against the PERSISTED index:
@@ -722,7 +742,7 @@ object Multimodal {
     * between an arriving batch and a standing corpus via
     * [[graft.operators.Dedup.simhashCrossPairs]] — one banded equi-join,
     * within-side pairs never generated, the standing side decoded once
-    * (an indexed form would persist the 8-byte fingerprints exactly as
+    * (the indexed form below persists the 8-byte fingerprints exactly as
     * [[buildDHashIndex]] does for images). */
   def crossNearDupAudio(standing: Dataset[MediaRow], batch: Dataset[MediaRow],
       maxHamming: Int = 3): DataFrame =
@@ -730,6 +750,50 @@ object Multimodal {
       audioFingerprint64(standing).select(col("doc_id"), col("afp").as("sigint")),
       audioFingerprint64(batch).select(col("doc_id"), col("afp").as("sigint")),
       maxHamming)
+
+  /** Build the PERSISTED audio-fingerprint index — the audio modality's
+    * [[buildDHashIndex]]: re-decoding the standing corpus per arriving
+    * batch re-reads every audio byte every increment, while the
+    * fingerprint table is 8 bytes/clip. Same layout, same ingest-keyed
+    * replay discipline, same purge path. */
+  def buildAudioFpIndex(media: Dataset[MediaRow], dir: String): Unit =
+    buildSigIndex(audioFingerprint64(media).select(col("doc_id"), col("afp")), dir)
+
+  /** Grow a [[buildAudioFpIndex]] index with an arriving batch — one
+    * decode+fingerprint pass, an idempotent overwrite of the batch's own
+    * ingest partition. */
+  def appendToAudioFpIndex(media: Dataset[MediaRow], dir: String,
+      ingestBatch: Long): Unit =
+    appendToSigIndex(audioFingerprint64(media).select(col("doc_id"), col("afp")),
+      dir, ingestBatch)
+
+  /** The standing fingerprint table of a [[buildAudioFpIndex]] index,
+    * optionally excluding one ingest partition (replay exactness). */
+  def standingAudioFps(spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    standingSigs(spark, dir, "afp", excludeIngestBatch)
+
+  /** Probe an arriving audio batch against the PERSISTED index: zero
+    * standing-clip decodes — the probe's corpus-side cost is the 8-byte
+    * fingerprint scan plus the banded equi-join. */
+  def crossNearDupAudioIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: Dataset[MediaRow], maxHamming: Int = 3,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    Dedup.simhashCrossPairs(
+      standingAudioFps(spark, dir, excludeIngestBatch)
+        .select(col("doc_id"), col("afp").as("sigint")),
+      audioFingerprint64(batch).select(col("doc_id"), col("afp").as("sigint")),
+      maxHamming)
+
+  /** Remove a clip-id set from a [[buildAudioFpIndex]] index — the dHash
+    * purge discipline verbatim ([[purgeFromDHashIndex]]): touched ingest
+    * partitions anti-join-rewrite under the two-phase marker, 8
+    * bytes/clip, never the audio bytes. Same owner-only streaming
+    * caveat. */
+  def purgeFromAudioFpIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: org.apache.spark.sql.DataFrame): Unit =
+    Purge.purgePartitionedIndex(spark, s"$dir/hashes", "ingest_batch",
+      "doc_id", docIds)
 
   /** TEXT↔IMAGE pair curation (r15) — the LAION-style joint filter a VLM
     * corpus actually is: a `(text_id, image_id, lang)` pair survives iff

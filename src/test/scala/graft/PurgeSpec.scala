@@ -249,6 +249,34 @@ class PurgeSpec extends TestBase {
     rm(idx); rm(want)
   }
 
+  test("audio fp index: build/append/indexed-probe/purge mirror the dHash ladder") {
+    def variants(rows: (Long, Long, Int, Int)*) =
+      Multimodal.syntheticAudioVariants(
+        rows.toDF("doc_id", "key", "gain", "retouch"))
+    val standing = variants((0L until 20L).map(k => (k, k, 1, 0)): _*)
+    val batch = variants((0L until 8L).map(k => (100L + k, k, 2, 0)): _*)
+    val idx = tmp("graft-audiofp-purge")
+    Multimodal.buildAudioFpIndex(
+      standing.filter(col("doc_id") < 12), s"$idx/a")
+    Multimodal.appendToAudioFpIndex(
+      standing.filter(col("doc_id") >= 12), s"$idx/a", ingestBatch = 0L)
+    // indexed probe == recompute probe
+    val rec = Multimodal.crossNearDupAudio(standing, batch)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaIdx = Multimodal.crossNearDupAudioIndexed(spark, s"$idx/a", batch)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIdx == rec && rec.nonEmpty, s"indexed $viaIdx vs recompute $rec")
+    // purge: table == built-without, probe agrees
+    Multimodal.purgeFromAudioFpIndex(spark, s"$idx/a", Seq(3L, 15L).toDF("doc_id"))
+    Multimodal.buildAudioFpIndex(
+      standing.filter(!col("doc_id").isin(3L, 15L)), s"$idx/b")
+    assert(Multimodal.standingAudioFps(spark, s"$idx/a")
+        .as[(Long, Long)].collect().toSet ==
+      Multimodal.standingAudioFps(spark, s"$idx/b")
+        .as[(Long, Long)].collect().toSet)
+    rm(idx)
+  }
+
   // ---- cross-near-dup LSH index & exact-window index --------------------
 
   test("cross-neardup index purge: probe == index built without the docs") {
