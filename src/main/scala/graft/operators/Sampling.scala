@@ -90,27 +90,14 @@ object Sampling {
     require(budget > 0, s"budget must be positive: $budget")
     val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
       .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
-    // The weight LIST is the driving table (a literal-values relation, one
-    // row per declared key, left-joined to the data's stratum masses): a
-    // weight key naming a stratum ABSENT from the data surfaces as a null
-    // mass and raises — per-row, naming the key. Driving from the data
-    // side instead (the pre-r15 shape) had a hole: with ZERO matching
-    // keys the guard rode an empty relation and never evaluated, silently
-    // returning empty — exactly the typo'd-name mode it claimed to close.
-    // The raise_error fires lazily with the data (the mixtureResample
-    // amplification-guard pattern), keeping the operator collect-free.
-    val wdf = {
-      import df.sparkSession.implicits._
-      weights.toSeq.toDF("_strat", "_w")
-    }
-    val withW = wdf.join(cnt, Seq("_strat"), "left")
-      .select(col("_strat"), col("_w"),
-        when(col("_t").isNull,
-          raise_error(concat(
-            lit("tokenMixtureSample: weight key "), col("_strat"),
-            lit(" matched no stratum in the data — check the weight names " +
-              "(an unmatched key's budget share would silently vanish)"))))
-        .otherwise(col("_t")).as("_t"))
+    // The weight LIST is the driving table ([[keyedMixture]]): a typo'd
+    // key raises by name, even when ZERO keys match — the pre-r15
+    // data-side guard rode an empty relation then and never fired. The
+    // raise_error is lazy, riding the rows; the operator stays
+    // collect-free.
+    val withW = keyedMixture(df, cnt, weights, "_t",
+      "tokenMixtureSample", "weight", "budget share")
+      .withColumnRenamed("_p", "_w")
     val achievable = withW
       .agg(least(lit(budget),
         min(floor(col("_t") / col("_w")).cast("long"))).as("_bach"))
@@ -123,6 +110,30 @@ object Sampling {
       .drop("_strat", "_thr")
   }
 
+  /** The literal-keys guard shared by every declared-mixture sampler
+    * (r15, generalizing the tokenMixtureSample fix): the declared
+    * key→value map becomes a literal-values relation LEFT-joined to the
+    * data's per-stratum masses, so a key naming no stratum surfaces as a
+    * null mass and raises per-row, naming the key — even when ZERO keys
+    * match (a data-side-driven guard rides an empty relation then and
+    * never fires). Returns `(_strat, _p, <massCol>)`. */
+  private def keyedMixture(df: DataFrame, cnt: DataFrame,
+      keys: Map[String, Double], massCol: String,
+      op: String, noun: String, share: String): DataFrame = {
+    val kdf = {
+      import df.sparkSession.implicits._
+      keys.toSeq.toDF("_strat", "_p")
+    }
+    kdf.join(cnt, Seq("_strat"), "left")
+      .select(col("_strat"), col("_p"),
+        when(col(massCol).isNull,
+          raise_error(concat(
+            lit(s"$op: $noun key "), col("_strat"),
+            lit(s" matched no stratum in the data — check the $noun names " +
+              s"(an unmatched key's $share would silently vanish)"))))
+        .otherwise(col(massCol)).as(massCol))
+  }
+
   def mixtureSample(df: DataFrame, stratum: Column, key: Column,
       targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
@@ -131,11 +142,10 @@ object Sampling {
       s"target proportions must sum to <= 1: $targets")
     val cnt = df.select(stratum.as("_strat"))
       .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
-    val withP = cnt.withColumn("_p",
-        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
-          when(col("_strat") === s, lit(p)).otherwise(acc)
-        })
-      .where(col("_p").isNotNull)
+    // target keys drive (the tokenMixtureSample r15 discipline): a typo'd
+    // key raises by name instead of silently vanishing its share
+    val withP = keyedMixture(df, cnt, targets, "_n",
+      "mixtureSample", "target", "share")
     val achievable = withP
       .agg(min(floor(col("_n") / col("_p")).cast("long")).as("_nach"))
     val thresholds = withP.crossJoin(broadcast(achievable))
@@ -214,11 +224,9 @@ object Sampling {
     require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
     val cnt = df.select(stratum.as("_strat"))
       .groupBy(col("_strat")).agg(count(lit(1)).as("_n"))
-    val withP = cnt.withColumn("_p",
-        targets.foldLeft(lit(null).cast("double")) { case (acc, (s, p)) =>
-          when(col("_strat") === s, lit(p)).otherwise(acc)
-        })
-      .where(col("_p").isNotNull)
+    // typo'd target keys raise by name (keyedMixture, r15)
+    val withP = keyedMixture(df, cnt, targets, "_n",
+      "mixtureResample", "target", "share")
     val total = withP.agg(sum(col("_n")).as("_tot"))
     val factors = withP.crossJoin(broadcast(total))
       .select(col("_strat"),
@@ -274,22 +282,9 @@ object Sampling {
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val cnt = df.select(stratum.as("_strat"), tok.as("_tok"))
       .groupBy(col("_strat")).agg(sum(col("_tok")).as("_t"))
-    // Target keys drive (literal-values relation left-joined to the data's
-    // masses) so a typo'd key raises by name instead of silently dropping
-    // out of withP and shrinking the targeted total T — the same fail-fast
-    // posture as tokenMixtureSample, which this sibling lacked pre-r15.
-    val tdf = {
-      import df.sparkSession.implicits._
-      targets.toSeq.toDF("_strat", "_p")
-    }
-    val withP = tdf.join(cnt, Seq("_strat"), "left")
-      .select(col("_strat"), col("_p"),
-        when(col("_t").isNull,
-          raise_error(concat(
-            lit("tokenMixtureResample: target key "), col("_strat"),
-            lit(" matched no stratum in the data — check the target names " +
-              "(an unmatched key's token share would silently vanish)"))))
-        .otherwise(col("_t")).as("_t"))
+    // typo'd target keys raise by name (keyedMixture, r15)
+    val withP = keyedMixture(df, cnt, targets, "_t",
+      "tokenMixtureResample", "target", "token share")
     val total = withP.agg(sum(col("_t")).as("_tt"))
     val factors = withP.crossJoin(broadcast(total))
       .select(col("_strat"),

@@ -189,6 +189,28 @@ class SamplingSpec extends TestBase {
       Option(ex0.getCause).exists(_.getMessage.contains("tokenMixtureSample")))
   }
 
+  test("mixtureSample / mixtureResample: typo'd target keys fail fast (keyedMixture parity)") {
+    val d = (0L until 100L).map(i => (i, if (i < 50) "a" else "b"))
+      .toDF("id", "grp")
+    // all keys present: fine
+    Sampling.mixtureSample(d, col("grp"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5)).count()
+    Sampling.mixtureResample(d, col("grp"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5)).count()
+    val e1 = intercept[Exception] {
+      Sampling.mixtureSample(d, col("grp"), col("id"),
+        Map("a" -> 0.5, "c" -> 0.5)).count()
+    }
+    assert(e1.getMessage.contains("mixtureSample") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mixtureSample")))
+    val e2 = intercept[Exception] {
+      Sampling.mixtureResample(d, col("grp"), col("id"),
+        Map("a" -> 0.5, "c" -> 0.5)).count()
+    }
+    assert(e2.getMessage.contains("mixtureResample") ||
+      Option(e2.getCause).exists(_.getMessage.contains("mixtureResample")))
+  }
+
   test("tokenMixtureResample: a target key naming an absent stratum fails fast") {
     val d = ((0L until 50L).map(i => (i, "a", "w w w")) ++
         (50L until 100L).map(i => (i, "b", "w w")))
