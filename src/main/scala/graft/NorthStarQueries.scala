@@ -3796,6 +3796,79 @@ object NorthStarQueries {
       out
     },
 
+    // TAKEDOWN of the STREAMING curation state (r15): run the full loop
+    // (seed + two micro-batches), then purge a doc set from its standing
+    // state — LSH index rows, per-batch fold-edge evidence, BOTH
+    // retained label snapshots (cut-vertex-exact re-solve), and the
+    // registry. The oracle recomputes connected components from scratch
+    // over the union corpus's gated pairs MINUS purged-incident edges —
+    // a hash match proves the purged streaming state equals one seeded
+    // and grown without the docs.
+    QueryDef("dd_purge_stream")(
+      s"""WITH RECURSIVE corpus AS (
+         |   SELECT doc_id, text FROM documents WHERE doc_id < 40
+         |   UNION ALL SELECT doc_id + 1000, text || ' extra' FROM documents WHERE doc_id < 10
+         |   UNION ALL SELECT doc_id + 2000, text || ' extra' FROM documents WHERE doc_id < 5
+         |   UNION ALL SELECT doc_id + 3000, upper(text) FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+         | $lshPairsSql,
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |           FROM pairs p
+         |           JOIN sh sa ON sa.doc_id = p.doc_a
+         |           JOIN sh sb ON sb.doc_id = p.doc_b AND ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT = ('0x' || substr(md5(sa.shingle), 1, 15))::BIGINT
+         |           GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | dup AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |         JOIN sizes na ON na.doc_id = p.doc_a
+         |         JOIN sizes nb ON nb.doc_id = p.doc_b
+         |         WHERE round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.8
+         |           AND p.doc_a NOT IN (3, 1003, 15, 3012)
+         |           AND p.doc_b NOT IN (3, 1003, 15, 3012)),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM dup
+         |         UNION SELECT doc_b, doc_a FROM dup),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") < 40)
+      val b1 = d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val b2 = d.where(col("doc_id") < 5)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+        .unionAll(d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 3000).as("doc_id"), upper(col("text")).as("text")))
+      val st = java.nio.file.Files.createTempDirectory("graft-curation-purge-q")
+      val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
+      val tSeed = System.nanoTime()
+      graft.streaming.Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-curation-purge-q-in")
+      stageAsFile(b1, inDir, "b1.parquet")
+      stageAsFile(b2, inDir, "b2.parquet")
+      fixtureSecs.put("curation-purge-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.curationLoop(
+        graft.streaming.Streams.documentsStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, threshold = 0.8, s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("curation-purge-loop", (System.nanoTime() - tLoop) / 1e9)
+      val tPurge = System.nanoTime()
+      graft.streaming.Streams.purgeCurationState(s, idxDir, lblDir,
+        Seq(3L, 1003L, 15L, 3012L).toDF("doc_id"))
+      fixtureSecs.put("curation-purge-purge", (System.nanoTime() - tPurge) / 1e9)
+      val out = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/v1")
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
+    },
+
     // Distribution-DRIFT monitoring — the observability rung the growing-
     // corpus operators (cross-corpus dedup, BM25 append, streaming
     // novelty) all feed but nothing measured: Population Stability Index

@@ -529,14 +529,93 @@ object Streams {
       .start()
 
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
-    * index (`Dedup.buildCrossNearDupIndex`) and its initial labeling
-    * (`Dedup.clusterDedupFirst` at the same gate), written as labels
-    * version v-1 — the snapshot the first micro-batch reads. */
+    * index (`Dedup.buildCrossNearDupIndex`), its initial labeling
+    * (`Dedup.clusterDedupFirst` at the same gate) as labels version v-1
+    * — the snapshot the first micro-batch reads — and the seed's PAIR
+    * EVIDENCE as `edges/v-1` (r15: the labeling alone cannot support an
+    * exact takedown — a purged doc may be the only bridge between two
+    * groups, and only pair evidence can re-solve the split; the edge
+    * set is output-scale, the same rows the labeling was folded from,
+    * and [[purgeCurationState]] consumes it). */
   def seedCurationState(corpus: DataFrame, indexDir: String,
       labelsDir: String, threshold: Double): Unit = {
     graft.operators.Dedup.buildCrossNearDupIndex(corpus, indexDir)
+    // same gated pair set clusterDedupFirst folds (the dd_cluster
+    // equivalence): persisted as takedown evidence
+    graft.operators.Dedup.nearDupScores(corpus)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
     graft.operators.Dedup.clusterDedupFirst(corpus, minJaccard = Some(threshold))
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
+  }
+
+  /** TAKEDOWN of a doc-id set from the curation loop's STANDING STATE —
+    * the streaming face of the r15 purge lifecycle, run OWNER-ONLY while
+    * the stream is stopped (every purge here is; restart from the
+    * checkpoint afterwards):
+    *   1. the LSH index purges (`Dedup.purgeFromCrossNearDupIndex`) so
+    *      no future batch can match a purged doc;
+    *   2. every persisted edge set (`edges/v*` — seed + per-batch fold
+    *      evidence) rewrites minus purged-incident pairs under the
+    *      two-phase marker, so a crash-REPLAYED batch re-folds from
+    *      evidence that no longer knows the docs;
+    *   3. BOTH retained label snapshots re-solve via
+    *      [[graft.operators.Purge.purgeFromClusters]] over the purged
+    *      evidence (cut-vertex-exact: components split when a purged doc
+    *      was their only bridge) and rewrite in place — the newest is
+    *      what probes read, the predecessor is what crash recovery falls
+    *      back to, so every recovery path sees purged state;
+    *   4. the ids land in `labelsDir/registry` (append-only;
+    *      [[curationLoop]] refuses a NEW batch carrying an ever-purged
+    *      id — re-ingesting taken-down content is the failure mode a
+    *      registry exists to stop; replays of batches committed BEFORE
+    *      the purge are exempt and converge via the purged evidence).
+    * After the purge, the loop's state equals one seeded and grown
+    * WITHOUT the docs (StreamingSpec pins it end to end, including a
+    * post-purge batch arriving after restart). Edge sets accumulate
+    * O(total fold evidence) — the storage price of exact streaming
+    * takedown; re-seed via [[seedCurationState]] over the surviving
+    * corpus to compact. */
+  def purgeCurationState(spark: SparkSession, indexDir: String,
+      labelsDir: String, docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    graft.operators.Dedup.purgeFromCrossNearDupIndex(spark, indexDir, ids)
+    val fs = new org.apache.hadoop.fs.Path(labelsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edgeRoot = new org.apache.hadoop.fs.Path(s"$labelsDir/edges")
+    require(fs.exists(edgeRoot),
+      s"no edge evidence under $labelsDir/edges — the loop state predates " +
+        "the r15 takedown layout; re-seed with seedCurationState")
+    val edgeDirs = fs.listStatus(edgeRoot).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v")).sortBy(_.getName)
+    val replacements = edgeDirs.map { p =>
+      val remaining = spark.read.schema("doc_a LONG, doc_b LONG")
+        .parquet(p.toString)
+        .join(broadcast(ids.withColumnRenamed("doc_id", "doc_a")),
+          Seq("doc_a"), "left_anti")
+        .join(broadcast(ids.withColumnRenamed("doc_id", "doc_b")),
+          Seq("doc_b"), "left_anti")
+        .select(col("doc_a"), col("doc_b"))
+      p.getName -> Some(remaining)
+    }
+    graft.operators.Purge.rewritePartitions(spark, s"$labelsDir/edges",
+      replacements)
+    val purgedEdges = spark.read.schema("doc_a LONG, doc_b LONG")
+      .parquet(edgeDirs.map(_.toString): _*)
+    // both retained snapshots rewrite (newest = probe truth, predecessor
+    // = crash fallback); write via a fresh read so the plan doesn't race
+    // its own overwrite
+    committedSnapshots(spark, labelsDir)._2.foreach { snap =>
+      val purged = graft.operators.Purge.purgeFromClusters(
+        spark.read.schema("doc_id LONG, cluster_id LONG").parquet(snap.toString),
+        purgedEdges, ids)
+        .localCheckpoint(true)
+      purged.write.mode("overwrite").parquet(snap.toString)
+    }
+    // append-only registry: duplicates collapse at read, a replayed purge
+    // converges
+    ids.write.mode("append").parquet(s"$labelsDir/registry")
   }
 
   /** THE streaming curation loop — the production composition every
@@ -623,6 +702,24 @@ object Streams {
             require(collisions.isEmpty,
               s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
                 "curationLoop requires globally unique doc_ids")
+            // takedown registry (purgeCurationState): a NEW batch carrying
+            // an ever-purged id is refused — re-ingesting taken-down
+            // content is exactly what the registry exists to stop. Replays
+            // of pre-purge batches are exempt (detected above) and
+            // converge through the purged edge evidence instead.
+            val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
+            val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (regFs.exists(regPath)) {
+              val resurrected = b.select(col("doc_id"))
+                .join(broadcast(spark.read.schema("doc_id LONG")
+                  .parquet(regPath.toString)), Seq("doc_id"), "left_semi")
+                .limit(1).collect()
+              require(resurrected.isEmpty,
+                s"batch $batchId carries doc_id ${resurrected.headOption
+                  .map(_.getLong(0)).getOrElse(-1L)}, which was purged from " +
+                  "this state — re-ingesting a taken-down doc is refused " +
+                  "(new id required if intentional)")
+            }
           }
           val labels = readLatestLabels(spark, labelsDir)
           // The batch is shingled once per consumer below (index probe,
@@ -636,8 +733,15 @@ object Streams {
           val within = graft.operators.Dedup.nearDupScores(b)
             .where(col("jaccard") >= threshold)
             .select(col("doc_a"), col("doc_b"))
+          // fold evidence persists BEFORE the labels fold consumes it
+          // (r15 takedown layout: purgeCurationState re-solves from these
+          // edge sets; a crash between the two writes replays both —
+          // batchId-keyed overwrites converge)
+          val newEdges = cross.unionAll(within).localCheckpoint(true)
+          newEdges.write.mode("overwrite")
+            .parquet(s"$labelsDir/edges/v$batchId")
           graft.operators.Dedup
-            .incrementalClusters(labels, cross.unionAll(within))
+            .incrementalClusters(labels, newEdges)
             .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
           graft.operators.Dedup.appendToCrossNearDupIndex(b, indexDir)
           pruneLabelSnapshots(spark, labelsDir)

@@ -623,6 +623,82 @@ class StreamingSpec extends TestBase {
       .select("doc_id").distinct().count() == indexed)
   }
 
+  test("curation loop takedown: purged state == seeded-and-grown-without; registry refuses re-ingest") {
+    import graft.operators.Dedup
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val b1 = corpus.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val b2 = corpus.where(col("doc_id") < 5)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val st = java.nio.file.Files.createTempDirectory("graft-curation-purge")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-curation-purge-in")
+    dropAsFile(b1, inDir, "b1.parquet")
+    dropAsFile(b2, inDir, "b2.parquet")
+    Streams.curationLoop(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, threshold = 0.8, st.resolve("ckpt").toString)
+      .awaitTermination()
+
+    // takedown: a corpus doc with near-dup copies (3), a batch doc
+    // (1003), and a pairless corpus doc (15)
+    import spark.implicits._
+    val purged = Seq(3L, 1003L, 15L)
+    Streams.purgeCurationState(spark, idxDir, lblDir,
+      purged.toDF("doc_id"))
+    val survivors = corpus.unionAll(b1).unionAll(b2)
+      .where(!col("doc_id").isin(purged: _*))
+    val got = spark.read.parquet(s"$lblDir/v1").as[(Long, Long)](enc)
+      .collect().toSet
+    val want = Dedup.clusterDedupFirst(survivors, minJaccard = Some(0.8))
+      .as[(Long, Long)](enc).collect().toSet
+    assert(got == want,
+      s"purged streaming labels must equal grown-without: got $got want $want")
+    // the index and the edge evidence know nothing of the purged ids
+    assert(spark.read.parquet(s"$idxDir/shingle_keys")
+      .where(col("doc_id").isin(purged: _*)).count() == 0)
+    assert(spark.read.schema("doc_a LONG, doc_b LONG")
+      .parquet(s"$lblDir/edges")
+      .where(col("doc_a").isin(purged: _*) ||
+        col("doc_b").isin(purged: _*)).count() == 0)
+
+    // continuation: a post-purge batch folds against purged state and
+    // the final labeling equals the from-scratch one over survivors∪b3
+    val b3 = corpus.where(col("doc_id") >= 5 && col("doc_id") < 8)
+      .select((col("doc_id") + 4000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    dropAsFile(b3, inDir, "b3.parquet")
+    Streams.curationLoop(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, threshold = 0.8, st.resolve("ckpt").toString)
+      .awaitTermination()
+    val after = spark.read.parquet(s"$lblDir/v2").as[(Long, Long)](enc)
+      .collect().toSet
+    val wantAfter = Dedup.clusterDedupFirst(survivors.unionAll(b3),
+        minJaccard = Some(0.8))
+      .as[(Long, Long)](enc).collect().toSet
+    assert(after == wantAfter,
+      "post-purge growth must keep matching the built-without labeling")
+
+    // registry: a NEW batch resubmitting a purged id is refused loudly
+    val bad = corpus.where(col("doc_id") === 3L)
+      .select(col("doc_id"), col("text"))
+    dropAsFile(bad, inDir, "b4.parquet")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.curationLoop(
+        Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, threshold = 0.8, st.resolve("ckpt").toString)
+        .awaitTermination()
+    }
+    assert(ex.getMessage.contains("purged"), ex.getMessage)
+  }
+
   test("imageDedupLoop: streamed labels == from-scratch clusterImages; replay is a fixpoint") {
     import graft.operators.Multimodal
     import spark.implicits._
