@@ -581,12 +581,32 @@ object Streams {
       labelsDir: String, docIds: DataFrame): Unit = {
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
     graft.operators.Dedup.purgeFromCrossNearDupIndex(spark, indexDir, ids)
+    purgeLoopState(spark, labelsDir, ids, "seedCurationState")
+  }
+
+  /** [[purgeCurationState]]'s image twin: takedown of an image-id set
+    * from [[imageDedupLoop]]'s standing state — dHash index
+    * ([[graft.operators.Multimodal.purgeFromDHashIndex]]), fold-edge
+    * evidence, both retained label snapshots, registry. Same owner-only
+    * stream-stopped discipline; same purged == grown-without contract
+    * (StreamingSpec). */
+  def purgeImageDedupState(spark: SparkSession, indexDir: String,
+      labelsDir: String, docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    graft.operators.Multimodal.purgeFromDHashIndex(spark, indexDir, ids)
+    purgeLoopState(spark, labelsDir, ids, "seedImageDedupState")
+  }
+
+  /** Shared loop-state purge body (steps 2–4 of the takedown scaladoc):
+    * edge-evidence rewrite, both-snapshot re-solve, registry append. */
+  private def purgeLoopState(spark: SparkSession, labelsDir: String,
+      ids: DataFrame, seedOp: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(labelsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edgeRoot = new org.apache.hadoop.fs.Path(s"$labelsDir/edges")
     require(fs.exists(edgeRoot),
       s"no edge evidence under $labelsDir/edges — the loop state predates " +
-        "the r15 takedown layout; re-seed with seedCurationState")
+        s"the r15 takedown layout; re-seed with $seedOp")
     val edgeDirs = fs.listStatus(edgeRoot).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("v")).sortBy(_.getName)
     val replacements = edgeDirs.map { p =>
@@ -604,8 +624,8 @@ object Streams {
     val purgedEdges = spark.read.schema("doc_a LONG, doc_b LONG")
       .parquet(edgeDirs.map(_.toString): _*)
     // both retained snapshots rewrite (newest = probe truth, predecessor
-    // = crash fallback); write via a fresh read so the plan doesn't race
-    // its own overwrite
+    // = crash fallback); localCheckpoint so the plan doesn't race its own
+    // overwrite
     committedSnapshots(spark, labelsDir)._2.foreach { snap =>
       val purged = graft.operators.Purge.purgeFromClusters(
         spark.read.schema("doc_id LONG, cluster_id LONG").parquet(snap.toString),
@@ -897,6 +917,11 @@ object Streams {
   def seedImageDedupState(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaRow],
       indexDir: String, labelsDir: String, maxHamming: Int = 3): Unit = {
     graft.operators.Multimodal.buildDHashIndex(corpus, indexDir)
+    // seed PAIR evidence for the takedown ladder (the seedCurationState
+    // r15 layout) — the same Hamming pairs the labeling folds
+    graft.operators.Multimodal.nearDupImages(corpus, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
     graft.operators.Multimodal.clusterImages(corpus, maxHamming)
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
   }
@@ -959,6 +984,22 @@ object Streams {
             require(collisions.isEmpty,
               s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
                 "imageDedupLoop requires globally unique doc_ids")
+            // takedown registry (purgeImageDedupState): the curationLoop
+            // refusal verbatim — a NEW batch carrying an ever-purged id
+            // is refused; pre-purge replays converge via purged evidence
+            val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
+            val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (regFs.exists(regPath)) {
+              val resurrected = b.select(col("doc_id"))
+                .join(broadcast(spark.read.schema("doc_id LONG")
+                  .parquet(regPath.toString)), Seq("doc_id"), "left_semi")
+                .limit(1).collect()
+              require(resurrected.isEmpty,
+                s"batch $batchId carries doc_id ${resurrected.headOption
+                  .map(_.getLong(0)).getOrElse(-1L)}, which was purged from " +
+                  "this state — re-ingesting a taken-down image is refused " +
+                  "(new id required if intentional)")
+            }
           }
           val labels = readLatestLabels(spark, labelsDir)
           // One decode+hash pass over the batch feeds all three consumers
@@ -977,8 +1018,13 @@ object Streams {
               .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
             val within = graft.operators.Dedup.simhashPairs(hb, maxHamming)
               .select(col("doc_a"), col("doc_b"))
+            // fold evidence persists for the takedown ladder (curationLoop
+            // discipline): batchId-keyed overwrite, replays converge
+            val newEdges = cross.unionAll(within).localCheckpoint(true)
+            newEdges.write.mode("overwrite")
+              .parquet(s"$labelsDir/edges/v$batchId")
             graft.operators.Dedup
-              .incrementalClusters(labels, cross.unionAll(within))
+              .incrementalClusters(labels, newEdges)
               .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
             hb.select(col("doc_id"), col("sigint").as("phash"))
               .write.mode("overwrite")

@@ -699,6 +699,50 @@ class StreamingSpec extends TestBase {
     assert(ex.getMessage.contains("purged"), ex.getMessage)
   }
 
+  test("image loop takedown: purged state == seeded-and-grown-without; registry refuses re-ingest") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    def variants(rows: Seq[(Long, Long, Int, Int)]) =
+      Multimodal.syntheticImageVariants(rows.toDF("doc_id", "key", "delta", "spot"))
+    val standingRows = (0L until 16L).map(i => (i, i, 0, 0))
+    val b1Rows = (0L until 6L).map(i => (i + 100L, i, 1, 0))
+    val standing = variants(standingRows)
+    val b1 = variants(b1Rows)
+    val st = java.nio.file.Files.createTempDirectory("graft-imgpurge")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedImageDedupState(standing, idxDir, lblDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-imgpurge-in")
+    dropAsFile(b1.toDF(), inDir, "b1.parquet")
+    Streams.imageDedupLoop(
+      Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, st.resolve("ckpt").toString)
+      .awaitTermination()
+    // takedown: a standing original with a twin (3) and its twin's
+    // sibling scenario, plus a pairless standing image (9)
+    val purged = Seq(3L, 9L)
+    Streams.purgeImageDedupState(spark, idxDir, lblDir, purged.toDF("doc_id"))
+    val survivors = variants(
+      (standingRows ++ b1Rows).filterNot(r => purged.contains(r._1)))
+    val got = spark.read.parquet(s"$lblDir/v0").as[(Long, Long)](enc)
+      .collect().toSet
+    val want = Multimodal.clusterImages(survivors)
+      .as[(Long, Long)](enc).collect().toSet
+    assert(got == want, s"purged image labels must equal grown-without: got $got want $want")
+    assert(Multimodal.standingDHashes(spark, idxDir)
+      .where(col("doc_id").isin(purged: _*)).count() == 0)
+    // registry refusal on a NEW batch resubmitting a purged id
+    dropAsFile(variants(Seq((3L, 3L, 0, 0))).toDF(), inDir, "b2.parquet")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.imageDedupLoop(
+        Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, st.resolve("ckpt").toString)
+        .awaitTermination()
+    }
+    assert(ex.getMessage.contains("purged"), ex.getMessage)
+  }
+
   test("imageDedupLoop: streamed labels == from-scratch clusterImages; replay is a fixpoint") {
     import graft.operators.Multimodal
     import spark.implicits._
