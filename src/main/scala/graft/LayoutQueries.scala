@@ -151,6 +151,48 @@ object LayoutQueries {
       boxAgg(s.read.parquet(root).drop("batch"))
     },
 
+    // TAKEDOWN on the DATA layout itself (r15): the derived-index purges
+    // remove a doc from what points at its bytes, but the bytes live in
+    // the clustered files — a PII erasure is done only when they leave.
+    // Seed + append a keyed layout, purge every l_orderkey % 13 == 5 row
+    // (touched batch partitions rewrite minus the ids on the layout's
+    // own persisted scaling, under the two-phase marker; curve geometry
+    // unchanged so min/max pruning keeps working), then answer the box
+    // predicate from the purged layout. The oracle answers it from
+    // (source ∪ batch) minus the purged keys — a hash match proves the
+    // rows are gone and everything else is untouched.
+    QueryDef("lay_purge")(
+      """WITH grown AS (SELECT * FROM lineitem
+        |   UNION ALL SELECT l_orderkey + 1000000000, l_partkey, l_suppkey,
+        |     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        |     l_returnflag, l_linestatus, l_shipdate
+        |   FROM lineitem WHERE l_orderkey < 100)
+        | SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   ROUND(sum(l_quantity), 6) AS sum_qty,
+        |   CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |   CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        | FROM grown
+        | WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 40
+        |   AND l_orderkey % 13 <> 5
+        | GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val root = layoutDir(dir, "purge")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val li = Tables(s, dir, "lineitem")
+      Layout.initKeyedLayout(li, ZCols, root, Files)
+      val batch = li.where(col("l_orderkey") < 100)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      Layout.appendZOrderedKeyed(batch, root, "batch=1", files = 2)
+      val grown = s.read.parquet(root)
+      Layout.purgeFromKeyedLayout(s, root, "l_orderkey",
+        grown.where(col("l_orderkey") % 13 === 5).select(col("l_orderkey")),
+        files = Files)
+      boxAgg(s.read.parquet(root).drop("batch"))
+    },
+
     // The pruning arithmetic itself: per-bin min/max ranges (the roll-up
     // of what parquet footers carry) evaluated against three predicate
     // shapes for both layouts. The trade the table shows is the reason

@@ -201,6 +201,47 @@ object Layout {
       overwrite = true)
   }
 
+  /** PURGE rows from a KEYED layout by id — the takedown verb on the
+    * DATA layout itself ([[graft.operators.Purge]] module overview): the
+    * derived-index purges remove a doc from what POINTS at its bytes,
+    * but the bytes live here, and a PII erasure is only done when the
+    * clustered files no longer hold the rows. One narrow id-column scan
+    * finds the touched `batch=<id>` partitions; each rewrites minus the
+    * ids under the two-phase marker, RE-CLUSTERED on the layout's own
+    * persisted scaling (`_graft_zmeta` — curve geometry unchanged, so
+    * min/max file pruning keeps working; footer truth tightens, never
+    * loosens, since surviving rows' ranks are unchanged). `batch=0`
+    * always SWAPs — it carries the layout meta and must survive even
+    * emptied; other emptied partitions DROP. Untouched partitions are
+    * never read. Owner-only next to a live stream, like
+    * [[compactKeyed]]; a later compaction re-derives fresh scaling as
+    * usual. */
+  def purgeFromKeyedLayout(spark: SparkSession, rootDir: String,
+      idCol: String, ids: DataFrame, files: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    healCommitted(rootDir, conf)
+    val (scaling, bits, curve) = readMeta(s"$rootDir/batch=0", conf)
+    val keys = broadcast(ids.select(col(idCol)).distinct().localCheckpoint(true))
+    import spark.implicits._
+    val touched = spark.read.parquet(rootDir)
+      .join(keys, Seq(idCol), "left_semi")
+      .select(col("batch").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (touched.isEmpty) return // nothing stored under these ids
+    val replacements = touched.toSeq.map { bId =>
+      val remaining = spark.read.parquet(s"$rootDir/batch=$bId")
+        .join(keys, Seq(idCol), "left_anti")
+      s"batch=$bId" ->
+        (if (bId != 0L && remaining.isEmpty) None else Some(remaining))
+    }
+    graft.operators.Purge.rewritePartitions(spark, rootDir, replacements,
+      writeStage = (df, path) => {
+        writeClustered(df, scaling, bits, curve, path, files, overwrite = true)
+        if (path.endsWith("/batch=0"))
+          writeMeta(path, scaling, bits, curve, conf)
+      })
+  }
+
   /** Fold a keyed layout's accumulated micro-batch partitions back into
     * one freshly re-clustered base — the periodic compaction cadence
     * [[graft.streaming.Streams.layoutMaintainer]]'s scaladoc prescribes:

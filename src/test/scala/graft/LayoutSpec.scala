@@ -474,6 +474,47 @@ class LayoutSpec extends TestBase {
       s"date-dim quarter box should skip at least half the files: $read/$total")
   }
 
+  test("purgeFromKeyedLayout: rows gone, meta survives, emptied partitions drop, pruning intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lay-purge").toString
+    // base: 400 rows over two curve dims; batch 1: 40 rows in a disjoint
+    // id range; batch 2: rows that the purge will EMPTY entirely
+    val base = (0L until 400L).map(i => (i, i % 20, (i / 20) % 20, i % 7))
+      .toDF("id", "x", "y", "v")
+    val b1 = (1000L until 1040L).map(i => (i, i % 20, (i / 20) % 20, i % 7))
+      .toDF("id", "x", "y", "v")
+    val b2 = (2000L until 2010L).map(i => (i, i % 20, (i / 20) % 20, i % 7))
+      .toDF("id", "x", "y", "v")
+    Layout.initKeyedLayout(base, Seq("x", "y"), root, files = 4)
+    Layout.appendZOrderedKeyed(b1, root, "batch=1", files = 2)
+    Layout.appendZOrderedKeyed(b2, root, "batch=2", files = 1)
+    // purge: some base rows, one batch-1 row, ALL of batch 2
+    val purged = (0L until 400L by 13L) ++ Seq(1003L) ++ (2000L until 2010L)
+    Layout.purgeFromKeyedLayout(spark, root, "id",
+      purged.toDF("id"), files = 4)
+    val got = spark.read.parquet(root).select("id").as[Long].collect().toSet
+    val want = ((0L until 400L) ++ (1000L until 1040L) ++ (2000L until 2010L))
+      .toSet -- purged
+    assert(got == want, s"purged layout must hold exactly the survivors")
+    // batch=2 emptied -> dropped; batch=0 survives with its meta intact
+    assert(!new java.io.File(s"$root/batch=2").exists())
+    assert(new java.io.File(s"$root/batch=0/_graft_zmeta").exists(),
+      "the meta-bearing base must survive a purge")
+    // the layout still appends on the surviving meta (geometry unchanged)
+    Layout.appendZOrderedKeyed(
+      (3000L until 3010L).map(i => (i, i % 20, (i / 20) % 20, i % 7))
+        .toDF("id", "x", "y", "v"), root, "batch=3", files = 1)
+    assert(spark.read.parquet(root).count() == want.size + 10L)
+    // file min/max pruning still answers box predicates correctly
+    val boxed = spark.read.parquet(root)
+      .where(col("x").between(2, 5) && col("y").between(2, 5))
+      .select("id").as[Long].collect().toSet
+    val wantBoxed = (want ++ (3000L until 3010L)).filter { i =>
+      val x = i % 20; val y = (i / 20) % 20
+      x >= 2 && x <= 5 && y >= 2 && y <= 5
+    }
+    assert(boxed == wantBoxed)
+  }
+
   test("withZValue: degenerate and all-null dimensions rank constant 0") {
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
     val z = Layout.withZValue(df, Seq("a", "b"), 4)
