@@ -4872,5 +4872,70 @@ object NorthStarQueries {
         Tables(s, dir, "documents").where(col("doc_id") < 10)))
         .orderBy(col("doc_id"), col("frame_idx"))
     },
+
+    // The STREAMING audio-dedup ingest loop (r15) — the image loop's
+    // generic signature machinery on the third modality, run end to end
+    // inside the row: seed the fp index + labeling from the 24 standing
+    // originals, stream two file-dropped micro-batches (gain twins, then
+    // the dropout + a second twin of key 7) through audioDedupLoop, and
+    // hash-check the FINAL labeling against the from-scratch
+    // recursive-CTE CC over the whole fixture. The dropout (batch 2)
+    // pairs with a GAIN TWIN that arrived in batch 1 — a pair that
+    // exists only because batch 1's fingerprints were appended before
+    // batch 2 arrived, so the match proves mid-stream index growth.
+    QueryDef("mm_audio_stream")(
+      s"""WITH RECURSIVE fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql,
+         | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+         |          sum(bit_count(xor(a.byte, b.byte))) AS hamming
+         |        FROM abt a JOIN abt b ON a.g = b.g AND a.id < b.id
+         |        GROUP BY 1, 2),
+         | pr AS (SELECT doc_a, doc_b FROM hm WHERE hamming <= 3),
+         | und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |         UNION SELECT doc_b, doc_a FROM pr),
+         | reach AS (SELECT u AS node, u AS lbl FROM und
+         |           UNION
+         |           SELECT e.u AS node, r.lbl FROM und e JOIN reach r ON r.node = e.v)
+         | SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val standing = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 24)
+          .select(col("doc_id"), col("doc_id").as("key"),
+            lit(1).as("gain"), lit(0).as("retouch")))
+      val b1 = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("doc_id").as("key"), lit(2).as("gain"), lit(0).as("retouch")))
+      val b2 = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") === 7)
+          .select(lit(200007L).as("doc_id"), col("doc_id").as("key"),
+            lit(1).as("gain"), lit(25).as("retouch")))
+      val st = java.nio.file.Files.createTempDirectory("graft-audiostream-q")
+      val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
+      val tSeed = System.nanoTime()
+      graft.streaming.Streams.seedAudioDedupState(standing, idxDir, lblDir)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-audiostream-q-in")
+      stageAsFile(b1.toDF(), inDir, "b1.parquet")
+      stageAsFile(b2.toDF(), inDir, "b2.parquet")
+      fixtureSecs.put("audio-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
+      val tLoop = System.nanoTime()
+      val q = graft.streaming.Streams.audioDedupLoop(
+        graft.streaming.Streams.mediaStream(s, inDir.toString, maxFilesPerTrigger = 1),
+        idxDir, lblDir, s"$st/ckpt")
+      q.awaitTermination()
+      fixtureSecs.put("audio-stream-loop", (System.nanoTime() - tLoop) / 1e9)
+      val out = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/v1")
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      deleteRecursively(st)
+      deleteRecursively(inDir)
+      out
+    },
   )
 }

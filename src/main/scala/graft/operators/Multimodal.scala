@@ -475,7 +475,7 @@ object Multimodal {
       excludeIngestBatch: Option[Long] = None): DataFrame =
     standingSigs(spark, dir, "phash", excludeIngestBatch)
 
-  private def standingSigs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def standingSigs(spark: org.apache.spark.sql.SparkSession,
       dir: String, sigCol: String,
       excludeIngestBatch: Option[Long]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")

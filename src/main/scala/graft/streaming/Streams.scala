@@ -597,6 +597,17 @@ object Streams {
     purgeLoopState(spark, labelsDir, ids, "seedImageDedupState")
   }
 
+  /** [[purgeImageDedupState]]'s AUDIO twin: takedown from
+    * [[audioDedupLoop]]'s standing state — fingerprint index
+    * ([[graft.operators.Multimodal.purgeFromAudioFpIndex]]) plus the
+    * shared loop-state body. */
+  def purgeAudioDedupState(spark: SparkSession, indexDir: String,
+      labelsDir: String, docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    graft.operators.Multimodal.purgeFromAudioFpIndex(spark, indexDir, ids)
+    purgeLoopState(spark, labelsDir, ids, "seedAudioDedupState")
+  }
+
   /** Shared loop-state purge body (steps 2–4 of the takedown scaladoc):
     * edge-evidence rewrite, both-snapshot re-solve, registry append. */
   private def purgeLoopState(spark: SparkSession, labelsDir: String,
@@ -926,6 +937,22 @@ object Streams {
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
   }
 
+  /** [[seedImageDedupState]]'s AUDIO twin: fingerprint index
+    * ([[graft.operators.Multimodal.buildAudioFpIndex]]), seed pair
+    * evidence, seed labeling — the standing state [[audioDedupLoop]]
+    * reads. */
+  def seedAudioDedupState(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaRow],
+      indexDir: String, labelsDir: String, maxHamming: Int = 3): Unit = {
+    graft.operators.Multimodal.buildAudioFpIndex(corpus, indexDir)
+    graft.operators.Multimodal.nearDupAudio(corpus, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
+    graft.operators.Dedup.connectedComponents(
+        graft.operators.Multimodal.nearDupAudio(corpus, maxHamming)
+          .select(col("doc_a"), col("doc_b")))
+      .write.mode("overwrite").parquet(s"$labelsDir/v-1")
+  }
+
   /** THE streaming image-dedup loop — [[curationLoop]]'s discipline on
     * the image modality. Per micro-batch of arriving images:
     *   1. probe the batch against the STANDING dHash index
@@ -957,6 +984,41 @@ object Streams {
       labelsDir: String,
       checkpointDir: String,
       maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    sigDedupLoop(media, indexDir, labelsDir, checkpointDir, maxHamming,
+      m => graft.operators.Multimodal.dHash64(m)
+        .select(col("doc_id"), col("phash").as("sigint")),
+      sigCol = "phash", loopName = "imageDedupLoop", noun = "image")
+
+  /** [[imageDedupLoop]]'s AUDIO twin — the same generic signature loop
+    * over [[graft.operators.Multimodal.audioFingerprint64]] and the
+    * audio fp index: per micro-batch one decode+fingerprint pass feeds
+    * the cross probe, the self probe, and the index append; labels fold
+    * incrementally with persisted edge evidence; replays are
+    * partition-excluded; takedown via [[purgeAudioDedupState]]. The
+    * modality matrix closes: text, image, and audio each run the full
+    * ladder (pairs → cross → index → stream → purge) on shared
+    * machinery. */
+  def audioDedupLoop(
+      media: DataFrame,
+      indexDir: String,
+      labelsDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    sigDedupLoop(media, indexDir, labelsDir, checkpointDir, maxHamming,
+      m => graft.operators.Multimodal.audioFingerprint64(m)
+        .select(col("doc_id"), col("afp").as("sigint")),
+      sigCol = "afp", loopName = "audioDedupLoop", noun = "clip")
+
+  private def sigDedupLoop(
+      media: DataFrame,
+      indexDir: String,
+      labelsDir: String,
+      checkpointDir: String,
+      maxHamming: Int,
+      sigOf: org.apache.spark.sql.Dataset[graft.operators.MediaRow] => DataFrame,
+      sigCol: String,
+      loopName: String,
+      noun: String): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch) {
@@ -978,12 +1040,12 @@ object Streams {
             .exists(_.getName == s"v$batchId")
           if (!replay) {
             val collisions = graft.operators.Multimodal
-              .standingDHashes(spark, indexDir).select(col("doc_id"))
+              .standingSigs(spark, indexDir, sigCol, None).select(col("doc_id"))
               .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
               .limit(1).collect()
             require(collisions.isEmpty,
               s"batch $batchId reuses already-indexed doc_id ${collisions.head.getLong(0)}: " +
-                "imageDedupLoop requires globally unique doc_ids")
+                s"$loopName requires globally unique doc_ids")
             // takedown registry (purgeImageDedupState): the curationLoop
             // refusal verbatim — a NEW batch carrying an ever-purged id
             // is refused; pre-purge replays converge via purged evidence
@@ -997,23 +1059,22 @@ object Streams {
               require(resurrected.isEmpty,
                 s"batch $batchId carries doc_id ${resurrected.headOption
                   .map(_.getLong(0)).getOrElse(-1L)}, which was purged from " +
-                  "this state — re-ingesting a taken-down image is refused " +
+                  s"this state — re-ingesting a taken-down $noun is refused " +
                   "(new id required if intentional)")
             }
           }
           val labels = readLatestLabels(spark, labelsDir)
-          // One decode+hash pass over the batch feeds all three consumers
-          // (cross probe, self probe, index append) — the batch's images
-          // are decoded exactly once per micro-batch.
-          val hb = graft.operators.Multimodal.dHash64(b)
-            .select(col("doc_id"), col("phash").as("sigint"))
+          // One decode+fingerprint pass over the batch feeds all three
+          // consumers (cross probe, self probe, index append) — the
+          // batch's payloads are decoded exactly once per micro-batch.
+          val hb = sigOf(b)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val cross = graft.operators.Dedup.simhashCrossPairs(
                 graft.operators.Multimodal
-                  .standingDHashes(spark, indexDir,
+                  .standingSigs(spark, indexDir, sigCol,
                     excludeIngestBatch = Some(batchId))
-                  .select(col("doc_id"), col("phash").as("sigint")),
+                  .select(col("doc_id"), col(sigCol).as("sigint")),
                 hb, maxHamming)
               .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
             val within = graft.operators.Dedup.simhashPairs(hb, maxHamming)
@@ -1026,7 +1087,7 @@ object Streams {
             graft.operators.Dedup
               .incrementalClusters(labels, newEdges)
               .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
-            hb.select(col("doc_id"), col("sigint").as("phash"))
+            hb.select(col("doc_id"), col("sigint").as(sigCol))
               .write.mode("overwrite")
               .parquet(s"$indexDir/hashes/ingest_batch=$batchId")
           } finally { hb.unpersist(false); () }

@@ -699,6 +699,53 @@ class StreamingSpec extends TestBase {
     assert(ex.getMessage.contains("purged"), ex.getMessage)
   }
 
+  test("audioDedupLoop: streamed labels == from-scratch CC; takedown mirrors the image loop") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    def variants(rows: Seq[(Long, Long, Int, Int)]) =
+      Multimodal.syntheticAudioVariants(rows.toDF("doc_id", "key", "gain", "retouch"))
+    val standingRows = (0L until 16L).map(k => (k, k, 1, 0))
+    val b1Rows = (0L until 6L).map(k => (k + 100L, k, 2, 0))
+    // the dropout of key 7... key 7 is standing-only here; use key 3's
+    // dropout — wait, dropout index 25 needs >= 26 samples: key 3 has
+    // ch=2, frames=13 -> 26 samples, idx 25 valid (the last sample)
+    val b2Rows = Seq((200L, 3L, 1, 25))
+    val standing = variants(standingRows)
+    val st = java.nio.file.Files.createTempDirectory("graft-audioloop")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedAudioDedupState(standing, idxDir, lblDir)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-audioloop-in")
+    dropAsFile(variants(b1Rows).toDF(), inDir, "b1.parquet")
+    dropAsFile(variants(b2Rows).toDF(), inDir, "b2.parquet")
+    Streams.audioDedupLoop(
+      Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, st.resolve("ckpt").toString)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$lblDir/v1").as[(Long, Long)](enc)
+      .collect().toSet
+    val all = variants(standingRows ++ b1Rows ++ b2Rows)
+    val want = Dedup.connectedComponents(
+        Multimodal.nearDupAudio(all).select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long)](enc).collect().toSet
+    assert(got == want, s"streamed audio labels must equal from-scratch CC: got $got want $want")
+    // takedown through the shared machinery
+    val purged = Seq(3L)
+    Streams.purgeAudioDedupState(spark, idxDir, lblDir, purged.toDF("doc_id"))
+    val after = spark.read.parquet(s"$lblDir/v1").as[(Long, Long)](enc)
+      .collect().toSet
+    val survivors = variants(
+      (standingRows ++ b1Rows ++ b2Rows).filterNot(r => purged.contains(r._1)))
+    val wantAfter = Dedup.connectedComponents(
+        Multimodal.nearDupAudio(survivors).select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long)](enc).collect().toSet
+    assert(after == wantAfter,
+      s"purged audio labels must equal grown-without: got $after want $wantAfter")
+    assert(Multimodal.standingAudioFps(spark, idxDir)
+      .where(col("doc_id").isin(purged: _*)).count() == 0)
+  }
+
   test("image loop takedown: purged state == seeded-and-grown-without; registry refuses re-ingest") {
     import graft.operators.Multimodal
     import spark.implicits._
