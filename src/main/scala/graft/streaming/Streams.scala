@@ -540,13 +540,17 @@ object Streams {
   def seedCurationState(corpus: DataFrame, indexDir: String,
       labelsDir: String, threshold: Double): Unit = {
     graft.operators.Dedup.buildCrossNearDupIndex(corpus, indexDir)
-    // same gated pair set clusterDedupFirst folds (the dd_cluster
-    // equivalence): persisted as takedown evidence
-    graft.operators.Dedup.nearDupScores(corpus)
+    // ONE chain serves both seed artifacts: the gated pair set is the
+    // evidence AND the labeling is its connected components
+    // (clusterDedupFirst == CC over the gated pairs — the dd_cluster
+    // theorem; equal-text groups enter as identity-scored 1.0 pairs, so
+    // nothing is lost to the pair form)
+    val pairs = graft.operators.Dedup.nearDupScores(corpus)
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
-    graft.operators.Dedup.clusterDedupFirst(corpus, minJaccard = Some(threshold))
+      .localCheckpoint(true)
+    pairs.write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
+    graft.operators.Dedup.connectedComponents(pairs)
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
   }
 
@@ -928,12 +932,14 @@ object Streams {
   def seedImageDedupState(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaRow],
       indexDir: String, labelsDir: String, maxHamming: Int = 3): Unit = {
     graft.operators.Multimodal.buildDHashIndex(corpus, indexDir)
-    // seed PAIR evidence for the takedown ladder (the seedCurationState
-    // r15 layout) — the same Hamming pairs the labeling folds
-    graft.operators.Multimodal.nearDupImages(corpus, maxHamming)
+    // one decode+pair pass serves both seed artifacts (the
+    // seedCurationState discipline): evidence = the Hamming pairs,
+    // labeling = their connected components (clusterImages' definition)
+    val pairs = graft.operators.Multimodal.nearDupImages(corpus, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
-    graft.operators.Multimodal.clusterImages(corpus, maxHamming)
+      .localCheckpoint(true)
+    pairs.write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
+    graft.operators.Dedup.connectedComponents(pairs)
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
   }
 
@@ -944,12 +950,11 @@ object Streams {
   def seedAudioDedupState(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaRow],
       indexDir: String, labelsDir: String, maxHamming: Int = 3): Unit = {
     graft.operators.Multimodal.buildAudioFpIndex(corpus, indexDir)
-    graft.operators.Multimodal.nearDupAudio(corpus, maxHamming)
+    val pairs = graft.operators.Multimodal.nearDupAudio(corpus, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
-    graft.operators.Dedup.connectedComponents(
-        graft.operators.Multimodal.nearDupAudio(corpus, maxHamming)
-          .select(col("doc_a"), col("doc_b")))
+      .localCheckpoint(true)
+    pairs.write.mode("overwrite").parquet(s"$labelsDir/edges/v-1")
+    graft.operators.Dedup.connectedComponents(pairs)
       .write.mode("overwrite").parquet(s"$labelsDir/v-1")
   }
 
