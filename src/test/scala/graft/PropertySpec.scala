@@ -94,6 +94,38 @@ class PropertySpec extends TestBase {
     }, 8)
   }
 
+  test("purgeFromClusters equals from-scratch CC over pairs-minus-incident on random graphs") {
+    // the takedown's trickiest operator: removing a doc can SPLIT its
+    // component (cut vertex), shrink it, or erase it — for ANY random
+    // graph and ANY purge set, the touched-component re-solve must equal
+    // a full CC over the filtered edge set
+    val genCase = for {
+      n <- Gen.choose(2, 20)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+      k <- Gen.choose(0, 5)
+      purge <- Gen.listOfN(k, Gen.choose(0L, n.toLong))
+    } yield (edges.filter(e => e._1 != e._2), purge.distinct)
+    check(Prop.forAll(genCase) { case (edges, purge) =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val labels = Dedup.connectedComponents(pairs)
+        val got = graft.operators.Purge
+          .purgeFromClusters(labels, pairs, purge.toDF("doc_id"))
+          .as[(Long, Long)].collect().toMap
+        val kept = edges.filterNot(e =>
+          purge.contains(e._1) || purge.contains(e._2))
+        val want =
+          if (kept.isEmpty) Map.empty[Long, Long]
+          else Dedup.connectedComponents(kept.toDF("doc_a", "doc_b"))
+            .as[(Long, Long)].collect().toMap
+        got == want
+      }
+    }, 10)
+  }
+
   test("drift PSI is symmetric, non-negative, and zero on identical corpora (random bins)") {
     import graft.operators.Curation
     // per-bin term (p − q)·ln(p/q) ≥ 0, and swapping sides maps it to
