@@ -1331,14 +1331,15 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     },
 
-    // PURGE from the persisted cross-near-dup LSH index (r15): every
-    // doc_id % 7 == 2 leaves shingle_keys AND buckets (two-phase staged
-    // swap), then the standard arriving batch probes what remains. The
-    // oracle runs the identical chain over the SURVIVING corpus from
-    // scratch — a hash match proves probe-identity with a never-built-in
-    // index, INCLUDING the bucket cap, which probes re-derive over the
-    // stored (now-surviving) union rather than trusting any baked-in
-    // decision.
+    // PURGE from the persisted cross-near-dup LSH index (r15), BOTH
+    // stages driver-checked (the BM25 split): the LOGICAL purge
+    // tombstones every doc_id % 7 == 2 (O(purge-set) — probes mask the
+    // ids BEFORE the read-time bucket cap, so cap boundaries re-derive
+    // over the surviving union), then COMPACTION rewrites shingle_keys
+    // and buckets under the two-phase staged swap. The oracle runs the
+    // identical chain over the SURVIVING corpus from scratch, duplicated
+    // per stage — a hash match proves probe-identity with a
+    // never-built-in index before AND after the bytes leave.
     QueryDef("dd_purge_indexed")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
          | batch AS (SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
@@ -1360,15 +1361,17 @@ object NorthStarQueries {
          |               = ('0x' || substr(md5(sb.shingle), 1, 15))::BIGINT
          |           GROUP BY 1, 2),
          | nb AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY 1),
-         | nc AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY 1)
-         | SELECT * FROM (
+         | nc AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY 1),
+         | probe AS (SELECT * FROM (
          |   SELECT i.batch_id, i.corpus_id,
          |     round(i.n_inter / (b.n_b + c.n_c - i.n_inter), 6) AS jaccard
          |   FROM inter i
          |   JOIN nb b ON b.doc_id = i.batch_id
          |   JOIN nc c ON c.doc_id = i.corpus_id)
-         | WHERE jaccard >= 0.5
-         | ORDER BY batch_id, corpus_id""".stripMargin
+         |  WHERE jaccard >= 0.5)
+         | SELECT CAST(0 AS BIGINT) AS stage, batch_id, corpus_id, jaccard FROM probe
+         | UNION ALL SELECT CAST(1 AS BIGINT), batch_id, corpus_id, jaccard FROM probe
+         | ORDER BY stage, batch_id, corpus_id""".stripMargin
     ) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val batch = d.where(col("doc_id") < 30)
@@ -1385,9 +1388,17 @@ object NorthStarQueries {
       fixtureSecs.put("xpurge-build", (System.nanoTime() - tB) / 1e9)
       Dedup.purgeFromCrossNearDupIndex(s, idx,
         d.where(col("doc_id") % 7 === 2).select(col("doc_id")))
-      val out = Dedup.crossNearDupIndexed(s, idx, batch, threshold = 0.5)
-        .orderBy(col("batch_id"), col("corpus_id"))
+      val logical = Dedup.crossNearDupIndexed(s, idx, batch, threshold = 0.5)
+        .select(lit(0L).as("stage"), col("batch_id"), col("corpus_id"),
+          col("jaccard"))
         .localCheckpoint(true)
+      Dedup.compactCrossNearDupIndex(s, idx)
+      val compacted = Dedup.crossNearDupIndexed(s, idx, batch, threshold = 0.5)
+        .select(lit(1L).as("stage"), col("batch_id"), col("corpus_id"),
+          col("jaccard"))
+        .localCheckpoint(true)
+      val out = logical.unionAll(compacted)
+        .orderBy(col("stage"), col("batch_id"), col("corpus_id"))
       deleteRecursively(st)
       out
     },

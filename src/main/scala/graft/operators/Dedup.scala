@@ -523,32 +523,57 @@ object Dedup {
   }
 
   /** PURGE a doc-id set from a [[buildCrossNearDupIndex]] layout — the
-    * takedown verb of the LSH-index ladder ([[Purge]] module overview):
-    * both per-doc datasets (`shingle_keys`, `buckets`) rewrite minus the
-    * ids under [[Purge.rewritePartitions]]' two-phase commit (staged
-    * writes consume the lazy anti-join plans BEFORE any live dir is
-    * touched, then both swap under one marker); the manifest — pure
-    * family parameters — is untouched. After the purge every probe
-    * behaves exactly as an index built without the docs, INCLUDING the
-    * bucket cap: buckets are stored uncapped and probes cap over the
-    * stored union at read time, so the cap re-derives from the surviving
-    * union with no stale baked-in decision (PurgeSpec + the
-    * dd_purge_indexed oracle pin probe identity).
-    *
-    * Cost class, stated plainly: this layout stores per-doc rows
-    * UNPARTITIONED (append-grown), so the rewrite is O(index) — fine for
-    * occasional takedowns; a purge-heavy deployment should front it with
-    * the BM25-style logical mask + deferred compaction split, which this
-    * index's probes do not yet carry. */
+    * takedown verb of the LSH-index ladder ([[Purge]] module overview),
+    * with the BM25-style LOGICAL/PHYSICAL split: this call is the cheap
+    * logical half — the ids land in the index's `purged/` tombstone set
+    * (append-only parquet; duplicates collapse at read, a replayed purge
+    * converges) and every probe masks them from that point on. The mask
+    * applies to the BUCKETS before the read-time cap, so the cap
+    * re-derives over the SURVIVING union — probes behave exactly as an
+    * index built without the docs, including cap boundaries (PurgeSpec +
+    * the dd_purge_indexed oracle pin probe identity at both stages).
+    * [[compactCrossNearDupIndex]] later makes it physical. O(purge-set)
+    * cost here — the legal deadline rides the cheap commit, the big I/O
+    * is deferred, exactly the BM25 discipline. */
   def purgeFromCrossNearDupIndex(spark: SparkSession, dir: String,
-      docIds: DataFrame): Unit = {
-    val ids = broadcast(docIds.select(col("doc_id")).distinct()
-      .localCheckpoint(true))
+      docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/purged")
+
+  /** The `purged/` tombstone set of a cross-near-dup index (empty when
+    * no logical purge is outstanding). */
+  private def crossIndexPurged(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema("doc_id LONG").parquet(p.toString).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** The PHYSICAL half of the cross-index takedown: rewrite both per-doc
+    * datasets (`shingle_keys`, `buckets`) minus the accumulated
+    * tombstones under [[Purge.rewritePartitions]]' two-phase commit
+    * (staged writes consume the lazy anti-join plans BEFORE any live dir
+    * is touched, then both swap under one marker), then clear `purged/`
+    * LAST — a crash between leaves the tombstones masking already-absent
+    * rows (a no-op) and a rerun just clears them. The manifest — pure
+    * family parameters — is untouched. Cost class, stated plainly: this
+    * layout stores per-doc rows UNPARTITIONED (append-grown), so the
+    * rewrite is O(index) — which is why it is the DEFERRED half.
+    * Owner-only, like every two-phase rewrite. */
+  def compactCrossNearDupIndex(spark: SparkSession, dir: String): Unit = {
+    Purge.repairPartitionRewrite(spark, dir)
+    val purged = crossIndexPurged(spark, dir).localCheckpoint(true)
+    if (purged.isEmpty) return
+    val ids = broadcast(purged)
     def remaining(name: String) =
       spark.read.parquet(s"$dir/$name").join(ids, Seq("doc_id"), "left_anti")
     Purge.rewritePartitions(spark, dir, Seq(
       "shingle_keys" -> Some(remaining("shingle_keys")),
       "buckets" -> Some(remaining("buckets"))))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** PURGE docs from ONE ingest partition of a [[buildExactWindowIndex]]
@@ -595,14 +620,23 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val m = readIndexManifest(spark, dir)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Logical-purge mask (r15): tombstoned ids leave the bucket stream
+    // BEFORE the cap, so the cap re-derives over the SURVIVING union —
+    // identical cap boundaries to an index built without the docs. The
+    // anti-join is against a broadcast of the (takedown-scale) tombstone
+    // set — empty, a no-op build side, on a purge-free index. Candidates
+    // inherit the mask, so the shingle-key side needs none.
+    val purged = crossIndexPurged(spark, dir)
+    def mask(df: DataFrame): DataFrame =
+      df.join(broadcast(purged), Seq("doc_id"), "left_anti")
     // Cap over the stored UNION at read time (buckets are stored
     // uncapped): exactly the cap a full rebuild over the grown corpus
     // would apply, whatever increments produced the rows. One narrow
     // map-side-combined aggregate over a 3-column table the candidate
     // join scans anyway.
     val bucketsC = capBuckets(
-      spark.read.schema("doc_id LONG, band LONG, sig STRING")
-        .parquet(s"$dir/buckets"), m.maxBucket)
+      mask(spark.read.schema("doc_id LONG, band LONG, sig STRING")
+        .parquet(s"$dir/buckets")), m.maxBucket)
     val shB = shingles(batch.select(col("doc_id"), col("text")), m.n).persist(sl)
     val cand = crossCandidates(
       cappedBandBuckets(shB, m.numHashes, m.bandSize, m.maxBucket), bucketsC)

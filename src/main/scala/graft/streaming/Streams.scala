@@ -584,7 +584,12 @@ object Streams {
   def purgeCurationState(spark: SparkSession, indexDir: String,
       labelsDir: String, docIds: DataFrame): Unit = {
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    // logical tombstone + immediate compaction: the loop is stopped for
+    // the purge anyway (owner-only), and its collision/replay guards read
+    // the shingle_keys dataset directly, so the physical half runs now
+    // rather than deferred
     graft.operators.Dedup.purgeFromCrossNearDupIndex(spark, indexDir, ids)
+    graft.operators.Dedup.compactCrossNearDupIndex(spark, indexDir)
     purgeLoopState(spark, labelsDir, ids, "seedCurationState")
   }
 

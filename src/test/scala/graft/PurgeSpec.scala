@@ -288,18 +288,34 @@ class PurgeSpec extends TestBase {
     val purged = d.where(col("doc_id") % 5 === 1).select(col("doc_id"))
     val idx = tmp("graft-xidx-purge")
     Dedup.buildCrossNearDupIndex(d, s"$idx/a")
-    Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a", purged)
     Dedup.buildCrossNearDupIndex(
       d.where(col("doc_id") % 5 =!= 1), s"$idx/b")
     def probe(dir: String) = Dedup.crossNearDupIndexed(spark, dir, batch, 0.5)
       .as[(Long, Long, Double)].collect().toSet
+    // LOGICAL stage: tombstones mask probes identically to built-without
+    // while the rows are physically still present
+    Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a", purged)
     assert(probe(s"$idx/a") == probe(s"$idx/b"),
-      "purged index must probe identically to one built without the docs")
-    // no purged id survives in either dataset
+      "logically purged index must probe identically to one built without")
+    assert(spark.read.parquet(s"$idx/a/shingle_keys")
+      .join(purged, Seq("doc_id"), "left_semi").count() > 0,
+      "logical purge must defer the physical rewrite")
+    // re-purging is idempotent (append-only tombstones, distinct at read)
+    Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a", purged.limit(3))
+    assert(probe(s"$idx/a") == probe(s"$idx/b"))
+    // PHYSICAL stage: compaction removes the rows and clears tombstones
+    Dedup.compactCrossNearDupIndex(spark, s"$idx/a")
+    assert(probe(s"$idx/a") == probe(s"$idx/b"),
+      "compaction must not change any probe")
     assert(spark.read.parquet(s"$idx/a/shingle_keys")
       .join(purged, Seq("doc_id"), "left_semi").count() == 0)
     assert(spark.read.parquet(s"$idx/a/buckets")
       .join(purged, Seq("doc_id"), "left_semi").count() == 0)
+    assert(!new java.io.File(s"$idx/a/purged").exists(),
+      "compaction clears the tombstone set")
+    // rerun on a clean index is a no-op
+    Dedup.compactCrossNearDupIndex(spark, s"$idx/a")
+    assert(probe(s"$idx/a") == probe(s"$idx/b"))
     rm(idx)
   }
 
