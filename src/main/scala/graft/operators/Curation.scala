@@ -162,10 +162,14 @@ object Curation {
     * full-outer join (a bare cast would render null as a null join key,
     * which never matches itself, splitting one non-drifting null bin into
     * two phantom one-sided bins and inflating PSI). [[driftFeatureSql]]
-    * mirrors the same rendering. Indexes persisted before this rendering
-    * existed carry raw-cast bins; rebuild them before probing if the
-    * feature is nullable (non-null bins are unaffected up to the `V`
-    * prefix, which never leaves the count table). */
+    * mirrors the same rendering. The rendered bin IS the persisted
+    * format of every drift index (the `V` prefix lands in the stored
+    * count tables), so an index persisted under the pre-sentinel
+    * raw-cast rendering never joins these bins — EVERY bin would split
+    * into one-sided phantoms, for every feature, nullable or not. That
+    * is why drift indexes carry a format marker
+    * ([[requireIndexFormat]]): old layouts fail loudly instead of
+    * silently inflating PSI; rebuild them with [[buildDriftIndex]]. */
   private def binCounts(df: DataFrame, features: Seq[(String, Column)],
       as: String): DataFrame =
     df.select(explode(array(features.map { case (name, bin) =>
@@ -213,6 +217,52 @@ object Curation {
     binCounts(standing, features, "cs")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/ingest=-1")
+    // Marker LAST: a build that crashed before finishing never carries
+    // one, and probes refuse markerless layouts instead of reading a
+    // half-written (or pre-sentinel-rendering) index.
+    writeFormatMarker(standing.sparkSession, dir)
+  }
+
+  /** Persisted drift-index layout version. 2 = the null-sentinel bin
+    * rendering (`N`/`V<value>`, [[binCounts]]); version 1 (bare-cast
+    * bins) predates the marker entirely — its indexes have no marker
+    * file and are refused at probe/append/purge time, because v1 bins
+    * never join v2 bins and the mismatch would read as silent PSI
+    * inflation on every feature rather than an error. */
+  private val driftFormatVersion = 2
+  private val formatMarkerName = "_GRAFT_DRIFT_FORMAT"
+
+  private def writeFormatMarker(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$driftFormatVersion\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fail-loud layout gate for every drift-index read path: a missing or
+    * mismatched marker means the stored bins were rendered under a
+    * different (or unknown) scheme and would full-outer-join the probe's
+    * bins as disjoint phantoms — the one failure mode that looks like
+    * drift instead of looking like an error. Metadata-scale: one FS
+    * stat + a ≤16-byte read. */
+  private def requireIndexFormat(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"drift index at $dir has no $formatMarkerName marker — it was " +
+        "built by a pre-format-v2 engine (bare-cast bins) or its build " +
+        "never completed; rebuild it with buildDriftIndex (probing it " +
+        "would silently inflate PSI on every feature)")
+    val in = fs.open(p)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    require(stored == driftFormatVersion.toString,
+      s"drift index at $dir is layout v$stored; this engine reads " +
+        s"v$driftFormatVersion — rebuild it with buildDriftIndex")
   }
 
   /** GROW the standing histograms by an arriving batch — histograms are
@@ -228,6 +278,7 @@ object Curation {
       dir: String, ingestBatch: Long): Unit = {
     require(ingestBatch >= 0,
       s"ingest batch id $ingestBatch is negative — -1 is the seed partition")
+    requireIndexFormat(batch.sparkSession, dir)
     requireIndexFeatures(batch.sparkSession.read.parquet(dir), dir, features)
     binCounts(batch, features, "cs")
       .repartition(1)
@@ -302,6 +353,7 @@ object Curation {
     require(purgeId >= 0, s"purge id $purgeId is negative")
     requireFeatures(features)
     val spark = purgedRows.sparkSession
+    requireIndexFormat(spark, dir)
     requireIndexFeatures(spark.read.parquet(dir), dir, features)
     val part = s"$dir/ingest=${-(2 + purgeId)}"
     binCounts(purgedRows, features, "cs")
@@ -333,6 +385,7 @@ object Curation {
       features: Seq[(String, Column)],
       excludeIngestBatch: Option[Long] = None): DataFrame = {
     requireFeatures(features)
+    requireIndexFormat(batch.sparkSession, indexDir)
     val raw = batch.sparkSession.read.parquet(indexDir)
     requireIndexFeatures(raw, indexDir, features)
     // own-partition exclusion (replay exactness): a crash-replayed grown

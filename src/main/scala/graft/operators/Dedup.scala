@@ -537,7 +537,10 @@ object Dedup {
     * is deferred, exactly the BM25 discipline. */
   def purgeFromCrossNearDupIndex(spark: SparkSession, dir: String,
       docIds: DataFrame): Unit =
-    docIds.select(col("doc_id")).distinct()
+    // cast: crossIndexPurged and compactCrossNearDupIndex read `purged/`
+    // with a fixed `doc_id LONG` schema — an int32 caller id appended
+    // as-is would make every later probe/compaction misread the tombstones
+    docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
       .write.mode("append").parquet(s"$dir/purged")
 
   /** The `purged/` tombstone set of a cross-near-dup index (empty when

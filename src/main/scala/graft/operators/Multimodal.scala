@@ -815,14 +815,34 @@ object Multimodal {
     * map-side-combined per-lang counts left-joined at stratum scale.
     * A pair citing a text/image with NO embedding row raises loudly
     * (lazy, riding the rows — the canonicalByQuality posture): silently
-    * dropping it would undercount the funnel's very first stage. */
+    * dropping it would undercount the funnel's very first stage. A
+    * DUPLICATE vec_id in either embedding table raises the same way:
+    * a left join against a non-unique side silently fans pairs out,
+    * inflating n_aligned/n_final relative to n_pairs. */
   def pairFilter(pairs: DataFrame, textEmb: DataFrame, imageEmb: DataFrame,
       textDropped: DataFrame, imageDropped: DataFrame,
       minCosine: Double = 0.9): DataFrame = {
     require(minCosine >= -1 && minCosine <= 1,
       s"minCosine must be in [-1, 1]: $minCosine")
-    def side(emb: DataFrame, id: String, as: String) =
-      emb.select(col("vec_id").as(id), col("embedding").as(as))
+    // Per-side uniqueness guard, lazy and riding the rows (the
+    // canonicalByQuality posture): a duplicate vec_id would silently fan
+    // every pair citing it into multiple scored rows, inflating the
+    // n_pairs-relative funnel counts. The window partitions on vec_id —
+    // the same key the pair join shuffles on — and only fires for
+    // embeddings a pair actually consumes.
+    def side(emb: DataFrame, id: String, as: String) = {
+      val perId = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+      emb.select(col("vec_id"), col("embedding"),
+          count(lit(1)).over(perId).as("k"))
+        .select(col("vec_id").as(id),
+          when(col("k") > 1, raise_error(concat(
+              lit(s"pairFilter: duplicate vec_id "),
+              col("vec_id").cast("string"),
+              lit(s" in the $id-side embedding table — a duplicate embedding " +
+                "row would fan out every pair citing it"))))
+            .otherwise(col("embedding")).as(as))
+    }
     val scored = pairs
       .join(side(textEmb, "text_id", "t_emb"), Seq("text_id"), "left")
       .join(side(imageEmb, "image_id", "i_emb"), Seq("image_id"), "left")

@@ -164,15 +164,43 @@ object Purge {
       .select(col(partCol).cast("long")).distinct()
       .as[Long].collect().sorted
     if (touched.isEmpty) return // nothing indexed under these ids
-    val replacements = touched.toSeq.map { c =>
-      val part = spark.read.parquet(s"$root/$partCol=$c")
+    rewritePartitionsStageFirst(spark, root, touched.toSeq.map { c =>
+      s"$partCol=$c" -> spark.read.parquet(s"$root/$partCol=$c")
         .join(idSet, Seq(idCol), "left_anti")
-        // materialize BEFORE the swap: the replacement plan reads the very
-        // partition the roll-forward deletes
-        .localCheckpoint(true)
-      s"$partCol=$c" -> (if (part.isEmpty) None else Some(part))
+    })
+  }
+
+  /** [[rewritePartitions]] with the SWAP/DROP decision taken from the
+    * STAGED result instead of the input plan: each replacement plan is
+    * written straight to its stage path (the stage dir is
+    * underscore-hidden, so a live-reading plan is safe — nothing live is
+    * deleted until roll-forward), then a partition whose staged rewrite
+    * came out EMPTY is DROPped and its stage discarded. One
+    * materialization per touched partition — the prior shape
+    * (localCheckpoint to break the read-what-you-delete race, then a
+    * staged write, then an isEmpty action) paid ~2× on a huge touched
+    * cell and pinned it in executor memory besides. The emptiness probe
+    * reads the staged parquet footers, not the data. */
+  def rewritePartitionsStageFirst(spark: SparkSession, rootDir: String,
+      replacements: Seq[(String, DataFrame)],
+      writeStage: (DataFrame, String) => Unit =
+        (df, path) => df.write.mode("overwrite").parquet(path)): Unit = {
+    require(replacements.nonEmpty, "rewritePartitions: nothing to rewrite")
+    require(replacements.forall(r => !r._1.contains("/") && !r._1.startsWith("_")),
+      s"partition names must be plain child dirs: ${replacements.map(_._1)}")
+    val (fs, root) = fsOf(spark, rootDir)
+    repairPartitionRewrite(spark, rootDir) // finish/discard any prior attempt
+    val lines = replacements.map { case (p, df) =>
+      val stagedPath = s"$rootDir/$StageDirName/$p"
+      writeStage(df, stagedPath)
+      val empty = spark.read.parquet(stagedPath).isEmpty
+      if (empty) {
+        fs.delete(new org.apache.hadoop.fs.Path(stagedPath), true)
+        s"DROP $p"
+      } else s"SWAP $p"
     }
-    rewritePartitions(spark, root, replacements)
+    writeTextAtomic(fs, s"$rootDir/$MarkerName", lines.mkString("\n"))
+    rollForward(fs, root, rootDir, lines)
   }
 
   /** Remove a doc set from a standing near-dup LABELING — the artifact

@@ -263,20 +263,30 @@ object Streams {
     * scheduling IS the batch's cost (interleaved A/B: ~8.6→5.7 s cold,
     * 5.1–6.7→4.3–4.8 s warm at 1 partition, identical results — every
     * operator in these loops is partition-count-invariant and
-    * spec-pinned so). The size signal is the batch's INPUT partition
-    * count (file-source batches get ~1 partition per small file /
-    * maxPartitionBytes slice), read from the plan without running a job;
-    * a big batch keeps the session's full parallelism, so this is a
-    * floor-trim, not a throughput cap. The conf is session-scoped state:
-    * set/restore brackets the body (the eagerRelease discipline) and
-    * these loops own their session while a batch runs. */
-  private def withBatchParallelism[T](batch: Dataset[org.apache.spark.sql.Row])(
+    * spec-pinned so). The size signal is the LARGER of the batch's INPUT
+    * partition count (file-source batches get ~1 partition per small
+    * file / maxPartitionBytes slice) and `standingParts`, the caller's
+    * standing-state scan parallelism ([[standingScanParts]]) — several
+    * bodies shuffle STANDING-scale data (capBuckets over the stored
+    * bucket table, appendToBm25Index's full-vocabulary df merge,
+    * incrementalClusters' labels join), and capping those at a tiny
+    * batch's partition count would collapse corpus-scale reduces to one
+    * task (single-task OOM / throughput cliff at real scale — the r16
+    * ADVICE finding). Both signals read from plans without running a
+    * job; a big batch or corpus keeps the session's full parallelism, so
+    * this stays a floor-trim, not a throughput cap. The conf is
+    * session-scoped state: set/restore brackets the body (the
+    * eagerRelease discipline) and these loops own their session while a
+    * batch runs. */
+  private def withBatchParallelism[T](batch: Dataset[org.apache.spark.sql.Row],
+      standingParts: => Int = 0)(
       body: => T): T = {
     val spark = batch.sparkSession
     val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
     val cap = prev.flatMap(_.toIntOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val parts = math.max(1, math.min(cap, batch.rdd.getNumPartitions))
+    val parts = math.max(1, math.min(cap,
+      math.max(batch.rdd.getNumPartitions, standingParts)))
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try body finally {
       prev match {
@@ -285,6 +295,21 @@ object Streams {
       }
     }
   }
+
+  /** Standing-state size signal for [[withBatchParallelism]]: the max
+    * scan parallelism across the given parquet dirs, read from the plan
+    * (file listing only, no job). A path that doesn't exist yet (first
+    * batch of a fresh loop) or isn't readable as parquet contributes
+    * nothing — this is a parallelism hint, and the body's own reads
+    * fail loudly on genuinely broken state. */
+  private def standingScanParts(spark: SparkSession, paths: String*): Int =
+    paths.foldLeft(0) { (acc, s) =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) acc
+      else math.max(acc,
+        scala.util.Try(spark.read.parquet(s).rdd.getNumPartitions).getOrElse(0))
+    }
 
   /** Streaming near-dedup against a standing corpus — the operational
     * streaming form of `Dedup.crossNearDup`: each arriving micro-batch of
@@ -322,7 +347,10 @@ object Streams {
       keepDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
-      b => graft.operators.Dedup.crossNearDup(corpus, b, threshold))
+      b => graft.operators.Dedup.crossNearDup(corpus, b, threshold),
+      // the body recomputes the corpus side's band buckets per batch —
+      // corpus-scale shuffles, so the floor is the corpus scan itself
+      _ => corpus.rdd.getNumPartitions)
 
   /** `nearDupAgainstCorpus` probing a PREBUILT corpus index
     * (`Dedup.buildCrossNearDupIndex`) — the high-frequency production
@@ -337,7 +365,9 @@ object Streams {
       keepDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     nearDupForeachBatch(docs, matchDir, keepDir, checkpointDir,
-      b => graft.operators.Dedup.crossNearDupIndexed(b.sparkSession, indexDir, b, threshold))
+      b => graft.operators.Dedup.crossNearDupIndexed(b.sparkSession, indexDir, b, threshold),
+      // capBuckets aggregates the stored bucket table — standing-scale
+      s => standingScanParts(s, s"$indexDir/buckets", s"$indexDir/shingle_keys"))
 
   /** Streaming EXACT-substring ingest: per micro-batch of arriving
     * documents,
@@ -377,7 +407,8 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch,
+          standingScanParts(batch.sparkSession, s"$indexDir/windows")) {
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -417,7 +448,8 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch,
+          standingScanParts(batch.sparkSession, s"$indexDir/postings")) {
         graft.operators.Retrieval.appendToBm25Index(
           batch.select(col("doc_id"), col("text")), indexDir,
           batchId = Some(batchId))
@@ -465,7 +497,8 @@ object Streams {
       noveltyFloor: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch,
+          standingScanParts(batch.sparkSession, s"$indexDir/windows")) {
         val b = batch.select(col("doc_id"), col("lang"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -560,10 +593,12 @@ object Streams {
     * checkpoint afterwards):
     *   1. the LSH index purges (`Dedup.purgeFromCrossNearDupIndex`) so
     *      no future batch can match a purged doc;
-    *   2. every persisted edge set (`edges/v*` — seed + per-batch fold
-    *      evidence) rewrites minus purged-incident pairs under the
-    *      two-phase marker, so a crash-REPLAYED batch re-folds from
-    *      evidence that no longer knows the docs;
+    *   2. the TOUCHED edge sets among `edges/v*` (seed + per-batch fold
+    *      evidence; found by one narrow incident-pair scan — untouched
+    *      versions are never read again or rewritten) rewrite minus
+    *      purged-incident pairs under the two-phase marker, so a
+    *      crash-REPLAYED batch re-folds from evidence that no longer
+    *      knows the docs;
     *   3. BOTH retained label snapshots re-solve via
     *      [[graft.operators.Purge.purgeFromClusters]] over the purged
     *      evidence (cut-vertex-exact: components split when a purged doc
@@ -573,8 +608,11 @@ object Streams {
     *   4. the ids land in `labelsDir/registry` (append-only;
     *      [[curationLoop]] refuses a NEW batch carrying an ever-purged
     *      id — re-ingesting taken-down content is the failure mode a
-    *      registry exists to stop; replays of batches committed BEFORE
-    *      the purge are exempt and converge via the purged evidence).
+    *      registry exists to stop; a crash-REPLAYED batch committed
+    *      before the purge instead recomputes its edges, labels fold,
+    *      and index append over the batch MINUS the registry, so even
+    *      a purge citing an in-flight batch's docs survives restart —
+    *      replayed raw rows can never resurrect a registered id).
     * After the purge, the loop's state equals one seeded and grown
     * WITHOUT the docs (StreamingSpec pins it end to end, including a
     * post-purge batch arriving after restart). Edge sets accumulate
@@ -629,18 +667,41 @@ object Streams {
         s"the r15 takedown layout; re-seed with $seedOp")
     val edgeDirs = fs.listStatus(edgeRoot).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("v")).sortBy(_.getName)
-    val replacements = edgeDirs.map { p =>
-      val remaining = spark.read.schema("doc_a LONG, doc_b LONG")
-        .parquet(p.toString)
-        .join(broadcast(ids.withColumnRenamed("doc_id", "doc_a")),
-          Seq("doc_a"), "left_anti")
-        .join(broadcast(ids.withColumnRenamed("doc_id", "doc_b")),
-          Seq("doc_b"), "left_anti")
-        .select(col("doc_a"), col("doc_b"))
-      p.getName -> Some(remaining)
+    // TOUCHED-ONLY rewrite (the Purge module's own discipline — r16): one
+    // narrow scan over all edge versions finds which version dirs hold
+    // purged-incident pairs, riding the file-path metadata column; only
+    // those stage and swap. Untouched versions are never read again,
+    // staged, or rewritten — loop-state takedown I/O scales with touched
+    // evidence, not total standing evidence.
+    val idsA = broadcast(ids.withColumnRenamed("doc_id", "doc_a"))
+    val idsB = broadcast(ids.withColumnRenamed("doc_id", "doc_b"))
+    val allEdges = spark.read.schema("doc_a LONG, doc_b LONG")
+      .parquet(edgeDirs.map(_.toString): _*)
+      .select(col("doc_a"), col("doc_b"),
+        col("_metadata.file_path").as("fp"))
+    val touchedVers = allEdges.join(idsA, Seq("doc_a"), "left_semi")
+      .select(col("fp"))
+      .unionAll(allEdges.join(idsB, Seq("doc_b"), "left_semi").select(col("fp")))
+      .distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getParent.getName)
+      .toSet
+    val touchedDirs = edgeDirs.filter(p => touchedVers.contains(p.getName))
+    if (touchedDirs.nonEmpty) {
+      val replacements = touchedDirs.map { p =>
+        val remaining = spark.read.schema("doc_a LONG, doc_b LONG")
+          .parquet(p.toString)
+          .join(idsA, Seq("doc_a"), "left_anti")
+          .join(idsB, Seq("doc_b"), "left_anti")
+          .select(col("doc_a"), col("doc_b"))
+        // SWAP even when the rewrite empties a version: later reads (this
+        // method's own purgedEdges, replay folds) enumerate every version
+        // dir, so a DROP would break them — an empty edge set is a
+        // legitimate version state.
+        p.getName -> Some(remaining)
+      }
+      graft.operators.Purge.rewritePartitions(spark, s"$labelsDir/edges",
+        replacements)
     }
-    graft.operators.Purge.rewritePartitions(spark, s"$labelsDir/edges",
-      replacements)
     val purgedEdges = spark.read.schema("doc_a LONG, doc_b LONG")
       .parquet(edgeDirs.map(_.toString): _*)
     // both retained snapshots rewrite (newest = probe truth, predecessor
@@ -712,7 +773,9 @@ object Streams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch,
+          standingScanParts(batch.sparkSession,
+            s"$indexDir/buckets", s"$indexDir/shingle_keys")) {
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -734,6 +797,8 @@ object Streams {
           // no aggregate, one column scan.
           val replay = committedSnapshots(spark, labelsDir)._2
             .exists(_.getName == s"v$batchId")
+          val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
+          val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!replay) {
             val collisions = spark.read.schema("doc_id LONG, sk LONG")
               .parquet(s"$indexDir/shingle_keys").select(col("doc_id"))
@@ -746,9 +811,7 @@ object Streams {
             // an ever-purged id is refused — re-ingesting taken-down
             // content is exactly what the registry exists to stop. Replays
             // of pre-purge batches are exempt (detected above) and
-            // converge through the purged edge evidence instead.
-            val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
-            val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // converge through the purged-batch filter below.
             if (regFs.exists(regPath)) {
               val resurrected = b.select(col("doc_id"))
                 .join(broadcast(spark.read.schema("doc_id LONG")
@@ -761,6 +824,21 @@ object Streams {
                   "(new id required if intentional)")
             }
           }
+          // A REPLAY may postdate a purge that cited docs from this very
+          // batch (stream crashed mid-batch, takedown ran, restart
+          // replays). Recomputing edges / labels / the index append from
+          // the raw batch rows would silently resurrect taken-down
+          // content in every standing artifact — so replays compute over
+          // the batch MINUS the registry (the BM25 replay discipline:
+          // purged state wins over replayed input), converging to
+          // exactly what purgeCurationState left behind. New batches hit
+          // the loud refusal above instead, so the anti-join only ever
+          // drops rows on replay.
+          val bLive =
+            if (replay && regFs.exists(regPath))
+              b.join(broadcast(spark.read.schema("doc_id LONG")
+                .parquet(regPath.toString)), Seq("doc_id"), "left_anti")
+            else b
           val labels = readLatestLabels(spark, labelsDir)
           // The batch is shingled once per consumer below (index probe,
           // within-batch dedup-first at REP level, index append) — three
@@ -768,9 +846,9 @@ object Streams {
           // vs rep-level shingles) and the loop's scale contract is about
           // corpus-side work, which stays O(candidates) throughout.
           val cross = graft.operators.Dedup
-            .crossNearDupIndexed(spark, indexDir, b, threshold)
+            .crossNearDupIndexed(spark, indexDir, bLive, threshold)
             .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
-          val within = graft.operators.Dedup.nearDupScores(b)
+          val within = graft.operators.Dedup.nearDupScores(bLive)
             .where(col("jaccard") >= threshold)
             .select(col("doc_a"), col("doc_b"))
           // fold evidence persists BEFORE the labels fold consumes it
@@ -783,7 +861,7 @@ object Streams {
           graft.operators.Dedup
             .incrementalClusters(labels, newEdges)
             .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
-          graft.operators.Dedup.appendToCrossNearDupIndex(b, indexDir)
+          graft.operators.Dedup.appendToCrossNearDupIndex(bLive, indexDir)
           pruneLabelSnapshots(spark, labelsDir)
         } finally {
           prevEager match {
@@ -838,10 +916,11 @@ object Streams {
       matchDir: String,
       keepDir: String,
       checkpointDir: String,
-      score: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      score: DataFrame => DataFrame,
+      standingParts: SparkSession => Int): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch, standingParts(batch.sparkSession)) {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // Force eager materialize-and-release for the scorer call: the
@@ -1031,7 +1110,8 @@ object Streams {
       noun: String): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        withBatchParallelism(batch) {
+        withBatchParallelism(batch,
+          standingScanParts(batch.sparkSession, s"$indexDir/hashes")) {
         val spark = batch.sparkSession
         import spark.implicits._
         val b = batch.select(col("doc_id"), col("mime"), col("content"))
@@ -1048,6 +1128,8 @@ object Streams {
           // with their own prior append and rely on partition exclusion.
           val replay = committedSnapshots(spark, labelsDir)._2
             .exists(_.getName == s"v$batchId")
+          val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
+          val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!replay) {
             val collisions = graft.operators.Multimodal
               .standingSigs(spark, indexDir, sigCol, None).select(col("doc_id"))
@@ -1058,9 +1140,8 @@ object Streams {
                 s"$loopName requires globally unique doc_ids")
             // takedown registry (purgeImageDedupState): the curationLoop
             // refusal verbatim — a NEW batch carrying an ever-purged id
-            // is refused; pre-purge replays converge via purged evidence
-            val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
-            val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // is refused; pre-purge replays converge via the purged-batch
+            // filter below
             if (regFs.exists(regPath)) {
               val resurrected = b.select(col("doc_id"))
                 .join(broadcast(spark.read.schema("doc_id LONG")
@@ -1073,11 +1154,21 @@ object Streams {
                   "(new id required if intentional)")
             }
           }
+          // Replay takedown discipline (curationLoop verbatim): a replay
+          // postdating a purge that cited this batch's docs recomputes
+          // edges / labels / the index partition over the batch MINUS
+          // the registry — never resurrecting a taken-down signature.
+          val bLive =
+            if (replay && regFs.exists(regPath))
+              b.join(broadcast(spark.read.schema("doc_id LONG")
+                  .parquet(regPath.toString)), Seq("doc_id"), "left_anti")
+                .as[graft.operators.MediaRow]
+            else b
           val labels = readLatestLabels(spark, labelsDir)
           // One decode+fingerprint pass over the batch feeds all three
           // consumers (cross probe, self probe, index append) — the
           // batch's payloads are decoded exactly once per micro-batch.
-          val hb = sigOf(b)
+          val hb = sigOf(bLive)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val cross = graft.operators.Dedup.simhashCrossPairs(

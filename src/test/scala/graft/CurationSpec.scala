@@ -147,6 +147,42 @@ class CurationSpec extends TestBase {
     assert(before == after, "a refused purge must leave the index unchanged")
   }
 
+  test("drift index format marker: markerless or mismatched layouts refused on every read path") {
+    // r16 ADVICE: the V/N bin rendering IS the persisted index format —
+    // an index stored under a different rendering never joins a probe's
+    // bins, so every bin splits into one-sided phantoms and PSI silently
+    // inflates. Old layouts must fail loudly instead.
+    def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "b")
+    val f = Seq("b" -> col("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-fmt").toString
+    Curation.buildDriftIndex(corpus(1L -> "A", 2L -> "B"), f, s"$dir/i")
+    // fresh build probes fine (marker present)
+    Curation.driftAgainstIndex(s"$dir/i", corpus(3L -> "A"), f).collect()
+    val marker = java.nio.file.Paths.get(s"$dir/i", "_GRAFT_DRIFT_FORMAT")
+    // tampering via java.nio bypasses Hadoop's ChecksumFileSystem — drop
+    // the .crc sidecar too or the reads fail on checksum, not content
+    val crc = java.nio.file.Paths.get(s"$dir/i", "._GRAFT_DRIFT_FORMAT.crc")
+    java.nio.file.Files.delete(marker)
+    java.nio.file.Files.deleteIfExists(crc)
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.driftAgainstIndex(s"$dir/i", corpus(3L -> "A"), f)
+    }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      Curation.appendToDriftIndex(corpus(4L -> "B"), f, s"$dir/i", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.purgeFromDriftIndex(corpus(1L -> "A"), f, s"$dir/i", 0L)
+    }
+    // a mismatched version number is refused the same way
+    java.nio.file.Files.write(marker, "1\n".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(crc)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.driftAgainstIndex(s"$dir/i", corpus(3L -> "A"), f)
+    }
+    assert(e2.getMessage.contains("layout v1"), e2.getMessage)
+  }
+
   test("drift: a nullable feature forms ONE aligned null bin, not two phantom bins") {
     // r14 ADVICE (medium): null join keys never match in the full-outer
     // bin alignment, so a null bin present on BOTH sides used to split

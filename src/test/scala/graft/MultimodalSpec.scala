@@ -428,6 +428,16 @@ class MultimodalSpec extends TestBase {
     assert(err.getMessage.contains("pairFilter") ||
       Option(err.getCause).exists(_.getMessage.contains("pairFilter")),
       err.getMessage)
+    // a DUPLICATE vec_id on either side must raise too (r16 ADVICE): the
+    // left join would silently fan the pair out, inflating the funnel's
+    // n_aligned/n_final relative to n_pairs
+    val dupErr = intercept[Exception] {
+      Multimodal.pairFilter(pairs, te.unionAll(emb(2L -> ey)), ie,
+        Seq.empty[Long].toDF("doc_id"), Seq.empty[Long].toDF("doc_id")).collect()
+    }
+    assert(dupErr.getMessage.contains("duplicate vec_id") ||
+      Option(dupErr.getCause).exists(_.getMessage.contains("duplicate vec_id")),
+      dupErr.getMessage)
   }
 
   test("sniff dispatches on magic bytes only") {

@@ -303,6 +303,13 @@ class PurgeSpec extends TestBase {
     // re-purging is idempotent (append-only tombstones, distinct at read)
     Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a", purged.limit(3))
     assert(probe(s"$idx/a") == probe(s"$idx/b"))
+    // an INT-typed caller id set is cast on write (r16 ADVICE): the
+    // tombstone set's fixed LONG read schema must keep working after an
+    // int32 append lands beside the long files
+    Dedup.purgeFromCrossNearDupIndex(spark, s"$idx/a",
+      purged.limit(2).select(col("doc_id").cast("int").as("doc_id")))
+    assert(probe(s"$idx/a") == probe(s"$idx/b"),
+      "an int32 purge append must not poison the tombstone reads")
     // PHYSICAL stage: compaction removes the rows and clears tombstones
     Dedup.compactCrossNearDupIndex(spark, s"$idx/a")
     assert(probe(s"$idx/a") == probe(s"$idx/b"),

@@ -650,8 +650,21 @@ class StreamingSpec extends TestBase {
     // (1003), and a pairless corpus doc (15)
     import spark.implicits._
     val purged = Seq(3L, 1003L, 15L)
+    // touched-only discipline (r16): edge versions holding no
+    // purged-incident pair must never be staged or swapped — the dir
+    // mtime pins it, because a rewrite replaces the directory wholesale
+    val untouchedVers = new java.io.File(s"$lblDir/edges").listFiles()
+      .filter(_.getName.startsWith("v"))
+      .filter { d =>
+        spark.read.schema("doc_a LONG, doc_b LONG").parquet(d.toString)
+          .where(col("doc_a").isin(purged: _*) ||
+            col("doc_b").isin(purged: _*)).isEmpty
+      }
+    val untouchedMtimes = untouchedVers.map(d => d.getName -> d.lastModified()).toMap
     Streams.purgeCurationState(spark, idxDir, lblDir,
       purged.toDF("doc_id"))
+    untouchedVers.foreach(d => assert(d.lastModified() == untouchedMtimes(d.getName),
+      s"untouched edge version ${d.getName} must not be rewritten by a purge"))
     val survivors = corpus.unionAll(b1).unionAll(b2)
       .where(!col("doc_id").isin(purged: _*))
     val got = spark.read.parquet(s"$lblDir/v1").as[(Long, Long)](enc)
@@ -667,6 +680,28 @@ class StreamingSpec extends TestBase {
       .parquet(s"$lblDir/edges")
       .where(col("doc_a").isin(purged: _*) ||
         col("doc_b").isin(purged: _*)).count() == 0)
+
+    // crash-replay resurrection guard (the r16 ADVICE-high scenario): a
+    // purge cites a doc from an already-committed batch (1003 ∈ b1),
+    // then a restart replays EVERY batch (fresh checkpoint). Replays
+    // recompute their edges, labels fold, and index append over the
+    // batch MINUS the registry, so the purged doc must not reappear in
+    // any standing artifact.
+    Streams.curationLoop(
+      Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, threshold = 0.8, st.resolve("ckpt-replay").toString)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$idxDir/shingle_keys")
+      .where(col("doc_id").isin(purged: _*)).count() == 0,
+      "a crash-replayed batch must not resurrect purged shingles")
+    assert(spark.read.schema("doc_a LONG, doc_b LONG")
+      .parquet(s"$lblDir/edges")
+      .where(col("doc_a").isin(purged: _*) ||
+        col("doc_b").isin(purged: _*)).count() == 0,
+      "a crash-replayed batch must not resurrect purged edge evidence")
+    assert(spark.read.parquet(s"$lblDir/v1").as[(Long, Long)](enc)
+      .collect().toSet == want,
+      "replay against purged state must be a labeling fixpoint")
 
     // continuation: a post-purge batch folds against purged state and
     // the final labeling equals the from-scratch one over survivors∪b3
@@ -766,9 +801,10 @@ class StreamingSpec extends TestBase {
       Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
       idxDir, lblDir, st.resolve("ckpt").toString)
       .awaitTermination()
-    // takedown: a standing original with a twin (3) and its twin's
-    // sibling scenario, plus a pairless standing image (9)
-    val purged = Seq(3L, 9L)
+    // takedown: a standing original with a twin (3), a pairless standing
+    // image (9), and a BATCH image (101 ∈ b1) — the last exercises the
+    // crash-replay resurrection guard below
+    val purged = Seq(3L, 9L, 101L)
     Streams.purgeImageDedupState(spark, idxDir, lblDir, purged.toDF("doc_id"))
     val survivors = variants(
       (standingRows ++ b1Rows).filterNot(r => purged.contains(r._1)))
@@ -779,6 +815,21 @@ class StreamingSpec extends TestBase {
     assert(got == want, s"purged image labels must equal grown-without: got $got want $want")
     assert(Multimodal.standingDHashes(spark, idxDir)
       .where(col("doc_id").isin(purged: _*)).count() == 0)
+    // crash-replay resurrection guard: replay the whole stream (fresh
+    // checkpoint) against the purged state — the replayed batch
+    // recomputes its index partition, edges, and labels over the batch
+    // MINUS the registry, so the purged batch image (101) must not
+    // reappear anywhere
+    Streams.imageDedupLoop(
+      Streams.mediaStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+      idxDir, lblDir, st.resolve("ckpt-replay").toString)
+      .awaitTermination()
+    assert(Multimodal.standingDHashes(spark, idxDir)
+      .where(col("doc_id").isin(purged: _*)).count() == 0,
+      "a crash-replayed batch must not resurrect purged hashes")
+    assert(spark.read.parquet(s"$lblDir/v0").as[(Long, Long)](enc)
+      .collect().toSet == want,
+      "replay against purged state must be a labeling fixpoint")
     // registry refusal on a NEW batch resubmitting a purged id
     dropAsFile(variants(Seq((3L, 3L, 0, 0))).toDF(), inDir, "b2.parquet")
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
