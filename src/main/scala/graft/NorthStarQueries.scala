@@ -559,6 +559,36 @@ object NorthStarQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // Append-side COMPACTION of the window index (r16): build on the
+    // corpus's first half, append the rest in two batches (three
+    // ingest_batch partitions), FOLD them into one distinct base
+    // (compactExactWindowIndex — from the index itself, no corpus
+    // rescan), then probe. Identical oracle as dd_exact_cross: a hash
+    // match proves the folded index probes exactly as the grown one,
+    // and the in-row require pins the partition collapse itself.
+    QueryDef("dd_window_compacted")(
+     exactCrossOracleSql) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = d.count()
+      val idx = java.nio.file.Files.createTempDirectory("graft-win-compact-q")
+      val tB = System.nanoTime()
+      Dedup.buildExactWindowIndex(d.where(col("doc_id") < n / 2), idx.toString)
+      Dedup.appendToExactWindowIndex(
+        d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
+      Dedup.appendToExactWindowIndex(
+        d.where(col("doc_id") >= 3 * n / 4), idx.toString)
+      Dedup.compactExactWindowIndex(s, idx.toString)
+      fixtureSecs.put("win-compact-build", (System.nanoTime() - tB) / 1e9)
+      val parts = new java.io.File(s"$idx/windows").listFiles()
+        .count(_.getName.startsWith("ingest_batch="))
+      require(parts == 1,
+        s"compaction must fold to one base partition, got $parts")
+      val out = Dedup.exactCrossDupIndexed(s, idx.toString, exactCrossBatch(d))
+        .orderBy(col("doc_id"), col("span_start")).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
+    },
+
     // Per-doc window novelty vs the standing corpus — the dedup-aware
     // value signal a sampling stage filters on (0 = verbatim corpus
     // content, 1 = entirely new text). Same fixture as dd_exact_cross:
@@ -1399,6 +1429,112 @@ object NorthStarQueries {
         .localCheckpoint(true)
       val out = logical.unionAll(compacted)
         .orderBy(col("stage"), col("batch_id"), col("corpus_id"))
+      deleteRecursively(st)
+      out
+    },
+
+    // ONE-CALL takedown orchestration (r16): a real PII erasure is one
+    // doc-id set against EVERY standing artifact. This row stands up
+    // nine artifact families over the same corpus (BM25, LSH cross
+    // index, exact-window index, IVF-PQ codes, dHash + audio signature
+    // indexes, drift histograms, a keyed Z-order layout, and a seeded
+    // curation-loop state), runs Takedown.purgeEverywhere over one
+    // literal id set, and outputs the AUDIT MANIFEST — (family,
+    // ids_found), the "we looked here, found these, removed them" trail.
+    // The oracle recomputes every family's found-count from the same
+    // tables; in-row requires additionally pin the post-purge absence of
+    // the ids from each id-bearing artifact (each family's
+    // purged==rebuilt-without theorem is its own oracle row's job).
+    QueryDef("dd_purge_everywhere")(
+      """WITH p(id) AS (VALUES (3),(13),(23),(33),(43),(53))
+        | SELECT family, ids_found FROM (
+        |   SELECT 'audio_fp' AS family,
+        |     (SELECT CAST(count(*) AS BIGINT) FROM p WHERE id < 24) AS ids_found
+        |   UNION ALL SELECT 'bm25',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'cross_neardup',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'curation_loop',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id < 40 AND doc_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'dhash',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM p WHERE id < 24)
+        |   UNION ALL SELECT 'drift',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'exact_window', CAST(-1 AS BIGINT)
+        |   UNION ALL SELECT 'ivfpq',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |      WHERE vec_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'keyed_layout',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id IN (SELECT id FROM p))
+        | ) ORDER BY family""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Takedown
+      val d = Tables(s, dir, "documents")
+      val dt = d.select(col("doc_id"), col("text"))
+      val e = Tables(s, dir, "embeddings")
+      val ids = Seq(3L, 13L, 23L, 33L, 43L, 53L).toDF("doc_id")
+      val media = Multimodal.syntheticImageVariants(
+        s.range(0, 24).select(col("id").as("doc_id"), col("id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot")))
+      val clips = Multimodal.syntheticAudioVariants(
+        s.range(0, 24).select(col("id").as("doc_id"), col("id").as("key"),
+          lit(1).as("gain"), lit(0).as("retouch")))
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"))
+      val st = java.nio.file.Files.createTempDirectory("graft-purge-all-q")
+      val tB = System.nanoTime()
+      Retrieval.buildBm25Index(dt, s"$st/bm25")
+      Dedup.buildCrossNearDupIndex(dt, s"$st/cross")
+      Dedup.buildExactWindowIndex(dt, s"$st/win")
+      Similarity.buildIvfPqIndex(e, s"$st/ivfpq")
+      Multimodal.buildDHashIndex(media, s"$st/dhash")
+      Multimodal.buildAudioFpIndex(clips, s"$st/afp")
+      graft.operators.Curation.buildDriftIndex(d, features, s"$st/drift")
+      graft.operators.Layout.initKeyedLayout(
+        d.select(col("doc_id"), col("n_chars")),
+        Seq("doc_id", "n_chars"), s"$st/layout", files = 2)
+      graft.streaming.Streams.seedCurationState(
+        dt.where(col("doc_id") < 40), s"$st/loop-idx", s"$st/loop-lbl",
+        threshold = 0.8)
+      fixtureSecs.put("purge-all-build", (System.nanoTime() - tB) / 1e9)
+      val audit = Takedown.purgeEverywhere(s, ids, Seq(
+          Takedown.Bm25(s"$st/bm25", compact = true),
+          Takedown.CrossNearDup(s"$st/cross", compact = true),
+          Takedown.ExactWindow(s"$st/win", ingestBatch = -1L,
+            survivors = dt.join(ids, Seq("doc_id"), "left_anti")),
+          Takedown.IvfPq(s"$st/ivfpq"),
+          Takedown.DHash(s"$st/dhash"),
+          Takedown.AudioFp(s"$st/afp"),
+          Takedown.Drift(s"$st/drift", features,
+            purgedRows = d.join(ids, Seq("doc_id"), "left_semi"), purgeId = 0L),
+          Takedown.KeyedLayout(s"$st/layout", "doc_id", files = 2),
+          Takedown.CurationLoop(s"$st/loop-idx", s"$st/loop-lbl")))
+        .localCheckpoint(true)
+      // erasure post-conditions, fail-loud in-row: no id-bearing
+      // artifact still holds any requested id
+      def none(df: org.apache.spark.sql.DataFrame, idCol: String,
+          what: String): Unit =
+        require(df.select(col(idCol).as("doc_id"))
+          .join(ids, Seq("doc_id"), "left_semi").isEmpty,
+          s"$what still holds purged ids after purgeEverywhere")
+      none(s.read.parquet(s"$st/bm25/postings"), "doc_id", "bm25 postings")
+      none(s.read.schema("doc_id LONG, sk LONG")
+        .parquet(s"$st/cross/shingle_keys"), "doc_id", "cross index")
+      none(s.read.parquet(s"$st/ivfpq/codes"), "vec_id", "ivfpq codes")
+      none(Multimodal.standingDHashes(s, s"$st/dhash"), "doc_id", "dhash")
+      none(Multimodal.standingAudioFps(s, s"$st/afp"), "doc_id", "audio fp")
+      none(s.read.parquet(s"$st/layout"), "doc_id", "keyed layout")
+      none(s.read.schema("doc_id LONG, sk LONG")
+        .parquet(s"$st/loop-idx/shingle_keys"), "doc_id", "loop index")
+      val out = audit.select(col("family"), col("ids_found"))
+        .orderBy(col("family")).localCheckpoint(true)
       deleteRecursively(st)
       out
     },
@@ -3001,6 +3137,50 @@ object NorthStarQueries {
       out
     },
 
+    // Append-side COMPACTION of the BM25 index (r16): build on the first
+    // half, append the rest in two batches (three postings partitions,
+    // two version rolls), FOLD the partitions into one re-based bulk
+    // partition (compactBm25Batches — term-range sort preserved, so
+    // pushed term filters keep pruning row groups), and probe. The
+    // oracle scores the full corpus from scratch — a hash match proves
+    // folded == grown == rebuilt; the in-row require pins the partition
+    // collapse itself.
+    QueryDef("txt_bm25_compacted")(
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        | tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     sum( ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+        |   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |   GROUP BY 1)
+        | SELECT doc_id, round(score, 6) AS score FROM sc
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = d.count()
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-compact-q")
+      val tB = System.nanoTime()
+      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
+      Retrieval.appendToBm25Index(
+        d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
+      Retrieval.appendToBm25Index(
+        d.where(col("doc_id") >= 3 * n / 4), idx.toString)
+      Retrieval.compactBm25Batches(s, idx.toString)
+      fixtureSecs.put("bm25-compact-build", (System.nanoTime() - tB) / 1e9)
+      val parts = new java.io.File(s"$idx/postings").listFiles()
+        .count(_.getName.startsWith("batch="))
+      require(parts == 1,
+        s"compaction must fold to one postings partition, got $parts")
+      val out = Retrieval.bm25IndexedTopK(s, idx.toString,
+        Seq("spark", "window", "merge"), 20).localCheckpoint(true)
+      deleteRecursively(idx)
+      out
+    },
+
     // Batch BM25: top-10 per query for a 3-query request batch in ONE
     // corpus pass (the lexical sibling of sim_knn_join) — per-query
     // top-k via the TopK Aggregator, O(queries × k) shuffle. Scores
@@ -4048,6 +4228,55 @@ object NorthStarQueries {
       out
     },
 
+    // Append-side COMPACTION of the drift index (r16): the cur_drift_purge
+    // fixture exactly — build, grow by one batch, purge a slice — then
+    // FOLD the three delta partitions (seed, grown, NEGATED purge delta)
+    // into one re-summed seed before probing. Same oracle as
+    // cur_drift_purge: a hash match proves the fold preserved every bin
+    // total, including dropping the zero-total bins the purge emptied;
+    // the in-row require pins the partition collapse.
+    QueryDef("cur_drift_compacted")({
+      val bkt =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      val kept =
+        s"(SELECT * FROM documents WHERE ($bkt >= 20 AND $bkt < 80) OR $bkt < 10)"
+      val b1 = s"(SELECT * FROM documents WHERE $bkt >= 10 AND $bkt < 20)"
+      Seq(
+        graft.operators.Curation.driftFeatureSql("chars",
+          "FLOOR(length(text)/256)", kept, b1),
+        graft.operators.Curation.driftFeatureSql("lang", "lang", kept, b1),
+        graft.operators.Curation.driftFeatureSql("tokens",
+          "FLOOR(len(string_split(text,' '))/64)", kept, b1))
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY feature")
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"),
+        "tokens" -> floor(size(split(col("text"), " ")) / lit(64)))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-drift-compact-q")
+      val idx = s"$stDir/index"
+      val tB = System.nanoTime()
+      graft.operators.Curation.buildDriftIndex(
+        d.where(bucket >= 20), features, idx)
+      graft.operators.Curation.appendToDriftIndex(
+        d.where(bucket < 10), features, idx, ingestBatch = 0L)
+      graft.operators.Curation.purgeFromDriftIndex(
+        d.where(bucket >= 80), features, idx, purgeId = 0L)
+      graft.operators.Curation.compactDriftIndex(s, idx)
+      fixtureSecs.put("drift-compact-build", (System.nanoTime() - tB) / 1e9)
+      val parts = new java.io.File(idx).listFiles()
+        .count(_.getName.startsWith("ingest="))
+      require(parts == 1,
+        s"compaction must fold to one seed partition, got $parts")
+      val out = graft.operators.Curation.driftAgainstIndex(
+        idx, d.where(bucket >= 10 && bucket < 20), features)
+        .localCheckpoint(true)
+      deleteRecursively(stDir)
+      out
+    },
+
     // The drift monitor's ACTIONABLE output (r15): raw PSI banded into
     // stable / drifting / shifted against calibrated thresholds (0.1 /
     // 0.25 folklore defaults, per-feature overrides for features whose
@@ -4304,6 +4533,64 @@ object NorthStarQueries {
       Multimodal.buildAudioFpIndex(standingRows(col("doc_id") < 16), idx)
       Multimodal.appendToAudioFpIndex(standingRows(col("doc_id") >= 16), idx,
         ingestBatch = 0L)
+      val out = Multimodal.crossNearDupAudioIndexed(s, idx, batch)
+        .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      deleteRecursively(st)
+      out
+    },
+
+    // Append-side COMPACTION of the signature index (r16, shared by the
+    // dHash and audio families): build on a third of the standing set,
+    // append the rest as two ingest partitions, FOLD everything into the
+    // base (compactSigIndex under the two-phase marker), and probe. Same
+    // oracle as mm_audio_indexed — a hash match proves the folded index
+    // probes exactly as the grown one; the in-row require pins the
+    // partition collapse.
+    QueryDef("mm_compact")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
+         |              FROM documents WHERE doc_id < 24
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 12
+         |            UNION ALL SELECT 200007, 7, 1, 25),
+         |$afpByteSql,
+         | hm AS (SELECT a.id AS batch_id, b.id AS corpus_id,
+         |          CAST(sum(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+         |        FROM abt a JOIN abt b ON a.g = b.g
+         |          AND a.id >= 100000 AND b.id < 100000
+         |        GROUP BY 1, 2)
+         | SELECT batch_id, corpus_id, hamming FROM hm WHERE hamming <= 3
+         | ORDER BY batch_id, corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def standingRows(pred: org.apache.spark.sql.Column) =
+        Multimodal.syntheticAudioVariants(
+          d.where(col("doc_id") < 24 && pred)
+            .select(col("doc_id"), col("doc_id").as("key"),
+              lit(1).as("gain"), lit(0).as("retouch")))
+      val batch = Multimodal.syntheticAudioVariants(
+        d.where(col("doc_id") < 12)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("doc_id").as("key"), lit(2).as("gain"), lit(0).as("retouch"))
+          .unionAll(d.where(col("doc_id") === 7)
+            .select(lit(200007L).as("doc_id"), col("doc_id").as("key"),
+              lit(1).as("gain"), lit(25).as("retouch"))))
+      val st = java.nio.file.Files.createTempDirectory("graft-audiofp-compact-q")
+      val idx = s"$st/index"
+      val tB = System.nanoTime()
+      Multimodal.buildAudioFpIndex(standingRows(col("doc_id") < 8), idx)
+      Multimodal.appendToAudioFpIndex(
+        standingRows(col("doc_id") >= 8 && col("doc_id") < 16), idx,
+        ingestBatch = 0L)
+      Multimodal.appendToAudioFpIndex(standingRows(col("doc_id") >= 16), idx,
+        ingestBatch = 1L)
+      Multimodal.compactAudioFpIndex(s, idx)
+      fixtureSecs.put("sig-compact-build", (System.nanoTime() - tB) / 1e9)
+      val parts = new java.io.File(s"$idx/hashes").listFiles()
+        .count(_.getName.startsWith("ingest_batch="))
+      require(parts == 1,
+        s"compaction must fold to one base partition, got $parts")
       val out = Multimodal.crossNearDupAudioIndexed(s, idx, batch)
         .select(col("batch_id"), col("corpus_id"), col("hamming").cast("long"))
         .orderBy(col("batch_id"), col("corpus_id"))

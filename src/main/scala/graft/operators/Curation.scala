@@ -374,6 +374,39 @@ object Curation {
     }
   }
 
+  /** Fold a drift index's accumulated `ingest=` partitions (grown batch
+    * deltas AND negated purge deltas alike) into one re-summed seed
+    * partition (−1) — the append-side compaction verb: histograms are
+    * count-additive, so the fold is one bin-cardinality aggregation, and
+    * bins whose total reached zero (fully departed via purge deltas)
+    * drop, matching [[driftAgainstIndex]]'s read-time discipline exactly
+    * — probe results are identical before and after (spec-pinned).
+    * Two-phase commit via [[Purge.rewritePartitions]]; the format marker
+    * is untouched. Streaming caveat for [[graft.streaming.Streams
+    * .driftMonitor]]`(grow = true)` state (Layout.compactKeyed's):
+    * compact only while the stream is stopped and past its last
+    * checkpoint commit — a crash-replayed grown micro-batch would
+    * re-append counts the base already holds and could no longer
+    * exclude its own partition from its replay probe. */
+  def compactDriftIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    requireIndexFormat(spark, dir)
+    Purge.repairPartitionRewrite(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest=")).sorted
+    if (parts.size <= 1) return // already a single seed
+    val folded = spark.read.parquet(parts.map(p => s"$dir/$p"): _*)
+      .groupBy(col("feature"), col("bin")).agg(sum(col("cs")).as("cs"))
+      .where(col("cs") > 0)
+      .repartition(1)
+    val repl: Seq[(String, Option[DataFrame])] =
+      ("ingest=-1" -> Some(folded)) +:
+        parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
+    Purge.rewritePartitions(spark, dir, repl)
+  }
+
   /** PSI of an arriving batch against the PERSISTED standing histograms —
     * the per-arrival form: one scan of the BATCH (all features at once),
     * one metadata-scale read of the index, nothing standing-corpus-scale

@@ -1677,6 +1677,37 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=$key")
   }
 
+  /** Fold the window index's accumulated `ingest_batch=` partitions back
+    * into the seed partition (−1) WITHOUT rescanning any corpus — the
+    * append-side compaction verb ([[buildExactWindowIndex]]'s scaladoc
+    * previously pointed re-compaction at a full rebuild, which needs the
+    * original corpus; this folds from the index itself). Keys distinct
+    * across the fold, so cross-batch duplicate windows collapse too —
+    * probes are duplicate-safe either way, so results are identical
+    * before and after (spec-pinned). Two-phase commit via
+    * [[Purge.rewritePartitions]]: staged fold, marker, base-swap +
+    * batch-drops — crash-safe at every window. The manifest (`L`) is
+    * untouched. Streaming caveat (Layout.compactKeyed's): compact only
+    * while the owning stream is stopped and past its last checkpoint
+    * commit — a crash-replay of a folded micro-batch would re-append
+    * keys the base already holds AND, worse, could no longer exclude
+    * its own contribution from its replay probe. */
+  def compactExactWindowIndex(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/windows")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no window index at $dir — build it first")
+    Purge.repairPartitionRewrite(spark, s"$dir/windows")
+    val parts = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch=")).sorted
+    if (parts.size <= 1) return // already a single base
+    val folded = spark.read.parquet(parts.map(p => s"$dir/windows/$p"): _*)
+      .distinct()
+    val repl: Seq[(String, Option[DataFrame])] =
+      ("ingest_batch=-1" -> Some(folded)) +:
+        parts.filter(_ != "ingest_batch=-1").map(p => p -> Option.empty[DataFrame])
+    Purge.rewritePartitions(spark, s"$dir/windows", repl)
+  }
+
   /** Per-document window NOVELTY against the standing corpus: the
     * fraction of a batch doc's length-`L` character windows that do NOT
     * occur anywhere in the corpus — the dedup-aware value signal a

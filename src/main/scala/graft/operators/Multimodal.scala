@@ -447,6 +447,48 @@ object Multimodal {
     sigs.write.mode("overwrite")
       .parquet(s"$dir/hashes/ingest_batch=$ingestBatch")
 
+  /** Fold a signature index's accumulated `ingest_batch=` partitions back
+    * into the build's base partition (−1) — the append-side COMPACTION
+    * verb the streaming loops' scaladoc prescribes: each micro-batch
+    * writes its own tiny partition forever, so after 10⁴ batches every
+    * probe pays a 10⁴-dir listing and tiny-file reads. One fold restores
+    * O(1) partitions with byte-identical probe results (rows move, no
+    * row changes). Runs under [[graft.operators.Purge.rewritePartitions]]'s
+    * two-phase commit: the folded base stages (consuming the live-reading
+    * union while nothing live is touched), then base-swap + batch-drops
+    * roll forward under one marker — crash-safe at every window, rerun
+    * idempotent.
+    *
+    * Streaming caveat ([[graft.operators.Layout.compactKeyed]]'s):
+    * compact only while the owning stream is STOPPED and past its last
+    * checkpoint commit — a crash-replay of a folded micro-batch would
+    * re-append rows the base already holds, and the loop's
+    * own-partition probe exclusion cannot see them inside the base. */
+  def compactDHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = compactSigIndex(spark, dir)
+
+  /** [[compactDHashIndex]]'s audio twin — same layout, same fold. */
+  def compactAudioFpIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = compactSigIndex(spark, dir)
+
+  private def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no signature index at $dir — build it first")
+    Purge.repairPartitionRewrite(spark, s"$dir/hashes")
+    // snapshot the partition set, then read exactly that set (the
+    // compactKeyed discipline): the commit folds precisely these
+    val parts = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch=")).sorted
+    if (parts.size <= 1) return // already a single base
+    val folded = spark.read.parquet(parts.map(p => s"$dir/hashes/$p"): _*)
+    val repl: Seq[(String, Option[DataFrame])] =
+      ("ingest_batch=-1" -> Some(folded)) +:
+        parts.filter(_ != "ingest_batch=-1").map(p => p -> Option.empty[DataFrame])
+    Purge.rewritePartitions(spark, s"$dir/hashes", repl)
+  }
+
   /** Remove an image-id set from a [[buildDHashIndex]] index — the
     * takedown path of the image dedup ladder: one narrow id-column scan
     * of the hash table (8 bytes/image — never the image bytes) finds the

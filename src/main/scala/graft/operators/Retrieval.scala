@@ -486,6 +486,64 @@ object Retrieval {
         .localCheckpoint(true)))
   }
 
+  /** Fold the index's accumulated postings `batch=` partitions into ONE
+    * re-based bulk partition — the append-side compaction verb
+    * ([[compactBm25Postings]] is the PURGE-side one: it rewrites touched
+    * partitions but never reduces their count). Streaming ingest writes a
+    * partition per micro-batch forever, so after 10⁴ batches every probe
+    * pays a 10⁴-path read plan; this fold restores O(1) partitions with
+    * byte-identical probe results. The fold preserves the term-range
+    * sort (`repartitionByRange` + `sortWithinPartitions`), so row-group
+    * pruning on pushed term filters survives — and usually improves,
+    * since the term ranges re-tighten over the union.
+    *
+    * Commit order keeps probes valid at every instant: (1) the folded
+    * partition writes under a FRESH batch id (below every existing id —
+    * unreferenced by any committed version, invisible); (2) version v+1
+    * commits with the batch list [newId] (`_COMMIT`-last — before it,
+    * probes read v over the still-intact old partitions; after it, v+1
+    * over the fold); (3) the old partitions delete — pure GC, since v is
+    * only ever read if v+1 is uncommitted, which step 2 made impossible.
+    * A rerun converges from any crash point: the same newId recomputes
+    * (batches unchanged ⇒ same min), the fold overwrites, and the
+    * entry-time sweep clears partitions no committed version references.
+    * df/stats/purged/registry carry forward untouched — a fold moves
+    * rows, it never changes a count.
+    *
+    * Streaming caveat (Layout.compactKeyed's): fold only while the
+    * owning stream is stopped and past its last checkpoint commit — a
+    * replayed micro-batch whose partition was folded is no longer in
+    * the batch list, so the append path would refuse it as an id
+    * collision (loudly, but the stream is stuck until re-seeded). */
+  def compactBm25Batches(spark: org.apache.spark.sql.SparkSession,
+      dir: String, files: Int = 32): Unit = {
+    val (v, batches, fs) = committedVersion(spark, dir)
+    // entry GC: postings partitions the committed version doesn't list
+    // are garbage from an interrupted fold (or an uncommitted append) —
+    // clear them so a crashed deletion phase converges on rerun
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings")).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        !batches.contains(p.getName.stripPrefix("batch=").toLong))
+      .foreach(p => fs.delete(p, true))
+    if (batches.size <= 1) return // already a single base
+    val newId = batches.min - 1
+    spark.read.parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings/batch=$newId")
+    commitVersion(spark, dir, v + 1,
+      spark.read.parquet(s"$dir/v$v/df").localCheckpoint(true),
+      spark.read.parquet(s"$dir/v$v/stats").localCheckpoint(true),
+      Seq(newId), math.max(1, files / 4),
+      purged = Some(versionIdTable(spark, dir, v, "purged")
+        .localCheckpoint(true)),
+      registry = Some(versionIdTable(spark, dir, v, "registry")
+        .localCheckpoint(true)))
+    batches.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/batch=$b"), true))
+  }
+
   /** Batch BM25 retrieval: exact top-`k` docs PER QUERY in ONE corpus
     * pass — the lexical sibling of [[Similarity.knnJoin]].
     * `queries(query_id, terms: ARRAY<STRING>)` is a SMALL table (a

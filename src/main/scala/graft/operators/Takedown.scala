@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE-CALL takedown orchestration (r16): a real PII erasure is one
+  * doc-id set against EVERY standing artifact, not eight purge entry
+  * points the caller must know and sequence. [[purgeEverywhere]] takes
+  * the id set plus a declaration of the deployment's standing artifacts
+  * ([[Takedown.Target]]s), runs each family's own purge verb in a safe
+  * order, and returns the AUDIT MANIFEST an erasure process files:
+  * one row per artifact — `(family, target, ids_found, sec)` — where
+  * `ids_found` is the number of requested ids that were actually present
+  * in that artifact before the purge (the number the audit trail needs:
+  * "we looked here, found these, removed them").
+  *
+  * Each family's own invariants hold unchanged (purged == built-without,
+  * probe identity, two-phase crash safety — all spec/oracle-pinned on
+  * the individual verbs); this module adds only sequencing and the
+  * manifest. Streaming-loop targets carry the loop verbs' owner-only,
+  * stream-stopped contract. Purge verbs are idempotent per family, so a
+  * crashed orchestration is safely re-run end to end.
+  *
+  * `ids_found` is −1 for the one family whose artifact stores no ids at
+  * all (the exact-window index holds only window hashes; its purge verb
+  * takes the surviving rows of the touched ingest partition instead). */
+object Takedown {
+
+  sealed trait Target {
+    /** Audit family label (unique per artifact kind). */
+    def family: String
+    /** The artifact's root path, echoed in the manifest. */
+    def path: String
+  }
+
+  /** BM25 index ([[Retrieval.purgeFromBm25Index]]); `compact = true`
+    * additionally runs the physical [[Retrieval.compactBm25Postings]] —
+    * leave false to ride the cheap logical commit (the legal deadline)
+    * and compact later. */
+  case class Bm25(path: String, compact: Boolean = false) extends Target {
+    val family = "bm25"
+  }
+
+  /** Cross-near-dup LSH index ([[Dedup.purgeFromCrossNearDupIndex]]);
+    * `compact` as in [[Bm25]]. */
+  case class CrossNearDup(path: String, compact: Boolean = false) extends Target {
+    val family = "cross_neardup"
+  }
+
+  /** Exact-window index partition rewrite
+    * ([[Dedup.purgeFromExactWindowIndex]]): windows carry no doc ids, so
+    * the caller supplies the SURVIVING rows of the ingest partition the
+    * purged docs arrived in. `ids_found` reports −1 (not id-attributable). */
+  case class ExactWindow(path: String, ingestBatch: Long,
+      survivors: DataFrame) extends Target {
+    val family = "exact_window"
+  }
+
+  /** IVF cell layout ([[Similarity.purgeFromIvfIndex]]) — ids are
+    * `vec_id`s. */
+  case class Ivf(path: String) extends Target { val family = "ivf" }
+
+  /** IVF-PQ codes layout ([[Similarity.purgeFromIvfPqIndex]]). */
+  case class IvfPq(path: String) extends Target { val family = "ivfpq" }
+
+  /** Flat-PQ codes layout ([[Similarity.purgeFromPqIndex]]). */
+  case class Pq(path: String) extends Target { val family = "pq" }
+
+  /** dHash image signature index ([[Multimodal.purgeFromDHashIndex]]). */
+  case class DHash(path: String) extends Target { val family = "dhash" }
+
+  /** Audio fingerprint index ([[Multimodal.purgeFromAudioFpIndex]]). */
+  case class AudioFp(path: String) extends Target { val family = "audio_fp" }
+
+  /** Drift histogram index ([[Curation.purgeFromDriftIndex]]):
+    * histograms hold no per-doc state, so the caller supplies the purged
+    * docs' ROWS (with feature columns) — the same rows the corpus store
+    * deletes. `ids_found` is the claimed row count. */
+  case class Drift(path: String, features: Seq[(String, Column)],
+      purgedRows: DataFrame, purgeId: Long) extends Target {
+    val family = "drift"
+  }
+
+  /** Keyed Z-order/Hilbert layout ([[Layout.purgeFromKeyedLayout]]). */
+  case class KeyedLayout(path: String, idCol: String, files: Int)
+      extends Target { val family = "keyed_layout" }
+
+  /** Text curation loop state ([[graft.streaming.Streams
+    * .purgeCurationState]]): LSH index + edge evidence + labelings +
+    * registry, owner-only while the stream is stopped. */
+  case class CurationLoop(indexDir: String, labelsDir: String)
+      extends Target {
+    val family = "curation_loop"; val path = labelsDir
+  }
+
+  /** Image dedup loop state ([[graft.streaming.Streams
+    * .purgeImageDedupState]]). */
+  case class ImageLoop(indexDir: String, labelsDir: String) extends Target {
+    val family = "image_loop"; val path = labelsDir
+  }
+
+  /** Audio dedup loop state ([[graft.streaming.Streams
+    * .purgeAudioDedupState]]). */
+  case class AudioLoop(indexDir: String, labelsDir: String) extends Target {
+    val family = "audio_loop"; val path = labelsDir
+  }
+
+  /** How many requested ids an id-bearing table actually holds — one
+    * narrow column scan + broadcast semi-join per family, the audit
+    * number, measured BEFORE the purge. */
+  private def foundIn(table: DataFrame, idColName: String,
+      ids: DataFrame): Long =
+    table.select(col(idColName).as("doc_id")).distinct()
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .count()
+
+  /** Run the takedown of `ids` (a `doc_id` column; vec-id families read
+    * the same values as `vec_id`) across every declared target, in this
+    * order: streaming-loop states first (they own + purge their own LSH
+    * index internally), then every standalone index family, then data
+    * layouts. Returns the audit manifest `(family, target, ids_found,
+    * sec)` sorted by family — `sec` is wall-clock of that family's purge
+    * (informational; exclude it from any hash-checked comparison). */
+  def purgeEverywhere(spark: SparkSession, ids: DataFrame,
+      targets: Seq[Target]): DataFrame = {
+    require(targets.nonEmpty, "purgeEverywhere: no targets declared")
+    val dup = targets.groupBy(t => (t.family, t.path))
+      .collect { case (k, ts) if ts.size > 1 => k }
+    require(dup.isEmpty, s"duplicate takedown targets: ${dup.mkString(", ")}")
+    val idSet = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val vecIds = idSet.select(col("doc_id").as("vec_id"))
+    // loops first: they purge their own index + evidence + labels +
+    // registry as one unit; standalone families after; layouts last
+    def rank(t: Target): Int = t match {
+      case _: CurationLoop | _: ImageLoop | _: AudioLoop => 0
+      case _: KeyedLayout => 2
+      case _ => 1
+    }
+    val rows = targets.sortBy(t => (rank(t), t.family)).map { t =>
+      val found: Long = t match {
+        case Bm25(dir, _) =>
+          foundIn(spark.read.parquet(s"$dir/postings"), "doc_id", idSet)
+        case CrossNearDup(dir, _) =>
+          foundIn(spark.read.schema("doc_id LONG, sk LONG")
+            .parquet(s"$dir/shingle_keys"), "doc_id", idSet)
+        case ExactWindow(_, _, _) => -1L
+        case Ivf(dir) =>
+          foundIn(spark.read.parquet(s"$dir/data"), "vec_id", idSet)
+        case IvfPq(dir) =>
+          foundIn(spark.read.parquet(s"$dir/codes"), "vec_id", idSet)
+        case Pq(dir) =>
+          foundIn(spark.read.parquet(s"$dir/codes"), "vec_id", idSet)
+        case DHash(dir) =>
+          foundIn(Multimodal.standingDHashes(spark, dir), "doc_id", idSet)
+        case AudioFp(dir) =>
+          foundIn(Multimodal.standingAudioFps(spark, dir), "doc_id", idSet)
+        case Drift(_, _, purgedRows, _) => purgedRows.count()
+        case KeyedLayout(dir, idCol, _) =>
+          foundIn(spark.read.parquet(dir), idCol, idSet)
+        case CurationLoop(indexDir, _) =>
+          foundIn(spark.read.schema("doc_id LONG, sk LONG")
+            .parquet(s"$indexDir/shingle_keys"), "doc_id", idSet)
+        case ImageLoop(indexDir, _) =>
+          foundIn(Multimodal.standingDHashes(spark, indexDir), "doc_id", idSet)
+        case AudioLoop(indexDir, _) =>
+          foundIn(Multimodal.standingAudioFps(spark, indexDir), "doc_id", idSet)
+      }
+      val t0 = System.nanoTime()
+      t match {
+        case Bm25(dir, compact) =>
+          Retrieval.purgeFromBm25Index(spark, dir, idSet)
+          if (compact) Retrieval.compactBm25Postings(spark, dir)
+        case CrossNearDup(dir, compact) =>
+          Dedup.purgeFromCrossNearDupIndex(spark, dir, idSet)
+          if (compact) Dedup.compactCrossNearDupIndex(spark, dir)
+        case ExactWindow(dir, batchId, survivors) =>
+          Dedup.purgeFromExactWindowIndex(survivors, dir, batchId)
+        case Ivf(dir) => Similarity.purgeFromIvfIndex(spark, dir, vecIds)
+        case IvfPq(dir) => Similarity.purgeFromIvfPqIndex(spark, dir, vecIds)
+        case Pq(dir) => Similarity.purgeFromPqIndex(spark, dir, vecIds)
+        case DHash(dir) => Multimodal.purgeFromDHashIndex(spark, dir, idSet)
+        case AudioFp(dir) => Multimodal.purgeFromAudioFpIndex(spark, dir, idSet)
+        case Drift(dir, features, purgedRows, purgeId) =>
+          Curation.purgeFromDriftIndex(purgedRows, features, dir, purgeId)
+        case KeyedLayout(dir, idCol, files) =>
+          Layout.purgeFromKeyedLayout(spark, dir, idCol,
+            idSet.select(col("doc_id").as(idCol)), files)
+        case CurationLoop(indexDir, labelsDir) =>
+          graft.streaming.Streams.purgeCurationState(
+            spark, indexDir, labelsDir, idSet)
+        case ImageLoop(indexDir, labelsDir) =>
+          graft.streaming.Streams.purgeImageDedupState(
+            spark, indexDir, labelsDir, idSet)
+        case AudioLoop(indexDir, labelsDir) =>
+          graft.streaming.Streams.purgeAudioDedupState(
+            spark, indexDir, labelsDir, idSet)
+      }
+      (t.family, t.path, found, (System.nanoTime() - t0) / 1e9)
+    }
+    import spark.implicits._
+    rows.toDF("family", "target", "ids_found", "sec")
+      .orderBy(col("family"), col("target"))
+  }
+}
