@@ -761,6 +761,8 @@ object NorthStarQueries {
     // baseline.
     QueryDef("dd_recall")(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 34
+         |       OR doc_id < 40
          |  UNION ALL SELECT doc_id + 100000, text || ' extra'
          |    FROM documents WHERE doc_id < 20
          |  UNION ALL SELECT doc_id + 300000,
@@ -800,13 +802,27 @@ object NorthStarQueries {
     ) { (s, dir) =>
       // high-J suffix twins (banding always catches) + mid-J 60%-prefix
       // twins (J ≈ 0.45–0.6 — the band where 4-band×2-hash banding
-      // actually loses pairs), so the measured recall is informative
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // actually loses pairs), so the measured recall is informative.
+      // Base corpus is a deterministic md5-bucket THIRD of documents
+      // (twin bases kept — they carry the planted truth pairs): exact
+      // truth is output-quadratic, and this row exists to pin the exact
+      // estimator's CORRECTNESS, not to pay full-corpus truth in every
+      // bench run — dd_recall_sampled is the operational form, and
+      // TruthProbe/RecallProbe carry the scale evidence (r16, VERDICT
+      // r15 #5: this was the chronically contended bench row).
+      val dRaw = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = dRaw
+        .where(graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 34 ||
+          col("doc_id") < 40)
+      // Twins derive from doc_id < 40, which the OR branch keeps verbatim —
+      // so derive them from the UNfiltered scan: the doc_id predicate pushes
+      // to the parquet row groups, instead of riding the unpushable md5
+      // disjunction through a full table scan per branch.
       val corpus = d
-        .unionAll(d.where(col("doc_id") < 20)
+        .unionAll(dRaw.where(col("doc_id") < 20)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
-        .unionAll(d.where(col("doc_id") < 40)
+        .unionAll(dRaw.where(col("doc_id") < 40)
           .select((col("doc_id") + 300000).as("doc_id"),
             concat(
               expr("substring(text, 1, CAST(FLOOR(length(text)*3/5) AS INT))"),
