@@ -770,8 +770,15 @@ object Streams {
       indexDir: String,
       labelsDir: String,
       threshold: Double,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE scorer session per loop run (r16, VERDICT r15 #3): the standing
+    // bucket side and the index manifest are cached across micro-batches
+    // (the loop owns the index while it runs — cache invalidation is the
+    // session's own append), and each batch's cross + within scoring and
+    // index append share one shingle/banding/key chain instead of three.
+    val scorer = graft.operators.Dedup.openCrossIndexSession(
+      docs.sparkSession, indexDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch,
           standingScanParts(batch.sparkSession,
@@ -840,28 +847,24 @@ object Streams {
                 .parquet(regPath.toString)), Seq("doc_id"), "left_anti")
             else b
           val labels = readLatestLabels(spark, labelsDir)
-          // The batch is shingled once per consumer below (index probe,
-          // within-batch dedup-first at REP level, index append) — three
-          // O(batch) passes by design: the granularities differ (doc-level
-          // vs rep-level shingles) and the loop's scale contract is about
-          // corpus-side work, which stays O(candidates) throughout.
-          val cross = graft.operators.Dedup
-            .crossNearDupIndexed(spark, indexDir, bLive, threshold)
-            .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
-          val within = graft.operators.Dedup.nearDupScores(bLive)
-            .where(col("jaccard") >= threshold)
-            .select(col("doc_a"), col("doc_b"))
+          // Fused scorer (CrossIndexSession): cross-vs-index, within-batch
+          // and the index append share one shingle/banding/key chain, and
+          // the standing bucket side comes from the session cache instead
+          // of a per-batch parquet re-scan. Edge-set identity with the
+          // unfused pair (crossNearDupIndexed ∪ thresholded nearDupScores)
+          // is the session's contract.
+          val score = scorer.scoreBatch(bLive, threshold)
           // fold evidence persists BEFORE the labels fold consumes it
           // (r15 takedown layout: purgeCurationState re-solves from these
           // edge sets; a crash between the two writes replays both —
           // batchId-keyed overwrites converge)
-          val newEdges = cross.unionAll(within).localCheckpoint(true)
+          val newEdges = score.edges
           newEdges.write.mode("overwrite")
             .parquet(s"$labelsDir/edges/v$batchId")
           graft.operators.Dedup
             .incrementalClusters(labels, newEdges)
             .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
-          graft.operators.Dedup.appendToCrossNearDupIndex(bLive, indexDir)
+          scorer.append(score)
           pruneLabelSnapshots(spark, labelsDir)
         } finally {
           prevEager match {
@@ -875,6 +878,29 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => scorer.close())
+    query
+  }
+
+  /** Run `release` when `query` terminates (success or failure) — the hook
+    * that keeps a loop's session-scoped caches from outliving the loop. */
+  private def releaseOnTermination(
+      spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      release: () => Unit): Unit =
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            release()
+            spark.streams.removeListener(this)
+          }
+      })
 
   /** _SUCCESS-committed labels snapshots under `labelsDir`, oldest first —
     * the Hadoop FS API, so the loop's state discipline is
