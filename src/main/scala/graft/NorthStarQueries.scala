@@ -118,6 +118,89 @@ object NorthStarQueries {
       | abt AS (SELECT id, b // 8 AS g, sum(bit << (b % 8)) AS byte
       |         FROM abit GROUP BY 1, 2)""".stripMargin
 
+  /** `afpByteSql` for the MULTI-DROPOUT generator
+    * (`Multimodal.syntheticAudioDropouts`): the sample at interleaved
+    * index `(j·n)//(nd+1)` is zeroed for each j in 1..nd (n = ch·frames);
+    * everything else is the variant formula verbatim. Expects
+    * `fa(id, key, gain, nd)`. */
+  private val afpDropByteSql =
+    """ ga AS (SELECT id, key, gain, nd,
+      |          CAST(key % 2 + 1 AS BIGINT) AS ch,
+      |          CAST(key % 50 + 10 AS BIGINT) AS frames FROM fa),
+      | sm AS (SELECT g.id, s.s AS idx, g.ch * g.frames AS n,
+      |          CASE WHEN EXISTS (SELECT 1 FROM range(1, 17) j(j)
+      |                 WHERE j <= g.nd
+      |                   AND s.s = (j * g.ch * g.frames) // (g.nd + 1)) THEN 0
+      |            ELSE (((g.key*31 + (s.s // g.ch)*7 + (s.s % g.ch)*13) % 16000) - 8000) * g.gain
+      |          END AS v
+      |        FROM ga g JOIN range(0, 120) s(s) ON s.s < g.ch * g.frames),
+      | ea AS (SELECT id, (idx * 65) // n AS w, sum(CAST(v AS BIGINT) * v) AS e
+      |        FROM sm GROUP BY 1, 2),
+      | eg AS (SELECT g.id, w.w AS w, coalesce(ea.e, 0) AS e
+      |        FROM ga g CROSS JOIN range(0, 65) w(w)
+      |        LEFT JOIN ea ON ea.id = g.id AND ea.w = w.w),
+      | abit AS (SELECT a.id, a.w AS b, CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+      |          FROM eg a JOIN eg nx ON nx.id = a.id AND nx.w = a.w + 1
+      |          WHERE a.w < 64),
+      | abt AS (SELECT id, b // 8 AS g, sum(bit << (b % 8)) AS byte
+      |         FROM abit GROUP BY 1, 2)""".stripMargin
+
+  /** The `phashByteSql` treatment for the MULTI-SPOT generator
+    * (`Multimodal.syntheticImageMultiSpot`): source pixel (x, y) takes
+    * `+spot` (inside the mod-255 wrap, per channel; no delta) iff some
+    * j < nd has `x = (j·w)//9 ∧ y = ((j·8//nd)·h)//8` — EXISTS, not
+    * additive, matching the engine's set semantics on colliding grid
+    * cells. Expects `f(id, key, spot, nd)`; emits `bt(id, gy, byte)`. */
+  private val phashMultiSpotSql =
+    """ g AS (SELECT id, key, spot, nd, key % 13 + 3 AS w, key % 7 + 2 AS h FROM f),
+      | px AS (SELECT g.id, g.key, g.spot, g.nd, g.w AS w, g.h AS h,
+      |          gx.gx AS gx, gy.gy AS gy,
+      |          (gx.gx * g.w) // 9 AS sx, (gy.gy * g.h) // 8 AS sy
+      |        FROM g JOIN range(0, 9) gx(gx) ON true JOIN range(0, 8) gy(gy) ON true),
+      | spx AS (SELECT px.*, CASE WHEN EXISTS (SELECT 1 FROM range(0, 8) j(j)
+      |            WHERE j < px.nd
+      |              AND px.sx = (j * px.w) // 9
+      |              AND px.sy = (((j * 8) // px.nd) * px.h) // 8)
+      |          THEN px.spot ELSE 0 END AS s FROM px),
+      | gr AS (SELECT id, gx, gy,
+      |          (  ((key*31 + sx*7 + sy*13 + 0  + s) % 255)
+      |           + ((key*31 + sx*7 + sy*13 + 5  + s) % 255)
+      |           + ((key*31 + sx*7 + sy*13 + 10 + s) % 255)) // 3 AS gray
+      |        FROM spx),
+      | bt AS (SELECT a.id, a.gy, sum(CASE WHEN a.gray < b.gray THEN 1 << a.gx ELSE 0 END) AS byte
+      |        FROM gr a JOIN gr b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |        WHERE a.gx < 8 GROUP BY 1, 2)""".stripMargin
+
+  /** Shared tail of the blocking-miss recall oracles: 16-bit bands from
+    * the per-id byte table (band p = bytes 2p, 2p+1 — the engine's
+    * `shiftright(sig, (3-q)·16) & 65535` blocks, p = 3−q; only the SET of
+    * bands matters for the existence test), brute Hamming over all id
+    * pairs, banded candidates, cumulative counts per H ∈ [0, 8].
+    * `bytesCte(id, $gCol, byte)` must carry all 8 byte groups per id. */
+  private def blockRecallTailSql(bytesCte: String, gCol: String): String =
+    s""" blks AS (SELECT id, $gCol // 2 AS p, sum(byte << (8 * ($gCol % 2))) AS blk
+       |         FROM $bytesCte GROUP BY 1, 2),
+       | hm AS (SELECT a.id AS doc_a, b.id AS doc_b,
+       |          sum(bit_count(xor(a.byte, b.byte))) AS hamming
+       |        FROM $bytesCte a JOIN $bytesCte b
+       |          ON a.$gCol = b.$gCol AND a.id < b.id
+       |        GROUP BY 1, 2),
+       | blocked AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+       |             FROM blks a JOIN blks b
+       |               ON a.p = b.p AND a.blk = b.blk AND a.id < b.id),
+       | fb AS (SELECT hm.doc_a, hm.doc_b, hm.hamming FROM hm
+       |        JOIN blocked ON blocked.doc_a = hm.doc_a AND blocked.doc_b = hm.doc_b),
+       | hs AS (SELECT h FROM range(0, 9) h(h)),
+       | tc AS (SELECT hs.h, count(hm.doc_a) AS n_truth FROM hs
+       |        LEFT JOIN hm ON hm.hamming <= hs.h GROUP BY 1),
+       | fc AS (SELECT hs.h, count(fb.doc_a) AS n_found FROM hs
+       |        LEFT JOIN fb ON fb.hamming <= hs.h GROUP BY 1)
+       | SELECT CAST(tc.h AS BIGINT) AS max_hamming,
+       |   CAST(tc.n_truth AS BIGINT) AS n_truth,
+       |   CAST(fc.n_found AS BIGINT) AS n_found,
+       |   round(fc.n_found * 1.0 / tc.n_truth, 6) AS recall
+       | FROM tc JOIN fc ON fc.h = tc.h ORDER BY max_hamming""".stripMargin
+
   /** Shared DuckDB CTE chain: shingles → minhash → bands → candidate pairs
     * (mirrors `Dedup.shingles/minhashSignatures/lshCandidatePairs` with
     * numHashes=8, bandSize=2, n=3; docs here always have ≥ 3 tokens).
@@ -4455,6 +4538,83 @@ object NorthStarQueries {
     // at Hamming 0, the single-sample dropout at Hamming 1 (its emptied
     // window flips one gradient bit). The oracle recomputes fingerprints by formula
     // and all-pairs Hammings at fixture scale.
+    // Blocking-miss eval, AUDIO (r16, VERDICT r15 #6): what does the
+    // 16-bit-band pigeonhole blocking MISS once the Hamming threshold
+    // loosens past its completeness bound (≤ 3)? Fixture: 16 originals,
+    // 8 gain twins (hamming 0 — anchors n_truth ≥ 1 at every H), and
+    // multi-dropout variants at nd ∈ {2, 4, 5} — evenly-spread dropouts
+    // land flips across all four bands from nd = 4 up, exactly the
+    // PCM-edit regime where banding starts losing pairs. Truth is brute
+    // 64-bit Hamming (fixture-scale BY DESIGN — the measuring stick);
+    // found is the production banding sans its ≤ 3 gate. Recall is 1.0
+    // through H = 3 (pigeonhole, the row proves its own anchor) and
+    // drops to ~0.56 by H = 8 on this fixture.
+    QueryDef("mm_audio_block_recall")(
+      s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS nd
+         |              FROM documents WHERE doc_id < 16
+         |            UNION ALL SELECT doc_id + 100000, doc_id, 2, 0
+         |              FROM documents WHERE doc_id < 8
+         |            UNION ALL SELECT doc_id + 200000, doc_id, 1, 2
+         |              FROM documents WHERE doc_id < 16
+         |            UNION ALL SELECT doc_id + 400000, doc_id, 1, 4
+         |              FROM documents WHERE doc_id < 16
+         |            UNION ALL SELECT doc_id + 500000, doc_id, 1, 5
+         |              FROM documents WHERE doc_id < 8),
+         |$afpDropByteSql,
+         |${blockRecallTailSql("abt", "g")}""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def arm(shift: Long, n: Int, gain: Int, nd: Int) =
+        d.where(col("doc_id") < n)
+          .select((col("doc_id") + shift).as("doc_id"),
+            col("doc_id").as("key"), lit(gain).as("gain"), lit(nd).as("n_drops"))
+      val fa = arm(0L, 16, 1, 0)
+        .unionAll(arm(100000L, 8, 2, 0))
+        .unionAll(arm(200000L, 16, 1, 2))
+        .unionAll(arm(400000L, 16, 1, 4))
+        .unionAll(arm(500000L, 8, 1, 5))
+      Dedup.simhashBlockingRecall(
+        Multimodal.audioFingerprint64(Multimodal.syntheticAudioDropouts(fa))
+          .select(col("doc_id"), col("afp").as("sigint")))
+    },
+
+    // Blocking-miss eval, IMAGE — the same measurement over dHash with
+    // multi-spot variants (spots spread across all 8 grid rows so the
+    // flips reach all four bands from n_spots = 4 up; the
+    // JPEG-quality-shift stand-in for the codec-less env). Recall 1.0
+    // through H = 4, ~0.70 by H = 8 on this fixture — together with
+    // mm_audio_block_recall this closes the "matrix claims symmetry the
+    // eval doesn't have" gap: text recall (dd_recall), image and audio
+    // blocking recall are all measured.
+    QueryDef("mm_block_recall")(
+      s"""WITH f AS (SELECT doc_id AS id, doc_id AS key, 0 AS spot, 0 AS nd
+         |             FROM documents WHERE doc_id < 16
+         |           UNION ALL SELECT doc_id + 100000, doc_id, 0, 0
+         |             FROM documents WHERE doc_id < 8
+         |           UNION ALL SELECT doc_id + 200000, doc_id, 90, 2
+         |             FROM documents WHERE doc_id < 16
+         |           UNION ALL SELECT doc_id + 400000, doc_id, 90, 4
+         |             FROM documents WHERE doc_id < 16
+         |           UNION ALL SELECT doc_id + 600000, doc_id, 90, 6
+         |             FROM documents WHERE doc_id < 8),
+         |$phashMultiSpotSql,
+         |${blockRecallTailSql("bt", "gy")}""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def arm(shift: Long, n: Int, spot: Int, ns: Int) =
+        d.where(col("doc_id") < n)
+          .select((col("doc_id") + shift).as("doc_id"),
+            col("doc_id").as("key"), lit(spot).as("spot"), lit(ns).as("n_spots"))
+      val f = arm(0L, 16, 0, 0)
+        .unionAll(arm(100000L, 8, 0, 0))
+        .unionAll(arm(200000L, 16, 90, 2))
+        .unionAll(arm(400000L, 16, 90, 4))
+        .unionAll(arm(600000L, 8, 90, 6))
+      Dedup.simhashBlockingRecall(
+        Multimodal.dHash64(Multimodal.syntheticImageMultiSpot(f))
+          .select(col("doc_id"), col("phash").as("sigint")))
+    },
+
     QueryDef("mm_audio_neardup")(
       s"""WITH fa AS (SELECT doc_id AS id, doc_id AS key, 1 AS gain, 0 AS retouch
          |              FROM documents WHERE doc_id < 24

@@ -702,6 +702,111 @@ object Multimodal {
       }
   }
 
+  /** Multi-DROPOUT audio variants — [[syntheticAudioVariants]]' formula
+    * with `n_drops` single-sample dropouts instead of one: the samples at
+    * interleaved indices `(j·n)/(n_drops+1)`, j = 1..n_drops (n = ch ·
+    * frames — evenly spread, so the drops land in well-separated energy
+    * windows), are ZEROED; everything else (geometry from `key`, base
+    * sample `((key·31 + i·7 + c·13) mod 16000) − 8000` times `gain`, real
+    * WAV round-trip) is the variant generator's verbatim. Each dropout
+    * flips ≤ 2 adjacent [[audioFingerprint64]] gradient bits, so rows at
+    * n_drops 2..4 plant pair distances in the LOOSENED Hamming regime
+    * (4–8) — the PCM-edit stand-in the offline env can build with the
+    * real codec — which the blocking-miss eval (`mm_audio_block_recall`)
+    * measures. Rows: `(doc_id, key, gain, n_drops)`. */
+  def syntheticAudioDropouts(rows: DataFrame): Dataset[MediaRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("key"), col("gain"), col("n_drops"))
+      .as[(Long, Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, key, gain, nd) =>
+          require(key >= 0, s"syntheticAudioDropouts requires key >= 0, got $key")
+          require(gain == 1 || gain == 2, s"gain must be 1 or 2, got $gain")
+          require(nd >= 0 && nd <= 16, s"n_drops must be in [0, 16], got $nd")
+          val rate = (8000 * (key % 3 + 1)).toInt
+          val ch = (key % 2 + 1).toInt
+          val frames = (key % 50 + 10).toInt
+          val n = frames * ch
+          val drops = (1 to nd).map(j => (j * n) / (nd + 1)).toSet
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < frames) {
+            var c = 0
+            while (c < ch) {
+              val idx = i * ch + c
+              var v = (((key * 31 + i * 7 + c * 13) % 16000) - 8000).toInt * gain
+              if (drops.contains(idx)) v = 0
+              val off = idx * 2
+              data(off) = (v & 0xff).toByte
+              data(off + 1) = ((v >> 8) & 0xff).toByte
+              c += 1
+            }
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, ch, /*signed=*/ true, /*bigEndian=*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(id, "audio/wav", bos.toByteArray)
+        }
+      }
+  }
+
+  /** Multi-SPOT image variants — [[syntheticImageVariants]]' formula with
+    * `n_spots` perturbed pixels instead of one: pixel (x, y) takes the
+    * `+spot` perturbation (inside the mod-255 wrap, per channel) iff some
+    * j < n_spots has `x = (j·w)/9 ∧ y = ((j·8/n_spots)·h)/8` — source
+    * pixels [[dHash64]]'s 9×8 grid samples, with the grid ROWS spread
+    * evenly over 0..7 so the flipped bits spread across ALL FOUR 16-bit
+    * bands once n_spots ≥ 4 (each grid row is one signature byte; a
+    * diagonal placement would leave bands 2–3 untouched and the banding
+    * trivially complete). Each spot flips ≤ 2 adjacent gradient bits, so
+    * rows at n_spots 4..6 plant pair distances in the loosened Hamming
+    * regime (4–8) — the JPEG-quality-shift stand-in the offline env can
+    * build with the real PNG/BMP codecs — for the blocking-miss eval
+    * (`mm_block_recall`).
+    * Membership is EXISTS, not additive: grid cells colliding on a source
+    * pixel (tiny fixtures) perturb it once, in both engines. Rows:
+    * `(doc_id, key, spot, n_spots)`. */
+  def syntheticImageMultiSpot(rows: DataFrame): Dataset[MediaRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("long"), col("key").cast("long"),
+        col("spot").cast("int"), col("n_spots").cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, key, spot, ns) =>
+          require(key >= 0 && spot >= 0 && ns >= 0 && ns <= 8,
+            s"multi-spot variant ($id, $key, $spot, $ns) out of contract")
+          val w = (key % 13 + 3).toInt
+          val h = (key % 7 + 2).toInt
+          val spots =
+            (0 until ns).map(j => ((j * w) / 9, ((j * 8 / ns) * h) / 8)).toSet
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val s = if (spots.contains((x, y))) spot else 0
+              def v(c: Int): Int =
+                ((key * 31 + x * 7 + y * 13 + c * 5 + s) % 255).toInt
+              img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (key % 2 == 0) "png" else "bmp"
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          MediaRow(id, s"image/$fmt", bos.toByteArray)
+        }
+      }
+  }
+
   /** 64-bit AUDIO fingerprint — the dHash recipe applied to decoded PCM
     * (VERDICT r14 #3): the interleaved sample stream splits into 65
     * near-equal windows (`w(idx) = idx·65 / n`, integer), each window's

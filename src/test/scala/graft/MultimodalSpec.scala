@@ -402,6 +402,60 @@ class MultimodalSpec extends TestBase {
     assert(fp2(777L) != fp(7L), "a payload edit must reach the fingerprint")
   }
 
+  test("blocking-miss recall: complete through Hamming 3, real misses past it; multi-perturbation generators match their siblings at zero") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // generator identity at the degenerate point: n_drops / n_spots = 0
+    // reproduce the sibling generators' bytes EXACTLY (the oracle
+    // formulas share the base; a drift here would silently fork fixtures)
+    val a0 = Multimodal.syntheticAudioDropouts(
+      Seq((7L, 7L, 1, 0), (9L, 9L, 2, 0)).toDF("doc_id", "key", "gain", "n_drops"))
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    val a1 = Multimodal.syntheticAudioVariants(
+      Seq((7L, 7L, 1, 0), (9L, 9L, 2, 0)).toDF("doc_id", "key", "gain", "retouch"))
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    assert(a0 == a1, "0-dropout clips must be byte-identical to the variant generator's")
+    val i0 = Multimodal.syntheticImageMultiSpot(
+      Seq((4L, 4L, 0, 0), (5L, 5L, 0, 0)).toDF("doc_id", "key", "spot", "n_spots"))
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    val i1 = Multimodal.syntheticImageVariants(
+      Seq((4L, 4L, 0, 0), (5L, 5L, 0, 0)).toDF("doc_id", "key", "delta", "spot"))
+      .collect().map(r => r.doc_id -> r.content.toSeq).toMap
+    assert(i0 == i1, "0-spot images must be byte-identical to the variant generator's")
+
+    // the eval: anchors (gain twins, hamming 0) + planted multi-dropouts
+    // whose evenly-spread windows reach all four 16-bit bands (nd >= 4)
+    val fa = ((0L until 12L).map(k => (k, k, 1, 0)) ++
+      (0L until 6L).map(k => (k + 100L, k, 2, 0)) ++
+      (0L until 12L).map(k => (k + 200L, k, 1, 4)) ++
+      (0L until 6L).map(k => (k + 300L, k, 1, 5)))
+      .toDF("doc_id", "key", "gain", "n_drops")
+    val sigs = Multimodal.audioFingerprint64(
+      Multimodal.syntheticAudioDropouts(fa))
+      .select(col("doc_id"), col("afp").as("sigint"))
+    val out = Dedup.simhashBlockingRecall(sigs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L to 8L).toSeq, "one row per H in [0, 8]")
+    // pigeonhole completeness: the banding loses NOTHING through H = 3
+    out.filter(_._1 <= 3).foreach { case (h, t, f, r) =>
+      assert(t == f && (t == 0L || r == 1.0), s"H=$h must be complete: $t vs $f")
+    }
+    assert(out.head._2 >= 6L, "gain twins must anchor truth at H = 0")
+    // found ⊆ truth, both cumulative-monotone
+    out.foreach { case (_, t, f, _) => assert(f <= t) }
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+    // the loosened regime has REAL misses on this fixture — the eval is
+    // informative, not vacuous
+    assert(out.last._3 < out.last._2,
+      "H=8 must show blocking misses on planted all-band flips")
+    // found at H = 3 == the production blocker's own pair count
+    val prod = Multimodal.nearDupAudio(
+      Multimodal.syntheticAudioDropouts(fa)).count()
+    assert(out(3)._3 == prod,
+      s"found@3 (${out(3)._3}) must equal nearDupAudio's count ($prod)")
+  }
+
   test("pairFilter: cosine gate + either-side dedup drop; missing embedding raises") {
     import spark.implicits._
     def emb(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
