@@ -531,6 +531,87 @@ object Multimodal {
       .parquet(parts.map(_.toString): _*)
   }
 
+  /** Owner-side SESSION over a signature-index layout (`dir/hashes`,
+    * [[buildDHashIndex]] / [[buildAudioFpIndex]]) — the sig-loop analogue
+    * of [[graft.operators.Dedup.CrossIndexSession]]: while a
+    * [[graft.streaming.Streams]] dedup loop runs, it is the layout's
+    * only writer, so the standing signature table (8 bytes/doc + the
+    * ingest_batch attribution) is read from parquet ONCE, kept persisted,
+    * and maintained in place as batches land — per-batch probes stop
+    * re-listing and re-scanning the partition tree. The per-batch replay
+    * exclusion (`excludeIngestBatch`) becomes a filter over the cached
+    * ingest_batch column, and [[extend]] REPLACES any cached rows of its
+    * batch before unioning (exact parity with the keyed partition
+    * overwrite, so an in-session retry never leaves duplicates). The
+    * union/filter tree collapses into one checkpoint every `rebaseEvery`
+    * extensions. `close()` releases every cache; the loops wire it to the
+    * query-termination listener. */
+  final class SigIndexSession private[operators] (
+      spark: org.apache.spark.sql.SparkSession, dir: String, sigCol: String,
+      rebaseEvery: Int = 32) {
+    private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    private var standing: DataFrame = null // (doc_id, sigCol, ingest_batch)
+    private var leaves: List[DataFrame] = Nil
+    private var extensions = 0
+
+    private def load(): DataFrame = {
+      if (standing == null) {
+        val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(root), s"no signature index at $dir — build it first")
+        val base = spark.read
+          .schema(s"doc_id LONG, $sigCol LONG, ingest_batch LONG")
+          .option("basePath", root.toString)
+          .parquet(root.toString)
+          .persist(sl)
+        standing = base
+        leaves = base :: Nil
+      }
+      standing
+    }
+
+    /** The standing `(doc_id, sigCol)` table, with a replayed batch's own
+      * partition excluded exactly as [[standingSigs]] excludes it. */
+    def sigs(excludeIngestBatch: Option[Long]): DataFrame = {
+      val s = load()
+      excludeIngestBatch.fold(s)(b => s.where(col("ingest_batch") =!= b))
+        .select(col("doc_id"), col(sigCol))
+    }
+
+    /** Fold a just-written batch partition into the cache (call AFTER the
+      * keyed overwrite lands): cached rows of the same ingest_batch are
+      * replaced, not duplicated — a retried batch converges. The rows are
+      * EAGERLY checkpointed: they outlive the micro-batch that computed
+      * them (the loop unpersists its decode cache right after), so their
+      * lineage must not reach back to the streaming source. */
+    def extend(batchSigs: DataFrame, ingestBatch: Long): Unit = {
+      val rows = batchSigs.select(col("doc_id"), col(sigCol),
+        lit(ingestBatch).as("ingest_batch")).localCheckpoint(true)
+      standing = load().where(col("ingest_batch") =!= ingestBatch)
+        .unionAll(rows)
+      extensions += 1
+      if (extensions % rebaseEvery == 0) {
+        val rebased = standing.localCheckpoint(true)
+        leaves.foreach(_.unpersist(false))
+        standing = rebased
+        leaves = Nil
+      }
+      ()
+    }
+
+    /** Release every cache this session owns (loop-termination hook). */
+    def close(): Unit = {
+      leaves.foreach(_.unpersist(false))
+      leaves = Nil
+      standing = null
+    }
+  }
+
+  /** Open a [[SigIndexSession]] over an existing signature index. */
+  def openSigIndexSession(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sigCol: String): SigIndexSession =
+    new SigIndexSession(spark, dir, sigCol)
+
   /** Probe an arriving image batch against the PERSISTED index:
     * `(batch_id, corpus_id, hamming)` — [[crossNearDupImages]] with the
     * standing side read from the hash table (zero standing-image

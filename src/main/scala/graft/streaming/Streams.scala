@@ -1133,8 +1133,15 @@ object Streams {
       sigOf: org.apache.spark.sql.Dataset[graft.operators.MediaRow] => DataFrame,
       sigCol: String,
       loopName: String,
-      noun: String): org.apache.spark.sql.streaming.StreamingQuery =
-    media.writeStream
+      noun: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE signature session per loop run (the CrossIndexSession pattern):
+    // the standing 8-byte/doc hash table is read once and maintained in
+    // place as batches land, so per-batch probes stop re-listing and
+    // re-scanning the partition tree; the replay own-batch exclusion
+    // becomes a filter over the cached ingest_batch column.
+    val sigIndex = graft.operators.Multimodal.openSigIndexSession(
+      media.sparkSession, indexDir, sigCol)
+    val query = media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch,
           standingScanParts(batch.sparkSession, s"$indexDir/hashes")) {
@@ -1157,8 +1164,7 @@ object Streams {
           val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
           val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!replay) {
-            val collisions = graft.operators.Multimodal
-              .standingSigs(spark, indexDir, sigCol, None).select(col("doc_id"))
+            val collisions = sigIndex.sigs(None).select(col("doc_id"))
               .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
               .limit(1).collect()
             require(collisions.isEmpty,
@@ -1198,9 +1204,7 @@ object Streams {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val cross = graft.operators.Dedup.simhashCrossPairs(
-                graft.operators.Multimodal
-                  .standingSigs(spark, indexDir, sigCol,
-                    excludeIngestBatch = Some(batchId))
+                sigIndex.sigs(excludeIngestBatch = Some(batchId))
                   .select(col("doc_id"), col(sigCol).as("sigint")),
                 hb, maxHamming)
               .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
@@ -1217,6 +1221,8 @@ object Streams {
             hb.select(col("doc_id"), col("sigint").as(sigCol))
               .write.mode("overwrite")
               .parquet(s"$indexDir/hashes/ingest_batch=$batchId")
+            sigIndex.extend(
+              hb.select(col("doc_id"), col("sigint").as(sigCol)), batchId)
           } finally { hb.unpersist(false); () }
           pruneLabelSnapshots(spark, labelsDir)
         } finally { b.unpersist(false); () }
@@ -1225,6 +1231,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(media.sparkSession, query, () => sigIndex.close())
+    query
+  }
 
   /** Run any of the above to completion over the existing files and return
     * the final result as a batch DataFrame (availableNow trigger → memory
