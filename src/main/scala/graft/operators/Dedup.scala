@@ -729,6 +729,7 @@ object Dedup {
     private var leaves: List[DataFrame] = Nil // persisted nodes backing `standing`
     private var outstanding: List[DataFrame] = Nil // scored-not-yet-appended caches
     private var extensions = 0
+    private var oversized: DataFrame = null // (band, sig) over-cap list, tiny
 
     private def standingBuckets(): DataFrame = {
       if (standing == null) {
@@ -738,6 +739,30 @@ object Dedup {
         leaves = base :: Nil
       }
       standing
+    }
+
+    /** The over-cap bucket list, maintained TOUCHED-ONLY across the loop
+      * run: `capBuckets`' read-time aggregate over the whole stored union
+      * was the last standing-state-scale stage the loop paid per
+      * micro-batch. Counts are monotone while the loop runs (the layout
+      * only ever APPENDS, and the purge mask is frozen by the owner-only
+      * contract), so the oversize set can only GROW, and it can only grow
+      * at keys the arriving batch touches — one full aggregate at session
+      * init, then per-batch deltas over batch-touched keys only
+      * ([[append]]). Equality with the per-batch recompute: a key first
+      * exceeds the cap either at init or at the batch that pushed it over
+      * — that batch touches it by definition, so the delta catches it;
+      * monotonicity keeps every member valid. Retry-exact: the standing
+      * side of a delta count excludes the batch's own ids, so a replayed
+      * fold can't double-count. */
+    private def oversizedBuckets(masked: DataFrame): DataFrame = {
+      if (oversized == null)
+        oversized = checkpointed(
+          masked.groupBy(col("band"), col("sig"))
+            .agg(countDistinct(col("doc_id")).as("n"))
+            .where(col("n") > m.maxBucket)
+            .select(col("band"), col("sig")))
+      oversized
     }
 
     /** Fused cross + within scoring of one micro-batch: returns the edge
@@ -763,8 +788,13 @@ object Dedup {
         // standing side, crossNearDupIndexed's masked read-time cap) and
         // within-batch REP pairs (dedupPrelude's band self-join)
         val purged = crossIndexPurged(spark, dir)
-        val bucketsC = capBuckets(standingBuckets()
-          .join(broadcast(purged), Seq("doc_id"), "left_anti"), m.maxBucket)
+        val masked = standingBuckets()
+          .join(broadcast(purged), Seq("doc_id"), "left_anti")
+        // the cap rides the session's touched-only oversize list — the
+        // same broadcast anti-join shape capBuckets ends in, without its
+        // per-batch full-union aggregate
+        val bucketsC = masked.join(broadcast(oversizedBuckets(masked)),
+          Seq("band", "sig"), "left_anti")
         val cand = pin(
           crossCandidates(capBuckets(allBuckets, m.maxBucket), bucketsC))
         // one text-hash aggregate serves BOTH the mega-group cap and rep
@@ -870,7 +900,35 @@ object Dedup {
     def append(score: BatchScore): Unit = {
       score.sk.write.mode("append").parquet(s"$dir/shingle_keys")
       score.buckets.write.mode("append").parquet(s"$dir/buckets")
-      standingBuckets() // ensure the base is loaded before extending
+      // touched-only oversize delta (see oversizedBuckets): count the
+      // batch's keys on both sides — standing counts semi-pruned to the
+      // broadcast touched-key set and excluding the batch's own ids (an
+      // in-session retry converges), batch counts batch-scale — and fold
+      // keys whose union count crosses the cap into the monotone list.
+      // BEFORE the cache extension, so the standing side is pre-batch.
+      val purged = crossIndexPurged(spark, dir)
+      val batchCounts = checkpointed(score.buckets
+        .groupBy(col("band"), col("sig"))
+        .agg(countDistinct(col("doc_id")).as("nb")))
+      val batchIds = score.buckets.select(col("doc_id")).distinct()
+      val maskedPre = standingBuckets()
+        .join(broadcast(purged), Seq("doc_id"), "left_anti")
+      val ns = maskedPre
+        .join(broadcast(batchCounts.select(col("band"), col("sig"))),
+          Seq("band", "sig"), "left_semi")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+        .groupBy(col("band"), col("sig"))
+        .agg(countDistinct(col("doc_id")).as("ns"))
+      val newOver = batchCounts
+        .join(ns, Seq("band", "sig"), "left")
+        .na.fill(0L, Seq("ns"))
+        .where(col("nb") + col("ns") > m.maxBucket)
+        .select(col("band"), col("sig"))
+      // fold only when a key actually crossed (cap crossings are
+      // boilerplate-rare; the common batch skips the list rewrite)
+      if (!newOver.isEmpty)
+        oversized = checkpointed(
+          oversizedBuckets(maskedPre).unionAll(newOver).distinct())
       standing = standing.unionAll(score.buckets)
       leaves = score.buckets :: leaves
       score.sk.unpersist(false)
@@ -894,6 +952,7 @@ object Dedup {
       leaves = Nil
       outstanding = Nil
       standing = null
+      oversized = null // checkpoint blocks are GC-reclaimed once dropped
     }
   }
 

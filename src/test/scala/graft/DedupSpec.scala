@@ -807,4 +807,57 @@ class DedupSpec extends TestBase {
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
     assert(found.subsetOf(truth.keySet), s"found $found beyond truth")
   }
+
+  test("CrossIndexSession: fused scoring == unfused pair per batch, across a cap crossing; appended rows == writeIndexSide's") {
+    // small cap so the boilerplate family T crosses it ACROSS increments:
+    // seed holds 2 copies (under cap), batch 1 pushes the stored union to
+    // 4 (> 3) — batch 2's probe must see T's corpus-side buckets DROPPED,
+    // exactly as crossNearDupIndexed's read-time capBuckets drops them.
+    val T = "the quick brown fox jumps over the lazy dog again and again"
+    val seed = docs(1L -> T, 2L -> T,
+      10L -> "alpha beta gamma delta epsilon zeta", 11L -> "one two three four five six")
+    val b1 = docs(101L -> T, 102L -> T,
+      110L -> "alpha beta gamma delta epsilon eta")
+    val b2 = docs(201L -> T, 202L -> T,
+      210L -> "seven eight nine ten eleven twelve")
+    val st = java.nio.file.Files.createTempDirectory("graft-cisession")
+    val dir = s"$st/index"
+    Dedup.buildCrossNearDupIndex(seed, dir, maxBucket = 3)
+    val session = Dedup.openCrossIndexSession(spark, dir)
+    val t = 0.5
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      // unfused expectation BEFORE the append (same standing state the
+      // session cache reflects)
+      val wantCross = Dedup.crossNearDupIndexed(spark, dir, b, t)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      val wantWithin = Dedup.nearDupScores(b).where(col("jaccard") >= t)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      val score = session.scoreBatch(b, t)
+      val got = score.edges.as[(Long, Long)].collect().toSet
+      assert(got == (wantCross ++ wantWithin),
+        s"batch $i: fused $got != unfused ${wantCross ++ wantWithin}")
+      if (i == 0)
+        assert(wantCross.exists(_._2 == 1L),
+          "batch 1 must still match the under-cap T family")
+      else {
+        assert(!wantCross.exists(p => Set(1L, 2L, 101L, 102L).contains(p._2)),
+          "batch 2's T probes must be blocked by the grown-cap boundary")
+        assert(got == wantCross ++ wantWithin)
+      }
+      session.append(score)
+    }
+    session.close()
+    // the session's appends left EXACTLY writeIndexSide's per-doc rows
+    val all = seed.unionAll(b1).unionAll(b2)
+    val wantDir = s"$st/want"
+    Dedup.buildCrossNearDupIndex(all, wantDir, maxBucket = 3)
+    def rows(d: String, name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$name").select(cols.map(col): _*)
+        .distinct().collect().map(_.toSeq).toSet
+    assert(rows(dir, "shingle_keys", Seq("doc_id", "sk")) ==
+      rows(wantDir, "shingle_keys", Seq("doc_id", "sk")))
+    assert(rows(dir, "buckets", Seq("doc_id", "band", "sig")) ==
+      rows(wantDir, "buckets", Seq("doc_id", "band", "sig")))
+  }
 }
