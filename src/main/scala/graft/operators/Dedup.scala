@@ -730,6 +730,7 @@ object Dedup {
     private var outstanding: List[DataFrame] = Nil // scored-not-yet-appended caches
     private var extensions = 0
     private var oversized: DataFrame = null // (band, sig) over-cap list, tiny
+    private var knownIds: DataFrame = null // distinct indexed doc ids
 
     private def standingBuckets(): DataFrame = {
       if (standing == null) {
@@ -739,6 +740,25 @@ object Dedup {
         leaves = base :: Nil
       }
       standing
+    }
+
+    /** The DISTINCT doc-id set of the index — the id-collision guard's
+      * probe side. Reading it from `shingle_keys` per batch scans a
+      * per-SHINGLE-row column (the index's biggest table); the cache is
+      * 8 bytes per DOC, loaded once and extended with each append's ids.
+      * Exactness rides the loop's write order: the guard always runs
+      * BEFORE the batch's own append, and a crash after the labels
+      * snapshot marks the retry a replay (guard skipped), so the cache
+      * can never lag parquet where the guard looks. */
+    def indexedIds(): DataFrame = {
+      if (knownIds == null)
+        // eager checkpoint (not persist): extensions and rebases then
+        // never need unpersist bookkeeping — dropped checkpoints are
+        // GC-reclaimed
+        knownIds = checkpointed(spark.read.schema("doc_id LONG, sk LONG")
+          .parquet(s"$dir/shingle_keys")
+          .select(col("doc_id")).distinct())
+      knownIds
     }
 
     /** The over-cap bucket list, maintained TOUCHED-ONLY across the loop
@@ -929,6 +949,11 @@ object Dedup {
       if (!newOver.isEmpty)
         oversized = checkpointed(
           oversizedBuckets(maskedPre).unionAll(newOver).distinct())
+      // guard-side id cache rides the same fold (checkpoint: the rows
+      // must outlive the batch caches backing them)
+      if (knownIds != null)
+        knownIds = knownIds.unionAll(
+          checkpointed(score.sk.select(col("doc_id")).distinct()))
       standing = standing.unionAll(score.buckets)
       leaves = score.buckets :: leaves
       score.sk.unpersist(false)
@@ -936,12 +961,13 @@ object Dedup {
         (d eq score.sk) || (d eq score.buckets))
       extensions += 1
       if (extensions % cacheRebaseEvery == 0) {
-        // collapse the union tree: one O(standing) materialization per
+        // collapse the union trees: one O(standing) materialization per
         // `cacheRebaseEvery` batches keeps plan depth and leaf count flat
         val rebased = standing.localCheckpoint(true)
         leaves.foreach(_.unpersist(false))
         standing = rebased
         leaves = Nil // checkpoint blocks are GC-reclaimed once dropped
+        if (knownIds != null) knownIds = knownIds.localCheckpoint(true)
       }
       ()
     }
@@ -953,6 +979,7 @@ object Dedup {
       outstanding = Nil
       standing = null
       oversized = null // checkpoint blocks are GC-reclaimed once dropped
+      knownIds = null
     }
   }
 

@@ -807,8 +807,10 @@ object Streams {
           val regPath = new org.apache.hadoop.fs.Path(s"$labelsDir/registry")
           val regFs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!replay) {
-            val collisions = spark.read.schema("doc_id LONG, sk LONG")
-              .parquet(s"$indexDir/shingle_keys").select(col("doc_id"))
+            // probe the session's 8-bytes-per-DOC id cache, not the
+            // per-shingle-row parquet column (r16: the guard was the
+            // loop's last full-table per-batch scan)
+            val collisions = scorer.indexedIds()
               .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
               .limit(1).collect()
             require(collisions.isEmpty,
