@@ -331,6 +331,127 @@ object Retrieval {
       registry = Some(registry.localCheckpoint(true)))
   }
 
+  /** Owner-side SESSION over a [[buildBm25Index]] layout for
+    * [[graft.streaming.Streams.bm25Ingest]] — the
+    * [[graft.operators.Dedup.CrossIndexSession]] pattern on the
+    * retrieval ladder. While the ingest loop runs it is the index's only
+    * writer (the loop's documented ownership), so the version-chain
+    * inputs every append re-read from the filesystem are cached and
+    * rolled forward in memory instead:
+    *   - `(v, batches)` — `committedVersion`'s root listing per batch;
+    *   - the vocabulary-scale df table and 1-row stats of the newest
+    *     version (each append must still re-AGGREGATE df — document
+    *     frequency is global by definition — but stops re-READING it
+    *     from parquet; the merged result is checkpointed ONCE and serves
+    *     both the version write and the next batch's input);
+    *   - the takedown purged/registry id tables (takedown-scale);
+    *   - the DISTINCT indexed doc-id set (8 bytes per doc) for the
+    *     id-collision guard, replacing the all-partitions postings
+    *     id-column scan (the index's biggest table, scanned per append).
+    * Caches advance ONLY after `commitVersion` returns, so a failed
+    * append retries against exactly the state the filesystem holds; a
+    * replayed batch id takes the postings-only replay branch unchanged.
+    * `close()` drops every cache (checkpoint blocks are GC-reclaimed);
+    * the loop wires it to its query-termination listener. */
+  final class Bm25Session private[operators] (
+      spark: org.apache.spark.sql.SparkSession, dir: String, files: Int = 8,
+      rebaseEvery: Int = 32) {
+    private final case class St(v: Long, batches: Seq[Long], df: DataFrame,
+      stats: DataFrame, purged: DataFrame, registry: DataFrame, ids: DataFrame)
+    private var st: St = null
+    private var appends = 0
+
+    private def state(): St = {
+      if (st == null) {
+        val (v, batches, _) = committedVersion(spark, dir)
+        st = St(v, batches,
+          graft.operators.Dedup.checkpointed(
+            spark.read.parquet(s"$dir/v$v/df")),
+          graft.operators.Dedup.checkpointed(
+            spark.read.parquet(s"$dir/v$v/stats")),
+          graft.operators.Dedup.checkpointed(versionIdTable(spark, dir, v, "purged")),
+          graft.operators.Dedup.checkpointed(versionIdTable(spark, dir, v, "registry")),
+          graft.operators.Dedup.checkpointed(spark.read
+            .parquet(batches.map(b => s"$dir/postings/batch=$b"): _*)
+            .select(col("doc_id")).distinct()))
+      }
+      st
+    }
+
+    /** [[appendToBm25Index]] with the session's cached version chain —
+      * identical guards, replay branch, write order and commit. */
+    def append(docs: DataFrame, batchId: Long): Unit = {
+      requireNonNullText(docs, "Bm25Session.append")
+      require(batchId >= 0,
+        s"streaming ingest batch id $batchId is negative — negative ids " +
+          "belong to the batch API")
+      val s = state()
+      if (s.batches.contains(batchId)) {
+        // replay: postings only, asserted identical modulo the registry
+        // (appendToBm25Index's branch verbatim, registry from cache)
+        val sig = (d: DataFrame) => d.select(col("doc_id")).distinct().agg(
+            count(lit(1)).as("n"),
+            min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            expr("bit_xor(doc_id)").as("x"))
+          .collect()(0)
+        val committed = sig(spark.read.parquet(s"$dir/postings/batch=$batchId")
+          .join(broadcast(s.registry), Seq("doc_id"), "left_anti"))
+        val replayed = sig(docs.select(col("doc_id"))
+          .join(broadcast(s.registry), Seq("doc_id"), "left_anti"))
+        require(committed == replayed,
+          s"Bm25Session.append: batch $batchId is already committed with a " +
+            s"different doc set ($committed vs replay $replayed) — a replay " +
+            "must resubmit the committed batch unchanged")
+        writePostings(batchTables(
+          docs.join(broadcast(s.registry), Seq("doc_id"), "left_anti"))._1,
+          dir, batchId, files)
+        return
+      }
+      val resurrected = docs.select(col("doc_id"))
+        .join(broadcast(s.registry), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(resurrected.isEmpty,
+        s"Bm25Session.append: doc_id ${resurrected.headOption.map(_.get(0))
+          .getOrElse("?")} was purged from this index — re-ingesting a " +
+          "taken-down doc is refused (new id required if intentional)")
+      val indexed = s.ids
+        .join(broadcast(docs.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(indexed.isEmpty,
+        s"Bm25Session.append: doc_id ${indexed.head.getLong(0)} is already " +
+          "indexed — the BM25 index requires globally unique doc ids")
+      val (postings, dfNew, statsNew) = batchTables(docs)
+      writePostings(postings, dir, batchId, files)
+      // ONE materialization of the merged tables serves the version write
+      // AND the next batch's cached input
+      val dfMerged = graft.operators.Dedup.checkpointed(
+        s.df.unionAll(dfNew).groupBy(col("term")).agg(sum(col("df")).as("df")))
+      val statsMerged = graft.operators.Dedup.checkpointed(
+        s.stats.unionAll(statsNew)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+      commitVersion(spark, dir, s.v + 1, dfMerged, statsMerged,
+        s.batches :+ batchId, math.max(1, files / 4),
+        purged = Some(s.purged), registry = Some(s.registry))
+      val newIds = graft.operators.Dedup.checkpointed(
+        docs.select(col("doc_id")).distinct())
+      val ids =
+        if ((appends + 1) % rebaseEvery == 0)
+          s.ids.unionAll(newIds).localCheckpoint(true) // bound plan depth
+        else s.ids.unionAll(newIds)
+      appends += 1
+      st = St(s.v + 1, s.batches :+ batchId, dfMerged, statsMerged,
+        s.purged, s.registry, ids)
+    }
+
+    /** Drop every cache (checkpoint blocks are GC-reclaimed). */
+    def close(): Unit = { st = null }
+  }
+
+  /** Open a [[Bm25Session]] over an existing index layout. */
+  def openBm25Session(spark: org.apache.spark.sql.SparkSession, dir: String,
+      files: Int = 8): Bm25Session = new Bm25Session(spark, dir, files)
+
   /** [[bm25TopK]] against a prebuilt [[buildBm25Index]] (+appends):
     * identical result contract, but the probe reads ONLY the index —
     * the committed version's postings partitions with the term filter

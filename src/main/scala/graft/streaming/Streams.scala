@@ -445,19 +445,27 @@ object Streams {
   def bm25Ingest(
       docs: DataFrame,
       indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE index session per loop run (r16): the version chain the append
+    // re-read from the filesystem every micro-batch — df, stats,
+    // takedown tables, the batches listing, and the postings-wide
+    // id-collision scan — is cached and rolled forward in memory; the
+    // loop's documented single-writer ownership is what makes it sound.
+    val index = graft.operators.Retrieval.openBm25Session(
+      docs.sparkSession, indexDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch,
           standingScanParts(batch.sparkSession, s"$indexDir/postings")) {
-        graft.operators.Retrieval.appendToBm25Index(
-          batch.select(col("doc_id"), col("text")), indexDir,
-          batchId = Some(batchId))
+        index.append(batch.select(col("doc_id"), col("text")), batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => index.close())
+    query
+  }
 
   /** Streaming NOVELTY curation — `Curation.noveltyFunnelIndexed` run as
     * an ingest loop (the batch operator's `batch` argument was always
