@@ -59,6 +59,15 @@ object Curation {
       g => Dedup.windowNoveltyIndexed(batch.sparkSession, indexDir, g,
         excludeIngestBatch))
 
+  /** [[noveltyFunnelIndexed]] over a cached
+    * [[graft.operators.Dedup.WindowIndexSession]] — the streaming loop's
+    * form (same funnel body, session-backed scorer). */
+  def noveltyFunnelSession(session: Dedup.WindowIndexSession,
+      batch: DataFrame, noveltyFloor: Double = 0.5,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    noveltyFunnelFrom(batch, noveltyFloor,
+      g => Dedup.windowNoveltySession(session, g, excludeIngestBatch))
+
   /** The shared funnel body: LR gate → novelty floor over the given
     * scorer → temperature rebalance → per-lang counts. One code path for
     * the batch and indexed/streaming forms, so they cannot drift. */

@@ -2071,6 +2071,95 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/windows/ingest_batch=$key")
   }
 
+  /** Owner-side SESSION over a [[buildExactWindowIndex]] layout for the
+    * streaming loops (`exactDedupIngest` / `noveltyIngest`) — the
+    * [[CrossIndexSession]] pattern on the exact-window ladder: while a
+    * loop runs it is the layout's only writer, so the manifest is read
+    * once (was a JSON-inference job per probe AND per append) and the
+    * standing window-key set (8 bytes/window + its ingest_batch
+    * attribution) is read once, kept persisted, and maintained in place
+    * as batches land. The replay own-batch exclusion becomes a filter
+    * over the cached attribution column, and [[append]] REPLACES cached
+    * rows of its batch before unioning (parity with the keyed partition
+    * overwrite — a retried batch converges); the union tree collapses
+    * every `rebaseEvery` appends. The batch's distinct keys are computed
+    * ONCE, serving both the partition write and the cache fold (the
+    * dir-based append recomputed them from text). `close()` releases the
+    * caches; the loops wire it to the query-termination listener.
+    *
+    * Size class, stated plainly: the window set is the SUFFIX-ARRAY cost
+    * class (8 bytes per distinct window — the heaviest of the loop
+    * session caches), so the cache trades the dir-based probe's
+    * per-batch REMOTE re-scan for executor-storage residency
+    * (MEMORY_AND_DISK — spills, never recomputes through the remote
+    * scan). Deployments whose executor storage cannot hold it set
+    * session conf `graft.loopWindowCache=false`: probes fall back to the
+    * dir-based per-batch scan while keeping the session's manifest cache
+    * and single-pass append. */
+  final class WindowIndexSession private[operators] (
+      spark: SparkSession, dir: String, rebaseEvery: Int = 32) {
+    private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    lazy val windowLength: Int = {
+      graft.functions.GraftFunctions.ensure(spark)
+      spark.read.json(s"$dir/manifest").collect()(0).getAs[Long]("l").toInt
+    }
+    private var windows: DataFrame = null // (m, ingest_batch)
+    private var baseLeaf: DataFrame = null // the persisted parquet base
+    private var extensions = 0
+
+    private def load(): DataFrame = {
+      if (windows == null) {
+        baseLeaf = spark.read.parquet(s"$dir/windows")
+          .select(col("m"), col("ingest_batch").cast("long").as("ingest_batch"))
+          .persist(sl)
+        windows = baseLeaf
+      }
+      windows
+    }
+
+    /** The standing window keys, with a replayed batch's own partition
+      * excluded exactly as the dir-based probes exclude it. */
+    def standingWindows(excludeIngestBatch: Option[Long]): DataFrame = {
+      if (spark.conf.get("graft.loopWindowCache", "true") == "false")
+        return loadWindowIndex(spark, dir, excludeIngestBatch)._1
+      val w = load()
+      excludeIngestBatch.fold(w)(id => w.where(col("ingest_batch") =!= id))
+        .select(col("m"))
+    }
+
+    /** `appendToExactWindowIndex` + cache fold in one pass: the batch's
+      * distinct keys are eagerly checkpointed (they outlive the batch
+      * caches backing them), written as the batch's own partition
+      * (overwrite — replays converge), then folded into the cache with
+      * same-batch rows replaced. */
+    def append(newDocs: DataFrame, ingestBatch: Long): Unit = {
+      require(ingestBatch >= 0,
+        s"streaming ingest batch id must be >= 0, got $ingestBatch")
+      val keys = distinctWindowKeys(newDocs, windowLength).localCheckpoint(true)
+      keys.write.mode("overwrite")
+        .parquet(s"$dir/windows/ingest_batch=$ingestBatch")
+      windows = load().where(col("ingest_batch") =!= ingestBatch)
+        .unionAll(keys.select(col("m"), lit(ingestBatch).as("ingest_batch")))
+      extensions += 1
+      if (extensions % rebaseEvery == 0) {
+        val rebased = windows.localCheckpoint(true)
+        if (baseLeaf != null) { baseLeaf.unpersist(false); baseLeaf = null }
+        windows = rebased
+      }
+      ()
+    }
+
+    /** Release every cache this session owns (loop-termination hook). */
+    def close(): Unit = {
+      if (baseLeaf != null) { baseLeaf.unpersist(false); baseLeaf = null }
+      windows = null
+    }
+  }
+
+  /** Open a [[WindowIndexSession]] over an existing window index. */
+  def openWindowIndexSession(spark: SparkSession, dir: String): WindowIndexSession =
+    new WindowIndexSession(spark, dir)
+
   /** Fold the window index's accumulated `ingest_batch=` partitions back
     * into the seed partition (−1) WITHOUT rescanning any corpus — the
     * append-side compaction verb ([[buildExactWindowIndex]]'s scaladoc
@@ -2148,13 +2237,34 @@ object Dedup {
     * never matches its failed attempt's append). */
   def windowNoveltyIndexed(spark: SparkSession, dir: String,
       batch: DataFrame, excludeIngestBatch: Option[Long] = None): DataFrame = {
-    graft.functions.GraftFunctions.ensure(spark)
+    val (sWins, l) = loadWindowIndex(spark, dir, excludeIngestBatch)
+    windowNoveltyFrom(spark, sWins, l, batch)
+  }
+
+  /** [[windowNoveltyIndexed]] over a [[WindowIndexSession]]'s cached
+    * standing window set — the streaming loop's form. */
+  def windowNoveltySession(session: WindowIndexSession, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    windowNoveltyFrom(batch.sparkSession,
+      session.standingWindows(excludeIngestBatch), session.windowLength, batch)
+
+  /** Shared (manifest, windows, exclusion) prelude of the dir-based
+    * window-index probes. */
+  private def loadWindowIndex(spark: SparkSession, dir: String,
+      excludeIngestBatch: Option[Long]): (DataFrame, Int) = {
     val l = spark.read.json(s"$dir/manifest").collect()(0)
       .getAs[Long]("l").toInt
     val all = spark.read.parquet(s"$dir/windows")
+    // partition filter — prunes the excluded ingest batch at file level
     val sWins = excludeIngestBatch
       .fold(all)(id => all.where(col("ingest_batch") =!= id))
       .select(col("m"))
+    (sWins, l)
+  }
+
+  private def windowNoveltyFrom(spark: SparkSession, sWins: DataFrame,
+      l: Int, batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(spark)
     val (bWins, members) = batchWindowPrelude(batch, l)
     val batchChars = batch
       .agg(coalesce(sum(length(col("text"))), lit(0L))).collect()(0).getLong(0)
@@ -2202,16 +2312,20 @@ object Dedup {
     * aggregate. */
   def exactCrossDupIndexed(spark: SparkSession, dir: String,
       batch: DataFrame, excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (sWins, l) = loadWindowIndex(spark, dir, excludeIngestBatch)
+    exactCrossDupFrom(spark, sWins, l, batch)
+  }
+
+  /** [[exactCrossDupIndexed]] over a [[WindowIndexSession]]'s cached
+    * standing window set — the streaming loop's form. */
+  def exactCrossDupSession(session: WindowIndexSession, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame =
+    exactCrossDupFrom(batch.sparkSession,
+      session.standingWindows(excludeIngestBatch), session.windowLength, batch)
+
+  private def exactCrossDupFrom(spark: SparkSession, sWins: DataFrame,
+      l: Int, batch: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark)
-    val l = spark.read.json(s"$dir/manifest").collect()(0)
-      .getAs[Long]("l").toInt
-    val all = spark.read.parquet(s"$dir/windows")
-    // partition filter — prunes the excluded ingest batch at file level
-    // (the streaming loop excludes its OWN micro-batch id so a replayed
-    // batch never self-matches its failed attempt's append)
-    val sWins = excludeIngestBatch
-      .fold(all)(id => all.where(col("ingest_batch") =!= id))
-      .select(col("m"))
     val (bWins, members) = batchWindowPrelude(batch, l)
     val batchChars = batch
       .agg(coalesce(sum(length(col("text"))), lit(0L))).collect()(0).getLong(0)

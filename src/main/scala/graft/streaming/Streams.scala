@@ -404,28 +404,33 @@ object Streams {
       docs: DataFrame,
       indexDir: String,
       keepDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE window-index session per loop run (r16): manifest read once,
+    // standing window keys cached and folded in place per append, probe
+    // exclusion as a cache-column filter.
+    val index = graft.operators.Dedup.openWindowIndexSession(
+      docs.sparkSession, indexDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch,
           standingScanParts(batch.sparkSession, s"$indexDir/windows")) {
-        val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val spans = graft.operators.Dedup
-            .exactCrossDupIndexed(spark, indexDir, b,
-              excludeIngestBatch = Some(batchId))
+            .exactCrossDupSession(index, b, excludeIngestBatch = Some(batchId))
           graft.operators.Dedup.removeSpans(b, spans)
             .write.mode("overwrite").parquet(s"$keepDir/micro_batch=$batchId")
-          graft.operators.Dedup
-            .appendToExactWindowIndex(b, indexDir, ingestBatch = batchId)
+          index.append(b, ingestBatch = batchId)
         } finally { b.unpersist(false); () }
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => index.close())
+    query
+  }
 
   /** Streaming BM25-index ingest: each arriving micro-batch of documents
     * is appended to a standing [[graft.operators.Retrieval.buildBm25Index]]
@@ -502,8 +507,10 @@ object Streams {
       indexDir: String,
       funnelDir: String,
       checkpointDir: String,
-      noveltyFloor: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      noveltyFloor: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.operators.Dedup.openWindowIndexSession(
+      docs.sparkSession, indexDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch,
           standingScanParts(batch.sparkSession, s"$indexDir/windows")) {
@@ -511,11 +518,10 @@ object Streams {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           graft.operators.Curation
-            .noveltyFunnelIndexed(indexDir, b, noveltyFloor,
+            .noveltyFunnelSession(index, b, noveltyFloor,
               excludeIngestBatch = Some(batchId))
             .write.mode("overwrite").parquet(s"$funnelDir/micro_batch=$batchId")
-          graft.operators.Dedup.appendToExactWindowIndex(
-            b.select(col("doc_id"), col("text")), indexDir,
+          index.append(b.select(col("doc_id"), col("text")),
             ingestBatch = batchId)
         } finally { b.unpersist(false); () }
         }
@@ -523,6 +529,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => index.close())
+    query
+  }
 
   /** Streaming distribution-DRIFT monitoring: per micro-batch, the PSI of
     * the arriving docs' feature distributions against the PERSISTED
