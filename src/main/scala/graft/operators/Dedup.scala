@@ -2098,22 +2098,22 @@ object Dedup {
     * and single-pass append. */
   final class WindowIndexSession private[operators] (
       spark: SparkSession, dir: String, rebaseEvery: Int = 32) {
-    private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     lazy val windowLength: Int = {
       graft.functions.GraftFunctions.ensure(spark)
       spark.read.json(s"$dir/manifest").collect()(0).getAs[Long]("l").toInt
     }
     private var windows: DataFrame = null // (m, ingest_batch)
-    private var baseLeaf: DataFrame = null // the persisted parquet base
     private var extensions = 0
 
     private def load(): DataFrame = {
-      if (windows == null) {
-        baseLeaf = spark.read.parquet(s"$dir/windows")
+      if (windows == null)
+        // EAGER checkpoint, not lazy persist: a replayed batch's keyed
+        // partition OVERWRITE deletes the files a lazy plan would still
+        // reference (SessionSpec pins the retry), so the base must hold
+        // its rows with no file lineage before any overwrite can land
+        windows = spark.read.parquet(s"$dir/windows")
           .select(col("m"), col("ingest_batch").cast("long").as("ingest_batch"))
-          .persist(sl)
-        windows = baseLeaf
-      }
+          .localCheckpoint(true)
       windows
     }
 
@@ -2141,19 +2141,13 @@ object Dedup {
       windows = load().where(col("ingest_batch") =!= ingestBatch)
         .unionAll(keys.select(col("m"), lit(ingestBatch).as("ingest_batch")))
       extensions += 1
-      if (extensions % rebaseEvery == 0) {
-        val rebased = windows.localCheckpoint(true)
-        if (baseLeaf != null) { baseLeaf.unpersist(false); baseLeaf = null }
-        windows = rebased
-      }
+      if (extensions % rebaseEvery == 0)
+        windows = windows.localCheckpoint(true) // bound plan depth
       ()
     }
 
-    /** Release every cache this session owns (loop-termination hook). */
-    def close(): Unit = {
-      if (baseLeaf != null) { baseLeaf.unpersist(false); baseLeaf = null }
-      windows = null
-    }
+    /** Drop every cache (checkpoint blocks are GC-reclaimed). */
+    def close(): Unit = { windows = null }
   }
 
   /** Open a [[WindowIndexSession]] over an existing window index. */

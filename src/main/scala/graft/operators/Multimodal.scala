@@ -549,9 +549,7 @@ object Multimodal {
   final class SigIndexSession private[operators] (
       spark: org.apache.spark.sql.SparkSession, dir: String, sigCol: String,
       rebaseEvery: Int = 32) {
-    private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     private var standing: DataFrame = null // (doc_id, sigCol, ingest_batch)
-    private var leaves: List[DataFrame] = Nil
     private var extensions = 0
 
     private def load(): DataFrame = {
@@ -559,13 +557,15 @@ object Multimodal {
         val root = new org.apache.hadoop.fs.Path(s"$dir/hashes")
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(root), s"no signature index at $dir — build it first")
-        val base = spark.read
+        // EAGER checkpoint, not lazy persist: a replayed batch's keyed
+        // partition OVERWRITE deletes the files a lazy plan would still
+        // reference (SessionSpec pins the retry), so the base must hold
+        // its rows with no file lineage before any overwrite can land
+        standing = spark.read
           .schema(s"doc_id LONG, $sigCol LONG, ingest_batch LONG")
           .option("basePath", root.toString)
           .parquet(root.toString)
-          .persist(sl)
-        standing = base
-        leaves = base :: Nil
+          .localCheckpoint(true)
       }
       standing
     }
@@ -590,21 +590,13 @@ object Multimodal {
       standing = load().where(col("ingest_batch") =!= ingestBatch)
         .unionAll(rows)
       extensions += 1
-      if (extensions % rebaseEvery == 0) {
-        val rebased = standing.localCheckpoint(true)
-        leaves.foreach(_.unpersist(false))
-        standing = rebased
-        leaves = Nil
-      }
+      if (extensions % rebaseEvery == 0)
+        standing = standing.localCheckpoint(true) // bound plan depth
       ()
     }
 
-    /** Release every cache this session owns (loop-termination hook). */
-    def close(): Unit = {
-      leaves.foreach(_.unpersist(false))
-      leaves = Nil
-      standing = null
-    }
+    /** Drop every cache (checkpoint blocks are GC-reclaimed). */
+    def close(): Unit = { standing = null }
   }
 
   /** Open a [[SigIndexSession]] over an existing signature index. */
