@@ -15,7 +15,7 @@ object SparkEntry {
     * declared numbering resolvable 1:1 from `queries`. */
   def catalog: Seq[QueryDef] = {
     val base = CoreQueries.all ++ domain.DomainQueries.all ++ NorthStarQueries.all ++
-      streaming.StreamQueries.all ++ LayoutQueries.all
+      streaming.StreamQueries.all ++ LayoutQueries.all ++ ModelQueries.all
     val byName = base.map(q => q.name -> q).toMap
     base ++ Seq(
       byName("laser_shared_loci").copy(name = "q24_shared_loci"),

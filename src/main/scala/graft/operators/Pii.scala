@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed PII detection and redaction over `documents(doc_id, text, ...)` —
+  * the pre-release scrubbing stage every published training-data pipeline
+  * runs (Dolma, FineWeb, ROOTS all mask emails / IP addresses / phone
+  * numbers with typed placeholder tokens before packing). [[TextAnalysis]]'s
+  * `txt_scrub` is the untyped digit-mask form; this is the typed form that
+  * (a) counts findings per category so curation can gate on PII density and
+  * (b) replaces each span with a category token so downstream tokenizers
+  * see a stable vocabulary item instead of a hole.
+  *
+  * Every operator is a narrow per-row codegen'd projection (regexp over one
+  * column — no shuffle, no UDF) followed by at most one aggregation: the
+  * shape that scales linearly to 100 TB. The patterns avoid lookaround and
+  * backreferences so Java util.regex (Spark) and RE2 (the DuckDB oracle)
+  * parse them identically — the same cross-engine regex discipline as
+  * [[Bpe]]'s pre-tokenizer.
+  */
+object Pii {
+
+  /** One pattern per category, in REDACTION ORDER (emails first so an
+    * address's host part can never be half-eaten by the IP rule). */
+  val patterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\+\d{1,2} \d{3} \d{3,4} \d{4}""",
+    "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")
+
+  private def token(cat: String): String = s"<${cat.toUpperCase}>"
+
+  private def countOf(pat: String): Column =
+    size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+
+  /** Per-document typed finding counts + an any-PII flag. */
+  def detect(docs: DataFrame): DataFrame = {
+    val counts = patterns.map { case (cat, pat) =>
+      countOf(pat).as(s"n_$cat")
+    }
+    docs.select((col("doc_id") +: counts): _*)
+      .withColumn("has_pii",
+        (patterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0).cast("int"))
+  }
+
+  /** Typed redaction: each category's spans replaced by its placeholder
+    * token, applied in [[patterns]] order (deterministic — both engines
+    * scan leftmost-first). */
+  def redact(docs: DataFrame): DataFrame = {
+    val red = patterns.foldLeft(col("text")) { case (c, (cat, pat)) =>
+      regexp_replace(c, pat, token(cat))
+    }
+    docs.select(col("doc_id"), red.as("redacted"))
+  }
+
+  /** Corpus-level PII prevalence by a grouping column — the report a
+    * release gate reads (documents with PII per source, findings per
+    * category, rate rounded to the contract's 6 decimals). */
+  def stats(docs: DataFrame, by: String): DataFrame = {
+    detect(docs).join(docs.select(col("doc_id"), col(by)), Seq("doc_id"))
+      .groupBy(col(by)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("has_pii").cast("long")).as("n_docs_pii"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("n_ip")).as("n_ip"),
+        round(sum(col("has_pii").cast("double")) / count(lit(1)), 6)
+          .as("pii_rate"))
+  }
+
+  // ---- oracle SQL builders ------------------------------------------------
+
+  /** DuckDB rendering of [[detect]] over `corpusSql` (a parenthesized
+    * (doc_id, text) SELECT). Single-quoted DuckDB literals pass
+    * backslashes through to RE2 untouched. */
+  def detectSql(corpusSql: String): String = {
+    val counts = patterns.map { case (cat, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
+    }.mkString(",\n|   ")
+    val any = patterns.map(p => s"n_${p._1}").mkString(" + ")
+    s"""SELECT doc_id, $counts,
+       |   CAST(($any) > 0 AS INT) AS has_pii
+       | FROM $corpusSql""".stripMargin
+  }
+
+  /** DuckDB rendering of [[redact]] over `corpusSql`. */
+  def redactSql(corpusSql: String): String = {
+    val red = patterns.foldLeft("text") { case (e, (cat, pat)) =>
+      s"regexp_replace($e, '$pat', '${token(cat)}', 'g')"
+    }
+    s"""SELECT doc_id, $red AS redacted
+       | FROM $corpusSql""".stripMargin
+  }
+
+  /** DuckDB rendering of [[stats]] over `corpusSql` (must also carry the
+    * `by` column). */
+  def statsSql(corpusSql: String, by: String): String =
+    s"""WITH det AS (${detectSql(s"(SELECT doc_id, text FROM $corpusSql d)")})
+       | SELECT c.$by, CAST(count(*) AS BIGINT) AS n_docs,
+       |   CAST(sum(det.has_pii) AS BIGINT) AS n_docs_pii,
+       |   CAST(sum(det.n_email) AS BIGINT) AS n_email,
+       |   CAST(sum(det.n_phone) AS BIGINT) AS n_phone,
+       |   CAST(sum(det.n_ip) AS BIGINT) AS n_ip,
+       |   round(sum(det.has_pii) * 1.0 / count(*), 6) AS pii_rate
+       | FROM $corpusSql c JOIN det ON c.doc_id = det.doc_id
+       | GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.LangModel
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("ppl: hand-computed Stupid Backoff scores on a tiny corpus") {
+    // train: "a b a b" + "a c" → uni a:3 b:2 c:1 (N=6, V=3);
+    // bi: (a,b):2 (b,a):1 (a,c):1
+    val train = docs(1L -> "a b a b", 2L -> "a c")
+    // score "a b": p(a)=uni add-one=(3+1)/9, p(b|a)=2/3
+    val got = LangModel.ppl(train, docs(10L -> "a b"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent").as[(Long, Long, Long, Double)]
+      .collect().head
+    val expect = -(math.log10(4.0 / 9) + math.log10(2.0 / 3)) / 2
+    assert(got._1 == 2 && got._2 == 0 && got._3 == 0)
+    assert(math.abs(got._4 - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("ppl: OOV and unseen-bigram backoff counted and scored as declared") {
+    val train = docs(1L -> "a b a b", 2L -> "a c")
+    // "c a z": p(c)=add-one (1+1)/9; (c,a) unseen → backoff 0.4*(3+1)/9;
+    // z OOV → backoff 0.4*(0+1)/9
+    val got = LangModel.ppl(train, docs(10L -> "c a z"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent").as[(Long, Long, Long, Double)]
+      .collect().head
+    val expect = -(math.log10(2.0 / 9) + math.log10(0.4 * 4 / 9) +
+      math.log10(0.4 * 1 / 9)) / 3
+    assert(got._1 == 3 && got._2 == 1 && got._3 == 2)
+    assert(math.abs(got._4 - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("ppl: junk scores strictly above reference docs (the gate's premise)") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val head = d.where(col("doc_id") < 50)
+    val junk = head.select(col("doc_id") + 1000000L as "doc_id",
+      concat(lit("the a of to and " * 3), col("text")) as "text")
+    val scored = LangModel.ppl(d, head.unionAll(junk))
+      .select(col("doc_id"), col("xent")).as[(Long, Double)].collect()
+    val (twin, orig) = scored.partition(_._1 >= 1000000L)
+    assert(orig.nonEmpty && twin.nonEmpty)
+    assert(twin.map(_._2).min > orig.map(_._2).max)
+  }
+
+  test("persisted lifecycle: build == in-memory; grown == union; purge == survivors") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val a = d.where(col("doc_id") % 3 === 0)
+    val b = d.where(col("doc_id") % 3 === 1)
+    val batch = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec")
+    try {
+      LangModel.buildLmIndex(a, s"$tmp/m")
+      def score() = LangModel.scoreAgainstLmIndex(s"$tmp/m", batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(score() == LangModel.ppl(a, batch).orderBy("doc_id").collect().toSeq)
+      LangModel.appendToLmIndex(b, s"$tmp/m", 0L)
+      assert(score() ==
+        LangModel.ppl(a.unionAll(b), batch).orderBy("doc_id").collect().toSeq)
+      LangModel.purgeFromLmIndex(b, s"$tmp/m", 0L)
+      assert(score() == LangModel.ppl(a, batch).orderBy("doc_id").collect().toSeq)
+    } finally deleteRec(tmp)
+  }
+
+  test("purge refuses rows never counted in, leaving the model unchanged") {
+    val train = docs(1L -> "a b", 2L -> "b c")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec2")
+    try {
+      LangModel.buildLmIndex(train, s"$tmp/m")
+      val before = LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
+        .collect().toSeq
+      intercept[IllegalArgumentException] {
+        LangModel.purgeFromLmIndex(docs(5L -> "a b b b b"), s"$tmp/m", 1L)
+      }
+      assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
+        .collect().toSeq == before)
+    } finally deleteRec(tmp)
+  }
+
+  test("compaction folds delta partitions; scores identical; zeroed n-grams drop") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val a = d.where(col("doc_id") % 3 === 0)
+    val b = d.where(col("doc_id") % 3 === 1)
+    val batch = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec3")
+    try {
+      LangModel.buildLmIndex(a, s"$tmp/m")
+      LangModel.appendToLmIndex(b, s"$tmp/m", 0L)
+      LangModel.purgeFromLmIndex(b.where(col("doc_id") < 200), s"$tmp/m", 0L)
+      val before = LangModel.scoreAgainstLmIndex(s"$tmp/m", batch)
+        .orderBy("doc_id").collect().toSeq
+      def parts(sub: String) =
+        new java.io.File(s"$tmp/m/$sub").listFiles().map(_.getName)
+          .count(_.startsWith("ingest="))
+      assert(parts("unigrams") == 3 && parts("bigrams") == 3)
+      LangModel.compactLmIndex(spark, s"$tmp/m")
+      assert(parts("unigrams") == 1 && parts("bigrams") == 1)
+      assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", batch)
+        .orderBy("doc_id").collect().toSeq == before)
+      // no negative or zero counts survive the fold
+      assert(spark.read.parquet(s"$tmp/m/unigrams")
+        .where(col("c") <= 0).count() == 0)
+    } finally deleteRec(tmp)
+  }
+
+  test("format marker gates every read path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec4")
+    try {
+      // markerless layout (crashed build): refused
+      LangModel.unigramCounts(docs(1L -> "a b")).write
+        .parquet(s"$tmp/m/unigrams/ingest=-1")
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a"))
+      }
+      intercept[IllegalArgumentException] {
+        LangModel.appendToLmIndex(docs(2L -> "b"), s"$tmp/m", 0L)
+      }
+    } finally deleteRec(tmp)
+  }
+
+  private def deleteRec(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Pii
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("detect: exact typed counts per category") {
+    val d = docs(
+      1L -> "mail me at a.user+tag@sub.example.co.uk or b@x.io",
+      2L -> "server 192.168.0.1 and 10.0.0.255 up",
+      3L -> "call +1 555 0134 2345 or +44 207 946 0958",
+      4L -> "clean text with no findings",
+      5L -> "mixed: root@host.org at 127.0.0.1 phone +1 555 123 4567")
+    val got = Pii.detect(d).orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ip", "has_pii")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((2L, 0L, 0L, 1), (0L, 0L, 2L, 1), (0L, 2L, 0L, 1),
+      (0L, 0L, 0L, 0), (1L, 1L, 1L, 1)))
+  }
+
+  test("redact: typed tokens, email applied before IP so hosts aren't half-eaten") {
+    val d = docs(
+      // the local part is itself shaped like an IPv4 — the email rule must
+      // consume the whole address before the IP rule ever sees it
+      1L -> "from 1.2.3.4@mail.com at 5.6.7.8",
+      2L -> "reach admin@example.com or +1 555 123 4567")
+    val got = Pii.redact(d).orderBy("doc_id")
+      .select("redacted").as[String].collect().toSeq
+    assert(got == Seq(
+      "from <EMAIL> at <IP>",
+      "reach <EMAIL> or <PHONE>"))
+  }
+
+  test("redact: idempotent (tokens contain no redactable text)") {
+    val d = docs(1L -> "x admin@example.com 1.2.3.4 +1 555 123 4567 y")
+    val once = Pii.redact(d)
+    val twice = Pii.redact(once.select(col("doc_id"), col("redacted").as("text")))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("stats: per-group prevalence aggregates the detect counts exactly") {
+    val d = Seq(
+      (1L, "a@b.co and c@d.io", "web"),
+      (2L, "clean", "web"),
+      (3L, "10.0.0.1", "book"),
+      (4L, "clean too", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Pii.stats(d, "source").orderBy("source")
+      .select("source", "n_docs", "n_docs_pii", "n_email", "n_ip", "pii_rate")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("book", 1L, 1L, 0L, 1L, 1.0),
+      ("web", 3L, 1L, 2L, 0L, 0.333333)))
+  }
+}
