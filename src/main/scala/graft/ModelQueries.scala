@@ -89,6 +89,21 @@ object ModelQueries {
       |   source
       | FROM documents)""".stripMargin
 
+  /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
+    * file-stream source lists files, not Spark output directories (the
+    * NorthStarQueries pattern). */
+  private def stageAsFile(df: DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    val ls = java.nio.file.Files.list(tmp.resolve("d"))
+    val part =
+      try ls.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    java.nio.file.Files.copy(part, dir.resolve(name))
+    deleteRecursively(tmp)
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {
@@ -213,6 +228,49 @@ object ModelQueries {
           idText(d.where(bkt < 20)))
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
+      out
+    },
+
+    // The LM loop's STREAMING twin: per micro-batch, arrivals score
+    // against the persisted model, then their counts fold in — batch k
+    // scores against seed ∪ batches 0..k−1 (the noveltyIngest
+    // discipline; the probe excludes the batch's own partition, so a
+    // crash replay scores identically). The oracle replays each batch's
+    // scoring from the raw slices — hash equality proves index-probed ==
+    // sequentially-recomputed per batch.
+    QueryDef("txt_lm_stream")({
+      val b0 = s"(SELECT doc_id, text FROM documents WHERE $bktSql < 10)"
+      val grown =
+        s"(SELECT doc_id, text FROM documents WHERE $bktSql >= 20 OR $bktSql < 10)"
+      val b1 =
+        s"(SELECT doc_id, text FROM documents WHERE $bktSql >= 10 AND $bktSql < 20)"
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, *
+         |   FROM (${LangModel.pplSql(lmTrainSql, b0)})
+         | UNION ALL SELECT CAST(1 AS BIGINT), *
+         |   FROM (${LangModel.pplSql(grown, b1)})
+         | ORDER BY micro_batch, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val stDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-in")
+      val t0 = System.nanoTime()
+      LangModel.buildLmIndex(idText(d.where(bkt >= 20)), s"$stDir/model")
+      stageAsFile(d.where(bkt < 10), inDir, "b0.parquet")
+      stageAsFile(d.where(bkt >= 10 && bkt < 20), inDir, "b1.parquet")
+      NorthStarQueries.fixtureSecs.put("lm-stream-fixture",
+        (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.lmIngest(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/model", s"$stDir/scores", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/scores")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("doc_id"), col("n_tokens"), col("n_oov"), col("n_backoff"),
+          col("xent"))
+        .orderBy(col("micro_batch"), col("doc_id")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
       out
     },
 

@@ -1534,10 +1534,11 @@ object NorthStarQueries {
 
     // ONE-CALL takedown orchestration (r16): a real PII erasure is one
     // doc-id set against EVERY standing artifact. This row stands up
-    // nine artifact families over the same corpus (BM25, LSH cross
+    // ten artifact families over the same corpus (BM25, LSH cross
     // index, exact-window index, IVF-PQ codes, dHash + audio signature
-    // indexes, drift histograms, a keyed Z-order layout, and a seeded
-    // curation-loop state), runs Takedown.purgeEverywhere over one
+    // indexes, drift histograms, the n-gram LM model, a keyed Z-order
+    // layout, and a seeded curation-loop state), runs
+    // Takedown.purgeEverywhere over one
     // literal id set, and outputs the AUDIT MANIFEST — (family,
     // ids_found), the "we looked here, found these, removed them" trail.
     // The oracle recomputes every family's found-count from the same
@@ -1570,6 +1571,9 @@ object NorthStarQueries {
         |   UNION ALL SELECT 'keyed_layout',
         |     (SELECT CAST(count(*) AS BIGINT) FROM documents
         |      WHERE doc_id IN (SELECT id FROM p))
+        |   UNION ALL SELECT 'lm_model',
+        |     (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |      WHERE doc_id IN (SELECT id FROM p))
         | ) ORDER BY family""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
@@ -1596,6 +1600,7 @@ object NorthStarQueries {
       Multimodal.buildDHashIndex(media, s"$st/dhash")
       Multimodal.buildAudioFpIndex(clips, s"$st/afp")
       graft.operators.Curation.buildDriftIndex(d, features, s"$st/drift")
+      graft.operators.LangModel.buildLmIndex(dt, s"$st/lm")
       graft.operators.Layout.initKeyedLayout(
         d.select(col("doc_id"), col("n_chars")),
         Seq("doc_id", "n_chars"), s"$st/layout", files = 2)
@@ -1613,6 +1618,8 @@ object NorthStarQueries {
           Takedown.AudioFp(s"$st/afp"),
           Takedown.Drift(s"$st/drift", features,
             purgedRows = d.join(ids, Seq("doc_id"), "left_semi"), purgeId = 0L),
+          Takedown.LmModel(s"$st/lm",
+            purgedRows = dt.join(ids, Seq("doc_id"), "left_semi"), purgeId = 0L),
           Takedown.KeyedLayout(s"$st/layout", "doc_id", files = 2),
           Takedown.CurationLoop(s"$st/loop-idx", s"$st/loop-lbl")))
         .localCheckpoint(true)

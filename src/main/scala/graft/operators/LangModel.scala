@@ -243,22 +243,31 @@ object LangModel {
 
   /** Read the live model: sum counts across delta partitions, drop
     * zeroed n-grams (a never-seen and a fully-purged n-gram must read
-    * identically). Vocabulary-scale work. */
-  def readModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * identically). Vocabulary-scale work. `excludeIngestBatch`: skip one
+    * ingest partition — the streaming loop's own-partition exclusion, so
+    * a crash-replayed grown micro-batch never scores against counts it
+    * appended itself. */
+  def readModel(spark: SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     requireFormat(spark, dir)
-    val uni = spark.read.parquet(s"$dir/unigrams")
-      .groupBy(col("w")).agg(sum(col("c")).as("c")).where(col("c") > 0)
-    val bi = spark.read.parquet(s"$dir/bigrams")
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
-      .where(col("c") > 0)
-    (uni, bi)
+    def table(sub: String, keys: Seq[String]): DataFrame = {
+      val raw = spark.read.parquet(s"$dir/$sub")
+      val visible = excludeIngestBatch match {
+        case Some(id) => raw.where(col("ingest") =!= id)
+        case None => raw
+      }
+      visible.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+        .where(col("c") > 0)
+    }
+    (table("unigrams", Seq("w")), table("bigrams", Seq("w1", "w2")))
   }
 
   /** Score a batch against the PERSISTED model — the per-arrival form:
     * one scan of the batch, vocabulary-scale reads of the model tables,
     * nothing training-corpus-scale anywhere. */
-  def scoreAgainstLmIndex(indexDir: String, batch: DataFrame): DataFrame = {
-    val (uni, bi) = readModel(batch.sparkSession, indexDir)
+  def scoreAgainstLmIndex(indexDir: String, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (uni, bi) = readModel(batch.sparkSession, indexDir, excludeIngestBatch)
     scoreWith(batch, uni, bi)
   }
 

@@ -85,6 +85,13 @@ object Takedown {
   case class KeyedLayout(path: String, idCol: String, files: Int)
       extends Target { val family = "keyed_layout" }
 
+  /** Persisted n-gram LM model ([[LangModel.purgeFromLmIndex]]): count
+    * tables hold no per-doc state, so the caller supplies the purged
+    * docs' ROWS (doc_id, text) — the [[Drift]] convention. `ids_found`
+    * is the claimed row count. */
+  case class LmModel(path: String, purgedRows: DataFrame, purgeId: Long)
+      extends Target { val family = "lm_model" }
+
   /** Text curation loop state ([[graft.streaming.Streams
     * .purgeCurationState]]): LSH index + edge evidence + labelings +
     * registry, owner-only while the stream is stopped. */
@@ -155,6 +162,7 @@ object Takedown {
         case AudioFp(dir) =>
           foundIn(Multimodal.standingAudioFps(spark, dir), "doc_id", idSet)
         case Drift(_, _, purgedRows, _) => purgedRows.count()
+        case LmModel(_, purgedRows, _) => purgedRows.count()
         case KeyedLayout(dir, idCol, _) =>
           foundIn(spark.read.parquet(dir), idCol, idSet)
         case CurationLoop(indexDir, _) =>
@@ -182,6 +190,8 @@ object Takedown {
         case AudioFp(dir) => Multimodal.purgeFromAudioFpIndex(spark, dir, idSet)
         case Drift(dir, features, purgedRows, purgeId) =>
           Curation.purgeFromDriftIndex(purgedRows, features, dir, purgeId)
+        case LmModel(dir, purgedRows, purgeId) =>
+          LangModel.purgeFromLmIndex(purgedRows, dir, purgeId)
         case KeyedLayout(dir, idCol, files) =>
           Layout.purgeFromKeyedLayout(spark, dir, idCol,
             idSet.select(col("doc_id").as(idCol)), files)

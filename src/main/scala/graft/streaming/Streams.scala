@@ -578,6 +578,40 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming n-gram LM quality scoring with a model that LEARNS the
+    * stream: per micro-batch, every arriving doc's cross-entropy under
+    * the persisted Stupid Backoff model (`LangModel.buildLmIndex` seed),
+    * written to `scoresDir/micro_batch=<id>`; the batch's own counts
+    * then fold into the model (`LangModel.appendToLmIndex` —
+    * count-additive, batchId-keyed delta partition). Batch k scores
+    * against seed ∪ batches 0..k−1, the noveltyIngest discipline.
+    *
+    * Replay-exact (foreachBatch is at-least-once): the score write is a
+    * batchId-keyed overwrite and the probe EXCLUDES the model partition
+    * this batch id owns, so a crash-replayed batch scores against
+    * exactly the state its failed attempt saw and rewrites identical
+    * bytes. Per-batch cost: one batch scan + vocabulary-scale model
+    * reads — the seed corpus is never rescanned. The model must be
+    * owned by this single loop (batch-API appends use disjoint ids). */
+  def lmIngest(docs: DataFrame, modelDir: String, scoresDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
+        val b = batch.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.LangModel
+            .scoreAgainstLmIndex(modelDir, b, excludeIngestBatch = Some(batchId))
+            .write.mode("overwrite").parquet(s"$scoresDir/micro_batch=$batchId")
+          graft.operators.LangModel.appendToLmIndex(b, modelDir, batchId)
+        } finally { b.unpersist(false); () }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`), its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate) as labels version v-1

@@ -109,6 +109,50 @@ class LangModelSpec extends TestBase {
     } finally deleteRec(tmp)
   }
 
+  test("lmIngest loop: batch k scores against seed ∪ batches 0..k−1, exactly") {
+    val d = Tables(spark, sf(), "documents")
+    val seed = d.where(col("doc_id") % 4 === 0)
+    val b0 = d.where(col("doc_id") % 4 === 1)
+    val b1 = d.where(col("doc_id") % 4 === 2)
+    val st = java.nio.file.Files.createTempDirectory("graft-lm-loop")
+    val in = java.nio.file.Files.createTempDirectory("graft-lm-loop-in")
+    try {
+      LangModel.buildLmIndex(seed.select(col("doc_id"), col("text")), s"$st/m")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stage")
+        df.coalesce(1).write.parquet(s"$tmp/d")
+        val part = new java.io.File(s"$tmp/d").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, in.resolve(name))
+        deleteRec(tmp)
+      }
+      stage(b0, "b0.parquet")
+      stage(b1, "b1.parquet")
+      val q = graft.streaming.Streams.lmIngest(
+        graft.streaming.Streams.documentsStream(spark, in.toString,
+          maxFilesPerTrigger = 1),
+        s"$st/m", s"$st/scores", s"$st/ckpt")
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$st/scores")
+        .select(col("micro_batch").cast("long"), col("doc_id"), col("xent"))
+        .orderBy("micro_batch", "doc_id").collect().toSeq
+      def seq(train: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame, mb: Long) =
+        LangModel.ppl(train.select(col("doc_id"), col("text")),
+            batch.select(col("doc_id"), col("text")))
+          .select(lit(mb).as("micro_batch"), col("doc_id"), col("xent"))
+      val want = seq(seed, b0, 0L).unionAll(seq(seed.unionAll(b0), b1, 1L))
+        .orderBy("micro_batch", "doc_id").collect().toSeq
+      assert(got == want)
+      // the model kept learning: both batches' counts are in the store
+      val (uni, _) = LangModel.readModel(spark, s"$st/m")
+      val wantUni = LangModel.unigramCounts(
+        seed.unionAll(b0).unionAll(b1).select(col("doc_id"), col("text")))
+      assert(uni.orderBy("w").collect().toSeq ==
+        wantUni.orderBy("w").collect().toSeq)
+    } finally { deleteRec(st); deleteRec(in) }
+  }
+
   test("format marker gates every read path") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec4")
     try {
