@@ -231,6 +231,31 @@ object ModelQueries {
       out
     },
 
+    // Moore–Lewis cross-entropy-difference selection (ACL 2010): every
+    // candidate scored under the IN-domain model (clean originals) and
+    // the OUT-domain model (the spam-prefixed twins' corpus); keep
+    // delta = xent_in − xent_out ≤ 0.2. Measured: originals delta
+    // −0.103..0.022, twins 0.410..2.046 at sf0.01 — the cut separates
+    // with ≥ 0.18 margin on both sides. The full per-doc score table is
+    // hash-checked, not just the funnel.
+    QueryDef("txt_lm_select")({
+      val inT = "(SELECT doc_id, text FROM documents)"
+      val outT =
+        s"(SELECT doc_id + 1000000 AS doc_id, '$lmSpam' || text AS text FROM documents)"
+      val batch =
+        s"(SELECT doc_id, text FROM $lmJunkPlantSql b)"
+      s"""SELECT * FROM (
+         |  ${LangModel.mooreLewisSql(inT, outT, batch, 0.2)}
+         | ) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val outTrain = idText(d).select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(lmSpam), col("text")).as("text"))
+      LangModel.mooreLewis(idText(d), outTrain,
+          lmJunkPlant(s, dir).select(col("doc_id"), col("text")), cut = 0.2)
+        .orderBy("doc_id")
+    },
+
     // The LM loop's STREAMING twin: per micro-batch, arrivals score
     // against the persisted model, then their counts fold in — batch k
     // scores against seed ∪ batches 0..k−1 (the noveltyIngest

@@ -121,6 +121,44 @@ object LangModel {
           .otherwise(0L)).as("n_kept"))
   }
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis,
+    * "Intelligent Selection of Language Model Training Data", ACL 2010):
+    * score every candidate under an IN-domain model and an OUT-domain
+    * model, keep documents whose difference `xent_in − xent_out` clears
+    * the cut — the standard trick for mining a huge general corpus for
+    * in-domain-like training data. Both scores come from [[scoreWith]],
+    * so the whole thing is two vocabulary-scale model joins over one
+    * batch scan; the difference is computed from the ROUNDED per-model
+    * scores, so both engines select on identical numbers. */
+  def mooreLewis(inTrain: DataFrame, outTrain: DataFrame, batch: DataFrame,
+      cut: Double): DataFrame = {
+    val inScore = ppl(inTrain, batch)
+      .select(col("doc_id"), col("xent").as("xent_in"))
+    val outScore = ppl(outTrain, batch)
+      .select(col("doc_id"), col("xent").as("xent_out"))
+    inScore.join(outScore, Seq("doc_id"))
+      .select(col("doc_id"), col("xent_in"), col("xent_out"),
+        round(col("xent_in") - col("xent_out"), 6).as("delta"))
+      .withColumn("selected",
+        (col("delta") <= cut).cast("int"))
+  }
+
+  /** Oracle for [[mooreLewis]]: two ppl chains joined on doc_id.
+    * `inTrainSql` / `outTrainSql` / `batchSql` are parenthesized
+    * (doc_id, text) SELECTs. Callers append ORDER BY. */
+  def mooreLewisSql(inTrainSql: String, outTrainSql: String,
+      batchSql: String, cut: Double): String =
+    s"""WITH insc AS (
+       |  ${pplSql(inTrainSql, batchSql)}
+       | ),
+       | outsc AS (
+       |  ${pplSql(outTrainSql, batchSql)}
+       | )
+       | SELECT i.doc_id, i.xent AS xent_in, o.xent AS xent_out,
+       |        round(i.xent - o.xent, 6) AS delta,
+       |        CAST(round(i.xent - o.xent, 6) <= $cut AS INT) AS selected
+       | FROM insc i JOIN outsc o ON i.doc_id = o.doc_id""".stripMargin
+
   // ---- persisted model lifecycle (the drift-index discipline) ------------
 
   /** Persisted layout version. 1 = alpha-run tokens, (w,c)/(w1,w2,c)

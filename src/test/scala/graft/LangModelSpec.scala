@@ -109,6 +109,26 @@ class LangModelSpec extends TestBase {
     } finally deleteRec(tmp)
   }
 
+  test("mooreLewis: in-domain docs selected, out-domain twins rejected") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val spam = "the a of to and " * 3
+    val out = d.select(col("doc_id") + 1000000L as "doc_id",
+      concat(lit(spam), col("text")) as "text")
+    val batch = d.unionAll(out)
+    val got = LangModel.mooreLewis(d, out, batch, cut = 0.2)
+      .select(col("doc_id"), col("xent_in"), col("xent_out"), col("delta"),
+        col("selected"))
+      .as[(Long, Double, Double, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // delta is exactly the difference of the per-model rounded scores
+    got.foreach { case (_, xi, xo, dl, _) =>
+      assert(math.abs(dl - BigDecimal(xi - xo).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    val (twin, orig) = got.partition(_._1 >= 1000000L)
+    assert(orig.forall(_._5 == 1) && twin.forall(_._5 == 0))
+  }
+
   test("lmIngest loop: batch k scores against seed ∪ batches 0..k−1, exactly") {
     val d = Tables(spark, sf(), "documents")
     val seed = d.where(col("doc_id") % 4 === 0)
