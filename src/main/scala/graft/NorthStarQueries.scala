@@ -3479,6 +3479,36 @@ object NorthStarQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted deterministic retention (r16, the FineWeb-Edu pattern):
+    // keep each doc with probability equal to its QUALITY SCORE — a
+    // per-row rate instead of a hard gate, still a pure row property
+    // (stable 32-bit md5 draw, exact in double on both engines). The
+    // draw compares against the already-rounded score so both engines
+    // reach the same verdict; the kept set's per-doc draw and weight
+    // are hash-checked.
+    QueryDef("smp_weighted")(
+      """WITH q AS (SELECT doc_id,
+        |   round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+        |       + least(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |               / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5, 6) AS quality_score
+        | FROM documents),
+        | dr AS (SELECT doc_id, quality_score,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS draw
+        | FROM q)
+        | SELECT doc_id, round(draw, 6) AS draw, quality_score
+        | FROM dr WHERE draw < quality_score ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val w = d.join(graft.operators.TextAnalysis.quality(d)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      graft.operators.Sampling
+        .weightedSample(w, col("doc_id"), col("quality_score"))
+        .select(col("doc_id"),
+          round(graft.operators.Sampling.hashUnit(col("doc_id")), 6).as("draw"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    },
+
     // Stratified: downsample the dominant language, keep the tail — the
     // canonical corpus-rebalancing step. Strata outside the map drop.
     QueryDef("smp_stratified")(

@@ -31,6 +31,24 @@ object Sampling {
     df.where(hashBucket(key, buckets) < pct)
   }
 
+  /** Stable uniform draw in [0, 1) from the row key: the first 8 hex
+    * digits of md5 over 2³². Exact in double (a 32-bit integer divided by
+    * a power of two), so DuckDB reproduces it bit-identically. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** Weighted deterministic retention: keep a row iff its stable uniform
+    * draw is below `weight` (a per-row [0,1] column — e.g. a quality
+    * score, the FineWeb-Edu pattern: retention probability proportional
+    * to quality instead of a hard gate). Same guarantees as
+    * [[hashSample]] — pure row property, reproducible across engines and
+    * cluster sizes, a row's fate never changes when other rows arrive —
+    * but the rate is per-ROW, not per-stratum. Compare against an
+    * already-ROUNDED weight so both engines draw the same verdict. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.where(hashUnit(key) < weight)
+
   /** Per-stratum rates (e.g. downsample dominant languages, keep the long
     * tail whole). Strata absent from `rates` are DROPPED — an explicit
     * allowlist, the usual pipeline contract. */

@@ -265,4 +265,28 @@ class PlanShapeSpec extends TestBase {
     assert(w.contains("rangepartitioning(_z"),
       "layout write must range-partition on the Z-value (no global sort)")
   }
+
+  test("scoreAgainstLmIndex: one batch scan, model joins broadcast, no train rescan") {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("psl-lm").toString
+    graft.operators.LangModel.buildLmIndex(d.where("doc_id < 300"), s"$dir/m")
+    val p = graft.operators.LangModel
+      .scoreAgainstLmIndex(s"$dir/m", d.where("doc_id >= 300"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the batch is scanned exactly once (token stream built by array
+    // zip, never a token-table self-join that would rescan it)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"batch must be scanned exactly once:\n${p.take(1500)}")
+    // vocabulary-scale model tables broadcast into the scoring joins at
+    // this scale (shuffle is legitimate only when they outgrow the
+    // broadcast threshold)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "all three model joins must broadcast at fixture scale")
+    // the training corpus itself is nowhere in the plan — scoring reads
+    // ONLY the persisted count tables
+    assert(p.contains("unigrams") && p.contains("bigrams"),
+      "scoring must read the persisted model tables")
+  }
 }

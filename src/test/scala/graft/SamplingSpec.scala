@@ -317,4 +317,26 @@ class SamplingSpec extends TestBase {
       "new seed must re-permute")
     out.unpersist()
   }
+
+  test("weightedSample: keeps exactly the rows whose stable draw beats the weight") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, (i % 10) / 10.0)).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(d, col("doc_id"), col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    // brute replication of the draw
+    val brute = (0L until 500L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) / 4294967296.0 < (i % 10) / 10.0
+    }.toSet
+    assert(kept == brute)
+    // weight 0 keeps nothing; weight 1 keeps everything (draw < 1 always)
+    assert(Sampling.weightedSample(d, col("doc_id"), lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(d, col("doc_id"), lit(1.0)).count() == 500)
+    // pure row property: invariant under repartitioning
+    val kept2 = Sampling.weightedSample(d.repartition(7), col("doc_id"), col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
 }
