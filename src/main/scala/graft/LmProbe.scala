@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.LangModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** LM-scoring cost probe (round 16): measures the family's core claim
+  * (`LangModel` scaladoc) — scoring a fixed batch against the PERSISTED
+  * model is O(batch + vocabulary), INDEPENDENT of the training corpus,
+  * because the probe reads only the count tables; the counterfactual
+  * `LangModel.ppl` retrains on every arrival and its scan cost grows with
+  * the corpus. The synthetic vocabulary is closed (31 words + salt), so
+  * the model tables stay near-constant bytes while the training corpus
+  * grows — the extreme version of the vocabulary≪corpus regime the
+  * operator is designed for.
+  *
+  * Arms, interleaved at each standing size 1×/2×/4×/8× (copies id-shifted
+  * and text-salted, the DriftProbe build):
+  *   - one-time model build at that standing size (the amortized cost)
+  *   - recompute arm: `ppl(standing, fixed batch)`
+  *   - probe arm: `scoreAgainstLmIndex(index, fixed batch)`
+  * Every probe result is asserted identical to the recompute's — a pure
+  * cost change, never a semantics change. Bytes evidence: what each arm's
+  * file scans READ (recompute grows with standing; probe stays at
+  * batch + model bytes).
+  *
+  * Usage: runMain graft.LmProbe <sfDir> [maxFactor=8]
+  */
+object LmProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: LmProbe <sfDir> [maxFactor]")
+    val dir = args(0)
+    val maxFactor = if (args.length > 1) args(1).toInt else 8
+    val spark = ProbeHarness.session()
+    val cpus = spark.sparkContext.defaultParallelism
+    val root = "/tmp/graft-lmprobe"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    def corpusAt(factor: Int): DataFrame = base
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("c"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("c") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" copysalt"), col("c")).as("text"))
+      .repartition(cpus)
+    val batch = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(col("text"), lit(" arrives")).as("text"))
+      .persist()
+    println(s"[lm] base $nBase docs from $dir; fixed batch " +
+      s"${batch.count()} docs; standing factors 1..$maxFactor")
+    LangModel.buildLmIndex(batch, s"$root/warmup") // untimed JIT/committer warmup
+
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(fileScans)
+    }
+    def scanBytes(df: DataFrame): Long = {
+      val scans = fileScans(df.queryExecution.executedPlan)
+      require(scans.nonEmpty,
+        "no FileSourceScanExec leaf — plan shape changed, bytes invalid")
+      scans.map(_.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
+    }
+
+    var factor = 1
+    while (factor <= maxFactor) {
+      corpusAt(factor).write.parquet(s"$root/f$factor/standing")
+      val standing = spark.read.parquet(s"$root/f$factor/standing")
+      val idx = s"$root/f$factor/model"
+      val (buildSec, _) = ProbeHarness.time {
+        LangModel.buildLmIndex(standing, idx)
+      }
+      val modelBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(idx)).getLength
+      val (recomputeSec, (want, reBytes)) = ProbeHarness.time {
+        val df = LangModel.ppl(standing, batch).orderBy("doc_id")
+        val rows = df.collect().toSeq
+        (rows, scanBytes(df))
+      }
+      val (probeSec, (got, prBytes)) = ProbeHarness.time {
+        val df = LangModel.scoreAgainstLmIndex(idx, batch).orderBy("doc_id")
+        val rows = df.collect().toSeq
+        (rows, scanBytes(df))
+      }
+      require(got == want,
+        s"index-probed scores must equal recomputed scores at ${factor}x")
+      println(f"[lm] standing ${factor}x (${nBase * factor}%8d docs): " +
+        f"build $buildSec%6.2f s (model ${modelBytes / 1024}%5d KB), " +
+        f"recompute $recomputeSec%6.2f s (${reBytes / 1024}%8d KB read), " +
+        f"probe $probeSec%6.2f s (${prBytes / 1024}%6d KB read)")
+      factor *= 2
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.stop()
+  }
+}
