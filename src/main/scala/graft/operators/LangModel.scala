@@ -235,18 +235,30 @@ object LangModel {
       .repartition(1).write.mode("overwrite").parquet(uniPart)
     bigramCounts(purgedRows).select(col("w1"), col("w2"), (-col("c")).as("c"))
       .repartition(1).write.mode("overwrite").parquet(biPart)
-    val neg = spark.read.parquet(s"$dir/unigrams")
+    // BOTH tables must stay non-negative: unigram totals can balance while
+    // a bigram goes negative (train "a b", purge "b a" — same unigram
+    // bag, opposite orientation), and a silently-negative bigram would be
+    // dropped by readModel's c>0 filter while the never-purged (a,b)
+    // survives — an inconsistent model instead of a loud error.
+    val negUni = spark.read.parquet(s"$dir/unigrams")
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
       .where(col("c") < 0).limit(1).collect()
-    if (neg.nonEmpty) {
+    val negBi =
+      if (negUni.nonEmpty) negUni
+      else spark.read.parquet(s"$dir/bigrams")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+        .where(col("c") < 0).limit(1).collect()
+    if (negUni.nonEmpty || negBi.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(uniPart), true)
       fs.delete(new org.apache.hadoop.fs.Path(biPart), true)
+      val what = if (negUni.nonEmpty) s"unigram ${negUni.head}"
+        else s"bigram ${negBi.head}"
       throw new IllegalArgumentException(
-        s"purgeFromLmIndex: purging would drive unigram ${neg.head} " +
-          s"negative — the claimed rows were never (all) counted into " +
-          s"$dir; deltas removed, model unchanged")
+        s"purgeFromLmIndex: purging would drive $what negative — the " +
+          s"claimed rows were never (all) counted into $dir; deltas " +
+          "removed, model unchanged")
     }
   }
 

@@ -80,6 +80,14 @@ class LangModelSpec extends TestBase {
       }
       assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
         .collect().toSeq == before)
+      // unigram bag balances but bigram orientation differs: "b a" was
+      // never trained, and the mismatch MUST be caught on the bigram
+      // table, not slip through the unigram check
+      intercept[IllegalArgumentException] {
+        LangModel.purgeFromLmIndex(docs(6L -> "b a"), s"$tmp/m", 2L)
+      }
+      assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
+        .collect().toSeq == before)
     } finally deleteRec(tmp)
   }
 
