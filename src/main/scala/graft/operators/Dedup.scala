@@ -2138,6 +2138,12 @@ object Dedup {
       val keys = distinctWindowKeys(newDocs, windowLength).localCheckpoint(true)
       keys.write.mode("overwrite")
         .parquet(s"$dir/windows/ingest_batch=$ingestBatch")
+      // honor the cache opt-out here too: when probes fall back to the
+      // dir-based per-batch scan, materializing (and folding) the full
+      // standing window set in executor storage is exactly the blowup
+      // the flag exists to avoid — the partition write above is all the
+      // uncached shape needs
+      if (spark.conf.get("graft.loopWindowCache", "true") == "false") return
       windows = load().where(col("ingest_batch") =!= ingestBatch)
         .unionAll(keys.select(col("m"), lit(ingestBatch).as("ingest_batch")))
       extensions += 1

@@ -193,6 +193,85 @@ object LangModel {
         s"v$lmFormatVersion — rebuild it with buildLmIndex")
   }
 
+  // ---- two-phase delta commit --------------------------------------------
+  // A model mutation writes TWO tables (unigram + bigram deltas); a crash
+  // between two bare writes would leave them inconsistent — c(w1) reduced
+  // while c(w1,w2) isn't, so a seen-bigram conditional can exceed 1 and
+  // xent silently skews (the "looks like drift instead of a bug" failure
+  // the format marker exists to prevent). So every grow/purge stages both
+  // deltas, commits via an atomic marker, and rolls forward; every read
+  // path repairs first (the Purge.rewritePartitions discipline, local to
+  // this layout because its partitions span two subdirectories).
+
+  private val deltaMarkerName = "_GRAFT_LM_DELTA"
+  private val deltaStageName = "_graft_lm_delta_stage"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def rollForwardDelta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, rels: Seq[String]): Unit = {
+    rels.foreach { rel =>
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/$deltaStageName/$rel")
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      // idempotent: staged absent ⇒ this table already swapped in
+      if (fs.exists(staged)) {
+        fs.delete(live, true)
+        require(fs.rename(staged, live),
+          s"LM delta roll-forward: rename $staged -> $live failed")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, deltaMarkerName), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, deltaStageName), true)
+    ()
+  }
+
+  /** Finish (marker present) or discard (marker absent) an interrupted
+    * delta commit. Idempotent; a no-op on a healthy layout; runs at the
+    * head of every read/mutate path. */
+  private def repairDelta(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return
+    val marker = new org.apache.hadoop.fs.Path(dir, deltaMarkerName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val rels =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+          .filter(_.nonEmpty)
+        finally in.close()
+      rollForwardDelta(fs, dir, rels)
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(dir, deltaMarkerName + ".tmp"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, deltaStageName), true)
+      ()
+    }
+  }
+
+  /** Stage both delta tables, commit atomically, roll forward. BatchId-
+    * keyed rels make replays converge (delete-live-then-rename rewrites
+    * identical bytes). */
+  private def writeDeltas(uniDelta: DataFrame, biDelta: DataFrame,
+      dir: String, ingestId: Long): Unit = {
+    val spark = uniDelta.sparkSession
+    val (fs, _) = fsOf(spark, dir)
+    repairDelta(spark, dir)
+    val rels = Seq(s"unigrams/ingest=$ingestId", s"bigrams/ingest=$ingestId")
+    uniDelta.repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/$deltaStageName/${rels(0)}")
+    biDelta.repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/$deltaStageName/${rels(1)}")
+    // atomic marker = THE commit point (tmp + rename)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$deltaMarkerName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((rels.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, deltaMarkerName)),
+      s"LM delta commit-marker rename failed at $dir")
+    rollForwardDelta(fs, dir, rels)
+  }
+
   /** Train and persist the model: count tables land under seed partitions
     * (`ingest=-1`), marker written LAST so a crashed build is refused by
     * every probe rather than scoring against half a vocabulary. */
@@ -214,52 +293,54 @@ object LangModel {
     require(ingestBatch >= 0,
       s"ingest batch id $ingestBatch is negative — -1 is the seed partition")
     requireFormat(batch.sparkSession, dir)
-    unigramCounts(batch).repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/unigrams/ingest=$ingestBatch")
-    bigramCounts(batch).repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/bigrams/ingest=$ingestBatch")
+    writeDeltas(unigramCounts(batch), bigramCounts(batch), dir, ingestBatch)
   }
 
   /** TAKEDOWN: remove departing documents' contribution — one scan of the
     * purged rows, negated delta partitions (`ingest=-(2+purgeId)`,
-    * the [[Curation.purgeFromDriftIndex]] id scheme). Validates the
-    * subtraction can't drive any count negative (the claimed rows were
-    * never counted in) and rolls the delta back if it would. */
+    * the [[Curation.purgeFromDriftIndex]] id scheme). Validates BEFORE
+    * committing that the subtraction can't drive any unigram OR bigram
+    * count negative (the claimed rows were never counted in) — a failed
+    * purge leaves the live layout byte-untouched; a passing one commits
+    * both delta tables under the two-phase marker. */
   def purgeFromLmIndex(purgedRows: DataFrame, dir: String, purgeId: Long): Unit = {
     require(purgeId >= 0, s"purge id $purgeId is negative")
     val spark = purgedRows.sparkSession
     requireFormat(spark, dir)
-    val uniPart = s"$dir/unigrams/ingest=${-(2 + purgeId)}"
-    val biPart = s"$dir/bigrams/ingest=${-(2 + purgeId)}"
-    unigramCounts(purgedRows).select(col("w"), (-col("c")).as("c"))
-      .repartition(1).write.mode("overwrite").parquet(uniPart)
-    bigramCounts(purgedRows).select(col("w1"), col("w2"), (-col("c")).as("c"))
-      .repartition(1).write.mode("overwrite").parquet(biPart)
-    // BOTH tables must stay non-negative: unigram totals can balance while
-    // a bigram goes negative (train "a b", purge "b a" — same unigram
-    // bag, opposite orientation), and a silently-negative bigram would be
+    repairDelta(spark, dir)
+    // candidate deltas, eagerly pinned: the validation reads them and the
+    // commit writes them — one computation for both
+    val uniDelta = unigramCounts(purgedRows)
+      .select(col("w"), (-col("c")).as("c")).localCheckpoint(true)
+    val biDelta = bigramCounts(purgedRows)
+      .select(col("w1"), col("w2"), (-col("c")).as("c")).localCheckpoint(true)
+    // Validate BEFORE committing anything (live ∪ candidate must stay
+    // non-negative in BOTH tables): unigram totals can balance while a
+    // bigram goes negative (train "a b", purge "b a" — same unigram bag,
+    // opposite orientation), and a silently-negative bigram would be
     // dropped by readModel's c>0 filter while the never-purged (a,b)
     // survives — an inconsistent model instead of a loud error.
-    val negUni = spark.read.parquet(s"$dir/unigrams")
+    // Failure leaves the live layout byte-untouched (no rollback window).
+    val negUni = spark.read.parquet(s"$dir/unigrams").select(col("w"), col("c"))
+      .unionAll(uniDelta)
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
       .where(col("c") < 0).limit(1).collect()
     val negBi =
       if (negUni.nonEmpty) negUni
       else spark.read.parquet(s"$dir/bigrams")
+        .select(col("w1"), col("w2"), col("c"))
+        .unionAll(biDelta)
         .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
         .where(col("c") < 0).limit(1).collect()
     if (negUni.nonEmpty || negBi.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(uniPart), true)
-      fs.delete(new org.apache.hadoop.fs.Path(biPart), true)
       val what = if (negUni.nonEmpty) s"unigram ${negUni.head}"
         else s"bigram ${negBi.head}"
       throw new IllegalArgumentException(
         s"purgeFromLmIndex: purging would drive $what negative — the " +
-          s"claimed rows were never (all) counted into $dir; deltas " +
-          "removed, model unchanged")
+          s"claimed rows were never (all) counted into $dir; model " +
+          "unchanged")
     }
+    writeDeltas(uniDelta, biDelta, dir, -(2 + purgeId))
   }
 
   /** Fold accumulated ingest/purge delta partitions into re-summed seed
@@ -270,6 +351,11 @@ object LangModel {
     * the format marker is untouched. */
   def compactLmIndex(spark: SparkSession, dir: String): Unit = {
     requireFormat(spark, dir)
+    repairDelta(spark, dir)
+    // The two per-table folds commit independently (each is two-phase via
+    // rewritePartitions): a crash between them leaves one table folded and
+    // the other not — CONSISTENT, because folding preserves every n-gram's
+    // total; the next compact simply finishes the other table.
     def fold(sub: String, keys: Seq[String]): Unit = {
       val root = s"$dir/$sub"
       Purge.repairPartitionRewrite(spark, root)
@@ -300,6 +386,7 @@ object LangModel {
   def readModel(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     requireFormat(spark, dir)
+    repairDelta(spark, dir)
     def table(sub: String, keys: Seq[String]): DataFrame = {
       val raw = spark.read.parquet(s"$dir/$sub")
       val visible = excludeIngestBatch match {

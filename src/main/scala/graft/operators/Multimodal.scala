@@ -1047,22 +1047,22 @@ object Multimodal {
     // Per-side uniqueness guard, lazy and riding the rows (the
     // canonicalByQuality posture): a duplicate vec_id would silently fan
     // every pair citing it into multiple scored rows, inflating the
-    // n_pairs-relative funnel counts. The window partitions on vec_id —
-    // the same key the pair join shuffles on — and only fires for
-    // embeddings a pair actually consumes.
-    def side(emb: DataFrame, id: String, as: String) = {
-      val perId = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-      emb.select(col("vec_id"), col("embedding"),
-          count(lit(1)).over(perId).as("k"))
-        .select(col("vec_id").as(id),
+    // n_pairs-relative funnel counts. TABLE-level fail-fast by intent: a
+    // duplicate anywhere in a declared embedding table is a malformed
+    // input and raises even if no surviving pair cites it (the r15
+    // ADVICE's groupBy-count form). One map-side-combined aggregate on
+    // the join key — no window sort; `first` on the k==1 path is
+    // deterministic because there is exactly one row.
+    def side(emb: DataFrame, id: String, as: String) =
+      emb.groupBy(col("vec_id").as(id))
+        .agg(count(lit(1)).as("k"), first(col("embedding")).as("raw"))
+        .select(col(id),
           when(col("k") > 1, raise_error(concat(
               lit(s"pairFilter: duplicate vec_id "),
-              col("vec_id").cast("string"),
+              col(id).cast("string"),
               lit(s" in the $id-side embedding table — a duplicate embedding " +
                 "row would fan out every pair citing it"))))
-            .otherwise(col("embedding")).as(as))
-    }
+            .otherwise(col("raw")).as(as))
     val scored = pairs
       .join(side(textEmb, "text_id", "t_emb"), Seq("text_id"), "left")
       .join(side(imageEmb, "image_id", "i_emb"), Seq("image_id"), "left")

@@ -131,7 +131,14 @@ object Takedown {
   def purgeEverywhere(spark: SparkSession, ids: DataFrame,
       targets: Seq[Target]): DataFrame = {
     require(targets.nonEmpty, "purgeEverywhere: no targets declared")
-    val dup = targets.groupBy(t => (t.family, t.path))
+    // duplicate key includes the ingest batch for the one per-PARTITION
+    // verb: a doc set that arrived across several micro-batches
+    // legitimately declares one ExactWindow target per touched partition
+    // of the SAME window index
+    val dup = targets.groupBy {
+        case ExactWindow(p, b, _) => ("exact_window", s"$p#batch=$b")
+        case t => (t.family, t.path)
+      }
       .collect { case (k, ts) if ts.size > 1 => k }
     require(dup.isEmpty, s"duplicate takedown targets: ${dup.mkString(", ")}")
     val idSet = ids.select(col("doc_id")).distinct().localCheckpoint(true)

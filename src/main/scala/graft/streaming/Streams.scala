@@ -716,6 +716,13 @@ object Streams {
     require(fs.exists(edgeRoot),
       s"no edge evidence under $labelsDir/edges — the loop state predates " +
         s"the r15 takedown layout; re-seed with $seedOp")
+    // Repair BEFORE listing (the rewritePartitions entry discipline): a
+    // prior purge that crashed mid-roll-forward leaves a version dir
+    // deleted with its replacement still staged — listing that layout
+    // would silently drop the version's edges from purgedEdges and the
+    // label re-solve, and the touched-only branch below might never call
+    // rewritePartitions (whose own entry repair would otherwise save us).
+    graft.operators.Purge.repairPartitionRewrite(spark, s"$labelsDir/edges")
     val edgeDirs = fs.listStatus(edgeRoot).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("v")).sortBy(_.getName)
     // TOUCHED-ONLY rewrite (the Purge module's own discipline — r16): one

@@ -181,6 +181,39 @@ class LangModelSpec extends TestBase {
     } finally { deleteRec(st); deleteRec(in) }
   }
 
+  test("delta commit: crash windows repair on next read; uncommitted stages discard") {
+    val train = docs(1L -> "a b a", 2L -> "b c")
+    val batch = docs(9L -> "a b c d")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec5")
+    val m = s"$tmp/m"
+    try {
+      LangModel.buildLmIndex(train, m)
+      LangModel.appendToLmIndex(docs(3L -> "c a"), m, 0L)
+      val healthy = LangModel.scoreAgainstLmIndex(m, batch).collect().toSeq
+      // committed crash mid-roll-forward: bigram delta back in the stage,
+      // marker present (unigrams already swapped in) — the exact window
+      // where a bare two-write scheme would leave c(w1) without c(w1,w2)
+      val fs = new org.apache.hadoop.fs.Path(m)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$m/_graft_lm_delta_stage/bigrams"))
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$m/bigrams/ingest=0"),
+        new org.apache.hadoop.fs.Path(s"$m/_graft_lm_delta_stage/bigrams/ingest=0")))
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$m/_GRAFT_LM_DELTA"), true)
+      out.write("unigrams/ingest=0\nbigrams/ingest=0\n".getBytes("UTF-8"))
+      out.close()
+      // next read repairs: scores return to the healthy state
+      assert(LangModel.scoreAgainstLmIndex(m, batch).collect().toSeq == healthy)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$m/_GRAFT_LM_DELTA")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$m/_graft_lm_delta_stage")))
+      // uncommitted crash: a stray stage with no marker is discarded whole
+      LangModel.unigramCounts(docs(7L -> "z z z")).repartition(1).write
+        .parquet(s"$m/_graft_lm_delta_stage/unigrams/ingest=9")
+      assert(LangModel.scoreAgainstLmIndex(m, batch).collect().toSeq == healthy)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$m/_graft_lm_delta_stage")))
+    } finally deleteRec(tmp)
+  }
+
   test("format marker gates every read path") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec4")
     try {

@@ -392,4 +392,60 @@ class PurgeSpec extends TestBase {
       Seq(999L).toDF("doc_id")))
     assert(noop == asMap(labels))
   }
+
+  test("purgeEverywhere accepts one ExactWindow target per touched ingest partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Takedown}
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val seed = d.where(col("doc_id") < 60)
+    val b0 = d.where(col("doc_id") >= 60 && col("doc_id") < 80)
+    val b1 = d.where(col("doc_id") >= 80 && col("doc_id") < 100)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge-xw")
+    val idx = s"$tmp/win"
+    try {
+      Dedup.buildExactWindowIndex(seed, idx)
+      Dedup.appendToExactWindowIndex(b0, idx, ingestBatch = 0L)
+      Dedup.appendToExactWindowIndex(b1, idx, ingestBatch = 1L)
+      // the erasure cites docs from BOTH ingest batches — one target per
+      // touched partition of the SAME index must not trip the dup check
+      val ids = Seq(65L, 85L).toDF("doc_id")
+      val audit = Takedown.purgeEverywhere(spark, ids, Seq(
+        Takedown.ExactWindow(idx, 0L,
+          survivors = b0.where(col("doc_id") =!= 65L)),
+        Takedown.ExactWindow(idx, 1L,
+          survivors = b1.where(col("doc_id") =!= 85L))))
+      assert(audit.count() == 2)
+      // the purged partitions equal built-without (key-set equality)
+      val got = spark.read.parquet(s"$idx/windows")
+        .select("m").distinct().collect().map(_.getLong(0)).toSet
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft-purge-xw2")
+      Dedup.buildExactWindowIndex(seed, s"$tmp2/win")
+      Dedup.appendToExactWindowIndex(b0.where(col("doc_id") =!= 65L),
+        s"$tmp2/win", 0L)
+      Dedup.appendToExactWindowIndex(b1.where(col("doc_id") =!= 85L),
+        s"$tmp2/win", 1L)
+      val want = spark.read.parquet(s"$tmp2/win/windows")
+        .select("m").distinct().collect().map(_.getLong(0)).toSet
+      assert(got == want)
+      deleteRecursively(tmp2)
+      // a genuinely duplicated standalone target still fails loudly
+      val ex = intercept[IllegalArgumentException] {
+        Takedown.purgeEverywhere(spark, ids, Seq(
+          Takedown.ExactWindow(idx, 0L, survivors = b0),
+          Takedown.ExactWindow(idx, 0L, survivors = b0)))
+      }
+      assert(ex.getMessage.contains("duplicate"))
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

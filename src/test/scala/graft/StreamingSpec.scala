@@ -734,6 +734,45 @@ class StreamingSpec extends TestBase {
     assert(ex.getMessage.contains("purged"), ex.getMessage)
   }
 
+  test("loop takedown repairs a crashed edge rewrite BEFORE listing evidence") {
+    import graft.operators.Dedup
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    import spark.implicits._
+    val corpus = Tables(spark, sf(), "documents").where(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Tables(spark, sf(), "documents").where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+    val st = java.nio.file.Files.createTempDirectory("graft-curation-crash")
+    val (idxDir, lblDir) = (st.resolve("index").toString, st.resolve("labels").toString)
+    Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
+    // simulate a purge that crashed mid-roll-forward on the edges root:
+    // live v-1 deleted, its replacement still staged, marker committed —
+    // a listing taken NOW would silently miss every v-1 edge
+    val edges = s"$lblDir/edges"
+    val fs = new org.apache.hadoop.fs.Path(edges)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$edges/_graft_purging"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$edges/v-1"),
+      new org.apache.hadoop.fs.Path(s"$edges/_graft_purging/v-1")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$edges/_graft_purge"), true)
+    out.write("SWAP v-1\n".getBytes("UTF-8")); out.close()
+    // purge an id that touches nothing: without the pre-listing repair
+    // the touched-only branch never runs, v-1 stays lost, and the label
+    // re-solve drops every seed edge
+    Streams.purgeCurationState(spark, idxDir, lblDir, Seq(999999L).toDF("doc_id"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$edges/v-1")),
+      "the crashed rewrite must roll forward before evidence is read")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$edges/_graft_purge")))
+    val got = spark.read.parquet(s"$lblDir/v-1").as[(Long, Long)](enc)
+      .collect().toSet
+    val want = Dedup.clusterDedupFirst(corpus, minJaccard = Some(0.8))
+      .as[(Long, Long)](enc).collect().toSet
+    assert(got == want,
+      "labels re-solved during the purge must still see every v-1 edge")
+  }
+
   test("audioDedupLoop: streamed labels == from-scratch CC; takedown mirrors the image loop") {
     import graft.operators.{Dedup, Multimodal}
     import spark.implicits._
