@@ -231,6 +231,29 @@ object ModelQueries {
       out
     },
 
+    // The model PRUNED for serving (KenLM-style min-count cut): fold,
+    // then drop n-grams under the floor — pruned unigrams score as OOV,
+    // pruned bigrams back off. The chain exercises prune-after-grow;
+    // the oracle replays the cut (count floor + left-endpoint semi-join)
+    // from raw. Bigrams commit before unigrams so a crash between the
+    // folds can't break the conditional's denominator invariant.
+    QueryDef("txt_lm_pruned")(
+      s"""${LangModel.pplSql(lmTrainSql, lmScoreSql, minCount = 30L)}
+         | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-prune")
+      LangModel.buildLmIndex(idText(d.where(bkt >= 40)), s"$tmp/model")
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+        s"$tmp/model", ingestBatch = 0L)
+      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
+      val out = LangModel.scoreAgainstLmIndex(s"$tmp/model",
+          idText(d.where(bkt < 20)))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // Moore–Lewis cross-entropy-difference selection (ACL 2010): every
     // candidate scored under the IN-domain model (clean originals) and
     // the OUT-domain model (the spam-prefixed twins' corpus); keep
@@ -325,5 +348,42 @@ object ModelQueries {
          | ORDER BY source""".stripMargin
     ) { (s, dir) =>
       Pii.stats(piiPlant(s, dir), "source").orderBy("source")
+    },
+
+    // The PII report's STREAMING twin (Streams.piiMonitor): per
+    // micro-batch prevalence, batchId-keyed overwrite — a pure observer
+    // beside the drift monitor, so replay exactness is the keyed write
+    // alone. The oracle replays each batch's report from its raw slice.
+    QueryDef("txt_pii_stream")({
+      def slice(lo: Int, hi: Int) =
+        s"(SELECT doc_id, text, source FROM $piiPlantSql p WHERE $bktSql >= $lo AND $bktSql < $hi)"
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, *
+         |   FROM (${Pii.statsSql(slice(0, 50), "source")})
+         | UNION ALL SELECT CAST(1 AS BIGINT), *
+         |   FROM (${Pii.statsSql(slice(50, 100), "source")})
+         | ORDER BY micro_batch, source""".stripMargin
+    }) { (s, dir) =>
+      val planted = piiPlant(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-pii-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-pii-stream-in")
+      stageAsFile(planted.where(bkt >= 0 && bkt < 50), inDir, "b0.parquet")
+      stageAsFile(planted.where(bkt >= 50 && bkt < 100), inDir, "b1.parquet")
+      val q = graft.streaming.Streams.piiMonitor(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/stats", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/stats")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("source"), col("n_docs"), col("n_docs_pii"), col("n_email"),
+          col("n_phone"), col("n_ip"), col("pii_rate"))
+        .orderBy(col("micro_batch"), col("source")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
     })
 }

@@ -377,6 +377,41 @@ object LangModel {
     fold("bigrams", Seq("w1", "w2"))
   }
 
+  /** PRUNE the model for serving (the KenLM-style min-count cut): fold
+    * every delta partition and drop n-grams whose total is below
+    * `minCount` — pruned unigrams score as OOV, pruned bigrams back off,
+    * exactly as if they had never been seen. Bigrams additionally drop
+    * when their LEFT endpoint was pruned, preserving the scoring
+    * invariant `c(w1,w2) > 0 ⇒ c(w1) > 0` (a kept bigram whose
+    * denominator unigram vanished would null its conditional). Rides the
+    * same two-phase fold as [[compactLmIndex]]; the result is a compact
+    * single-seed layout. Lossy by design — purges after a prune still
+    * validate against the pruned counts, so only prune a model you won't
+    * need to subtract pre-prune history from. */
+  def pruneLmIndex(spark: SparkSession, dir: String, minCount: Long): Unit = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    requireFormat(spark, dir)
+    repairDelta(spark, dir)
+    compactLmIndex(spark, dir) // single seed per table first
+    val uniKept = spark.read.parquet(s"$dir/unigrams")
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+      .repartition(1).localCheckpoint(true)
+    val biKept = spark.read.parquet(s"$dir/bigrams")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+      .where(col("c") >= minCount)
+      .join(uniKept.select(col("w").as("w1")), Seq("w1"), "left_semi")
+      .repartition(1).localCheckpoint(true)
+    // bigrams commit FIRST: a crash between the folds then leaves pruned
+    // bigrams over unpruned unigrams — the invariant c(w1,w2)>0 ⇒ c(w1)>0
+    // still holds (scores are merely pre-prune-stale until the re-run);
+    // the reverse order could null a kept bigram's denominator
+    Purge.rewritePartitions(spark, s"$dir/bigrams",
+      Seq("ingest=-1" -> Some(biKept)))
+    Purge.rewritePartitions(spark, s"$dir/unigrams",
+      Seq("ingest=-1" -> Some(uniKept)))
+  }
+
   /** Read the live model: sum counts across delta partitions, drop
     * zeroed n-grams (a never-seen and a fully-purged n-gram must read
     * identically). Vocabulary-scale work. `excludeIngestBatch`: skip one
@@ -423,12 +458,18 @@ object LangModel {
 
   /** Full scoring SQL: train on `trainSql`, score `scoreSql` (both
     * parenthesized (doc_id, text) SELECTs) — replays [[ppl]] exactly.
-    * Callers append their own ORDER BY / projection. */
-  def pplSql(trainSql: String, scoreSql: String): String =
+    * `minCount` > 1 replays [[pruneLmIndex]]'s cut on both tables
+    * (count floor + left-endpoint semi-join). Callers append their own
+    * ORDER BY / projection. */
+  def pplSql(trainSql: String, scoreSql: String, minCount: Long = 1L): String =
     s"""WITH ttok AS (SELECT * FROM ${tokenStreamSql(trainSql)}),
-       | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1),
-       | bi AS (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
-       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2),
+       | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1
+       |         HAVING count(*) >= $minCount),
+       | bi AS (SELECT b.w1, b.w2, b.c FROM
+       |         (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
+       |          FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2
+       |          HAVING count(*) >= $minCount) b
+       |        JOIN uni u ON u.w = b.w1),
        | tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
        |                CAST(count(*) AS DOUBLE) AS v FROM uni),
        | stok AS (SELECT * FROM ${tokenStreamSql(scoreSql)}),

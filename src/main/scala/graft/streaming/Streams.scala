@@ -612,6 +612,26 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming PII prevalence monitoring: per micro-batch, the typed
+    * findings report of the arriving docs ([[graft.operators.Pii.stats]]
+    * by `by`), written to `statsDir/micro_batch=<id>` — the release-gate
+    * observability loop beside [[driftMonitor]]: it only OBSERVES, so
+    * there is no state to grow and the batchId-keyed overwrite alone
+    * makes crash replays byte-identical. Per-batch cost is one batch
+    * scan (regex projections + one aggregate). */
+  def piiMonitor(docs: DataFrame, statsDir: String, checkpointDir: String,
+      by: String = "source"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
+          graft.operators.Pii.stats(batch.toDF(), by)
+            .write.mode("overwrite").parquet(s"$statsDir/micro_batch=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Seed the standing state for `curationLoop`: the corpus's near-dup
     * index (`Dedup.buildCrossNearDupIndex`), its initial labeling
     * (`Dedup.clusterDedupFirst` at the same gate) as labels version v-1

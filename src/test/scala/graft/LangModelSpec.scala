@@ -181,6 +181,33 @@ class LangModelSpec extends TestBase {
     } finally { deleteRec(st); deleteRec(in) }
   }
 
+  test("pruneLmIndex: hand-computed min-count cut; pruned n-grams score as unseen") {
+    // train "a a a b b c": uni a:3 b:2 c:1; bi (a,a):2 (a,b):1 (b,b):1 (b,c):1.
+    // minCount 2 keeps uni {a:3, b:2} (N=5, V=2) and bi {(a,a):2}.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec6")
+    try {
+      LangModel.buildLmIndex(docs(1L -> "a a a b b c"), s"$tmp/m")
+      LangModel.pruneLmIndex(spark, s"$tmp/m", minCount = 2L)
+      // score "c a b": c pruned → OOV add-one (0+1)/7;
+      // (c,a) unseen → backoff 0.4*(3+1)/7; (a,b) pruned → backoff 0.4*(2+1)/7
+      val got = LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "c a b"))
+        .select("n_tokens", "n_oov", "n_backoff", "xent")
+        .as[(Long, Long, Long, Double)].collect().head
+      val expect = -(math.log10(1.0 / 7) + math.log10(0.4 * 4 / 7) +
+        math.log10(0.4 * 3 / 7)) / 3
+      assert(got._1 == 3 && got._2 == 1 && got._3 == 2)
+      assert(math.abs(got._4 - BigDecimal(expect).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      // the layout is a compact single seed per table, floor enforced
+      def parts(sub: String) =
+        new java.io.File(s"$tmp/m/$sub").listFiles().map(_.getName)
+          .count(_.startsWith("ingest="))
+      assert(parts("unigrams") == 1 && parts("bigrams") == 1)
+      assert(spark.read.parquet(s"$tmp/m/unigrams")
+        .where(col("c") < 2).count() == 0)
+    } finally deleteRec(tmp)
+  }
+
   test("delta commit: crash windows repair on next read; uncommitted stages discard") {
     val train = docs(1L -> "a b a", 2L -> "b c")
     val batch = docs(9L -> "a b c d")
