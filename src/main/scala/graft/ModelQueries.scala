@@ -53,9 +53,9 @@ object ModelQueries {
   // The synthetic corpus contains no digits or '@' (verified per
   // fixture), so every finding below is planted — counts are exact by
   // construction on both engines.
-  private def piiPlant(s: SparkSession, dir: String): DataFrame = {
+  private def piiText: org.apache.spark.sql.Column = {
     val id = col("doc_id")
-    docs(s, dir).select(id, concat(
+    concat(
       col("text"),
       when(id % 5 === 0,
         concat(lit(" contact admin"), id.cast("string"),
@@ -68,11 +68,14 @@ object ModelQueries {
           (id % 200).cast("string"), lit(" up"))).otherwise(""),
       when(id % 11 === 0,
         concat(lit(" call +1 555 "), (lit(100) + id % 900).cast("string"),
-          lit(" 2345 today"))).otherwise("")).as("text"),
-      col("source"))
+          lit(" 2345 today"))).otherwise(""))
   }
-  private val piiPlantSql =
-    """(SELECT doc_id, text ||
+  private def piiPlant(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), piiText.as("text"), col("source"))
+  private def piiPlantLang(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), piiText.as("text"), col("lang"))
+  private val piiTextSql =
+    """text ||
       |   CASE WHEN doc_id % 5 = 0
       |     THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com now'
       |     ELSE '' END ||
@@ -85,9 +88,15 @@ object ModelQueries {
       |     ELSE '' END ||
       |   CASE WHEN doc_id % 11 = 0
       |     THEN ' call +1 555 ' || CAST(100 + doc_id % 900 AS VARCHAR) || ' 2345 today'
-      |     ELSE '' END AS text,
-      |   source
-      | FROM documents)""".stripMargin
+      |     ELSE '' END""".stripMargin
+  private val piiPlantSql =
+    s"""(SELECT doc_id, $piiTextSql AS text,
+       |   source
+       | FROM documents)""".stripMargin
+  private val piiPlantLangSql =
+    s"""(SELECT doc_id, $piiTextSql AS text,
+       |   lang
+       | FROM documents)""".stripMargin
 
   /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
     * file-stream source lists files, not Spark output directories (the
@@ -320,6 +329,35 @@ object ModelQueries {
       deleteRecursively(stDir)
       deleteRecursively(inDir)
       out
+    },
+
+    // END-TO-END release funnel: LR quality gate → LM gate → typed PII
+    // redaction → exact dedup over the REDACTED text, per-lang funnel.
+    // Corpus plants work for every stage: PII appendages (redaction +
+    // finding density), spam twins (die at the LM gate — measured xent
+    // ≥ 1.627 vs originals ≤ 1.584 under the planted-trained model, so
+    // the 1.6 cut separates), and exact copies of the first 20 docs
+    // (collapse at dedup). The LM trains on the PLANTED originals so
+    // planted PII tokens are in-vocabulary and originals stay below cut.
+    QueryDef("cur_release")(
+      graft.operators.Curation.releaseSql(
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangSql p
+           | UNION ALL SELECT doc_id + 1000000, '$lmSpam' || text, lang
+           |   FROM $piiPlantLangSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangSql p WHERE doc_id < 20)""".stripMargin,
+        s"(SELECT doc_id, text FROM $piiPlantLangSql p)", maxXent = 1.6)
+    ) { (s, dir) =>
+      val planted = piiPlantLang(s, dir)
+      val corpus = planted
+        .unionAll(planted.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit(lmSpam), col("text")).as("text"), col("lang")))
+        .unionAll(planted.where(col("doc_id") < 20)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("lang")))
+      graft.operators.Curation.release(corpus,
+          idText(planted), maxXent = 1.6)
+        .orderBy("lang")
     },
 
     // ---- typed PII detection / redaction -------------------------------

@@ -487,4 +487,83 @@ object Curation {
        |          FROM $batchSql GROUP BY 1) b USING (bin)
        |  ) j)""".stripMargin
   }
+
+  /** END-TO-END release funnel (r16): the composition a corpus RELEASE
+    * actually runs, gate-first (cheapest row properties first):
+    *   1. LR quality gate ([[TextAnalysis.lrQuality]] pass) — pure
+    *      projection;
+    *   2. statistical LM gate ([[LangModel.ppl]] xent ≤ `maxXent` under
+    *      the reference model) — vocabulary-scale model joins;
+    *   3. typed PII redaction ([[Pii.redact]]; finding density reported,
+    *      docs NOT dropped — redaction is the remedy);
+    *   4. exact dedup over the REDACTED text ([[Dedup.exact]]) — two
+    *      docs differing only in their PII spans collapse, because the
+    *      release artifact is the redacted text.
+    * Output per language: n_in → n_quality → n_lm → n_pii_docs
+    * (informational, among LM survivors) → n_unique. Every stage is the
+    * already-proven operator — this row pins the COMPOSITION's exact
+    * semantics, not new kernels. */
+  def release(corpus: DataFrame, lmTrain: DataFrame,
+      maxXent: Double): DataFrame = {
+    val idText = corpus.select(col("doc_id"), col("text"))
+    val q = TextAnalysis.lrQuality(idText).where(col("pass") === 1)
+      .select(col("doc_id")).join(corpus, Seq("doc_id"))
+    val scored = LangModel.ppl(lmTrain, q.select(col("doc_id"), col("text")))
+    val lmKept = q.join(
+      scored.where(col("xent") <= maxXent).select(col("doc_id")),
+      Seq("doc_id"))
+    val red = lmKept.select(col("doc_id"), col("lang"))
+      .join(Pii.redact(lmKept.select(col("doc_id"), col("text"))), Seq("doc_id"))
+      .join(Pii.detect(lmKept.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("has_pii")), Seq("doc_id"))
+    val keeps = Dedup.exact(red.select(col("doc_id"), col("redacted").as("text")))
+      .select(col("keep_id").as("doc_id"))
+    val uniq = red.join(keeps, Seq("doc_id"), "left_semi")
+    def countBy(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(as))
+    countBy(corpus, "n_in")
+      .join(countBy(q, "n_quality"), Seq("lang"), "left")
+      .join(countBy(lmKept, "n_lm"), Seq("lang"), "left")
+      .join(red.groupBy(col("lang"))
+        .agg(sum(col("has_pii").cast("long")).as("n_pii_docs")),
+        Seq("lang"), "left")
+      .join(countBy(uniq, "n_unique"), Seq("lang"), "left")
+      .select(col("lang"), col("n_in"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_lm"), lit(0L)).as("n_lm"),
+        coalesce(col("n_pii_docs"), lit(0L)).as("n_pii_docs"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+  }
+
+  /** Oracle for [[release]]: the LR pass formula, the [[LangModel
+    * .pplSql]] chain over the quality survivors, the inlined redaction /
+    * any-finding expressions, and the md5 keep-min dedup — all composed
+    * as one statement. `corpusSql` / `trainSql` are parenthesized
+    * (doc_id, text, lang) / (doc_id, text) SELECTs. */
+  def releaseSql(corpusSql: String, trainSql: String, maxXent: Double): String =
+    s"""WITH corpus AS (SELECT * FROM $corpusSql c),
+       | q AS (SELECT doc_id, text, lang FROM (
+       |   SELECT doc_id, text, lang,
+       |     (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mtl,
+       |     len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS sr,
+       |     ln(1.0 + len(string_split(text,' '))) AS lt
+       |   FROM corpus)
+       |  WHERE round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * mtl + 6.0 * sr + 0.35 * lt))), 6) >= 0.5),
+       | lmsc AS (
+       |  ${LangModel.pplSql(trainSql, "(SELECT doc_id, text FROM q)")}
+       | ),
+       | lmk AS (SELECT q.* FROM q JOIN lmsc ON q.doc_id = lmsc.doc_id
+       |         WHERE lmsc.xent <= $maxXent),
+       | red AS (SELECT doc_id, lang, ${Pii.redactExprSql()} AS rtext,
+       |                ${Pii.anyPiiExprSql()} AS has_pii
+       |         FROM lmk),
+       | keeps AS (SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+       |           FROM red GROUP BY md5(rtext)),
+       | uniq AS (SELECT r.lang FROM red r JOIN keeps k ON r.doc_id = k.keep_id)
+       | SELECT c.lang, CAST(count(*) AS BIGINT) AS n_in,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang = c.lang), 0) AS n_quality,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM lmk WHERE lmk.lang = c.lang), 0) AS n_lm,
+       |   coalesce((SELECT CAST(sum(has_pii) AS BIGINT) FROM red WHERE red.lang = c.lang), 0) AS n_pii_docs,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM uniq WHERE uniq.lang = c.lang), 0) AS n_unique
+       | FROM corpus c GROUP BY c.lang ORDER BY c.lang""".stripMargin
 }

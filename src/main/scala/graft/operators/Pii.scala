@@ -83,14 +83,26 @@ object Pii {
        | FROM $corpusSql""".stripMargin
   }
 
-  /** DuckDB rendering of [[redact]] over `corpusSql`. */
-  def redactSql(corpusSql: String): String = {
-    val red = patterns.foldLeft("text") { case (e, (cat, pat)) =>
+  /** DuckDB expression for the typed redaction of a text column —
+    * exposed so composition oracles ([[Curation.releaseSql]]) can inline
+    * it without re-deriving the pattern order. */
+  def redactExprSql(textCol: String = "text"): String =
+    patterns.foldLeft(textCol) { case (e, (cat, pat)) =>
       s"regexp_replace($e, '$pat', '${token(cat)}', 'g')"
     }
-    s"""SELECT doc_id, $red AS redacted
-       | FROM $corpusSql""".stripMargin
+
+  /** DuckDB expression: 1 iff the text column holds any typed finding. */
+  def anyPiiExprSql(textCol: String = "text"): String = {
+    val counts = patterns
+      .map { case (_, pat) => s"len(regexp_extract_all($textCol, '$pat'))" }
+      .mkString(" + ")
+    s"CASE WHEN ($counts) > 0 THEN 1 ELSE 0 END"
   }
+
+  /** DuckDB rendering of [[redact]] over `corpusSql`. */
+  def redactSql(corpusSql: String): String =
+    s"""SELECT doc_id, ${redactExprSql()} AS redacted
+       | FROM $corpusSql""".stripMargin
 
   /** DuckDB rendering of [[stats]] over `corpusSql` (must also carry the
     * `by` column). */
