@@ -542,13 +542,8 @@ object Curation {
     * (doc_id, text, lang) / (doc_id, text) SELECTs. */
   def releaseSql(corpusSql: String, trainSql: String, maxXent: Double): String =
     s"""WITH corpus AS (SELECT * FROM $corpusSql c),
-       | q AS (SELECT doc_id, text, lang FROM (
-       |   SELECT doc_id, text, lang,
-       |     (length(text) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS mtl,
-       |     len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) / len(string_split(text,' ')) AS sr,
-       |     ln(1.0 + len(string_split(text,' '))) AS lt
-       |   FROM corpus)
-       |  WHERE round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * mtl + 6.0 * sr + 0.35 * lt))), 6) >= 0.5),
+       | q AS (SELECT doc_id, text, lang FROM corpus
+       |  WHERE ${TextAnalysis.lrScoreExprSql()} >= 0.5),
        | lmsc AS (
        |  ${LangModel.pplSql(trainSql, "(SELECT doc_id, text FROM q)")}
        | ),

@@ -2142,8 +2142,14 @@ object Dedup {
       // dir-based per-batch scan, materializing (and folding) the full
       // standing window set in executor storage is exactly the blowup
       // the flag exists to avoid — the partition write above is all the
-      // uncached shape needs
-      if (spark.conf.get("graft.loopWindowCache", "true") == "false") return
+      // uncached shape needs. DROP any earlier cache as well: if the
+      // flag flips back on later, a stale fold missing this batch's
+      // keys would serve false novelty — force the next cached probe to
+      // reload from disk instead.
+      if (spark.conf.get("graft.loopWindowCache", "true") == "false") {
+        windows = null
+        return
+      }
       windows = load().where(col("ingest_batch") =!= ingestBatch)
         .unionAll(keys.select(col("m"), lit(ingestBatch).as("ingest_batch")))
       extensions += 1

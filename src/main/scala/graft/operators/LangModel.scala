@@ -228,6 +228,18 @@ object LangModel {
     ()
   }
 
+  /** Every-read-path repair: the delta commit's own marker PLUS any
+    * crashed [[Purge.rewritePartitions]] fold on either table root
+    * ([[compactLmIndex]]/[[pruneLmIndex]] commit through it — a compact
+    * interrupted after its seed SWAP but before its delta DROPs would
+    * otherwise double-count the un-dropped deltas on every score until
+    * the next owner op). All metadata-scale (fs stats). */
+  private def repairAll(spark: SparkSession, dir: String): Unit = {
+    repairDelta(spark, dir)
+    Purge.repairPartitionRewrite(spark, s"$dir/unigrams")
+    Purge.repairPartitionRewrite(spark, s"$dir/bigrams")
+  }
+
   /** Finish (marker present) or discard (marker absent) an interrupted
     * delta commit. Idempotent; a no-op on a healthy layout; runs at the
     * head of every read/mutate path. */
@@ -307,7 +319,7 @@ object LangModel {
     require(purgeId >= 0, s"purge id $purgeId is negative")
     val spark = purgedRows.sparkSession
     requireFormat(spark, dir)
-    repairDelta(spark, dir)
+    repairAll(spark, dir)
     // candidate deltas, eagerly pinned: the validation reads them and the
     // commit writes them — one computation for both
     val uniDelta = unigramCounts(purgedRows)
@@ -321,13 +333,22 @@ object LangModel {
     // dropped by readModel's c>0 filter while the never-purged (a,b)
     // survives — an inconsistent model instead of a loud error.
     // Failure leaves the live layout byte-untouched (no rollback window).
-    val negUni = spark.read.parquet(s"$dir/unigrams").select(col("w"), col("c"))
+    // The live read EXCLUDES this purge id's own partition so a RETRIED
+    // purge (an orchestration crashed after this family committed, then
+    // re-ran end to end — Takedown's documented recovery) validates
+    // against exactly the state its first attempt saw instead of
+    // double-counting its own committed delta and throwing spuriously;
+    // the keyed overwrite then rewrites identical bytes.
+    val own = -(2 + purgeId)
+    val negUni = spark.read.parquet(s"$dir/unigrams")
+      .where(col("ingest") =!= own).select(col("w"), col("c"))
       .unionAll(uniDelta)
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
       .where(col("c") < 0).limit(1).collect()
     val negBi =
       if (negUni.nonEmpty) negUni
       else spark.read.parquet(s"$dir/bigrams")
+        .where(col("ingest") =!= own)
         .select(col("w1"), col("w2"), col("c"))
         .unionAll(biDelta)
         .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
@@ -380,36 +401,40 @@ object LangModel {
   /** PRUNE the model for serving (the KenLM-style min-count cut): fold
     * every delta partition and drop n-grams whose total is below
     * `minCount` — pruned unigrams score as OOV, pruned bigrams back off,
-    * exactly as if they had never been seen. Bigrams additionally drop
-    * when their LEFT endpoint was pruned, preserving the scoring
-    * invariant `c(w1,w2) > 0 ⇒ c(w1) > 0` (a kept bigram whose
-    * denominator unigram vanished would null its conditional). Rides the
-    * same two-phase fold as [[compactLmIndex]]; the result is a compact
-    * single-seed layout. Lossy by design — purges after a prune still
-    * validate against the pruned counts, so only prune a model you won't
-    * need to subtract pre-prune history from. */
+    * exactly as if they had never been seen. The scoring invariant
+    * `c(w1,w2) > 0 ⇒ c(w1) > 0` survives the cut for free: counts are
+    * corpus-shaped through every build/grow/purge (each delta is the
+    * unigram and bigram bag of the SAME rows), so `c(w1,w2) ≤ c(w1)`
+    * always and a bigram clearing the floor implies its left endpoint
+    * does too. One fused fold+floor rewrite per table (seed SWAP +
+    * delta DROPs in a single two-phase commit — never a separate
+    * compact pass); bigrams commit FIRST so a crash between the two
+    * table commits leaves pruned bigrams over unpruned unigrams, which
+    * keeps every kept bigram's denominator alive (the reverse order
+    * could null it). Lossy by design — purges after a prune still
+    * validate against the pruned counts, so only prune a model you
+    * won't need to subtract pre-prune history from. */
   def pruneLmIndex(spark: SparkSession, dir: String, minCount: Long): Unit = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     requireFormat(spark, dir)
-    repairDelta(spark, dir)
-    compactLmIndex(spark, dir) // single seed per table first
-    val uniKept = spark.read.parquet(s"$dir/unigrams")
-      .groupBy(col("w")).agg(sum(col("c")).as("c"))
-      .where(col("c") >= minCount)
-      .repartition(1).localCheckpoint(true)
-    val biKept = spark.read.parquet(s"$dir/bigrams")
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
-      .where(col("c") >= minCount)
-      .join(uniKept.select(col("w").as("w1")), Seq("w1"), "left_semi")
-      .repartition(1).localCheckpoint(true)
-    // bigrams commit FIRST: a crash between the folds then leaves pruned
-    // bigrams over unpruned unigrams — the invariant c(w1,w2)>0 ⇒ c(w1)>0
-    // still holds (scores are merely pre-prune-stale until the re-run);
-    // the reverse order could null a kept bigram's denominator
-    Purge.rewritePartitions(spark, s"$dir/bigrams",
-      Seq("ingest=-1" -> Some(biKept)))
-    Purge.rewritePartitions(spark, s"$dir/unigrams",
-      Seq("ingest=-1" -> Some(uniKept)))
+    repairAll(spark, dir)
+    def foldFloor(sub: String, keys: Seq[String]): Unit = {
+      val root = s"$dir/$sub"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(rp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("ingest=")).sorted
+      val kept = spark.read.parquet(parts.map(p => s"$root/$p"): _*)
+        .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+        .where(col("c") >= minCount)
+        .repartition(1)
+      val repl: Seq[(String, Option[DataFrame])] =
+        ("ingest=-1" -> Some(kept)) +:
+          parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
+      Purge.rewritePartitions(spark, root, repl)
+    }
+    foldFloor("bigrams", Seq("w1", "w2"))
+    foldFloor("unigrams", Seq("w"))
   }
 
   /** Read the live model: sum counts across delta partitions, drop
@@ -421,7 +446,7 @@ object LangModel {
   def readModel(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     requireFormat(spark, dir)
-    repairDelta(spark, dir)
+    repairAll(spark, dir)
     def table(sub: String, keys: Seq[String]): DataFrame = {
       val raw = spark.read.parquet(s"$dir/$sub")
       val visible = excludeIngestBatch match {
@@ -458,18 +483,17 @@ object LangModel {
 
   /** Full scoring SQL: train on `trainSql`, score `scoreSql` (both
     * parenthesized (doc_id, text) SELECTs) — replays [[ppl]] exactly.
-    * `minCount` > 1 replays [[pruneLmIndex]]'s cut on both tables
-    * (count floor + left-endpoint semi-join). Callers append their own
-    * ORDER BY / projection. */
+    * `minCount` > 1 replays [[pruneLmIndex]]'s cut on both tables — a
+    * bare count floor per table; the left-endpoint implication
+    * `c(w1,w2) ≤ c(w1)` makes any endpoint join redundant (see
+    * [[pruneLmIndex]]). Callers append their own ORDER BY / projection. */
   def pplSql(trainSql: String, scoreSql: String, minCount: Long = 1L): String =
     s"""WITH ttok AS (SELECT * FROM ${tokenStreamSql(trainSql)}),
        | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1
        |         HAVING count(*) >= $minCount),
-       | bi AS (SELECT b.w1, b.w2, b.c FROM
-       |         (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
-       |          FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2
-       |          HAVING count(*) >= $minCount) b
-       |        JOIN uni u ON u.w = b.w1),
+       | bi AS (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
+       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2
+       |        HAVING count(*) >= $minCount),
        | tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
        |                CAST(count(*) AS DOUBLE) AS v FROM uni),
        | stok AS (SELECT * FROM ${tokenStreamSql(scoreSql)}),

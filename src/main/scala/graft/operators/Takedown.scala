@@ -212,7 +212,15 @@ object Takedown {
           graft.streaming.Streams.purgeAudioDedupState(
             spark, indexDir, labelsDir, idSet)
       }
-      (t.family, t.path, found, (System.nanoTime() - t0) / 1e9)
+      // the manifest target echoes the dup key's per-partition suffix for
+      // the one per-partition verb, so a multi-batch erasure's rows stay
+      // attributable ("we covered partitions 0 AND 1", not two identical
+      // lines) and the (family, target) sort is total
+      val auditTarget = t match {
+        case ExactWindow(p, b, _) => s"$p#batch=$b"
+        case _ => t.path
+      }
+      (t.family, auditTarget, found, (System.nanoTime() - t0) / 1e9)
     }
     import spark.implicits._
     rows.toDF("family", "target", "ids_found", "sec")

@@ -88,6 +88,19 @@ object TextAnalysis {
       .withColumn("pass", (col("lr_score") >= 0.5).cast("int"))
   }
 
+  /** DuckDB expression for the rounded default-weight LR score of a text
+    * column — the one formula composition oracles should inline
+    * ([[graft.operators.Curation.releaseSql]]) instead of re-deriving the
+    * weights; compare `>= 0.5` for the pass gate. */
+  def lrScoreExprSql(textCol: String = "text"): String = {
+    val n = s"len(string_split($textCol,' '))"
+    val mtl = s"(length($textCol) - ($n - 1)) / $n"
+    val sr = s"len(list_filter(string_split($textCol,' '), " +
+      s"t -> t IN ('the','a','and','of','to'))) / $n"
+    val lt = s"ln(1.0 + $n)"
+    s"round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * ($mtl) + 6.0 * ($sr) + 0.35 * ($lt)))), 6)"
+  }
+
   /** The LR quality FEATURES, shared verbatim by scoring ([[lrQuality]])
     * and training ([[lrTrain]]) so a learned gate scores with exactly the
     * features it trained on: mean token length, stopword ratio,

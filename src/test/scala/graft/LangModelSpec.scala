@@ -65,7 +65,7 @@ class LangModelSpec extends TestBase {
         LangModel.ppl(a.unionAll(b), batch).orderBy("doc_id").collect().toSeq)
       LangModel.purgeFromLmIndex(b, s"$tmp/m", 0L)
       assert(score() == LangModel.ppl(a, batch).orderBy("doc_id").collect().toSeq)
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
   }
 
   test("purge refuses rows never counted in, leaving the model unchanged") {
@@ -88,7 +88,29 @@ class LangModelSpec extends TestBase {
       }
       assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
         .collect().toSeq == before)
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
+  }
+
+  test("purge is replay-idempotent: a re-run with the same purgeId converges") {
+    // the Takedown recovery contract: an orchestration that crashed after
+    // this family committed re-runs END TO END — the same purge must
+    // validate against the state its first attempt saw (own-partition
+    // exclusion), not double-count its own committed delta and throw
+    val train = docs(1L -> "a b", 2L -> "b c", 3L -> "c a")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-spec7")
+    try {
+      LangModel.buildLmIndex(train, s"$tmp/m")
+      // doc 3 contributes the ONLY 'c a' bigram — a naive revalidation
+      // of the retry would see it at -1
+      LangModel.purgeFromLmIndex(docs(3L -> "c a"), s"$tmp/m", 0L)
+      val after = LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
+        .collect().toSeq
+      LangModel.purgeFromLmIndex(docs(3L -> "c a"), s"$tmp/m", 0L) // retry
+      assert(LangModel.scoreAgainstLmIndex(s"$tmp/m", docs(9L -> "a b c"))
+        .collect().toSeq == after)
+      assert(after == LangModel.ppl(train.where(col("doc_id") =!= 3L),
+        docs(9L -> "a b c")).collect().toSeq)
+    } finally deleteRecursively(tmp)
   }
 
   test("compaction folds delta partitions; scores identical; zeroed n-grams drop") {
@@ -114,7 +136,7 @@ class LangModelSpec extends TestBase {
       // no negative or zero counts survive the fold
       assert(spark.read.parquet(s"$tmp/m/unigrams")
         .where(col("c") <= 0).count() == 0)
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
   }
 
   test("mooreLewis: in-domain docs selected, out-domain twins rejected") {
@@ -152,7 +174,7 @@ class LangModelSpec extends TestBase {
         val part = new java.io.File(s"$tmp/d").listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.copy(part.toPath, in.resolve(name))
-        deleteRec(tmp)
+        deleteRecursively(tmp)
       }
       stage(b0, "b0.parquet")
       stage(b1, "b1.parquet")
@@ -178,7 +200,7 @@ class LangModelSpec extends TestBase {
         seed.unionAll(b0).unionAll(b1).select(col("doc_id"), col("text")))
       assert(uni.orderBy("w").collect().toSeq ==
         wantUni.orderBy("w").collect().toSeq)
-    } finally { deleteRec(st); deleteRec(in) }
+    } finally { deleteRecursively(st); deleteRecursively(in) }
   }
 
   test("pruneLmIndex: hand-computed min-count cut; pruned n-grams score as unseen") {
@@ -205,7 +227,7 @@ class LangModelSpec extends TestBase {
       assert(parts("unigrams") == 1 && parts("bigrams") == 1)
       assert(spark.read.parquet(s"$tmp/m/unigrams")
         .where(col("c") < 2).count() == 0)
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
   }
 
   test("delta commit: crash windows repair on next read; uncommitted stages discard") {
@@ -238,7 +260,7 @@ class LangModelSpec extends TestBase {
         .parquet(s"$m/_graft_lm_delta_stage/unigrams/ingest=9")
       assert(LangModel.scoreAgainstLmIndex(m, batch).collect().toSeq == healthy)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$m/_graft_lm_delta_stage")))
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
   }
 
   test("format marker gates every read path") {
@@ -253,16 +275,7 @@ class LangModelSpec extends TestBase {
       intercept[IllegalArgumentException] {
         LangModel.appendToLmIndex(docs(2L -> "b"), s"$tmp/m", 0L)
       }
-    } finally deleteRec(tmp)
+    } finally deleteRecursively(tmp)
   }
 
-  private def deleteRec(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
 }

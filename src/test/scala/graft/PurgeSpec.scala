@@ -439,13 +439,4 @@ class PurgeSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
 }

@@ -10,6 +10,17 @@ trait TestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestBase.session
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Shared temp-dir cleanup (one copy for every spec). */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
 
 object TestBase {
