@@ -505,34 +505,36 @@ object Curation {
     * semantics, not new kernels. */
   def release(corpus: DataFrame, lmTrain: DataFrame,
       maxXent: Double): DataFrame = {
-    val idText = corpus.select(col("doc_id"), col("text"))
-    val q = TextAnalysis.lrQuality(idText).where(col("pass") === 1)
-      .select(col("doc_id")).join(corpus, Seq("doc_id"))
-    val scored = LangModel.ppl(lmTrain, q.select(col("doc_id"), col("text")))
-    val lmKept = q.join(
-      scored.where(col("xent") <= maxXent).select(col("doc_id")),
-      Seq("doc_id"))
-    val red = lmKept.select(col("doc_id"), col("lang"))
-      .join(Pii.redact(lmKept.select(col("doc_id"), col("text"))), Seq("doc_id"))
-      .join(Pii.detect(lmKept.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("has_pii")), Seq("doc_id"))
-    val keeps = Dedup.exact(red.select(col("doc_id"), col("redacted").as("text")))
-      .select(col("keep_id").as("doc_id"))
-    val uniq = red.join(keeps, Seq("doc_id"), "left_semi")
-    def countBy(df: DataFrame, as: String): DataFrame =
-      df.groupBy(col("lang")).agg(count(lit(1)).as(as))
-    countBy(corpus, "n_in")
-      .join(countBy(q, "n_quality"), Seq("lang"), "left")
-      .join(countBy(lmKept, "n_lm"), Seq("lang"), "left")
-      .join(red.groupBy(col("lang"))
-        .agg(sum(col("has_pii").cast("long")).as("n_pii_docs")),
-        Seq("lang"), "left")
-      .join(countBy(uniq, "n_unique"), Seq("lang"), "left")
-      .select(col("lang"), col("n_in"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_lm"), lit(0L)).as("n_lm"),
-        coalesce(col("n_pii_docs"), lit(0L)).as("n_pii_docs"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+    // Every stage lands as a FLAG on one per-doc row, so the corpus and
+    // the LM scoring chain each appear in the plan exactly once and the
+    // funnel is ONE aggregate — the naive five-countBy-joins form
+    // replicated the scoring subtree per reference (a ~260-join plan at
+    // fixture scale that recomputed the model chain three times).
+    val flagged = corpus.select(col("doc_id"), col("text"), col("lang"),
+      (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"))
+    val scored = LangModel.ppl(lmTrain,
+        flagged.where(col("q_pass") === 1).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("xent"))
+    val st = flagged.join(scored, Seq("doc_id"), "left")
+      .withColumn("lm_kept",
+        (col("q_pass") === 1 && col("xent").isNotNull &&
+          col("xent") <= maxXent).cast("int"))
+      // redaction + finding flag fold into the SAME projection (the
+      // release artifact is the redacted text; non-survivors carry null)
+      .withColumn("rtext",
+        when(col("lm_kept") === 1, Pii.redactText(col("text"))))
+      .withColumn("has_pii",
+        when(col("lm_kept") === 1, Pii.anyPii(col("text"))).otherwise(0))
+    val keeps = st.where(col("lm_kept") === 1)
+      .groupBy(md5(col("rtext"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("is_keep"))
+    st.join(keeps, Seq("doc_id"), "left")
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_in"),
+        sum(col("q_pass").cast("long")).as("n_quality"),
+        sum(col("lm_kept").cast("long")).as("n_lm"),
+        sum(col("has_pii").cast("long")).as("n_pii_docs"),
+        sum(coalesce(col("is_keep"), lit(0)).cast("long")).as("n_unique"))
   }
 
   /** Oracle for [[release]]: the LR pass formula, the [[LangModel

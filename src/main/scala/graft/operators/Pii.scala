@@ -33,6 +33,19 @@ object Pii {
   private def countOf(pat: String): Column =
     size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
 
+  /** Column form of the typed redaction — for compositions that fold it
+    * into an existing projection instead of a join ([[Curation.release]]). */
+  def redactText(c: Column): Column =
+    patterns.foldLeft(c) { case (e, (cat, pat)) =>
+      regexp_replace(e, pat, token(cat))
+    }
+
+  /** Column form of the any-finding flag (0/1). */
+  def anyPii(c: Column): Column =
+    (patterns.map { case (_, pat) =>
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _) > 0).cast("int")
+
   /** Per-document typed finding counts + an any-PII flag. */
   def detect(docs: DataFrame): DataFrame = {
     val counts = patterns.map { case (cat, pat) =>
@@ -46,12 +59,8 @@ object Pii {
   /** Typed redaction: each category's spans replaced by its placeholder
     * token, applied in [[patterns]] order (deterministic — both engines
     * scan leftmost-first). */
-  def redact(docs: DataFrame): DataFrame = {
-    val red = patterns.foldLeft(col("text")) { case (c, (cat, pat)) =>
-      regexp_replace(c, pat, token(cat))
-    }
-    docs.select(col("doc_id"), red.as("redacted"))
-  }
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), redactText(col("text")).as("redacted"))
 
   /** Corpus-level PII prevalence by a grouping column — the report a
     * release gate reads (documents with PII per source, findings per

@@ -79,13 +79,20 @@ object TextAnalysis {
     * number. Per-row only — no shuffle, codegen end-to-end. */
   def lrQuality(docs: DataFrame,
       w0: Double = -3.0, wMeanTokLen: Double = 0.4,
-      wStop: Double = 6.0, wLogTok: Double = 0.35): DataFrame = {
-    val z = lit(w0) + lit(wMeanTokLen) * featMtl + lit(wStop) * featSr +
-      lit(wLogTok) * featLt
+      wStop: Double = 6.0, wLogTok: Double = 0.35): DataFrame =
     docs.select(
       col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr_score"))
+      lrScore(w0, wMeanTokLen, wStop, wLogTok).as("lr_score"))
       .withColumn("pass", (col("lr_score") >= 0.5).cast("int"))
+
+  /** The rounded default-feature LR score as a bare Column (over a `text`
+    * column in scope) — for compositions that fold the gate into an
+    * existing projection instead of a join ([[Curation.release]]). */
+  def lrScore(w0: Double = -3.0, wMeanTokLen: Double = 0.4,
+      wStop: Double = 6.0, wLogTok: Double = 0.35): Column = {
+    val z = lit(w0) + lit(wMeanTokLen) * featMtl + lit(wStop) * featSr +
+      lit(wLogTok) * featLt
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
   /** DuckDB expression for the rounded default-weight LR score of a text
