@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LangModel, Pii, Sampling}
+import graft.operators.{LangModel, LangModelMl, Pii, Sampling}
 
 /** Catalog rows for the round-16 model-based curation additions: the
   * Stupid-Backoff bigram LM quality family (CCNet-style perplexity
@@ -39,6 +39,22 @@ object ModelQueries {
     * ≥ 0.07 margin on both sides (no score near the rounded boundary). */
   private val lmSpam = "the a of to and " * 3
   private val lmGateCut = 1.65
+  /** Spam prefix for the MULTILINGUAL fixtures — longer than [[lmSpam]]
+    * (per-language models train on ~70-doc strata, so a twin needs more
+    * junk mass to clear the per-lang calibrated cut in every language;
+    * windows measured in MlGateProbe). */
+  private val mlSpam = "the a of to and " * 8
+  /** Per-lang calibrated-cut offset (micro-units above each language's
+    * train self-score mean) for txt_lm_gate_ml — the MlGateProbe-measured
+    * window (max originals-above-base vs min twins-above-base over ALL
+    * langs at sf0.01 and sf0.001) contains this value with margin. */
+  private val mlGateOffsetMicro = 255000L
+  /** Trigram-gate cut: measured consistent ≈ 0.26, crossed ≈ 0.49 at
+    * sf0.01 (the 0.699/3 trigram-backoff gap) — 0.37 splits the gap. */
+  private val lm3GateCut = 0.37
+  /** cur_release calibrated-cut offset — same probe, PII-planted
+    * fixture. */
+  private val relOffsetMicro = 255000L
   private def lmJunkPlant(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
     d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -49,14 +65,43 @@ object ModelQueries {
        | UNION ALL SELECT doc_id + 1000000, '$lmSpam' || text, lang
        | FROM documents)""".stripMargin
 
+  // ---- REAL non-Latin fixture text ------------------------------------
+  // The synthetic corpus's `zh` documents are ASCII (an artifact of the
+  // generator), so they can't exercise a Unicode tokenizer. The ML rows
+  // TRANSLITERATE them: every ASCII letter of a zh doc maps to a distinct
+  // Han character (translate() is per-character and identical in Spark
+  // and DuckDB), producing REAL CJK text — each former word becomes a
+  // run of Han characters, which the multilingual class tokenizes
+  // char-level (the standard CJK unit). Deterministic on both engines.
+  private val latinAlphabet = "abcdefghijklmnopqrstuvwxyz"
+  private val hanAlphabet: String =
+    (0 until 26).map(i => (0x4e00 + i).toChar).mkString
+  private def cjkOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, hanAlphabet)
+  private def cjkOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$hanAlphabet')"
+
+  /** documents with the zh stratum transliterated to real Han text. */
+  private def mlDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("lang") === "zh", cjkOf(col("text")))
+        .otherwise(col("text")).as("text"),
+      col("lang"))
+  private val mlDocsSql =
+    s"""(SELECT doc_id,
+       |   CASE WHEN lang = 'zh' THEN ${cjkOfSql("text")} ELSE text END AS text,
+       |   lang FROM documents)""".stripMargin
+
   // ---- PII planting ---------------------------------------------------
   // The synthetic corpus contains no digits or '@' (verified per
   // fixture), so every finding below is planted — counts are exact by
   // construction on both engines.
-  private def piiText: org.apache.spark.sql.Column = {
+  private def piiText: org.apache.spark.sql.Column = piiTextOf(col("text"))
+  private def piiTextOf(base: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
-      col("text"),
+      base,
       when(id % 5 === 0,
         concat(lit(" contact admin"), id.cast("string"),
           lit("@example.com now"))).otherwise(""),
@@ -68,14 +113,34 @@ object ModelQueries {
           (id % 200).cast("string"), lit(" up"))).otherwise(""),
       when(id % 11 === 0,
         concat(lit(" call +1 555 "), (lit(100) + id % 900).cast("string"),
-          lit(" 2345 today"))).otherwise(""))
+          lit(" 2345 today"))).otherwise(""),
+      when(id % 13 === 0,
+        concat(lit(" or ("), (lit(200) + id % 700).cast("string"),
+          lit(") 867-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      when(id % 17 === 0,
+        concat(lit(" fax 555-"), (lit(100) + id % 900).cast("string"),
+          lit("-"), lpad((id % 10000).cast("string"), 4, "0"), lit(" soon")))
+        .otherwise(""),
+      when(id % 19 === 0,
+        concat(lit(" via fe80:1:2:3:4:5:6:"),
+          (lit(1000) + id % 9000).cast("string"), lit(" tunnel")))
+        .otherwise(""),
+      when(id % 23 === 0,
+        concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" filed"))).otherwise(""),
+      // the boundary interaction case: an IP-shaped local part — the
+      // email rule (first in redaction order) must eat the WHOLE address,
+      // leaving no IP finding (spec-pinned in PiiSpec)
+      when(id % 29 === 0, lit(" ping 1.2.3.4@mail.com ok")).otherwise(""))
   }
   private def piiPlant(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), piiText.as("text"), col("source"))
   private def piiPlantLang(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), piiText.as("text"), col("lang"))
-  private val piiTextSql =
-    """text ||
+  private val piiTextSql = piiTextSqlOf("text")
+  private def piiTextSqlOf(base: String): String =
+    s"""$base ||
       |   CASE WHEN doc_id % 5 = 0
       |     THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com now'
       |     ELSE '' END ||
@@ -88,6 +153,23 @@ object ModelQueries {
       |     ELSE '' END ||
       |   CASE WHEN doc_id % 11 = 0
       |     THEN ' call +1 555 ' || CAST(100 + doc_id % 900 AS VARCHAR) || ' 2345 today'
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 13 = 0
+      |     THEN ' or (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') 867-' ||
+      |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 17 = 0
+      |     THEN ' fax 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+      |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon'
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 19 = 0
+      |     THEN ' via fe80:1:2:3:4:5:6:' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' tunnel'
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 23 = 0
+      |     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 29 = 0
+      |     THEN ' ping 1.2.3.4@mail.com ok'
       |     ELSE '' END""".stripMargin
   private val piiPlantSql =
     s"""(SELECT doc_id, $piiTextSql AS text,
@@ -97,6 +179,61 @@ object ModelQueries {
     s"""(SELECT doc_id, $piiTextSql AS text,
        |   lang
        | FROM documents)""".stripMargin
+
+  /** Multilingual PII plant: the zh stratum's BASE text transliterated to
+    * real Han BEFORE the PII appendages (transliterating after would eat
+    * the planted emails' a-z), so cur_release's per-lang LM funnel is
+    * exercised on actual non-Latin text. */
+  private def piiPlantLangMl(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      piiTextOf(when(col("lang") === "zh", cjkOf(col("text")))
+        .otherwise(col("text"))).as("text"),
+      col("lang"))
+  private val piiPlantLangMlSql =
+    s"""(SELECT doc_id,
+       |   ${piiTextSqlOf(
+              s"(CASE WHEN lang = 'zh' THEN ${cjkOfSql("text")} ELSE text END)")} AS text,
+       |   lang
+       | FROM documents)""".stripMargin
+
+  /** (train, corpus) of the txt_lm_gate_ml row — four strata: originals,
+    * ASCII-spam twins (+1e6), digits-only zero-token docs (+3e6), and an
+    * unmodeled-lang stratum (+4e6, lang 'xx'). Exposed for
+    * [[MlGateProbe]] so the committed cut's margins are measured on the
+    * EXACT fixture. */
+  private[graft] def mlGateFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = mlDocs(s, dir)
+    val corpus = d
+      .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(mlSpam), col("text")).as("text"), col("lang")))
+      .unionAll(d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("7 42 90210").as("text"), col("lang")))
+      .unionAll(d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+          lit("xx").as("lang")))
+    (d, corpus)
+  }
+
+  /** (lmTrain, corpus) of the cur_release row — originals (PII-planted,
+    * zh transliterated), spam twins (+1e6), exact copies (+2e6,
+    * doc_id < 20), digits-only zero-token docs (+3e6). Exposed for
+    * [[MlGateProbe]]. */
+  private[graft] def releaseFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val planted = piiPlantLangMl(s, dir)
+    val corpus = planted
+      .unionAll(planted.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(mlSpam), col("text")).as("text"), col("lang")))
+      .unionAll(planted.where(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("lang")))
+      .unionAll(planted.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("7 42 90210").as("text"), col("lang")))
+    (planted, corpus)
+  }
 
   /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
     * file-stream source lists files, not Spark output directories (the
@@ -288,6 +425,124 @@ object ModelQueries {
         .orderBy("doc_id")
     },
 
+    // ---- per-language Unicode-aware LM (the CCNet shape) --------------
+
+    // Per-document cross-entropy under each document's OWN language's
+    // model (one plan trains and applies all five), over a corpus whose
+    // zh stratum is REAL Han text (transliterated — char-level tokens).
+    // The oracle replays the per-lang count tables, totals and joins.
+    QueryDef("txt_lm_ml")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModelMl.pplMlSql(tr, sc)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      LangModelMl.pplMl(d.where(bkt >= 20), d.where(bkt < 20))
+        .orderBy("doc_id")
+    },
+
+    // The per-language LM GATE — per-lang CALIBRATED cuts (train
+    // self-score mean + offset, exact integer micro-units: zh's Han-char
+    // model scores ~0.9 where latin models score ~1.5, so no single
+    // global cut can be right — the CCNet per-language-threshold shape)
+    // with the EXPLICIT zero-token policy, on a four-strata plant:
+    // originals (kept), ASCII-spam twins (die under their own language's
+    // model — for zh the spam is OOV Latin inside a Han-char model),
+    // digits-only docs (ZERO TOKENS under the class — pass through,
+    // counted in n_zero_tok, never silently dropped: the single-model
+    // [a-z]+ gate's failure mode), and an unmodeled-lang stratum ('xx' —
+    // scored nothing, kept no, visible as n_in − n_zero_tok − n_scored).
+    // Offset window measured at sf0.01 AND sf0.001 (MlGateProbe).
+    QueryDef("txt_lm_gate_ml")({
+      val corpus =
+        s"""(SELECT doc_id, text, lang FROM $mlDocsSql m
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $mlDocsSql m
+           | UNION ALL SELECT doc_id + 3000000, '7 42 90210', lang
+           |   FROM $mlDocsSql m WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $mlDocsSql m WHERE doc_id < 10)""".stripMargin
+      LangModelMl.gateMlSql(mlDocsSql, corpus, mlGateOffsetMicro)
+    }) { (s, dir) =>
+      val (train, corpus) = mlGateFixture(s, dir)
+      LangModelMl.gateMl(train, corpus, mlGateOffsetMicro).orderBy("lang")
+    },
+
+    // ---- trigram Stupid Backoff (order 3) ------------------------------
+
+    // Per-document cross-entropy under the ORDER-3 model — trigram →
+    // bigram → unigram backoff, the published recursion. Same corpus
+    // split as txt_lm_ppl, so the two rows' scores are directly
+    // comparable.
+    QueryDef("txt_lm3_ppl")(
+      s"""${LangModel.ppl3Sql(lmTrainSql, lmScoreSql)}
+         | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      LangModel.ppl3(idText(d.where(bkt >= 20)), idText(d.where(bkt < 20)))
+        .orderBy("doc_id")
+    },
+
+    // The order-3 model PERSISTED and GROWN: build on one slice, append
+    // another (three additive count tables riding the identical delta
+    // machinery), score against the index. The oracle retrains on the
+    // union raw — hash equality IS the grown == indexed == direct
+    // identity.
+    QueryDef("txt_lm3_indexed")({
+      val grownTrain =
+        s"(SELECT doc_id, text FROM documents WHERE $bktSql >= 20)"
+      s"""${LangModel.ppl3Sql(grownTrain, lmScoreSql)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-idx")
+      LangModel.buildLm3Index(idText(d.where(bkt >= 40)), s"$tmp/model")
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+        s"$tmp/model", ingestBatch = 0L)
+      val out = LangModel.scoreAgainstLm3Index(s"$tmp/model",
+          idText(d.where(bkt < 20)))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
+    // The trigram's REASON TO EXIST, pinned as data: a planted corpus
+    // where every adjacent pair is trained (both variants' bigrams are
+    // equally frequent) but only one triple is — the bigram model scores
+    // consistent and crossed docs IDENTICALLY (xent2 equal by symmetric
+    // counts), the trigram separates them by a measured margin. kept3 is
+    // the trigram gate's verdict.
+    QueryDef("txt_lm3_gate")({
+      val tr =
+        """(SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'alpha beta gamma'
+          |   ELSE 'delta beta epsilon' END AS text FROM documents)""".stripMargin
+      val pr =
+        """(SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'alpha beta gamma'
+          |   ELSE 'alpha beta epsilon' END AS text FROM documents
+          | WHERE doc_id < 40)""".stripMargin
+      s"""WITH s2 AS (${LangModel.pplSql(tr, pr)}),
+         | s3 AS (${LangModel.ppl3Sql(tr, pr)})
+         | SELECT s2.doc_id, s2.xent AS xent2, s3.xent AS xent3,
+         |        CAST(s3.xent <= $lm3GateCut AS INT) AS kept3
+         | FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+         | ORDER BY s2.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir)
+      val train = base.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("alpha beta gamma"))
+          .otherwise(lit("delta beta epsilon")).as("text"))
+      val probe = base.where(col("doc_id") < 40).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("alpha beta gamma"))
+          .otherwise(lit("alpha beta epsilon")).as("text"))
+      LangModel.ppl(train, probe)
+        .select(col("doc_id"), col("xent").as("xent2"))
+        .join(LangModel.ppl3(train, probe)
+          .select(col("doc_id"), col("xent").as("xent3")), Seq("doc_id"))
+        .withColumn("kept3", (col("xent3") <= lm3GateCut).cast("int"))
+        .orderBy("doc_id")
+    },
+
     // The LM loop's STREAMING twin: per micro-batch, arrivals score
     // against the persisted model, then their counts fold in — batch k
     // scores against seed ∪ batches 0..k−1 (the noveltyIngest
@@ -331,32 +586,33 @@ object ModelQueries {
       out
     },
 
-    // END-TO-END release funnel: LR quality gate → LM gate → typed PII
-    // redaction → exact dedup over the REDACTED text, per-lang funnel.
-    // Corpus plants work for every stage: PII appendages (redaction +
-    // finding density), spam twins (die at the LM gate — measured xent
-    // ≥ 1.627 vs originals ≤ 1.584 under the planted-trained model, so
-    // the 1.6 cut separates), and exact copies of the first 20 docs
-    // (collapse at dedup). The LM trains on the PLANTED originals so
-    // planted PII tokens are in-vocabulary and originals stay below cut.
+    // END-TO-END release funnel (re-based PER-LANGUAGE in r17): LR
+    // quality gate → per-lang LM gate (zero-token pass-through, counted)
+    // → typed PII redaction → exact dedup over the REDACTED text,
+    // per-lang funnel. Corpus plants work for every stage: PII
+    // appendages (redaction + finding density), the zh stratum
+    // transliterated to REAL Han text (its spam twins carry ASCII spam —
+    // OOV Latin under the Han-char zh model, so they die at the LM gate
+    // like every other lang's twins; cut margins in LangModelSpec),
+    // exact copies of the first 20 docs (collapse at dedup), and
+    // digits-only docs (ZERO tokens — pass the LM stage by policy,
+    // visible in n_zero_tok). The LM trains per-lang on the PLANTED
+    // originals so planted PII tokens are in-vocabulary.
     QueryDef("cur_release")(
       graft.operators.Curation.releaseSql(
-        s"""(SELECT doc_id, text, lang FROM $piiPlantLangSql p
-           | UNION ALL SELECT doc_id + 1000000, '$lmSpam' || text, lang
-           |   FROM $piiPlantLangSql p
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
            | UNION ALL SELECT doc_id + 2000000, text, lang
-           |   FROM $piiPlantLangSql p WHERE doc_id < 20)""".stripMargin,
-        s"(SELECT doc_id, text FROM $piiPlantLangSql p)", maxXent = 1.6)
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, '7 42 90210', lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0)""".stripMargin,
+        s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)",
+        offsetMicro = relOffsetMicro)
     ) { (s, dir) =>
-      val planted = piiPlantLang(s, dir)
-      val corpus = planted
-        .unionAll(planted.select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit(lmSpam), col("text")).as("text"), col("lang")))
-        .unionAll(planted.where(col("doc_id") < 20)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
-            col("lang")))
-      graft.operators.Curation.release(corpus,
-          idText(planted), maxXent = 1.6)
+      val (planted, corpus) = releaseFixture(s, dir)
+      graft.operators.Curation.release(corpus, planted,
+          offsetMicro = relOffsetMicro)
         .orderBy("lang")
     },
 
@@ -416,9 +672,10 @@ object ModelQueries {
         s"$stDir/stats", s"$stDir/ckpt")
       q.awaitTermination()
       val out = s.read.parquet(s"$stDir/stats")
-        .select(col("micro_batch").cast("long").as("micro_batch"),
-          col("source"), col("n_docs"), col("n_docs_pii"), col("n_email"),
-          col("n_phone"), col("n_ip"), col("pii_rate"))
+        .select((Seq(col("micro_batch").cast("long").as("micro_batch"),
+          col("source"), col("n_docs"), col("n_docs_pii")) ++
+          Pii.patterns.map { case (cat, _) => col(s"n_$cat") } :+
+          col("pii_rate")): _*)
         .orderBy(col("micro_batch"), col("source")).localCheckpoint(true)
       deleteRecursively(stDir)
       deleteRecursively(inDir)

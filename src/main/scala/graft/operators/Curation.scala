@@ -488,37 +488,53 @@ object Curation {
        |  ) j)""".stripMargin
   }
 
-  /** END-TO-END release funnel (r16): the composition a corpus RELEASE
-    * actually runs, gate-first (cheapest row properties first):
+  /** END-TO-END release funnel (r16, re-based PER-LANGUAGE in r17): the
+    * composition a corpus RELEASE actually runs, gate-first (cheapest
+    * row properties first):
     *   1. LR quality gate ([[TextAnalysis.lrQuality]] pass) — pure
     *      projection;
-    *   2. statistical LM gate ([[LangModel.ppl]] xent ≤ `maxXent` under
-    *      the reference model) — vocabulary-scale model joins;
+    *   2. per-language statistical LM gate — each document scored under
+    *      its OWN language's model ([[LangModelMl.pplMl]]) against that
+    *      language's CALIBRATED cut ([[LangModelMl.calibratedCutsMl]]:
+    *      train self-score mean + `offsetMicro`, exact integer
+    *      micro-units — the CCNet shape) with the EXPLICIT zero-token
+    *      policy: a quality survivor with no token under the
+    *      Unicode-aware class PASSES THROUGH and is counted in
+    *      `n_zero_tok`, never silently dropped;
     *   3. typed PII redaction ([[Pii.redact]]; finding density reported,
     *      docs NOT dropped — redaction is the remedy);
     *   4. exact dedup over the REDACTED text ([[Dedup.exact]]) — two
     *      docs differing only in their PII spans collapse, because the
     *      release artifact is the redacted text.
-    * Output per language: n_in → n_quality → n_lm → n_pii_docs
-    * (informational, among LM survivors) → n_unique. Every stage is the
-    * already-proven operator — this row pins the COMPOSITION's exact
-    * semantics, not new kernels. */
+    * Output per language: n_in → n_quality → (n_zero_tok pass-throughs
+    * among quality survivors) → n_lm → n_pii_docs (informational, among
+    * LM survivors) → n_unique. Every stage is the already-proven
+    * operator — this row pins the COMPOSITION's exact semantics, not
+    * new kernels. */
   def release(corpus: DataFrame, lmTrain: DataFrame,
-      maxXent: Double): DataFrame = {
+      offsetMicro: Long): DataFrame = {
     // Every stage lands as a FLAG on one per-doc row, so the corpus and
     // the LM scoring chain each appear in the plan exactly once and the
     // funnel is ONE aggregate — the naive five-countBy-joins form
     // replicated the scoring subtree per reference (a ~260-join plan at
     // fixture scale that recomputed the model chain three times).
+    val uni = LangModelMl.unigramCountsMl(lmTrain)
+    val bi = LangModelMl.bigramCountsMl(lmTrain)
+    val cuts = LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
     val flagged = corpus.select(col("doc_id"), col("text"), col("lang"),
-      (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"))
-    val scored = LangModel.ppl(lmTrain,
-        flagged.where(col("q_pass") === 1).select(col("doc_id"), col("text")))
+      (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"),
+      LangModelMl.zeroTok(col("text")).as("zt"))
+    val scored = LangModelMl.scoreWithMl(
+        flagged.where(col("q_pass") === 1 && col("zt") === 0)
+          .select(col("doc_id"), col("text"), col("lang")), uni, bi)
       .select(col("doc_id"), col("xent"))
     val st = flagged.join(scored, Seq("doc_id"), "left")
+      .join(broadcast(cuts), Seq("lang"), "left")
       .withColumn("lm_kept",
-        (col("q_pass") === 1 && col("xent").isNotNull &&
-          col("xent") <= maxXent).cast("int"))
+        (col("q_pass") === 1 && (col("zt") === 1 ||
+          (col("xent").isNotNull &&
+            round(col("xent") * 1e6).cast("long") <= col("cut_micro"))))
+          .cast("int"))
       // redaction + finding flag fold into the SAME projection (the
       // release artifact is the redacted text; non-survivors carry null)
       .withColumn("rtext",
@@ -532,25 +548,39 @@ object Curation {
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_in"),
         sum(col("q_pass").cast("long")).as("n_quality"),
+        sum((col("q_pass") === 1 && col("zt") === 1).cast("long"))
+          .as("n_zero_tok"),
         sum(col("lm_kept").cast("long")).as("n_lm"),
         sum(col("has_pii").cast("long")).as("n_pii_docs"),
         sum(coalesce(col("is_keep"), lit(0)).cast("long")).as("n_unique"))
   }
 
-  /** Oracle for [[release]]: the LR pass formula, the [[LangModel
-    * .pplSql]] chain over the quality survivors, the inlined redaction /
-    * any-finding expressions, and the md5 keep-min dedup — all composed
-    * as one statement. `corpusSql` / `trainSql` are parenthesized
-    * (doc_id, text, lang) / (doc_id, text) SELECTs. */
-  def releaseSql(corpusSql: String, trainSql: String, maxXent: Double): String =
+  /** Oracle for [[release]]: the LR pass formula, the [[LangModelMl
+    * .pplMlSql]] chain over the train corpus (self-scores → calibrated
+    * per-lang cuts) and over the scoreable quality survivors, the
+    * zero-token pass-through, the inlined redaction / any-finding
+    * expressions, and the md5 keep-min dedup — all composed as one
+    * statement. `corpusSql` / `trainSql` are BOTH parenthesized
+    * (doc_id, text, lang) SELECTs. */
+  def releaseSql(corpusSql: String, trainSql: String,
+      offsetMicro: Long): String =
     s"""WITH corpus AS (SELECT * FROM $corpusSql c),
        | q AS (SELECT doc_id, text, lang FROM corpus
        |  WHERE ${TextAnalysis.lrScoreExprSql()} >= 0.5),
-       | lmsc AS (
-       |  ${LangModel.pplSql(trainSql, "(SELECT doc_id, text FROM q)")}
+       | selfsc AS (
+       |  ${LangModelMl.pplMlSql(trainSql, trainSql)}
        | ),
-       | lmk AS (SELECT q.* FROM q JOIN lmsc ON q.doc_id = lmsc.doc_id
-       |         WHERE lmsc.xent <= $maxXent),
+       | cuts AS (${LangModelMl.cutsSqlOver("selfsc", offsetMicro)}),
+       | lmsc AS (
+       |  ${LangModelMl.pplMlSql(trainSql,
+            s"(SELECT doc_id, text, lang FROM q WHERE ${LangModelMl.zeroTokExprSql()} = 0)")}
+       | ),
+       | lmk AS (SELECT q.* FROM q
+       |         LEFT JOIN lmsc ON q.doc_id = lmsc.doc_id
+       |         LEFT JOIN cuts cc ON cc.lang IS NOT DISTINCT FROM q.lang
+       |         WHERE ${LangModelMl.zeroTokExprSql("q.text")} = 1
+       |            OR (lmsc.xent IS NOT NULL AND
+       |                CAST(round(lmsc.xent * 1000000) AS BIGINT) <= cc.cut_micro)),
        | red AS (SELECT doc_id, lang, ${Pii.redactExprSql()} AS rtext,
        |                ${Pii.anyPiiExprSql()} AS has_pii
        |         FROM lmk),
@@ -558,9 +588,10 @@ object Curation {
        |           FROM red GROUP BY md5(rtext)),
        | uniq AS (SELECT r.lang FROM red r JOIN keeps k ON r.doc_id = k.keep_id)
        | SELECT c.lang, CAST(count(*) AS BIGINT) AS n_in,
-       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang = c.lang), 0) AS n_quality,
-       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM lmk WHERE lmk.lang = c.lang), 0) AS n_lm,
-       |   coalesce((SELECT CAST(sum(has_pii) AS BIGINT) FROM red WHERE red.lang = c.lang), 0) AS n_pii_docs,
-       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM uniq WHERE uniq.lang = c.lang), 0) AS n_unique
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang IS NOT DISTINCT FROM c.lang), 0) AS n_quality,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang IS NOT DISTINCT FROM c.lang AND ${LangModelMl.zeroTokExprSql("q.text")} = 1), 0) AS n_zero_tok,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM lmk WHERE lmk.lang IS NOT DISTINCT FROM c.lang), 0) AS n_lm,
+       |   coalesce((SELECT CAST(sum(has_pii) AS BIGINT) FROM red WHERE red.lang IS NOT DISTINCT FROM c.lang), 0) AS n_pii_docs,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM uniq WHERE uniq.lang IS NOT DISTINCT FROM c.lang), 0) AS n_unique
        | FROM corpus c GROUP BY c.lang ORDER BY c.lang""".stripMargin
 }

@@ -31,6 +31,13 @@ object LangModel {
   /** Stupid Backoff discount (the published constant). */
   val alpha: Double = 0.4
 
+  /** Per-document token bound the ORACLE SQL assumes ([[tokenStreamSql]]
+    * joins `range(1, bound+1)`) — an oracle artifact, not an engine
+    * limit. The SQL itself fail-louds past it (DuckDB `error()`), so a
+    * fixture doc exceeding the bound breaks the row instead of silently
+    * truncating the oracle side into a hash mismatch hunt. */
+  val oracleTokenBound: Int = 1000
+
   /** Tokenization shared by train and score: lowercase alpha runs. One
     * regex both engines parse identically (Java util.regex and RE2 agree
     * on `[a-z]+`). */
@@ -66,6 +73,91 @@ object LangModel {
     tokenStream(docs).where(col("w1").isNotNull)
       .select(col("w1"), col("w").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** (doc_id, pos, w, w1, w2b) token stream with TWO context tokens:
+    * `w1` = previous, `w2b` = two back (null while the position lacks
+    * that much history). Same one-projection zip construction as
+    * [[tokenStream]] — no self-join, no window shuffle. */
+  private def tokenStream3(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), posexplode(
+        zip_with(
+          zip_with(
+            col("ts"),
+            concat(array(lit(null).cast("string")),
+              slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0)))),
+            (w, p) => struct(w.as("w"), p.as("w1"))),
+          concat(array(lit(null).cast("string"), lit(null).cast("string")),
+            slice(col("ts"), lit(1), greatest(size(col("ts")) - 2, lit(0)))),
+          (z, p2) => struct(z.getField("w").as("w"), z.getField("w1").as("w1"),
+            p2.as("w2b")))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.w").as("w"), col("col.w1").as("w1"), col("col.w2b").as("w2b"))
+  }
+
+  /** Trigram counts of a corpus: (w1, w2, w3, c) with w1 the OLDEST
+    * token — derived from the per-doc token array like [[bigramCounts]]. */
+  def trigramCounts(docs: DataFrame): DataFrame =
+    tokenStream3(docs).where(col("w2b").isNotNull)
+      .select(col("w2b").as("w1"), col("w1").as("w2"), col("w").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
+  /** Per-document cross-entropy under the ORDER-3 Stupid Backoff model
+    * given as count tables. Per token t_i with context (t_{i-2}, t_{i-1}):
+    *   - pos 1: add-one unigram `(c+1)/(N+V)`;
+    *   - pos 2: seen bigram conditional, else `α ·` unigram;
+    *   - pos ≥ 3: seen trigram `c(t_{i-2} t_{i-1} t_i)/c(t_{i-2} t_{i-1})`,
+    *     else `α ·` bigram conditional, else `α² ·` unigram —
+    * the published Stupid Backoff recursion (Brants et al. 2007, S(w|ctx)).
+    * `n_backoff` counts context-bearing tokens that did NOT score at
+    * their full available order (pos 2 without its bigram, pos ≥ 3
+    * without its trigram). The invariant `c(w1,w2,w3) > 0 ⇒ c(w1,w2) > 0`
+    * holds because every delta is corpus-shaped (the trigram's occurrence
+    * IS an occurrence of its leading bigram), so the seen-trigram
+    * denominator can never be null/zero. */
+  def scoreWith3(batch: DataFrame, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame): DataFrame = {
+    val tot = uni.agg(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val st = tokenStream3(batch)
+      .join(tri.select(col("w1").as("w2b"), col("w2").as("w1"),
+          col("w3").as("w"), col("c").as("c_tri")),
+        Seq("w2b", "w1", "w"), "left")
+      .join(bi.select(col("w1").as("w2b"), col("w2").as("w1"),
+          col("c").as("c_bi12")),
+        Seq("w2b", "w1"), "left")
+      .join(bi.select(col("w1"), col("w2").as("w"), col("c").as("c_bi")),
+        Seq("w1", "w"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w"), col("c").as("c_w")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+    val uniP = (coalesce(col("c_w"), lit(0L)).cast("double") + 1.0) /
+      (col("n") + col("v"))
+    val biP = col("c_bi").cast("double") / col("c_w1").cast("double")
+    val lp = when(col("w1").isNull, log10(uniP))
+      .when(col("w2b").isNull && col("c_bi").isNotNull, log10(biP))
+      .when(col("w2b").isNull, log10(lit(alpha) * uniP))
+      .when(col("c_tri").isNotNull,
+        log10(col("c_tri").cast("double") / col("c_bi12").cast("double")))
+      .when(col("c_bi").isNotNull, log10(lit(alpha) * biP))
+      .otherwise(log10(lit(alpha * alpha) * uniP))
+    st.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("c_w").isNull, 1L).otherwise(0L)).as("n_oov"),
+      sum(when(col("w1").isNotNull &&
+          ((col("w2b").isNull && col("c_bi").isNull) ||
+            (col("w2b").isNotNull && col("c_tri").isNull)), 1L)
+        .otherwise(0L)).as("n_backoff"),
+      round(-sum(lp) / count(lit(1)), 6).as("xent"))
+  }
+
+  /** In-memory order-3 form: train on `train`, score `batch`. */
+  def ppl3(train: DataFrame, batch: DataFrame): DataFrame =
+    scoreWith3(batch, unigramCounts(train), bigramCounts(train),
+      trigramCounts(train))
 
   /** Per-document cross-entropy under the Stupid Backoff bigram model
     * given explicitly as count tables — the pure scoring kernel shared by
@@ -161,36 +253,52 @@ object LangModel {
 
   // ---- persisted model lifecycle (the drift-index discipline) ------------
 
-  /** Persisted layout version. 1 = alpha-run tokens, (w,c)/(w1,w2,c)
-    * count tables under `unigrams/ingest=<id>` + `bigrams/ingest=<id>`. */
+  /** Persisted layout version. 1 = alpha-run tokens, per-order count
+    * tables under `unigrams/ingest=<id>` + `bigrams/ingest=<id>`
+    * (+ `trigrams/ingest=<id>` when the marker declares `order=3`). */
   private val lmFormatVersion = 1
-  private val formatMarkerName = "_GRAFT_LM_FORMAT"
+  val formatMarkerName = "_GRAFT_LM_FORMAT"
 
-  private def writeFormatMarker(spark: SparkSession, dir: String): Unit = {
+  /** The count tables of an order-N model with their word-key columns,
+    * lowest order first. */
+  private def tableSpecs(order: Int): Seq[(String, Seq[String])] =
+    Seq("unigrams" -> Seq("w"), "bigrams" -> Seq("w1", "w2"),
+      "trigrams" -> Seq("w1", "w2", "w3")).take(order)
+
+  private def writeFormatMarker(spark: SparkSession, dir: String,
+      order: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$lmFormatVersion\n".getBytes("UTF-8"))
+    try out.write(s"$lmFormatVersion\norder=$order\n".getBytes("UTF-8"))
     finally out.close()
   }
 
   /** Fail-loud layout gate on every read path — a model written under a
     * different tokenizer or table scheme must error, not silently score
     * everything as OOV (the failure mode that looks like drift in the
-    * xent distribution instead of looking like a bug). */
-  private def requireFormat(spark: SparkSession, dir: String): Unit = {
+    * xent distribution instead of looking like a bug). Returns the
+    * model's n-gram order. */
+  private def requireFormat(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"LM model at $dir has no $formatMarkerName marker — not an engine " +
         "LM layout (or its build never completed); rebuild with buildLmIndex")
-    val in = fs.open(p)
-    val stored =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    require(stored == lmFormatVersion.toString,
-      s"LM model at $dir is layout v$stored; this engine reads " +
-        s"v$lmFormatVersion — rebuild it with buildLmIndex")
+    val lines = readSmallFile(fs, p).map(_.trim)
+    require(lines.headOption.contains(lmFormatVersion.toString),
+      s"LM model at $dir is layout v${lines.headOption.getOrElse("?")}; " +
+        s"this engine reads v$lmFormatVersion — rebuild it with buildLmIndex")
+    lines.collectFirst { case l if l.startsWith("order=") =>
+      l.stripPrefix("order=").toInt
+    }.getOrElse(2)
+  }
+
+  private def requireOrder(spark: SparkSession, dir: String, want: Int): Unit = {
+    val got = requireFormat(spark, dir)
+    require(got == want,
+      s"LM model at $dir is order-$got; this entry point reads order-$want " +
+        "models — use the matching build/score functions")
   }
 
   // ---- two-phase delta commit --------------------------------------------
@@ -205,14 +313,51 @@ object LangModel {
 
   private val deltaMarkerName = "_GRAFT_LM_DELTA"
   private val deltaStageName = "_graft_lm_delta_stage"
+  private val purgeLedgerName = "_GRAFT_LM_PURGES"
+  private val pruneMarkerName = "_GRAFT_LM_PRUNE"
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      .filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  private def writeSmallFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"atomic small-file write failed at $p")
+  }
+
+  /** Applied-purge LEDGER: the set of purge ids whose deltas have
+    * committed. The ledger — not the presence of the purge's own delta
+    * partition — is what makes a RETRIED purge a no-op, because
+    * [[compactLmIndex]]/[[pruneLmIndex]] may legally fold that partition
+    * into the seed between a crashed takedown orchestration and its
+    * end-to-end re-run (the own-partition exclusion would then see
+    * nothing and the retry would silently double-subtract). The ledger
+    * entry is appended DURING marker roll-forward, before the marker
+    * deletes, so every crash window replays through it. */
+  private def appliedPurgeIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, purgeLedgerName)
+    if (!fs.exists(p)) Set.empty
+    else readSmallFile(fs, p).map(_.trim.toLong).toSet
+  }
+
   private def rollForwardDelta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, rels: Seq[String]): Unit = {
+      dir: String, lines: Seq[String]): Unit = {
+    val rels = lines.filterNot(_.startsWith("purge="))
     rels.foreach { rel =>
       val staged = new org.apache.hadoop.fs.Path(s"$dir/$deltaStageName/$rel")
       val live = new org.apache.hadoop.fs.Path(s"$dir/$rel")
@@ -222,6 +367,16 @@ object LangModel {
         require(fs.rename(staged, live),
           s"LM delta roll-forward: rename $staged -> $live failed")
       }
+    }
+    // ledger append precedes marker delete: a crash between them re-runs
+    // this (set-union append, idempotent); a crash before it re-runs the
+    // renames as no-ops and still lands the ledger entry
+    lines.collectFirst { case l if l.startsWith("purge=") =>
+      l.stripPrefix("purge=").trim.toLong
+    }.foreach { id =>
+      val ids = appliedPurgeIds(fs, dir) + id
+      writeSmallFileAtomic(fs, new org.apache.hadoop.fs.Path(dir, purgeLedgerName),
+        ids.toSeq.sorted.map(_.toString))
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir, deltaMarkerName), false)
     fs.delete(new org.apache.hadoop.fs.Path(dir, deltaStageName), true)
@@ -233,11 +388,26 @@ object LangModel {
     * ([[compactLmIndex]]/[[pruneLmIndex]] commit through it — a compact
     * interrupted after its seed SWAP but before its delta DROPs would
     * otherwise double-count the un-dropped deltas on every score until
-    * the next owner op). All metadata-scale (fs stats). */
+    * the next owner op), PLUS an in-flight prune marker: a crash between
+    * [[pruneLmIndex]]'s bigram and unigram folds leaves a half-applied
+    * cut (invariant-safe but mixed N/V semantics), so the marker makes
+    * the next reader FINISH the prune instead of serving mixed tables
+    * until someone happens to re-run it. All metadata-scale (fs stats)
+    * on the healthy path. */
   private def repairAll(spark: SparkSession, dir: String): Unit = {
     repairDelta(spark, dir)
-    Purge.repairPartitionRewrite(spark, s"$dir/unigrams")
-    Purge.repairPartitionRewrite(spark, s"$dir/bigrams")
+    val (fs, _) = fsOf(spark, dir)
+    tableSpecs(3).foreach { case (sub, _) =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
+        Purge.repairPartitionRewrite(spark, s"$dir/$sub")
+    }
+    val pm = new org.apache.hadoop.fs.Path(dir, pruneMarkerName)
+    if (fs.exists(pm)) {
+      val minCount = readSmallFile(fs, pm).head.trim.toLong
+      pruneFolds(spark, dir, minCount)
+      fs.delete(pm, false)
+      ()
+    }
   }
 
   /** Finish (marker present) or discard (marker absent) an interrupted
@@ -248,12 +418,7 @@ object LangModel {
     if (!fs.exists(root)) return
     val marker = new org.apache.hadoop.fs.Path(dir, deltaMarkerName)
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val rels =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-          .filter(_.nonEmpty)
-        finally in.close()
-      rollForwardDelta(fs, dir, rels)
+      rollForwardDelta(fs, dir, readSmallFile(fs, marker))
     } else {
       fs.delete(new org.apache.hadoop.fs.Path(dir, deltaMarkerName + ".tmp"), false)
       fs.delete(new org.apache.hadoop.fs.Path(dir, deltaStageName), true)
@@ -261,51 +426,83 @@ object LangModel {
     }
   }
 
-  /** Stage both delta tables, commit atomically, roll forward. BatchId-
+  /** Size-scaled count-table write: range-partitioned on the word key so
+    * a real web corpus's billion-row bigram table lands as many files
+    * (AQE coalesces the range shuffle by SIZE — the closed fixture
+    * vocabulary still writes one file, a 100× vocabulary writes many,
+    * measured in LmProbe's vocab arm) and later model joins stay
+    * term-prunable via parquet min/max stats — the Retrieval postings
+    * discipline. */
+  private def byWordRange(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartitionByRange(keys.map(col): _*)
+
+  /** Stage every delta table, commit atomically, roll forward. BatchId-
     * keyed rels make replays converge (delete-live-then-rename rewrites
-    * identical bytes). */
-  private def writeDeltas(uniDelta: DataFrame, biDelta: DataFrame,
-      dir: String, ingestId: Long): Unit = {
-    val spark = uniDelta.sparkSession
+    * identical bytes). A purge delta carries its ledger line inside the
+    * commit marker, so the applied-purge ledger updates atomically with
+    * the commit itself. */
+  private def writeDeltas(deltas: Seq[(String, Seq[String], DataFrame)],
+      dir: String, ingestId: Long, purgeId: Option[Long] = None): Unit = {
+    val spark = deltas.head._3.sparkSession
     val (fs, _) = fsOf(spark, dir)
     repairDelta(spark, dir)
-    val rels = Seq(s"unigrams/ingest=$ingestId", s"bigrams/ingest=$ingestId")
-    uniDelta.repartition(1).write.mode("overwrite")
-      .parquet(s"$dir/$deltaStageName/${rels(0)}")
-    biDelta.repartition(1).write.mode("overwrite")
-      .parquet(s"$dir/$deltaStageName/${rels(1)}")
+    val rels = deltas.map { case (sub, _, _) => s"$sub/ingest=$ingestId" }
+    deltas.zip(rels).foreach { case ((_, keys, df), rel) =>
+      byWordRange(df, keys).write.mode("overwrite")
+        .parquet(s"$dir/$deltaStageName/$rel")
+    }
     // atomic marker = THE commit point (tmp + rename)
+    val lines = rels ++ purgeId.map(id => s"purge=$id").toSeq
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/$deltaMarkerName.tmp")
     val out = fs.create(tmp, true)
-    try out.write((rels.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, deltaMarkerName)),
       s"LM delta commit-marker rename failed at $dir")
-    rollForwardDelta(fs, dir, rels)
+    rollForwardDelta(fs, dir, lines)
   }
+
+  /** The count tables of `docs` at `order`, aligned with
+    * [[tableSpecs]]. */
+  private def countTables(docs: DataFrame, order: Int): Seq[DataFrame] =
+    (Seq(unigramCounts(docs), bigramCounts(docs)) ++
+      (if (order >= 3) Seq(trigramCounts(docs)) else Nil)).take(order)
 
   /** Train and persist the model: count tables land under seed partitions
     * (`ingest=-1`), marker written LAST so a crashed build is refused by
     * every probe rather than scoring against half a vocabulary. */
-  def buildLmIndex(standing: DataFrame, dir: String): Unit = {
+  def buildLmIndex(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, order = 2)
+
+  /** Order-3 form of [[buildLmIndex]]: one extra vocabulary-scale count
+    * table (`trigrams/`), same marker/lifecycle machinery. */
+  def buildLm3Index(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, order = 3)
+
+  private def buildIndex(standing: DataFrame, dir: String, order: Int): Unit = {
     val spark = standing.sparkSession
-    unigramCounts(standing).repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/unigrams/ingest=-1")
-    bigramCounts(standing).repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/bigrams/ingest=-1")
-    writeFormatMarker(spark, dir)
+    tableSpecs(order).zip(countTables(standing, order)).foreach {
+      case ((sub, keys), df) =>
+        byWordRange(df, keys).write.mode("overwrite")
+          .parquet(s"$dir/$sub/ingest=-1")
+    }
+    writeFormatMarker(spark, dir, order)
   }
 
   /** GROW the model by an arriving batch — counts are additive, so growth
     * is one batch scan landing vocabulary-scale delta partitions; the
     * standing corpus is never rescanned, existing partitions never
     * rewritten. BatchId-keyed overwrite → a crash-replayed micro-batch
-    * rewrites its own partition with identical data. */
+    * rewrites its own partition with identical data. Works for any
+    * persisted order (the marker declares it). */
   def appendToLmIndex(batch: DataFrame, dir: String, ingestBatch: Long): Unit = {
     require(ingestBatch >= 0,
       s"ingest batch id $ingestBatch is negative — -1 is the seed partition")
-    requireFormat(batch.sparkSession, dir)
-    writeDeltas(unigramCounts(batch), bigramCounts(batch), dir, ingestBatch)
+    val order = requireFormat(batch.sparkSession, dir)
+    writeDeltas(
+      tableSpecs(order).zip(countTables(batch, order)).map {
+        case ((sub, keys), df) => (sub, keys, df)
+      }, dir, ingestBatch)
   }
 
   /** TAKEDOWN: remove departing documents' contribution — one scan of the
@@ -318,19 +515,28 @@ object LangModel {
   def purgeFromLmIndex(purgedRows: DataFrame, dir: String, purgeId: Long): Unit = {
     require(purgeId >= 0, s"purge id $purgeId is negative")
     val spark = purgedRows.sparkSession
-    requireFormat(spark, dir)
+    val order = requireFormat(spark, dir)
     repairAll(spark, dir)
+    // applied-purge ledger: a RETRIED purge (takedown orchestration
+    // crashed after this family committed, re-run end to end) is a no-op
+    // even if a compact/prune already folded its delta partition into the
+    // seed — the ledger, committed atomically inside the delta marker, is
+    // the record; the own-partition exclusion below is belt-and-braces
+    // for the pre-ledger window within one commit.
+    val (fsL, _) = fsOf(spark, dir)
+    if (appliedPurgeIds(fsL, dir).contains(purgeId)) return
     // candidate deltas, eagerly pinned: the validation reads them and the
     // commit writes them — one computation for both
-    val uniDelta = unigramCounts(purgedRows)
-      .select(col("w"), (-col("c")).as("c")).localCheckpoint(true)
-    val biDelta = bigramCounts(purgedRows)
-      .select(col("w1"), col("w2"), (-col("c")).as("c")).localCheckpoint(true)
+    val deltas = tableSpecs(order).zip(countTables(purgedRows, order)).map {
+      case ((sub, keys), df) =>
+        (sub, keys, df.select((keys.map(col) :+ (-col("c")).as("c")): _*)
+          .localCheckpoint(true))
+    }
     // Validate BEFORE committing anything (live ∪ candidate must stay
-    // non-negative in BOTH tables): unigram totals can balance while a
+    // non-negative in EVERY table): unigram totals can balance while a
     // bigram goes negative (train "a b", purge "b a" — same unigram bag,
-    // opposite orientation), and a silently-negative bigram would be
-    // dropped by readModel's c>0 filter while the never-purged (a,b)
+    // opposite orientation), and a silently-negative n-gram would be
+    // dropped by readModel's c>0 filter while the never-purged one
     // survives — an inconsistent model instead of a loud error.
     // Failure leaves the live layout byte-untouched (no rollback window).
     // The live read EXCLUDES this purge id's own partition so a RETRIED
@@ -338,30 +544,25 @@ object LangModel {
     // re-ran end to end — Takedown's documented recovery) validates
     // against exactly the state its first attempt saw instead of
     // double-counting its own committed delta and throwing spuriously;
-    // the keyed overwrite then rewrites identical bytes.
+    // the ledger above makes the retry a no-op even when compact/prune
+    // already folded that partition away.
     val own = -(2 + purgeId)
-    val negUni = spark.read.parquet(s"$dir/unigrams")
-      .where(col("ingest") =!= own).select(col("w"), col("c"))
-      .unionAll(uniDelta)
-      .groupBy(col("w")).agg(sum(col("c")).as("c"))
-      .where(col("c") < 0).limit(1).collect()
-    val negBi =
-      if (negUni.nonEmpty) negUni
-      else spark.read.parquet(s"$dir/bigrams")
+    val neg = deltas.view.map { case (sub, keys, delta) =>
+      val hit = spark.read.parquet(s"$dir/$sub")
         .where(col("ingest") =!= own)
-        .select(col("w1"), col("w2"), col("c"))
-        .unionAll(biDelta)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+        .select((keys.map(col) :+ col("c")): _*)
+        .unionAll(delta)
+        .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
         .where(col("c") < 0).limit(1).collect()
-    if (negUni.nonEmpty || negBi.nonEmpty) {
-      val what = if (negUni.nonEmpty) s"unigram ${negUni.head}"
-        else s"bigram ${negBi.head}"
+      (sub, hit)
+    }.find(_._2.nonEmpty)
+    neg.foreach { case (sub, hit) =>
       throw new IllegalArgumentException(
-        s"purgeFromLmIndex: purging would drive $what negative — the " +
-          s"claimed rows were never (all) counted into $dir; model " +
+        s"purgeFromLmIndex: purging would drive $sub ${hit.head} negative " +
+          s"— the claimed rows were never (all) counted into $dir; model " +
           "unchanged")
     }
-    writeDeltas(uniDelta, biDelta, dir, -(2 + purgeId))
+    writeDeltas(deltas, dir, -(2 + purgeId), purgeId = Some(purgeId))
   }
 
   /** Fold accumulated ingest/purge delta partitions into re-summed seed
@@ -371,12 +572,12 @@ object LangModel {
     * after. Two-phase commit per table via [[Purge.rewritePartitions]];
     * the format marker is untouched. */
   def compactLmIndex(spark: SparkSession, dir: String): Unit = {
-    requireFormat(spark, dir)
+    val order = requireFormat(spark, dir)
     repairDelta(spark, dir)
-    // The two per-table folds commit independently (each is two-phase via
+    // The per-table folds commit independently (each is two-phase via
     // rewritePartitions): a crash between them leaves one table folded and
     // the other not — CONSISTENT, because folding preserves every n-gram's
-    // total; the next compact simply finishes the other table.
+    // total; the next compact simply finishes the other table(s).
     def fold(sub: String, keys: Seq[String]): Unit = {
       val root = s"$dir/$sub"
       Purge.repairPartitionRewrite(spark, root)
@@ -385,17 +586,17 @@ object LangModel {
       val parts = fs.listStatus(rp).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("ingest=")).sorted
       if (parts.size <= 1) return
-      val folded = spark.read.parquet(parts.map(p => s"$root/$p"): _*)
-        .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
-        .where(col("c") > 0)
-        .repartition(1)
+      val folded = byWordRange(
+        spark.read.parquet(parts.map(p => s"$root/$p"): _*)
+          .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+          .where(col("c") > 0),
+        keys)
       val repl: Seq[(String, Option[DataFrame])] =
         ("ingest=-1" -> Some(folded)) +:
           parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
       Purge.rewritePartitions(spark, root, repl)
     }
-    fold("unigrams", Seq("w"))
-    fold("bigrams", Seq("w1", "w2"))
+    tableSpecs(order).foreach { case (sub, keys) => fold(sub, keys) }
   }
 
   /** PRUNE the model for serving (the KenLM-style min-count cut): fold
@@ -411,30 +612,53 @@ object LangModel {
     * compact pass); bigrams commit FIRST so a crash between the two
     * table commits leaves pruned bigrams over unpruned unigrams, which
     * keeps every kept bigram's denominator alive (the reverse order
-    * could null it). Lossy by design — purges after a prune still
-    * validate against the pruned counts, so only prune a model you
-    * won't need to subtract pre-prune history from. */
+    * could null it). That half-applied window is additionally MARKED
+    * (`_GRAFT_LM_PRUNE`, written before the first fold, cleared after
+    * the second): [[repairAll]] finishes an interrupted prune on the
+    * next read instead of serving mixed N/V semantics until someone
+    * notices. Lossy by design — purges after a prune still validate
+    * against the pruned counts, so only prune a model you won't need
+    * to subtract pre-prune history from. */
   def pruneLmIndex(spark: SparkSession, dir: String, minCount: Long): Unit = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    requireFormat(spark, dir)
+    requireFormat(spark, dir): Unit
     repairAll(spark, dir)
+    val (fs, _) = fsOf(spark, dir)
+    writeSmallFileAtomic(fs, new org.apache.hadoop.fs.Path(dir, pruneMarkerName),
+      Seq(minCount.toString))
+    pruneFolds(spark, dir, minCount)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, pruneMarkerName), false)
+    ()
+  }
+
+  /** The per-table fold+floor rewrites of [[pruneLmIndex]], DEEPEST order
+    * first (see the ordering argument there — a crash window must never
+    * null a kept n-gram's denominator, and the denominator lives one
+    * order down). Idempotent: re-folding an already-pruned table rewrites
+    * the same content, so [[repairAll]] can safely re-run all of them to
+    * finish an interrupted prune. */
+  private def pruneFolds(spark: SparkSession, dir: String, minCount: Long): Unit = {
+    val order = requireFormat(spark, dir)
     def foldFloor(sub: String, keys: Seq[String]): Unit = {
       val root = s"$dir/$sub"
+      Purge.repairPartitionRewrite(spark, root)
       val rp = new org.apache.hadoop.fs.Path(root)
       val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val parts = fs.listStatus(rp).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("ingest=")).sorted
-      val kept = spark.read.parquet(parts.map(p => s"$root/$p"): _*)
-        .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
-        .where(col("c") >= minCount)
-        .repartition(1)
+      val kept = byWordRange(
+        spark.read.parquet(parts.map(p => s"$root/$p"): _*)
+          .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+          .where(col("c") >= minCount),
+        keys)
       val repl: Seq[(String, Option[DataFrame])] =
         ("ingest=-1" -> Some(kept)) +:
           parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
       Purge.rewritePartitions(spark, root, repl)
     }
-    foldFloor("bigrams", Seq("w1", "w2"))
-    foldFloor("unigrams", Seq("w"))
+    tableSpecs(order).reverse.foreach { case (sub, keys) =>
+      foldFloor(sub, keys)
+    }
   }
 
   /** Read the live model: sum counts across delta partitions, drop
@@ -445,27 +669,52 @@ object LangModel {
     * appended itself. */
   def readModel(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
-    requireFormat(spark, dir)
+    requireFormat(spark, dir): Unit
     repairAll(spark, dir)
-    def table(sub: String, keys: Seq[String]): DataFrame = {
-      val raw = spark.read.parquet(s"$dir/$sub")
-      val visible = excludeIngestBatch match {
-        case Some(id) => raw.where(col("ingest") =!= id)
-        case None => raw
-      }
-      visible.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
-        .where(col("c") > 0)
+    (liveTable(spark, dir, "unigrams", Seq("w"), excludeIngestBatch),
+      liveTable(spark, dir, "bigrams", Seq("w1", "w2"), excludeIngestBatch))
+  }
+
+  /** Order-3 form of [[readModel]] (requires an `order=3` layout). */
+  def readModel3(spark: SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireOrder(spark, dir, 3)
+    repairAll(spark, dir)
+    (liveTable(spark, dir, "unigrams", Seq("w"), excludeIngestBatch),
+      liveTable(spark, dir, "bigrams", Seq("w1", "w2"), excludeIngestBatch),
+      liveTable(spark, dir, "trigrams", Seq("w1", "w2", "w3"),
+        excludeIngestBatch))
+  }
+
+  private def liveTable(spark: SparkSession, dir: String, sub: String,
+      keys: Seq[String], excludeIngestBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$sub")
+    val visible = excludeIngestBatch match {
+      case Some(id) => raw.where(col("ingest") =!= id)
+      case None => raw
     }
-    (table("unigrams", Seq("w")), table("bigrams", Seq("w1", "w2")))
+    visible.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+      .where(col("c") > 0)
   }
 
   /** Score a batch against the PERSISTED model — the per-arrival form:
     * one scan of the batch, vocabulary-scale reads of the model tables,
-    * nothing training-corpus-scale anywhere. */
+    * nothing training-corpus-scale anywhere. Scores at order 2 — valid
+    * against an order-3 layout too (its lower-order tables are the same
+    * corpus-shaped counts). */
   def scoreAgainstLmIndex(indexDir: String, batch: DataFrame,
       excludeIngestBatch: Option[Long] = None): DataFrame = {
     val (uni, bi) = readModel(batch.sparkSession, indexDir, excludeIngestBatch)
     scoreWith(batch, uni, bi)
+  }
+
+  /** Order-3 scoring against a persisted `order=3` layout. */
+  def scoreAgainstLm3Index(indexDir: String, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (uni, bi, tri) =
+      readModel3(batch.sparkSession, indexDir, excludeIngestBatch)
+    scoreWith3(batch, uni, bi, tri)
   }
 
   // ---- oracle SQL builders ------------------------------------------------
@@ -473,13 +722,19 @@ object LangModel {
   /** Token-stream CTE body over `corpusSql` (a parenthesized SELECT of
     * (doc_id, text)): (doc_id, pos, w, w1) with 1-based pos — the
     * engine-standard DuckDB list-index pattern, prev token by index
-    * arithmetic. Bound 1000 ≥ max tokens per doc in every fixture. */
+    * arithmetic. The join bound is [[oracleTokenBound]]; a doc exceeding
+    * it raises a DuckDB `error()` (loud oracle failure, never a silent
+    * truncation that reads as an engine bug). */
   def tokenStreamSql(corpusSql: String): String =
     s"""(SELECT doc_id, i.i AS pos, ts[CAST(i.i AS INT)] AS w,
        |        CASE WHEN i.i > 1 THEN ts[CAST(i.i - 1 AS INT)] END AS w1
        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
        |       FROM $corpusSql)
-       | JOIN range(1, 1001) i(i) ON i.i <= len(ts))""".stripMargin
+       | JOIN range(1, ${oracleTokenBound + 1}) i(i)
+       |   ON i.i <= CASE WHEN len(ts) > $oracleTokenBound
+       |     THEN CAST(error('tokenStreamSql: doc exceeds the ' ||
+       |       '$oracleTokenBound-token oracle bound') AS BIGINT)
+       |     ELSE len(ts) END)""".stripMargin
 
   /** Full scoring SQL: train on `trainSql`, score `scoreSql` (both
     * parenthesized (doc_id, text) SELECTs) — replays [[ppl]] exactly.
@@ -528,4 +783,62 @@ object LangModel {
        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        | FROM $batchLangSql b LEFT JOIN scored s ON b.doc_id = s.doc_id
        | GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Token-stream CTE body with two context tokens — the order-3 twin of
+    * [[tokenStreamSql]] (same loud [[oracleTokenBound]] guard). */
+  def tokenStream3Sql(corpusSql: String): String =
+    s"""(SELECT doc_id, i.i AS pos, ts[CAST(i.i AS INT)] AS w,
+       |        CASE WHEN i.i > 1 THEN ts[CAST(i.i - 1 AS INT)] END AS w1,
+       |        CASE WHEN i.i > 2 THEN ts[CAST(i.i - 2 AS INT)] END AS w2b
+       | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+       |       FROM $corpusSql)
+       | JOIN range(1, ${oracleTokenBound + 1}) i(i)
+       |   ON i.i <= CASE WHEN len(ts) > $oracleTokenBound
+       |     THEN CAST(error('tokenStream3Sql: doc exceeds the ' ||
+       |       '$oracleTokenBound-token oracle bound') AS BIGINT)
+       |     ELSE len(ts) END)""".stripMargin
+
+  /** Oracle replaying [[ppl3]] exactly: train the three count tables on
+    * `trainSql`, score `scoreSql` through the order-3 backoff CASE.
+    * Callers append their own ORDER BY / projection. */
+  def ppl3Sql(trainSql: String, scoreSql: String): String =
+    s"""WITH ttok AS (SELECT * FROM ${tokenStream3Sql(trainSql)}),
+       | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1),
+       | bi AS (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
+       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2),
+       | tri AS (SELECT w2b AS w1, w1 AS w2, w AS w3,
+       |                CAST(count(*) AS BIGINT) AS c
+       |         FROM ttok WHERE w2b IS NOT NULL GROUP BY 1, 2, 3),
+       | tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+       |                CAST(count(*) AS DOUBLE) AS v FROM uni),
+       | stok AS (SELECT * FROM ${tokenStream3Sql(scoreSql)}),
+       | sc AS (SELECT s.doc_id,
+       |   CASE WHEN s.w1 IS NULL
+       |          THEN log10((coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |        WHEN s.w2b IS NULL AND b.c IS NOT NULL
+       |          THEN log10(b.c * 1.0 / u1.c)
+       |        WHEN s.w2b IS NULL
+       |          THEN log10(${alpha} * (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |        WHEN tr.c IS NOT NULL
+       |          THEN log10(tr.c * 1.0 / b12.c)
+       |        WHEN b.c IS NOT NULL
+       |          THEN log10(${alpha} * b.c * 1.0 / u1.c)
+       |        ELSE log10(${alpha * alpha} * (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |   END AS lp,
+       |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
+       |   CASE WHEN s.w1 IS NOT NULL AND
+       |             ((s.w2b IS NULL AND b.c IS NULL) OR
+       |              (s.w2b IS NOT NULL AND tr.c IS NULL)) THEN 1 ELSE 0
+       |   END AS bko
+       |  FROM stok s
+       |  LEFT JOIN tri tr ON tr.w1 = s.w2b AND tr.w2 = s.w1 AND tr.w3 = s.w
+       |  LEFT JOIN bi b12 ON b12.w1 = s.w2b AND b12.w2 = s.w1
+       |  LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w
+       |  LEFT JOIN uni u1 ON u1.w = s.w1
+       |  LEFT JOIN uni u2 ON u2.w = s.w, tot t)
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(oov) AS BIGINT) AS n_oov,
+       |        CAST(sum(bko) AS BIGINT) AS n_backoff,
+       |        round(-sum(lp) / count(*), 6) AS xent
+       | FROM sc GROUP BY doc_id""".stripMargin
 }

@@ -22,11 +22,26 @@ import org.apache.spark.sql.functions._
 object Pii {
 
   /** One pattern per category, in REDACTION ORDER (emails first so an
-    * address's host part can never be half-eaten by the IP rule). */
+    * address's host part can never be half-eaten by the IP rule — the
+    * `1.2.3.4@mail.com` case, spec-pinned). All alternatives are
+    * lookaround-free and backreference-free (the Java-regex/RE2
+    * portability discipline); grouping is non-capturing `(?:…)` so both
+    * engines' extract-all return the full match.
+    *
+    * `phone` covers three published shapes: international
+    * `+D DDD DDD[D] DDDD`, US parenthesized `(DDD) DDD-DDDD`, and dashed
+    * `DDD-DDD-DDDD` (disjoint from `ssn`'s 3-2-4 grouping — a dashed
+    * phone can never half-match the SSN rule and vice versa). `ipv6` is
+    * the full 8-group form (compressed `::` forms are ambiguous without
+    * lookaround and intentionally out — documented, not silent). */
   val patterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
-    "phone" -> """\+\d{1,2} \d{3} \d{3,4} \d{4}""",
-    "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")
+    "phone" -> ("""\+\d{1,2} \d{3} \d{3,4} \d{4}""" +
+      """|\(\d{3}\) \d{3}-\d{4}""" +
+      """|\b\d{3}-\d{3}-\d{4}\b"""),
+    "ipv6" -> """\b[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){7}\b""",
+    "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""")
 
   private def token(cat: String): String = s"<${cat.toUpperCase}>"
 
@@ -66,15 +81,16 @@ object Pii {
     * release gate reads (documents with PII per source, findings per
     * category, rate rounded to the contract's 6 decimals). */
   def stats(docs: DataFrame, by: String): DataFrame = {
+    val perCat = patterns.map { case (cat, _) =>
+      sum(col(s"n_$cat")).as(s"n_$cat")
+    }
     detect(docs).join(docs.select(col("doc_id"), col(by)), Seq("doc_id"))
       .groupBy(col(by)).agg(
         count(lit(1)).as("n_docs"),
-        sum(col("has_pii").cast("long")).as("n_docs_pii"),
-        sum(col("n_email")).as("n_email"),
-        sum(col("n_phone")).as("n_phone"),
-        sum(col("n_ip")).as("n_ip"),
-        round(sum(col("has_pii").cast("double")) / count(lit(1)), 6)
-          .as("pii_rate"))
+        (sum(col("has_pii").cast("long")).as("n_docs_pii") +:
+          perCat :+
+          round(sum(col("has_pii").cast("double")) / count(lit(1)), 6)
+            .as("pii_rate")): _*)
   }
 
   // ---- oracle SQL builders ------------------------------------------------
@@ -115,14 +131,16 @@ object Pii {
 
   /** DuckDB rendering of [[stats]] over `corpusSql` (must also carry the
     * `by` column). */
-  def statsSql(corpusSql: String, by: String): String =
+  def statsSql(corpusSql: String, by: String): String = {
+    val perCat = patterns.map { case (cat, _) =>
+      s"CAST(sum(det.n_$cat) AS BIGINT) AS n_$cat"
+    }.mkString(",\n|   ")
     s"""WITH det AS (${detectSql(s"(SELECT doc_id, text FROM $corpusSql d)")})
        | SELECT c.$by, CAST(count(*) AS BIGINT) AS n_docs,
        |   CAST(sum(det.has_pii) AS BIGINT) AS n_docs_pii,
-       |   CAST(sum(det.n_email) AS BIGINT) AS n_email,
-       |   CAST(sum(det.n_phone) AS BIGINT) AS n_phone,
-       |   CAST(sum(det.n_ip) AS BIGINT) AS n_ip,
+       |   $perCat,
        |   round(sum(det.has_pii) * 1.0 / count(*), 6) AS pii_rate
        | FROM $corpusSql c JOIN det ON c.doc_id = det.doc_id
        | GROUP BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.LangModelMl
+import org.apache.spark.sql.functions._
+
+class LangModelMlSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("tokenization: CJK chars are single tokens, latin runs lowercase, " +
+      "digits are no token at all") {
+    // 中文 = two Han tokens; Ab → 'ab'; 42 → nothing
+    val d = docs((1L, "Ab 中文 42", "zh"))
+    val uni = LangModelMl.unigramCountsMl(d)
+      .orderBy("w").select("lang", "w", "c")
+      .as[(String, String, Long)].collect().toSeq
+    assert(uni == Seq(("zh", "ab", 1L), ("zh", "中", 1L), ("zh", "文", 1L)))
+    val zt = d.select(LangModelMl.zeroTok(col("text"))).as[Int].collect().head
+    assert(zt == 0)
+    val zt2 = spark.range(1).select(LangModelMl.zeroTok(lit("7 42 !?")))
+      .as[Int].collect().head
+    assert(zt2 == 1)
+  }
+
+  test("pplMl: each doc scored under ITS OWN language's model — " +
+      "hand-computed, including cross-language isolation") {
+    // en model: "a b" ×2 → uni a:2 b:2 (N=4, V=2); bi (a,b):2
+    // zh model: "中 文"  → uni 中:1 文:1 (N=2, V=2); bi (中,文):1
+    val train = docs((1L, "a b", "en"), (2L, "a b", "en"), (3L, "中文", "zh"))
+    // NOTE "中文" has no space: char-level tokens 中,文 — adjacency intact
+    val got = LangModelMl.pplMl(train,
+        docs((10L, "a b", "en"), (11L, "中文", "zh"), (12L, "a b", "zh")))
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // en "a b": p(a)=(2+1)/6, p(b|a)=2/2
+    val en = -(math.log10(3.0 / 6) + 0.0) / 2
+    // zh "中文": p(中)=(1+1)/4, p(文|中)=1/1
+    val zh = -(math.log10(2.0 / 4) + 0.0) / 2
+    // "a b" AS zh: both OOV under the zh model — p(a)=add-one 1/4,
+    // (a,b) unseen → α·1/4
+    val ab_zh = -(math.log10(1.0 / 4) + math.log10(0.4 * 1 / 4)) / 2
+    assert(got == Seq(
+      (10L, "en", 2L, 0L, 0L, r6(en)),
+      (11L, "zh", 2L, 0L, 0L, r6(zh)),
+      (12L, "zh", 2L, 2L, 1L, r6(ab_zh))))
+  }
+
+  test("gateMl: calibrated per-lang cuts; zero-token pass-through; " +
+      "unmodeled-lang residue visible, never silent") {
+    // en train: two identical docs → self-xent identical → cut_micro =
+    // that value + offset; zh train likewise
+    val train = docs((1L, "a b", "en"), (2L, "a b", "en"), (3L, "中文", "zh"))
+    val batch = docs(
+      (10L, "a b", "en"),      // at the self-mean → kept for offset ≥ 0
+      (11L, "z z z z", "en"),  // all-OOV → far above cut → dropped
+      (12L, "42 7", "en"),     // ZERO tokens → pass-through, counted
+      (13L, "中文", "zh"),      // at the zh self-mean → kept
+      (14L, "a b", "ko"))      // unmodeled lang → residue, not kept
+    val got = LangModelMl.gateMl(train, batch, offsetMicro = 10000L)
+      .orderBy("lang")
+      .select("lang", "n_in", "n_zero_tok", "n_scored", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("en", 3L, 1L, 2L, 2L),  // kept = doc10 + zero-token doc12
+      ("ko", 1L, 0L, 0L, 0L),  // visible residue: in − zero − scored = 1
+      ("zh", 1L, 0L, 1L, 1L)))
+    // cut_micro is the exact integer mean + offset (en self-xent is the
+    // same doc twice → mean == the doc's micro score)
+    val enSelf = LangModelMl.pplMl(train, train.where(col("lang") === "en"))
+      .select(round(col("xent") * 1e6).cast("long")).as[Long].collect().head
+    val cutRow = LangModelMl.gateMl(train, batch, offsetMicro = 10000L)
+      .where(col("lang") === "en").select("cut_micro").as[Long].collect().head
+    assert(cutRow == enSelf + 10000L)
+  }
+
+  test("the [a-z]+ trap is closed: real CJK text is SCORED, not dropped") {
+    // under the old single-model tokenizer this doc had zero tokens and
+    // silently vanished at the gate; under the ML class it scores
+    val train = docs((1L, "中文中文", "zh"))
+    val scored = LangModelMl.pplMl(train, docs((9L, "中文", "zh")))
+      .select("n_tokens").as[Long].collect()
+    assert(scored.toSeq == Seq(2L))
+  }
+}

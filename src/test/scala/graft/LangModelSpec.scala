@@ -278,4 +278,115 @@ class LangModelSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
+  test("purge ledger: a retried purge is a no-op even after compaction " +
+      "folded its delta away (the crashed-takedown/compact interleave)") {
+    val train = docs(1L -> "a b", 2L -> "b c", 3L -> "c a")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ledger")
+    try {
+      val m = s"$tmp/m"
+      LangModel.buildLmIndex(train, m)
+      LangModel.purgeFromLmIndex(docs(3L -> "c a"), m, 0L)
+      // compaction between the crashed orchestration and its re-run:
+      // folds ingest=-2 into the seed — the own-partition exclusion
+      // alone would now see nothing and double-subtract
+      LangModel.compactLmIndex(spark, m)
+      val after = LangModel.scoreAgainstLmIndex(m, docs(9L -> "a b c"))
+        .collect().toSeq
+      LangModel.purgeFromLmIndex(docs(3L -> "c a"), m, 0L) // end-to-end retry
+      assert(LangModel.scoreAgainstLmIndex(m, docs(9L -> "a b c"))
+        .collect().toSeq == after)
+      assert(after == LangModel.ppl(train.where(col("doc_id") =!= 3L),
+        docs(9L -> "a b c")).collect().toSeq)
+    } finally deleteRecursively(tmp)
+  }
+
+  test("prune-in-progress marker: an interrupted prune is FINISHED by the " +
+      "next read instead of serving mixed semantics") {
+    val train = docs(1L -> "a b a b a b", 2L -> "a c")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-prunemark")
+    try {
+      val m = s"$tmp/m"
+      LangModel.buildLmIndex(train, m)
+      val want = {
+        val m2 = s"$tmp/m2"
+        LangModel.buildLmIndex(train, m2)
+        LangModel.pruneLmIndex(spark, m2, minCount = 2L)
+        LangModel.scoreAgainstLmIndex(m2, docs(9L -> "a b c"))
+          .collect().toSeq
+      }
+      // crash simulation: the marker landed but neither fold ran
+      val fs = new org.apache.hadoop.fs.Path(m)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(m, "_GRAFT_LM_PRUNE"), true)
+      out.write("2\n".getBytes("UTF-8")); out.close()
+      // the next read path repairs: finishes the prune, clears the marker
+      assert(LangModel.scoreAgainstLmIndex(m, docs(9L -> "a b c"))
+        .collect().toSeq == want)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(m, "_GRAFT_LM_PRUNE")))
+    } finally deleteRecursively(tmp)
+  }
+
+  test("ppl3: hand-computed order-3 Stupid Backoff scores") {
+    // train: "a b c" ×2, "d b e" → uni a:2 b:3 c:2 d:1 e:1 (N=9, V=5);
+    // bi (a,b):2 (b,c):2 (d,b):1 (b,e):1; tri (a,b,c):2 (d,b,e):1
+    val train = docs(1L -> "a b c", 2L -> "a b c", 3L -> "d b e")
+    // consistent "a b c": p(a)=add-one (2+1)/14; p(b|a)=2/2;
+    //   p(c|a b)=tri 2/2 = 1
+    val gotC = LangModel.ppl3(train, docs(10L -> "a b c"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    val expectC = -(math.log10(3.0 / 14) + 0.0 + 0.0) / 3
+    assert(gotC._1 == 3 && gotC._2 == 0 && gotC._3 == 0)
+    assert(math.abs(gotC._4 - BigDecimal(expectC).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // crossed "a b e": tri (a,b,e) unseen → α·p(e|b) = 0.4·(1/3);
+    // the bigram model CANNOT see this (both (b,c) and (b,e) trained)
+    val gotX = LangModel.ppl3(train, docs(11L -> "a b e"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    val expectX = -(math.log10(3.0 / 14) + 0.0 + math.log10(0.4 / 3)) / 3
+    assert(gotX._1 == 3 && gotX._2 == 0 && gotX._3 == 1)
+    assert(math.abs(gotX._4 - BigDecimal(expectX).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // double backoff "a z e": (a,z) pos-2 backoff to α·uni(z)=α·1/14;
+    // (a,z,e)→(z,e) unseen → α²·uni(e)=α²·2/14
+    val gotZ = LangModel.ppl3(train, docs(12L -> "a z e"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    val expectZ = -(math.log10(3.0 / 14) + math.log10(0.4 * 1 / 14) +
+      math.log10(0.4 * 0.4 * 2 / 14)) / 3
+    assert(gotZ._1 == 3 && gotZ._2 == 1 && gotZ._3 == 2)
+    assert(math.abs(gotZ._4 - BigDecimal(expectZ).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("order-3 persisted lifecycle: grown == union; order marker gates " +
+      "the entry points") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val a = d.where(col("doc_id") % 3 === 0)
+    val b = d.where(col("doc_id") % 3 === 1)
+    val batch = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-spec")
+    try {
+      LangModel.buildLm3Index(a, s"$tmp/m3")
+      def score() = LangModel.scoreAgainstLm3Index(s"$tmp/m3", batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(score() == LangModel.ppl3(a, batch).orderBy("doc_id").collect().toSeq)
+      LangModel.appendToLmIndex(b, s"$tmp/m3", 0L) // marker says order 3
+      assert(score() ==
+        LangModel.ppl3(a.unionAll(b), batch).orderBy("doc_id").collect().toSeq)
+      // an order-2 layout refuses the order-3 scorer (never silently
+      // scores without its trigram table)
+      LangModel.buildLmIndex(a, s"$tmp/m2")
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLm3Index(s"$tmp/m2", batch)
+      }
+      // order-2 scoring over the order-3 layout is legal (same
+      // corpus-shaped lower-order tables)
+      assert(LangModel.scoreAgainstLmIndex(s"$tmp/m3", batch)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModel.ppl(a.unionAll(b), batch).orderBy("doc_id").collect().toSeq)
+    } finally deleteRecursively(tmp)
+  }
+
 }

@@ -43,6 +43,56 @@ class PiiSpec extends TestBase {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  test("phone shapes: international, parenthesized, dashed — all one category") {
+    val d = docs(
+      1L -> "call +1 555 123 4567 now",
+      2L -> "or (555) 867-5309 later",
+      3L -> "fax 555-123-4567 anytime",
+      4L -> "order 555-123-456 is not a phone (3-3-3)")
+    val got = Pii.detect(d).orderBy("doc_id").select("n_phone")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 1L, 0L))
+    assert(Pii.redact(docs(5L -> "(555) 867-5309 or 555-123-4567"))
+      .select("redacted").as[String].collect().head == "<PHONE> or <PHONE>")
+  }
+
+  test("ssn (3-2-4) and dashed phone (3-3-4) never half-match each other") {
+    val d = docs(
+      1L -> "ssn 123-45-6789 filed",
+      2L -> "phone 555-123-4567 listed",
+      3L -> "both 123-45-6789 and 555-123-4567")
+    val got = Pii.detect(d).orderBy("doc_id").select("n_ssn", "n_phone")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (0L, 1L), (1L, 1L)))
+    // redaction order (phone before ssn) leaves each span to its owner
+    assert(Pii.redact(docs(4L -> "123-45-6789 555-123-4567"))
+      .select("redacted").as[String].collect().head == "<SSN> <PHONE>")
+  }
+
+  test("ipv6: full 8-group form; hex groups; disjoint from ipv4") {
+    val d = docs(
+      1L -> "via fe80:1:2:3:4:5:6:1000 tunnel",
+      2L -> "v4 10.0.0.1 stays v4",
+      3L -> "short fe80:1:2:3 is not a full v6")
+    val got = Pii.detect(d).orderBy("doc_id").select("n_ipv6", "n_ip")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (0L, 1L), (0L, 0L)))
+    assert(Pii.redact(docs(4L -> "x fe80:0:0:0:0:8a2e:370:7334 y"))
+      .select("redacted").as[String].collect().head == "x <IPV6> y")
+  }
+
+  test("detect counts categories independently; REDACTION resolves " +
+      "overlaps by order (the 1.2.3.4@mail.com case)") {
+    val d = docs(1L -> "ping 1.2.3.4@mail.com ok")
+    val row = Pii.detect(d).select("n_email", "n_ip").as[(Long, Long)]
+      .collect().head
+    // the IP-shaped local part IS an independent ipv4 match on raw text…
+    assert(row == ((1L, 1L)))
+    // …but redaction applies email first, so no <IP> token survives
+    assert(Pii.redact(d).select("redacted").as[String].collect().head ==
+      "ping <EMAIL> ok")
+  }
+
   test("stats: per-group prevalence aggregates the detect counts exactly") {
     val d = Seq(
       (1L, "a@b.co and c@d.io", "web"),
