@@ -72,6 +72,76 @@ object LmProbe {
       scans.map(_.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum
     }
 
+    // ---- vocabulary arm (r17): the write path must SCALE WITH VOCABULARY
+    // — count tables are written repartitionByRange on the word key with
+    // AQE sizing the shuffle, so the closed 31-word fixture lands one
+    // file while a 100×-vocabulary corpus lands many, and the range
+    // layout keeps a word-bounded scan file-pruned (parquet min/max).
+    // The old repartition(1) wrote ONE file/task regardless — the
+    // bottleneck this arm exists to disprove.
+    {
+      // alphabetic salt (the [a-z]+ tokenizer drops digits): doc_id%100
+      // spelled in letters → every word gains 100 variants
+      val salt = translate(pmod(col("doc_id"), lit(100)).cast("string"),
+        "0123456789", "abcdefghij")
+      val vocabCorpus = base.select(col("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("x"), salt)), " ").as("text"))
+      val idx = s"$root/vocab/model"
+      // the file count comes from AQE sizing the range shuffle
+      // (bytes / advisoryPartitionSizeInBytes) — dial the advisory down
+      // so a fixture-scale table exercises the same multi-file path a
+      // billion-row bigram table takes at the 64 MB default
+      val tuned = Seq(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384")
+      val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (buildSec, _) = ProbeHarness.time {
+        LangModel.buildLmIndex(vocabCorpus, idx)
+      }
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def filesIn(sub: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$sub/ingest=-1")
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      }
+      val (uniFiles, biFiles) = (filesIn("unigrams"), filesIn("bigrams"))
+      val uniVocab = spark.read.parquet(s"$idx/unigrams").count()
+      // range-layout pruning evidence from the REAL parquet footers: row
+      // groups whose w1 [min, max] intersects ['m', 'n') — a pushed
+      // w1-range predicate (PushedFilters on the scan) skips the rest
+      // (filesSize can't see row-group pruning, so count footers, the
+      // LayoutProbe method)
+      val conf = spark.sparkContext.hadoopConfiguration
+      var surviving = 0; var totalRg = 0
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/bigrams/ingest=-1"))
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try reader.getFooter.getBlocks.forEach { block =>
+            totalRg += 1
+            import scala.jdk.CollectionConverters._
+            val st = block.getColumns.asScala
+              .find(_.getPath.toDotString == "w1").get.getStatistics
+            val ok = st == null || !st.hasNonNullValue || {
+              val mn = st.minAsString(); val mx = st.maxAsString()
+              mn < "n" && mx >= "m"
+            }
+            if (ok) surviving += 1
+          } finally reader.close()
+        }
+      println(f"[lm] vocab arm: ${uniVocab}%d distinct unigrams, build " +
+        f"$buildSec%6.2f s, files uni=$uniFiles bi=$biFiles " +
+        f"(was 1/1 under repartition(1)); w1-in-[m,n) survives " +
+        f"$surviving%d of $totalRg%d bigram row groups")
+      require(biFiles > 1, "vocab-scale bigrams must land multiple files")
+      require(surviving < totalRg,
+        "range layout must row-group-prune a word-bounded scan")
+    }
+
     var factor = 1
     while (factor <= maxFactor) {
       corpusAt(factor).write.parquet(s"$root/f$factor/standing")
