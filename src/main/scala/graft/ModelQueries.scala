@@ -616,6 +616,70 @@ object ModelQueries {
         .orderBy("lang")
     },
 
+    // ---- index health (compaction scheduling signal) -------------------
+
+    // WHEN to compact, as data: one metadata-scale row per partitioned
+    // index family — partition/delta counts, per-side row counts, and
+    // the compact_due trigger (delta partitions ≥ threshold). The
+    // fixture grows three families to different depths (LM 2 deltas →
+    // due; drift 1 → not due; dhash 1 → not due); the oracle recomputes
+    // every deterministic number from the same raw slices (distinct
+    // unigrams, distinct feature bins, item counts). The environmental
+    // columns (bytes, smallest-file ratio) stay in the Scala API —
+    // byte sizes aren't engine-portable.
+    QueryDef("idx_health")({
+      def words(cond: String) =
+        s"""(SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+           |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           |  FROM documents WHERE $cond))""".stripMargin
+      def bins(cond: String) =
+        s"""(SELECT CAST(count(DISTINCT FLOOR(length(text)/256)) +
+           |             count(DISTINCT lang) AS BIGINT)
+           |  FROM documents WHERE $cond)""".stripMargin
+      s"""SELECT * FROM (
+         | SELECT 'dhash' AS family, CAST(2 AS BIGINT) AS n_partitions,
+         |   CAST(1 AS BIGINT) AS n_delta_partitions,
+         |   CAST(16 AS BIGINT) AS n_rows_seed, CAST(8 AS BIGINT) AS n_rows_delta,
+         |   CAST(0 AS INT) AS compact_due
+         | UNION ALL SELECT 'drift', 2, 1,
+         |   ${bins(s"$bktSql >= 20")}, ${bins(s"$bktSql < 20")}, 0
+         | UNION ALL SELECT 'lm_unigrams', 3, 2,
+         |   ${words(s"$bktSql >= 40")},
+         |   ${words(s"$bktSql >= 20 AND $bktSql < 30")} +
+         |     ${words(s"$bktSql >= 30 AND $bktSql < 40")}, 1
+         |) ORDER BY family""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{Curation, Multimodal, Purge}
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-health")
+      LangModel.buildLmIndex(idText(d.where(bkt >= 40)), s"$tmp/lm")
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 30)),
+        s"$tmp/lm", 0L)
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 30 && bkt < 40)),
+        s"$tmp/lm", 1L)
+      val features = Seq(
+        "chars" -> floor(length(col("text")) / lit(256)),
+        "lang" -> col("lang"))
+      Curation.buildDriftIndex(d.where(bkt >= 20), features, s"$tmp/drift")
+      Curation.appendToDriftIndex(d.where(bkt < 20), features,
+        s"$tmp/drift", 0L)
+      def items(lo: Int, hi: Int) = Multimodal.syntheticImageVariants(
+        s.range(lo, hi).select(col("id").as("doc_id"), col("id").as("key"),
+          lit(0).as("delta"), lit(0).as("spot")))
+      Multimodal.buildDHashIndex(items(0, 16), s"$tmp/dh")
+      Multimodal.appendToDHashIndex(items(16, 24), s"$tmp/dh", 0L)
+      val det = Seq("family", "n_partitions", "n_delta_partitions",
+        "n_rows_seed", "n_rows_delta", "compact_due").map(col)
+      val out = Purge
+        .indexHealth(s, "lm_unigrams", s"$tmp/lm/unigrams", "ingest=", 2)
+        .unionAll(Purge.indexHealth(s, "drift", s"$tmp/drift", "ingest=", 2))
+        .unionAll(Purge.indexHealth(s, "dhash", s"$tmp/dh/hashes",
+          "ingest_batch=", 2))
+        .select(det: _*).orderBy("family").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // ---- typed PII detection / redaction -------------------------------
 
     // Per-document typed finding counts over the planted corpus.

@@ -1608,7 +1608,10 @@ object NorthStarQueries {
         dt.where(col("doc_id") < 40), s"$st/loop-idx", s"$st/loop-lbl",
         threshold = 0.8)
       fixtureSecs.put("purge-all-build", (System.nanoTime() - tB) / 1e9)
-      val audit = Takedown.purgeEverywhere(s, ids, Seq(
+      // deploymentRoot engages the completeness guard: every artifact the
+      // fixture stood up must be covered by a declared target, or the
+      // takedown fails loudly BEFORE purging anything (r17)
+      val audit = Takedown.purgeEverywhere(s, ids, deploymentRoot = Some(st.toString), targets = Seq(
           Takedown.Bm25(s"$st/bm25", compact = true),
           Takedown.CrossNearDup(s"$st/cross", compact = true),
           Takedown.ExactWindow(s"$st/win", ingestBatch = -1L,

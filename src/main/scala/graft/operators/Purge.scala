@@ -38,6 +38,62 @@ object Purge {
   private val StageDirName = "_graft_purging"
   private val MarkerName = "_graft_purge"
 
+  /** Compaction SCHEDULING SIGNAL (r17): the append-partition families
+    * all carry a compaction verb, but nothing reported WHEN to run it —
+    * a 10⁴-batch deployment needs the trigger, not just the fold. One
+    * row per partitioned index root, all METADATA-scale: partition
+    * names from one listing, file counts/bytes from file statuses, row
+    * counts from parquet footers (Spark's count() on a bare parquet
+    * scan reads metadata only — no data pages). Pure observer: never
+    * repairs, never rewrites; underscore-prefixed stage dirs from an
+    * in-flight rewrite are invisible to the prefix filter, so a crashed
+    * fold reads as its committed state.
+    *
+    * Columns: deterministic (`n_partitions`, `n_delta_partitions`,
+    * `n_rows_seed`, `n_rows_delta`, `compact_due` = delta count ≥
+    * `compactAfter`) + environmental (`n_files`, `bytes`,
+    * `smallest_file_ratio` = smallest/largest file bytes — the
+    * tiny-file symptom itself). Oracle rows project the deterministic
+    * columns and recompute them from the raw corpus slices; the
+    * environmental ones are operational readouts (byte sizes are not
+    * engine-portable). */
+  def indexHealth(spark: SparkSession, family: String, root: String,
+      partitionPrefix: String, compactAfter: Int = 8): DataFrame = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rp), s"indexHealth: no such index root $root")
+    val seedName = s"${partitionPrefix}-1"
+    val parts = fs.listStatus(rp).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(partitionPrefix))
+    require(parts.nonEmpty,
+      s"indexHealth: $root has no $partitionPrefix* partitions — wrong " +
+        "root or wrong prefix (fail loudly, never report an empty index " +
+        "as healthy)")
+    val stats = parts.map { p =>
+      val files = fs.listStatus(p).toSeq
+        .filter(f => f.getPath.getName.endsWith(".parquet"))
+      (p.getName, files.size, files.map(_.getLen),
+        spark.read.parquet(p.toString).count())
+    }
+    val allFiles = stats.flatMap(_._3)
+    val ratio =
+      if (allFiles.isEmpty || allFiles.max == 0L) 1.0
+      else allFiles.min.toDouble / allFiles.max
+    import spark.implicits._
+    Seq((family,
+      stats.size.toLong,
+      stats.count(_._1 != seedName).toLong,
+      stats.filter(_._1 == seedName).map(_._4).sum,
+      stats.filter(_._1 != seedName).map(_._4).sum,
+      if (stats.count(_._1 != seedName) >= compactAfter) 1 else 0,
+      allFiles.size.toLong,
+      allFiles.sum,
+      math.rint(ratio * 1e6) / 1e6))
+      .toDF("family", "n_partitions", "n_delta_partitions", "n_rows_seed",
+        "n_rows_delta", "compact_due", "n_files", "bytes",
+        "smallest_file_ratio")
+  }
+
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)

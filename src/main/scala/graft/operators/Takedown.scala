@@ -112,6 +112,99 @@ object Takedown {
     val family = "audio_loop"; val path = labelsDir
   }
 
+  /** COMPLETENESS GUARD (r17): [[purgeEverywhere]] trusts the caller's
+    * target list — a standing artifact nobody declared would be silently
+    * skipped while the audit manifest still reads "complete". This scan
+    * walks a deployment root and recognizes every directory that IS an
+    * engine artifact by the layout's own identifying files (format
+    * markers, version `_COMMIT`s, manifests, the signature/layout
+    * metadata files) — all metadata-scale fs listings, no data read.
+    * Returns `(kind, path)` rows; [[requireDeclaredComplete]] fails
+    * LOUDLY if any recognized artifact is covered by no declared target.
+    *
+    * Recognizers (one per persisted layout family):
+    *   - `_GRAFT_LM_FORMAT` file          → lm_model
+    *   - `_GRAFT_DRIFT_FORMAT` file       → drift
+    *   - `v<k>/_COMMIT` child             → bm25 (versioned index root)
+    *   - `manifest` + `shingle_keys` dirs → cross_neardup (also the
+    *     curation loop's index half)
+    *   - `manifest` + `windows` dirs      → exact_window
+    *   - `data` + `centroids` dirs        → ivf
+    *   - `codes` + `centroids` + `codebook` → ivfpq
+    *   - `codes` + `codebook` (no centroids) → pq
+    *   - `hashes/ingest_batch=…` children → sig_index (dHash OR audio
+    *     fingerprint — byte-identical layouts; either target kind covers)
+    *   - `edges` + `registry`-bearing dir → loop_labels
+    *   - `_graft_zmeta` at root or under `batch=…` → keyed_layout */
+  def discoverArtifacts(spark: SparkSession, root: String,
+      maxDepth: Int = 5): Seq[(String, String)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return Seq.empty
+    def ls(p: org.apache.hadoop.fs.Path) =
+      try fs.listStatus(p).toSeq catch { case _: java.io.IOException => Seq.empty }
+    def kindOf(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val children = ls(p)
+      val dirs = children.filter(_.isDirectory).map(_.getPath.getName).toSet
+      val files = children.filter(!_.isDirectory).map(_.getPath.getName).toSet
+      def versioned = children.exists(c => c.isDirectory &&
+        c.getPath.getName.matches("v-?\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(c.getPath, "_COMMIT")))
+      if (files.contains("_GRAFT_LM_FORMAT")) Some("lm_model")
+      else if (files.contains("_GRAFT_DRIFT_FORMAT")) Some("drift")
+      else if (files.contains("_graft_zmeta") ||
+        (dirs.exists(_.startsWith("batch=")) && fs.exists(
+          new org.apache.hadoop.fs.Path(p, "batch=0/_graft_zmeta"))))
+        Some("keyed_layout")
+      else if (dirs.contains("manifest") && dirs.contains("shingle_keys"))
+        Some("cross_neardup")
+      else if (dirs.contains("manifest") && dirs.contains("windows"))
+        Some("exact_window")
+      else if (dirs.contains("data") && dirs.contains("centroids")) Some("ivf")
+      else if (dirs.contains("codes") && dirs.contains("centroids") &&
+        dirs.contains("codebook")) Some("ivfpq")
+      else if (dirs.contains("codes") && dirs.contains("codebook")) Some("pq")
+      else if (dirs.contains("hashes") && ls(new org.apache.hadoop.fs.Path(p,
+        "hashes")).exists(_.getPath.getName.startsWith("ingest_batch=")))
+        Some("sig_index")
+      else if (dirs.contains("edges")) Some("loop_labels")
+      else if (versioned) Some("bm25")
+      else None
+    }
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[(String, String)] =
+      kindOf(p) match {
+        case Some(kind) => Seq(kind -> p.toUri.getPath) // don't descend INTO one
+        case None if depth < maxDepth =>
+          ls(p).filter(_.isDirectory)
+            .flatMap(c => walk(c.getPath, depth + 1))
+        case None => Seq.empty
+      }
+    walk(rp, 0).sortBy(identity)
+  }
+
+  /** Fail loudly if `root` holds a recognized engine artifact that no
+    * declared target covers. Coverage is by path: every Target's
+    * artifact path(s) — loop targets cover BOTH their index and labels
+    * dirs — normalized and compared to the discovered roots. */
+  def requireDeclaredComplete(spark: SparkSession, root: String,
+      targets: Seq[Target]): Unit = {
+    def norm(s: String) =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+    val covered: Set[String] = targets.flatMap {
+      case CurationLoop(i, l) => Seq(i, l)
+      case ImageLoop(i, l) => Seq(i, l)
+      case AudioLoop(i, l) => Seq(i, l)
+      case t => Seq(t.path)
+    }.map(norm).toSet
+    val undeclared = discoverArtifacts(spark, root)
+      .filterNot { case (_, p) => covered.contains(norm(p)) }
+    require(undeclared.isEmpty,
+      s"purgeEverywhere: deployment root $root holds engine artifacts no " +
+        s"declared target covers — a takedown run now would SKIP them while " +
+        s"the audit reads complete: " +
+        undeclared.map { case (k, p) => s"$k at $p" }.mkString("; "))
+  }
+
   /** How many requested ids an id-bearing table actually holds — one
     * narrow column scan + broadcast semi-join per family, the audit
     * number, measured BEFORE the purge. */
@@ -129,8 +222,13 @@ object Takedown {
     * sec)` sorted by family — `sec` is wall-clock of that family's purge
     * (informational; exclude it from any hash-checked comparison). */
   def purgeEverywhere(spark: SparkSession, ids: DataFrame,
-      targets: Seq[Target]): DataFrame = {
+      targets: Seq[Target], deploymentRoot: Option[String] = None): DataFrame = {
     require(targets.nonEmpty, "purgeEverywhere: no targets declared")
+    // completeness guard: when the caller names the deployment root, a
+    // recognized-but-undeclared artifact fails the whole takedown BEFORE
+    // any family purges (an audit that silently skipped a standing index
+    // is worse than no audit)
+    deploymentRoot.foreach(r => requireDeclaredComplete(spark, r, targets))
     // duplicate key includes the ingest batch for the one per-PARTITION
     // verb: a doc set that arrived across several micro-batches
     // legitimately declares one ExactWindow target per touched partition

@@ -439,4 +439,73 @@ class PurgeSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
+  test("indexHealth: partition/row accounting, compact_due threshold, " +
+      "loud failure on a wrong root") {
+    import graft.operators.{LangModel, Purge}
+    val root = java.nio.file.Files.createTempDirectory("graft-health-spec")
+    try {
+      val d = docs(1L -> "a b c", 2L -> "b c d")
+      LangModel.buildLmIndex(d, s"$root/lm")
+      LangModel.appendToLmIndex(docs(3L -> "c d e"), s"$root/lm", 0L)
+      LangModel.appendToLmIndex(docs(4L -> "e f"), s"$root/lm", 1L)
+      val h = Purge.indexHealth(spark, "lm_unigrams", s"$root/lm/unigrams",
+          "ingest=", compactAfter = 2)
+        .select("n_partitions", "n_delta_partitions", "n_rows_seed",
+          "n_rows_delta", "compact_due")
+        .as[(Long, Long, Long, Long, Int)].collect().head
+      // seed distinct: a b c d = 4; delta 0: c d e = 3; delta 1: e f = 2
+      assert(h == ((3L, 2L, 4L, 5L, 1)))
+      val notDue = Purge.indexHealth(spark, "lm_unigrams",
+          s"$root/lm/unigrams", "ingest=", compactAfter = 3)
+        .select("compact_due").as[Int].collect().head
+      assert(notDue == 0)
+      intercept[IllegalArgumentException] {
+        Purge.indexHealth(spark, "x", s"$root/lm/unigrams", "batch=", 2)
+      }
+      intercept[IllegalArgumentException] {
+        Purge.indexHealth(spark, "x", s"$root/nope", "ingest=", 2)
+      }
+    } finally deleteRecursively(root)
+  }
+
+  test("completeness guard: an undeclared standing artifact fails the " +
+      "takedown loudly; declared-complete passes and purges") {
+    import graft.operators.{LangModel, Takedown}
+    val root = java.nio.file.Files.createTempDirectory("graft-guard")
+    try {
+      val d = docs(1L -> "a b c", 2L -> "b c d", 3L -> "c d e")
+      LangModel.buildLmIndex(d, s"$root/lm")
+      graft.operators.Curation.buildDriftIndex(
+        d.withColumn("n", length(col("text"))),
+        Seq("n" -> col("n")), s"$root/drift")
+      // discovery sees both
+      val found = Takedown.discoverArtifacts(spark, root.toString)
+      assert(found.map(_._1).sorted == Seq("drift", "lm_model"))
+      // drift declared nowhere → loud refusal BEFORE any purge, model
+      // bytes untouched
+      val lmOnly = Seq[Takedown.Target](Takedown.LmModel(s"$root/lm",
+        purgedRows = d.where(col("doc_id") === 1L), purgeId = 0L))
+      val before = LangModel.scoreAgainstLmIndex(s"$root/lm", docs(9L -> "a b"))
+        .collect().toSeq
+      val ex = intercept[IllegalArgumentException] {
+        Takedown.purgeEverywhere(spark, d.select(col("doc_id")),
+          lmOnly, deploymentRoot = Some(root.toString))
+      }
+      assert(ex.getMessage.contains("drift"))
+      assert(LangModel.scoreAgainstLmIndex(s"$root/lm", docs(9L -> "a b"))
+        .collect().toSeq == before)
+      // declaring the drift index too → the guard passes and the
+      // takedown runs
+      val all = lmOnly :+ Takedown.Drift(s"$root/drift",
+        Seq("n" -> col("n")),
+        purgedRows = d.where(col("doc_id") === 1L)
+          .withColumn("n", length(col("text"))), purgeId = 0L)
+      val audit = Takedown.purgeEverywhere(spark,
+        d.where(col("doc_id") === 1L).select(col("doc_id")),
+        all, deploymentRoot = Some(root.toString))
+      assert(audit.select("family").as[String].collect().sorted.toSeq ==
+        Seq("drift", "lm_model"))
+    } finally deleteRecursively(root)
+  }
+
 }
