@@ -4187,6 +4187,14 @@ object NorthStarQueries {
         idxDir, lblDir, threshold = 0.8, s"$st/ckpt")
       q.awaitTermination()
       fixtureSecs.put("curation-purge-loop", (System.nanoTime() - tLoop) / 1e9)
+      // r17 (VERDICT #2): the same per-micro-batch attribution the
+      // curation row carries, so the archive splits this row's loop
+      // total into data-batch cost vs stream start/stop overhead.
+      val batchMs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      if (batchMs.nonEmpty)
+        fixtureSecs.put("curation-purge-batch-max", batchMs.max / 1e3)
       val tPurge = System.nanoTime()
       graft.streaming.Streams.purgeCurationState(s, idxDir, lblDir,
         Seq(3L, 1003L, 15L, 3012L).toDF("doc_id"))
