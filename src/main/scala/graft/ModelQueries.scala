@@ -652,6 +652,7 @@ object ModelQueries {
       import graft.operators.{Curation, Multimodal, Purge}
       val d = docs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-health")
+      val tB = System.nanoTime()
       LangModel.buildLmIndex(idText(d.where(bkt >= 40)), s"$tmp/lm")
       LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 30)),
         s"$tmp/lm", 0L)
@@ -668,6 +669,8 @@ object ModelQueries {
           lit(0).as("delta"), lit(0).as("spot")))
       Multimodal.buildDHashIndex(items(0, 16), s"$tmp/dh")
       Multimodal.appendToDHashIndex(items(16, 24), s"$tmp/dh", 0L)
+      NorthStarQueries.fixtureSecs.put("idx-health-build",
+        (System.nanoTime() - tB) / 1e9)
       val det = Seq("family", "n_partitions", "n_delta_partitions",
         "n_rows_seed", "n_rows_delta", "compact_due").map(col)
       val out = Purge

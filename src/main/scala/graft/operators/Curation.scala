@@ -518,9 +518,13 @@ object Curation {
     // funnel is ONE aggregate — the naive five-countBy-joins form
     // replicated the scoring subtree per reference (a ~260-join plan at
     // fixture scale that recomputed the model chain three times).
-    val uni = LangModelMl.unigramCountsMl(lmTrain)
-    val bi = LangModelMl.bigramCountsMl(lmTrain)
+    // model tables + cuts pinned eagerly (vocabulary-scale / per-lang
+    // rows) — see LangModelMl.gateMl: each feeds many join sides and an
+    // unpinned plan re-scans the train corpus per reference
+    val uni = LangModelMl.unigramCountsMl(lmTrain).localCheckpoint(true)
+    val bi = LangModelMl.bigramCountsMl(lmTrain).localCheckpoint(true)
     val cuts = LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
+      .localCheckpoint(true)
     val flagged = corpus.select(col("doc_id"), col("text"), col("lang"),
       (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"),
       LangModelMl.zeroTok(col("text")).as("zt"))
@@ -541,6 +545,12 @@ object Curation {
         when(col("lm_kept") === 1, Pii.redactText(col("text"))))
       .withColumn("has_pii",
         when(col("lm_kept") === 1, Pii.anyPii(col("text"))).otherwise(0))
+      .drop("text")
+      // the flag table feeds BOTH the dedup keep set and the funnel —
+      // pinned so the gate/score/redact chain over the corpus runs ONCE
+      // (narrow per-doc rows; the r16 collapse kept the chain cheap
+      // enough to recompute, the per-lang calibrated chain is not)
+      .localCheckpoint(true)
     val keeps = st.where(col("lm_kept") === 1)
       .groupBy(md5(col("rtext"))).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1).as("is_keep"))

@@ -146,9 +146,16 @@ object LangModelMl {
     * `n_in − n_zero_tok − n_scored` (scored nothing, kept no — counted,
     * never silent; their `cut_micro` is null). */
   def gateMl(train: DataFrame, batch: DataFrame, offsetMicro: Long): DataFrame = {
-    val uni = unigramCountsMl(train)
-    val bi = bigramCountsMl(train)
+    // The model tables feed SIX join sides (three in the self-score
+    // chain, three in the batch chain) and the cuts feed one more —
+    // pinned eagerly (vocabulary-scale / one-row-per-lang) so Catalyst
+    // reads them from memory instead of re-deriving each reference from
+    // a fresh corpus scan (measured: the unpinned cur_release plan grew
+    // to 64 parquet scans).
+    val uni = unigramCountsMl(train).localCheckpoint(true)
+    val bi = bigramCountsMl(train).localCheckpoint(true)
     val cuts = calibratedCutsMl(train, uni, bi, offsetMicro)
+      .localCheckpoint(true)
     val scored = scoreWithMl(
         batch.select(col("doc_id"), col("text"), col("lang")), uni, bi)
       .select(col("doc_id"), col("xent"))
