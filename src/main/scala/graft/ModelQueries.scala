@@ -469,6 +469,30 @@ object ModelQueries {
       LangModelMl.gateMl(train, corpus, mlGateOffsetMicro).orderBy("lang")
     },
 
+    // The per-language model PERSISTED and GROWN (the CCNet production
+    // artifact: every language's model in one lang-keyed layout riding
+    // the identical delta/ledger machinery; the marker's tok=ml line
+    // keeps plain and per-language layouts from ever cross-reading —
+    // different tokenizers). Oracle retrains per-lang on the union raw:
+    // hash equality is the grown == indexed == direct identity.
+    QueryDef("txt_lm_ml_indexed")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModelMl.pplMlSql(tr, sc)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-idx")
+      LangModel.buildLmMlIndex(d.where(bkt >= 40), s"$tmp/model")
+      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+        s"$tmp/model", ingestBatch = 0L)
+      val out = LangModel.scoreAgainstLmMlIndex(s"$tmp/model",
+          d.where(bkt < 20))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // ---- trigram Stupid Backoff (order 3) ------------------------------
 
     // Per-document cross-entropy under the ORDER-3 model — trigram →

@@ -259,18 +259,31 @@ object LangModel {
   private val lmFormatVersion = 1
   val formatMarkerName = "_GRAFT_LM_FORMAT"
 
-  /** The count tables of an order-N model with their word-key columns,
-    * lowest order first. */
-  private def tableSpecs(order: Int): Seq[(String, Seq[String])] =
-    Seq("unigrams" -> Seq("w"), "bigrams" -> Seq("w1", "w2"),
-      "trigrams" -> Seq("w1", "w2", "w3")).take(order)
+  /** Persisted-model shape: n-gram order plus whether the layout is the
+    * PER-LANGUAGE form (tables keyed by `lang`, tokenized by
+    * [[LangModelMl.mlTokenClass]] — a DIFFERENT tokenizer, so the marker
+    * must keep the two layouts from ever cross-reading: scoring a plain
+    * model through the ML reader would silently mark everything OOV,
+    * the exact looks-like-drift trap the marker exists to prevent). */
+  private case class Shape(order: Int, ml: Boolean)
+
+  /** The count tables of a model shape with their key columns, lowest
+    * order first (ML tables carry the leading `lang` key). */
+  private def tableSpecs(shape: Shape): Seq[(String, Seq[String])] = {
+    val base = Seq("unigrams" -> Seq("w"), "bigrams" -> Seq("w1", "w2"),
+      "trigrams" -> Seq("w1", "w2", "w3")).take(shape.order)
+    if (shape.ml) base.map { case (sub, keys) => (sub, "lang" +: keys) }
+    else base
+  }
 
   private def writeFormatMarker(spark: SparkSession, dir: String,
-      order: Int): Unit = {
+      shape: Shape): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$lmFormatVersion\norder=$order\n".getBytes("UTF-8"))
+    val tok = if (shape.ml) "tok=ml\n" else ""
+    try out.write(
+      s"$lmFormatVersion\norder=${shape.order}\n$tok".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -278,8 +291,8 @@ object LangModel {
     * different tokenizer or table scheme must error, not silently score
     * everything as OOV (the failure mode that looks like drift in the
     * xent distribution instead of looking like a bug). Returns the
-    * model's n-gram order. */
-  private def requireFormat(spark: SparkSession, dir: String): Int = {
+    * model's shape. */
+  private def requireFormat(spark: SparkSession, dir: String): Shape = {
     val p = new org.apache.hadoop.fs.Path(dir, formatMarkerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -289,15 +302,20 @@ object LangModel {
     require(lines.headOption.contains(lmFormatVersion.toString),
       s"LM model at $dir is layout v${lines.headOption.getOrElse("?")}; " +
         s"this engine reads v$lmFormatVersion — rebuild it with buildLmIndex")
-    lines.collectFirst { case l if l.startsWith("order=") =>
-      l.stripPrefix("order=").toInt
-    }.getOrElse(2)
+    Shape(
+      lines.collectFirst { case l if l.startsWith("order=") =>
+        l.stripPrefix("order=").toInt
+      }.getOrElse(2),
+      lines.contains("tok=ml"))
   }
 
-  private def requireOrder(spark: SparkSession, dir: String, want: Int): Unit = {
+  private def requireShape(spark: SparkSession, dir: String,
+      want: Shape): Unit = {
     val got = requireFormat(spark, dir)
     require(got == want,
-      s"LM model at $dir is order-$got; this entry point reads order-$want " +
+      s"LM model at $dir is order-${got.order}" +
+        s"${if (got.ml) " per-language" else ""}; this entry point reads " +
+        s"order-${want.order}${if (want.ml) " per-language" else ""} " +
         "models — use the matching build/score functions")
   }
 
@@ -397,7 +415,7 @@ object LangModel {
   private def repairAll(spark: SparkSession, dir: String): Unit = {
     repairDelta(spark, dir)
     val (fs, _) = fsOf(spark, dir)
-    tableSpecs(3).foreach { case (sub, _) =>
+    Seq("unigrams", "bigrams", "trigrams").foreach { sub =>
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
         Purge.repairPartitionRewrite(spark, s"$dir/$sub")
     }
@@ -462,31 +480,49 @@ object LangModel {
     rollForwardDelta(fs, dir, lines)
   }
 
-  /** The count tables of `docs` at `order`, aligned with
-    * [[tableSpecs]]. */
-  private def countTables(docs: DataFrame, order: Int): Seq[DataFrame] =
-    (Seq(unigramCounts(docs), bigramCounts(docs)) ++
-      (if (order >= 3) Seq(trigramCounts(docs)) else Nil)).take(order)
+  /** The count tables of `docs` for a model shape, aligned with
+    * [[tableSpecs]] (the ML form's per-language counts come from
+    * [[LangModelMl]]; the per-language trigram rung is not persisted —
+    * extend tableSpecs/this dispatch when it is). */
+  private def countTables(docs: DataFrame, shape: Shape): Seq[DataFrame] = {
+    require(!shape.ml || shape.order == 2,
+      "per-language persisted models are order-2")
+    if (shape.ml)
+      Seq(LangModelMl.unigramCountsMl(docs), LangModelMl.bigramCountsMl(docs))
+    else
+      (Seq(unigramCounts(docs), bigramCounts(docs)) ++
+        (if (shape.order >= 3) Seq(trigramCounts(docs)) else Nil))
+        .take(shape.order)
+  }
 
   /** Train and persist the model: count tables land under seed partitions
     * (`ingest=-1`), marker written LAST so a crashed build is refused by
     * every probe rather than scoring against half a vocabulary. */
   def buildLmIndex(standing: DataFrame, dir: String): Unit =
-    buildIndex(standing, dir, order = 2)
+    buildIndex(standing, dir, Shape(2, ml = false))
 
   /** Order-3 form of [[buildLmIndex]]: one extra vocabulary-scale count
     * table (`trigrams/`), same marker/lifecycle machinery. */
   def buildLm3Index(standing: DataFrame, dir: String): Unit =
-    buildIndex(standing, dir, order = 3)
+    buildIndex(standing, dir, Shape(3, ml = false))
 
-  private def buildIndex(standing: DataFrame, dir: String, order: Int): Unit = {
+  /** PER-LANGUAGE form of [[buildLmIndex]] (the CCNet production
+    * artifact: every language's model in one lang-keyed layout):
+    * `standing` carries (doc_id, text, lang); tables are
+    * (lang, w…, c) under the identical delta/ledger/prune machinery.
+    * The marker records `tok=ml`, so plain and per-language layouts can
+    * never cross-read (different tokenizers — the silent-OOV trap). */
+  def buildLmMlIndex(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, Shape(2, ml = true))
+
+  private def buildIndex(standing: DataFrame, dir: String, shape: Shape): Unit = {
     val spark = standing.sparkSession
-    tableSpecs(order).zip(countTables(standing, order)).foreach {
+    tableSpecs(shape).zip(countTables(standing, shape)).foreach {
       case ((sub, keys), df) =>
         byWordRange(df, keys).write.mode("overwrite")
           .parquet(s"$dir/$sub/ingest=-1")
     }
-    writeFormatMarker(spark, dir, order)
+    writeFormatMarker(spark, dir, shape)
   }
 
   /** GROW the model by an arriving batch — counts are additive, so growth
@@ -494,13 +530,14 @@ object LangModel {
     * standing corpus is never rescanned, existing partitions never
     * rewritten. BatchId-keyed overwrite → a crash-replayed micro-batch
     * rewrites its own partition with identical data. Works for any
-    * persisted order (the marker declares it). */
+    * persisted shape (the marker declares it; an ML layout counts the
+    * batch per-language, so the batch must carry `lang`). */
   def appendToLmIndex(batch: DataFrame, dir: String, ingestBatch: Long): Unit = {
     require(ingestBatch >= 0,
       s"ingest batch id $ingestBatch is negative — -1 is the seed partition")
-    val order = requireFormat(batch.sparkSession, dir)
+    val shape = requireFormat(batch.sparkSession, dir)
     writeDeltas(
-      tableSpecs(order).zip(countTables(batch, order)).map {
+      tableSpecs(shape).zip(countTables(batch, shape)).map {
         case ((sub, keys), df) => (sub, keys, df)
       }, dir, ingestBatch)
   }
@@ -515,7 +552,7 @@ object LangModel {
   def purgeFromLmIndex(purgedRows: DataFrame, dir: String, purgeId: Long): Unit = {
     require(purgeId >= 0, s"purge id $purgeId is negative")
     val spark = purgedRows.sparkSession
-    val order = requireFormat(spark, dir)
+    val shape = requireFormat(spark, dir)
     repairAll(spark, dir)
     // applied-purge ledger: a RETRIED purge (takedown orchestration
     // crashed after this family committed, re-run end to end) is a no-op
@@ -527,7 +564,7 @@ object LangModel {
     if (appliedPurgeIds(fsL, dir).contains(purgeId)) return
     // candidate deltas, eagerly pinned: the validation reads them and the
     // commit writes them — one computation for both
-    val deltas = tableSpecs(order).zip(countTables(purgedRows, order)).map {
+    val deltas = tableSpecs(shape).zip(countTables(purgedRows, shape)).map {
       case ((sub, keys), df) =>
         (sub, keys, df.select((keys.map(col) :+ (-col("c")).as("c")): _*)
           .localCheckpoint(true))
@@ -572,7 +609,7 @@ object LangModel {
     * after. Two-phase commit per table via [[Purge.rewritePartitions]];
     * the format marker is untouched. */
   def compactLmIndex(spark: SparkSession, dir: String): Unit = {
-    val order = requireFormat(spark, dir)
+    val shape = requireFormat(spark, dir)
     repairDelta(spark, dir)
     // The per-table folds commit independently (each is two-phase via
     // rewritePartitions): a crash between them leaves one table folded and
@@ -596,7 +633,7 @@ object LangModel {
           parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
       Purge.rewritePartitions(spark, root, repl)
     }
-    tableSpecs(order).foreach { case (sub, keys) => fold(sub, keys) }
+    tableSpecs(shape).foreach { case (sub, keys) => fold(sub, keys) }
   }
 
   /** PRUNE the model for serving (the KenLM-style min-count cut): fold
@@ -638,7 +675,7 @@ object LangModel {
     * the same content, so [[repairAll]] can safely re-run all of them to
     * finish an interrupted prune. */
   private def pruneFolds(spark: SparkSession, dir: String, minCount: Long): Unit = {
-    val order = requireFormat(spark, dir)
+    val shape = requireFormat(spark, dir)
     def foldFloor(sub: String, keys: Seq[String]): Unit = {
       val root = s"$dir/$sub"
       Purge.repairPartitionRewrite(spark, root)
@@ -656,7 +693,7 @@ object LangModel {
           parts.filter(_ != "ingest=-1").map(p => p -> Option.empty[DataFrame])
       Purge.rewritePartitions(spark, root, repl)
     }
-    tableSpecs(order).reverse.foreach { case (sub, keys) =>
+    tableSpecs(shape).reverse.foreach { case (sub, keys) =>
       foldFloor(sub, keys)
     }
   }
@@ -669,7 +706,10 @@ object LangModel {
     * appended itself. */
   def readModel(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
-    requireFormat(spark, dir): Unit
+    val shape = requireFormat(spark, dir)
+    require(!shape.ml,
+      s"LM model at $dir is the per-language layout — read it with " +
+        "readModelMl / scoreAgainstLmMlIndex (different tokenizer)")
     repairAll(spark, dir)
     (liveTable(spark, dir, "unigrams", Seq("w"), excludeIngestBatch),
       liveTable(spark, dir, "bigrams", Seq("w1", "w2"), excludeIngestBatch))
@@ -679,11 +719,22 @@ object LangModel {
   def readModel3(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    requireOrder(spark, dir, 3)
+    requireShape(spark, dir, Shape(3, ml = false))
     repairAll(spark, dir)
     (liveTable(spark, dir, "unigrams", Seq("w"), excludeIngestBatch),
       liveTable(spark, dir, "bigrams", Seq("w1", "w2"), excludeIngestBatch),
       liveTable(spark, dir, "trigrams", Seq("w1", "w2", "w3"),
+        excludeIngestBatch))
+  }
+
+  /** Per-language form of [[readModel]] (requires a `tok=ml` layout):
+    * tables carry the leading `lang` key. */
+  def readModelMl(spark: SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
+    requireShape(spark, dir, Shape(2, ml = true))
+    repairAll(spark, dir)
+    (liveTable(spark, dir, "unigrams", Seq("lang", "w"), excludeIngestBatch),
+      liveTable(spark, dir, "bigrams", Seq("lang", "w1", "w2"),
         excludeIngestBatch))
   }
 
@@ -715,6 +766,16 @@ object LangModel {
     val (uni, bi, tri) =
       readModel3(batch.sparkSession, indexDir, excludeIngestBatch)
     scoreWith3(batch, uni, bi, tri)
+  }
+
+  /** Per-language scoring against a persisted `tok=ml` layout — every
+    * batch doc (doc_id, text, lang) scored under its own language's
+    * standing model. */
+  def scoreAgainstLmMlIndex(indexDir: String, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (uni, bi) =
+      readModelMl(batch.sparkSession, indexDir, excludeIngestBatch)
+    LangModelMl.scoreWithMl(batch, uni, bi)
   }
 
   // ---- oracle SQL builders ------------------------------------------------

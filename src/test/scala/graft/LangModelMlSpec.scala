@@ -79,6 +79,39 @@ class LangModelMlSpec extends TestBase {
     assert(cutRow == enSelf + 10000L)
   }
 
+  test("persisted per-lang lifecycle: build+grow == union recompute; " +
+      "purge == survivors; the tok=ml marker gates both directions") {
+    import graft.operators.LangModel
+    val a = docs((1L, "a b a", "en"), (2L, "中文中", "zh"))
+    val b = docs((3L, "b a", "en"), (4L, "文文", "zh"))
+    val batch = docs((10L, "a b", "en"), (11L, "中文", "zh"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-spec")
+    try {
+      LangModel.buildLmMlIndex(a, s"$tmp/m")
+      def score() = LangModel.scoreAgainstLmMlIndex(s"$tmp/m", batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(score() ==
+        LangModelMl.pplMl(a, batch).orderBy("doc_id").collect().toSeq)
+      LangModel.appendToLmIndex(b, s"$tmp/m", 0L) // marker says ml
+      assert(score() ==
+        LangModelMl.pplMl(a.unionAll(b), batch).orderBy("doc_id")
+          .collect().toSeq)
+      LangModel.purgeFromLmIndex(b, s"$tmp/m", 0L)
+      assert(score() ==
+        LangModelMl.pplMl(a, batch).orderBy("doc_id").collect().toSeq)
+      // cross-reading refused BOTH ways (different tokenizers — the
+      // silent-OOV trap the marker exists to prevent)
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmIndex(s"$tmp/m",
+          batch.select(col("doc_id"), col("text")))
+      }
+      LangModel.buildLmIndex(a.select(col("doc_id"), col("text")), s"$tmp/plain")
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmMlIndex(s"$tmp/plain", batch)
+      }
+    } finally deleteRecursively(tmp)
+  }
+
   test("the [a-z]+ trap is closed: real CJK text is SCORED, not dropped") {
     // under the old single-model tokenizer this doc had zero tokens and
     // silently vanished at the gate; under the ML class it scores
