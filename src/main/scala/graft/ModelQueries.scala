@@ -493,6 +493,52 @@ object ModelQueries {
       out
     },
 
+    // The per-language loop's STREAMING twin (Streams.lmMlIngest): per
+    // micro-batch, arrivals score under their own language's persisted
+    // model, then their per-lang counts fold in — batch k scores against
+    // seed ∪ batches 0..k−1 with own-partition replay exclusion. The
+    // oracle replays each batch's per-lang scoring from the raw slices.
+    QueryDef("txt_lm_ml_stream")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val grown =
+        s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20 OR $bktSql < 10)"
+      val b0 = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 10)"
+      val b1 =
+        s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 10 AND $bktSql < 20)"
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, *
+         |   FROM (${LangModelMl.pplMlSql(tr, b0)})
+         | UNION ALL SELECT CAST(1 AS BIGINT), *
+         |   FROM (${LangModelMl.pplMlSql(grown, b1)})
+         | ORDER BY micro_batch, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      val withMeta = d.join(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-in")
+      val t0 = System.nanoTime()
+      LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$stDir/model")
+      stageAsFile(withMeta.where(bkt < 10), inDir, "b0.parquet")
+      stageAsFile(withMeta.where(bkt >= 10 && bkt < 20), inDir, "b1.parquet")
+      NorthStarQueries.fixtureSecs.put("lmml-stream-fixture",
+        (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.lmMlIngest(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/model", s"$stDir/scores", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/scores")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+          col("n_backoff"), col("xent"))
+        .orderBy(col("micro_batch"), col("doc_id")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
+    },
+
     // ---- trigram Stupid Backoff (order 3) ------------------------------
 
     // Per-document cross-entropy under the ORDER-3 model — trigram →

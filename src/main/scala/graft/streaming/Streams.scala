@@ -612,6 +612,31 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Per-language twin of [[lmIngest]] (r17): the persisted model is the
+    * `tok=ml` lang-keyed layout, every arriving doc scores under its OWN
+    * language's standing model, and the batch's per-lang counts fold in.
+    * Same replay contract: batchId-keyed score overwrite + own-partition
+    * exclusion; [[graft.operators.LangModel.appendToLmIndex]] reads the
+    * marker and counts per-language automatically. */
+  def lmMlIngest(docs: DataFrame, modelDir: String, scoresDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
+        val b = batch.select(col("doc_id"), col("text"), col("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.LangModel
+            .scoreAgainstLmMlIndex(modelDir, b, excludeIngestBatch = Some(batchId))
+            .write.mode("overwrite").parquet(s"$scoresDir/micro_batch=$batchId")
+          graft.operators.LangModel.appendToLmIndex(b, modelDir, batchId)
+        } finally { b.unpersist(false); () }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming PII prevalence monitoring: per micro-batch, the typed
     * findings report of the arriving docs ([[graft.operators.Pii.stats]]
     * by `by`), written to `statsDir/micro_batch=<id>` — the release-gate
