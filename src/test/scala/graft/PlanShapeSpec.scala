@@ -289,4 +289,23 @@ class PlanShapeSpec extends TestBase {
     assert(p.contains("unigrams") && p.contains("bigrams"),
       "scoring must read the persisted model tables")
   }
+
+  test("cur_release: the calibrated per-lang chain stays pinned — bounded " +
+      "scan count, no cartesian, no per-reference corpus re-derivation") {
+    // r17 regression lock: the unpinned calibrated chain re-derived the
+    // count tables per join reference and the flag table per consumer —
+    // 64 parquet scans / 42 joins at fixture scale. The pinned form
+    // (uni/bi/cuts/flag-table localCheckpoints) holds ~28 scans (the
+    // corpus is a 4-stratum union, so one logical reference = 4 scans).
+    val q = ModelQueries.all.find(_.name == "cur_release").get
+    val p = q.build(spark, sf("sf0.001")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 32,
+      s"cur_release plan re-derivation regressed: $scans parquet scans " +
+        s"(pinned form holds ~28)")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere in the release funnel")
+  }
 }
