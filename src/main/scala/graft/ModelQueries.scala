@@ -686,6 +686,59 @@ object ModelQueries {
         .orderBy("lang")
     },
 
+    // SCRIPT-AWARE language ID over real CJK text — the langid face of
+    // the [a-z]+ trap, pinned as a confusion matrix that carries BOTH
+    // predictors: the word-profile langId classifies every Han doc as
+    // 'fr' (zero profile hits → lexicographic tiebreak), the
+    // script-aware langIdMl reads the script first (kana → ja decisive,
+    // han → zh, else word profiles). Fixture: mlDocs (real-Han zh
+    // stratum) ∪ a planted ja stratum (Han text + kana particle).
+    QueryDef("txt_langid_ml")({
+      val corpus =
+        s"""(SELECT doc_id, text, lang FROM $mlDocsSql m
+           | UNION ALL SELECT doc_id + 5000000, ${cjkOfSql("text")} || '\u306e', 'ja'
+           |   FROM documents WHERE doc_id % 6 = 0)""".stripMargin
+      def prof(code: String, words: Seq[String]) =
+        s"SELECT doc_id, '$code' AS code, len(list_filter(ws, t -> t IN (" +
+          words.map(w => s"'$w'").mkString(",") + "))) AS score FROM w"
+      val scUnion = graft.operators.TextAnalysis.langProfiles
+        .map { case (c, ws) => prof(c, ws) }.mkString("\n|   UNION ALL ")
+      s"""WITH corpus AS (SELECT * FROM $corpus c),
+         | w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+         |       FROM corpus),
+         | sc AS (
+         |   $scUnion),
+         | p AS (SELECT doc_id, code FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY score DESC, code DESC) AS rn
+         |          FROM sc) WHERE rn = 1)
+         | SELECT w.lang,
+         |   CASE WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.kanaClass}')) > 0 THEN 'ja'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.hanClass}')) > 0 THEN 'zh'
+         |        ELSE p.code END AS pred_lang,
+         |   p.code AS pred_word,
+         |   CAST(count(*) AS BIGINT) AS n
+         | FROM w JOIN p ON w.doc_id = p.doc_id
+         | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val corpus = mlDocs(s, dir)
+        .unionAll(docs(s, dir).where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(cjkOf(col("text")), lit("\u306e")).as("text"),
+            lit("ja").as("lang")))
+      corpus
+        .join(TextAnalysis.langIdMl(corpus), Seq("doc_id"))
+        .join(TextAnalysis.langId(corpus)
+          .select(col("doc_id"), col("pred_lang").as("pred_word")),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"), col("pred_word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"), col("pred_word"))
+    },
+
     // ---- index health (compaction scheduling signal) -------------------
 
     // WHEN to compact, as data: one metadata-scale row per partitioned

@@ -28,18 +28,41 @@ object TextAnalysis {
   private def profileScore(words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Per-document predicted language: argmax profile score, ties broken by
-    * language code order (deterministic). */
-  def langId(docs: DataFrame): DataFrame = {
+  /** The word-profile argmax as a Column: array_max on (score, code)
+    * structs picks highest score; for equal scores the LEXICOGRAPHICALLY
+    * LARGEST code wins — mirrored in the oracle's max_by ordering. */
+  private def profileArgmax: Column = {
     val scored = langProfiles.map { case (code, words) =>
       struct(profileScore(words).as("score"), lit(code).as("code"))
     }
-    // array_max on (score, code) structs picks highest score; for equal
-    // scores the LEXICOGRAPHICALLY LARGEST code wins — mirrored in the
-    // oracle's max_by ordering.
-    docs.select(col("doc_id"),
-      array_max(array(scored: _*)).getField("code").as("pred_lang"))
+    array_max(array(scored: _*)).getField("code")
   }
+
+  /** Per-document predicted language: argmax profile score, ties broken by
+    * language code order (deterministic). */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), profileArgmax.as("pred_lang"))
+
+  /** Script classes for [[langIdMl]] — literal BMP ranges, the
+    * [[LangModelMl.mlTokenClass]] cross-engine discipline. */
+  val kanaClass: String = "[\u3040-\u30ff]"
+  val hanClass: String = "[\u4e00-\u9fff]"
+
+  /** SCRIPT-AWARE language ID (r17): real CJK text scores ZERO on every
+    * word profile and silently falls to the argmax tiebreak (classified
+    * as the lexicographically largest latin code) — the langid face of
+    * the `[a-z]+` trap the per-language LM gate closed. Deterministic
+    * rule, SQL-replayable: any Kana character → `ja` (kana is unique to
+    * Japanese — decisive even in mixed Han/Kana text, where Han alone is
+    * ambiguous between zh and ja); else any Han character → `zh`; else
+    * the word-profile argmax. One codegen'd projection, no shuffle. */
+  def langIdMl(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(size(regexp_extract_all(col("text"), lit(kanaClass), lit(0))) > 0,
+        lit("ja"))
+        .when(size(regexp_extract_all(col("text"), lit(hanClass), lit(0))) > 0,
+          lit("zh"))
+        .otherwise(profileArgmax).as("pred_lang"))
 
   /** Quality metrics: char/token counts, mean token length, stopword and
     * non-alphanumeric ratios, plus a composite [0,1] score that rewards
