@@ -577,6 +577,27 @@ object ModelQueries {
       out
     },
 
+    // The order-3 model PRUNED for serving: the deepest-first three-table
+    // fold+floor (trigrams → bigrams → unigrams, so no crash window can
+    // null a kept n-gram's denominator one order down). Oracle replays
+    // the cut on all three tables from raw.
+    QueryDef("txt_lm3_pruned")(
+      s"""${LangModel.ppl3Sql(lmTrainSql, lmScoreSql, minCount = 30L)}
+         | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-prune")
+      LangModel.buildLm3Index(idText(d.where(bkt >= 40)), s"$tmp/model")
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+        s"$tmp/model", ingestBatch = 0L)
+      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
+      val out = LangModel.scoreAgainstLm3Index(s"$tmp/model",
+          idText(d.where(bkt < 20)))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // The trigram's REASON TO EXIST, pinned as data: a planted corpus
     // where every adjacent pair is trained (both variants' bigrams are
     // equally frequent) but only one triple is — the bigram model scores

@@ -861,15 +861,21 @@ object LangModel {
 
   /** Oracle replaying [[ppl3]] exactly: train the three count tables on
     * `trainSql`, score `scoreSql` through the order-3 backoff CASE.
-    * Callers append their own ORDER BY / projection. */
-  def ppl3Sql(trainSql: String, scoreSql: String): String =
+    * `minCount` > 1 replays [[pruneLmIndex]]'s cut on all three tables
+    * (the corpus-shaped count monotonicity `c(w1,w2,w3) ≤ c(w1,w2) ≤
+    * c(w1)` keeps every kept n-gram's denominator alive — see
+    * [[pruneLmIndex]]). Callers append their own ORDER BY / projection. */
+  def ppl3Sql(trainSql: String, scoreSql: String, minCount: Long = 1L): String =
     s"""WITH ttok AS (SELECT * FROM ${tokenStream3Sql(trainSql)}),
-       | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1),
+       | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1
+       |         HAVING count(*) >= $minCount),
        | bi AS (SELECT w1, w AS w2, CAST(count(*) AS BIGINT) AS c
-       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2),
+       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2
+       |        HAVING count(*) >= $minCount),
        | tri AS (SELECT w2b AS w1, w1 AS w2, w AS w3,
        |                CAST(count(*) AS BIGINT) AS c
-       |         FROM ttok WHERE w2b IS NOT NULL GROUP BY 1, 2, 3),
+       |         FROM ttok WHERE w2b IS NOT NULL GROUP BY 1, 2, 3
+       |         HAVING count(*) >= $minCount),
        | tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
        |                CAST(count(*) AS DOUBLE) AS v FROM uni),
        | stok AS (SELECT * FROM ${tokenStream3Sql(scoreSql)}),
