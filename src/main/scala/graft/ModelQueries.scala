@@ -55,6 +55,12 @@ object ModelQueries {
   /** cur_release calibrated-cut offset — same probe, PII-planted
     * fixture. */
   private val relOffsetMicro = 255000L
+  /** cur_release's zero-token stratum text: digits-only (no token under
+    * the Unicode class) but LONG with healthy mean token length, so it
+    * PASSES the LR quality gate and actually reaches the LM stage's
+    * pass-through policy (a short digits string dies at LR and the
+    * n_zero_tok column would read a vacuous 0). lr_score ~= 0.72. */
+  private val relZeroTokText = "90210 842731 " * 75
   private def lmJunkPlant(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
     d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -218,8 +224,8 @@ object ModelQueries {
 
   /** (lmTrain, corpus) of the cur_release row — originals (PII-planted,
     * zh transliterated), spam twins (+1e6), exact copies (+2e6,
-    * doc_id < 20), digits-only zero-token docs (+3e6). Exposed for
-    * [[MlGateProbe]]. */
+    * doc_id < 20), digits-only zero-token docs (+3e6), unmodeled-lang
+    * 'xx' stratum (+4e6). Exposed for [[MlGateProbe]]. */
   private[graft] def releaseFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val planted = piiPlantLangMl(s, dir)
@@ -231,7 +237,10 @@ object ModelQueries {
           col("lang")))
       .unionAll(planted.where(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),
-          lit("7 42 90210").as("text"), col("lang")))
+          lit(relZeroTokText).as("text"), col("lang")))
+      .unionAll(planted.where(col("doc_id") < 10)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+          lit("xx").as("lang")))
     (planted, corpus)
   }
 
@@ -685,10 +694,12 @@ object ModelQueries {
     // transliterated to REAL Han text (its spam twins carry ASCII spam —
     // OOV Latin under the Han-char zh model, so they die at the LM gate
     // like every other lang's twins; cut margins in LangModelSpec),
-    // exact copies of the first 20 docs (collapse at dedup), and
-    // digits-only docs (ZERO tokens — pass the LM stage by policy,
-    // visible in n_zero_tok). The LM trains per-lang on the PLANTED
-    // originals so planted PII tokens are in-vocabulary.
+    // exact copies of the first 20 docs (collapse at dedup), digits-only
+    // docs (ZERO tokens — pass the LM stage by policy, visible in
+    // n_zero_tok), and an unmodeled-lang 'xx' stratum (counted in
+    // n_unmodeled, not kept — the funnel's last residue made explicit).
+    // The LM trains per-lang on the PLANTED originals so planted PII
+    // tokens are in-vocabulary.
     QueryDef("cur_release")(
       graft.operators.Curation.releaseSql(
         s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
@@ -696,8 +707,10 @@ object ModelQueries {
            |   FROM $piiPlantLangMlSql p
            | UNION ALL SELECT doc_id + 2000000, text, lang
            |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
-           | UNION ALL SELECT doc_id + 3000000, '7 42 90210', lang
-           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0)""".stripMargin,
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10)""".stripMargin,
         s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)",
         offsetMicro = relOffsetMicro)
     ) { (s, dir) =>

@@ -507,8 +507,9 @@ object Curation {
     *      docs differing only in their PII spans collapse, because the
     *      release artifact is the redacted text.
     * Output per language: n_in → n_quality → (n_zero_tok pass-throughs
-    * among quality survivors) → n_lm → n_pii_docs (informational, among
-    * LM survivors) → n_unique. Every stage is the already-proven
+    * and n_unmodeled not-assessable residue, both among quality
+    * survivors) → n_lm → n_pii_docs (informational, among LM survivors)
+    * → n_unique. Every stage is the already-proven
     * operator — this row pins the COMPOSITION's exact semantics, not
     * new kernels. */
   def release(corpus: DataFrame, lmTrain: DataFrame,
@@ -560,6 +561,11 @@ object Curation {
         sum(col("q_pass").cast("long")).as("n_quality"),
         sum((col("q_pass") === 1 && col("zt") === 1).cast("long"))
           .as("n_zero_tok"),
+        // quality survivors with tokens whose lang has NO trained model —
+        // not kept (can't be assessed), but COUNTED: the funnel's one
+        // remaining residue made explicit, never a silent drop
+        sum((col("q_pass") === 1 && col("zt") === 0 && col("xent").isNull)
+          .cast("long")).as("n_unmodeled"),
         sum(col("lm_kept").cast("long")).as("n_lm"),
         sum(col("has_pii").cast("long")).as("n_pii_docs"),
         sum(coalesce(col("is_keep"), lit(0)).cast("long")).as("n_unique"))
@@ -600,6 +606,10 @@ object Curation {
        | SELECT c.lang, CAST(count(*) AS BIGINT) AS n_in,
        |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang IS NOT DISTINCT FROM c.lang), 0) AS n_quality,
        |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q WHERE q.lang IS NOT DISTINCT FROM c.lang AND ${LangModelMl.zeroTokExprSql("q.text")} = 1), 0) AS n_zero_tok,
+       |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM q LEFT JOIN lmsc ON q.doc_id = lmsc.doc_id
+       |             WHERE q.lang IS NOT DISTINCT FROM c.lang
+       |               AND ${LangModelMl.zeroTokExprSql("q.text")} = 0
+       |               AND lmsc.xent IS NULL), 0) AS n_unmodeled,
        |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM lmk WHERE lmk.lang IS NOT DISTINCT FROM c.lang), 0) AS n_lm,
        |   coalesce((SELECT CAST(sum(has_pii) AS BIGINT) FROM red WHERE red.lang IS NOT DISTINCT FROM c.lang), 0) AS n_pii_docs,
        |   coalesce((SELECT CAST(count(*) AS BIGINT) FROM uniq WHERE uniq.lang IS NOT DISTINCT FROM c.lang), 0) AS n_unique
