@@ -290,6 +290,24 @@ class PlanShapeSpec extends TestBase {
       "scoring must read the persisted model tables")
   }
 
+  test("scoreAgainstLmMlIndex: one batch scan, lang-keyed model joins " +
+      "broadcast, no train rescan") {
+    import org.apache.spark.sql.functions._
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("psl-lmml").toString
+    graft.operators.LangModel.buildLmMlIndex(d.where("doc_id < 300"), s"$dir/m")
+    val p = graft.operators.LangModel
+      .scoreAgainstLmMlIndex(s"$dir/m", d.where("doc_id >= 300"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"batch must be scanned exactly once:\n${p.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "the lang-keyed model joins must broadcast at fixture scale")
+    assert(p.contains("unigrams") && p.contains("bigrams"),
+      "scoring must read the persisted lang-keyed count tables")
+  }
+
   test("cur_release: the calibrated per-lang chain stays pinned — bounded " +
       "scan count, no cartesian, no per-reference corpus re-derivation") {
     // r17 regression lock: the unpinned calibrated chain re-derived the
