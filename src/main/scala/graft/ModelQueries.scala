@@ -135,6 +135,9 @@ object ModelQueries {
       when(id % 23 === 0,
         concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0"),
           lit(" filed"))).otherwise(""),
+      when(id % 31 === 0,
+        concat(lit(" card 4556 "), lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" 9012 3456 on file"))).otherwise(""),
       // the boundary interaction case: an IP-shaped local part — the
       // email rule (first in redaction order) must eat the WHOLE address,
       // leaving no IP finding (spec-pinned in PiiSpec)
@@ -173,6 +176,9 @@ object ModelQueries {
       |     ELSE '' END ||
       |   CASE WHEN doc_id % 23 = 0
       |     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
+      |     ELSE '' END ||
+      CASE WHEN doc_id % 31 = 0
+      |     THEN ' card 4556 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 9012 3456 on file'
       |     ELSE '' END ||
       |   CASE WHEN doc_id % 29 = 0
       |     THEN ' ping 1.2.3.4@mail.com ok'

@@ -41,7 +41,14 @@ object Pii {
       """|\b\d{3}-\d{3}-\d{4}\b"""),
     "ipv6" -> """\b[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){7}\b""",
     "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
-    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""")
+    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
+    // card-number SHAPE (4-4-4-4 with uniform space/dash/none separators);
+    // checksum validation is a scoring concern, not a redaction one —
+    // published scrubbers mask on shape. Group lengths keep it disjoint
+    // from every phone/ssn shape (3-x-y groupings).
+    "cc" -> ("""\b\d{4} \d{4} \d{4} \d{4}\b""" +
+      """|\b\d{4}-\d{4}-\d{4}-\d{4}\b""" +
+      """|\b\d{16}\b"""))
 
   private def token(cat: String): String = s"<${cat.toUpperCase}>"
 

@@ -81,6 +81,23 @@ class PiiSpec extends TestBase {
       .select("redacted").as[String].collect().head == "x <IPV6> y")
   }
 
+  test("cc shape: uniform-separator 4-4-4-4 forms; disjoint from phones " +
+      "and ssn; mixed separators are NOT a card") {
+    val d = docs(
+      1L -> "card 4556 7375 9012 3456 on file",
+      2L -> "card 4556-7375-9012-3456 works",
+      3L -> "card 4556737590123456 bare",
+      4L -> "mixed 4556 7375-9012 3456 is not one card",
+      5L -> "phone 555-123-4567 ssn 123-45-6789 untouched")
+    val got = Pii.detect(d).orderBy("doc_id")
+      .select("n_cc", "n_phone", "n_ssn").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (1L, 0L, 0L), (1L, 0L, 0L),
+      (0L, 0L, 0L), (0L, 1L, 1L)))
+    assert(Pii.redact(docs(9L -> "pay 4556 7375 9012 3456 now"))
+      .select("redacted").as[String].collect().head == "pay <CC> now")
+  }
+
   test("detect counts categories independently; REDACTION resolves " +
       "overlaps by order (the 1.2.3.4@mail.com case)") {
     val d = docs(1L -> "ping 1.2.3.4@mail.com ok")
