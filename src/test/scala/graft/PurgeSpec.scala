@@ -468,6 +468,29 @@ class PurgeSpec extends TestBase {
     } finally deleteRecursively(root)
   }
 
+  test("discoverArtifacts: a keyed layout whose batch=0 is absent is " +
+      "still recognized at its ROOT (any batch=* child bears the meta)") {
+    import graft.operators.{Layout, Takedown}
+    val root = java.nio.file.Files.createTempDirectory("graft-guard-keyed")
+    try {
+      val df = spark.range(0, 64).select(col("id").as("doc_id"),
+        (col("id") % 8).cast("double").as("x"),
+        (col("id") % 4).cast("double").as("y"))
+      Layout.initKeyedLayout(df, Seq("x", "y"), s"$root/kl", files = 2)
+      // r17 ADVICE: with batch=0 hardcoded, a layout whose first batch
+      // was purged/compacted away (or whose ids start past 0) was
+      // classified as one keyed_layout PER batch=N child at the wrong
+      // path — spuriously failing the guard on a declared root. Simulate
+      // by renaming the only batch partition away from id 0.
+      val fs = new org.apache.hadoop.fs.Path(root.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/kl/batch=0"),
+        new org.apache.hadoop.fs.Path(s"$root/kl/batch=5")))
+      val found = Takedown.discoverArtifacts(spark, root.toString)
+      assert(found == Seq("keyed_layout" -> s"$root/kl"))
+    } finally deleteRecursively(root)
+  }
+
   test("completeness guard: an undeclared standing artifact fails the " +
       "takedown loudly; declared-complete passes and purges") {
     import graft.operators.{LangModel, Takedown}
