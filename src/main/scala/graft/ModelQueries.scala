@@ -563,6 +563,45 @@ object ModelQueries {
       out
     },
 
+    // TAKEDOWN of the per-language model, driver-checked THROUGH THE
+    // ORCHESTRATOR (r18): departing documents leave the lang-keyed
+    // tok=ml layout via Takedown.purgeEverywhere — completeness guard
+    // over the deployment root (the ml layout is recognized by its own
+    // format marker), audit manifest, and the documented crash recovery:
+    // the WHOLE orchestration re-runs end-to-end and the applied-purge
+    // ledger makes the retry a no-op. Oracle retrains per-lang on the
+    // survivors raw: hash equality is purged == rebuilt-without on the
+    // per-language layout.
+    QueryDef("txt_lm_ml_purged")({
+      val kept =
+        s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20 AND $bktSql < 80)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModelMl.pplMlSql(kept, sc)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Takedown
+      val d = mlDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-purge")
+      LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$tmp/lmml")
+      val departing = d.where(bkt >= 80).localCheckpoint(true)
+      def run() = Takedown.purgeEverywhere(s,
+        departing.select(col("doc_id")),
+        Seq(Takedown.LmModel(s"$tmp/lmml", purgedRows = departing,
+          purgeId = 0L)),
+        deploymentRoot = Some(tmp.toString))
+      val audit = run()
+      require(audit.count() == 1, "lm_model manifest row expected")
+      // crash recovery: the orchestration re-runs END-TO-END; the
+      // applied-purge ledger (committed atomically inside the delta
+      // marker) makes the retried family a no-op
+      run().count()
+      val out = LangModel.scoreAgainstLmMlIndex(s"$tmp/lmml",
+          d.where(bkt < 20))
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // The per-language loop's STREAMING twin (Streams.lmMlIngest): per
     // micro-batch, arrivals score under their own language's persisted
     // model, then their per-lang counts fold in — batch k scores against
@@ -916,6 +955,73 @@ object ModelQueries {
       graft.operators.Curation.releaseIded(corpus, planted,
           offsetMicro = relOffsetMicro)
         .orderBy("lang")
+    },
+
+    // The release funnel's STREAMING twin (r18): the calibrated
+    // per-lang funnel of ARRIVING docs against the persisted tok=ml
+    // model + persisted cuts (Streams.releaseMonitor) — per micro-batch
+    // the full composition (LR gate → per-lang LM gate with zero-token
+    // pass-through → PII density → within-batch exact dedup over the
+    // redacted text), batchId-keyed overwrite (pure observer — the
+    // standing model/cuts never mutate, so replays are byte-identical).
+    // The oracle replays each batch's funnel from the raw slices with
+    // the cuts re-derived from the same train corpus: hash equality
+    // proves persisted-model-probed == recomputed per batch.
+    QueryDef("cur_release_stream")({
+      val corpus =
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10)""".stripMargin
+      val train = s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)"
+      def slice(cond: String) =
+        s"(SELECT doc_id, text, lang FROM $corpus c WHERE $cond)"
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, * FROM (
+         |  ${graft.operators.Curation.releaseSql(
+              slice(s"$bktSql < 50"), train, relOffsetMicro)})
+         | UNION ALL SELECT CAST(1 AS BIGINT), * FROM (
+         |  ${graft.operators.Curation.releaseSql(
+              slice(s"$bktSql >= 50"), train, relOffsetMicro)})
+         | ORDER BY micro_batch, lang""".stripMargin
+    }) { (s, dir) =>
+      val (planted, corpus) = releaseFixture(s, dir)
+      // stream-schema metadata joined on the BASE id (strata offsets are
+      // multiples of 1e6 below each 10e6 script block)
+      val withMeta = corpus.join(docs(s, dir)
+          .select(col("doc_id").as("base_id"), col("source"),
+            col("n_chars")),
+          corpus("doc_id") % 1000000L === col("base_id"))
+        .select(corpus("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-in")
+      val t0 = System.nanoTime()
+      LangModel.buildLmMlIndex(planted, s"$stDir/model")
+      graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
+        relOffsetMicro, s"$stDir/cuts")
+      stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet")
+      stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")
+      NorthStarQueries.fixtureSecs.put("release-stream-fixture",
+        (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.releaseMonitor(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/rel")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("lang"), col("n_in"), col("n_quality"), col("n_zero_tok"),
+          col("n_unmodeled"), col("n_lm"), col("n_pii_docs"),
+          col("n_unique"))
+        .orderBy(col("micro_batch"), col("lang")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
     },
 
     // SCRIPT-AWARE language ID over real CJK text — the langid face of

@@ -526,6 +526,17 @@ object Curation {
     val bi = LangModelMl.bigramCountsMl(lmTrain).localCheckpoint(true)
     val cuts = LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
       .localCheckpoint(true)
+    releaseAgainst(corpus, uni, bi, cuts)
+  }
+
+  /** The release funnel against GIVEN model tables and calibrated cuts —
+    * the kernel [[release]] derives its tables into, and the per-batch
+    * form the streaming twin probes with the PERSISTED `tok=ml` model
+    * and persisted cuts ([[graft.streaming.Streams.releaseMonitor]],
+    * r18). Pure function of its inputs: scoring one batch costs one
+    * batch scan + vocabulary-scale model joins. */
+  private[graft] def releaseAgainst(corpus: DataFrame, uni: DataFrame,
+      bi: DataFrame, cuts: DataFrame): DataFrame = {
     val flagged = corpus.select(col("doc_id"), col("text"), col("lang"),
       (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"),
       LangModelMl.zeroTok(col("text")).as("zt"))
@@ -573,6 +584,20 @@ object Curation {
         sum(col("lm_kept").cast("long")).as("n_lm"),
         sum(col("has_pii").cast("long")).as("n_pii_docs"),
         sum(coalesce(col("is_keep"), lit(0)).cast("long")).as("n_unique"))
+  }
+
+  /** Persist the calibrated per-lang cuts for the streaming release
+    * funnel (r18): the train corpus self-scored under the PERSISTED
+    * `tok=ml` model at `modelDir`, per-lang exact-integer-micro means +
+    * offset — a one-row-per-language parquet at `cutsDir`, the artifact
+    * [[graft.streaming.Streams.releaseMonitor]] reads each micro-batch.
+    * Calibration is a one-time (re)run whenever the standing model is
+    * rebuilt; the monitor itself never rescans the train corpus. */
+  def writeReleaseCuts(lmTrain: DataFrame, modelDir: String,
+      offsetMicro: Long, cutsDir: String): Unit = {
+    val (uni, bi) = LangModel.readModelMl(lmTrain.sparkSession, modelDir)
+    LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
+      .coalesce(1).write.mode("overwrite").parquet(cutsDir)
   }
 
   /** PREDICTION-KEYED release funnel (r18): a real CCNet pipeline runs

@@ -637,6 +637,35 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The release funnel's STREAMING twin (r18): per micro-batch, the
+    * CALIBRATED per-language funnel of arriving documents against the
+    * PERSISTED `tok=ml` model and persisted per-lang cuts
+    * ([[graft.operators.Curation.writeReleaseCuts]]) — LR quality gate →
+    * per-lang LM gate (zero-token pass-through counted) → typed PII
+    * redaction density → exact dedup over the redacted text WITHIN the
+    * batch — written to `outDir/micro_batch=<id>`. A pure OBSERVER
+    * beside [[piiMonitor]]: the model and cuts are standing artifacts
+    * this loop never mutates, so the batchId-keyed overwrite alone makes
+    * crash replays byte-identical. Per-batch cost: one batch scan +
+    * vocabulary-scale model joins + the within-batch dedup aggregate. */
+  def releaseMonitor(docs: DataFrame, modelDir: String, cutsDir: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        withBatchParallelism(batch) {
+          val s = batch.sparkSession
+          val b = batch.select(col("doc_id"), col("text"), col("lang"))
+          val (uni, bi) = graft.operators.LangModel.readModelMl(s, modelDir)
+          graft.operators.Curation
+            .releaseAgainst(b, uni, bi, s.read.parquet(cutsDir))
+            .write.mode("overwrite").parquet(s"$outDir/micro_batch=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming PII prevalence monitoring: per micro-batch, the typed
     * findings report of the arriving docs ([[graft.operators.Pii.stats]]
     * by `by`), written to `statsDir/micro_batch=<id>` — the release-gate

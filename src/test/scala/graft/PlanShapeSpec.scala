@@ -315,15 +315,19 @@ class PlanShapeSpec extends TestBase {
     // 64 parquet scans / 42 joins at fixture scale. The pinned form
     // (uni/bi/cuts/flag-table localCheckpoints) holds ~28 scans (the
     // corpus is a 4-stratum union, so one logical reference = 4 scans).
-    val q = ModelQueries.all.find(_.name == "cur_release").get
-    val p = q.build(spark, sf("sf0.001")).queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted"))
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 32,
-      s"cur_release plan re-derivation regressed: $scans parquet scans " +
-        s"(pinned form holds ~28)")
-    assert(!p.contains("CartesianProduct"),
-      "no cartesian anywhere in the release funnel")
+    // the prediction-keyed twin rides the identical pinned kernel (one
+    // extra codegen'd langIdPred projection per corpus) — same bound
+    Seq("cur_release", "cur_release_ided").foreach { name =>
+      val q = ModelQueries.all.find(_.name == name).get
+      val p = q.build(spark, sf("sf0.001")).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 32,
+        s"$name plan re-derivation regressed: $scans parquet scans " +
+          s"(pinned form holds ~28)")
+      assert(!p.contains("CartesianProduct"),
+        s"no cartesian anywhere in the release funnel ($name)")
+    }
   }
 }

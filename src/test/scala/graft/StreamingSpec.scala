@@ -1011,4 +1011,50 @@ class StreamingSpec extends TestBase {
         "a stale replay must not resurrect a tombstoned key")
     } finally q.stop()
   }
+
+  test("releaseMonitor: per-batch funnel == batch kernel against the " +
+      "same persisted model/cuts; fresh-checkpoint replay is a fixpoint") {
+    import graft.operators.{Curation, LangModel}
+    val d = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val train = d.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val b0 = d.where(col("doc_id") % 3 === 1 && col("doc_id") < 200)
+    val b1 = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 200)
+    val st = java.nio.file.Files.createTempDirectory("graft-relmon")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-relmon-in")
+    dropAsFile(b0, inDir, "b0.parquet")
+    dropAsFile(b1, inDir, "b1.parquet")
+    LangModel.buildLmMlIndex(train, s"$st/model")
+    Curation.writeReleaseCuts(train, s"$st/model", 255000L, s"$st/cuts")
+    def run(ckpt: String) = {
+      val q = Streams.releaseMonitor(
+        Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+        s"$st/model", s"$st/cuts", s"$st/rel", s"$st/$ckpt")
+      q.awaitTermination()
+    }
+    run("ckpt")
+    val got = spark.read.parquet(s"$st/rel")
+    assert(got.select("micro_batch").distinct().count() == 2)
+    // per batch == the batch-side kernel over the same persisted tables
+    val (uni, bi) = LangModel.readModelMl(spark, s"$st/model")
+    val cuts = spark.read.parquet(s"$st/cuts")
+    Seq(0 -> b0, 1 -> b1).foreach { case (id, b) =>
+      val want = Curation.releaseAgainst(
+        b.select(col("doc_id"), col("text"), col("lang")), uni, bi, cuts)
+      val g = got.where(col("micro_batch") === id)
+        .select(want.columns.map(col): _*)
+      assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+        s"micro-batch $id must equal the batch kernel")
+    }
+    // at-least-once replay, end to end: a fresh checkpoint re-delivers
+    // EVERY batch; the pure observer's batchId-keyed overwrite (standing
+    // model/cuts never mutate) must be a fixpoint
+    val before = got.orderBy("micro_batch", "lang").collect().toSeq
+    run("ckpt-replay")
+    assert(spark.read.parquet(s"$st/rel")
+      .orderBy("micro_batch", "lang").collect().toSeq == before,
+      "replaying every batch must rewrite identical funnel rows")
+  }
 }
