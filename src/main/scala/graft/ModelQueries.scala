@@ -582,8 +582,11 @@ object ModelQueries {
       import graft.operators.Takedown
       val d = mlDocs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-purge")
+      val tB = System.nanoTime()
       LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$tmp/lmml")
       val departing = d.where(bkt >= 80).localCheckpoint(true)
+      NorthStarQueries.fixtureSecs.put("lm-ml-purge-fixture",
+        (System.nanoTime() - tB) / 1e9)
       def run() = Takedown.purgeEverywhere(s,
         departing.select(col("doc_id")),
         Seq(Takedown.LmModel(s"$tmp/lmml", purgedRows = departing,
