@@ -52,6 +52,10 @@ object ModelQueries {
   /** Trigram-gate cut: measured consistent ≈ 0.26, crossed ≈ 0.49 at
     * sf0.01 (the 0.699/3 trigram-backoff gap) — 0.37 splits the gap. */
   private val lm3GateCut = 0.37
+  /** 5-gram-gate cut: the planted 4-symmetric corpus scores consistent
+    * ≈ 0.200 (= −log10(251/2507)/5) vs crossed ≈ 0.340 (one α·½ backoff
+    * at pos 5 — the 0.699/5 gap) — 0.27 splits with ~0.07 margins. */
+  private val lm5GateCut = 0.27
   /** cur_release calibrated-cut offset — same probe, PII-planted
     * fixture. */
   private val relOffsetMicro = 255000L
@@ -851,6 +855,116 @@ object ModelQueries {
         .join(LangModelMl.ppl3Ml(train, probe)
           .select(col("doc_id"), col("xent").as("xent3")), Seq("doc_id"))
         .withColumn("kept3", (col("xent3") <= lm3GateCut).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // ORDER-5 — CCNet's production KenLM order (r18): the generic
+    // order-N kernel (one token-stream projection + 2(n−1)+2
+    // vocabulary-scale joins; hand-written 2/3 forms are spec-pinned
+    // equal to it row-for-row). In-memory plain form over the standard
+    // split, with 1- and 4-token strata pinning the exact-length
+    // context arrays at every prefix depth.
+    QueryDef("txt_lm5_ppl")({
+      val sc =
+        s"""(SELECT doc_id, text FROM documents WHERE $bktSql < 20
+           | UNION ALL SELECT doc_id + 6000000, 'the' FROM documents
+           |   WHERE doc_id < 5
+           | UNION ALL SELECT doc_id + 7000000, 'the a fast slow'
+           |   FROM documents WHERE doc_id < 5)""".stripMargin
+      s"""${LangModel.pplNSqlGeneric(lmTrainSql, sc, 5, ml = false)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val score = idText(d.where(bkt < 20))
+        .unionAll(d.where(col("doc_id") < 5)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            lit("the").as("text")))
+        .unionAll(d.where(col("doc_id") < 5)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            lit("the a fast slow").as("text")))
+      LangModel.pplN(idText(d.where(bkt >= 20)), score, 5)
+        .orderBy("doc_id")
+    },
+
+    // The lang-keyed ORDER-5 model PERSISTED and GROWN — the full cross
+    // product (CCNet's 5-gram, one per language, on the engine's
+    // lifecycle): five lang-keyed additive count tables, marker
+    // `order=5` + `tok=ml`. Oracle retrains per-lang on the union raw:
+    // hash equality is the grown == indexed == direct identity.
+    QueryDef("txt_lm5_ml")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModel.pplNSqlGeneric(tr, sc, 5, ml = true)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-ml-idx")
+      LangModel.buildLmMl5Index(d.where(bkt >= 40), s"$tmp/model")
+      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+        s"$tmp/model", ingestBatch = 0L)
+      val out = LangModel.scoreAgainstLmNIndex(s"$tmp/model",
+          d.where(bkt < 20), 5, ml = true)
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
+    // The 5-gram's REASON TO EXIST, per language (r18): a planted
+    // corpus where every 4-gram is attested for both variants (250/250
+    // doc parity) but only one QUINTUPLE is — the order-4 model scores
+    // consistent and crossed probes IDENTICALLY (p(e|b c d) = p(g|b c
+    // d) = ½ by symmetric counts), only order 5 separates, in all four
+    // script lanes.
+    QueryDef("txt_lm5_gate")({
+      def strataSql(crossed: Boolean): String = {
+        val txt = if (crossed)
+          "CASE WHEN doc_id % 2 = 0 THEN 'a b c d e' ELSE 'a b c d g' END"
+        else
+          "CASE WHEN doc_id % 2 = 0 THEN 'a b c d e' ELSE 'f b c d g' END"
+        val guard = if (crossed) " WHERE doc_id < 40" else ""
+        Seq(
+          (0L, "en", (e: String) => e),
+          (10000000L, "zh", cjkOfSql _),
+          (20000000L, "ko", hangulOfSql _),
+          (30000000L, "ru", cyrOfSql _)).map { case (off, lang, t) =>
+          s"""SELECT doc_id + $off AS doc_id, ${t(txt)} AS text,
+             |   '$lang' AS lang FROM documents$guard""".stripMargin
+        }.mkString("(", "\n| UNION ALL ", ")")
+      }
+      s"""WITH s4 AS (${LangModel.pplNSqlGeneric(
+            strataSql(false), strataSql(true), 4, ml = true)}),
+         | s5 AS (${LangModel.pplNSqlGeneric(
+            strataSql(false), strataSql(true), 5, ml = true)})
+         | SELECT s4.doc_id, s4.lang, s4.xent AS xent4, s5.xent AS xent5,
+         |        CAST(s5.xent <= $lm5GateCut AS INT) AS kept5
+         | FROM s4 JOIN s5 ON s4.doc_id = s5.doc_id
+         | ORDER BY s4.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir)
+      def strata(crossed: Boolean): DataFrame = {
+        val txt = if (crossed)
+          when(col("doc_id") % 2 === 0, lit("a b c d e"))
+            .otherwise(lit("a b c d g"))
+        else
+          when(col("doc_id") % 2 === 0, lit("a b c d e"))
+            .otherwise(lit("f b c d g"))
+        val src = if (crossed) base.where(col("doc_id") < 40) else base
+        Seq[(Long, String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+          (0L, "en", c => c),
+          (10000000L, "zh", cjkOf _),
+          (20000000L, "ko", hangulOf _),
+          (30000000L, "ru", cyrOf _)).map { case (off, lang, t) =>
+          src.select((col("doc_id") + off).as("doc_id"),
+            t(txt).as("text"), lit(lang).as("lang"))
+        }.reduce(_ unionAll _)
+      }
+      val train = strata(crossed = false)
+      val probe = strata(crossed = true)
+      LangModelMl.pplNMl(train, probe, 4)
+        .select(col("doc_id"), col("lang"), col("xent").as("xent4"))
+        .join(LangModelMl.pplNMl(train, probe, 5)
+          .select(col("doc_id"), col("xent").as("xent5")), Seq("doc_id"))
+        .withColumn("kept5", (col("xent5") <= lm5GateCut).cast("int"))
         .orderBy("doc_id")
     },
 

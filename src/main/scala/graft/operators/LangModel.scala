@@ -165,6 +165,161 @@ object LangModel {
     scoreWith3(batch, unigramCounts(train), bigramCounts(train),
       trigramCounts(train))
 
+  // ---- order-N generic kernel (r18) ----------------------------------
+  // CCNet's production KenLM is an ORDER-5 model on the same Stupid
+  // Backoff recursion the order-2/3 forms implement by hand above. The
+  // generic kernel expresses any order n ≤ 5 (plain or lang-keyed) as
+  // one token-stream projection + 2(n−1)+2 vocabulary-scale joins + one
+  // aggregate — the hand-written order-2/3 paths stay untouched (their
+  // rows pin them), and the persisted lifecycle is already order- and
+  // shape-generic through tableSpecs.
+
+  /** Highest supported n-gram order (table name space + oracle CASE). */
+  val maxOrder: Int = 5
+
+  /** α^k by REPEATED MULTIPLICATION — the same association the
+    * hand-written forms use (`alpha * alpha`); `math.pow` may differ in
+    * the last ulp, and the oracle interpolates this exact double. */
+  private def alphaPow(k: Int): Double =
+    Iterator.fill(k)(alpha).foldLeft(1.0)(_ * _)
+
+  /** Generic exact-length token stream: (key…, pos, w, ctx1..ctx(n−1))
+    * with ctxK = the token K positions back (null while the position
+    * lacks that much history). Every context array is
+    * `slice(concat(nulls, ts), 1, size(ts))` — exact length, never a
+    * padded prefix (the r17-ADVICE phantom-row trap). */
+  private[operators] def tokenStreamNFrom(docs: DataFrame,
+      toksOf: Column => Column, n: Int, keyCols: Seq[String]): DataFrame = {
+    require(n >= 1 && n <= maxOrder, s"order $n outside [1, $maxOrder]")
+    val nul = lit(null).cast("string")
+    var zipped: Column = transform(col("ts"), w => struct(w.as("w")))
+    for (k <- 1 until n) {
+      val prev = "w" +: (1 until k).map(i => s"ctx$i")
+      val ctxK = slice(concat(array(Seq.fill(k)(nul): _*), col("ts")),
+        lit(1), size(col("ts")))
+      zipped = zip_with(zipped, ctxK, (z, p) =>
+        struct((prev.map(f => z.getField(f).as(f)) :+ p.as(s"ctx$k")): _*))
+    }
+    val fields = "w" +: (1 until n).map(k => s"ctx$k")
+    docs
+      .select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*)
+      .where(size(col("ts")) > 0)
+      .select((keyCols.map(col) :+ posexplode(zipped)): _*)
+      .select((keyCols.map(col) :+ (col("pos") + 1).as("pos")) ++
+        fields.map(f => col(s"col.$f").as(f)): _*)
+  }
+
+  /** Generic k-gram counts (key…, w1..wk, c) with w1 the OLDEST token —
+    * k = 1 yields (key…, w, c), matching the persisted unigram table. */
+  private[operators] def gramCountsFrom(docs: DataFrame,
+      toksOf: Column => Column, k: Int, keyCols: Seq[String]): DataFrame = {
+    if (k == 1)
+      docs.select((keyCols.map(col) :+ explode(toksOf(col("text"))).as("w")): _*)
+        .groupBy((keyCols :+ "w").map(col): _*).agg(count(lit(1)).as("c"))
+    else {
+      val st = tokenStreamNFrom(docs, toksOf, k, keyCols)
+        .where(col(s"ctx${k - 1}").isNotNull)
+      val renames = (1 until k).map(i => col(s"ctx${k - i}").as(s"w$i")) :+
+        col("w").as(s"w$k")
+      st.select((keyCols.map(col) ++ renames): _*)
+        .groupBy((keyCols ++ (1 to k).map(i => s"w$i")).map(col): _*)
+        .agg(count(lit(1)).as("c"))
+    }
+  }
+
+  /** The generic order-n Stupid Backoff scorer over a prepared token
+    * stream ([[tokenStreamNFrom]] with the same n) and the n count
+    * tables (`tables(k-1)` = the (k)-gram table, lowest order first,
+    * each keyed by `key` ++ its word columns). Per token with m
+    * available context tokens: the highest order o ≤ m+1 whose o-gram
+    * is attested scores `α^(m+1−o) · c(gram)/c(context)`; nothing
+    * attested scores `α^m ·` the add-one unigram — exactly the
+    * published recursion the order-2/3 forms implement, generalized.
+    * `n_backoff` counts context-bearing tokens that did not score at
+    * their full available order. */
+  private[operators] def scoreStreamN(st0: DataFrame, tables: Seq[DataFrame],
+      key: Seq[String], n: Int): DataFrame = {
+    require(tables.size == n, s"need $n tables, got ${tables.size}")
+    val uni = tables.head
+    // per-key totals: broadcast join when keyed, 1-row cross join when not
+    val totAgg = Seq(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    var st = st0
+      .join(uni.select((key.map(col) :+ col("w") :+ col("c").as("c_w")): _*),
+        key :+ "w", "left")
+    // for each order o ≥ 2: the o-gram lookup (c_g{o}) and its context
+    // denominator from the (o−1)-gram table (c_x{o}; o = 2 reads uni)
+    for (o <- 2 to n) {
+      val ctxNames = (1 until o).map(i => s"ctx$i")
+      val gram = tables(o - 1).select((key.map(col) ++
+        (1 until o).map(i => col(s"w$i").as(s"ctx${o - i}")) :+
+        col(s"w$o").as("w") :+ col("c").as(s"c_g$o")): _*)
+      st = st.join(gram, key ++ ctxNames :+ "w", "left")
+      val ctxTbl =
+        if (o == 2)
+          uni.select((key.map(col) :+ col("w").as("ctx1") :+
+            col("c").as("c_x2")): _*)
+        else
+          tables(o - 2).select((key.map(col) ++
+            (1 until o).map(i => col(s"w$i").as(s"ctx${o - i}")) :+
+            col("c").as(s"c_x$o")): _*)
+      st = st.join(ctxTbl, key ++ ctxNames, "left")
+    }
+    st =
+      if (key.isEmpty)
+        st.crossJoin(broadcast(uni.agg(totAgg.head, totAgg.tail: _*)))
+      else
+        st.join(broadcast(
+          uni.groupBy(key.map(col): _*).agg(totAgg.head, totAgg.tail: _*)),
+          key, "left")
+    val uniP = (coalesce(col("c_w"), lit(0L)).cast("double") + 1.0) /
+      (col("n") + col("v"))
+    // branch on available context m (ctx{m+1} null ⇒ exactly m), then
+    // inside each branch try orders m+1 down to 2, else backed-off uni
+    def chainFor(m: Int): Column = {
+      val base = log10(lit(alphaPow(m)) * uniP)
+      // descending order chain (when-chains evaluate in order, so the
+      // highest attested order wins)
+      var e: Column = null
+      for (o <- (m + 1) to 2 by -1) {
+        val f = alphaPow(m + 1 - o)
+        val ratio = col(s"c_g$o").cast("double") / col(s"c_x$o").cast("double")
+        val v = if (f == 1.0) log10(ratio) else log10(lit(f) * ratio)
+        e = if (e == null) when(col(s"c_g$o").isNotNull, v)
+            else e.when(col(s"c_g$o").isNotNull, v)
+      }
+      if (e == null) base else e.otherwise(base)
+    }
+    var lp: Column = null
+    for (m <- 0 until (n - 1)) {
+      val cond = col(s"ctx${m + 1}").isNull
+      lp = if (lp == null) when(cond, chainFor(m))
+           else lp.when(cond, chainFor(m))
+    }
+    val lpFull = lp.otherwise(chainFor(n - 1))
+    // highest-available-order gram absent ⇒ backoff (m ≥ 1 only)
+    var bko: Column = when(col("ctx1").isNull, 0L)
+    for (m <- 1 until (n - 1))
+      bko = bko.when(col(s"ctx${m + 1}").isNull,
+        when(col(s"c_g${m + 1}").isNull, 1L).otherwise(0L))
+    val bkoFull = bko.otherwise(
+      when(col(s"c_g$n").isNull, 1L).otherwise(0L))
+    val grp = ("doc_id" +: key).distinct
+    st.groupBy(grp.map(col): _*).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("c_w").isNull, 1L).otherwise(0L)).as("n_oov"),
+      sum(bkoFull).as("n_backoff"),
+      round(-sum(lpFull) / count(lit(1)), 6).as("xent"))
+  }
+
+  /** Plain in-memory order-n form (n ≤ [[maxOrder]]): train the n count
+    * tables on `train`, score `batch` through the generic recursion. */
+  def pplN(train: DataFrame, batch: DataFrame, n: Int): DataFrame =
+    scoreStreamN(
+      tokenStreamNFrom(batch, toks, n, Seq("doc_id")),
+      (1 to n).map(k => gramCountsFrom(train, toks, k, Nil)),
+      Nil, n)
+
   /** Per-document cross-entropy under the Stupid Backoff bigram model
     * given explicitly as count tables — the pure scoring kernel shared by
     * the in-memory and persisted-index forms.
@@ -274,10 +429,18 @@ object LangModel {
   private case class Shape(order: Int, ml: Boolean)
 
   /** The count tables of a model shape with their key columns, lowest
-    * order first (ML tables carry the leading `lang` key). */
+    * order first (ML tables carry the leading `lang` key). Order ≤
+    * [[maxOrder]] (r18: fourgrams/fivegrams — CCNet's KenLM order). */
+  private val gramTableNames =
+    Seq("unigrams", "bigrams", "trigrams", "fourgrams", "fivegrams")
+
   private def tableSpecs(shape: Shape): Seq[(String, Seq[String])] = {
-    val base = Seq("unigrams" -> Seq("w"), "bigrams" -> Seq("w1", "w2"),
-      "trigrams" -> Seq("w1", "w2", "w3")).take(shape.order)
+    require(shape.order >= 1 && shape.order <= maxOrder,
+      s"model order ${shape.order} outside [1, $maxOrder]")
+    val base = (1 to shape.order).map { k =>
+      gramTableNames(k - 1) ->
+        (if (k == 1) Seq("w") else (1 to k).map(i => s"w$i"))
+    }
     if (shape.ml) base.map { case (sub, keys) => (sub, "lang" +: keys) }
     else base
   }
@@ -429,7 +592,7 @@ object LangModel {
   private def repairAll(spark: SparkSession, dir: String): Unit = {
     repairDelta(spark, dir)
     val (fs, _) = fsOf(spark, dir)
-    Seq("unigrams", "bigrams", "trigrams").foreach { sub =>
+    gramTableNames.foreach { sub =>
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
         Purge.repairPartitionRewrite(spark, s"$dir/$sub")
     }
@@ -500,14 +663,21 @@ object LangModel {
     * every order's table — the lifecycle is order- AND shape-generic,
     * r18 adds the lang-keyed trigram cell of the cross product). */
   private def countTables(docs: DataFrame, shape: Shape): Seq[DataFrame] =
-    if (shape.ml)
-      (Seq(LangModelMl.unigramCountsMl(docs),
-        LangModelMl.bigramCountsMl(docs)) ++
-        (if (shape.order >= 3) Seq(LangModelMl.trigramCountsMl(docs))
-         else Nil))
-    else
-      (Seq(unigramCounts(docs), bigramCounts(docs)) ++
-        (if (shape.order >= 3) Seq(trigramCounts(docs)) else Nil))
+    (1 to shape.order).map { k =>
+      (shape.ml, k) match {
+        // orders 1–3 keep their hand-written derivations (their rows pin
+        // the plans); 4/5 come from the generic kernel — identical
+        // column names and counts either way
+        case (false, 1) => unigramCounts(docs)
+        case (false, 2) => bigramCounts(docs)
+        case (false, 3) => trigramCounts(docs)
+        case (true, 1) => LangModelMl.unigramCountsMl(docs)
+        case (true, 2) => LangModelMl.bigramCountsMl(docs)
+        case (true, 3) => LangModelMl.trigramCountsMl(docs)
+        case (false, _) => gramCountsFrom(docs, toks, k, Nil)
+        case (true, _) => LangModelMl.gramCountsMl(docs, k)
+      }
+    }
 
   /** Train and persist the model: count tables land under seed partitions
     * (`ingest=-1`), marker written LAST so a crashed build is refused by
@@ -534,6 +704,15 @@ object LangModel {
     * machinery, marker `order=3` + `tok=ml`. */
   def buildLmMl3Index(standing: DataFrame, dir: String): Unit =
     buildIndex(standing, dir, Shape(3, ml = true))
+
+  /** ORDER-5 forms (r18 — CCNet's production KenLM order): five additive
+    * count tables (to `fivegrams/`) riding the identical lifecycle. */
+  def buildLm5Index(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, Shape(5, ml = false))
+
+  /** Lang-keyed order-5 form of [[buildLm5Index]]. */
+  def buildLmMl5Index(standing: DataFrame, dir: String): Unit =
+    buildIndex(standing, dir, Shape(5, ml = true))
 
   private def buildIndex(standing: DataFrame, dir: String, shape: Shape): Unit = {
     val spark = standing.sparkSession
@@ -826,6 +1005,25 @@ object LangModel {
     LangModelMl.scoreWith3Ml(batch, uni, bi, tri)
   }
 
+  /** Generic order-n scoring against a persisted layout of EXACTLY that
+    * shape (r18) — reads all n live tables through the standard
+    * repair/fold path and runs the generic recursion. */
+  def scoreAgainstLmNIndex(indexDir: String, batch: DataFrame, n: Int,
+      ml: Boolean, excludeIngestBatch: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    requireShape(spark, indexDir, Shape(n, ml))
+    repairAll(spark, indexDir)
+    val tables = tableSpecs(Shape(n, ml)).map { case (sub, keys) =>
+      liveTable(spark, indexDir, sub, keys, excludeIngestBatch)
+    }
+    if (ml)
+      scoreStreamN(
+        LangModelMl.tokenStreamNMl(batch, n), tables, Seq("lang"), n)
+    else
+      scoreStreamN(
+        tokenStreamNFrom(batch, toks, n, Seq("doc_id")), tables, Nil, n)
+  }
+
   // ---- oracle SQL builders ------------------------------------------------
 
   /** Token-stream CTE body over `corpusSql` (a parenthesized SELECT of
@@ -892,6 +1090,107 @@ object LangModel {
        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        | FROM $batchLangSql b LEFT JOIN scored s ON b.doc_id = s.doc_id
        | GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Generic order-n oracle (r18): the token stream with n−1 context
+    * columns by index arithmetic, one CTE per gram order, and the
+    * descending backoff CASE per available-context branch — replays
+    * [[pplN]] (plain) / [[LangModelMl.pplNMl]] (lang-keyed) exactly.
+    * Callers append ORDER BY / projection. */
+  def pplNSqlGeneric(trainSql: String, scoreSql: String, n: Int,
+      ml: Boolean): String = {
+    require(n >= 2 && n <= maxOrder, s"order $n outside [2, $maxOrder]")
+    val keyCols = if (ml) "doc_id, lang" else "doc_id"
+    val cls = if (ml) LangModelMl.mlTokenClassSql else "[a-z]+"
+    val langKey = if (ml) "lang, " else ""
+    def streamSql(corpusSql: String): String = {
+      val ctx = (1 until n).map(k =>
+        s"CASE WHEN i.i > $k THEN ts[CAST(i.i - $k AS INT)] END AS ctx$k")
+        .mkString(",\n|        ")
+      s"""(SELECT $keyCols, i.i AS pos, ts[CAST(i.i AS INT)] AS w,
+         |        $ctx
+         | FROM (SELECT $keyCols,
+         |         regexp_extract_all(lower(text), '$cls') AS ts
+         |       FROM $corpusSql)
+         | JOIN range(1, ${oracleTokenBound + 1}) i(i)
+         |   ON i.i <= CASE WHEN len(ts) > $oracleTokenBound
+         |     THEN CAST(error('pplNSqlGeneric: doc exceeds the ' ||
+         |       '$oracleTokenBound-token oracle bound') AS BIGINT)
+         |     ELSE len(ts) END)""".stripMargin
+    }
+    val gcte = (1 to n).map { k =>
+      if (k == 1)
+        s"""g1 AS (SELECT ${langKey}w, CAST(count(*) AS BIGINT) AS c
+           |       FROM ttok GROUP BY ${if (ml) "1, 2" else "1"})""".stripMargin
+      else {
+        val sel = (1 until k).map(i => s"ctx${k - i} AS w$i").mkString(", ")
+        val grp = (1 to (k + (if (ml) 1 else 0))).mkString(", ")
+        s"""g$k AS (SELECT $langKey$sel, w AS w$k,
+           |        CAST(count(*) AS BIGINT) AS c
+           |        FROM ttok WHERE ctx${k - 1} IS NOT NULL GROUP BY $grp)""".stripMargin
+      }
+    }.mkString(",\n| ")
+    val tot =
+      s"""tot AS (SELECT ${langKey}CAST(sum(c) AS DOUBLE) AS n,
+         |        CAST(count(*) AS DOUBLE) AS v FROM g1${if (ml) " GROUP BY 1" else ""})""".stripMargin
+    def onLang(a: String) = if (ml) s"$a.lang = s.lang AND " else ""
+    val joins = new StringBuilder
+    joins ++= s"  LEFT JOIN g1 uw ON ${onLang("uw")}uw.w = s.w\n"
+    for (o <- 2 to n) {
+      val gramOn = (1 until o).map(i => s"gj$o.w$i = s.ctx${o - i}")
+        .mkString(" AND ") + s" AND gj$o.w$o = s.w"
+      joins ++= s"|  LEFT JOIN g$o gj$o ON ${onLang(s"gj$o")}$gramOn\n"
+      val ctxOn =
+        if (o == 2) s"xj2.w = s.ctx1"
+        else (1 until o).map(i => s"xj$o.w$i = s.ctx${o - i}")
+          .mkString(" AND ")
+      joins ++= s"|  LEFT JOIN g${o - 1} xj$o ON ${onLang(s"xj$o")}$ctxOn\n"
+    }
+    val totJoin = if (ml) s"|  LEFT JOIN tot t ON t.lang = s.lang"
+                  else s"|  , tot t"
+    val uniP = "(coalesce(uw.c, 0) + 1.0) / (t.n + t.v)"
+    def fLit(k: Int): String =
+      if (alphaPow(k) == 1.0) "" else s"${alphaPow(k)} * "
+    def inner(m: Int): String =
+      if (m == 0) s"log10($uniP)"
+      else {
+        val whens = ((m + 1) to 2 by -1).map { o =>
+          s"WHEN gj$o.c IS NOT NULL THEN log10(${fLit(m + 1 - o)}gj$o.c * 1.0 / xj$o.c)"
+        }.mkString(" ")
+        s"CASE $whens ELSE log10(${fLit(m)}$uniP) END"
+      }
+    val lp = {
+      val branches = (0 until (n - 1)).map(m =>
+        s"WHEN s.ctx${m + 1} IS NULL THEN ${inner(m)}").mkString("\n|   ")
+      s"""CASE $branches
+         |   ELSE ${inner(n - 1)} END""".stripMargin
+    }
+    val bko = {
+      val branches = (1 until (n - 1)).map(m =>
+        s"WHEN s.ctx${m + 1} IS NULL THEN " +
+          s"CASE WHEN gj${m + 1}.c IS NULL THEN 1 ELSE 0 END")
+        .mkString("\n|   ")
+      s"""CASE WHEN s.ctx1 IS NULL THEN 0
+         |   $branches
+         |   ELSE CASE WHEN gj$n.c IS NULL THEN 1 ELSE 0 END END""".stripMargin
+    }
+    val scKey = if (ml) "s.doc_id, s.lang" else "s.doc_id"
+    val outKey = if (ml) "doc_id, lang" else "doc_id"
+    s"""WITH ttok AS (SELECT * FROM ${streamSql(trainSql)}),
+       | $gcte,
+       | $tot,
+       | stok AS (SELECT * FROM ${streamSql(scoreSql)}),
+       | sc AS (SELECT $scKey,
+       |   $lp AS lp,
+       |   CASE WHEN uw.c IS NULL THEN 1 ELSE 0 END AS oov,
+       |   $bko AS bko
+       |  FROM stok s
+       |$joins$totJoin)
+       | SELECT $outKey, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(oov) AS BIGINT) AS n_oov,
+       |        CAST(sum(bko) AS BIGINT) AS n_backoff,
+       |        round(-sum(lp) / count(*), 6) AS xent
+       | FROM sc GROUP BY $outKey""".stripMargin
+  }
 
   /** Token-stream CTE body with two context tokens — the order-3 twin of
     * [[tokenStreamSql]] (same loud [[oracleTokenBound]] guard). */

@@ -210,6 +210,24 @@ object LangModelMl {
     scoreWith3Ml(batch, unigramCountsMl(train), bigramCountsMl(train),
       trigramCountsMl(train))
 
+  /** Generic per-language k-gram counts (lang, w1..wk, c) — the ML face
+    * of [[LangModel.gramCountsFrom]] (r18, orders up to
+    * [[LangModel.maxOrder]]). */
+  def gramCountsMl(docs: DataFrame, k: Int): DataFrame =
+    LangModel.gramCountsFrom(docs, toksMl, k, Seq("lang"))
+
+  /** The generic lang-keyed token stream for order n (r18). */
+  private[operators] def tokenStreamNMl(docs: DataFrame, n: Int): DataFrame =
+    LangModel.tokenStreamNFrom(docs, toksMl, n, Seq("doc_id", "lang"))
+
+  /** In-memory generic order-n per-language form (n ≤
+    * [[LangModel.maxOrder]] — n = 5 is CCNet's production KenLM order). */
+  def pplNMl(train: DataFrame, batch: DataFrame, n: Int): DataFrame =
+    LangModel.scoreStreamN(
+      tokenStreamNMl(batch, n),
+      (1 to n).map(k => gramCountsMl(train, k)),
+      Seq("lang"), n)
+
   /** Per-language CALIBRATED cuts: each language's threshold derives
     * from ITS OWN model's score distribution (CCNet thresholds come from
     * the reference corpus's per-language perplexity distribution — a

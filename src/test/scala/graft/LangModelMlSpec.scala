@@ -162,6 +162,40 @@ class LangModelMlSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
+  test("pplNMl: generic lang-keyed kernel == hand-written order 2/3; " +
+      "order-5 ml persisted identity and tok/order gates") {
+    import graft.operators.LangModel
+    val train = docs((1L, "a b c d e", "en"), (2L, "a b c d e", "en"),
+      (3L, "f b c d g", "en"), (4L, "中文中文中", "zh"))
+    val batch = docs((10L, "a b c d e", "en"), (11L, "a b c d g", "en"),
+      (12L, "中文中文中", "zh"), (13L, "b", "en"))
+    assert(LangModelMl.pplNMl(train, batch, 2).orderBy("doc_id")
+      .collect().toSeq ==
+      LangModelMl.pplMl(train, batch).orderBy("doc_id").collect().toSeq)
+    assert(LangModelMl.pplNMl(train, batch, 3).orderBy("doc_id")
+      .collect().toSeq ==
+      LangModelMl.ppl3Ml(train, batch).orderBy("doc_id").collect().toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-ml-spec")
+    try {
+      LangModel.buildLmMl5Index(train.where(col("doc_id") <= 2), s"$tmp/m")
+      LangModel.appendToLmIndex(train.where(col("doc_id") >= 3), s"$tmp/m", 0L)
+      assert(LangModel.scoreAgainstLmNIndex(s"$tmp/m", batch, 5, ml = true)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModelMl.pplNMl(train, batch, 5).orderBy("doc_id")
+          .collect().toSeq)
+      // order-2 ml scoring over the ml5 layout stays legal (lower-order
+      // tables are the same corpus-shaped counts)
+      assert(LangModel.scoreAgainstLmMlIndex(s"$tmp/m", batch)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModelMl.pplMl(train, batch).orderBy("doc_id").collect().toSeq)
+      // the plain order-5 reader refuses the ml layout
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmNIndex(s"$tmp/m",
+          batch.select(col("doc_id"), col("text")), 5, ml = false)
+      }
+    } finally deleteRecursively(tmp)
+  }
+
   test("NULL-lang strata: cut join is null-safe (IS NOT DISTINCT FROM " +
       "semantics); NULL-lang docs land in the funnel, never vanish") {
     // The oracle's cut join is IS NOT DISTINCT FROM, so a NULL-lang cut

@@ -385,6 +385,60 @@ class LangModelSpec extends TestBase {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("pplN: the generic order-N kernel reproduces the hand-written " +
+      "order-2/3 forms exactly, and order-5 matches hand computation") {
+    val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val train = d.where(col("doc_id") % 3 =!= 2)
+    val batch = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+    // generic n=2 / n=3 == the pinned hand-written kernels, row for row
+    assert(LangModel.pplN(train, batch, 2).orderBy("doc_id").collect().toSeq ==
+      LangModel.ppl(train, batch).orderBy("doc_id").collect().toSeq)
+    assert(LangModel.pplN(train, batch, 3).orderBy("doc_id").collect().toSeq ==
+      LangModel.ppl3(train, batch).orderBy("doc_id").collect().toSeq)
+    // order-5 hand computation: train "a b c d e"×2, "f b c d g" —
+    // uni a:2 b:3 c:3 d:3 e:2 f:1 g:1 (N=15, V=7); all 2..4-grams of the
+    // two variants; 5-grams (a,b,c,d,e):2, (f,b,c,d,g):1
+    val t5 = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "f b c d g")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // consistent "a b c d e": p(a)=(2+1)/22; then every higher-order
+    // conditional is 2/2 or 2/2 … = 1 at full order (zero backoff)
+    val gotC = LangModel.pplN(t5, docs(10L -> "a b c d e"), 5)
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(gotC == ((5L, 0L, 0L,
+      r6(-math.log10(3.0 / 22) / 5))))
+    // crossed "a b c d g": 5-gram (a,b,c,d,g) unseen → α·p4(g|b c d)
+    // = 0.4·(c(bcdg)/c(bcd)) = 0.4·(1/3); one backoff at pos 5
+    val gotX = LangModel.pplN(t5, docs(11L -> "a b c d g"), 5)
+      .select("n_tokens", "n_oov", "n_backoff", "xent")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(gotX._1 == 5 && gotX._2 == 0 && gotX._3 == 1)
+    val expX = -(math.log10(3.0 / 22) + math.log10(0.4 / 3)) / 5
+    assert(math.abs(gotX._4 - r6(expX)) < 1e-9)
+    // 1..4-token docs emit exactly len(ts) rows at order 5 (the
+    // exact-length context arrays, all four prefixes)
+    val short = LangModel.pplN(t5,
+        docs(20L -> "b", 21L -> "a b", 22L -> "a b c", 23L -> "a b c d"), 5)
+      .orderBy("doc_id").select("n_tokens").as[Long].collect().toSeq
+    assert(short == Seq(1L, 2L, 3L, 4L))
+    // persisted order-5 lifecycle: build+grow == direct recompute
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-spec")
+    try {
+      LangModel.buildLm5Index(t5.where(col("doc_id") <= 2), s"$tmp/m5")
+      LangModel.appendToLmIndex(t5.where(col("doc_id") === 3), s"$tmp/m5", 0L)
+      val probe = docs(10L -> "a b c d e", 11L -> "a b c d g")
+      assert(LangModel.scoreAgainstLmNIndex(s"$tmp/m5", probe, 5, ml = false)
+        .orderBy("doc_id").collect().toSeq ==
+        LangModel.pplN(t5, probe, 5).orderBy("doc_id").collect().toSeq)
+      // an order-3 layout refuses the order-5 scorer
+      LangModel.buildLm3Index(t5, s"$tmp/m3")
+      intercept[IllegalArgumentException] {
+        LangModel.scoreAgainstLmNIndex(s"$tmp/m3", probe, 5, ml = false)
+      }
+    } finally deleteRecursively(tmp)
+  }
+
   test("order-3 persisted lifecycle: grown == union; order marker gates " +
       "the entry points") {
     val d = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
