@@ -909,6 +909,30 @@ object ModelQueries {
       out
     },
 
+    // The order-5 model PRUNED for serving: the deepest-first
+    // five-table fold+floor (fivegrams → … → unigrams — tableSpecs
+    // .reverse, so no crash window can null a kept n-gram's denominator
+    // one order down; the corpus-shaped monotonicity c(gram) ≤
+    // c(context) holds at every order). Oracle replays the floor on all
+    // five tables from raw.
+    QueryDef("txt_lm5_pruned")(
+      s"""${LangModel.pplNSqlGeneric(lmTrainSql, lmScoreSql, 5,
+            ml = false, minCount = 30L)}
+         | ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-prune")
+      LangModel.buildLm5Index(idText(d.where(bkt >= 40)), s"$tmp/model")
+      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+        s"$tmp/model", ingestBatch = 0L)
+      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
+      val out = LangModel.scoreAgainstLmNIndex(s"$tmp/model",
+          idText(d.where(bkt < 20)), 5, ml = false)
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // The 5-gram's REASON TO EXIST, per language (r18): a planted
     // corpus where every 4-gram is attested for both variants (250/250
     // doc parity) but only one QUINTUPLE is — the order-4 model scores

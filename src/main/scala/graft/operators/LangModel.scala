@@ -1095,9 +1095,13 @@ object LangModel {
     * columns by index arithmetic, one CTE per gram order, and the
     * descending backoff CASE per available-context branch — replays
     * [[pplN]] (plain) / [[LangModelMl.pplNMl]] (lang-keyed) exactly.
-    * Callers append ORDER BY / projection. */
+    * `minCount` > 1 replays [[pruneLmIndex]]'s floor on EVERY gram
+    * table (the corpus-shaped monotonicity `c(gram) ≤ c(its context)`
+    * keeps every kept gram's denominator alive at any order — the
+    * [[pruneLmIndex]] argument, order-generic). Callers append ORDER
+    * BY / projection. */
   def pplNSqlGeneric(trainSql: String, scoreSql: String, n: Int,
-      ml: Boolean): String = {
+      ml: Boolean, minCount: Long = 1L): String = {
     require(n >= 2 && n <= maxOrder, s"order $n outside [2, $maxOrder]")
     val keyCols = if (ml) "doc_id, lang" else "doc_id"
     val cls = if (ml) LangModelMl.mlTokenClassSql else "[a-z]+"
@@ -1117,16 +1121,17 @@ object LangModel {
          |       '$oracleTokenBound-token oracle bound') AS BIGINT)
          |     ELSE len(ts) END)""".stripMargin
     }
+    val floor = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
     val gcte = (1 to n).map { k =>
       if (k == 1)
         s"""g1 AS (SELECT ${langKey}w, CAST(count(*) AS BIGINT) AS c
-           |       FROM ttok GROUP BY ${if (ml) "1, 2" else "1"})""".stripMargin
+           |       FROM ttok GROUP BY ${if (ml) "1, 2" else "1"}$floor)""".stripMargin
       else {
         val sel = (1 until k).map(i => s"ctx${k - i} AS w$i").mkString(", ")
         val grp = (1 to (k + (if (ml) 1 else 0))).mkString(", ")
         s"""g$k AS (SELECT $langKey$sel, w AS w$k,
            |        CAST(count(*) AS BIGINT) AS c
-           |        FROM ttok WHERE ctx${k - 1} IS NOT NULL GROUP BY $grp)""".stripMargin
+           |        FROM ttok WHERE ctx${k - 1} IS NOT NULL GROUP BY $grp$floor)""".stripMargin
       }
     }.mkString(",\n| ")
     val tot =
