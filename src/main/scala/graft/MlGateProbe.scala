@@ -59,6 +59,38 @@ object MlGateProbe {
         println(s"[mlgate]   window: offsetMicro in ($origMax, $twinMin)" +
           (if (origMax < twinMin) "  OK" else "  EMPTY — no separating offset"))
     }
+    // ORDER-5 arm (r19): cur_release5 calibrates its cuts on order-5
+    // self-scores — lower and tighter than order-2, so the offset window
+    // is measured separately on the exact fixture at the exact order.
+    Seq("pii5" -> ModelQueries.releaseFixture(spark, args(0))).foreach {
+      case (name, (train, corpus)) =>
+        val tables = (1 to 5).map(k =>
+          LangModelMl.gramCountsMl(train, k).localCheckpoint(true))
+        val base = LangModelMl.cutsFromSelfScores(
+          LangModelMl.scoreStreamNMl(train, tables, 5), 0L)
+        val off = col("doc_id") % 10000000L
+        val scored = LangModelMl
+          .scoreStreamNMl(corpus.where(off < 2000000L), tables, 5)
+          .withColumn("stratum",
+            when(col("doc_id") % 10000000L >= 1000000L, lit("twin"))
+              .otherwise(lit("orig")))
+          .withColumn("micro", round(col("xent") * 1e6).cast("long"))
+          .join(base, Seq("lang"))
+        println(s"[mlgate] fixture=$name (ORDER 5)")
+        val rows = scored.groupBy(col("lang"), col("stratum"))
+          .agg(count(lit(1)).as("n"),
+            max(col("micro") - col("cut_micro")).as("max_above"),
+            min(col("micro") - col("cut_micro")).as("min_above"))
+          .orderBy(col("lang"), col("stratum"))
+          .collect()
+        rows.foreach(r => println(s"[mlgate]   $r"))
+        val origMax = rows.filter(_.getString(1) == "orig")
+          .map(_.getLong(3)).max
+        val twinMin = rows.filter(_.getString(1) == "twin")
+          .map(_.getLong(4)).min
+        println(s"[mlgate]   window: offsetMicro in ($origMax, $twinMin)" +
+          (if (origMax < twinMin) "  OK" else "  EMPTY — no separating offset"))
+    }
     spark.stop()
   }
 }

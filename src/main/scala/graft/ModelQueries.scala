@@ -59,6 +59,15 @@ object ModelQueries {
   /** cur_release calibrated-cut offset — same probe, PII-planted
     * fixture. */
   private val relOffsetMicro = 255000L
+  /** cur_release5 calibrated-cut offset (r19): the order-5 SELF-score
+    * mean sits lower than order-2 (deeper contexts are attested
+    * in-corpus) while the spam twins' order-5 scores sit HIGHER above it
+    * (the OOV spam prefix backs off through more α factors), so the
+    * order-5 funnel carries its own MlGateProbe-measured offset: the
+    * `pii5` arm's windows are (274802, 442203) at sf0.01 and
+    * (296372, 452683) at sf0.001 — 369000 sits inside the intersection
+    * with ≥ 72k margin on both sides at both scale factors. */
+  private val rel5OffsetMicro = 369000L
   /** cur_release's zero-token stratum text: digits-only (no token under
     * the Unicode class) but LONG with healthy mean token length, so it
     * PASSES the LR quality gate and actually reaches the LM stage's
@@ -94,6 +103,18 @@ object ModelQueries {
     (0 until 26).map(i => (0xac00 + i).toChar).mkString
   private val cyrAlphabet: String =
     (0 until 26).map(i => (0x0430 + i).toChar).mkString
+  // r19: the same trick plants real ARABIC (U+0621..063A — exactly the
+  // 26-letter hamza..ghain run; space-segmented word runs like Latin),
+  // DEVANAGARI (U+0905+i, letters; word runs) and THAI (U+0E01+i,
+  // consonants; UNSEGMENTED — the multilingual class tokenizes the lane
+  // char-level, the zh discipline) strata — the r18 verdict's remaining
+  // zero-token pass-through lanes become scored citizens of every ML row.
+  private val arAlphabet: String =
+    (0 until 26).map(i => (0x0621 + i).toChar).mkString
+  private val devAlphabet: String =
+    (0 until 26).map(i => (0x0905 + i).toChar).mkString
+  private val thaiAlphabet: String =
+    (0 until 26).map(i => (0x0e01 + i).toChar).mkString
   private def cjkOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     translate(c, latinAlphabet, hanAlphabet)
   private def cjkOfSql(e: String): String =
@@ -106,14 +127,27 @@ object ModelQueries {
     translate(c, latinAlphabet, cyrAlphabet)
   private def cyrOfSql(e: String): String =
     s"translate($e, '$latinAlphabet', '$cyrAlphabet')"
+  private def arOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, arAlphabet)
+  private def arOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$arAlphabet')"
+  private def devOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, devAlphabet)
+  private def devOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$devAlphabet')"
+  private def thaiOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, latinAlphabet, thaiAlphabet)
+  private def thaiOfSql(e: String): String =
+    s"translate($e, '$latinAlphabet', '$thaiAlphabet')"
 
   /** The multilingual fixture corpus: documents with the zh stratum
     * transliterated to real Han text, PLUS planted ko (real Hangul,
-    * ids +10e6) and ru (real Cyrillic, ids +20e6) strata — every script
-    * lane of the r18 token class is a first-class citizen of every ML
-    * row (ppl/gate/indexed/stream/release). Id blocks are 10e6 apart so
-    * the fixtures' derived strata (+1e6 twins, +2e6 copies, +3e6
-    * zero-token, +4e6 unmodeled) never collide across scripts. */
+    * ids +10e6), ru (real Cyrillic, +20e6), and — r19 — ar (real Arabic,
+    * +30e6), hi (real Devanagari, +40e6), th (real Thai, +50e6) strata —
+    * every script lane of the token class is a first-class citizen of
+    * every ML row (ppl/gate/indexed/stream/release). Id blocks are 10e6
+    * apart so the fixtures' derived strata (+1e6 twins, +2e6 copies,
+    * +3e6 zero-token, +4e6 unmodeled) never collide across scripts. */
   private def mlDocs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.select(col("doc_id"),
@@ -126,6 +160,15 @@ object ModelQueries {
       .unionAll(d.where(col("doc_id") % 5 === 2)
         .select((col("doc_id") + 20000000L).as("doc_id"),
           cyrOf(col("text")).as("text"), lit("ru").as("lang")))
+      .unionAll(d.where(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          arOf(col("text")).as("text"), lit("ar").as("lang")))
+      .unionAll(d.where(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          devOf(col("text")).as("text"), lit("hi").as("lang")))
+      .unionAll(d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          thaiOf(col("text")).as("text"), lit("th").as("lang")))
   }
   private val mlDocsSql =
     s"""(SELECT doc_id,
@@ -134,7 +177,13 @@ object ModelQueries {
        | UNION ALL SELECT doc_id + 10000000, ${hangulOfSql("text")}, 'ko'
        |   FROM documents WHERE doc_id % 5 = 1
        | UNION ALL SELECT doc_id + 20000000, ${cyrOfSql("text")}, 'ru'
-       |   FROM documents WHERE doc_id % 5 = 2)""".stripMargin
+       |   FROM documents WHERE doc_id % 5 = 2
+       | UNION ALL SELECT doc_id + 30000000, ${arOfSql("text")}, 'ar'
+       |   FROM documents WHERE doc_id % 5 = 3
+       | UNION ALL SELECT doc_id + 40000000, ${devOfSql("text")}, 'hi'
+       |   FROM documents WHERE doc_id % 5 = 4
+       | UNION ALL SELECT doc_id + 50000000, ${thaiOfSql("text")}, 'th'
+       |   FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
   // ---- PII planting ---------------------------------------------------
   // The synthetic corpus contains no digits or '@' (verified per
@@ -1165,6 +1214,198 @@ object ModelQueries {
       out
     },
 
+    // The release funnel RE-BASED ON THE ORDER-5 MODEL (r19 — CCNet's
+    // production recipe composed end to end): the identical pinned
+    // kernel and fixture as cur_release, but the statistical gate scores
+    // under each language's 5-gram Stupid Backoff model and the per-lang
+    // cuts calibrate on ORDER-5 self-scores (their own measured offset —
+    // order-5 self-score distributions sit lower and tighter than
+    // order-2). The oracle replays BOTH order-5 scoring chains through
+    // the generic recursion — one oracle body, every order.
+    QueryDef("cur_release5")(
+      graft.operators.Curation.release5Sql(
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10)""".stripMargin,
+        s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)",
+        offsetMicro = rel5OffsetMicro)
+    ) { (s, dir) =>
+      val (planted, corpus) = releaseFixture(s, dir)
+      graft.operators.Curation.release5(corpus, planted,
+          offsetMicro = rel5OffsetMicro)
+        .orderBy("lang")
+    },
+
+    // The ORDER-5 release funnel's STREAMING twin (r19): the monitor is
+    // SHAPE-AWARE — pointed at a persisted `order=5 tok=ml` layout it
+    // runs CCNet's production 5-gram gate per batch, with the cuts
+    // calibrated (by the shape-aware writeReleaseCuts) on the persisted
+    // model's own order-5 self-scores. Model + cuts load ONCE per run
+    // through the LmSession; the oracle replays each batch's order-5
+    // funnel from the raw slices — hash equality proves
+    // persisted-5-gram-probed == recomputed per batch.
+    QueryDef("cur_release5_stream")({
+      val corpus =
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10)""".stripMargin
+      val train = s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)"
+      def slice(cond: String) =
+        s"(SELECT doc_id, text, lang FROM $corpus c WHERE $cond)"
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, * FROM (
+         |  ${graft.operators.Curation.release5Sql(
+              slice(s"$bktSql < 50"), train, rel5OffsetMicro)})
+         | UNION ALL SELECT CAST(1 AS BIGINT), * FROM (
+         |  ${graft.operators.Curation.release5Sql(
+              slice(s"$bktSql >= 50"), train, rel5OffsetMicro)})
+         | ORDER BY micro_batch, lang""".stripMargin
+    }) { (s, dir) =>
+      val (planted, corpus) = releaseFixture(s, dir)
+      val withMeta = corpus.join(docs(s, dir)
+          .select(col("doc_id").as("base_id"), col("source"),
+            col("n_chars")),
+          corpus("doc_id") % 1000000L === col("base_id"))
+        .select(corpus("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-in")
+      val t0 = System.nanoTime()
+      LangModel.buildLmMl5Index(planted, s"$stDir/model")
+      graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
+        rel5OffsetMicro, s"$stDir/cuts")
+      stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet")
+      stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")
+      NorthStarQueries.fixtureSecs.put("release5-stream-fixture",
+        (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.releaseMonitor(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/rel")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("lang"), col("n_in"), col("n_quality"), col("n_zero_tok"),
+          col("n_unmodeled"), col("n_lm"), col("n_pii_docs"),
+          col("n_unique"))
+        .orderBy(col("micro_batch"), col("lang")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
+    },
+
+    // The PREDICTION-KEYED release funnel's STREAMING twin (r19): a real
+    // ingest stream has no trustworthy lang column, so the operational
+    // monitor keys every ARRIVING doc on langIdPred and gates it in its
+    // predicted language's lane — model and cuts persisted over the
+    // prediction-keyed train (the cur_release_ided discipline,
+    // streamed). The MISLABELED stratum (real Han text claiming
+    // lang='en') arrives MID-STREAM, in batch 1 only: under prediction
+    // keying it gates in the zh lane — the arriving column never enters
+    // the computation. The oracle replays each batch through the
+    // prediction-keyed funnel from the raw slices.
+    QueryDef("cur_release_ided_stream")({
+      val corpus =
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10)""".stripMargin
+      val mislabeled =
+        s"""(SELECT doc_id + 5000000 AS doc_id, ${cjkOfSql("text")} AS text,
+           |   'en' AS lang FROM documents WHERE doc_id % 2 = 1)""".stripMargin
+      val train = s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)"
+      val b0 = s"(SELECT doc_id, text, lang FROM $corpus c WHERE $bktSql < 50)"
+      val b1 =
+        s"""(SELECT doc_id, text, lang FROM $corpus c WHERE $bktSql >= 50
+           | UNION ALL SELECT doc_id, text, lang FROM $mislabeled m)""".stripMargin
+      s"""SELECT CAST(0 AS BIGINT) AS micro_batch, * FROM (
+         |  ${graft.operators.Curation.releaseIdedSql(b0, train, relOffsetMicro)})
+         | UNION ALL SELECT CAST(1 AS BIGINT), * FROM (
+         |  ${graft.operators.Curation.releaseIdedSql(b1, train, relOffsetMicro)})
+         | ORDER BY micro_batch, lang""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val (planted, corpus) = releaseFixture(s, dir)
+      val mislabeled = docs(s, dir).where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          cjkOf(col("text")).as("text"), lit("en").as("lang"))
+      def withMeta(df: DataFrame) = df.join(docs(s, dir)
+          .select(col("doc_id").as("base_id"), col("source"),
+            col("n_chars")),
+          df("doc_id") % 1000000L === col("base_id"))
+        .select(df("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val keyedTrain = planted.select(col("doc_id"), col("text"),
+        TextAnalysis.langIdPred(col("text")).as("lang"))
+      val stDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-q")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-in")
+      val t0 = System.nanoTime()
+      LangModel.buildLmMlIndex(keyedTrain, s"$stDir/model")
+      graft.operators.Curation.writeReleaseCuts(keyedTrain, s"$stDir/model",
+        relOffsetMicro, s"$stDir/cuts")
+      stageAsFile(withMeta(corpus).where(bkt < 50), inDir, "b0.parquet")
+      stageAsFile(withMeta(corpus).where(bkt >= 50)
+        .unionAll(withMeta(mislabeled)), inDir, "b1.parquet")
+      NorthStarQueries.fixtureSecs.put("release-ided-stream-fixture",
+        (System.nanoTime() - t0) / 1e9)
+      val q = graft.streaming.Streams.releaseMonitorIded(
+        graft.streaming.Streams.documentsStream(s, inDir.toString,
+          maxFilesPerTrigger = 1),
+        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+      q.awaitTermination()
+      val out = s.read.parquet(s"$stDir/rel")
+        .select(col("micro_batch").cast("long").as("micro_batch"),
+          col("lang"), col("n_in"), col("n_quality"), col("n_zero_tok"),
+          col("n_unmodeled"), col("n_lm"), col("n_pii_docs"),
+          col("n_unique"))
+        .orderBy(col("micro_batch"), col("lang")).localCheckpoint(true)
+      deleteRecursively(stDir)
+      deleteRecursively(inDir)
+      out
+    },
+
+    // The lang-keyed ORDER-5 model PRUNED for serving (r19 — the prune ×
+    // shape × order cross product: the artifact a production CCNet gate
+    // actually serves from): five lang-keyed tables fold+floor
+    // DEEPEST-FIRST (fivegrams → … → unigrams — no crash window can
+    // null a kept n-gram's denominator one order down; the corpus-shaped
+    // monotonicity holds per language at every order). Oracle replays
+    // the floor on all five lang-keyed tables from raw.
+    QueryDef("txt_lm5_ml_pruned")({
+      val tr = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql >= 20)"
+      val sc = s"(SELECT doc_id, text, lang FROM $mlDocsSql m WHERE $bktSql < 20)"
+      s"""${LangModel.pplNSqlGeneric(tr, sc, 5, ml = true, minCount = 5L)}
+         | ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = mlDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-ml-prune")
+      LangModel.buildLmMl5Index(d.where(bkt >= 40), s"$tmp/model")
+      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+        s"$tmp/model", ingestBatch = 0L)
+      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 5L)
+      val out = LangModel.scoreAgainstLmNIndex(s"$tmp/model",
+          d.where(bkt < 20), 5, ml = true)
+        .orderBy("doc_id").localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // SCRIPT-AWARE language ID over real CJK text — the langid face of
     // the [a-z]+ trap, pinned as a confusion matrix that carries BOTH
     // predictors: the word-profile langId classifies every Han doc as
@@ -1198,6 +1439,12 @@ object ModelQueries {
          |          '${graft.operators.TextAnalysis.hangulClass}')) > 0 THEN 'ko'
          |        WHEN len(regexp_extract_all(w.text,
          |          '${graft.operators.TextAnalysis.cyrillicClass}')) > 0 THEN 'ru'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.arabicClass}')) > 0 THEN 'ar'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.devanagariClass}')) > 0 THEN 'hi'
+         |        WHEN len(regexp_extract_all(w.text,
+         |          '${graft.operators.TextAnalysis.thaiClass}')) > 0 THEN 'th'
          |        WHEN len(regexp_extract_all(w.text,
          |          '${graft.operators.TextAnalysis.hanClass}')) > 0 THEN 'zh'
          |        ELSE p.code END AS pred_lang,

@@ -1626,6 +1626,13 @@ object NorthStarQueries {
           Takedown.KeyedLayout(s"$st/layout", "doc_id", files = 2),
           Takedown.CurationLoop(s"$st/loop-idx", s"$st/loop-lbl")))
         .localCheckpoint(true)
+      // per-FAMILY purge walls into fixture_sec (r19): this is the
+      // catalog's most expensive row and its scope grows with every new
+      // persisted family — the audit manifest already times each
+      // family's purge, so surface the split for the bench archive
+      // (k rows, already checkpointed — driver-side metadata)
+      audit.select(col("family"), col("sec")).collect().foreach(r =>
+        fixtureSecs.put(s"purge-${r.getString(0)}", r.getDouble(1)))
       // erasure post-conditions, fail-loud in-row: no id-bearing
       // artifact still holds any requested id
       def none(df: org.apache.spark.sql.DataFrame, idCol: String,

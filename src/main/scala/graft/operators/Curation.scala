@@ -529,20 +529,53 @@ object Curation {
     releaseAgainst(corpus, uni, bi, cuts)
   }
 
-  /** The release funnel against GIVEN model tables and calibrated cuts —
-    * the kernel [[release]] derives its tables into, and the per-batch
-    * form the streaming twin probes with the PERSISTED `tok=ml` model
-    * and persisted cuts ([[graft.streaming.Streams.releaseMonitor]],
-    * r18). Pure function of its inputs: scoring one batch costs one
-    * batch scan + vocabulary-scale model joins. */
+  /** The release funnel RE-BASED on the ORDER-5 per-language model (r19
+    * — CCNet's production KenLM order, composed end to end): identical
+    * pinned kernel ([[releaseWith]]), identical stages, but the
+    * statistical gate scores every document under its own language's
+    * 5-gram Stupid Backoff model and the per-lang cuts calibrate on the
+    * train corpus's ORDER-5 self-scores (which sit LOWER than order-2 —
+    * deeper contexts are attested in-corpus — so the offset is its own
+    * MlGateProbe-measured constant, not order-2's). Five vocabulary-
+    * scale count tables pinned eagerly (they feed 2(n−1)+2 = 10 join
+    * sides in each of the two scoring chains — the [[release]] pinning
+    * argument, deeper). */
+  def release5(corpus: DataFrame, lmTrain: DataFrame,
+      offsetMicro: Long): DataFrame = {
+    val tables = (1 to 5).map(k =>
+      LangModelMl.gramCountsMl(lmTrain, k).localCheckpoint(true))
+    val cuts = LangModelMl.cutsFromSelfScores(
+        LangModelMl.scoreStreamNMl(lmTrain, tables, 5), offsetMicro)
+      .localCheckpoint(true)
+    releaseWith(corpus, cuts, b =>
+      LangModelMl.scoreStreamNMl(b, tables, 5)
+        .select(col("doc_id"), col("xent")))
+  }
+
+  /** The release funnel against GIVEN order-2 model tables and
+    * calibrated cuts — [[releaseWith]] specialized to the bigram scorer
+    * (the r16–r18 shape; [[release]] derives its tables into this). */
   private[graft] def releaseAgainst(corpus: DataFrame, uni: DataFrame,
-      bi: DataFrame, cuts: DataFrame): DataFrame = {
+      bi: DataFrame, cuts: DataFrame): DataFrame =
+    releaseWith(corpus, cuts, b =>
+      LangModelMl.scoreWithMl(b, uni, bi).select(col("doc_id"), col("xent")))
+
+  /** THE pinned release kernel against calibrated cuts and a pluggable
+    * per-language scorer (r19 — one kernel, every model order): `scorer`
+    * maps the quality-surviving scoreable docs (doc_id, text, lang) to
+    * (doc_id, xent) under each doc's own language's model. All release
+    * rows — column-keyed, prediction-keyed, streaming, order-2 and
+    * order-5 — ride THIS function, so the funnel semantics can never
+    * fork by entry point. Pure function of its inputs: one batch scan +
+    * vocabulary-scale model joins. */
+  private[graft] def releaseWith(corpus: DataFrame, cuts: DataFrame,
+      scorer: DataFrame => DataFrame): DataFrame = {
     val flagged = corpus.select(col("doc_id"), col("text"), col("lang"),
       (TextAnalysis.lrScore() >= 0.5).cast("int").as("q_pass"),
       LangModelMl.zeroTok(col("text")).as("zt"))
-    val scored = LangModelMl.scoreWithMl(
+    val scored = scorer(
         flagged.where(col("q_pass") === 1 && col("zt") === 0)
-          .select(col("doc_id"), col("text"), col("lang")), uni, bi)
+          .select(col("doc_id"), col("text"), col("lang")))
       .select(col("doc_id"), col("xent"))
     val st = flagged.join(scored, Seq("doc_id"), "left")
       // null-safe on lang, matching releaseSql's IS NOT DISTINCT FROM —
@@ -587,17 +620,25 @@ object Curation {
   }
 
   /** Persist the calibrated per-lang cuts for the streaming release
-    * funnel (r18): the train corpus self-scored under the PERSISTED
-    * `tok=ml` model at `modelDir`, per-lang exact-integer-micro means +
-    * offset — a one-row-per-language parquet at `cutsDir`, the artifact
-    * [[graft.streaming.Streams.releaseMonitor]] reads each micro-batch.
+    * funnel (r18; SHAPE-AWARE r19): the train corpus self-scored under
+    * the PERSISTED `tok=ml` model at `modelDir` — at the model's OWN
+    * marker-declared order, so an `order=5` layout calibrates on order-5
+    * self-scores (CCNet's production gate) while the r18 order-2 layout
+    * keeps its exact path — per-lang exact-integer-micro means + offset,
+    * a one-row-per-language parquet at `cutsDir`, the artifact
+    * [[graft.streaming.Streams.releaseMonitor]] reads once per run.
     * Calibration is a one-time (re)run whenever the standing model is
     * rebuilt; the monitor itself never rescans the train corpus. */
   def writeReleaseCuts(lmTrain: DataFrame, modelDir: String,
       offsetMicro: Long, cutsDir: String): Unit = {
-    val (uni, bi) = LangModel.readModelMl(lmTrain.sparkSession, modelDir)
-    LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
-      .coalesce(1).write.mode("overwrite").parquet(cutsDir)
+    val sess = LangModel.openLmSession(lmTrain.sparkSession, modelDir)
+    try {
+      require(sess.ml,
+        s"writeReleaseCuts: the model at $modelDir is the plain-tokenizer " +
+          "layout — release cuts are per-language (tok=ml)")
+      LangModelMl.cutsFromSelfScores(sess.score(lmTrain), offsetMicro)
+        .coalesce(1).write.mode("overwrite").parquet(cutsDir)
+    } finally sess.close()
   }
 
   /** PREDICTION-KEYED release funnel (r18): a real CCNet pipeline runs
@@ -637,15 +678,28 @@ object Curation {
     * (doc_id, text, lang) SELECTs. */
   def releaseSql(corpusSql: String, trainSql: String,
       offsetMicro: Long): String =
+    releaseSqlWith(corpusSql, trainSql, offsetMicro, LangModelMl.pplMlSql)
+
+  /** Oracle for [[release5]]: the identical funnel statement with both
+    * scoring chains replayed through the generic ORDER-5 lang-keyed
+    * recursion ([[LangModel.pplNSqlGeneric]]) — one oracle body, every
+    * model order (r19). */
+  def release5Sql(corpusSql: String, trainSql: String,
+      offsetMicro: Long): String =
+    releaseSqlWith(corpusSql, trainSql, offsetMicro,
+      (tr, sc) => LangModel.pplNSqlGeneric(tr, sc, 5, ml = true))
+
+  private def releaseSqlWith(corpusSql: String, trainSql: String,
+      offsetMicro: Long, ppl: (String, String) => String): String =
     s"""WITH corpus AS (SELECT * FROM $corpusSql c),
        | q AS (SELECT doc_id, text, lang FROM corpus
        |  WHERE ${TextAnalysis.lrScoreExprSql()} >= 0.5),
        | selfsc AS (
-       |  ${LangModelMl.pplMlSql(trainSql, trainSql)}
+       |  ${ppl(trainSql, trainSql)}
        | ),
        | cuts AS (${LangModelMl.cutsSqlOver("selfsc", offsetMicro)}),
        | lmsc AS (
-       |  ${LangModelMl.pplMlSql(trainSql,
+       |  ${ppl(trainSql,
             s"(SELECT doc_id, text, lang FROM q WHERE ${LangModelMl.zeroTokExprSql()} = 0)")}
        | ),
        | lmk AS (SELECT q.* FROM q

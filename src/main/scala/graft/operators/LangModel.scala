@@ -239,6 +239,10 @@ object LangModel {
     * their full available order. */
   private[operators] def scoreStreamN(st0: DataFrame, tables: Seq[DataFrame],
       key: Seq[String], n: Int): DataFrame = {
+    // n = 1 would leave the lp when-chain unbuilt (NullPointerException on
+    // `.otherwise`) and reference an unresolvable ctx1 — fail with the
+    // contract instead (mirrors pplNSqlGeneric's [2, maxOrder] bound)
+    require(n >= 2 && n <= maxOrder, s"order $n outside [2, $maxOrder]")
     require(tables.size == n, s"need $n tables, got ${tables.size}")
     val uni = tables.head
     // per-key totals: broadcast join when keyed, 1-row cross join when not
@@ -1024,6 +1028,124 @@ object LangModel {
         tokenStreamNFrom(batch, toks, n, Seq("doc_id")), tables, Nil, n)
   }
 
+  // ---- LM session: standing-model cache for streaming loops (r19) --------
+
+  /** Session-cached live model for a SINGLE-OWNER streaming loop — the
+    * [[graft.operators.Retrieval.Bm25Session]] discipline applied to the
+    * LM layout. The r18 loops called `readModel*` inside `foreachBatch`,
+    * re-listing, re-REPAIRING and re-folding every count table from
+    * parquet once per MICRO-BATCH (and the repair path could even rewrite
+    * a crashed mutation's partitions from inside a documented "pure
+    * observer" — r18 ADVICE); the session does all of it once per RUN and
+    * rolls the cached tables forward in memory as the loop appends.
+    *
+    * Correctness contract (spec-pinned in SessionSpec):
+    *   - construction repairs the layout once and caches each table's
+    *     live fold (sum across delta partitions, zeroed n-grams dropped)
+    *     — row-identical to what [[readModel]]/[[readModelMl]] serve;
+    *   - [[LmSession.score]] dispatches on the marker shape (order ×
+    *     tokenizer) to exactly the scorer that shape's non-session entry
+    *     point uses; `excludeIngestBatch` subtracts the excluded
+    *     partition's counts from the cache on demand, so a
+    *     crash-REPLAYED micro-batch scores against exactly the state its
+    *     failed attempt saw (the own-partition discipline) — in-run the
+    *     exclusion is a no-op because the cache never holds the
+    *     in-flight batch;
+    *   - [[LmSession.append]] commits through [[appendToLmIndex]]
+    *     (identical two-phase delta machinery) and then folds the
+    *     batch's counts into the cache — counts are additive, so
+    *     cache == disk after every committed batch.
+    * The layout must be owned by this single loop while the session is
+    * open (the `bm25Ingest` contract — no interleaved batch-API
+    * mutations); `close()` drops the caches (checkpoint blocks are
+    * GC-reclaimed). */
+  final class LmSession private[operators] (spark: SparkSession, dir: String) {
+    private val shape: Shape = requireFormat(spark, dir)
+    repairAll(spark, dir)
+    /** The layout's n-gram order (marker-declared). */
+    def order: Int = shape.order
+    /** True iff the layout is the per-language `tok=ml` form. */
+    def ml: Boolean = shape.ml
+    private val specs = tableSpecs(shape)
+    private def partitionIds(): Set[Long] = {
+      val (fs, _) = fsOf(spark, dir)
+      specs.flatMap { case (sub, _) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        if (!fs.exists(p)) Seq.empty[Long]
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("ingest="))
+          .map(_.stripPrefix("ingest=").toLong)
+      }.toSet
+    }
+    private var ingestIds: Set[Long] = partitionIds()
+    private def foldLive(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+        .where(col("c") > 0)
+        .select((keys.map(col) :+ col("c")): _*)
+        .localCheckpoint(true)
+    private var tables: Seq[DataFrame] = specs.map { case (sub, keys) =>
+      foldLive(spark.read.parquet(s"$dir/$sub"), keys)
+    }
+    private def visibleTables(exclude: Option[Long]): Seq[DataFrame] =
+      exclude match {
+        case Some(id) if ingestIds.contains(id) =>
+          // replay of an already-committed batch (fresh run after a
+          // crash): subtract that partition's counts on demand —
+          // value-identical to liveTable's `ingest != id` filter,
+          // because counts are additive
+          specs.zip(tables).map { case ((sub, keys), t) =>
+            val own = spark.read.parquet(s"$dir/$sub/ingest=$id")
+              .select((keys.map(col) :+ (-col("c")).as("c")): _*)
+            t.select((keys.map(col) :+ col("c")): _*).unionAll(own)
+              .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+              .where(col("c") > 0)
+          }
+        case _ => tables
+      }
+    /** Score a batch against the cached live model at the layout's own
+      * shape — row-identical to the shape's `scoreAgainst*Index` entry
+      * point over the same layout. */
+    def score(batch: DataFrame,
+        excludeIngestBatch: Option[Long] = None): DataFrame = {
+      val ts = visibleTables(excludeIngestBatch)
+      (shape.ml, shape.order) match {
+        case (false, 2) => scoreWith(batch, ts(0), ts(1))
+        case (true, 2) => LangModelMl.scoreWithMl(batch, ts(0), ts(1))
+        case (false, 3) => scoreWith3(batch, ts(0), ts(1), ts(2))
+        case (true, 3) => LangModelMl.scoreWith3Ml(batch, ts(0), ts(1), ts(2))
+        case (false, n) =>
+          scoreStreamN(tokenStreamNFrom(batch, toks, n, Seq("doc_id")),
+            ts, Nil, n)
+        case (true, n) =>
+          scoreStreamN(LangModelMl.tokenStreamNMl(batch, n),
+            ts, Seq("lang"), n)
+      }
+    }
+    /** Grow the persisted layout (identical commit machinery) and roll
+      * the cache forward with the batch's counts. A replayed batch id
+      * (already on disk) commits its byte-identical partition rewrite
+      * and leaves the cache alone — it is already folded in. */
+    def append(batch: DataFrame, batchId: Long): Unit = {
+      appendToLmIndex(batch, dir, batchId)
+      if (!ingestIds.contains(batchId)) {
+        tables = specs.zip(tables).zip(countTables(batch, shape)).map {
+          case (((_, keys), t), delta) =>
+            foldLive(
+              t.select((keys.map(col) :+ col("c")): _*)
+                .unionAll(delta.select((keys.map(col) :+ col("c")): _*)),
+              keys)
+        }
+        ingestIds += batchId
+      }
+    }
+    /** Drop every cached table (checkpoint blocks are GC-reclaimed). */
+    def close(): Unit = { tables = null }
+  }
+
+  /** Open an [[LmSession]] over an existing LM layout (any shape). */
+  def openLmSession(spark: SparkSession, dir: String): LmSession =
+    new LmSession(spark, dir)
+
   // ---- oracle SQL builders ------------------------------------------------
 
   /** Token-stream CTE body over `corpusSql` (a parenthesized SELECT of
@@ -1064,7 +1186,7 @@ object LangModel {
        |          THEN log10((coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
        |        WHEN b.c IS NOT NULL
        |          THEN log10(b.c * 1.0 / u1.c)
-       |        ELSE log10(${alpha} * (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |        ELSE log10(${alpha} * ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |   END AS lp,
        |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
        |   CASE WHEN s.w1 IS NOT NULL AND b.c IS NULL THEN 1 ELSE 0 END AS bko
@@ -1155,13 +1277,18 @@ object LangModel {
     val uniP = "(coalesce(uw.c, 0) + 1.0) / (t.n + t.v)"
     def fLit(k: Int): String =
       if (alphaPow(k) == 1.0) "" else s"${alphaPow(k)} * "
+    // the discount multiplies the PARENTHESIZED ratio — f * (c/x), the
+    // exact association the Spark kernel evaluates (lit(f) * ratio); the
+    // unparenthesized f * c * 1.0 / x is ((f*c))/x, a different float
+    // association that can differ in the last ulp and flip the rounded
+    // score at an exact boundary (r18 ADVICE)
     def inner(m: Int): String =
       if (m == 0) s"log10($uniP)"
       else {
         val whens = ((m + 1) to 2 by -1).map { o =>
-          s"WHEN gj$o.c IS NOT NULL THEN log10(${fLit(m + 1 - o)}gj$o.c * 1.0 / xj$o.c)"
+          s"WHEN gj$o.c IS NOT NULL THEN log10(${fLit(m + 1 - o)}(gj$o.c * 1.0 / xj$o.c))"
         }.mkString(" ")
-        s"CASE $whens ELSE log10(${fLit(m)}$uniP) END"
+        s"CASE $whens ELSE log10(${fLit(m)}($uniP)) END"
       }
     val lp = {
       val branches = (0 until (n - 1)).map(m =>
@@ -1237,12 +1364,12 @@ object LangModel {
        |        WHEN s.w2b IS NULL AND b.c IS NOT NULL
        |          THEN log10(b.c * 1.0 / u1.c)
        |        WHEN s.w2b IS NULL
-       |          THEN log10(${alpha} * (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |          THEN log10(${alpha} * ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |        WHEN tr.c IS NOT NULL
        |          THEN log10(tr.c * 1.0 / b12.c)
        |        WHEN b.c IS NOT NULL
-       |          THEN log10(${alpha} * b.c * 1.0 / u1.c)
-       |        ELSE log10(${alpha * alpha} * (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |          THEN log10(${alpha} * (b.c * 1.0 / u1.c))
+       |        ELSE log10(${alpha * alpha} * ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |   END AS lp,
        |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
        |   CASE WHEN s.w1 IS NOT NULL AND

@@ -38,14 +38,19 @@ object LangModelMl {
     * ASCII, Cyrillic (U+0430–044F, the lowercase row — the stream tokenizes
     * `lower(text)`), or Hangul syllables (U+AC00–D7A3; Korean is
     * space-segmented, so eojeol runs are the word unit, like Latin —
-    * both r18); or ONE character of Han (U+4E00–U+9FFF) /
-    * Hiragana+Katakana (U+3040–U+30FF) — char-level, the standard CJK
-    * LM unit. Literal ranges — see the object scaladoc. A script still
+    * both r18), Arabic (U+0600–06FF) or Devanagari (U+0900–097F) — both
+    * space-segmented scripts, word runs like Latin (r19); or ONE
+    * character of Han (U+4E00–U+9FFF) / Hiragana+Katakana
+    * (U+3040–U+30FF) / Thai (U+0E00–0E7F) — char-level: Thai, like
+    * Chinese, writes without word spaces, so the deterministic
+    * cross-engine unit is the character, never a segmenter-dependent
+    * word (r19). Literal ranges — see the object scaladoc. A script still
     * outside the class remains zero-token pass-through (visible in
     * `n_zero_tok`), but the r17 majors — ko spam sailing ungated
     * through the release funnel — are now scored lanes. */
   val mlTokenClass: String =
-    "[a-z]+|[\u0430-\u044f]+|[\uac00-\ud7a3]+|[\u4e00-\u9fff\u3040-\u30ff]"
+    "[a-z]+|[\u0430-\u044f]+|[\uac00-\ud7a3]+|[\u0600-\u06ff]+|" +
+      "[\u0900-\u097f]+|[\u4e00-\u9fff\u3040-\u30ff\u0e00-\u0e7f]"
 
   private def toksMl(text: Column): Column =
     regexp_extract_all(lower(text), lit(mlTokenClass), lit(0))
@@ -223,10 +228,15 @@ object LangModelMl {
   /** In-memory generic order-n per-language form (n ≤
     * [[LangModel.maxOrder]] — n = 5 is CCNet's production KenLM order). */
   def pplNMl(train: DataFrame, batch: DataFrame, n: Int): DataFrame =
-    LangModel.scoreStreamN(
-      tokenStreamNMl(batch, n),
-      (1 to n).map(k => gramCountsMl(train, k)),
-      Seq("lang"), n)
+    scoreStreamNMl(batch, (1 to n).map(k => gramCountsMl(train, k)), n)
+
+  /** The generic order-n per-language scorer against GIVEN count tables
+    * (lowest order first) — the kernel [[pplNMl]] derives its tables
+    * into, and the one the order-5 release funnel
+    * ([[Curation.release5]]) pins its tables through (r19). */
+  private[graft] def scoreStreamNMl(batch: DataFrame, tables: Seq[DataFrame],
+      n: Int): DataFrame =
+    LangModel.scoreStreamN(tokenStreamNMl(batch, n), tables, Seq("lang"), n)
 
   /** Per-language CALIBRATED cuts: each language's threshold derives
     * from ITS OWN model's score distribution (CCNet thresholds come from
@@ -243,10 +253,17 @@ object LangModelMl {
     * `cut_micro = floor(avg(xent·10⁶)) + offsetMicro`. */
   def calibratedCutsMl(train: DataFrame, uni: DataFrame, bi: DataFrame,
       offsetMicro: Long): DataFrame =
-    scoreWithMl(train, uni, bi)
-      .groupBy(col("lang")).agg(
-        (floor(sum(round(col("xent") * 1e6).cast("long")).cast("double") /
-          count(lit(1))).cast("long") + offsetMicro).as("cut_micro"))
+    cutsFromSelfScores(scoreWithMl(train, uni, bi), offsetMicro)
+
+  /** The per-lang calibrated cut from an ALREADY-SCORED self-score frame
+    * (doc-level `lang` + 6-dp `xent`) — the exact-integer-micro formula
+    * factored out so any order's scorer calibrates identically (the
+    * order-5 release funnel and the shape-aware
+    * [[Curation.writeReleaseCuts]], r19). */
+  def cutsFromSelfScores(scored: DataFrame, offsetMicro: Long): DataFrame =
+    scored.groupBy(col("lang")).agg(
+      (floor(sum(round(col("xent") * 1e6).cast("long")).cast("double") /
+        count(lit(1))).cast("long") + offsetMicro).as("cut_micro"))
 
   /** The per-language LM GATE: calibrated per-lang cut ([[
     * calibratedCutsMl]]) plus the explicit zero-token policy. Per
@@ -334,7 +351,7 @@ object LangModelMl {
        |        WHEN b.c IS NOT NULL
        |          THEN log10(b.c * 1.0 / u1.c)
        |        ELSE log10(${LangModel.alpha} *
-       |               (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |               ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |   END AS lp,
        |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
        |   CASE WHEN s.w1 IS NOT NULL AND b.c IS NULL THEN 1 ELSE 0 END AS bko
@@ -387,13 +404,13 @@ object LangModelMl {
        |          THEN log10(b.c * 1.0 / u1.c)
        |        WHEN s.w2b IS NULL
        |          THEN log10(${LangModel.alpha} *
-       |                 (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |                 ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |        WHEN tr.c IS NOT NULL
        |          THEN log10(tr.c * 1.0 / b12.c)
        |        WHEN b.c IS NOT NULL
-       |          THEN log10(${LangModel.alpha} * b.c * 1.0 / u1.c)
+       |          THEN log10(${LangModel.alpha} * (b.c * 1.0 / u1.c))
        |        ELSE log10(${LangModel.alpha * LangModel.alpha} *
-       |               (coalesce(u2.c, 0) + 1.0) / (t.n + t.v))
+       |               ((coalesce(u2.c, 0) + 1.0) / (t.n + t.v)))
        |   END AS lp,
        |   CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov,
        |   CASE WHEN s.w1 IS NOT NULL AND

@@ -44,7 +44,18 @@ object Pii {
     * (identical preference order in Java regex and RE2). Bare `::` is
     * intentionally out (it would redact every C++ scope operator).
     * Single-colon shapes — times `12:30`, ratios `3:2` — can never
-    * match (every alternative requires a `::`); spec-pinned. */
+    * match (every alternative requires a `::`); spec-pinned.
+    *
+    * Known OVER-redaction edge (r18 ADVICE, documented + spec-pinned,
+    * not fixed): the trailing-`::` alternative can match the
+    * 7-group-plus-`::` PREFIX of an INVALID >8-group shape —
+    * `1:2:3:4:5:6:7::8` redacts to `<IPV6>8`. An exact guard needs a
+    * negative lookahead ("`::` not followed by a hex group when the
+    * prefix already has 7"), and lookaround is exactly what the
+    * cross-engine discipline forbids (RE2 has none). The failure mode
+    * is over-redaction of a non-address — the safe direction for a
+    * scrubber — and both engines match identically, so no oracle
+    * asymmetry exists. */
   val patterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
     "phone" -> ("""\+\d{1,2} \d{3} \d{3,4} \d{4}""" +

@@ -85,12 +85,33 @@ object Purge {
     // cost one job submission instead of 10⁴ sequential ones (the r17
     // driver-loop flag; HealthProbe measures jobs vs partitions).
     val partCol = partitionPrefix.stripSuffix("=")
+    // Partition type inference OFF for this read (restored after): the
+    // reconstruction s"$prefix${value}" must round-trip the DIRECTORY
+    // name exactly — an inferred type that reformats the value (leading
+    // zeros, non-numeric shapes) would silently map to no directory and
+    // report 0 rows instead of failing (r18 ADVICE). As strings the
+    // value IS the raw dir suffix, and the loud check below guarantees
+    // every counted key maps back to a listed partition.
     val counted: Map[String, Long] =
       if (allFiles.isEmpty) Map.empty
-      else spark.read.parquet(root)
-        .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
-        .collect()
-        .map(r => (s"$partitionPrefix${r.get(0)}", r.getLong(1))).toMap
+      else {
+        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prev = spark.conf.getOption(infKey)
+        spark.conf.set(infKey, "false")
+        try spark.read.parquet(root)
+          .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (s"$partitionPrefix${r.get(0)}", r.getLong(1))).toMap
+        finally prev match {
+          case Some(v) => spark.conf.set(infKey, v)
+          case None => spark.conf.unset(infKey)
+        }
+      }
+    val nameSet = parts.map(_.getName).toSet
+    counted.keys.foreach(k => require(nameSet.contains(k),
+      s"indexHealth: counted partition value '$k' matches no listed " +
+        s"directory under $root — name/value round-trip broke (never " +
+        "silently report 0 rows)"))
     def rowsOf(name: String): Long = counted.getOrElse(name, 0L)
     val names = parts.map(_.getName)
     val nDelta = names.count(_ != seedName).toLong

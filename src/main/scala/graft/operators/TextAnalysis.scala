@@ -53,6 +53,10 @@ object TextAnalysis {
   /** U+0400\u201304FF, BOTH cases \u2014 script detection runs on raw text, not
     * the lowercased token stream. */
   val cyrillicClass: String = "[\u0400-\u04ff]"
+  /** r19 lanes \u2014 the r18 verdict's remaining ungateable scripts. */
+  val arabicClass: String = "[\u0600-\u06ff]"
+  val devanagariClass: String = "[\u0900-\u097f]"
+  val thaiClass: String = "[\u0e00-\u0e7f]"
 
   /** SCRIPT-AWARE language ID (r17; Hangul/Cyrillic r18): real non-Latin
     * text scores ZERO on every word profile and silently falls to the
@@ -69,8 +73,12 @@ object TextAnalysis {
     * r18). Rule order: each script test is DECISIVE for its language —
     * Kana → ja (unique to Japanese, decisive even in mixed Han/Kana
     * text, where Han alone is ambiguous between zh and ja), Hangul → ko,
-    * Cyrillic → ru, then Han → zh, else the word-profile argmax. One
-    * codegen'd projection, no shuffle. */
+    * Cyrillic → ru, Arabic → ar, Devanagari → hi, Thai → th (r19 — the
+    * scripts are pairwise disjoint BMP blocks, so the order among them
+    * is immaterial; each is decisive for its dominant language, the
+    * same granularity the script rules already accept for zh/ru), then
+    * Han → zh, else the word-profile argmax. One codegen'd projection,
+    * no shuffle. */
   def langIdPred(text: Column): Column =
     when(size(regexp_extract_all(text, lit(kanaClass), lit(0))) > 0,
       lit("ja"))
@@ -78,6 +86,12 @@ object TextAnalysis {
         lit("ko"))
       .when(size(regexp_extract_all(text, lit(cyrillicClass), lit(0))) > 0,
         lit("ru"))
+      .when(size(regexp_extract_all(text, lit(arabicClass), lit(0))) > 0,
+        lit("ar"))
+      .when(size(regexp_extract_all(text, lit(devanagariClass), lit(0))) > 0,
+        lit("hi"))
+      .when(size(regexp_extract_all(text, lit(thaiClass), lit(0))) > 0,
+        lit("th"))
       .when(size(regexp_extract_all(text, lit(hanClass), lit(0))) > 0,
         lit("zh"))
       .otherwise(profileArgmaxOf(text))
@@ -101,6 +115,9 @@ object TextAnalysis {
     s"""CASE WHEN len(regexp_extract_all($textCol, '$kanaClass')) > 0 THEN 'ja'
        | WHEN len(regexp_extract_all($textCol, '$hangulClass')) > 0 THEN 'ko'
        | WHEN len(regexp_extract_all($textCol, '$cyrillicClass')) > 0 THEN 'ru'
+       | WHEN len(regexp_extract_all($textCol, '$arabicClass')) > 0 THEN 'ar'
+       | WHEN len(regexp_extract_all($textCol, '$devanagariClass')) > 0 THEN 'hi'
+       | WHEN len(regexp_extract_all($textCol, '$thaiClass')) > 0 THEN 'th'
        | WHEN len(regexp_extract_all($textCol, '$hanClass')) > 0 THEN 'zh'
        | ELSE CASE $argmax END""".stripMargin
   }

@@ -594,23 +594,32 @@ object Streams {
     * reads — the seed corpus is never rescanned. The model must be
     * owned by this single loop (batch-API appends use disjoint ids). */
   def lmIngest(docs: DataFrame, modelDir: String, scoresDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE model session per loop run (r19, the bm25Ingest discipline):
+    // the per-batch scoreAgainstLmIndex path re-listed, re-repaired and
+    // re-folded every count table from parquet once per micro-batch;
+    // the session loads once and rolls the cache forward as the loop
+    // appends — scores are row-identical (SessionSpec).
+    val model = graft.operators.LangModel.openLmSession(
+      docs.sparkSession, modelDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch) {
         val b = batch.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          graft.operators.LangModel
-            .scoreAgainstLmIndex(modelDir, b, excludeIngestBatch = Some(batchId))
+          model.score(b, excludeIngestBatch = Some(batchId))
             .write.mode("overwrite").parquet(s"$scoresDir/micro_batch=$batchId")
-          graft.operators.LangModel.appendToLmIndex(b, modelDir, batchId)
+          model.append(b, batchId)
         } finally { b.unpersist(false); () }
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => model.close())
+    query
+  }
 
   /** Per-language twin of [[lmIngest]] (r17): the persisted model is the
     * `tok=ml` lang-keyed layout, every arriving doc scores under its OWN
@@ -619,52 +628,104 @@ object Streams {
     * exclusion; [[graft.operators.LangModel.appendToLmIndex]] reads the
     * marker and counts per-language automatically. */
   def lmMlIngest(docs: DataFrame, modelDir: String, scoresDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE model session per loop run (r19) — see lmIngest; the session's
+    // shape dispatch reads the tok=ml marker, so the per-lang scorer is
+    // picked once per run, not once per batch.
+    val model = graft.operators.LangModel.openLmSession(
+      docs.sparkSession, modelDir)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch) {
         val b = batch.select(col("doc_id"), col("text"), col("lang"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          graft.operators.LangModel
-            .scoreAgainstLmMlIndex(modelDir, b, excludeIngestBatch = Some(batchId))
+          model.score(b, excludeIngestBatch = Some(batchId))
             .write.mode("overwrite").parquet(s"$scoresDir/micro_batch=$batchId")
-          graft.operators.LangModel.appendToLmIndex(b, modelDir, batchId)
+          model.append(b, batchId)
         } finally { b.unpersist(false); () }
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(docs.sparkSession, query, () => model.close())
+    query
+  }
 
-  /** The release funnel's STREAMING twin (r18): per micro-batch, the
-    * CALIBRATED per-language funnel of arriving documents against the
-    * PERSISTED `tok=ml` model and persisted per-lang cuts
+  /** The release funnel's STREAMING twin (r18; session-cached and
+    * SHAPE-AWARE r19): per micro-batch, the CALIBRATED per-language
+    * funnel of arriving documents against the PERSISTED `tok=ml` model
+    * and persisted per-lang cuts
     * ([[graft.operators.Curation.writeReleaseCuts]]) — LR quality gate →
-    * per-lang LM gate (zero-token pass-through counted) → typed PII
-    * redaction density → exact dedup over the redacted text WITHIN the
-    * batch — written to `outDir/micro_batch=<id>`. A pure OBSERVER
-    * beside [[piiMonitor]]: the model and cuts are standing artifacts
-    * this loop never mutates, so the batchId-keyed overwrite alone makes
-    * crash replays byte-identical. Per-batch cost: one batch scan +
-    * vocabulary-scale model joins + the within-batch dedup aggregate. */
+    * per-lang LM gate at the model's OWN marker-declared order (an
+    * `order=5` layout runs CCNet's production 5-gram gate; zero-token
+    * pass-through counted) → typed PII redaction density → exact dedup
+    * over the redacted text WITHIN the batch — written to
+    * `outDir/micro_batch=<id>`. A pure OBSERVER beside [[piiMonitor]]:
+    * the model and cuts are standing artifacts this loop never mutates,
+    * so the batchId-keyed overwrite alone makes crash replays
+    * byte-identical — and they load ONCE per run through an
+    * [[graft.operators.LangModel.LmSession]] (the r18 form re-read and
+    * re-REPAIRED the model from parquet inside every micro-batch — the
+    * r18 ADVICE "observer that can mutate" wart; the session repairs
+    * once at open, before the stream starts). Per-batch cost: one batch
+    * scan + vocabulary-scale model joins + the within-batch dedup
+    * aggregate. */
   def releaseMonitor(docs: DataFrame, modelDir: String, cutsDir: String,
       outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    releaseMonitorWith(docs, modelDir, cutsDir, outDir, checkpointDir,
+      keyByPrediction = false)
+
+  /** [[releaseMonitor]] KEYED ON THE PREDICTION (r19): a real ingest
+    * stream has no trustworthy `lang` column, so the operational loop
+    * keys every arriving document on [[graft.operators.TextAnalysis
+    * .langIdPred]] — one extra codegen'd projection per batch — and
+    * gates it in its PREDICTED language's lane against cuts persisted
+    * per predicted language (feed [[graft.operators.Curation
+    * .writeReleaseCuts]] the prediction-keyed train corpus, and build
+    * the `tok=ml` model over it, so model, cuts and funnel all share
+    * the key — the batch-side [[graft.operators.Curation.releaseIded]]
+    * discipline, streamed). The arriving `lang` column, if any, never
+    * enters the computation. */
+  def releaseMonitorIded(docs: DataFrame, modelDir: String, cutsDir: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    releaseMonitorWith(docs, modelDir, cutsDir, outDir, checkpointDir,
+      keyByPrediction = true)
+
+  private def releaseMonitorWith(docs: DataFrame, modelDir: String,
+      cutsDir: String, outDir: String, checkpointDir: String,
+      keyByPrediction: Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val model = graft.operators.LangModel.openLmSession(spark, modelDir)
+    require(model.ml,
+      s"releaseMonitor: the model at $modelDir is the plain-tokenizer " +
+        "layout — the release funnel is per-language (tok=ml)")
+    val cuts = spark.read.parquet(cutsDir).localCheckpoint(true)
+    val query = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         withBatchParallelism(batch) {
-          val s = batch.sparkSession
-          val b = batch.select(col("doc_id"), col("text"), col("lang"))
-          val (uni, bi) = graft.operators.LangModel.readModelMl(s, modelDir)
+          val b =
+            if (keyByPrediction)
+              batch.select(col("doc_id"), col("text"),
+                graft.operators.TextAnalysis.langIdPred(col("text"))
+                  .as("lang"))
+            else batch.select(col("doc_id"), col("text"), col("lang"))
           graft.operators.Curation
-            .releaseAgainst(b, uni, bi, s.read.parquet(cutsDir))
+            .releaseWith(b, cuts,
+              sb => model.score(sb).select(col("doc_id"), col("xent")))
             .write.mode("overwrite").parquet(s"$outDir/micro_batch=$batchId")
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    releaseOnTermination(spark, query, () => model.close())
+    query
+  }
 
   /** Streaming PII prevalence monitoring: per micro-batch, the typed
     * findings report of the arriving docs ([[graft.operators.Pii.stats]]

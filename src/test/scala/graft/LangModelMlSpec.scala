@@ -25,6 +25,30 @@ class LangModelMlSpec extends TestBase {
     assert(zt2 == 1)
   }
 
+  test("r19 lanes: Arabic/Devanagari word runs, Thai chars; langIdPred " +
+      "decisive on all three scripts") {
+    import graft.operators.TextAnalysis
+    // Arabic "كتاب جديد" = two word-run tokens; Devanagari "नमस्ते" = one
+    // run; Thai "ไทย" = THREE char tokens (unsegmented script — the zh
+    // discipline); each mixes fine with latin
+    val d = docs(
+      (1L, "كتاب جديد", "ar"),
+      (2L, "नमस्ते ok", "hi"),
+      (3L, "ไทย", "th"))
+    val uni = LangModelMl.unigramCountsMl(d)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").as[(String, Long)].collect().toSeq
+    assert(uni == Seq(("ar", 2L), ("hi", 2L), ("th", 3L)),
+      s"ar = 2 word runs, hi = run + 'ok', th = 3 chars; got $uni")
+    // the scripts are SCORED lanes, not zero-token pass-through
+    assert(d.select(LangModelMl.zeroTok(col("text"))).as[Int]
+      .collect().toSeq == Seq(0, 0, 0))
+    // langIdPred: each script decisive, even with latin mixed in
+    val preds = d.select(TextAnalysis.langIdPred(col("text")))
+      .as[String].collect().toSeq
+    assert(preds == Seq("ar", "hi", "th"), preds.toString)
+  }
+
   test("pplMl: each doc scored under ITS OWN language's model — " +
       "hand-computed, including cross-language isolation") {
     // en model: "a b" ×2 → uni a:2 b:2 (N=4, V=2); bi (a,b):2

@@ -326,6 +326,53 @@ class LangModelSpec extends TestBase {
     } finally deleteRecursively(tmp)
   }
 
+  test("lang-keyed ORDER-5 prune (r19): deepest-first five-table fold; an " +
+      "interrupted prune is finished by the next read; pruned == " +
+      "trained-with-floor per language") {
+    import spark.implicits._
+    def ldocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+    // per-lang: en trains "a b c d e" ×3 + "a z" once; es a disjoint
+    // vocabulary — the floor (2) prunes the once-seen z grams in en only
+    val train = ldocs(
+      (1L, "a b c d e", "en"), (2L, "a b c d e", "en"),
+      (3L, "a b c d e", "en"), (4L, "a z", "en"),
+      (5L, "uno dos tres cuatro cinco", "es"),
+      (6L, "uno dos tres cuatro cinco", "es"))
+    val probe = ldocs((10L, "a b c d e", "en"), (11L, "a z", "en"),
+      (12L, "uno dos tres cuatro cinco", "es"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm5ml-prune")
+    try {
+      val m = s"$tmp/m"
+      LangModel.buildLmMl5Index(train, m)
+      val want = {
+        val m2 = s"$tmp/m2"
+        LangModel.buildLmMl5Index(train, m2)
+        LangModel.pruneLmIndex(spark, m2, minCount = 2L)
+        LangModel.scoreAgainstLmNIndex(m2, probe, 5, ml = true)
+          .collect().map(_.toSeq).toSet
+      }
+      // the floor actually bit: the z-bearing probe doc scores OOV+backoff
+      // under the pruned model but not under the unpruned one
+      val unpruned = LangModel.scoreAgainstLmNIndex(m, probe, 5, ml = true)
+        .collect().map(_.toSeq).toSet
+      assert(want != unpruned, "minCount = 2 must prune the once-seen grams")
+      // crash simulation: marker landed, no fold ran — the next read
+      // finishes ALL FIVE lang-keyed folds (deepest first) and clears it
+      val fs = new org.apache.hadoop.fs.Path(m)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(m, "_GRAFT_LM_PRUNE"), true)
+      out.write("2\n".getBytes("UTF-8")); out.close()
+      assert(LangModel.scoreAgainstLmNIndex(m, probe, 5, ml = true)
+        .collect().map(_.toSeq).toSet == want)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(m, "_GRAFT_LM_PRUNE")))
+      // and the untouched es lane survived the en-side cut intact
+      assert(LangModel.scoreAgainstLmNIndex(m, probe, 5, ml = true)
+        .where(col("lang") === "es").select("n_oov").as[Long]
+        .collect().head == 0L)
+    } finally deleteRecursively(tmp)
+  }
+
   test("ppl3: hand-computed order-3 Stupid Backoff scores") {
     // train: "a b c" ×2, "d b e" → uni a:2 b:3 c:2 d:1 e:1 (N=9, V=5);
     // bi (a,b):2 (b,c):2 (d,b):1 (b,e):1; tri (a,b,c):2 (d,b,e):1

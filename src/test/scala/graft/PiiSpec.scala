@@ -101,6 +101,14 @@ class PiiSpec extends TestBase {
         9L -> "full fe80:1:2:3:4:5:6:1000 kept whole"))
       .orderBy("doc_id").select("redacted").as[String].collect().toSeq ==
       Seq("a <IPV6> b <IPV6> c <IPV6> d", "full <IPV6> kept whole"))
+    // DOCUMENTED over-redaction edge (r18 ADVICE): the trailing-::
+    // alternative matches the 7-group-plus-:: prefix of an INVALID
+    // >8-group shape — over-redaction of a non-address (the safe
+    // direction), identical in both engines; an exact guard would need
+    // the lookahead the cross-engine regex discipline forbids. This pin
+    // makes the behavior a contract, not an accident.
+    assert(Pii.redact(docs(10L -> "bad 1:2:3:4:5:6:7::8 shape"))
+      .select("redacted").as[String].collect().head == "bad <IPV6>8 shape")
   }
 
   test("cc shape: uniform-separator 4-4-4-4 forms; disjoint from phones " +

@@ -316,8 +316,11 @@ class PlanShapeSpec extends TestBase {
     // (uni/bi/cuts/flag-table localCheckpoints) holds ~28 scans (the
     // corpus is a 4-stratum union, so one logical reference = 4 scans).
     // the prediction-keyed twin rides the identical pinned kernel (one
-    // extra codegen'd langIdPred projection per corpus) — same bound
-    Seq("cur_release", "cur_release_ided").foreach { name =>
+    // extra codegen'd langIdPred projection per corpus) — same bound;
+    // the ORDER-5 twin (r19) pins its five count tables + cuts + flag
+    // table eagerly, so its final plan holds ZERO live parquet scans —
+    // trivially inside the bound, and the no-cartesian lock still bites
+    Seq("cur_release", "cur_release_ided", "cur_release5").foreach { name =>
       val q = ModelQueries.all.find(_.name == name).get
       val p = q.build(spark, sf("sf0.001")).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode

@@ -90,4 +90,57 @@ class SessionSpec extends TestBase {
     assert(grown == 4L, s"expected 4 spark docs, got $grown")
     s.close()
   }
+
+  test("LmSession: scores row-identical to the dir-based entry points at " +
+      "every shape; append rolls the cache forward; replay exclusion == " +
+      "liveTable's partition filter") {
+    import graft.operators.LangModel
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // plain order-2: session == scoreAgainstLmIndex, before and after grow
+    val st = java.nio.file.Files.createTempDirectory("graft-lmsession")
+    val train = docs(1L -> "the quick brown fox jumps", 2L -> "the slow red fox rests")
+    val probe = docs(10L -> "the quick fox", 11L -> "a brand new doc")
+    LangModel.buildLmIndex(train, s"$st/m2")
+    val s2 = LangModel.openLmSession(spark, s"$st/m2")
+    assert(rows(s2.score(probe)) ==
+      rows(LangModel.scoreAgainstLmIndex(s"$st/m2", probe)),
+      "fresh session must equal the dir-based scorer")
+    val b0 = docs(20L -> "quick quick brown fox")
+    s2.append(b0, 0L)
+    assert(rows(s2.score(probe)) ==
+      rows(LangModel.scoreAgainstLmIndex(s"$st/m2", probe)),
+      "after append the rolled-forward cache must equal the re-read layout")
+    // replay exclusion: a FRESH session over a layout already holding
+    // batch 0 must subtract it on demand — equal to liveTable's filter
+    val s2b = LangModel.openLmSession(spark, s"$st/m2")
+    assert(rows(s2b.score(probe, excludeIngestBatch = Some(0L))) ==
+      rows(LangModel.scoreAgainstLmIndex(s"$st/m2", probe,
+        excludeIngestBatch = Some(0L))),
+      "exclusion through the cache must equal the partition filter")
+    // and a retried append (same id) leaves the cache untouched
+    s2b.append(b0, 0L)
+    assert(rows(s2b.score(probe)) ==
+      rows(LangModel.scoreAgainstLmIndex(s"$st/m2", probe)),
+      "a replayed append must not double-fold the cache")
+    s2.close(); s2b.close()
+    // lang-keyed order-2 and order-5: shape dispatch picks the per-lang
+    // scorer the non-session entry points use
+    def ldocs(rows2: (Long, String, String)*) =
+      rows2.toDF("doc_id", "text", "lang")
+    val mtr = ldocs((1L, "the quick brown fox", "en"), (2L, "uno dos tres cuatro", "es"))
+    val mpr = ldocs((10L, "the brown fox", "en"), (11L, "dos tres", "es"))
+    LangModel.buildLmMlIndex(mtr, s"$st/mml")
+    val sml = LangModel.openLmSession(spark, s"$st/mml")
+    assert(sml.ml && sml.order == 2)
+    assert(rows(sml.score(mpr)) ==
+      rows(LangModel.scoreAgainstLmMlIndex(s"$st/mml", mpr)))
+    sml.close()
+    LangModel.buildLmMl5Index(mtr, s"$st/mml5")
+    val sml5 = LangModel.openLmSession(spark, s"$st/mml5")
+    assert(sml5.order == 5)
+    assert(rows(sml5.score(mpr)) ==
+      rows(LangModel.scoreAgainstLmNIndex(s"$st/mml5", mpr, 5, ml = true)))
+    sml5.close()
+  }
 }

@@ -1057,4 +1057,73 @@ class StreamingSpec extends TestBase {
       .orderBy("micro_batch", "lang").collect().toSeq == before,
       "replaying every batch must rewrite identical funnel rows")
   }
+
+  test("releaseMonitorIded: arrivals keyed on langIdPred — a mislabeled " +
+      "Han stratum arriving MID-STREAM gates in the zh lane; per-batch " +
+      "funnel == the keyed batch kernel; fresh-checkpoint replay is a " +
+      "fixpoint") {
+    import graft.operators.{Curation, LangModel, TextAnalysis}
+    val hanAlphabet = (0 until 26).map(i => (0x4e00 + i).toChar).mkString
+    val d = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text"),
+        TextAnalysis.langIdPred(col("text")).as("lang"))
+    val train = keyed(d.where(col("doc_id") % 3 === 0))
+    val b0 = d.where(col("doc_id") % 3 === 1 && col("doc_id") < 200)
+    // batch 1 carries the MISLABELED stratum: real Han text whose lang
+    // column claims 'en' — the monitor must ignore the claim entirely
+    val mislabeled = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 60)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz", hanAlphabet)
+          .as("text"),
+        lit("en").as("lang"), col("source"), col("n_chars"))
+    val b1 = d.where(col("doc_id") % 3 === 2 && col("doc_id") < 200)
+      .unionAll(mislabeled)
+    val st = java.nio.file.Files.createTempDirectory("graft-relmon-ided")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-relmon-ided-in")
+    dropAsFile(b0, inDir, "b0.parquet")
+    dropAsFile(b1, inDir, "b1.parquet")
+    LangModel.buildLmMlIndex(train, s"$st/model")
+    Curation.writeReleaseCuts(train, s"$st/model", 255000L, s"$st/cuts")
+    def run(ckpt: String) = {
+      val q = Streams.releaseMonitorIded(
+        Streams.documentsStream(spark, inDir.toString, maxFilesPerTrigger = 1),
+        s"$st/model", s"$st/cuts", s"$st/rel", s"$st/$ckpt")
+      q.awaitTermination()
+    }
+    run("ckpt")
+    val got = spark.read.parquet(s"$st/rel")
+    assert(got.select("micro_batch").distinct().count() == 2)
+    // per batch == the batch-side kernel over the PREDICTION-KEYED batch
+    val (uni, bi) = LangModel.readModelMl(spark, s"$st/model")
+    val cuts = spark.read.parquet(s"$st/cuts")
+    Seq(0 -> b0, 1 -> b1).foreach { case (id, b) =>
+      val want = Curation.releaseAgainst(keyed(b), uni, bi, cuts)
+      val g = got.where(col("micro_batch") === id)
+        .select(want.columns.map(col): _*)
+      assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+        s"micro-batch $id must equal the keyed batch kernel")
+    }
+    // the mislabeled docs appear in batch 1's zh lane (never an en lane
+    // inflation): zh n_in grows by exactly the stratum size vs the
+    // keyed batch WITHOUT the stratum
+    val zhWithout = Curation.releaseAgainst(
+        keyed(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 200)),
+        uni, bi, cuts)
+      .where(col("lang") === "zh").select("n_in")
+      .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val zhWith = got.where(col("micro_batch") === 1 && col("lang") === "zh")
+      .select("n_in").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    assert(zhWith == zhWithout + mislabeled.count(),
+      "every mislabeled Han doc must gate in the PREDICTED zh lane")
+    // fresh-checkpoint replay fixpoint (pure observer, keyed projection
+    // is deterministic)
+    val before = got.orderBy("micro_batch", "lang").collect().toSeq
+    run("ckpt-replay")
+    assert(spark.read.parquet(s"$st/rel")
+      .orderBy("micro_batch", "lang").collect().toSeq == before,
+      "replaying every batch must rewrite identical funnel rows")
+  }
 }
