@@ -1036,25 +1036,35 @@ object LangModel {
     * re-listing, re-REPAIRING and re-folding every count table from
     * parquet once per MICRO-BATCH (and the repair path could even rewrite
     * a crashed mutation's partitions from inside a documented "pure
-    * observer" — r18 ADVICE); the session does all of it once per RUN and
-    * rolls the cached tables forward in memory as the loop appends.
+    * observer" — r18 ADVICE); the session lists/repairs/loads once per
+    * RUN and rolls forward in memory as the loop appends.
+    *
+    * Cache shape (measured in LmSessionProbe — the first cut re-folded
+    * and re-CHECKPOINTED every table per append, which at order 5 cost
+    * MORE than the parquet re-read it replaced): a checkpointed BASE
+    * fold per table plus a pending list of per-batch count deltas
+    * (batch-vocabulary-scale, checkpointed once each at append). Scoring
+    * folds base ∪ pending lazily INSIDE the scoring job — the same
+    * aggregate the dir-based path runs, minus the per-batch fs listing,
+    * repair pass and parquet reads; with no pending deltas (the pure
+    * observers: releaseMonitor) the base serves directly, zero per-batch
+    * fold. Every `rebaseEvery` appends the pendings fold into a fresh
+    * checkpointed base, bounding plan growth.
     *
     * Correctness contract (spec-pinned in SessionSpec):
-    *   - construction repairs the layout once and caches each table's
-    *     live fold (sum across delta partitions, zeroed n-grams dropped)
-    *     — row-identical to what [[readModel]]/[[readModelMl]] serve;
+    *   - visible counts == [[readModel]]/[[readModelMl]]'s live fold at
+    *     every point (counts are additive; base ∪ pending re-aggregated
+    *     per key with zeroed n-grams dropped);
     *   - [[LmSession.score]] dispatches on the marker shape (order ×
     *     tokenizer) to exactly the scorer that shape's non-session entry
-    *     point uses; `excludeIngestBatch` subtracts the excluded
-    *     partition's counts from the cache on demand, so a
-    *     crash-REPLAYED micro-batch scores against exactly the state its
-    *     failed attempt saw (the own-partition discipline) — in-run the
-    *     exclusion is a no-op because the cache never holds the
-    *     in-flight batch;
+    *     point uses; `excludeIngestBatch` drops the excluded batch's
+    *     pending delta, or (disk-committed before this run — the crash
+    *     replay) subtracts that partition's counts on demand, so a
+    *     replayed micro-batch scores against exactly the state its
+    *     failed attempt saw;
     *   - [[LmSession.append]] commits through [[appendToLmIndex]]
-    *     (identical two-phase delta machinery) and then folds the
-    *     batch's counts into the cache — counts are additive, so
-    *     cache == disk after every committed batch.
+    *     (identical two-phase delta machinery), then pins the batch's
+    *     counts as a pending delta — cache == disk after every batch.
     * The layout must be owned by this single loop while the session is
     * open (the `bm25Ingest` contract — no interleaved batch-API
     * mutations); `close()` drops the caches (checkpoint blocks are
@@ -1062,11 +1072,19 @@ object LangModel {
   final class LmSession private[operators] (spark: SparkSession, dir: String) {
     private val shape: Shape = requireFormat(spark, dir)
     repairAll(spark, dir)
+    // pending-union width is order × pendings: rebase so the score plan
+    // never folds more than ~8 cached frames per table
+    private val rebaseEvery: Int = math.max(2, 16 / shape.order)
     /** The layout's n-gram order (marker-declared). */
     def order: Int = shape.order
     /** True iff the layout is the per-language `tok=ml` form. */
     def ml: Boolean = shape.ml
     private val specs = tableSpecs(shape)
+    private def keysC(keys: Seq[String])(df: DataFrame): DataFrame =
+      df.select((keys.map(col) :+ col("c")): _*)
+    private def foldLive(df: DataFrame, keys: Seq[String]): DataFrame =
+      keysC(keys)(df.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+        .where(col("c") > 0))
     private def partitionIds(): Set[Long] = {
       val (fs, _) = fsOf(spark, dir)
       specs.flatMap { case (sub, _) =>
@@ -1077,31 +1095,29 @@ object LangModel {
           .map(_.stripPrefix("ingest=").toLong)
       }.toSet
     }
-    private var ingestIds: Set[Long] = partitionIds()
-    private def foldLive(df: DataFrame, keys: Seq[String]): DataFrame =
-      df.groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
-        .where(col("c") > 0)
-        .select((keys.map(col) :+ col("c")): _*)
-        .localCheckpoint(true)
-    private var tables: Seq[DataFrame] = specs.map { case (sub, keys) =>
-      foldLive(spark.read.parquet(s"$dir/$sub"), keys)
+    // ids folded into the checkpointed base (open-time partitions +
+    // rebased pendings)
+    private var baseIds: Set[Long] = partitionIds()
+    private var base: Seq[DataFrame] = specs.map { case (sub, keys) =>
+      foldLive(spark.read.parquet(s"$dir/$sub"), keys).localCheckpoint(true)
     }
-    private def visibleTables(exclude: Option[Long]): Seq[DataFrame] =
-      exclude match {
-        case Some(id) if ingestIds.contains(id) =>
-          // replay of an already-committed batch (fresh run after a
-          // crash): subtract that partition's counts on demand —
-          // value-identical to liveTable's `ingest != id` filter,
-          // because counts are additive
-          specs.zip(tables).map { case ((sub, keys), t) =>
-            val own = spark.read.parquet(s"$dir/$sub/ingest=$id")
-              .select((keys.map(col) :+ (-col("c")).as("c")): _*)
-            t.select((keys.map(col) :+ col("c")): _*).unionAll(own)
-              .groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
-              .where(col("c") > 0)
-          }
-        case _ => tables
+    // per-append pending deltas, oldest first: (batchId, per-table counts)
+    private var pending: Seq[(Long, Seq[DataFrame])] = Seq.empty
+    private def visibleTables(exclude: Option[Long]): Seq[DataFrame] = {
+      val pend = exclude match {
+        case Some(id) => pending.filterNot(_._1 == id)
+        case None => pending
       }
+      val subtractBase = exclude.exists(baseIds.contains)
+      if (pend.isEmpty && !subtractBase) base
+      else specs.zipWithIndex.map { case ((sub, keys), i) =>
+        val negOwn = exclude.toSeq.filter(baseIds.contains).map(id =>
+          spark.read.parquet(s"$dir/$sub/ingest=$id")
+            .select((keys.map(col) :+ (-col("c")).as("c")): _*))
+        val all = (base(i) +: pend.map(p => keysC(keys)(p._2(i)))) ++ negOwn
+        foldLive(all.reduce(_ unionAll _), keys)
+      }
+    }
     /** Score a batch against the cached live model at the layout's own
       * shape — row-identical to the shape's `scoreAgainst*Index` entry
       * point over the same layout. */
@@ -1121,28 +1137,39 @@ object LangModel {
             ts, Seq("lang"), n)
       }
     }
-    /** Grow the persisted layout (identical commit machinery) and roll
-      * the cache forward with the batch's counts. A replayed batch id
-      * (already on disk) commits its byte-identical partition rewrite
-      * and leaves the cache alone — it is already folded in. */
+    /** Grow the persisted layout (identical commit machinery) and pin the
+      * batch's counts as a pending cache delta. A replayed batch id
+      * (already on disk or already pending) commits its byte-identical
+      * partition rewrite and leaves the cache alone — it is already
+      * counted. */
     def append(batch: DataFrame, batchId: Long): Unit = {
       appendToLmIndex(batch, dir, batchId)
-      if (!ingestIds.contains(batchId)) {
-        tables = specs.zip(tables).zip(countTables(batch, shape)).map {
-          case (((_, keys), t), delta) =>
-            foldLive(
-              t.select((keys.map(col) :+ col("c")): _*)
-                .unionAll(delta.select((keys.map(col) :+ col("c")): _*)),
-              keys)
-        }
-        ingestIds += batchId
+      if (!baseIds.contains(batchId) && !pending.exists(_._1 == batchId)) {
+        // batch-vocabulary-scale pin: the source batch frame is owned by
+        // the loop and may be unpersisted/unreplayable after the body
+        // returns, so the delta must be materialized now
+        pending = pending :+ (batchId ->
+          countTables(batch, shape).map(_.localCheckpoint(true)))
+        if (pending.size >= rebaseEvery) rebase()
       }
     }
+    private def rebase(): Unit = {
+      base = specs.zipWithIndex.map { case ((_, keys), i) =>
+        foldLive((base(i) +: pending.map(p => keysC(keys)(p._2(i))))
+          .reduce(_ unionAll _), keys).localCheckpoint(true)
+      }
+      baseIds ++= pending.map(_._1)
+      pending = Seq.empty
+    }
     /** Drop every cached table (checkpoint blocks are GC-reclaimed). */
-    def close(): Unit = { tables = null }
+    def close(): Unit = { base = null; pending = null }
   }
 
-  /** Open an [[LmSession]] over an existing LM layout (any shape). */
+  /** Open an [[LmSession]] over an existing LM layout (any shape). The
+    * rebase cadence scales inversely with order: a pending delta is one
+    * frame PER TABLE, so an order-5 layout's score-side union widens 2.5x
+    * faster than order-2's — measured in LmSessionProbe, per-batch wall
+    * grew ~0.15 s/batch at order 5 under the order-2 cadence. */
   def openLmSession(spark: SparkSession, dir: String): LmSession =
     new LmSession(spark, dir)
 
