@@ -59,10 +59,12 @@ object MlGateProbe {
         println(s"[mlgate]   window: offsetMicro in ($origMax, $twinMin)" +
           (if (origMax < twinMin) "  OK" else "  EMPTY — no separating offset"))
     }
-    // ORDER-5 arm (r19): cur_release5 calibrates its cuts on order-5
-    // self-scores — lower and tighter than order-2, so the offset window
-    // is measured separately on the exact fixture at the exact order.
-    Seq("pii5" -> ModelQueries.releaseFixture(spark, args(0))).foreach {
+    // ORDER-5 arms (r19): cur_release5 / cur_release5_ided calibrate
+    // their cuts on order-5 self-scores — lower and tighter than
+    // order-2, so the offset windows are measured separately on the
+    // exact fixtures at the exact order (ided5 = prediction-keyed).
+    Seq("pii5" -> ModelQueries.releaseFixture(spark, args(0)),
+        "ided5" -> ided).foreach {
       case (name, (train, corpus)) =>
         val tables = (1 to 5).map(k =>
           LangModelMl.gramCountsMl(train, k).localCheckpoint(true))

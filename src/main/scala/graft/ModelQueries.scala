@@ -63,11 +63,15 @@ object ModelQueries {
     * mean sits lower than order-2 (deeper contexts are attested
     * in-corpus) while the spam twins' order-5 scores sit HIGHER above it
     * (the OOV spam prefix backs off through more α factors), so the
-    * order-5 funnel carries its own MlGateProbe-measured offset: the
-    * `pii5` arm's windows are (274802, 442203) at sf0.01 and
-    * (296372, 452683) at sf0.001 — 369000 sits inside the intersection
-    * with ≥ 72k margin on both sides at both scale factors. */
-  private val rel5OffsetMicro = 369000L
+    * order-5 funnels carry their own MlGateProbe-measured offset,
+    * shared by the column-keyed and prediction-keyed rows: the `pii5`
+    * arm's windows are (274802, 442203) at sf0.01 / (296372, 452683) at
+    * sf0.001 and the `ided5` arm's (274802, 442203) / (348473, 452683)
+    * — 395000 sits inside all four with ≥ 46k margin everywhere (the
+    * binding edge is ided5@sf0.001's lower bound: prediction keying
+    * pools all latin spam twins into the en lane, raising that lane's
+    * twin mass and with it the floor). */
+  private val rel5OffsetMicro = 395000L
   /** cur_release's zero-token stratum text: digits-only (no token under
     * the Unicode class) but LONG with healthy mean token length, so it
     * PASSES the LR quality gate and actually reaches the LM stage's
@@ -1378,6 +1382,35 @@ object ModelQueries {
       deleteRecursively(stDir)
       deleteRecursively(inDir)
       out
+    },
+
+    // The FULL CCNet production composition (r19): langid FIRST, then
+    // the ORDER-5 per-language model — the keying × order matrix's last
+    // cell (cur_release_ided = keyed × order-2, cur_release5 =
+    // column-keyed × order-5). The mislabeled Han-claiming-en stratum
+    // gates in the zh lane under the zh 5-gram; cuts calibrate on the
+    // keyed train's order-5 self-scores (same offset window as pii5 —
+    // measured, MlGateProbe ided5 arm).
+    QueryDef("cur_release5_ided")(
+      graft.operators.Curation.releaseIded5Sql(
+        s"""(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 1000000, '$mlSpam' || text, lang
+           |   FROM $piiPlantLangMlSql p
+           | UNION ALL SELECT doc_id + 2000000, text, lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 20
+           | UNION ALL SELECT doc_id + 3000000, repeat('90210 842731 ', 75), lang
+           |   FROM $piiPlantLangMlSql p WHERE doc_id % 4 = 0
+           | UNION ALL SELECT doc_id + 4000000, text, 'xx'
+           |   FROM $piiPlantLangMlSql p WHERE doc_id < 10
+           | UNION ALL SELECT doc_id + 5000000, ${cjkOfSql("text")}, 'en'
+           |   FROM documents WHERE doc_id % 2 = 1)""".stripMargin,
+        s"(SELECT doc_id, text, lang FROM $piiPlantLangMlSql p)",
+        offsetMicro = rel5OffsetMicro)
+    ) { (s, dir) =>
+      val (planted, corpus) = releaseIdedFixture(s, dir)
+      graft.operators.Curation.releaseIded5(corpus, planted,
+          offsetMicro = rel5OffsetMicro)
+        .orderBy("lang")
     },
 
     // The lang-keyed ORDER-5 model PRUNED for serving (r19 — the prune ×

@@ -658,16 +658,36 @@ object Curation {
     release(keyed(corpus), keyed(lmTrain), offsetMicro)
   }
 
+  /** The FULL CCNet production composition (r19): langid FIRST
+    * ([[TextAnalysis.langIdPred]] keys both corpora), then the ORDER-5
+    * per-language model and its order-5-calibrated cuts — the keying ×
+    * order matrix's last cell ([[releaseIded]] is keyed × order-2,
+    * [[release5]] column-keyed × order-5). Same pinned kernel. */
+  def releaseIded5(corpus: DataFrame, lmTrain: DataFrame,
+      offsetMicro: Long): DataFrame = {
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      TextAnalysis.langIdPred(col("text")).as("lang"))
+    release5(keyed(corpus), keyed(lmTrain), offsetMicro)
+  }
+
+  private def keyedSql(sql: String, alias: String) =
+    s"""(SELECT doc_id, text, ${TextAnalysis.langIdExprSql()} AS lang
+       |  FROM $sql $alias)""".stripMargin
+
   /** Oracle for [[releaseIded]]: [[releaseSql]] over both corpora with
     * `lang` replaced by the inlined [[TextAnalysis.langIdExprSql]]
     * prediction. */
   def releaseIdedSql(corpusSql: String, trainSql: String,
-      offsetMicro: Long): String = {
-    def keyed(sql: String, alias: String) =
-      s"""(SELECT doc_id, text, ${TextAnalysis.langIdExprSql()} AS lang
-         |  FROM $sql $alias)""".stripMargin
-    releaseSql(keyed(corpusSql, "ki"), keyed(trainSql, "kt"), offsetMicro)
-  }
+      offsetMicro: Long): String =
+    releaseSql(keyedSql(corpusSql, "ki"), keyedSql(trainSql, "kt"),
+      offsetMicro)
+
+  /** Oracle for [[releaseIded5]]: the order-5 funnel oracle over the
+    * prediction-keyed corpora. */
+  def releaseIded5Sql(corpusSql: String, trainSql: String,
+      offsetMicro: Long): String =
+    release5Sql(keyedSql(corpusSql, "ki"), keyedSql(trainSql, "kt"),
+      offsetMicro)
 
   /** Oracle for [[release]]: the LR pass formula, the [[LangModelMl
     * .pplMlSql]] chain over the train corpus (self-scores → calibrated

@@ -320,7 +320,8 @@ class PlanShapeSpec extends TestBase {
     // the ORDER-5 twin (r19) pins its five count tables + cuts + flag
     // table eagerly, so its final plan holds ZERO live parquet scans —
     // trivially inside the bound, and the no-cartesian lock still bites
-    Seq("cur_release", "cur_release_ided", "cur_release5").foreach { name =>
+    Seq("cur_release", "cur_release_ided", "cur_release5",
+        "cur_release5_ided").foreach { name =>
       val q = ModelQueries.all.find(_.name == name).get
       val p = q.build(spark, sf("sf0.001")).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode
