@@ -542,10 +542,17 @@ object Curation {
     * argument, deeper). */
   def release5(corpus: DataFrame, lmTrain: DataFrame,
       offsetMicro: Long): DataFrame = {
+    // the train corpus is tokenized ONCE (r19 shared-tokenization seam):
+    // the order-5 chain consumes the token arrays six times (five gram
+    // tables + the self-score stream), and re-running the regex
+    // tokenizer per consumer was the dominant measured cost (MicroTime:
+    // 36 -> 21 s warm at sf0.1). One row per train doc — the reference
+    // corpus, not the release corpus, so the pin is train-scale.
+    val toked = LangModelMl.tokenizedMl(lmTrain).localCheckpoint(true)
     val tables = (1 to 5).map(k =>
-      LangModelMl.gramCountsMl(lmTrain, k).localCheckpoint(true))
+      LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true))
     val cuts = LangModelMl.cutsFromSelfScores(
-        LangModelMl.scoreStreamNMl(lmTrain, tables, 5), offsetMicro)
+        LangModelMl.scoreStreamNMlFromTs(toked, tables, 5), offsetMicro)
       .localCheckpoint(true)
     releaseWith(corpus, cuts, b =>
       LangModelMl.scoreStreamNMl(b, tables, 5)

@@ -189,7 +189,19 @@ object LangModel {
     * `slice(concat(nulls, ts), 1, size(ts))` — exact length, never a
     * padded prefix (the r17-ADVICE phantom-row trap). */
   private[operators] def tokenStreamNFrom(docs: DataFrame,
-      toksOf: Column => Column, n: Int, keyCols: Seq[String]): DataFrame = {
+      toksOf: Column => Column, n: Int, keyCols: Seq[String]): DataFrame =
+    tokenStreamNFromTs(
+      docs.select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*),
+      n, keyCols)
+
+  /** [[tokenStreamNFrom]] over an ALREADY-TOKENIZED frame (key…, ts) —
+    * the r19 shared-tokenization seam: an order-5 chain needs the token
+    * arrays six times (five gram tables + the score stream), and
+    * re-running the regex tokenizer per consumer dominated the measured
+    * wall; callers tokenize once, pin the (key…, ts) frame, and derive
+    * everything from it. Same construction, identical rows. */
+  private[operators] def tokenStreamNFromTs(toked: DataFrame, n: Int,
+      keyCols: Seq[String]): DataFrame = {
     require(n >= 1 && n <= maxOrder, s"order $n outside [1, $maxOrder]")
     val nul = lit(null).cast("string")
     var zipped: Column = transform(col("ts"), w => struct(w.as("w")))
@@ -201,8 +213,7 @@ object LangModel {
         struct((prev.map(f => z.getField(f).as(f)) :+ p.as(s"ctx$k")): _*))
     }
     val fields = "w" +: (1 until n).map(k => s"ctx$k")
-    docs
-      .select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*)
+    toked
       .where(size(col("ts")) > 0)
       .select((keyCols.map(col) :+ posexplode(zipped)): _*)
       .select((keyCols.map(col) :+ (col("pos") + 1).as("pos")) ++
@@ -212,12 +223,22 @@ object LangModel {
   /** Generic k-gram counts (key…, w1..wk, c) with w1 the OLDEST token —
     * k = 1 yields (key…, w, c), matching the persisted unigram table. */
   private[operators] def gramCountsFrom(docs: DataFrame,
-      toksOf: Column => Column, k: Int, keyCols: Seq[String]): DataFrame = {
+      toksOf: Column => Column, k: Int, keyCols: Seq[String]): DataFrame =
+    gramCountsFromTs(
+      docs.select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*),
+      k, keyCols)
+
+  /** [[gramCountsFrom]] over an already-tokenized (key…, ts) frame —
+    * see [[tokenStreamNFromTs]]. Extra columns in `toked` (a doc id the
+    * counts don't key by) pass through the stream and drop at the
+    * aggregate, so one pinned frame serves every consumer. */
+  private[operators] def gramCountsFromTs(toked: DataFrame, k: Int,
+      keyCols: Seq[String]): DataFrame = {
     if (k == 1)
-      docs.select((keyCols.map(col) :+ explode(toksOf(col("text"))).as("w")): _*)
+      toked.select((keyCols.map(col) :+ explode(col("ts")).as("w")): _*)
         .groupBy((keyCols :+ "w").map(col): _*).agg(count(lit(1)).as("c"))
     else {
-      val st = tokenStreamNFrom(docs, toksOf, k, keyCols)
+      val st = tokenStreamNFromTs(toked, k, keyCols)
         .where(col(s"ctx${k - 1}").isNotNull)
       val renames = (1 until k).map(i => col(s"ctx${k - i}").as(s"w$i")) :+
         col("w").as(s"w$k")
@@ -667,20 +688,35 @@ object LangModel {
     * every order's table — the lifecycle is order- AND shape-generic,
     * r18 adds the lang-keyed trigram cell of the cross product). */
   private def countTables(docs: DataFrame, shape: Shape): Seq[DataFrame] =
-    (1 to shape.order).map { k =>
-      (shape.ml, k) match {
-        // orders 1–3 keep their hand-written derivations (their rows pin
-        // the plans); 4/5 come from the generic kernel — identical
-        // column names and counts either way
-        case (false, 1) => unigramCounts(docs)
-        case (false, 2) => bigramCounts(docs)
-        case (false, 3) => trigramCounts(docs)
-        case (true, 1) => LangModelMl.unigramCountsMl(docs)
-        case (true, 2) => LangModelMl.bigramCountsMl(docs)
-        case (true, 3) => LangModelMl.trigramCountsMl(docs)
-        case (false, _) => gramCountsFrom(docs, toks, k, Nil)
-        case (true, _) => LangModelMl.gramCountsMl(docs, k)
+    if (shape.order <= 3)
+      (1 to shape.order).map { k =>
+        (shape.ml, k) match {
+          // orders 1–3 keep their hand-written derivations (their rows
+          // pin the plans) — identical column names and counts either way
+          case (false, 1) => unigramCounts(docs)
+          case (false, 2) => bigramCounts(docs)
+          case (false, 3) => trigramCounts(docs)
+          case (true, 1) => LangModelMl.unigramCountsMl(docs)
+          case (true, 2) => LangModelMl.bigramCountsMl(docs)
+          case (true, _) => LangModelMl.trigramCountsMl(docs)
+        }
       }
+    else {
+      // order ≥ 4: ONE tokenization for every table (r19 — the
+      // per-table derivation re-ran the regex tokenizer `order` times
+      // over the corpus, the dominant measured cost of an order-5
+      // build); the pinned frame is one row per doc (token arrays),
+      // checkpoint blocks GC-reclaimed after the caller materializes
+      val keyCols = if (shape.ml) Seq("lang") else Seq.empty[String]
+      val toksOf: Column => Column =
+        if (shape.ml) LangModelMl.toksMlOf else toks
+      // LAZY checkpoint: the first table's materialization tokenizes and
+      // caches; the remaining orders read blocks — no standalone
+      // materialization pass before the writes
+      val toked = docs
+        .select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*)
+        .localCheckpoint(false)
+      (1 to shape.order).map(k => gramCountsFromTs(toked, k, keyCols))
     }
 
   /** Train and persist the model: count tables land under seed partitions

@@ -55,6 +55,10 @@ object LangModelMl {
   private def toksMl(text: Column): Column =
     regexp_extract_all(lower(text), lit(mlTokenClass), lit(0))
 
+  /** The multilingual tokenizer as a function value — the shared-
+    * tokenization seam ([[LangModel.gramCountsFromTs]], r19). */
+  private[operators] val toksMlOf: Column => Column = toksMl
+
   /** 0/1: the document has no token under [[mlTokenClass]]. */
   def zeroTok(text: Column): Column =
     (size(toksMl(text)) === 0).cast("int")
@@ -237,6 +241,24 @@ object LangModelMl {
   private[graft] def scoreStreamNMl(batch: DataFrame, tables: Seq[DataFrame],
       n: Int): DataFrame =
     LangModel.scoreStreamN(tokenStreamNMl(batch, n), tables, Seq("lang"), n)
+
+  /** (doc_id, lang, ts) — the corpus tokenized ONCE for the shared-
+    * tokenization consumers below (r19). */
+  private[graft] def tokenizedMl(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), toksMl(col("text")).as("ts"))
+
+  /** Per-language k-gram counts from an already-tokenized
+    * [[tokenizedMl]] frame — row-identical to [[gramCountsMl]]. */
+  private[graft] def gramCountsMlFromTs(toked: DataFrame, k: Int): DataFrame =
+    LangModel.gramCountsFromTs(toked, k, Seq("lang"))
+
+  /** [[scoreStreamNMl]] over an already-tokenized [[tokenizedMl]]
+    * frame. */
+  private[graft] def scoreStreamNMlFromTs(toked: DataFrame,
+      tables: Seq[DataFrame], n: Int): DataFrame =
+    LangModel.scoreStreamN(
+      LangModel.tokenStreamNFromTs(toked, n, Seq("doc_id", "lang")),
+      tables, Seq("lang"), n)
 
   /** Per-language CALIBRATED cuts: each language's threshold derives
     * from ITS OWN model's score distribution (CCNet thresholds come from
