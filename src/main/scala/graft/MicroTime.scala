@@ -21,6 +21,12 @@ object MicroTime {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[micro] $name rep$i%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
+      // reclaim the rep's checkpoint blocks before the next rep starts:
+      // ContextCleaner frees dropped RDDs from a weak-ref queue, which
+      // only fills on GC — without this, big-state rows stack blocks
+      // across reps and the LATER reps die on heap, not the operator
+      System.gc()
+      Thread.sleep(2000)
     }
     spark.stop()
   }

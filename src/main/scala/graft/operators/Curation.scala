@@ -548,9 +548,20 @@ object Curation {
     // tokenizer per consumer was the dominant measured cost (MicroTime:
     // 36 -> 21 s warm at sf0.1). One row per train doc — the reference
     // corpus, not the release corpus, so the pin is train-scale.
-    val toked = LangModelMl.tokenizedMl(lmTrain).localCheckpoint(true)
+    // CORPUS-scale pins go DISK_ONLY (r19 follow-up): the token arrays
+    // and the deep-order gram tables grow with the corpus, not the
+    // vocabulary — an order-5 table is near one row per token position
+    // (count-1 tail), and pinning them on-heap starved execution memory
+    // at 10x sf0.1 under the 8g harness heap (UNABLE_TO_ACQUIRE_MEMORY
+    // in the score aggregate). DISK_ONLY blocks live outside the
+    // unified pool (re-reads ride the OS page cache), which is exactly
+    // the executor-local-spill shape a 1000-executor run needs; the
+    // uni/bi tables stay memory-resident (genuinely vocabulary-scale).
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val toked = LangModelMl.tokenizedMl(lmTrain).localCheckpoint(true, disk)
     val tables = (1 to 5).map(k =>
-      LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true))
+      if (k <= 2) LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true)
+      else LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true, disk))
     val cuts = LangModelMl.cutsFromSelfScores(
         LangModelMl.scoreStreamNMlFromTs(toked, tables, 5), offsetMicro)
       .localCheckpoint(true)
@@ -604,9 +615,12 @@ object Curation {
       .drop("text")
       // the flag table feeds BOTH the dedup keep set and the funnel —
       // pinned so the gate/score/redact chain over the corpus runs ONCE
-      // (narrow per-doc rows; the r16 collapse kept the chain cheap
-      // enough to recompute, the per-lang calibrated chain is not)
-      .localCheckpoint(true)
+      // (the r16 collapse kept the chain cheap enough to recompute, the
+      // per-lang calibrated chain is not). DISK_ONLY: the table is
+      // corpus-scale (it carries the redacted text), so its blocks must
+      // not compete with the score/dedup joins for on-heap memory —
+      // re-reads ride the OS page cache (r19, with the release5 pins)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keeps = st.where(col("lm_kept") === 1)
       .groupBy(md5(col("rtext"))).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1).as("is_keep"))

@@ -713,9 +713,13 @@ object LangModel {
       // LAZY checkpoint: the first table's materialization tokenizes and
       // caches; the remaining orders read blocks — no standalone
       // materialization pass before the writes
+      // DISK_ONLY: the frame is corpus-scale (one token array per doc)
+      // and its consumers are sequential table writes — blocks stay out
+      // of the unified memory pool, re-reads ride the OS page cache
       val toked = docs
         .select((keyCols.map(col) :+ toksOf(col("text")).as("ts")): _*)
-        .localCheckpoint(false)
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       (1 to shape.order).map(k => gramCountsFromTs(toked, k, keyCols))
     }
 
