@@ -368,13 +368,33 @@ object ModelQueries {
   private def stageAsFile(df: DataFrame,
       dir: java.nio.file.Path, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
-    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    // repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+    // upstream fixture pipeline (unions, meta joins, per-script
+    // translate) into one task; the round-robin shuffle keeps the
+    // compute parallel and only the final file write single-task. The
+    // staged CONTENT (row set) is identical — downstream consumers are
+    // per-batch aggregates, row order inside the file is immaterial.
+    df.repartition(1).write.parquet(tmp.resolve("d").toString)
     val ls = java.nio.file.Files.list(tmp.resolve("d"))
     val part =
       try ls.filter(p => p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     java.nio.file.Files.copy(part, dir.resolve(name))
     deleteRecursively(tmp)
+  }
+
+  /** Deterministic micro-batch ORDER for parallel-staged stream inputs:
+    * the file-stream source orders batches by file modification time, and
+    * overlapped stagings (guide §2.6) finish in scheduler order — so
+    * re-stamp the staged files with strictly increasing mtimes in the
+    * declared batch order before the stream starts. */
+  private def orderStaged(dir: java.nio.file.Path, names: String*): Unit = {
+    val base = names.map(n =>
+      java.nio.file.Files.getLastModifiedTime(dir.resolve(n)).toMillis).max
+    names.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(n),
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
@@ -693,9 +713,14 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-in")
       val t0 = System.nanoTime()
-      LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$stDir/model")
-      stageAsFile(withMeta.where(bkt < 10), inDir, "b0.parquet")
-      stageAsFile(withMeta.where(bkt >= 10 && bkt < 20), inDir, "b1.parquet")
+      // model build and the two stagings are independent — overlap
+      // (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$stDir/model"),
+        () => stageAsFile(withMeta.where(bkt < 10), inDir, "b0.parquet"),
+        () => stageAsFile(withMeta.where(bkt >= 10 && bkt < 20), inDir,
+          "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       NorthStarQueries.fixtureSecs.put("lmml-stream-fixture",
         (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.lmMlIngest(
@@ -1068,9 +1093,15 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-in")
       val t0 = System.nanoTime()
-      LangModel.buildLmIndex(idText(d.where(bkt >= 20)), s"$stDir/model")
-      stageAsFile(d.where(bkt < 10), inDir, "b0.parquet")
-      stageAsFile(d.where(bkt >= 10 && bkt < 20), inDir, "b1.parquet")
+      // model build and the two stagings are independent — overlap
+      // (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => LangModel.buildLmIndex(idText(d.where(bkt >= 20)),
+          s"$stDir/model"),
+        () => stageAsFile(d.where(bkt < 10), inDir, "b0.parquet"),
+        () => stageAsFile(d.where(bkt >= 10 && bkt < 20), inDir,
+          "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       NorthStarQueries.fixtureSecs.put("lm-stream-fixture",
         (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.lmIngest(
@@ -1195,11 +1226,18 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-in")
       val t0 = System.nanoTime()
-      LangModel.buildLmMlIndex(planted, s"$stDir/model")
-      graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
-        relOffsetMicro, s"$stDir/cuts")
-      stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet")
-      stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")
+      // model build → cuts is a dependent chain; the two file stagings
+      // are independent of it and of each other — overlap all three
+      // (guide §2.6; fixture_sec records the overlapped wall)
+      graft.operators.Par.runUnit(Seq(
+        () => {
+          LangModel.buildLmMlIndex(planted, s"$stDir/model")
+          graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
+            relOffsetMicro, s"$stDir/cuts")
+        },
+        () => stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet"),
+        () => stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       NorthStarQueries.fixtureSecs.put("release-stream-fixture",
         (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.releaseMonitor(
@@ -1286,11 +1324,16 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-in")
       val t0 = System.nanoTime()
-      LangModel.buildLmMl5Index(planted, s"$stDir/model")
-      graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
-        rel5OffsetMicro, s"$stDir/cuts")
-      stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet")
-      stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")
+      // same overlap as the release-stream fixture (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => {
+          LangModel.buildLmMl5Index(planted, s"$stDir/model")
+          graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
+            rel5OffsetMicro, s"$stDir/cuts")
+        },
+        () => stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet"),
+        () => stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       NorthStarQueries.fixtureSecs.put("release5-stream-fixture",
         (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.releaseMonitor(
@@ -1360,12 +1403,18 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-in")
       val t0 = System.nanoTime()
-      LangModel.buildLmMlIndex(keyedTrain, s"$stDir/model")
-      graft.operators.Curation.writeReleaseCuts(keyedTrain, s"$stDir/model",
-        relOffsetMicro, s"$stDir/cuts")
-      stageAsFile(withMeta(corpus).where(bkt < 50), inDir, "b0.parquet")
-      stageAsFile(withMeta(corpus).where(bkt >= 50)
-        .unionAll(withMeta(mislabeled)), inDir, "b1.parquet")
+      // same overlap as the release-stream fixture (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => {
+          LangModel.buildLmMlIndex(keyedTrain, s"$stDir/model")
+          graft.operators.Curation.writeReleaseCuts(keyedTrain, s"$stDir/model",
+            relOffsetMicro, s"$stDir/cuts")
+        },
+        () => stageAsFile(withMeta(corpus).where(bkt < 50), inDir,
+          "b0.parquet"),
+        () => stageAsFile(withMeta(corpus).where(bkt >= 50)
+          .unionAll(withMeta(mislabeled)), inDir, "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       NorthStarQueries.fixtureSecs.put("release-ided-stream-fixture",
         (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.releaseMonitorIded(

@@ -434,10 +434,24 @@ object NorthStarQueries {
     * file-stream source lists files, not Spark output directories, so
     * streaming queries' deterministic drops are staged this way (same
     * pattern as StreamingSpec). */
+  /** Deterministic micro-batch ORDER for parallel-staged stream inputs —
+    * see ModelQueries.orderStaged: the file-stream source orders batches
+    * by file mtime; re-stamp in declared order after overlapped staging. */
+  private def orderStaged(dir: java.nio.file.Path, names: String*): Unit = {
+    val base = names.map(n =>
+      java.nio.file.Files.getLastModifiedTime(dir.resolve(n)).toMillis).max
+    names.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(n),
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+  }
+
   private def stageAsFile(df: DataFrame,
       dir: java.nio.file.Path, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
-    df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+    // repartition(1), NOT coalesce(1) — see ModelQueries.stageAsFile:
+    // keep the fixture compute parallel, single-task only for the write
+    df.repartition(1).write.parquet(tmp.resolve("d").toString)
     val ls = java.nio.file.Files.list(tmp.resolve("d"))
     val part =
       try ls.filter(p => p.toString.endsWith(".parquet")).findFirst.get
@@ -1593,20 +1607,25 @@ object NorthStarQueries {
         "lang" -> col("lang"))
       val st = java.nio.file.Files.createTempDirectory("graft-purge-all-q")
       val tB = System.nanoTime()
-      Retrieval.buildBm25Index(dt, s"$st/bm25")
-      Dedup.buildCrossNearDupIndex(dt, s"$st/cross")
-      Dedup.buildExactWindowIndex(dt, s"$st/win")
-      Similarity.buildIvfPqIndex(e, s"$st/ivfpq")
-      Multimodal.buildDHashIndex(media, s"$st/dhash")
-      Multimodal.buildAudioFpIndex(clips, s"$st/afp")
-      graft.operators.Curation.buildDriftIndex(d, features, s"$st/drift")
-      graft.operators.LangModel.buildLmIndex(dt, s"$st/lm")
-      graft.operators.Layout.initKeyedLayout(
-        d.select(col("doc_id"), col("n_chars")),
-        Seq("doc_id", "n_chars"), s"$st/layout", files = 2)
-      graft.streaming.Streams.seedCurationState(
-        dt.where(col("doc_id") < 40), s"$st/loop-idx", s"$st/loop-lbl",
-        threshold = 0.8)
+      // ten INDEPENDENT standing-artifact builds (disjoint dirs, shared
+      // read-only inputs, no session-conf mutation) — overlapped from a
+      // small pool (guide §2.6) instead of paying ten sequential job
+      // tails; fixture_sec records the overlapped wall
+      graft.operators.Par.runUnit(Seq(
+        () => Retrieval.buildBm25Index(dt, s"$st/bm25"),
+        () => Dedup.buildCrossNearDupIndex(dt, s"$st/cross"),
+        () => Dedup.buildExactWindowIndex(dt, s"$st/win"),
+        () => Similarity.buildIvfPqIndex(e, s"$st/ivfpq"),
+        () => Multimodal.buildDHashIndex(media, s"$st/dhash"),
+        () => Multimodal.buildAudioFpIndex(clips, s"$st/afp"),
+        () => graft.operators.Curation.buildDriftIndex(d, features, s"$st/drift"),
+        () => graft.operators.LangModel.buildLmIndex(dt, s"$st/lm"),
+        () => graft.operators.Layout.initKeyedLayout(
+          d.select(col("doc_id"), col("n_chars")),
+          Seq("doc_id", "n_chars"), s"$st/layout", files = 2),
+        () => graft.streaming.Streams.seedCurationState(
+          dt.where(col("doc_id") < 40), s"$st/loop-idx", s"$st/loop-lbl",
+          threshold = 0.8)))
       fixtureSecs.put("purge-all-build", (System.nanoTime() - tB) / 1e9)
       // deploymentRoot engages the completeness guard: every artifact the
       // fixture stood up must be covered by a declared target, or the
@@ -1640,15 +1659,20 @@ object NorthStarQueries {
         require(df.select(col(idCol).as("doc_id"))
           .join(ids, Seq("doc_id"), "left_semi").isEmpty,
           s"$what still holds purged ids after purgeEverywhere")
-      none(s.read.parquet(s"$st/bm25/postings"), "doc_id", "bm25 postings")
-      none(s.read.schema("doc_id LONG, sk LONG")
-        .parquet(s"$st/cross/shingle_keys"), "doc_id", "cross index")
-      none(s.read.parquet(s"$st/ivfpq/codes"), "vec_id", "ivfpq codes")
-      none(Multimodal.standingDHashes(s, s"$st/dhash"), "doc_id", "dhash")
-      none(Multimodal.standingAudioFps(s, s"$st/afp"), "doc_id", "audio fp")
-      none(s.read.parquet(s"$st/layout"), "doc_id", "keyed layout")
-      none(s.read.schema("doc_id LONG, sk LONG")
-        .parquet(s"$st/loop-idx/shingle_keys"), "doc_id", "loop index")
+      // seven independent absence probes — overlapped like the builds
+      graft.operators.Par.runUnit(Seq(
+        () => none(s.read.parquet(s"$st/bm25/postings"), "doc_id",
+          "bm25 postings"),
+        () => none(s.read.schema("doc_id LONG, sk LONG")
+          .parquet(s"$st/cross/shingle_keys"), "doc_id", "cross index"),
+        () => none(s.read.parquet(s"$st/ivfpq/codes"), "vec_id", "ivfpq codes"),
+        () => none(Multimodal.standingDHashes(s, s"$st/dhash"), "doc_id",
+          "dhash"),
+        () => none(Multimodal.standingAudioFps(s, s"$st/afp"), "doc_id",
+          "audio fp"),
+        () => none(s.read.parquet(s"$st/layout"), "doc_id", "keyed layout"),
+        () => none(s.read.schema("doc_id LONG, sk LONG")
+          .parquet(s"$st/loop-idx/shingle_keys"), "doc_id", "loop index")))
       val out = audit.select(col("family"), col("ids_found"))
         .orderBy(col("family")).localCheckpoint(true)
       deleteRecursively(st)
@@ -1987,10 +2011,15 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-curation-q")
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
-      graft.streaming.Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-q-in")
-      stageAsFile(b1, inDir, "b1.parquet")
-      stageAsFile(b2, inDir, "b2.parquet")
+      // state seed and the two stagings are independent — overlap
+      // (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => graft.streaming.Streams.seedCurationState(corpus, idxDir,
+          lblDir, threshold = 0.8),
+        () => stageAsFile(b1, inDir, "b1.parquet"),
+        () => stageAsFile(b2, inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("curation-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.curationLoop(
@@ -4183,10 +4212,15 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-curation-purge-q")
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
-      graft.streaming.Streams.seedCurationState(corpus, idxDir, lblDir, threshold = 0.8)
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-purge-q-in")
-      stageAsFile(b1, inDir, "b1.parquet")
-      stageAsFile(b2, inDir, "b2.parquet")
+      // state seed and the two stagings are independent — overlap
+      // (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => graft.streaming.Streams.seedCurationState(corpus, idxDir,
+          lblDir, threshold = 0.8),
+        () => stageAsFile(b1, inDir, "b1.parquet"),
+        () => stageAsFile(b2, inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("curation-purge-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.curationLoop(

@@ -521,9 +521,13 @@ object Curation {
     // fixture scale that recomputed the model chain three times).
     // model tables + cuts pinned eagerly (vocabulary-scale / per-lang
     // rows) — see LangModelMl.gateMl: each feeds many join sides and an
-    // unpinned plan re-scans the train corpus per reference
-    val uni = LangModelMl.unigramCountsMl(lmTrain).localCheckpoint(true)
-    val bi = LangModelMl.bigramCountsMl(lmTrain).localCheckpoint(true)
+    // unpinned plan re-scans the train corpus per reference. The two
+    // independent count aggregates overlap (guide §2.6 — each is a small
+    // job whose straggler tail would otherwise idle the executors).
+    val unibi = Par.run(Seq(
+      () => LangModelMl.unigramCountsMl(lmTrain).localCheckpoint(true),
+      () => LangModelMl.bigramCountsMl(lmTrain).localCheckpoint(true)))
+    val (uni, bi) = (unibi(0), unibi(1))
     val cuts = LangModelMl.calibratedCutsMl(lmTrain, uni, bi, offsetMicro)
       .localCheckpoint(true)
     releaseAgainst(corpus, uni, bi, cuts)
@@ -559,9 +563,13 @@ object Curation {
     // uni/bi tables stay memory-resident (genuinely vocabulary-scale).
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val toked = LangModelMl.tokenizedMl(lmTrain).localCheckpoint(true, disk)
-    val tables = (1 to 5).map(k =>
+    // the five gram aggregates are independent reads of the (eagerly
+    // materialized) tokenized frame — overlap them (guide §2.6) instead
+    // of paying five sequential stage tails
+    val tables = Par.run((1 to 5).map(k => () =>
       if (k <= 2) LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true)
-      else LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true, disk))
+      else LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true, disk)),
+      maxThreads = 5)
     val cuts = LangModelMl.cutsFromSelfScores(
         LangModelMl.scoreStreamNMlFromTs(toked, tables, 5), offsetMicro)
       .localCheckpoint(true)
@@ -606,23 +614,28 @@ object Curation {
           (col("xent").isNotNull &&
             round(col("xent") * 1e6).cast("long") <= col("cut_micro"))))
           .cast("int"))
-      // redaction + finding flag fold into the SAME projection (the
-      // release artifact is the redacted text; non-survivors carry null)
-      .withColumn("rtext",
-        when(col("lm_kept") === 1, Pii.redactText(col("text"))))
+      // redaction + finding flag fold into the SAME projection. The
+      // dedup downstream only ever consumes md5(redacted text) — the
+      // keep set groups by the digest, never the text — so the flag
+      // table carries the 32-byte DIGEST, not the redacted text itself
+      // (r19 optimization round, guide §2.3/§8: every post-decision
+      // stage operates on a lightweight proxy; the checkpoint below
+      // shrinks from corpus-bytes to ~flag-width per row while the
+      // grouping stays byte-identical — md5 over the same strings).
+      .withColumn("rh",
+        when(col("lm_kept") === 1, md5(Pii.redactText(col("text")))))
       .withColumn("has_pii",
         when(col("lm_kept") === 1, Pii.anyPii(col("text"))).otherwise(0))
       .drop("text")
       // the flag table feeds BOTH the dedup keep set and the funnel —
       // pinned so the gate/score/redact chain over the corpus runs ONCE
       // (the r16 collapse kept the chain cheap enough to recompute, the
-      // per-lang calibrated chain is not). DISK_ONLY: the table is
-      // corpus-scale (it carries the redacted text), so its blocks must
-      // not compete with the score/dedup joins for on-heap memory —
-      // re-reads ride the OS page cache (r19, with the release5 pins)
+      // per-lang calibrated chain is not). DISK_ONLY: corpus-CARDINALITY
+      // (narrow flags + digest now, no text), so its blocks stay out of
+      // the unified pool — re-reads ride the OS page cache (r19)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keeps = st.where(col("lm_kept") === 1)
-      .groupBy(md5(col("rtext"))).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("rh")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1).as("is_keep"))
     st.join(keeps, Seq("doc_id"), "left")
       .groupBy(col("lang")).agg(

@@ -667,10 +667,16 @@ object LangModel {
     val (fs, _) = fsOf(spark, dir)
     repairDelta(spark, dir)
     val rels = deltas.map { case (sub, _, _) => s"$sub/ingest=$ingestId" }
-    deltas.zip(rels).foreach { case ((_, keys, df), rel) =>
+    // Stage writes are pre-commit (the marker rename below is the commit
+    // point), so their order is free: first alone (materializes the
+    // order-≥4 shared tokenized frame once), the rest overlapped
+    // (guide §2.6).
+    val stages = deltas.zip(rels).map { case ((_, keys, df), rel) => () =>
       byWordRange(df, keys).write.mode("overwrite")
         .parquet(s"$dir/$deltaStageName/$rel")
     }
+    stages.head()
+    Par.runUnit(stages.tail)
     // atomic marker = THE commit point (tmp + rename)
     val lines = rels ++ purgeId.map(id => s"purge=$id").toSeq
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/$deltaMarkerName.tmp")
@@ -760,11 +766,19 @@ object LangModel {
 
   private def buildIndex(standing: DataFrame, dir: String, shape: Shape): Unit = {
     val spark = standing.sparkSession
-    tableSpecs(shape).zip(countTables(standing, shape)).foreach {
-      case ((sub, keys), df) =>
+    // Independent per-table writes overlap (guide §2.6); the FIRST write
+    // runs alone so the order-≥4 path's shared lazy-checkpointed
+    // tokenized frame (countTables) materializes exactly once before
+    // concurrent readers touch it. Crash safety is unchanged: the marker
+    // below is the commit point and is written only after ALL tables
+    // land, so write order among tables was never load-bearing.
+    val writes = tableSpecs(shape).zip(countTables(standing, shape)).map {
+      case ((sub, keys), df) => () =>
         byWordRange(df, keys).write.mode("overwrite")
           .parquet(s"$dir/$sub/ingest=-1")
     }
+    writes.head()
+    Par.runUnit(writes.tail)
     writeFormatMarker(spark, dir, shape)
   }
 
@@ -1138,9 +1152,11 @@ object LangModel {
     // ids folded into the checkpointed base (open-time partitions +
     // rebased pendings)
     private var baseIds: Set[Long] = partitionIds()
-    private var base: Seq[DataFrame] = specs.map { case (sub, keys) =>
-      foldLive(spark.read.parquet(s"$dir/$sub"), keys).localCheckpoint(true)
-    }
+    // the per-table open-time folds are independent parquet reads —
+    // overlap them (guide §2.6; order-5 layouts pay five folds at open)
+    private var base: Seq[DataFrame] = Par.run(specs.map { case (sub, keys) =>
+      () => foldLive(spark.read.parquet(s"$dir/$sub"), keys).localCheckpoint(true)
+    }, maxThreads = 5)
     // per-append pending deltas, oldest first: (batchId, per-table counts)
     private var pending: Seq[(Long, Seq[DataFrame])] = Seq.empty
     private def visibleTables(exclude: Option[Long]): Seq[DataFrame] = {

@@ -304,8 +304,11 @@ object LangModelMl {
     // reads them from memory instead of re-deriving each reference from
     // a fresh corpus scan (measured: the unpinned cur_release plan grew
     // to 64 parquet scans).
-    val uni = unigramCountsMl(train).localCheckpoint(true)
-    val bi = bigramCountsMl(train).localCheckpoint(true)
+    // the two independent count aggregates overlap (guide §2.6)
+    val unibi = Par.run(Seq(
+      () => unigramCountsMl(train).localCheckpoint(true),
+      () => bigramCountsMl(train).localCheckpoint(true)))
+    val (uni, bi) = (unibi(0), unibi(1))
     val cuts = calibratedCutsMl(train, uni, bi, offsetMicro)
       .localCheckpoint(true)
     val scored = scoreWithMl(

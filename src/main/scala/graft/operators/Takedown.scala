@@ -254,7 +254,15 @@ object Takedown {
       case _: KeyedLayout => 2
       case _ => 1
     }
-    val rows = targets.sortBy(t => (rank(t), t.family)).map { t =>
+    // Targets are independent artifacts (disjoint paths — the duplicate
+    // guard above enforces it; none of the purge verbs mutate session
+    // conf), so within each rank tier the audits + purges overlap from a
+    // small pool (guide §2.6) instead of serializing ten family purges'
+    // job tails. The rank BARRIERS stay: loops first, layouts last —
+    // the documented safe order. `sec` stays each family's own wall
+    // (measured inside its thunk); the manifest sort keeps output
+    // deterministic.
+    def runTarget(t: Target): (String, String, Long, Double) = {
       val found: Long = t match {
         case Bm25(dir, _) =>
           foundIn(spark.read.parquet(s"$dir/postings"), "doc_id", idSet)
@@ -325,6 +333,17 @@ object Takedown {
         case _ => t.path
       }
       (t.family, auditTarget, found, (System.nanoTime() - t0) / 1e9)
+    }
+    val sorted = targets.sortBy(t => (rank(t), t.family))
+    val rows = sorted.map(rank).distinct.sorted.flatMap { r =>
+      val tier = sorted.filter(t => rank(t) == r)
+      // same-path targets (several ExactWindow partitions of ONE window
+      // index) stay sequential — they rewrite under one commit root;
+      // only DISTINCT artifacts overlap. Output order is free here (the
+      // manifest sorts by (family, target) below).
+      val groups = tier.map(_.path).distinct
+      Par.run(groups.map(p => () =>
+        tier.filter(_.path == p).map(runTarget))).flatten
     }
     import spark.implicits._
     rows.toDF("family", "target", "ids_found", "sec")
