@@ -791,10 +791,13 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-xstream-q")
       val (idxDir, keepDir) = (s"$st/index", s"$st/keeps")
       val tSeed = System.nanoTime()
-      Dedup.buildExactWindowIndex(d, idxDir)
       val inDir = java.nio.file.Files.createTempDirectory("graft-xstream-q-in")
-      stageAsFile(b1, inDir, "b1.parquet")
-      stageAsFile(b2, inDir, "b2.parquet")
+      // seed and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => Dedup.buildExactWindowIndex(d, idxDir),
+        () => stageAsFile(b1, inDir, "b1.parquet"),
+        () => stageAsFile(b2, inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("exact-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.exactDedupIngest(
@@ -2752,10 +2755,17 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-hybrid-grown-q")
       val (annIdx, bmIdx) = (s"$st/ivfpq", s"$st/bm25")
       val tB = System.nanoTime()
-      Similarity.buildIvfPqIndex(e.where(col("vec_id") < nE / 2), annIdx)
-      Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= nE / 2), annIdx)
-      Retrieval.buildBm25Index(d.where(col("doc_id") < nD / 2), bmIdx)
-      Retrieval.appendToBm25Index(d.where(col("doc_id") >= nD / 2), bmIdx)
+      // the ANN and lexical index chains are independent — overlap
+      // (guide §2.6; build→append stays sequential within each chain)
+      graft.operators.Par.runUnit(Seq(
+        () => {
+          Similarity.buildIvfPqIndex(e.where(col("vec_id") < nE / 2), annIdx)
+          Similarity.appendToIvfPqIndex(e.where(col("vec_id") >= nE / 2), annIdx)
+        },
+        () => {
+          Retrieval.buildBm25Index(d.where(col("doc_id") < nD / 2), bmIdx)
+          Retrieval.appendToBm25Index(d.where(col("doc_id") >= nD / 2), bmIdx)
+        }))
       fixtureSecs.put("hybrid-grown-build", (System.nanoTime() - tB) / 1e9)
       val bm = Retrieval.bm25IndexedTopK(s, bmIdx,
         Seq("spark", "window", "merge"), 20)
@@ -3263,11 +3273,14 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-bm25-stream-q")
       val idxDir = s"$st/index"
       val tSeed = System.nanoTime()
-      Retrieval.buildBm25Index(d.where(col("doc_id") >= 100), idxDir)
       val inDir = java.nio.file.Files.createTempDirectory("graft-bm25-stream-in")
-      stageAsFile(d.where(col("doc_id") < 50), inDir, "b1.parquet")
-      stageAsFile(d.where(col("doc_id") >= 50 && col("doc_id") < 100),
-        inDir, "b2.parquet")
+      // index build and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => Retrieval.buildBm25Index(d.where(col("doc_id") >= 100), idxDir),
+        () => stageAsFile(d.where(col("doc_id") < 50), inDir, "b1.parquet"),
+        () => stageAsFile(d.where(col("doc_id") >= 50 && col("doc_id") < 100),
+          inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("bm25-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.bm25Ingest(
@@ -4142,10 +4155,13 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-novelty-stream-q")
       val idxDir = s"$st/index"
       val tSeed = System.nanoTime()
-      Dedup.buildExactWindowIndex(standing, idxDir, L = 40)
       val inDir = java.nio.file.Files.createTempDirectory("graft-novelty-stream-in")
-      stageAsFile(b1, inDir, "b1.parquet")
-      stageAsFile(b2, inDir, "b2.parquet")
+      // seed and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => Dedup.buildExactWindowIndex(standing, idxDir, L = 40),
+        () => stageAsFile(b1, inDir, "b1.parquet"),
+        () => stageAsFile(b2, inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("novelty-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.noveltyIngest(
@@ -4314,10 +4330,14 @@ object NorthStarQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-drift-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-drift-stream-in")
       val t0 = System.nanoTime()
-      graft.operators.Curation.buildDriftIndex(
-        d.where(bucket >= 20), features, s"$stDir/index")
-      stageAsFile(d.where(bucket < 10), inDir, "b0.parquet")
-      stageAsFile(d.where(bucket >= 10 && bucket < 20), inDir, "b1.parquet")
+      // index build and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => graft.operators.Curation.buildDriftIndex(
+          d.where(bucket >= 20), features, s"$stDir/index"),
+        () => stageAsFile(d.where(bucket < 10), inDir, "b0.parquet"),
+        () => stageAsFile(d.where(bucket >= 10 && bucket < 20), inDir,
+          "b1.parquet")))
+      orderStaged(inDir, "b0.parquet", "b1.parquet")
       fixtureSecs.put("drift-stream-fixture", (System.nanoTime() - t0) / 1e9)
       val q = graft.streaming.Streams.driftMonitor(
         graft.streaming.Streams.documentsStream(s, inDir.toString,
@@ -5404,10 +5424,14 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-imgstream-q")
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
-      graft.streaming.Streams.seedImageDedupState(standing, idxDir, lblDir)
       val inDir = java.nio.file.Files.createTempDirectory("graft-imgstream-q-in")
-      stageAsFile(b1.toDF(), inDir, "b1.parquet")
-      stageAsFile(b2.toDF(), inDir, "b2.parquet")
+      // seed and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => graft.streaming.Streams.seedImageDedupState(standing, idxDir,
+          lblDir),
+        () => stageAsFile(b1.toDF(), inDir, "b1.parquet"),
+        () => stageAsFile(b2.toDF(), inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("img-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.imageDedupLoop(
@@ -5482,10 +5506,14 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-audiostream-q")
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
-      graft.streaming.Streams.seedAudioDedupState(standing, idxDir, lblDir)
       val inDir = java.nio.file.Files.createTempDirectory("graft-audiostream-q-in")
-      stageAsFile(b1.toDF(), inDir, "b1.parquet")
-      stageAsFile(b2.toDF(), inDir, "b2.parquet")
+      // seed and stagings are independent — overlap (guide §2.6)
+      graft.operators.Par.runUnit(Seq(
+        () => graft.streaming.Streams.seedAudioDedupState(standing, idxDir,
+          lblDir),
+        () => stageAsFile(b1.toDF(), inDir, "b1.parquet"),
+        () => stageAsFile(b2.toDF(), inDir, "b2.parquet")))
+      orderStaged(inDir, "b1.parquet", "b2.parquet")
       fixtureSecs.put("audio-stream-fixture", (System.nanoTime() - tSeed) / 1e9)
       val tLoop = System.nanoTime()
       val q = graft.streaming.Streams.audioDedupLoop(

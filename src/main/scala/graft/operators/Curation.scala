@@ -565,11 +565,16 @@ object Curation {
     val toked = LangModelMl.tokenizedMl(lmTrain).localCheckpoint(true, disk)
     // the five gram aggregates are independent reads of the (eagerly
     // materialized) tokenized frame — overlap them (guide §2.6) instead
-    // of paying five sequential stage tails
+    // of paying five sequential stage tails. Width 2, NOT 5: these are
+    // CORPUS-scale aggregates (the count-1 tail makes an order-5 table
+    // near one row per token position), and five concurrent deep
+    // aggregates exhausted the execution pool at 10× sf0.1 under the
+    // 8 g harness heap (UNABLE_TO_ACQUIRE_MEMORY — measured this round;
+    // width 2 keeps the straggler-tail overlap and passes 10×).
     val tables = Par.run((1 to 5).map(k => () =>
       if (k <= 2) LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true)
       else LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true, disk)),
-      maxThreads = 5)
+      maxThreads = 2)
     val cuts = LangModelMl.cutsFromSelfScores(
         LangModelMl.scoreStreamNMlFromTs(toked, tables, 5), offsetMicro)
       .localCheckpoint(true)

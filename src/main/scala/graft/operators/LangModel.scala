@@ -676,7 +676,7 @@ object LangModel {
         .parquet(s"$dir/$deltaStageName/$rel")
     }
     stages.head()
-    Par.runUnit(stages.tail)
+    Par.runUnit(stages.tail, maxThreads = 3)
     // atomic marker = THE commit point (tmp + rename)
     val lines = rels ++ purgeId.map(id => s"purge=$id").toSeq
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/$deltaMarkerName.tmp")
@@ -777,8 +777,11 @@ object LangModel {
         byWordRange(df, keys).write.mode("overwrite")
           .parquet(s"$dir/$sub/ingest=-1")
     }
+    // width 2: deep-order count tables are corpus-scale aggregates (the
+    // release5 pin lesson — five concurrent ones blew the 8 g execution
+    // pool at 10×); 2 keeps the tail overlap within the memory envelope
     writes.head()
-    Par.runUnit(writes.tail)
+    Par.runUnit(writes.tail, maxThreads = 3)
     writeFormatMarker(spark, dir, shape)
   }
 
@@ -1153,10 +1156,12 @@ object LangModel {
     // rebased pendings)
     private var baseIds: Set[Long] = partitionIds()
     // the per-table open-time folds are independent parquet reads —
-    // overlap them (guide §2.6; order-5 layouts pay five folds at open)
+    // overlap them (guide §2.6; order-5 layouts pay five folds at open).
+    // Width 2: deep-order tables are corpus-scale (the release5 pin
+    // lesson — unbounded overlap blew the 8 g pool at 10×).
     private var base: Seq[DataFrame] = Par.run(specs.map { case (sub, keys) =>
       () => foldLive(spark.read.parquet(s"$dir/$sub"), keys).localCheckpoint(true)
-    }, maxThreads = 5)
+    }, maxThreads = 2)
     // per-append pending deltas, oldest first: (batchId, per-table counts)
     private var pending: Seq[(Long, Seq[DataFrame])] = Seq.empty
     private def visibleTables(exclude: Option[Long]): Seq[DataFrame] = {
