@@ -299,6 +299,11 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Unpartitioned-window audit (r20): the global ORDER BY window IS the
+    // declared semantics (a corpus-wide running sum) — partitioning it
+    // would change the result. Same status: q14 (documented there), q16b,
+    // q17b; the operator-library analogues that must scale run partitioned
+    // or aggregated forms (ChunkSink, lrEval's bounded score table).
     QueryDef("q16_window_frame")(
       """SELECT o_orderkey,
         |   ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey

@@ -383,6 +383,17 @@ object ModelQueries {
     deleteRecursively(tmp)
   }
 
+  /** Fingerprint frame for LANG-KEYED standing models (r20):
+    * [[NorthStarQueries.cachedArtifact]] fingerprints (doc_id, text)
+    * only, and a `tok=ml` model also depends on each row's `lang` — fold
+    * the language into the fingerprinted text with separators that occur
+    * in neither, so a regenerated corpus that changes only language
+    * labels still invalidates the cached model. */
+  private def fpWithLang(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(coalesce(col("lang"), lit("␀")), lit("␞"),
+        col("text")).as("text"))
+
   /** Deterministic micro-batch ORDER for parallel-staged stream inputs:
     * the file-stream source orders batches by file modification time, and
     * overlapped stagings (guide §2.6) finish in scheduler order — so
@@ -1226,15 +1237,21 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-rel-stream-in")
       val t0 = System.nanoTime()
-      // model build → cuts is a dependent chain; the two file stagings
-      // are independent of it and of each other — overlap all three
-      // (guide §2.6; fixture_sec records the overlapped wall)
+      // Standing model + cuts persisted once per testdata fingerprint
+      // (r20, the dd_cluster_increment treatment): releaseMonitor is a
+      // PURE OBSERVER of the model/cuts (documented above — the standing
+      // state never mutates), so the cached artifact is probed in place,
+      // no per-run copy. Cold build cost lands in buildSecs; the two file
+      // stagings overlap with the (fingerprint-checked) artifact lookup
+      // (guide §2.6; fixture_sec records the overlapped wall).
+      val modelRef = new java.util.concurrent.atomic.AtomicReference[String]
       graft.operators.Par.runUnit(Seq(
-        () => {
-          LangModel.buildLmMlIndex(planted, s"$stDir/model")
-          graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
-            relOffsetMicro, s"$stDir/cuts")
-        },
+        () => modelRef.set(NorthStarQueries.cachedArtifact(dir,
+          s"rel-model-cuts-$relOffsetMicro", fpWithLang(planted)) { out =>
+            LangModel.buildLmMlIndex(planted, s"$out/model")
+            graft.operators.Curation.writeReleaseCuts(planted, s"$out/model",
+              relOffsetMicro, s"$out/cuts")
+          }),
         () => stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet"),
         () => stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")))
       orderStaged(inDir, "b0.parquet", "b1.parquet")
@@ -1243,7 +1260,8 @@ object ModelQueries {
       val q = graft.streaming.Streams.releaseMonitor(
         graft.streaming.Streams.documentsStream(s, inDir.toString,
           maxFilesPerTrigger = 1),
-        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+        s"${modelRef.get}/model", s"${modelRef.get}/cuts",
+        s"$stDir/rel", s"$stDir/ckpt")
       q.awaitTermination()
       val out = s.read.parquet(s"$stDir/rel")
         .select(col("micro_batch").cast("long").as("micro_batch"),
@@ -1324,13 +1342,17 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-rel5-stream-in")
       val t0 = System.nanoTime()
-      // same overlap as the release-stream fixture (guide §2.6)
+      // Fingerprint-cached standing order-5 model + cuts, probed in place
+      // (pure observer — see the cur_release_stream comment, r20); the
+      // stagings overlap with the artifact lookup (guide §2.6).
+      val modelRef = new java.util.concurrent.atomic.AtomicReference[String]
       graft.operators.Par.runUnit(Seq(
-        () => {
-          LangModel.buildLmMl5Index(planted, s"$stDir/model")
-          graft.operators.Curation.writeReleaseCuts(planted, s"$stDir/model",
-            rel5OffsetMicro, s"$stDir/cuts")
-        },
+        () => modelRef.set(NorthStarQueries.cachedArtifact(dir,
+          s"rel5-model-cuts-$rel5OffsetMicro", fpWithLang(planted)) { out =>
+            LangModel.buildLmMl5Index(planted, s"$out/model")
+            graft.operators.Curation.writeReleaseCuts(planted, s"$out/model",
+              rel5OffsetMicro, s"$out/cuts")
+          }),
         () => stageAsFile(withMeta.where(bkt < 50), inDir, "b0.parquet"),
         () => stageAsFile(withMeta.where(bkt >= 50), inDir, "b1.parquet")))
       orderStaged(inDir, "b0.parquet", "b1.parquet")
@@ -1339,7 +1361,8 @@ object ModelQueries {
       val q = graft.streaming.Streams.releaseMonitor(
         graft.streaming.Streams.documentsStream(s, inDir.toString,
           maxFilesPerTrigger = 1),
-        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+        s"${modelRef.get}/model", s"${modelRef.get}/cuts",
+        s"$stDir/rel", s"$stDir/ckpt")
       q.awaitTermination()
       val out = s.read.parquet(s"$stDir/rel")
         .select(col("micro_batch").cast("long").as("micro_batch"),
@@ -1403,13 +1426,17 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-reli-stream-in")
       val t0 = System.nanoTime()
-      // same overlap as the release-stream fixture (guide §2.6)
+      // Fingerprint-cached standing prediction-keyed model + cuts, probed
+      // in place (pure observer — see the cur_release_stream comment,
+      // r20); the stagings overlap with the artifact lookup (guide §2.6).
+      val modelRef = new java.util.concurrent.atomic.AtomicReference[String]
       graft.operators.Par.runUnit(Seq(
-        () => {
-          LangModel.buildLmMlIndex(keyedTrain, s"$stDir/model")
-          graft.operators.Curation.writeReleaseCuts(keyedTrain, s"$stDir/model",
-            relOffsetMicro, s"$stDir/cuts")
-        },
+        () => modelRef.set(NorthStarQueries.cachedArtifact(dir,
+          s"reli-model-cuts-$relOffsetMicro", fpWithLang(keyedTrain)) { out =>
+            LangModel.buildLmMlIndex(keyedTrain, s"$out/model")
+            graft.operators.Curation.writeReleaseCuts(keyedTrain, s"$out/model",
+              relOffsetMicro, s"$out/cuts")
+          }),
         () => stageAsFile(withMeta(corpus).where(bkt < 50), inDir,
           "b0.parquet"),
         () => stageAsFile(withMeta(corpus).where(bkt >= 50)
@@ -1420,7 +1447,8 @@ object ModelQueries {
       val q = graft.streaming.Streams.releaseMonitorIded(
         graft.streaming.Streams.documentsStream(s, inDir.toString,
           maxFilesPerTrigger = 1),
-        s"$stDir/model", s"$stDir/cuts", s"$stDir/rel", s"$stDir/ckpt")
+        s"${modelRef.get}/model", s"${modelRef.get}/cuts",
+        s"$stDir/rel", s"$stDir/ckpt")
       q.awaitTermination()
       val out = s.read.parquet(s"$stDir/rel")
         .select(col("micro_batch").cast("long").as("micro_batch"),

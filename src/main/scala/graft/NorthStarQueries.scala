@@ -346,7 +346,7 @@ object NorthStarQueries {
     * retries, repeated sessions) measure the probe/increment alone.
     * Each build's wall-clock is recorded in [[buildSecs]] so the bench
     * archive can separate cold build cost from warm probe cost. */
-  private def cachedArtifact(dir: String, name: String, corpus: DataFrame)
+  private[graft] def cachedArtifact(dir: String, name: String, corpus: DataFrame)
       (build: String => Unit): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val outDir = s"/tmp/graft-$name-$key"
@@ -354,17 +354,28 @@ object NorthStarQueries {
         count(lit(1)), sum(col("doc_id")), sum(length(col("text"))),
         sum(expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as decimal(38,0))")))
       .collect()(0).toSeq.mkString(":")
-    val marker = java.nio.file.Paths.get(outDir, "FINGERPRINT")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
-    if (!fresh) {
-      val t0 = System.nanoTime()
-      build(outDir)
-      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
-      buildSecs.put(name, (System.nanoTime() - t0) / 1e9)
+    // Per-artifact JVM lock (r20): overlapped Verify dumps (§2.6) can hit
+    // the same shared artifact from two queries at once — the freshness
+    // check and the build must be one atomic unit or both threads build
+    // into outDir concurrently. The fingerprint aggregate above stays
+    // outside the lock (read-only Spark work, safe to duplicate).
+    val lock = artifactLocks.computeIfAbsent(outDir, _ => new Object)
+    lock.synchronized {
+      val marker = java.nio.file.Paths.get(outDir, "FINGERPRINT")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      if (!fresh) {
+        val t0 = System.nanoTime()
+        build(outDir)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        buildSecs.put(name, (System.nanoTime() - t0) / 1e9)
+      }
     }
     outDir
   }
+
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Wall-clock seconds of each cachedArtifact build executed in this
     * JVM, keyed by artifact name. Bench drains this after each query so
@@ -458,6 +469,27 @@ object NorthStarQueries {
       finally ls.close()
     java.nio.file.Files.copy(part, dir.resolve(name))
     deleteRecursively(tmp)
+  }
+
+  /** Recursive file copy — the per-run instantiation step for MUTABLE
+    * standing state seeded from a fingerprint-cached artifact (r20): the
+    * curation/purge stream loops grow and purge their state, so each run
+    * works on a cheap filesystem copy while the cached seed stays
+    * pristine. Copy cost is metadata+bytes of a fixture-scale index —
+    * milliseconds against the multi-second Spark seed chain it replaces
+    * on every run. */
+  private def copyRecursively(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t: Path = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t)
+      }
+    } finally walk.close()
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
@@ -2015,11 +2047,26 @@ object NorthStarQueries {
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-q-in")
-      // state seed and the two stagings are independent — overlap
-      // (guide §2.6)
+      // Standing-state SEED persisted once per testdata fingerprint (r20,
+      // VERDICT r19 #3 — the dd_cluster_increment / dd_pipeline_increment
+      // treatment extended to the loop rows): the seed is a pure function
+      // of the standing corpus, exactly the state a production deployment
+      // builds once and then streams against. The loop MUTATES its state
+      // (grows per batch; dd_purge_stream also purges), so each run works
+      // on a filesystem COPY and the cached seed stays pristine. Build
+      // cost lands in buildSecs (cold runs only); warm runs pay the copy
+      // + stagings, overlapped (guide §2.6).
+      val seed = cachedArtifact(dir, "curation-seed-t08", corpus) { out =>
+        graft.streaming.Streams.seedCurationState(corpus, s"$out/index",
+          s"$out/labels", threshold = 0.8)
+      }
       graft.operators.Par.runUnit(Seq(
-        () => graft.streaming.Streams.seedCurationState(corpus, idxDir,
-          lblDir, threshold = 0.8),
+        () => {
+          copyRecursively(java.nio.file.Paths.get(seed, "index"),
+            java.nio.file.Paths.get(idxDir))
+          copyRecursively(java.nio.file.Paths.get(seed, "labels"),
+            java.nio.file.Paths.get(lblDir))
+        },
         () => stageAsFile(b1, inDir, "b1.parquet"),
         () => stageAsFile(b2, inDir, "b2.parquet")))
       orderStaged(inDir, "b1.parquet", "b2.parquet")
@@ -4229,11 +4276,20 @@ object NorthStarQueries {
       val (idxDir, lblDir) = (s"$st/index", s"$st/labels")
       val tSeed = System.nanoTime()
       val inDir = java.nio.file.Files.createTempDirectory("graft-curation-purge-q-in")
-      // state seed and the two stagings are independent — overlap
-      // (guide §2.6)
+      // Fingerprint-cached seed, per-run COPY (same corpus and threshold
+      // as dd_curation_stream, so the artifact is shared) — see the
+      // dd_curation_stream comment for the contract argument (r20).
+      val seed = cachedArtifact(dir, "curation-seed-t08", corpus) { out =>
+        graft.streaming.Streams.seedCurationState(corpus, s"$out/index",
+          s"$out/labels", threshold = 0.8)
+      }
       graft.operators.Par.runUnit(Seq(
-        () => graft.streaming.Streams.seedCurationState(corpus, idxDir,
-          lblDir, threshold = 0.8),
+        () => {
+          copyRecursively(java.nio.file.Paths.get(seed, "index"),
+            java.nio.file.Paths.get(idxDir))
+          copyRecursively(java.nio.file.Paths.get(seed, "labels"),
+            java.nio.file.Paths.get(lblDir))
+        },
         () => stageAsFile(b1, inDir, "b1.parquet"),
         () => stageAsFile(b2, inDir, "b2.parquet")))
       orderStaged(inDir, "b1.parquet", "b2.parquet")

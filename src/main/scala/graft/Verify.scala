@@ -18,15 +18,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // Overlap the per-query dumps from a small pool (optimization guide
+    // §2.6, r20): the 253 dumps are independent actions — each writes its
+    // own $outDir/$name directory — and running them sequentially left the
+    // driver's correctness-gate wall equal to the SUM of every query's
+    // straggler tail. Shared cross-query state is already concurrency-safe:
+    // cachedArtifact holds a per-artifact lock, ModelQueries fixtures use
+    // fresh temp dirs, and session-conf brackets (withBatchParallelism /
+    // eagerRelease) only toggle values the declared results are invariant
+    // to (the catalog gates identically at 4/8/32 shuffle partitions).
+    // Failure stays per-query and loud (same stderr contract as the
+    // sequential loop) — a thunk never throws, so one bad query cannot
+    // abort the remaining dumps. Width 4 fills job tails without
+    // multiplying peak memory; override with SPARK_GRAFT_VERIFY_PAR=1 to
+    // reproduce the sequential wall.
+    val width = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    graft.operators.Par.runUnit(
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) => () =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        },
+      maxThreads = width)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -248,6 +248,35 @@ object LangModel {
     }
   }
 
+  /** [[gramCountsFromTs]] as a TWO-LEVEL aggregation (r20, guide §2.5):
+    * partial counts on (salt, key…, gram) with a deterministic
+    * position-derived salt, then the exact final counts on (key…, gram)
+    * by summing the partials. Counts are additive, so the output is
+    * ROW-IDENTICAL to the one-level form (exact integers — no rounding
+    * anywhere); what changes is the first exchange's key space: a hot
+    * gram (zh/th char-level keys repeat corpus-wide even at order 4/5)
+    * spreads across `salts` reducers instead of one final-aggregate task
+    * owning the whole hot key's input, and the second exchange runs at
+    * already-collapsed table cardinality. `pos % salts` is deterministic
+    * per row (never rand — guide §2.5's retry-duplication trap) and
+    * spreads a hot gram's occurrences uniformly, since a gram repeating
+    * across a corpus lands at effectively all positions. */
+  private[operators] def gramCountsFromTsTwoLevel(toked: DataFrame, k: Int,
+      keyCols: Seq[String], salts: Int = 16): DataFrame = {
+    require(k >= 2, s"two-level gram counts need order >= 2, got $k")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    val st = tokenStreamNFromTs(toked, k, keyCols)
+      .where(col(s"ctx${k - 1}").isNotNull)
+    val renames = (1 until k).map(i => col(s"ctx${k - i}").as(s"w$i")) :+
+      col("w").as(s"w$k")
+    st.select((keyCols.map(col) ++ renames :+
+        pmod(col("pos"), lit(salts)).as("gsalt")): _*)
+      .groupBy((keyCols ++ (1 to k).map(i => s"w$i") :+ "gsalt").map(col): _*)
+      .agg(count(lit(1)).as("c1"))
+      .groupBy((keyCols ++ (1 to k).map(i => s"w$i")).map(col): _*)
+      .agg(sum(col("c1")).as("c"))
+  }
+
   /** The generic order-n Stupid Backoff scorer over a prepared token
     * stream ([[tokenStreamNFrom]] with the same n) and the n count
     * tables (`tables(k-1)` = the (k)-gram table, lowest order first,
@@ -777,9 +806,14 @@ object LangModel {
         byWordRange(df, keys).write.mode("overwrite")
           .parquet(s"$dir/$sub/ingest=-1")
     }
-    // width 2: deep-order count tables are corpus-scale aggregates (the
-    // release5 pin lesson — five concurrent ones blew the 8 g execution
-    // pool at 10×); 2 keeps the tail overlap within the memory envelope
+    // width 3 — the 10×-measured calibration for THIS site (r19 sweep:
+    // txt_lm5_ml 22.3 s warm at width 3, 3 reps green at 8 g): table
+    // WRITES stream their aggregate straight to parquet, so they carry
+    // less concurrent execution-pool state than the release5 checkpoint
+    // PINS (which landed at width 2 after widths 3/5 died
+    // UNABLE_TO_ACQUIRE_MEMORY at 10×/8 g). The width includes the runs
+    // where buildIndex is itself nested under a fixture-level Par
+    // (model build ∥ stagings) — those are the runs the sweep measured.
     writes.head()
     Par.runUnit(writes.tail, maxThreads = 3)
     writeFormatMarker(spark, dir, shape)

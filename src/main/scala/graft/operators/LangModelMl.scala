@@ -252,6 +252,14 @@ object LangModelMl {
   private[graft] def gramCountsMlFromTs(toked: DataFrame, k: Int): DataFrame =
     LangModel.gramCountsFromTs(toked, k, Seq("lang"))
 
+  /** [[gramCountsMlFromTs]] computed TWO-LEVEL (salted partial on
+    * (gsalt, lang, gram), exact final on (lang, gram) — guide §2.5,
+    * r20). Row-identical counts; see
+    * [[LangModel.gramCountsFromTsTwoLevel]]. */
+  private[graft] def gramCountsMlFromTsTwoLevel(toked: DataFrame, k: Int,
+      salts: Int = 16): DataFrame =
+    LangModel.gramCountsFromTsTwoLevel(toked, k, Seq("lang"), salts)
+
   /** [[scoreStreamNMl]] over an already-tokenized [[tokenizedMl]]
     * frame. */
   private[graft] def scoreStreamNMlFromTs(toked: DataFrame,

@@ -36,14 +36,28 @@ private[graft] object Par {
           def call(): A = t()
         })
       }
-      futs.map { f =>
-        try f.get()
+      // get() EVERY future before rethrowing (r20, ADVICE r19): bailing on
+      // the first failure left in-flight Spark writes running on zombie
+      // threads while the caller unwound — and callers (purgeEverywhere,
+      // the stream fixtures) may clean up directories those threads are
+      // still writing. Collecting all results first means every thread
+      // has genuinely settled when the earliest-index failure is rethrown.
+      val outs = futs.map { f =>
+        try Right(f.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
+            Left(Option(e.getCause).getOrElse(e))
         }
       }
-    } finally { pool.shutdownNow(); () }
+      outs.collectFirst { case Left(e) => e }.foreach(throw _)
+      outs.collect { case Right(a) => a }
+    } finally {
+      pool.shutdown()
+      // threads are settled (every future was get()-awaited above); this
+      // only reaps the idle pool, so termination is immediate
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
   }
 
   /** [[run]] for side-effecting actions. */

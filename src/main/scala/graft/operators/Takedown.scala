@@ -334,16 +334,38 @@ object Takedown {
       }
       (t.family, auditTarget, found, (System.nanoTime() - t0) / 1e9)
     }
+    // EVERY directory a target touches (loop targets rewrite BOTH their
+    // index root and their labels root) — the overlap-safety key. Keying
+    // only on t.path (r19) let two loop targets sharing an index dir but
+    // declaring different labels dirs rewrite that index concurrently
+    // within the rank-0 tier (ADVICE r19).
+    def dirsOf(t: Target): Seq[String] = t match {
+      case CurationLoop(i, l) => Seq(i, l)
+      case ImageLoop(i, l) => Seq(i, l)
+      case AudioLoop(i, l) => Seq(i, l)
+      case other => Seq(other.path)
+    }
     val sorted = targets.sortBy(t => (rank(t), t.family))
     val rows = sorted.map(rank).distinct.sorted.flatMap { r =>
       val tier = sorted.filter(t => rank(t) == r)
-      // same-path targets (several ExactWindow partitions of ONE window
-      // index) stay sequential — they rewrite under one commit root;
-      // only DISTINCT artifacts overlap. Output order is free here (the
-      // manifest sorts by (family, target) below).
-      val groups = tier.map(_.path).distinct
-      Par.run(groups.map(p => () =>
-        tier.filter(_.path == p).map(runTarget))).flatten
+      // Targets whose touched dirs overlap — transitively — run as ONE
+      // sequential thunk (several ExactWindow partitions of one window
+      // index; loop targets chained through a shared index or labels
+      // root); only disjoint artifacts overlap. Union-find over the dir
+      // strings; output order is free (the manifest sorts below).
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def findRoot(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val root = findRoot(p); parent.update(x, root); root }
+      }
+      tier.foreach { t =>
+        val ds = dirsOf(t)
+        ds.tail.foreach(d => parent.update(findRoot(d), findRoot(ds.head)))
+      }
+      val groups = tier.groupBy(t => findRoot(dirsOf(t).head)).toSeq
+        .sortBy(_._1).map(_._2)
+      Par.run(groups.map(g => () => g.map(runTarget))).flatten
     }
     import spark.implicits._
     rows.toDF("family", "target", "ids_found", "sec")
