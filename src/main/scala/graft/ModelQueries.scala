@@ -394,6 +394,28 @@ object ModelQueries {
       concat(coalesce(col("lang"), lit("␀")), lit("␞"),
         col("text")).as("text"))
 
+  /** Standing-model fixture persisted once per testdata fingerprint
+    * (r20 — the dd_cluster_increment treatment, OPTIMIZATION_r20.md §2):
+    * a lifecycle row's PRE-EXISTING state (the model a production
+    * deployment built long before the measured verb ran) builds once and
+    * is fingerprint-guarded against data regeneration. Read-only
+    * consumers (probe/score rows) use the returned dir in place;
+    * mutating verbs (grow/prune/purge/compact/ingest) [[modelCopy]]
+    * first. Rows whose DECLARED point is the build itself (txt_lm_ml,
+    * txt_lm5_ml, …) deliberately do NOT use this. */
+  private def cachedModel(dir: String, name: String,
+      fp: org.apache.spark.sql.DataFrame)(build: String => Unit): String =
+    s"${NorthStarQueries.cachedArtifact(dir, name, fp)(out => build(s"$out/m"))}/m"
+
+  /** Per-run mutable instantiation of a [[cachedModel]] artifact. */
+  private def modelCopy(artifactModelDir: String,
+      tmp: java.nio.file.Path): String = {
+    val dst = tmp.resolve("model")
+    NorthStarQueries.copyRecursively(
+      java.nio.file.Paths.get(artifactModelDir), dst)
+    dst.toString
+  }
+
   /** Deterministic micro-batch ORDER for parallel-staged stream inputs:
     * the file-stream source orders batches by file modification time, and
     * overlapped stagings (guide §2.6) finish in scheduler order — so
@@ -522,13 +544,19 @@ object ModelQueries {
     }) { (s, dir) =>
       val d = docs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm-compact")
-      LangModel.buildLmIndex(idText(d.where(bkt >= 40)), s"$tmp/model")
-      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
-        s"$tmp/model", ingestBatch = 0L)
+      // standing grown model fingerprint-cached (shared with
+      // txt_lm_pruned); purge + compact MUTATE, so each run works on a
+      // filesystem COPY (r20)
+      val model = modelCopy(
+        cachedModel(dir, "lm2-b40a20", idText(d)) { m =>
+          LangModel.buildLmIndex(idText(d.where(bkt >= 40)), m)
+          LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+            m, ingestBatch = 0L)
+        }, tmp)
       LangModel.purgeFromLmIndex(idText(d.where(bkt >= 80)),
-        s"$tmp/model", purgeId = 0L)
-      LangModel.compactLmIndex(s, s"$tmp/model")
-      val out = LangModel.scoreAgainstLmIndex(s"$tmp/model",
+        model, purgeId = 0L)
+      LangModel.compactLmIndex(s, model)
+      val out = LangModel.scoreAgainstLmIndex(model,
           idText(d.where(bkt < 20)))
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
@@ -547,11 +575,16 @@ object ModelQueries {
     ) { (s, dir) =>
       val d = docs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm-prune")
-      LangModel.buildLmIndex(idText(d.where(bkt >= 40)), s"$tmp/model")
-      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
-        s"$tmp/model", ingestBatch = 0L)
-      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
-      val out = LangModel.scoreAgainstLmIndex(s"$tmp/model",
+      // standing grown model fingerprint-cached (shared with
+      // txt_lm_compacted); prune MUTATES, so each run prunes a COPY (r20)
+      val model = modelCopy(
+        cachedModel(dir, "lm2-b40a20", idText(d)) { m =>
+          LangModel.buildLmIndex(idText(d.where(bkt >= 40)), m)
+          LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+            m, ingestBatch = 0L)
+        }, tmp)
+      LangModel.pruneLmIndex(s, model, minCount = 30L)
+      val out = LangModel.scoreAgainstLmIndex(model,
           idText(d.where(bkt < 20)))
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
@@ -640,15 +673,15 @@ object ModelQueries {
          | ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val d = mlDocs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-idx")
-      LangModel.buildLmMlIndex(d.where(bkt >= 40), s"$tmp/model")
-      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
-        s"$tmp/model", ingestBatch = 0L)
-      val out = LangModel.scoreAgainstLmMlIndex(s"$tmp/model",
-          d.where(bkt < 20))
-        .orderBy("doc_id").localCheckpoint(true)
-      deleteRecursively(tmp)
-      out
+      // standing grown model persisted once per fingerprint (r20); the
+      // probe is read-only, so no per-run copy
+      val model = cachedModel(dir, "lmml2-b40a20", fpWithLang(d)) { m =>
+        LangModel.buildLmMlIndex(d.where(bkt >= 40), m)
+        LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+          m, ingestBatch = 0L)
+      }
+      LangModel.scoreAgainstLmMlIndex(model, d.where(bkt < 20))
+        .orderBy("doc_id")
     },
 
     // TAKEDOWN of the per-language model, driver-checked THROUGH THE
@@ -671,13 +704,18 @@ object ModelQueries {
       val d = mlDocs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm-ml-purge")
       val tB = System.nanoTime()
-      LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$tmp/lmml")
+      // standing model persisted once per fingerprint (r20); the takedown
+      // MUTATES it, so each run purges a filesystem COPY
+      val built = cachedModel(dir, "lmml2-b20", fpWithLang(d)) { m =>
+        LangModel.buildLmMlIndex(d.where(bkt >= 20), m)
+      }
+      val model = modelCopy(built, tmp)
       val departing = d.where(bkt >= 80).localCheckpoint(true)
       NorthStarQueries.fixtureSecs.put("lm-ml-purge-fixture",
         (System.nanoTime() - tB) / 1e9)
       def run() = Takedown.purgeEverywhere(s,
         departing.select(col("doc_id")),
-        Seq(Takedown.LmModel(s"$tmp/lmml", purgedRows = departing,
+        Seq(Takedown.LmModel(model, purgedRows = departing,
           purgeId = 0L)),
         deploymentRoot = Some(tmp.toString))
       val audit = run()
@@ -686,7 +724,7 @@ object ModelQueries {
       // applied-purge ledger (committed atomically inside the delta
       // marker) makes the retried family a no-op
       run().count()
-      val out = LangModel.scoreAgainstLmMlIndex(s"$tmp/lmml",
+      val out = LangModel.scoreAgainstLmMlIndex(model,
           d.where(bkt < 20))
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
@@ -724,10 +762,13 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-lmml-stream-in")
       val t0 = System.nanoTime()
-      // model build and the two stagings are independent — overlap
-      // (guide §2.6)
+      // seed model fingerprint-cached (shared with txt_lm_ml_purged);
+      // lmMlIngest GROWS it, so each run works on a filesystem COPY —
+      // copy and the two stagings overlap (guide §2.6, r20)
       graft.operators.Par.runUnit(Seq(
-        () => LangModel.buildLmMlIndex(d.where(bkt >= 20), s"$stDir/model"),
+        () => modelCopy(cachedModel(dir, "lmml2-b20", fpWithLang(d)) { m =>
+          LangModel.buildLmMlIndex(d.where(bkt >= 20), m)
+        }, stDir),
         () => stageAsFile(withMeta.where(bkt < 10), inDir, "b0.parquet"),
         () => stageAsFile(withMeta.where(bkt >= 10 && bkt < 20), inDir,
           "b1.parquet")))
@@ -793,15 +834,15 @@ object ModelQueries {
          | ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-idx")
-      LangModel.buildLm3Index(idText(d.where(bkt >= 40)), s"$tmp/model")
-      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
-        s"$tmp/model", ingestBatch = 0L)
-      val out = LangModel.scoreAgainstLm3Index(s"$tmp/model",
-          idText(d.where(bkt < 20)))
-        .orderBy("doc_id").localCheckpoint(true)
-      deleteRecursively(tmp)
-      out
+      // standing grown order-3 model fingerprint-cached (r20); the probe
+      // is read-only, so no per-run copy
+      val model = cachedModel(dir, "lm3-b40a20", idText(d)) { m =>
+        LangModel.buildLm3Index(idText(d.where(bkt >= 40)), m)
+        LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+          m, ingestBatch = 0L)
+      }
+      LangModel.scoreAgainstLm3Index(model, idText(d.where(bkt < 20)))
+        .orderBy("doc_id")
     },
 
     // The order-3 model PRUNED for serving: the deepest-first three-table
@@ -814,11 +855,16 @@ object ModelQueries {
     ) { (s, dir) =>
       val d = docs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm3-prune")
-      LangModel.buildLm3Index(idText(d.where(bkt >= 40)), s"$tmp/model")
-      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
-        s"$tmp/model", ingestBatch = 0L)
-      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
-      val out = LangModel.scoreAgainstLm3Index(s"$tmp/model",
+      // standing grown order-3 model fingerprint-cached (shared with
+      // txt_lm3_indexed); prune MUTATES, so each run prunes a COPY (r20)
+      val model = modelCopy(
+        cachedModel(dir, "lm3-b40a20", idText(d)) { m =>
+          LangModel.buildLm3Index(idText(d.where(bkt >= 40)), m)
+          LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+            m, ingestBatch = 0L)
+        }, tmp)
+      LangModel.pruneLmIndex(s, model, minCount = 30L)
+      val out = LangModel.scoreAgainstLm3Index(model,
           idText(d.where(bkt < 20)))
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
@@ -1011,11 +1057,16 @@ object ModelQueries {
     ) { (s, dir) =>
       val d = docs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-prune")
-      LangModel.buildLm5Index(idText(d.where(bkt >= 40)), s"$tmp/model")
-      LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
-        s"$tmp/model", ingestBatch = 0L)
-      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 30L)
-      val out = LangModel.scoreAgainstLmNIndex(s"$tmp/model",
+      // standing grown order-5 model fingerprint-cached; prune MUTATES,
+      // so each run prunes a COPY (r20)
+      val model = modelCopy(
+        cachedModel(dir, "lm5-b40a20", idText(d)) { m =>
+          LangModel.buildLm5Index(idText(d.where(bkt >= 40)), m)
+          LangModel.appendToLmIndex(idText(d.where(bkt >= 20 && bkt < 40)),
+            m, ingestBatch = 0L)
+        }, tmp)
+      LangModel.pruneLmIndex(s, model, minCount = 30L)
+      val out = LangModel.scoreAgainstLmNIndex(model,
           idText(d.where(bkt < 20)), 5, ml = false)
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)
@@ -1104,11 +1155,13 @@ object ModelQueries {
       val stDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-q")
       val inDir = java.nio.file.Files.createTempDirectory("graft-lm-stream-in")
       val t0 = System.nanoTime()
-      // model build and the two stagings are independent — overlap
-      // (guide §2.6)
+      // seed model fingerprint-cached; lmIngest GROWS it, so each run
+      // works on a filesystem COPY — copy and the two stagings overlap
+      // (guide §2.6, r20)
       graft.operators.Par.runUnit(Seq(
-        () => LangModel.buildLmIndex(idText(d.where(bkt >= 20)),
-          s"$stDir/model"),
+        () => modelCopy(cachedModel(dir, "lm2-b20", idText(d)) { m =>
+          LangModel.buildLmIndex(idText(d.where(bkt >= 20)), m)
+        }, stDir),
         () => stageAsFile(d.where(bkt < 10), inDir, "b0.parquet"),
         () => stageAsFile(d.where(bkt >= 10 && bkt < 20), inDir,
           "b1.parquet")))
@@ -1505,11 +1558,16 @@ object ModelQueries {
     }) { (s, dir) =>
       val d = mlDocs(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-lm5-ml-prune")
-      LangModel.buildLmMl5Index(d.where(bkt >= 40), s"$tmp/model")
-      LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
-        s"$tmp/model", ingestBatch = 0L)
-      LangModel.pruneLmIndex(s, s"$tmp/model", minCount = 5L)
-      val out = LangModel.scoreAgainstLmNIndex(s"$tmp/model",
+      // standing grown lang-keyed order-5 model fingerprint-cached;
+      // prune MUTATES, so each run prunes a COPY (r20)
+      val model = modelCopy(
+        cachedModel(dir, "lmml5-b40a20", fpWithLang(d)) { m =>
+          LangModel.buildLmMl5Index(d.where(bkt >= 40), m)
+          LangModel.appendToLmIndex(d.where(bkt >= 20 && bkt < 40),
+            m, ingestBatch = 0L)
+        }, tmp)
+      LangModel.pruneLmIndex(s, model, minCount = 5L)
+      val out = LangModel.scoreAgainstLmNIndex(model,
           d.where(bkt < 20), 5, ml = true)
         .orderBy("doc_id").localCheckpoint(true)
       deleteRecursively(tmp)

@@ -478,7 +478,7 @@ object NorthStarQueries {
     * pristine. Copy cost is metadata+bytes of a fixture-scale index —
     * milliseconds against the multi-second Spark seed chain it replaces
     * on every run. */
-  private def copyRecursively(src: java.nio.file.Path,
+  private[graft] def copyRecursively(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     val walk = Files.walk(src)
@@ -701,11 +701,16 @@ object NorthStarQueries {
       val n = d.count()
       val idx = java.nio.file.Files.createTempDirectory("graft-win-compact-q")
       val tB = System.nanoTime()
-      Dedup.buildExactWindowIndex(d.where(col("doc_id") < n / 2), idx.toString)
-      Dedup.appendToExactWindowIndex(
-        d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
-      Dedup.appendToExactWindowIndex(
-        d.where(col("doc_id") >= 3 * n / 4), idx.toString)
+      // Pre-compaction standing state (build + two appends) fingerprint-
+      // cached (r20); compaction MUTATES, so each run compacts a COPY.
+      val built = cachedArtifact(dir, "win-built-3batch", d) { out =>
+        Dedup.buildExactWindowIndex(d.where(col("doc_id") < n / 2), s"$out/idx")
+        Dedup.appendToExactWindowIndex(
+          d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), s"$out/idx")
+        Dedup.appendToExactWindowIndex(
+          d.where(col("doc_id") >= 3 * n / 4), s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "idx"), idx)
       Dedup.compactExactWindowIndex(s, idx.toString)
       fixtureSecs.put("win-compact-build", (System.nanoTime() - tB) / 1e9)
       val parts = new java.io.File(s"$idx/windows").listFiles()
@@ -1500,8 +1505,22 @@ object NorthStarQueries {
          | FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val corpus = plantedChain(s, dir)
-      val labels = Dedup.clusterDedupFirst(corpus)
-      val pairs = Dedup.lshCandidatePairsDedup(corpus)
+      // Standing labeling + standing pair evidence persisted once per
+      // testdata fingerprint (r20): a takedown purges STANDING state — in
+      // production both artifacts exist long before the erasure request.
+      // The labeling artifact is the same `cluster-labels` the increment
+      // rows probe; purgeFromClusters only reads them (the purged
+      // labeling is its return value), so no per-run copy is needed.
+      val lblDir = cachedArtifact(dir, "cluster-labels", corpus)(out =>
+        Dedup.clusterDedupFirst(corpus)
+          .write.mode("overwrite").parquet(s"$out/data"))
+      val labels = s.read.schema("doc_id LONG, cluster_id LONG")
+        .parquet(s"$lblDir/data")
+      val prDir = cachedArtifact(dir, "cluster-pairs", corpus)(out =>
+        Dedup.lshCandidatePairsDedup(corpus)
+          .write.mode("overwrite").parquet(s"$out/data"))
+      val pairs = s.read.schema("doc_a LONG, doc_b LONG")
+        .parquet(s"$prDir/data")
       val purged = corpus
         .where(col("doc_id").isin(3L, 14L, 100005L, 100006L, 100007L))
         .select(col("doc_id"))
@@ -1562,7 +1581,17 @@ object NorthStarQueries {
       val st = java.nio.file.Files.createTempDirectory("graft-xpurge-q")
       val idx = s"$st/index"
       val tB = System.nanoTime()
-      Dedup.buildCrossNearDupIndex(d, idx)
+      // Standing cross index persisted once per testdata fingerprint; the
+      // purge/compact verbs MUTATE it, so each run works on a filesystem
+      // COPY (r20 — the txt_bm25_purged treatment). NOTE this index is
+      // over the FULL corpus `d` (purge removes ids afterwards), unlike
+      // the `cross-index` artifact (same corpus, different consumer
+      // population is fine — the artifact key is (name, data dir)).
+      val built = cachedArtifact(dir, "xpurge-cross-index", d) { out =>
+        Dedup.buildCrossNearDupIndex(d, s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "idx"),
+        java.nio.file.Paths.get(idx))
       fixtureSecs.put("xpurge-build", (System.nanoTime() - tB) / 1e9)
       Dedup.purgeFromCrossNearDupIndex(s, idx,
         d.where(col("doc_id") % 7 === 2).select(col("doc_id")))
@@ -1642,25 +1671,39 @@ object NorthStarQueries {
         "lang" -> col("lang"))
       val st = java.nio.file.Files.createTempDirectory("graft-purge-all-q")
       val tB = System.nanoTime()
-      // ten INDEPENDENT standing-artifact builds (disjoint dirs, shared
-      // read-only inputs, no session-conf mutation) — overlapped from a
-      // small pool (guide §2.6) instead of paying ten sequential job
-      // tails; fixture_sec records the overlapped wall
-      graft.operators.Par.runUnit(Seq(
-        () => Retrieval.buildBm25Index(dt, s"$st/bm25"),
-        () => Dedup.buildCrossNearDupIndex(dt, s"$st/cross"),
-        () => Dedup.buildExactWindowIndex(dt, s"$st/win"),
-        () => Similarity.buildIvfPqIndex(e, s"$st/ivfpq"),
-        () => Multimodal.buildDHashIndex(media, s"$st/dhash"),
-        () => Multimodal.buildAudioFpIndex(clips, s"$st/afp"),
-        () => graft.operators.Curation.buildDriftIndex(d, features, s"$st/drift"),
-        () => graft.operators.LangModel.buildLmIndex(dt, s"$st/lm"),
-        () => graft.operators.Layout.initKeyedLayout(
-          d.select(col("doc_id"), col("n_chars")),
-          Seq("doc_id", "n_chars"), s"$st/layout", files = 2),
-        () => graft.streaming.Streams.seedCurationState(
-          dt.where(col("doc_id") < 40), s"$st/loop-idx", s"$st/loop-lbl",
-          threshold = 0.8)))
+      // The ten standing artifacts persist once per testdata fingerprint
+      // (r20, the dd_cluster_increment treatment — this row measures the
+      // TAKEDOWN, which by definition mutates every artifact, so each run
+      // purges a filesystem COPY of the pristine bundle). The fingerprint
+      // frame folds in every input the builds read: documents' text, lang
+      // and n_chars (drift bins, keyed layout) and the embeddings
+      // (IVF-PQ); the media/clip fixtures derive from constants. Cold
+      // build (ten independent builds, overlapped per guide §2.6) lands
+      // in build_sec; fixture_sec now records the per-run copy.
+      val fpFrame = d.select(col("doc_id"),
+          concat_ws("␞", col("text"), col("lang"),
+            col("n_chars").cast("string")).as("text"))
+        .unionAll(e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("string").as("text")))
+      val built = cachedArtifact(dir, "purge-all-artifacts", fpFrame) { out =>
+        graft.operators.Par.runUnit(Seq(
+          () => Retrieval.buildBm25Index(dt, s"$out/a/bm25"),
+          () => Dedup.buildCrossNearDupIndex(dt, s"$out/a/cross"),
+          () => Dedup.buildExactWindowIndex(dt, s"$out/a/win"),
+          () => Similarity.buildIvfPqIndex(e, s"$out/a/ivfpq"),
+          () => Multimodal.buildDHashIndex(media, s"$out/a/dhash"),
+          () => Multimodal.buildAudioFpIndex(clips, s"$out/a/afp"),
+          () => graft.operators.Curation.buildDriftIndex(d, features,
+            s"$out/a/drift"),
+          () => graft.operators.LangModel.buildLmIndex(dt, s"$out/a/lm"),
+          () => graft.operators.Layout.initKeyedLayout(
+            d.select(col("doc_id"), col("n_chars")),
+            Seq("doc_id", "n_chars"), s"$out/a/layout", files = 2),
+          () => graft.streaming.Streams.seedCurationState(
+            dt.where(col("doc_id") < 40), s"$out/a/loop-idx",
+            s"$out/a/loop-lbl", threshold = 0.8)))
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "a"), st)
       fixtureSecs.put("purge-all-build", (System.nanoTime() - tB) / 1e9)
       // deploymentRoot engages the completeness guard: every artifact the
       // fixture stood up must be covered by a declared target, or the
@@ -2391,7 +2434,16 @@ object NorthStarQueries {
         .head().getSeq[Double](0)
       val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-purge-q")
       val tB = System.nanoTime()
-      Similarity.buildIvfPqIndex(e, idx.toString)
+      // Standing IVF-PQ layout fingerprint-cached (r20); the purge
+      // MUTATES it, so each run purges a filesystem COPY. Fingerprint
+      // frame renders the embeddings through the (doc_id, text) shape
+      // cachedArtifact fingerprints.
+      val fpFrame = e.select(col("vec_id").as("doc_id"),
+        col("embedding").cast("string").as("text"))
+      val built = cachedArtifact(dir, "ivfpq-full", fpFrame) { out =>
+        Similarity.buildIvfPqIndex(e, s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "idx"), idx)
       fixtureSecs.put("ivfpq-purge-build", (System.nanoTime() - tB) / 1e9)
       Similarity.purgeFromIvfPqIndex(s, idx.toString,
         e.where(col("vec_id") % 9 === 4).select(col("vec_id")))
@@ -3282,7 +3334,13 @@ object NorthStarQueries {
       val n = d.count()
       val idx = java.nio.file.Files.createTempDirectory("graft-bm25-grown-q")
       val tB = System.nanoTime()
-      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
+      // The BASE index is pre-existing standing state (fingerprint-cached,
+      // r20); the two APPENDS are the measured grow verb and run per run
+      // on a filesystem COPY.
+      val base = cachedArtifact(dir, "bm25-built-half", d) { out =>
+        Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(base, "idx"), idx)
       Retrieval.appendToBm25Index(
         d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
       Retrieval.appendToBm25Index(
@@ -3321,9 +3379,17 @@ object NorthStarQueries {
       val idxDir = s"$st/index"
       val tSeed = System.nanoTime()
       val inDir = java.nio.file.Files.createTempDirectory("graft-bm25-stream-in")
-      // index build and stagings are independent — overlap (guide §2.6)
+      // Seed index fingerprint-cached (r20); bm25Ingest GROWS it, so each
+      // run works on a filesystem COPY — copy ∥ stagings (guide §2.6).
       graft.operators.Par.runUnit(Seq(
-        () => Retrieval.buildBm25Index(d.where(col("doc_id") >= 100), idxDir),
+        () => {
+          val seed = cachedArtifact(dir, "bm25-seed-b100", d) { out =>
+            Retrieval.buildBm25Index(d.where(col("doc_id") >= 100),
+              s"$out/idx")
+          }
+          copyRecursively(java.nio.file.Paths.get(seed, "idx"),
+            java.nio.file.Paths.get(idxDir))
+        },
         () => stageAsFile(d.where(col("doc_id") < 50), inDir, "b1.parquet"),
         () => stageAsFile(d.where(col("doc_id") >= 50 && col("doc_id") < 100),
           inDir, "b2.parquet")))
@@ -3369,11 +3435,19 @@ object NorthStarQueries {
       val n = d.count()
       val idx = java.nio.file.Files.createTempDirectory("graft-bm25-compact-q")
       val tB = System.nanoTime()
-      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
-      Retrieval.appendToBm25Index(
-        d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), idx.toString)
-      Retrieval.appendToBm25Index(
-        d.where(col("doc_id") >= 3 * n / 4), idx.toString)
+      // Pre-compaction standing state (build + two appends) persisted once
+      // per testdata fingerprint (r20, the dd_cluster_increment treatment);
+      // compaction MUTATES the index, so each run compacts a filesystem
+      // COPY. The row measures the compaction verb + probe identity, not
+      // the index rebuild.
+      val built = cachedArtifact(dir, "bm25-built-3batch", d) { out =>
+        Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), s"$out/idx")
+        Retrieval.appendToBm25Index(
+          d.where(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), s"$out/idx")
+        Retrieval.appendToBm25Index(
+          d.where(col("doc_id") >= 3 * n / 4), s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "idx"), idx)
       Retrieval.compactBm25Batches(s, idx.toString)
       fixtureSecs.put("bm25-compact-build", (System.nanoTime() - tB) / 1e9)
       val parts = new java.io.File(s"$idx/postings").listFiles()
@@ -3453,8 +3527,14 @@ object NorthStarQueries {
       val n = d.count()
       val idx = java.nio.file.Files.createTempDirectory("graft-bm25-purge-q")
       val tB = System.nanoTime()
-      Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), idx.toString)
-      Retrieval.appendToBm25Index(d.where(col("doc_id") >= n / 2), idx.toString)
+      // Pre-takedown standing state (build + append) persisted once per
+      // testdata fingerprint; the purge/compact verbs MUTATE, so each run
+      // works on a filesystem COPY (r20 — see txt_bm25_compacted).
+      val built = cachedArtifact(dir, "bm25-built-2batch", d) { out =>
+        Retrieval.buildBm25Index(d.where(col("doc_id") < n / 2), s"$out/idx")
+        Retrieval.appendToBm25Index(d.where(col("doc_id") >= n / 2), s"$out/idx")
+      }
+      copyRecursively(java.nio.file.Paths.get(built, "idx"), idx)
       fixtureSecs.put("bm25-purge-build", (System.nanoTime() - tB) / 1e9)
       Retrieval.purgeFromBm25Index(s, idx.toString,
         d.where(col("doc_id") % 5 === 2).select(col("doc_id")))

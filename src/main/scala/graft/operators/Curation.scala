@@ -571,6 +571,16 @@ object Curation {
     // aggregates exhausted the execution pool at 10× sf0.1 under the
     // 8 g harness heap (UNABLE_TO_ACQUIRE_MEMORY — measured this round;
     // width 2 keeps the straggler-tail overlap and passes 10×).
+    // NOT two-level/salted (r20 negative result, measured): re-aggregating
+    // the order-4/5 tables as (gsalt, lang, gram) partials then exact
+    // finals — the guide §2.5 skew prescription — heap-OOM'd at 10×/8 g
+    // on its first rep, while this one-level form passed 3 consecutive
+    // reps (160–171 s). A deep-order table is count-1-tail (near one row
+    // per token position), so the salted first level emits ≈ its input
+    // and the extra exchange + second aggregate only ADD peak state;
+    // there is no hot-key reducer to split — the hash of the full
+    // (lang, w1..wk) key already spreads. See
+    // LangModel.gramCountsFromTsTwoLevel for the measured-negative form.
     val tables = Par.run((1 to 5).map(k => () =>
       if (k <= 2) LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true)
       else LangModelMl.gramCountsMlFromTs(toked, k).localCheckpoint(true, disk)),

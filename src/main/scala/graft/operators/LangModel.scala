@@ -248,19 +248,21 @@ object LangModel {
     }
   }
 
-  /** [[gramCountsFromTs]] as a TWO-LEVEL aggregation (r20, guide §2.5):
-    * partial counts on (salt, key…, gram) with a deterministic
-    * position-derived salt, then the exact final counts on (key…, gram)
-    * by summing the partials. Counts are additive, so the output is
-    * ROW-IDENTICAL to the one-level form (exact integers — no rounding
-    * anywhere); what changes is the first exchange's key space: a hot
-    * gram (zh/th char-level keys repeat corpus-wide even at order 4/5)
-    * spreads across `salts` reducers instead of one final-aggregate task
-    * owning the whole hot key's input, and the second exchange runs at
-    * already-collapsed table cardinality. `pos % salts` is deterministic
-    * per row (never rand — guide §2.5's retry-duplication trap) and
-    * spreads a hot gram's occurrences uniformly, since a gram repeating
-    * across a corpus lands at effectively all positions. */
+  /** [[gramCountsFromTs]] as a TWO-LEVEL aggregation (guide §2.5) —
+    * kept as the r20 MEASURED-NEGATIVE form, not wired anywhere: at
+    * 10×/8 g the salted order-4/5 release5 tables heap-OOM'd on their
+    * first rep while the one-level form passed 3 consecutive reps
+    * (160–171 s). Why the prescription inverts here: a deep-order gram
+    * table is count-1-tail (near one row per token position), so the
+    * level-1 (salt, key…, gram) aggregate emits ≈ its input — the extra
+    * exchange and second aggregate only ADD peak execution state, and
+    * there is no hot-key reducer to split because the final aggregate
+    * hash-partitions on the full (key…, w1..wk) tuple, which is already
+    * near-unique. Two-level aggregation pays off when the UNsalted key
+    * is low-cardinality/hot (e.g. per-lang totals), not for count-1-tail
+    * key spaces. Output is ROW-IDENTICAL to the one-level form (counts
+    * are additive, exact integers; `pos % salts` is deterministic —
+    * never rand, guide §2.5's retry-duplication trap). */
   private[operators] def gramCountsFromTsTwoLevel(toked: DataFrame, k: Int,
       keyCols: Seq[String], salts: Int = 16): DataFrame = {
     require(k >= 2, s"two-level gram counts need order >= 2, got $k")
